@@ -1,0 +1,18 @@
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.interpolate import (
+    interpolate_at_probes,
+    resample_to_grid,
+)
+from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
+from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
+
+__all__ = [
+    "RegularTimeRange",
+    "interpolate_at_probes",
+    "resample_to_grid",
+    "rate_to_grid",
+    "irate_to_grid",
+    "histogram_quantile",
+    "sum_over_series",
+]

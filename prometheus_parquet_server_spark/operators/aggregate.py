@@ -1,0 +1,76 @@
+"""Cross-series aggregation: sum by / without / bare (A1–A3, SURVEY.md §2.5).
+
+Reference parity: ``handle_sum_function`` + ``GroupBy::construct``
+(/root/reference/src/query.rs:439-546) and ``LabelValueMap::retaining``
+(/root/reference/src/labels.rs:193-203):
+
+- the operand is grid-aligned first (resample) so all series share instants;
+- ``by (l₁,…)``: the group key RETAINS only the listed labels; unknown label
+  names are silently dropped (query.rs:465-470); the metric name survives
+  only if ``__name__`` is listed (it is just a label, NAME_CODE=0);
+- groups of one series pass through unchanged — sum of one = itself;
+- values add blindly, so NaN poisons the group sum (query.rs:525-541) —
+  Spark's double SUM has the same NaN-propagation (NULLs are skipped but we
+  never emit NULL values, NaN is the engine's sentinel).
+
+``without (…)`` and bare ``sum(v)`` error in the reference
+(query.rs:461-463, 506-507); implemented here anyway per SURVEY §2.5 A2/A3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.labels import NAME_LABEL
+from prometheus_parquet_server_spark.model import canonical_labels_json
+
+
+def sum_over_series(
+    df: DataFrame,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """Element-wise sum across series per instant.
+
+    ``df``: canonical long frame (name, labels, ts, value), grid-aligned.
+    Exactly one of ``by`` / ``without`` may be given; neither = bare sum
+    (group key empty).
+    Output: (name, labels, ts, value) — name NULL unless retained.
+    """
+    if by is not None and without is not None:
+        raise ValueError("pass at most one of by/without")
+
+    if by is not None:
+        keys = [k for k in by if k != NAME_LABEL]
+        keep = F.array([F.lit(k) for k in keys])
+        retained = F.map_filter(F.col("labels"), lambda k, _: F.array_contains(keep, k))
+        name_out = F.col("name") if NAME_LABEL in by else F.lit(None).cast("string")
+    elif without is not None:
+        drop = F.array([F.lit(k) for k in without if k != NAME_LABEL])
+        retained = F.map_filter(
+            F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+        )
+        name_out = (
+            F.lit(None).cast("string") if NAME_LABEL in without else F.col("name")
+        )
+    else:
+        retained = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        name_out = F.lit(None).cast("string")
+
+    prepared = df.select(
+        name_out.alias("_name"),
+        retained.alias("_labels"),
+        canonical_labels_json(retained).alias("_gkey"),
+        "ts",
+        "value",
+    )
+    return (
+        prepared.groupBy("_name", "_gkey", "ts")
+        .agg(F.first("_labels").alias("labels"), F.sum("value").alias("value"))
+        .select(F.col("_name").alias("name"), "labels", "ts", "value")
+    )

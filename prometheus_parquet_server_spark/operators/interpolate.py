@@ -1,0 +1,187 @@
+"""As-of linear interpolation over labelled time series (T1–T3, T5).
+
+Reference parity: ``interpolated_at`` + ``calculate_resampled_series``
+(/root/reference/src/timeseries.rs:57-68, 164-191) and binary-search
+``locate`` (/root/reference/src/timevectors.rs:111-148):
+
+- probe before first sample  → first value (clamped extrapolation)
+- probe at/after last sample → last value (``locate`` puts ``t == ts[last]``
+  in ``Above``, src/timevectors.rs:130-132)
+- between samples i, i+1 with ``ts[i] <= t < ts[i+1]`` →
+  ``((t-t0)*v1 + (t1-t)*v0) / (t1-t0)``
+- empty series → NaN
+
+Spark strategy (scale note): the reference binary-searches per instant —
+O(log n) per probe on one core. Here samples and probes are UNIONed and a
+single window pass per series computes every probe's straddling samples in
+one sort: one shuffle on the series key, then linear merge. This is the plan
+that survives 100 TB — no per-probe lookups, no driver-side loops, and the
+shuffle key (series) matches the downstream groupBy keys so AQE can coalesce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def NAN() -> Column:
+    """NaN literal (lazy: F.lit needs an active SparkContext)."""
+    return F.lit(float("nan"))
+
+
+def _asof_context(
+    samples: DataFrame,
+    probes: DataFrame,
+    series_cols: Sequence[str],
+    carry_cols: Sequence[str],
+) -> DataFrame:
+    """Attach to every probe row the straddling-sample context.
+
+    ``samples``: series_cols + (ts, value), strictly increasing ts per series
+    (the reference's VecTimeRange invariant, src/timevectors.rs:71-97 — the
+    caller dedupes).
+    ``probes``: series_cols + ``_pt`` (probe instant) + carry_cols.
+
+    Output: probes + ``_prev`` struct(t, v, tp, vp) = sample at
+    ``max ts <= _pt`` plus its predecessor, and ``_next`` struct(t, v) =
+    sample at ``min ts > _pt``; null structs when no such sample exists.
+    """
+    lagw = Window.partitionBy(*series_cols).orderBy("ts")
+    sample_side = samples.select(
+        *series_cols,
+        F.col("ts").alias("_t"),
+        F.lit(0).alias("_p"),
+        F.struct(
+            F.col("ts").alias("t"),
+            F.col("value").alias("v"),
+            F.lag("ts").over(lagw).alias("tp"),
+            F.lag("value").over(lagw).alias("vp"),
+        ).alias("_sv"),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in carry_cols],
+    )
+    probe_side = probes.select(
+        *series_cols,
+        F.col("_pt").alias("_t"),
+        F.lit(1).alias("_p"),
+        F.lit(None).cast(sample_side.schema["_sv"].dataType).alias("_sv"),
+        *carry_cols,
+    )
+    u = sample_side.unionByName(probe_side)
+    # Samples sort before probes at equal _t (_p 0 < 1), so a sample at
+    # exactly the probe instant lands in _prev (ts[i] <= t) and _next is
+    # strictly greater — matching locate()'s Between/Above classification.
+    order = [F.col("_t").asc(), F.col("_p").asc()]
+    wprev = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn("_prev", F.last("_sv", ignorenulls=True).over(wprev))
+        .withColumn(
+            "_next",
+            F.first(
+                F.when(F.col("_p") == 0, F.col("_sv")), ignorenulls=True
+            ).over(wnext),
+        )
+        .filter(F.col("_p") == 1)
+        .withColumnRenamed("_t", "_pt")
+    )
+
+
+def interp_value(pt: Column, prev: Column, nxt: Column) -> Column:
+    """The interpolated_at() value expression (src/timeseries.rs:164-191)."""
+    t0, v0 = prev["t"], prev["v"]
+    t1, v1 = nxt["t"], nxt["v"]
+    return (
+        F.when(prev.isNull() & nxt.isNull(), NAN())  # NotFound → NaN
+        .when(prev.isNull(), v1)  # Below → first value
+        .when(nxt.isNull(), v0)  # Above → last value
+        .otherwise(((pt - t0) * v1 + (t1 - pt) * v0) / (t1 - t0))
+    )
+
+
+def interpolate_at_probes(
+    samples: DataFrame,
+    probes: DataFrame,
+    series_cols: Sequence[str],
+    carry_cols: Sequence[str] = (),
+    out_col: str = "value",
+) -> DataFrame:
+    """Evaluate interpolated_at(probe) for every probe row.
+
+    Returns series_cols + carry_cols + ``_pt`` + ``out_col``.
+    """
+    ctx = _asof_context(samples, probes, series_cols, carry_cols)
+    return ctx.select(
+        *series_cols,
+        *carry_cols,
+        "_pt",
+        interp_value(F.col("_pt"), F.col("_prev"), F.col("_next")).alias(out_col),
+    )
+
+
+def grid_probes(
+    series_df: DataFrame, grid_df: DataFrame, offset: float = 0.0
+) -> DataFrame:
+    """Cross every distinct series with the (broadcast) grid.
+
+    ``offset`` is the PromQL `offset` modifier (T5): the sampled instant is
+    ``grid_ts - offset`` while the output keeps the grid timestamp
+    (src/timeseries.rs:57-68).
+    """
+    return series_df.crossJoin(F.broadcast(grid_df)).withColumn(
+        "_pt", F.col("gts") - F.lit(float(offset))
+    )
+
+
+def keyed_series(samples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Key a canonical long frame (name, labels, ts, value) by the string
+    series identity (maps can't be window keys / deduped in Spark).
+
+    Returns (keyed samples with ``_skey``, one-row-per-series frame with
+    ``_skey, name, labels``).
+    """
+    from prometheus_parquet_server_spark.model import series_key_str
+
+    keyed = samples.withColumn("_skey", series_key_str())
+    series = keyed.groupBy("_skey").agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
+    return keyed, series
+
+
+def resample_to_grid(
+    samples: DataFrame,
+    grid_df: DataFrame,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """T3: align every series onto the regular grid via interpolation
+    (src/timeseries.rs:57-68 driven by src/query.rs:109-124).
+
+    With ``series_cols=None`` (default) operates on the canonical long frame
+    (name, labels, ts, value) and returns the same shape on grid instants.
+    With explicit ``series_cols`` (plain, non-map columns) returns
+    series_cols + ``ts_col`` + ``out_col``.
+    """
+    if series_cols is None:
+        keyed, series = keyed_series(samples)
+        probes = grid_probes(series, grid_df, offset)
+        out = interpolate_at_probes(
+            keyed, probes, ["_skey"], carry_cols=["name", "labels", "gts"], out_col=out_col
+        )
+        return out.select("name", "labels", F.col("gts").alias(ts_col), out_col)
+    series = samples.select(*series_cols).distinct()
+    probes = grid_probes(series, grid_df, offset)
+    out = interpolate_at_probes(samples, probes, series_cols, carry_cols=["gts"], out_col=out_col)
+    return out.select(*series_cols, F.col("gts").alias(ts_col), out_col)

@@ -1,0 +1,184 @@
+"""rate() and irate() over range vectors (P1, P2 in SURVEY.md §2.4).
+
+Reference parity:
+- ``rate``  : /root/reference/src/timeseries.rs:70-85, 104-113 — per grid
+  instant t (after `offset`): ``(interp(t) − interp(t−r)) / r`` using clamped
+  linear interpolation; ``r == 0`` → NaN. No counter-reset logic.
+- ``irate`` : /root/reference/src/timeseries.rs:87-102, 116-161 — faithfully
+  replicated INCLUDING two reference quirks (readme.md:104 admits "irate
+  logic needs work"); see irate_value() comments.
+
+Spark strategy: both endpoints of every grid instant become probe rows in the
+single-pass as-of window of interpolate.py (one shuffle on the series key),
+then a groupBy(series, grid_ts) pairs the endpoints. Map-side partial
+aggregation keeps the second exchange small; at cluster scale both exchanges
+hash on the same series-dominated keys.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.operators.interpolate import (
+    NAN,
+    _asof_context,
+    interp_value,
+    keyed_series,
+)
+
+
+def _endpoint_probes(
+    series: DataFrame,
+    grid_df: DataFrame,
+    series_cols: Sequence[str],
+    over_range: float,
+    offset: float,
+) -> DataFrame:
+    """Two probes per (series, grid instant): hi at ``t−offset`` and lo at
+    ``t−offset−r`` (src/timeseries.rs:75-77)."""
+    endpoints = F.array(
+        F.struct(
+            (F.col("gts") - F.lit(float(offset))).alias("pt"), F.lit(1).alias("hi")
+        ),
+        F.struct(
+            (F.col("gts") - F.lit(float(offset)) - F.lit(float(over_range))).alias("pt"),
+            F.lit(0).alias("hi"),
+        ),
+    )
+    extra = [c for c in series.columns if c not in series_cols]
+    return (
+        series.crossJoin(F.broadcast(grid_df))
+        .select(*series_cols, *extra, "gts", F.explode(endpoints).alias("_e"))
+        .select(
+            *series_cols,
+            *extra,
+            "gts",
+            F.col("_e.pt").alias("_pt"),
+            F.col("_e.hi").alias("_hi"),
+        )
+    )
+
+
+def rate_to_grid(
+    samples: DataFrame,
+    grid_df: DataFrame,
+    series_cols: Sequence[str] | None = None,
+    over_range: float = 0.0,
+    offset: float = 0.0,
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """P1: ``rate(v[r])`` = (interp(t) − interp(t−r)) / r per grid instant.
+
+    ``series_cols=None`` = canonical long-frame mode (name, labels, ts,
+    value) in and out; explicit plain columns otherwise.
+    """
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+        carry = {"name": F.first("name"), "labels": F.first("labels")}
+    else:
+        series = samples.select(*series_cols).distinct()
+        key_cols = list(series_cols)
+        carry = {}
+    if over_range == 0.0:
+        # last_instant == first_instant → NaN everywhere (timeseries.rs:104-106)
+        out = series.crossJoin(F.broadcast(grid_df))
+        cols = ["name", "labels"] if canonical else key_cols
+        return out.select(*cols, F.col("gts").alias(ts_col), NAN().alias(out_col))
+    probes = _endpoint_probes(series, grid_df, key_cols, over_range, offset)
+    carry_cols = (["name", "labels"] if canonical else []) + ["gts", "_hi"]
+    interp = interpolate_at_probes_raw(samples, probes, key_cols, carry_cols)
+    hi = F.first(F.when(F.col("_hi") == 1, F.col("_iv")), ignorenulls=True)
+    lo = F.first(F.when(F.col("_hi") == 0, F.col("_iv")), ignorenulls=True)
+    agged = interp.groupBy(*key_cols, "gts").agg(
+        *[expr.alias(c) for c, expr in carry.items()],
+        ((hi - lo) / F.lit(float(over_range))).alias(out_col),
+    )
+    cols = ["name", "labels"] if canonical else key_cols
+    return agged.select(*cols, F.col("gts").alias(ts_col), out_col)
+
+
+def interpolate_at_probes_raw(
+    samples: DataFrame,
+    probes: DataFrame,
+    series_cols: Sequence[str],
+    carry_cols: Sequence[str] = ("gts", "_hi"),
+) -> DataFrame:
+    """interp value per probe, keeping the carry columns."""
+    ctx = _asof_context(samples, probes, series_cols, carry_cols=list(carry_cols))
+    return ctx.withColumn(
+        "_iv", interp_value(F.col("_pt"), F.col("_prev"), F.col("_next"))
+    )
+
+
+def irate_value(pt: Column, prev: Column, nxt: Column) -> Column:
+    """The irate_over_range() expression (src/timeseries.rs:116-161).
+
+    With locate(t) = Between(i, i+1) (``ts[i] <= t < ts[i+1]``); any other
+    locate result → NaN (Below/Above/NotFound, timeseries.rs:123-128), i.e.
+    here: prev or next struct missing → NaN.
+
+    Reference quirks replicated deliberately:
+    - first-interval case (i == 0, timeseries.rs:135-144): ``delta_v =
+      v[i] − v[i+1]`` — note the ORDER: lower-index minus upper-index value,
+      so an increasing series yields a negative delta → NaN.
+    - otherwise (timeseries.rs:146-148): the "interpolated" endpoint uses
+      SWAPPED weights ``((t−ts[i])·v[i] + (ts[i+1]−t)·v[i+1]) / (ts[i+1]−ts[i])``
+      (reverse interpolation), then ``delta_v = that − v[i−1]``,
+      ``delta_t = t − ts[i−1]``; negative delta_v → NaN.
+    """
+    t0, v0, tp, vp = prev["t"], prev["v"], prev["tp"], prev["vp"]
+    t1, v1 = nxt["t"], nxt["v"]
+    first_pair = F.when((v0 - v1) < 0, NAN()).otherwise((v0 - v1) / (t1 - t0))
+    interp_swapped = ((pt - t0) * v0 + (t1 - pt) * v1) / (t1 - t0)
+    dv = interp_swapped - vp
+    general = F.when(dv < 0, NAN()).otherwise(dv / (pt - tp))
+    return (
+        F.when(prev.isNull() | nxt.isNull(), NAN())
+        .when(tp.isNull(), first_pair)
+        .otherwise(general)
+    )
+
+
+def irate_to_grid(
+    samples: DataFrame,
+    grid_df: DataFrame,
+    series_cols: Sequence[str] | None = None,
+    over_range: float = 0.0,
+    offset: float = 0.0,
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """P2: ``irate(v[r])``. ``r`` only gates the r==0 → NaN check — its value
+    is otherwise ignored by the math (src/timeseries.rs:117-121 uses only
+    ``last_instant``)."""
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+        carry_cols = ["name", "labels", "gts"]
+        out_cols = ["name", "labels"]
+    else:
+        series = samples.select(*series_cols).distinct()
+        key_cols = list(series_cols)
+        carry_cols = ["gts"]
+        out_cols = key_cols
+    if over_range == 0.0:
+        return series.crossJoin(F.broadcast(grid_df)).select(
+            *out_cols, F.col("gts").alias(ts_col), NAN().alias(out_col)
+        )
+    probes = series.crossJoin(F.broadcast(grid_df)).withColumn(
+        "_pt", F.col("gts") - F.lit(float(offset))
+    )
+    ctx = _asof_context(samples, probes, key_cols, carry_cols=carry_cols)
+    return ctx.select(
+        *out_cols,
+        F.col("gts").alias(ts_col),
+        irate_value(F.col("_pt"), F.col("_prev"), F.col("_next")).alias(out_col),
+    )

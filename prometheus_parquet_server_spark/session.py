@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture: these settings are tuned so the same plans work on local[32]
+test runs and on a large multi-executor cluster — AQE handles runtime
+re-planning (skew joins, partition coalescing), and shuffle partitions are
+sized by the runtime rather than hard-coded per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "prometheus-parquet-server-spark") -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    - UTC session timezone: timestamp→epoch math must be timezone-stable.
+    - ``nanosAsLong``: Spark 4 rejects parquet TIMESTAMP(NANOS) columns by
+      default; we read them as int64 nanoseconds and convert explicitly.
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting are
+      the 100TB-scale answer to skewed label/series distributions.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

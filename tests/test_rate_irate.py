@@ -1,0 +1,80 @@
+"""rate/irate parity (reference src/timeseries.rs:104-161)."""
+
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from tests.conftest import assert_close, long_frame
+
+NAN = float("nan")
+INC = [("m", {}, 100.0, 1.0), ("m", {}, 115.0, 2.0), ("m", {}, 120.0, 3.0)]
+DEC = [("m", {}, 100.0, 3.0), ("m", {}, 115.0, 2.0), ("m", {}, 120.0, 1.0)]
+
+
+def _run(spark, rows, fn, grid_pts, r, offset=0.0):
+    samples = long_frame(spark, rows)
+    grid = spark.createDataFrame([(float(t),) for t in grid_pts], "gts double")
+    out = fn(samples, grid, series_cols=["name"], over_range=r, offset=offset)
+    return {row["ts"]: row["value"] for row in out.collect()}
+
+
+def test_rate_basic(spark):
+    got = _run(spark, INC, rate_to_grid, [116.0], 10.0)
+    # (interp(116) - interp(106)) / 10 = (2.2 - 1.4) / 10
+    assert_close(got[116.0], 0.08)
+
+
+def test_rate_clamped_outside(spark):
+    got = _run(spark, INC, rate_to_grid, [90.0, 140.0, 125.0], 10.0)
+    assert_close(got[90.0], 0.0)    # both endpoints clamp to first value
+    assert_close(got[140.0], 0.0)   # both clamp to last
+    # interp(125)=3 (clamp), interp(115)=2 → 0.1
+    assert_close(got[125.0], 0.1)
+
+
+def test_rate_linear_counter_is_slope(spark):
+    rows = [("m", {}, float(t), 2.0 * t) for t in range(0, 200, 7)]
+    got = _run(spark, rows, rate_to_grid, [50.0, 101.0, 150.0], 30.0)
+    for t in got:
+        assert_close(got[t], 2.0, tol=1e-9)
+
+
+def test_rate_zero_range_nan(spark):
+    got = _run(spark, INC, rate_to_grid, [116.0], 0.0)
+    assert_close(got[116.0], NAN)
+
+
+def test_rate_with_offset(spark):
+    got = _run(spark, INC, rate_to_grid, [126.0], 10.0, offset=10.0)
+    assert_close(got[126.0], 0.08)  # same as rate at 116
+
+
+def test_irate_first_interval_increasing_is_nan(spark):
+    # reference quirk: i==0 → delta_v = v[0]-v[1] < 0 → NaN (timeseries.rs:135-144)
+    got = _run(spark, INC, irate_to_grid, [110.0], 300.0)
+    assert_close(got[110.0], NAN)
+
+
+def test_irate_first_interval_decreasing(spark):
+    got = _run(spark, DEC, irate_to_grid, [110.0], 300.0)
+    assert_close(got[110.0], (3.0 - 2.0) / 15.0)
+
+
+def test_irate_general_case(spark):
+    # t=116 in (115,120): swapped-weight interp = ((116-115)*2 + (120-116)*3)/5 = 2.8
+    # dv = 2.8 - v[0]=1 → 1.8 ; dt = 116-100 = 16
+    got = _run(spark, INC, irate_to_grid, [116.0], 300.0)
+    assert_close(got[116.0], 1.8 / 16.0)
+
+
+def test_irate_outside_range_nan(spark):
+    got = _run(spark, INC, irate_to_grid, [99.0, 120.0, 130.0], 300.0)
+    assert_close(got[99.0], NAN)    # Below
+    assert_close(got[120.0], NAN)   # ts[last] <= t → Above
+    assert_close(got[130.0], NAN)
+
+
+def test_irate_negative_delta_nan(spark):
+    # general case with decreasing series → dv < 0 → NaN
+    got = _run(spark, DEC, irate_to_grid, [116.0], 300.0)
+    assert_close(got[116.0], NAN)
