@@ -1,0 +1,27 @@
+from prometheus_parquet_server_spark.sources.classify import (
+    ColumnClassification,
+    IngestError,
+    MetricType,
+    classify_columns,
+    classify_metric_type,
+)
+from prometheus_parquet_server_spark.sources.ingest import wide_to_long
+from prometheus_parquet_server_spark.sources.retag import read_mapping
+from prometheus_parquet_server_spark.sources.store import (
+    read_store,
+    write_store,
+)
+from prometheus_parquet_server_spark.sources.zipsource import ingest_zip
+
+__all__ = [
+    "ColumnClassification",
+    "IngestError",
+    "MetricType",
+    "classify_columns",
+    "classify_metric_type",
+    "wide_to_long",
+    "read_mapping",
+    "read_store",
+    "write_store",
+    "ingest_zip",
+]

@@ -1,0 +1,41 @@
+"""Canonical-store sink/source (S10 in SURVEY.md §2.1).
+
+Reference parity: ``TimeSeriesCollection`` (src/timeseries.rs:396-445) — a
+name-keyed in-memory map with a global min/max-time index. Here the store IS
+the long table written ``partitionBy("name")``: the reference's name-hash
+probe becomes Catalyst partition pruning, and min/max come from a one-line
+aggregate (parquet footer statistics make it a metadata-only scan).
+
+Scale: partitioning by metric name bounds every selector scan to one
+partition tree; within a partition, files are sorted by the series key so
+per-series windows mostly avoid wide shuffles (AQE handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.model import series_key_str
+
+
+def write_store(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the canonical long frame partitioned by metric name."""
+    (
+        df.withColumn("_sk", series_key_str())
+        .sortWithinPartitions("_sk", "ts")
+        .drop("_sk")
+        .write.mode(mode)
+        .partitionBy("name")
+        .parquet(path)
+    )
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def time_range(df: DataFrame) -> tuple[float, float]:
+    """Global MinMaxTime (src/timeseries.rs:423-445)."""
+    row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    return row["lo"], row["hi"]

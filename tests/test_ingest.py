@@ -1,0 +1,195 @@
+"""Ingest pipeline tests against the FIXTURES.md §1 wide tables
+(reference src/metricstore.rs:104-187, 389-519)."""
+
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+
+from prometheus_parquet_server_spark.sources import (
+    IngestError,
+    MetricType,
+    classify_metric_type,
+    ingest_zip,
+    read_mapping,
+    wide_to_long,
+)
+from prometheus_parquet_server_spark.sources.classify import classify_columns
+from prometheus_parquet_server_spark.sources.ingest import check_monotonic
+from prometheus_parquet_server_spark.sources.retag import member_prefix
+from prometheus_parquet_server_spark.sources.store import time_range, write_store
+from prometheus_parquet_server_spark.sources.zipsource import metric_base_name
+
+
+def gauge_pdf():
+    return pd.DataFrame(
+        {
+            "time": [1.0, 2.0, 3.0, 1.0, 2.0],
+            "host": ["a", "a", "a", "b", "b"],
+            "env": ["prod"] * 5,
+            "gauge_value": [1.0, 2.0, 3.0, 10.0, 20.0],
+        }
+    )
+
+
+def multi_pdf():
+    return pd.DataFrame(
+        {
+            "timestamp": [1.0, 2.0],
+            "region": ["eu", "eu"],
+            "value": [5.0, 6.0],
+            "errors": [1.0, None],
+            "retries": [0.0, 2.0],
+        }
+    )
+
+
+def histo_pdf(with_inf=True, with_count=False):
+    d = {
+        "__time__": [1.0, 2.0],
+        "timing": ["transport", "transport"],
+        "Le0.1": [1.0, 2.0],
+        "Le0.5": [3.0, 4.0],
+        "Le1.0E1": [5.0, 6.0],
+        "sum": [9.9, 11.1],
+        "max": [0.4, 9.0],
+    }
+    if with_inf:
+        d["Le+Inf"] = [6.0, 7.0]
+    if with_count:
+        d["count"] = [6.0, 7.0]
+    return pd.DataFrame(d)
+
+
+def test_classify_metric_types():
+    assert classify_metric_type(["v"]) == MetricType.SINGLE
+    assert classify_metric_type(["value", "errors"]) == MetricType.MULTI
+    assert classify_metric_type(["Le0.5", "Le+Inf", "count", "sum"]) == MetricType.HISTOGRAM
+    with pytest.raises(IngestError, match="mixes"):
+        classify_metric_type(["Le0.5", "other"])
+
+
+def test_classify_columns_rules(spark):
+    c = classify_columns(spark.createDataFrame(gauge_pdf()).schema)
+    assert c.time_column == "time"
+    assert c.value_columns == ("gauge_value",)
+    assert set(c.label_columns) == {"host", "env"}
+
+    with pytest.raises(IngestError, match="boolean"):
+        classify_columns(
+            spark.createDataFrame([(1.0, True)], "time double, flag boolean").schema
+        )
+    with pytest.raises(IngestError, match="exactly one time"):
+        classify_columns(
+            spark.createDataFrame([(1.0, 2.0, 3.0)], "time double, timestamp double, v double").schema
+        )
+
+
+def test_single_column_ingest(spark):
+    out = wide_to_long(spark.createDataFrame(gauge_pdf()), "m_gauge").collect()
+    assert len(out) == 5
+    assert {r["name"] for r in out} == {"m_gauge"}
+    byhost = {(r["labels"]["host"], r["ts"]): r["value"] for r in out}
+    assert byhost[("a", 2.0)] == 2.0 and byhost[("b", 2.0)] == 20.0
+    assert all(r["labels"]["env"] == "prod" for r in out)
+
+
+def test_multi_column_ingest_naming_and_nan(spark):
+    out = wide_to_long(spark.createDataFrame(multi_pdf()), "m_requests").collect()
+    names = {r["name"] for r in out}
+    # 'value' keeps the bare name (metricstore.rs:446-462)
+    assert names == {"m_requests", "m_requests_errors", "m_requests_retries"}
+    nan_rows = [r for r in out if r["name"] == "m_requests_errors" and r["ts"] == 2.0]
+    import math
+
+    assert math.isnan(nan_rows[0]["value"])  # NULL → NaN (metricstore.rs:203-233)
+
+
+def test_histogram_ingest_with_inf_synthesizes_count(spark):
+    out = wide_to_long(spark.createDataFrame(histo_pdf(with_inf=True)), "m_duration").collect()
+    names = {r["name"] for r in out}
+    assert names == {"m_duration_bucket", "m_duration_sum", "m_duration_max", "m_duration_count"}
+    buckets = {r["labels"]["Le"] for r in out if r["name"] == "m_duration_bucket"}
+    assert buckets == {"0.1", "0.5", "1.0E1", "+Inf"}
+    count = {r["ts"]: r["value"] for r in out if r["name"] == "m_duration_count"}
+    assert count == {1.0: 6.0, 2.0: 7.0}  # synthesized from Le+Inf
+    assert all(
+        r["labels"].get("Le") is None
+        for r in out
+        if r["name"] != "m_duration_bucket"
+    )
+
+
+def test_histogram_ingest_count_synthesizes_inf(spark):
+    out = wide_to_long(
+        spark.createDataFrame(histo_pdf(with_inf=False, with_count=True)), "m_duration"
+    ).collect()
+    inf_rows = {
+        r["ts"]: r["value"]
+        for r in out
+        if r["name"] == "m_duration_bucket" and r["labels"]["Le"] == "+Inf"
+    }
+    assert inf_rows == {1.0: 6.0, 2.0: 7.0}  # synthesized from count
+
+
+def test_fixed_labels_and_row_override(spark):
+    out = wide_to_long(
+        spark.createDataFrame(gauge_pdf()), "m_gauge", {"dc": "ams", "env": "fixed"}
+    ).collect()
+    # row-level env overrides the fixed one; dc applies everywhere
+    assert all(r["labels"]["dc"] == "ams" for r in out)
+    assert all(r["labels"]["env"] == "prod" for r in out)
+
+
+def test_check_monotonic_rejects_duplicates(spark):
+    df = wide_to_long(
+        spark.createDataFrame(
+            pd.DataFrame({"time": [1.0, 1.0], "host": ["a", "a"], "v": [1.0, 2.0]})
+        ),
+        "m",
+    )
+    with pytest.raises(IngestError, match="duplicate timestamp"):
+        check_monotonic(df)
+    check_monotonic(wide_to_long(spark.createDataFrame(gauge_pdf()), "m"))
+
+
+def test_zip_ingest_with_retag(spark, tmp_path):
+    gauge_pdf().to_parquet(tmp_path / "m_gauge.parquet")
+    multi_pdf().to_parquet(tmp_path / "m_requests.parquet")
+    zpath = tmp_path / "data.parquet.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(tmp_path / "m_gauge.parquet", "runA/m-gauge.parquet")
+        z.write(tmp_path / "m_requests.parquet", "m_requests.parquet")
+        z.writestr("skipped/other.parquet", b"not really parquet")
+    ypath = tmp_path / "retag.yaml"
+    ypath.write_text(
+        "config:\n  skip-unmapped: true\n"
+        "mapping:\n  runA:\n    tags:\n      run: A\n  __root__:\n    tags: {}\n"
+    )
+    mapping = read_mapping(ypath)
+    assert mapping == {"runA": {"run": "A"}, "__root__": {}}
+    assert member_prefix("runA/m-gauge.parquet") == "runA"
+    assert member_prefix("m_requests.parquet") == "__root__"
+    assert metric_base_name("runA/m-gauge.parquet") == "m_gauge"  # legalized
+
+    out = ingest_zip(spark, zpath, mapping, scratch_dir=str(tmp_path / "scratch"))
+    rows = out.collect()
+    names = {r["name"] for r in rows}
+    # 'skipped/' prefix is unmapped → member skipped; bad parquet would be
+    # skipped non-fatally anyway
+    assert names == {"m_gauge", "m_requests", "m_requests_errors", "m_requests_retries"}
+    assert all(r["labels"]["run"] == "A" for r in rows if r["name"] == "m_gauge")
+
+
+def test_store_roundtrip(spark, tmp_path):
+    df = wide_to_long(spark.createDataFrame(gauge_pdf()), "m_gauge")
+    write_store(df, str(tmp_path / "store"))
+    from prometheus_parquet_server_spark.sources.store import read_store
+
+    back = read_store(spark, str(tmp_path / "store"))
+    assert back.count() == 5
+    assert time_range(back) == (1.0, 3.0)
+    assert set(back.columns) == {"name", "labels", "ts", "value"}
+    # partition pruning by name: the name=... directory exists
+    assert (tmp_path / "store" / "name=m_gauge").exists()
