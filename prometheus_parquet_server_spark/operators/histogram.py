@@ -29,6 +29,22 @@ def _INF():
     return F.lit(float("inf"))
 
 
+def _ieee_div(num, den):
+    """IEEE-754 division (Rust f64 semantics): x/0 → ±inf, 0/0 → NaN.
+
+    Non-ANSI Spark returns NULL for division by zero; ANSI throws — neither
+    matches the reference's bucket-walk arithmetic (query.rs:339), so the
+    zero-denominator cases are spelled out.
+    """
+    nan = F.lit(float("nan"))
+    return (
+        F.when(den != 0, num / den)
+        .when(F.isnan(num) | (num == 0), nan)
+        .when(num > 0, _INF())
+        .otherwise(-_INF())
+    )
+
+
 def _le_bound(le_value):
     """'+Inf'/'+inf' → ∞, else numeric parse (query.rs:304-307)."""
     return (
@@ -94,7 +110,8 @@ def histogram_quantile(
             acc["pv"].alias("pv"),
             (
                 x["le"]
-                - (x["le"] - acc["pv"]) * (x["cnt"] - cutoff) / (x["cnt"] - acc["pc"])
+                - (x["le"] - acc["pv"])
+                * _ieee_div(x["cnt"] - cutoff, x["cnt"] - acc["pc"])
             ).alias("res"),
             F.lit(True).alias("done"),
         )
@@ -104,7 +121,10 @@ def histogram_quantile(
             x["le"].alias("res"),
             F.lit(False).alias("done"),
         )
-        return F.when(acc["done"], acc).when(x["cnt"] >= cutoff, qualify).otherwise(advance)
+        # NaN guard: Spark orders NaN greater than everything, but the Rust
+        # comparison `bucket_count >= cutoff` is FALSE for NaN (query.rs:335)
+        qualifies = (~F.isnan(x["cnt"])) & (x["cnt"] >= cutoff)
+        return F.when(acc["done"], acc).when(qualifies, qualify).otherwise(advance)
 
     quantile = F.aggregate(finite, init, step, lambda acc: acc["res"])
 

@@ -1,0 +1,211 @@
+"""AST → DataFrame compiler: the QueryResult state machine on Spark.
+
+Reference parity: /root/reference/src/query.rs:41-124, 243-596. The 6-variant
+enum becomes typed Python wrappers over lazy DataFrames; ``process_ast``'s
+recursion becomes :func:`_eval`; Catalyst then optimizes the composed plan —
+the reference has no optimizer (SURVEY.md §4), we get pushdown/pruning free.
+
+State transitions (src/query.rs:64-124):
+
+    OriginalCollection ──selector──▶ Unprocessed           (instant vector)
+                       ──selector[r]──▶ UnprocessedVector  (range vector)
+    Unprocessed ──resampled()──▶ Processed                 (grid-aligned)
+    UnprocessedVector ──rate/irate──▶ Processed
+    Processed ──selector──▶ Processed (re-filter; adding [r] is an error)
+    re-filtering an Unprocessed/ProcessedVector → error
+    Scalar for literals
+
+Functions (src/query.rs:243-256): only rate, irate, histogram_quantile, sum;
+anything else errors "Unknown function".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prometheus_parquet_server_spark.labels import matchers_predicate
+from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
+from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
+from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from prometheus_parquet_server_spark.operators.select import QueryError, select_series
+from prometheus_parquet_server_spark.plans.ast import (
+    FuncNode,
+    Node,
+    ScalarNode,
+    SelectorNode,
+)
+from prometheus_parquet_server_spark.plans.parser import parse_promql
+
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _Ctx:
+    spark: SparkSession
+    collection: DataFrame  # canonical long frame
+    grid: RegularTimeRange
+
+    def grid_df(self) -> DataFrame:
+        return self.grid.to_df(self.spark)
+
+
+@dataclass
+class Unprocessed:
+    df: DataFrame
+    offset: int | None = None
+
+
+@dataclass
+class UnprocessedVector:
+    df: DataFrame
+    over_range: int = 0
+    offset: int | None = None
+
+
+@dataclass
+class Processed:
+    df: DataFrame
+
+
+@dataclass
+class ScalarResult:
+    value: float
+
+
+State = Unprocessed | UnprocessedVector | Processed | ScalarResult
+
+
+def _resampled(state: State, ctx: _Ctx) -> State:
+    """``QueryResult::resampled`` (src/query.rs:109-124)."""
+    if isinstance(state, (Processed, ScalarResult)):
+        return state
+    if isinstance(state, Unprocessed):
+        offset = float(state.offset or 0)
+        return Processed(resample_to_grid(state.df, ctx.grid_df(), offset=offset))
+    raise QueryError("Cannot resample a vectorized time series")
+
+
+def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
+    """``filter_by_labels`` dispatch (src/query.rs:64-107)."""
+    matchers = list(node.matchers)
+    if isinstance(state, ScalarResult):
+        raise QueryError("A scalar cannot be filtered")
+    if isinstance(state, UnprocessedVector):
+        raise QueryError("Cannot re-filter a vectorized raw series")
+    if isinstance(state, Processed):
+        if node.range_s is not None:
+            raise QueryError("Cannot vectorize a re-sampled series")
+        df = state.df.filter(
+            matchers_predicate(matchers, F.col("labels"), F.col("name"))
+        )
+        return Processed(df)
+    if isinstance(state, Unprocessed):
+        if node.offset_s is not None and state.offset is not None:
+            raise QueryError("Trying to apply multiple offsets to series")
+        df = state.df.filter(
+            matchers_predicate(matchers, F.col("labels"), F.col("name"))
+        )
+        offset = node.offset_s if node.offset_s is not None else state.offset
+        if node.range_s is not None:
+            return UnprocessedVector(df, node.range_s, offset)
+        return Unprocessed(df, offset)
+    # fresh selection from the collection: name-equality rule enforced (F3)
+    df = select_series(ctx.collection, matchers)
+    if node.range_s is not None:
+        return UnprocessedVector(df, node.range_s, node.offset_s)
+    return Unprocessed(df, node.offset_s)
+
+
+_RATE_FUNCS = {"rate": rate_to_grid, "irate": irate_to_grid}
+
+
+def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
+    if node.name in _RATE_FUNCS:
+        # src/query.rs:358-436
+        if node.agg is not None:
+            raise QueryError(f"'{node.name}' expects no aggregation, got {node.agg}")
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument, got {len(node.args)}")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        fn = _RATE_FUNCS[node.name]
+        df = fn(
+            arg.df,
+            ctx.grid_df(),
+            over_range=float(arg.over_range),
+            offset=float(arg.offset or 0),
+        )
+        return Processed(df)
+
+    if node.name == "histogram_quantile":
+        # src/query.rs:259-356
+        if len(node.args) != 2:
+            raise QueryError(
+                f"'histogram_quantile' needs exactly 2 arguments, got {len(node.args)}"
+            )
+        if node.agg is not None:
+            raise QueryError("'histogram_quantile' expects no aggregation")
+        phi = _eval(node.args[0], ctx, state)
+        if not isinstance(phi, ScalarResult):
+            raise QueryError("Expected a scalar")
+        series = _resampled(_eval(node.args[1], ctx, state), ctx)
+        if not isinstance(series, Processed):
+            raise QueryError("resampling failed")
+        return Processed(histogram_quantile(series.df, phi.value))
+
+    if node.name == "sum":
+        # src/query.rs:498-546; reference: only 'by' (A1), 'without' and bare
+        # error there but are implemented here (SURVEY §2.5 A2/A3)
+        if len(node.args) != 1:
+            raise QueryError(f"'sum' expects a single argument, got {len(node.args)}")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("resampling failed")
+        if node.agg is None:
+            return Processed(sum_over_series(arg.df))
+        if node.agg.action == "by":
+            return Processed(sum_over_series(arg.df, by=list(node.agg.labels)))
+        return Processed(sum_over_series(arg.df, without=list(node.agg.labels)))
+
+    raise QueryError(f"Unknown function: {node.name}")
+
+
+def _eval(node: Node, ctx: _Ctx, state: State) -> State:
+    if isinstance(node, ScalarNode):
+        return ScalarResult(node.value)
+    if isinstance(node, SelectorNode):
+        return _eval_selector(node, ctx, state)
+    if isinstance(node, FuncNode):
+        return _eval_func(node, ctx, state)
+    raise QueryError(f"unsupported node {node!r}")
+
+
+class _Collection:
+    """Seed state marker (OriginalCollection)."""
+
+
+def run_query(
+    spark: SparkSession,
+    collection: DataFrame,
+    query: str,
+    grid: RegularTimeRange,
+) -> DataFrame:
+    """``run_query`` (src/query.rs:583-596): parse → interpret → resample.
+
+    Returns the grid-aligned long frame (name, labels, ts, value); raises
+    QueryError/PromQLError like the reference's 400s (src/main.rs:386-393).
+    """
+    ast = parse_promql(query)
+    ctx = _Ctx(spark, collection, grid)
+    result = _eval(ast, ctx, _Collection())
+    result = _resampled(result, ctx)
+    if isinstance(result, ScalarResult):
+        raise QueryError("scalar result is not a matrix")
+    if not isinstance(result, Processed):
+        raise QueryError("query did not produce a processed series")
+    return result.df

@@ -1,0 +1,188 @@
+"""Recursive-descent parser for the PromQL subset (SURVEY.md §7.1 step 7).
+
+Grammar scope = what the reference's interpreter consumes from the promql
+crate (src/query.rs): scalar literals; vector selectors
+``name{label op "value", ...}[range] offset dur`` with ops = != =~ !~;
+function calls ``fn by (l1, l2) (args)`` / ``fn(args) by (l1)``.
+
+Parity errors (raised here, since we control the whole stack):
+- binary operators → "Not implemented yet" (src/query.rs:550-552)
+- unary minus / negation → "Negation not implemented" (src/query.rs:577-579)
+"""
+
+from __future__ import annotations
+
+import re
+
+from prometheus_parquet_server_spark.durations import parse_duration
+from prometheus_parquet_server_spark.labels import NAME_LABEL, LabelMatcher
+from prometheus_parquet_server_spark.plans.ast import (
+    AggMod,
+    FuncNode,
+    Node,
+    ScalarNode,
+    SelectorNode,
+)
+
+
+class PromQLError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+(\.\d*)?([eE][-+]?\d+)?|\.\d+)
+  | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|\+|-|\*|/|%|\^)
+    """,
+    re.VERBOSE,
+)
+
+_DURATION_RE = re.compile(r"[0-9][0-9a-zA-Z.]*")
+
+AGG_ACTIONS = ("by", "without")
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def _skip_ws(self) -> None:
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def peek(self) -> str | None:
+        self._skip_ws()
+        if self.pos >= len(self.text):
+            return None
+        m = _TOKEN_RE.match(self.text, self.pos)
+        if not m or m.lastgroup == "ws":
+            raise PromQLError(f"lex error at {self.text[self.pos:self.pos+10]!r}")
+        return m.group()
+
+    def next(self) -> str | None:
+        tok = self.peek()
+        if tok is not None:
+            self.pos += len(tok)
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got != tok:
+            raise PromQLError(f"expected {tok!r}, got {got!r}")
+
+    def next_duration(self) -> float:
+        """Durations like ``5m``/``1h30m``/``300`` are not regular tokens —
+        scan them raw inside brackets / after ``offset``."""
+        self._skip_ws()
+        m = _DURATION_RE.match(self.text, self.pos)
+        if not m:
+            raise PromQLError(f"expected duration at {self.text[self.pos:self.pos+10]!r}")
+        self.pos = m.end()
+        return parse_duration(m.group())
+
+
+def parse_promql(query: str) -> Node:
+    lex = _Lexer(query)
+    node = _parse_expr(lex)
+    if lex.peek() is not None:
+        raise PromQLError(f"trailing input: {lex.peek()!r}")
+    return node
+
+
+def _parse_expr(lex: _Lexer) -> Node:
+    node = _parse_primary(lex)
+    nxt = lex.peek()
+    if nxt in ("+", "-", "*", "/", "%", "^"):
+        # parsed by the promql crate, rejected by the interpreter
+        raise PromQLError("Not implemented yet")
+    return node
+
+
+def _parse_primary(lex: _Lexer) -> Node:
+    tok = lex.peek()
+    if tok is None:
+        raise PromQLError("unexpected end of query")
+    if tok == "-":
+        raise PromQLError("Negation not implemented")
+    if tok == "(":
+        lex.expect("(")
+        inner = _parse_expr(lex)
+        lex.expect(")")
+        return inner
+    if re.fullmatch(r"\d.*|\.\d.*", tok):
+        lex.next()
+        return ScalarNode(float(tok))
+    if tok == "{":
+        return _parse_selector(lex, name=None)
+    # identifier: function call or metric selector
+    ident = lex.next()
+    nxt = lex.peek()
+    if nxt == "(" or (nxt in AGG_ACTIONS and ident not in AGG_ACTIONS):
+        return _parse_func(lex, ident)
+    return _parse_selector(lex, name=ident)
+
+
+def _parse_agg_labels(lex: _Lexer) -> tuple[str, ...]:
+    lex.expect("(")
+    labels: list[str] = []
+    while lex.peek() != ")":
+        labels.append(lex.next())
+        if lex.peek() == ",":
+            lex.next()
+    lex.expect(")")
+    return tuple(labels)
+
+
+def _parse_func(lex: _Lexer, name: str) -> FuncNode:
+    agg: AggMod | None = None
+    if lex.peek() in AGG_ACTIONS:
+        action = lex.next()
+        agg = AggMod(action, _parse_agg_labels(lex))
+    lex.expect("(")
+    args: list[Node] = []
+    while lex.peek() != ")":
+        args.append(_parse_expr(lex))
+        if lex.peek() == ",":
+            lex.next()
+    lex.expect(")")
+    if agg is None and lex.peek() in AGG_ACTIONS:
+        action = lex.next()
+        agg = AggMod(action, _parse_agg_labels(lex))
+    return FuncNode(name, tuple(args), agg)
+
+
+def _parse_selector(lex: _Lexer, name: str | None) -> SelectorNode:
+    matchers: list[LabelMatcher] = []
+    if name is not None:
+        matchers.append(LabelMatcher(NAME_LABEL, "=", name))
+    if lex.peek() == "{":
+        lex.expect("{")
+        while lex.peek() != "}":
+            label = lex.next()
+            op = lex.next()
+            if op not in ("=", "!=", "=~", "!~"):
+                raise PromQLError(f"bad matcher operator {op!r}")
+            raw = lex.next()
+            if raw is None or raw[0] not in "\"'":
+                raise PromQLError(f"expected quoted value, got {raw!r}")
+            value = raw[1:-1].encode().decode("unicode_escape")
+            matchers.append(LabelMatcher(label, op, value))
+            if lex.peek() == ",":
+                lex.next()
+        lex.expect("}")
+    if not matchers:
+        raise PromQLError("empty selector")
+    range_s: int | None = None
+    offset_s: int | None = None
+    if lex.peek() == "[":
+        lex.expect("[")
+        range_s = int(lex.next_duration())  # promql crate: integer seconds
+        lex.expect("]")
+    if lex.peek() == "offset":
+        lex.next()
+        offset_s = int(lex.next_duration())
+    return SelectorNode(tuple(matchers), range_s, offset_s)

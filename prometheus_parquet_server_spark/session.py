@@ -32,6 +32,9 @@ def get_spark(app_name: str = "prometheus-parquet-server-spark") -> SparkSession
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # The reference is IEEE-754 throughout (Rust f64: 0/0=NaN, x/0=inf);
+        # ANSI mode would turn those into runtime errors.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
