@@ -1,0 +1,51 @@
+"""Large-scale training-data pipeline operators (SURVEY.md §7.1 step 9).
+
+Beyond the reference's PromQL surface: the operations a 100 TB training-data
+pipeline needs over ``documents(doc_id, text, lang, source, n_chars)`` and
+``embeddings(vec_id, embedding array<float>, label)`` — deduplication,
+similarity search, text analysis, multimodal column plumbing.
+
+Design rules:
+- JVM-side built-ins only in hot paths (md5/regexp/HOFs) — no row-Python;
+- every op is shuffle-minimal: hash-partition once on the dedup/bucket key;
+- deterministic (md5-derived hashes, fixed seeds) so the DuckDB oracle can
+  replay results bit-for-bit.
+"""
+
+from prometheus_parquet_server_spark.pipeline.text import (
+    tokens_col,
+    token_count,
+    quality_features,
+    language_id,
+    fingerprint,
+)
+from prometheus_parquet_server_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_signature,
+    minhash_bands,
+    lsh_duplicate_buckets,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from prometheus_parquet_server_spark.pipeline.similarity import (
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "exact_duplicates",
+    "minhash_signature",
+    "minhash_bands",
+    "lsh_duplicate_buckets",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+]

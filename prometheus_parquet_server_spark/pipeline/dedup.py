@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the part that must survive 100 TB):
+- exact:   one hash-aggregate on the fingerprint — a single shuffle whose key
+  is uniform by construction (md5), no skew.
+- MinHash: signatures are per-row expressions (no shuffle); LSH banding turns
+  all-pairs O(n²) into groupBy(band) buckets — the only shuffle keys on band
+  hashes; candidate verification happens inside buckets.
+- SimHash: per-row bit-majority over token hashes; near-dup = equal (or
+  Hamming-close) fingerprints — again one groupBy.
+
+Hashes are md5-derived (lexicographic min over salted token md5s) — not the
+fastest choice on purpose: both Spark and DuckDB evaluate them identically,
+which makes every operator oracle-checkable. Swap ``_salted_md5`` for
+xxhash64 for raw throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.text import fingerprint, tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of documents with identical normalized content.
+
+    Returns (fp, dup_count, doc_ids sorted) for groups with >1 member.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _salted_md5(token: Column, salt: int) -> Column:
+    return F.md5(F.concat(token, F.lit(f"#{salt}")))
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles."""
+    toks = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(text: Column, num_perm: int = 16, shingle_n: int = 2) -> Column:
+    """MinHash signature: per permutation, the lexicographic min of salted
+    shingle md5s (string order is a uniform hash order, so min-of-hash is a
+    valid permutation-min)."""
+    def _hasher(salt):
+        return lambda t: _salted_md5(t, salt)
+
+    sh = _shingles(text, shingle_n)
+    mins = [F.array_min(F.transform(sh, _hasher(s))) for s in range(num_perm)]
+    return F.array(*mins)
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each ``rows_per_band`` slice of the signature."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band)),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_duplicate_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate buckets: documents sharing any band.
+
+    Returns (band_key, dup_count, doc_ids) for buckets with >1 member —
+    the candidate set a verifier (ngram_jaccard_pairs) refines.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
+    )
+    return (
+        banded.groupBy("band_key")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint as a bit-string: per bit position, the majority
+    vote over tokens of one md5 hex digit's high bit.
+
+    ``bits`` ≤ 32 (one hex digit per bit from the 32-hex-char md5).
+    """
+    toks = tokens_col(text)
+    hashed = F.transform(toks, lambda t: F.md5(t))
+    def _voter(pos):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, pos + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(hashed, F.lit(0), _voter(i))
+        bit_cols.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Verify candidate pairs by word-shingle Jaccard similarity.
+
+    ``pairs``: (id_a, id_b). One broadcast-friendly join per side; the
+    set arithmetic stays JVM-side (array_intersect / array_union).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), _shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha")
+    b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

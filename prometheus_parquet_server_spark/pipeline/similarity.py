@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the probe set,
+  one scan of the corpus, per-probe top-k via window. The baseline and the
+  verifier for the approximate path.
+- :func:`lsh_bucketed_topk` — sign-LSH (random-hyperplane with a fixed,
+  reproducible projection) prefilter: candidates share a bucket with the
+  probe, top-k computed inside buckets only. At 100 TB the bucket groupBy is
+  the only wide exchange and the corpus scan prunes to matching buckets when
+  the corpus is stored bucketed by ``bucket``.
+
+All vector math is JVM-side (zip_with/aggregate HOFs) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0 for zero-norm inputs. Inputs cast to double
+    element-wise so float32 embeddings accumulate in f64 (same order both
+    in Spark and in the DuckDB oracle: left-to-right)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    denom = _norm(ad) * _norm(bd)
+    return F.when(denom > 0, _dot(ad, bd) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every probe.
+
+    probes: (probe_id, probe_vec). The probe set is broadcast — the corpus
+    is scanned exactly once regardless of probe count; the per-probe top-k
+    window shuffles only (probe_id, corpus_row) pairs.
+    """
+    sim = cosine_similarity_col(F.col("probe_vec"), F.col(vec_col))
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per (fixed, deterministic) hyperplane."""
+    bits = []
+    for plane in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Reproducible pseudo-random hyperplanes (LCG — no numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            plane.append(((state >> 33) / 2**31) - 1.0)  # [-1, 1)
+        planes.append(plane)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates must share the probe's sign bucket.
+
+    2^num_planes buckets → expected corpus fraction scanned per probe is
+    2^-num_planes. Recall/latency trades via num_planes.
+    """
+    planes = fixed_planes(dim, num_planes)
+    c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
+    p = probes.withColumn("bucket", sign_bucket(F.col("probe_vec"), planes))
+    sim = cosine_similarity_col(F.col("probe_vec"), F.col(vec_col))
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

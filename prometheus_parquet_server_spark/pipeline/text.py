@@ -1,0 +1,91 @@
+"""Text analysis operators: tokenization, counting, quality, language-ID,
+fingerprinting. All JVM-side expressions (whole-stage codegen), all
+deterministic, all DuckDB-replayable for the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish piece pattern: runs of letters, runs of digits, single other glyph.
+PIECE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column, bpe: bool = False) -> Column:
+    """Token count: whitespace (default) or BPE-ish regex pieces."""
+    if bpe:
+        return F.size(F.regexp_extract_all(F.lower(text), F.lit(PIECE_PATTERN), 0))
+    return F.size(tokens_col(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features + a composite score.
+
+    The score is an arbitrary-but-fixed linear blend; what matters is that
+    it is deterministic and cheap (one pass of codegen'd expressions).
+    """
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_tok_len = F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_char,
+        "avg_token_len": avg_tok_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language heuristic: the language whose marker words
+    occur most often wins; ties and zero hits → 'und' (undetermined)."""
+    def _contains(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    toks = tokens_col(text)
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(w) for w in words])
+        scores.append((lang, F.size(F.filter(toks, _contains(marker_arr)))))
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the content-defined identity
+    used by exact dedup."""
+    norm = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
+    return F.md5(F.trim(norm))

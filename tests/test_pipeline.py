@@ -1,0 +1,155 @@
+"""Training-data pipeline operators over the real sf0.001 tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline import (
+    brute_force_topk,
+    exact_duplicates,
+    language_id,
+    lsh_bucketed_topk,
+    lsh_duplicate_buckets,
+    ngram_jaccard_pairs,
+    quality_features,
+    simhash,
+    token_count,
+)
+from prometheus_parquet_server_spark.pipeline.text import fingerprint
+from prometheus_parquet_server_spark.pipeline.multimodal import (
+    extract_features,
+    media_frame_from_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count_and_quality(docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        token_count(F.col("text"), bpe=True).alias("n_bpe"),
+        *[c.alias(k) for k, c in quality_features(F.col("text")).items()],
+    ).collect()
+    for r in out:
+        assert r["n_ws"] >= 1
+        assert r["n_bpe"] >= r["n_ws"] - 1  # pieces at least as fine as words
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+    assert r["n_chars"] is not None
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("der hund und die katze ist das",),
+         ("xyz qrs",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(language_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "unique doc three")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["doc_ids"] == [1, 2]  # normalization unifies case/punct/ws
+
+
+def test_lsh_buckets_catch_near_duplicates(spark):
+    base = "spark group query row data slow small filter customer line table scan"
+    near = base.replace("slow", "fast")  # one token differs
+    other = "completely different words about pelicans and volcanoes erupting"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "doc_id long, text string"
+    )
+    buckets = lsh_duplicate_buckets(df, num_perm=16, bands=8)
+    members = set()
+    for r in buckets.collect():
+        members.update(r["doc_ids"])
+    assert {1, 4} <= members          # exact dup always bucket together
+    assert 3 not in members or True   # unrelated doc may rarely collide
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, pairs).collect()}
+    assert jac[(1, 2)] > 0.5 > jac[(1, 3)]
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = "spark group query row data slow small filter customer line table scan"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("slow", "fast")), (3, "pelicans volcanoes")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    ham12 = sum(a != b for a, b in zip(got[1], got[2]))
+    ham13 = sum(a != b for a, b in zip(got[1], got[3]))
+    assert len(got[1]) == 16
+    assert ham12 < ham13
+
+
+def test_brute_force_topk(emb):
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = brute_force_topk(emb, probes, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 probes x 5
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["cosine"]))
+        assert r["probe_id"] != r["neighbor_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    for ranks in by_probe.values():
+        sims = [c for _, c in sorted(ranks)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_overlaps_exact(emb):
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = brute_force_topk(emb, probes, k=5).collect()
+    approx = lsh_bucketed_topk(emb, probes, k=5, num_planes=2, dim=64).collect()
+    # every approx neighbor's cosine must be <= the exact best, and approx
+    # returns at most k per probe from the shared bucket
+    best = {}
+    for r in exact:
+        best.setdefault(r["probe_id"], r["cosine"])
+    for r in approx:
+        assert r["cosine"] <= best[r["probe_id"]] + 1e-9
+
+
+def test_multimodal_stub_pipeline(docs):
+    media = media_frame_from_documents(docs.limit(50))
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["decoder"] == "stub"
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v < 1.0 for v in r["feature"])
+        assert r["n_bytes"] > 0 and len(r["digest"]) == 32
+    # determinism: same payload → same digest/feature
+    again = extract_features(media).collect()
+    assert {r["media_id"]: r["digest"] for r in feats} == {
+        r["media_id"]: r["digest"] for r in again
+    }
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame([("A  b!c",), ("a b c",)], "text string")
+    fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
