@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prometheus_parquet_server_spark import get_spark
+from prometheus_parquet_server_spark.driver_contract import QUERIES
+
+BENCH_QUERIES = [
+    "f1_selector",
+    "t3_resample",
+    "p1_rate",
+    "p2_irate",
+    "p3_histogram_quantile",
+    "a1_sum_by",
+    "promql_sum_rate",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "dedup_exact_fp",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_quality",
+    "emb_cosine_topk",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver-side row transfer."""
+    return df.write.mode("overwrite").format("noop").save() or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM / parquet footers once
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

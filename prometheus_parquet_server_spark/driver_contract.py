@@ -1,0 +1,885 @@
+"""Driver-contract queries: one entry per implemented operator family from
+SURVEY.md §2, each with a DuckDB-replayable ANSI-SQL oracle.
+
+Design rules for oracle parity (learned by probing both engines):
+- time axis = integer microseconds / 1e6 on BOTH sides: Spark reads events.ts
+  as int64 ns (``nanosAsLong``) → ``ts div 1000 / 1e6``; DuckDB truncates ns
+  to µs on read → ``epoch_us(ts)/1000000.0``. Same integer, same division.
+- dedupe samples with MAX (order-independent), never AVG, so float results
+  are bit-identical.
+- round order-DEPENDENT aggregates (big SUM/AVG) — partial-aggregation order
+  differs between engines; round(…, 2/6) absorbs the ulps.
+- never divide by zero in oracle-facing queries (DuckDB yields NULL, Rust
+  and our engine yield inf/NaN) and filter NaN rows out of outputs (NaN
+  hash parity across engines is not guaranteed); NaN/IEEE semantics are
+  pinned by the pytest suite instead.
+- no MAP columns in outputs — flatten labels to plain columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
+from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
+from prometheus_parquet_server_spark.pipeline.dedup import (
+    minhash_bands,
+    minhash_signature,
+    simhash,
+)
+from prometheus_parquet_server_spark.pipeline.multimodal import (
+    extract_features,
+    media_frame_from_documents,
+)
+from prometheus_parquet_server_spark.pipeline.similarity import brute_force_topk
+from prometheus_parquet_server_spark.pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from prometheus_parquet_server_spark.plans.compiler import run_query
+
+# ---------------------------------------------------------------------------
+# shared fixtures: the events→metrics model and the query grid
+# ---------------------------------------------------------------------------
+
+#: 2024-01-01T00:00:00Z .. +7 days, 15-minute step (673 points) — inside the
+#: events table's Jan 1–30 span at every scale factor.
+GRID_START = 1704067200.0
+GRID_STEP = 900.0
+GRID_LEN = 673
+
+RATE_RANGE = 1800.0
+OFFSET_S = 3600.0
+
+
+def _grid(spark: SparkSession) -> DataFrame:
+    return RegularTimeRange(
+        GRID_START, GRID_START + (GRID_LEN - 1) * GRID_STEP, GRID_STEP
+    ).to_df(spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, user_id, ts, value) — deduped to one sample per instant via
+    MAX (order-independent for float parity)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.col("user_id").cast("string").alias("user_id"),
+            (F.expr("ts div 1000") / F.lit(1e6)).alias("ts"),
+            "value",
+        )
+        .groupBy("name", "user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def _metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical long frame (name, labels, ts, value) for the PromQL engine."""
+    flat = _metrics_flat(spark, sf_dir)
+    return flat.select(
+        "name",
+        F.create_map(F.lit("user_id"), F.col("user_id")).alias("labels"),
+        "ts",
+        "value",
+    )
+
+
+def _d(x: float) -> str:
+    """Double literal for DuckDB — bare decimal literals parse as DECIMAL,
+    which poisons downstream arithmetic with fixed-point types."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+_METRICS_CTE = """
+metrics AS (
+    SELECT event_type AS name,
+           CAST(user_id AS VARCHAR) AS user_id,
+           epoch_us(ts) / 1000000.0 AS ts,
+           MAX(value) AS value
+    FROM events
+    GROUP BY 1, 2, 3
+)"""
+
+_GRID_CTE = f"""
+grid AS (
+    SELECT {_d(GRID_START)} + i * {_d(GRID_STEP)} AS gts FROM range({GRID_LEN}) t(i)
+)"""
+
+
+def _interp_sql(metric: str, probe: str, out: str) -> str:
+    """CTE block computing clamped linear interpolation of ``metric`` at
+    probe instant ``probe`` (an expression over g.gts) into table ``out``
+    with columns (user_id, gts, value). Mirrors interpolated_at()
+    (reference src/timeseries.rs:164-191)."""
+    probe_j = probe.replace("g.gts", "j.gts")  # grid alias is out of scope below
+    return f"""
+samples_{out} AS (
+    SELECT user_id, ts, value FROM metrics WHERE name = '{metric}'
+),
+straddle_{out} AS (
+    SELECT s.user_id, g.gts,
+           MAX(CASE WHEN s.ts <= {probe} THEN s.ts END) AS t0,
+           MIN(CASE WHEN s.ts >  {probe} THEN s.ts END) AS t1
+    FROM grid g CROSS JOIN samples_{out} s
+    GROUP BY 1, 2
+),
+{out} AS (
+    SELECT j.user_id, j.gts,
+           CASE WHEN j.t0 IS NULL THEN s1.value
+                WHEN j.t1 IS NULL THEN s0.value
+                ELSE (({probe_j} - j.t0) * s1.value + (j.t1 - {probe_j}) * s0.value)
+                     / (j.t1 - j.t0)
+           END AS value
+    FROM straddle_{out} j
+    LEFT JOIN samples_{out} s0 ON s0.user_id = j.user_id AND s0.ts = j.t0
+    LEFT JOIN samples_{out} s1 ON s1.user_id = j.user_id AND s1.ts = j.t1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# F: selection
+# ---------------------------------------------------------------------------
+
+def q_f1_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: conjunctive matchers — name equality + regex + negative."""
+    m = _metrics_flat(spark, sf_dir)
+    return m.filter(
+        (F.col("name") == "click")
+        & F.col("user_id").rlike("^1")
+        & (F.col("user_id") != "13")
+    ).select("user_id", "ts", F.round("value", 6).alias("value"))
+
+
+SQL_F1 = f"""
+WITH {_METRICS_CTE}
+SELECT user_id, ts, ROUND(value, 6) AS value
+FROM metrics
+WHERE name = 'click' AND regexp_matches(user_id, '^1') AND user_id <> '13'
+"""
+
+
+def q_f3_name_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/M4: name-equality selection (partition-pruned path)."""
+    m = _metrics_flat(spark, sf_dir)
+    return (
+        m.filter(F.col("name") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+SQL_F3 = f"""
+WITH {_METRICS_CTE}
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(MAX(value), 6) AS max_value
+FROM metrics WHERE name = 'purchase' GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T: time axis (resample / offset)
+# ---------------------------------------------------------------------------
+
+def q_t3_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
+    out = resample_to_grid(m, _grid(spark), series_cols=["user_id"])
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+SQL_T3 = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT user_id, gts AS ts, ROUND(value, 6) AS value
+FROM interp WHERE NOT isnan(value)
+"""
+
+
+def q_t5_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "view")
+    out = resample_to_grid(m, _grid(spark), series_cols=["user_id"], offset=OFFSET_S)
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+SQL_T5 = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('view', f'(g.gts - {_d(OFFSET_S)})', 'interp')}
+SELECT user_id, gts AS ts, ROUND(value, 6) AS value
+FROM interp WHERE NOT isnan(value)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P: rate / irate / histogram_quantile
+# ---------------------------------------------------------------------------
+
+def q_p1_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
+    out = rate_to_grid(m, _grid(spark), series_cols=["user_id"], over_range=RATE_RANGE)
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
+    )
+
+
+SQL_P1 = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('click', 'g.gts', 'hi')},
+{_interp_sql('click', f'(g.gts - {_d(RATE_RANGE)})', 'lo')}
+SELECT h.user_id, h.gts AS ts,
+       ROUND((h.value - l.value) / {_d(RATE_RANGE)} * 1e6, 6) AS value_e6
+FROM hi h JOIN lo l ON l.user_id = h.user_id AND l.gts = h.gts
+WHERE NOT isnan(h.value) AND NOT isnan(l.value)
+"""
+
+
+def q_p2_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
+    out = irate_to_grid(m, _grid(spark), series_cols=["user_id"], over_range=RATE_RANGE)
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
+    )
+
+
+# irate (reference src/timeseries.rs:116-161) incl. its two quirks: the
+# first-interval delta is v[i]-v[i+1], and the interpolated endpoint uses
+# swapped weights (see operators/rate.py docstring).
+SQL_P2 = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+samples AS (SELECT user_id, ts, value FROM metrics WHERE name = 'click'),
+straddle AS (
+    SELECT s.user_id, g.gts,
+           MAX(CASE WHEN s.ts <= g.gts THEN s.ts END) AS t0,
+           MIN(CASE WHEN s.ts >  g.gts THEN s.ts END) AS t1
+    FROM grid g CROSS JOIN samples s
+    GROUP BY 1, 2
+),
+ctx AS (
+    SELECT j.user_id, j.gts, j.t0, j.t1, s0.value AS v0, s1.value AS v1,
+           (SELECT MAX(sp.ts) FROM samples sp
+             WHERE sp.user_id = j.user_id AND sp.ts < j.t0) AS tp
+    FROM straddle j
+    JOIN samples s0 ON s0.user_id = j.user_id AND s0.ts = j.t0
+    JOIN samples s1 ON s1.user_id = j.user_id AND s1.ts = j.t1
+),
+full_ctx AS (
+    SELECT c.*, sp.value AS vp,
+           ((c.gts - c.t0) * c.v0 + (c.t1 - c.gts) * c.v1) / (c.t1 - c.t0) AS iswap
+    FROM ctx c
+    LEFT JOIN samples sp ON sp.user_id = c.user_id AND sp.ts = c.tp
+)
+SELECT user_id, gts AS ts,
+       ROUND(CASE WHEN tp IS NULL THEN (v0 - v1) / (t1 - t0)
+                  ELSE (iswap - vp) / (gts - tp) END * 1e6, 6) AS value_e6
+FROM full_ctx
+WHERE CASE WHEN tp IS NULL THEN (v0 - v1) >= 0 ELSE (iswap - vp) >= 0 END
+"""
+
+
+HQ_WINDOW_S = 21600.0  # 6h histogram windows
+HQ_THRESHOLDS = [25.0, 75.0, 150.0]
+HQ_PHI = 0.95
+
+
+def _hq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative histogram series synthesized from events: per event_type
+    and 6h window, counts of value <= threshold (plus +Inf total)."""
+    ev = _events(spark, sf_dir)
+    wts = (F.expr("ts div 21600000000000") * F.lit(HQ_WINDOW_S)).alias("ts")
+    aggs = [
+        F.sum(F.when(F.col("value") <= t, 1).otherwise(0)).cast("double").alias(f"b{i}")
+        for i, t in enumerate(HQ_THRESHOLDS)
+    ] + [F.count("*").cast("double").alias("binf")]
+    return ev.groupBy(F.col("event_type").alias("t"), wts).agg(*aggs)
+
+
+def q_p3_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _hq_buckets(spark, sf_dir)
+    stack_args = ", ".join(
+        [f"'{t}', b{i}" for i, t in enumerate(HQ_THRESHOLDS)] + ["'+Inf', binf"]
+    )
+    long_b = b.selectExpr(
+        "t", "ts", f"stack({len(HQ_THRESHOLDS) + 1}, {stack_args}) as (le, value)"
+    ).select(
+        F.lit("v_bucket").alias("name"),
+        F.create_map(F.lit("t"), F.col("t"), F.lit("Le"), F.col("le")).alias("labels"),
+        "ts",
+        "value",
+    )
+    out = histogram_quantile(long_b, HQ_PHI)
+    return out.select(
+        F.col("labels").getItem("t").alias("t"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_HQ_CASES = " ".join(
+    f"SUM(CASE WHEN value <= {_d(t)} THEN 1 ELSE 0 END)::DOUBLE AS b{i},"
+    for i, t in enumerate(HQ_THRESHOLDS)
+)
+_HQ_UNION = " UNION ALL ".join(
+    f"SELECT t, ts, {_d(t)} AS le, b{i} AS cnt FROM buckets"
+    for i, t in enumerate(HQ_THRESHOLDS)
+)
+_HQ_TOP = HQ_THRESHOLDS[-1]
+
+SQL_P3 = f"""
+WITH buckets AS (
+    SELECT event_type AS t,
+           (epoch_us(ts) // {int(HQ_WINDOW_S * 1e6)}) * {_d(HQ_WINDOW_S)} AS ts,
+           {_HQ_CASES}
+           COUNT(*)::DOUBLE AS binf
+    FROM events GROUP BY 1, 2
+),
+longb AS ({_HQ_UNION}),
+walk AS (
+    SELECT l.t, l.ts, l.le, l.cnt,
+           LAG(l.le, 1, CAST(0.0 AS DOUBLE))  OVER (PARTITION BY l.t, l.ts ORDER BY l.le) AS ple,
+           LAG(l.cnt, 1, CAST(0.0 AS DOUBLE)) OVER (PARTITION BY l.t, l.ts ORDER BY l.le) AS pcnt,
+           b.binf * {_d(HQ_PHI)} AS cutoff
+    FROM longb l JOIN buckets b USING (t, ts)
+),
+cand AS (
+    SELECT t, ts, le - (le - ple) * (cnt - cutoff) / (cnt - pcnt) AS q
+    FROM walk WHERE cnt >= cutoff
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY t, ts ORDER BY le) = 1
+)
+SELECT b.t, b.ts, ROUND(COALESCE(c.q, {_d(_HQ_TOP)}), 6) AS value
+FROM buckets b LEFT JOIN cand c USING (t, ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A: aggregation (sum by / without / bare)
+# ---------------------------------------------------------------------------
+
+def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    return (
+        rs.groupBy("name", "ts")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+SQL_A1 = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+samples AS (
+    SELECT name, user_id, ts, value FROM metrics WHERE name IN ('click', 'view')
+),
+straddle AS (
+    SELECT s.name, s.user_id, g.gts,
+           MAX(CASE WHEN s.ts <= g.gts THEN s.ts END) AS t0,
+           MIN(CASE WHEN s.ts >  g.gts THEN s.ts END) AS t1
+    FROM grid g CROSS JOIN samples s
+    GROUP BY 1, 2, 3
+),
+interp AS (
+    SELECT j.name, j.user_id, j.gts,
+           CASE WHEN j.t0 IS NULL THEN s1.value
+                WHEN j.t1 IS NULL THEN s0.value
+                ELSE ((j.gts - j.t0) * s1.value + (j.t1 - j.gts) * s0.value)
+                     / (j.t1 - j.t0)
+           END AS value
+    FROM straddle j
+    LEFT JOIN samples s0 ON s0.name = j.name AND s0.user_id = j.user_id AND s0.ts = j.t0
+    LEFT JOIN samples s1 ON s1.name = j.name AND s1.user_id = j.user_id AND s1.ts = j.t1
+)
+SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value
+FROM interp GROUP BY name, gts
+"""
+
+
+def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    return rs.groupBy("ts").agg(F.round(F.sum("value"), 6).alias("value"))
+
+
+SQL_A3 = SQL_A1.replace(
+    "SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY name, gts",
+    "SELECT gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY gts",
+)
+
+
+# ---------------------------------------------------------------------------
+# PromQL end-to-end (parser + compiler + operators)
+# ---------------------------------------------------------------------------
+
+def q_promql_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PromQL stack: 'sum by (__name__) (rate(click{}[30m]))'."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    grid = RegularTimeRange(
+        GRID_START, GRID_START + (GRID_LEN - 1) * GRID_STEP, GRID_STEP
+    )
+    out = run_query(spark, metrics, "sum by (__name__) (rate(click{}[30m]))", grid)
+    return out.filter(~F.isnan("value")).select(
+        "name", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
+    )
+
+
+SQL_PROMQL_SUM_RATE = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('click', 'g.gts', 'hi')},
+{_interp_sql('click', f'(g.gts - {_d(RATE_RANGE)})', 'lo')},
+rate AS (
+    SELECT h.user_id, h.gts, (h.value - l.value) / {_d(RATE_RANGE)} AS value
+    FROM hi h JOIN lo l ON l.user_id = h.user_id AND l.gts = h.gts
+)
+SELECT 'click' AS name, gts AS ts, ROUND(SUM(value) * 1e6, 6) AS value_e6
+FROM rate GROUP BY gts
+"""
+
+
+# ---------------------------------------------------------------------------
+# M: metadata
+# ---------------------------------------------------------------------------
+
+def q_m2_metric_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _metrics_flat(spark, sf_dir).select("name").distinct()
+
+
+SQL_M2 = "SELECT DISTINCT event_type AS name FROM events"
+
+
+def q_m3_series_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics_flat(spark, sf_dir)
+    return m.select("name", "user_id").distinct().agg(
+        F.count("*").alias("series_count")
+    )
+
+
+SQL_M3 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS series_count
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style anchors (join/agg performance + correctness)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation — multi-join with broadcast dimensions."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signature(F.col("text"), num_perm=4, shingle_n=1)
+    band = minhash_bands(sig, bands=1, rows_per_band=4)[0]
+    return docs.select("doc_id", band.alias("band_key"))
+
+
+SQL_DEDUP_MINHASH = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+    FROM documents
+),
+mins AS (
+    SELECT doc_id,
+           MIN(md5(tok || '#0')) AS m0, MIN(md5(tok || '#1')) AS m1,
+           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+FROM mins
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash(F.col("text"), bits=8).alias("simhash"))
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    f"""CASE WHEN SUM(CASE WHEN substr(h, {i + 1}, 1) IN
+        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+        THEN '1' ELSE '0' END"""
+    for i in range(8)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks)
+SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    )
+
+
+from prometheus_parquet_server_spark.pipeline.text import STOPWORDS  # noqa: E402
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+SQL_TEXT_QUALITY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
+           length(text) AS n_char,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+           len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+               x -> list_contains({_STOP_LIST_SQL}, x))) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       ROUND(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+             + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END) * 0.3
+             + LEAST(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0) * 0.3,
+             6) AS quality_score
+FROM feats
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> x <> ''), x -> list_contains({lst}, x)))"
+    )
+
+
+from prometheus_parquet_server_spark.pipeline.text import LANG_MARKERS  # noqa: E402
+
+_LANG_SCORES = {lang: _lang_score_sql(ws) for lang, ws in sorted(LANG_MARKERS.items())}
+_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+)
+
+SQL_TEXT_LANGID = f"""
+WITH scores AS (
+    SELECT doc_id,
+           {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items())}
+    FROM documents
+),
+best AS (
+    SELECT doc_id, {", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))},
+           GREATEST({", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))}) AS best
+    FROM scores
+)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN (CASE {_LANG_CASE} END) ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        token_count(F.col("text"), bpe=True).alias("n_bpe"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+FROM documents
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return brute_force_topk(emb, probes, k=10)
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(p.probe_vec::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM probes p CROSS JOIN embeddings e
+    WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
+    md5 digest of the payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(media_frame_from_documents(docs))
+    return feats.select("media_id", "n_bytes", "digest")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (no SQL oracle — rows-only check)
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest of the events table (availableNow) →
+    per-day, per-type counts via the streaming engine → memory sink."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = (
+        stream.select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            "event_type",
+        )
+        .withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", "1 day"), F.col("event_type"))
+        .count()
+    )
+    _STREAM_SEQ[0] += 1
+    sink = f"stream_counts_{_STREAM_SEQ[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window.start").cast("double").alias("day_start"),
+        "event_type",
+        "count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f1_selector": q_f1_selector,
+    "f3_name_index": q_f3_name_index,
+    "t3_resample": q_t3_resample,
+    "t5_offset": q_t5_offset,
+    "p1_rate": q_p1_rate,
+    "p2_irate": q_p2_irate,
+    "p3_histogram_quantile": q_p3_histogram_quantile,
+    "a1_sum_by": q_a1_sum_by,
+    "a3_sum_bare": q_a3_sum_bare,
+    "promql_sum_rate": q_promql_sum_rate,
+    "m2_metric_names": q_m2_metric_names,
+    "m3_series_count": q_m3_series_count,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5ish": q_tpch_q5ish,
+    "dedup_exact_fp": q_dedup_exact_fp,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_token_count": q_text_token_count,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "streaming_event_counts": q_streaming_event_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "f1_selector": SQL_F1,
+    "f3_name_index": SQL_F3,
+    "t3_resample": SQL_T3,
+    "t5_offset": SQL_T5,
+    "p1_rate": SQL_P1,
+    "p2_irate": SQL_P2,
+    "p3_histogram_quantile": SQL_P3,
+    "a1_sum_by": SQL_A1,
+    "a3_sum_bare": SQL_A3,
+    "promql_sum_rate": SQL_PROMQL_SUM_RATE,
+    "m2_metric_names": SQL_M2,
+    "m3_series_count": SQL_M3,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5ish": SQL_TPCH_Q5ISH,
+    "dedup_exact_fp": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # streaming_event_counts: non-SQL-expressible (stateful streaming) — rows-only
+}

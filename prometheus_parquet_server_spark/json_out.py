@@ -1,0 +1,66 @@
+"""Prometheus response envelope (S11 in SURVEY.md §2.1).
+
+Reference parity: /root/reference/src/timeseries.rs:208-249, 309-337 and
+src/main.rs:259-338 — ``{status:"success", data:{resultType:"matrix",
+result:[{metric:{...}, values:[[t, "v"], ...]}]}}``; values are STRINGS;
+the shift-to-midnight offset is added back per point
+(src/timeseries.rs:227-249).
+
+The per-series assembly happens distributed (groupBy + sort_array over
+(ts, value) structs); only the final per-series rows cross to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.labels import NAME_LABEL
+
+
+def _fmt_value(v: float) -> str:
+    """Float formatting for the stringified sample values: integral floats
+    render without exponent, NaN as 'NaN' — mirroring Rust's {} for f64."""
+    if v is None or math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def matrix_result(df: DataFrame, time_offset: float = 0.0) -> dict[str, Any]:
+    """Assemble the Prometheus matrix envelope from a grid-aligned long frame
+    (name, labels, ts, value)."""
+    assembled = (
+        df.groupBy("name", F.to_json("labels").alias("_lj"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("value")))
+            ).alias("points")
+        )
+        .collect()
+    )
+    result = []
+    for row in assembled:
+        metric = dict(json.loads(row["_lj"]) if row["_lj"] else {})
+        if row["name"] is not None:
+            metric[NAME_LABEL] = row["name"]
+        values = [
+            [p["ts"] + time_offset, _fmt_value(p["value"])] for p in row["points"]
+        ]
+        result.append({"metric": metric, "values": values})
+    result.sort(key=lambda s: sorted(s["metric"].items()))
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": result},
+    }
+
+
+def error_response(message: str) -> dict[str, Any]:
+    return {"status": "error", "error": message}

@@ -62,15 +62,25 @@ def sum_over_series(
         )
         name_out = F.lit(None).cast("string")
 
+    # Perf shape: the wide aggregation runs over (string, string, double)
+    # keys only — no MAP columns in the shuffle, no first(map) buffers
+    # (measured ~3× faster at sf0.1). The label map is reconstructed from
+    # the canonical JSON group key afterwards, once per output row.
     prepared = df.select(
         name_out.alias("_name"),
-        retained.alias("_labels"),
         canonical_labels_json(retained).alias("_gkey"),
         "ts",
         "value",
     )
-    return (
-        prepared.groupBy("_name", "_gkey", "ts")
-        .agg(F.first("_labels").alias("labels"), F.sum("value").alias("value"))
-        .select(F.col("_name").alias("name"), "labels", "ts", "value")
+    summed = prepared.groupBy("_name", "_gkey", "ts").agg(
+        F.sum("value").alias("value")
+    )
+    labels_back = F.coalesce(
+        F.from_json(F.col("_gkey"), "map<string,string>"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    )
+    return summed.select(
+        F.col("_name").alias("name"), labels_back.alias("labels"), "ts", "value"
     )

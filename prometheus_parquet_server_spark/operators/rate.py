@@ -79,27 +79,29 @@ def rate_to_grid(
     """
     canonical = series_cols is None
     if canonical:
+        # maps stay out of the wide shuffles — string key only, series
+        # frame joined back at the end (AQE broadcasts it)
         samples, series = keyed_series(samples)
         key_cols = ["_skey"]
-        carry = {"name": F.first("name"), "labels": F.first("labels")}
+        probe_series = series.select("_skey")
     else:
         series = samples.select(*series_cols).distinct()
         key_cols = list(series_cols)
-        carry = {}
+        probe_series = series
     if over_range == 0.0:
         # last_instant == first_instant → NaN everywhere (timeseries.rs:104-106)
         out = series.crossJoin(F.broadcast(grid_df))
         cols = ["name", "labels"] if canonical else key_cols
         return out.select(*cols, F.col("gts").alias(ts_col), NAN().alias(out_col))
-    probes = _endpoint_probes(series, grid_df, key_cols, over_range, offset)
-    carry_cols = (["name", "labels"] if canonical else []) + ["gts", "_hi"]
-    interp = interpolate_at_probes_raw(samples, probes, key_cols, carry_cols)
+    probes = _endpoint_probes(probe_series, grid_df, key_cols, over_range, offset)
+    interp = interpolate_at_probes_raw(samples, probes, key_cols)
     hi = F.first(F.when(F.col("_hi") == 1, F.col("_iv")), ignorenulls=True)
     lo = F.first(F.when(F.col("_hi") == 0, F.col("_iv")), ignorenulls=True)
     agged = interp.groupBy(*key_cols, "gts").agg(
-        *[expr.alias(c) for c, expr in carry.items()],
-        ((hi - lo) / F.lit(float(over_range))).alias(out_col),
+        ((hi - lo) / F.lit(float(over_range))).alias(out_col)
     )
+    if canonical:
+        agged = agged.join(series, "_skey")
     cols = ["name", "labels"] if canonical else key_cols
     return agged.select(*cols, F.col("gts").alias(ts_col), out_col)
 
@@ -162,23 +164,26 @@ def irate_to_grid(
     if canonical:
         samples, series = keyed_series(samples)
         key_cols = ["_skey"]
-        carry_cols = ["name", "labels", "gts"]
-        out_cols = ["name", "labels"]
+        probe_series = series.select("_skey")
     else:
         series = samples.select(*series_cols).distinct()
         key_cols = list(series_cols)
-        carry_cols = ["gts"]
-        out_cols = key_cols
+        probe_series = series
     if over_range == 0.0:
-        return series.crossJoin(F.broadcast(grid_df)).select(
-            *out_cols, F.col("gts").alias(ts_col), NAN().alias(out_col)
-        )
-    probes = series.crossJoin(F.broadcast(grid_df)).withColumn(
+        out = series.crossJoin(F.broadcast(grid_df))
+        cols = ["name", "labels"] if canonical else key_cols
+        return out.select(*cols, F.col("gts").alias(ts_col), NAN().alias(out_col))
+    probes = probe_series.crossJoin(F.broadcast(grid_df)).withColumn(
         "_pt", F.col("gts") - F.lit(float(offset))
     )
-    ctx = _asof_context(samples, probes, key_cols, carry_cols=carry_cols)
-    return ctx.select(
-        *out_cols,
+    ctx = _asof_context(samples, probes, key_cols, carry_cols=["gts"])
+    vals = ctx.select(
+        *key_cols,
         F.col("gts").alias(ts_col),
         irate_value(F.col("_pt"), F.col("_prev"), F.col("_next")).alias(out_col),
     )
+    if canonical:
+        vals = vals.join(series, "_skey").select(
+            "name", "labels", ts_col, out_col
+        )
+    return vals

@@ -1,0 +1,155 @@
+"""HTTP API surface (S12 in SURVEY.md §2.1) — stdlib http.server, no extra
+dependencies.
+
+Reference parity (/root/reference/src/main.rs:229-246, 343-425; readme.md:95-111):
+- ``GET /``                          → series count text
+- ``GET|POST /api/v1/labels``        → all label names
+- ``GET|POST /api/v1/query_range``   → PromQL over a regular grid
+- ``POST /api/v1/query``             → dummy: accepts literally ``1+1`` → "2"
+- ``GET /api/v1/label/<name>/values``→ label values (reference: __name__ only;
+  we generalize, SURVEY §2.6 M2)
+- port 3003 by default
+
+The reference runs its whole store in one process; here the handler holds a
+SparkSession + the canonical long frame and compiles each request to a
+DataFrame plan. Thread-per-request is fine: Spark sessions are thread-safe
+and the heavy lifting happens on executors.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prometheus_parquet_server_spark.durations import parse_duration, parse_timestamp
+from prometheus_parquet_server_spark.json_out import error_response, matrix_result
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.select import (
+    all_label_names,
+    label_values,
+    series_count,
+)
+from prometheus_parquet_server_spark.plans.compiler import run_query
+
+
+class MetricsHTTPServer:
+    """Serve the Prometheus-compatible API over a canonical long frame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        collection: DataFrame,
+        port: int = 3003,
+        time_offset: float = 0.0,
+    ):
+        self.spark = spark
+        self.collection = collection
+        self.port = port
+        self.time_offset = time_offset  # --shift_to_midnight equivalent
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ---- request handlers -------------------------------------------------
+
+    def handle_query_range(self, params: dict[str, str]) -> tuple[int, dict]:
+        try:
+            query = params["query"]
+            start = parse_timestamp(params["start"])
+            end = parse_timestamp(params["end"])
+            step = parse_duration(params["step"])
+        except (KeyError, ValueError) as e:
+            return 400, error_response(f"bad request: {e}")
+        try:
+            grid = RegularTimeRange(start, end, step, time_offset=self.time_offset)
+            df = run_query(self.spark, self.collection, query, grid)
+            return 200, matrix_result(df, time_offset=self.time_offset)
+        except Exception as e:  # query errors → 400 (src/main.rs:386-393)
+            return 400, error_response(str(e))
+
+    def handle_labels(self) -> tuple[int, dict]:
+        names = [r["label"] for r in all_label_names(self.collection).collect()]
+        return 200, {"status": "success", "data": names}
+
+    def handle_label_values(self, label: str) -> tuple[int, dict]:
+        vals = [r["value"] for r in label_values(self.collection, label).collect()]
+        return 200, {"status": "success", "data": sorted(vals)}
+
+    def handle_instant_query(self, params: dict[str, str]) -> tuple[int, dict]:
+        # reference dummy: only "1+1" → 2 (src/main.rs:406-413)
+        if params.get("query", "").replace(" ", "") == "1+1":
+            return 200, {
+                "status": "success",
+                "data": {"resultType": "scalar", "result": [0, "2"]},
+            }
+        return 400, error_response("only '1+1' is supported here")
+
+    def handle_root(self) -> tuple[int, dict]:
+        return 200, {"series": series_count(self.collection)}
+
+    # ---- plumbing ----------------------------------------------------------
+
+    def _handler_class(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, status: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _params(self) -> dict[str, str]:
+                parsed = urlparse(self.path)
+                params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    body = self.rfile.read(length).decode()
+                    ctype = self.headers.get("Content-Type", "")
+                    if "json" in ctype:
+                        params.update(json.loads(body))
+                    else:
+                        params.update({k: v[0] for k, v in parse_qs(body).items()})
+                return params
+
+            def _route(self) -> None:
+                path = urlparse(self.path).path
+                if path == "/":
+                    self._send(*outer.handle_root())
+                elif path == "/api/v1/labels":
+                    self._send(*outer.handle_labels())
+                elif path == "/api/v1/query_range":
+                    self._send(*outer.handle_query_range(self._params()))
+                elif path == "/api/v1/query":
+                    self._send(*outer.handle_instant_query(self._params()))
+                elif path.startswith("/api/v1/label/") and path.endswith("/values"):
+                    label = unquote(path[len("/api/v1/label/") : -len("/values")])
+                    self._send(*outer.handle_label_values(label))
+                elif path == "/favicon.ico":
+                    self.send_response(204)
+                    self.end_headers()
+                else:
+                    self._send(404, error_response("not found"))
+
+            do_GET = _route
+            do_POST = _route
+
+        return Handler
+
+    def start(self) -> None:
+        self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port), self._handler_class())
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
+compare row count, schema (column names), and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from prometheus_parquet_server_spark import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({spark_t:.1f}s)")
+            if not srows:
+                failures.append(name)
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        s_norm, o_norm = norm_rows(scols, srows), norm_rows(ocols, orows)
+        ok_rows = len(srows) == len(orows)
+        ok_vals = s_norm == o_norm
+        status = "OK  " if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        print(
+            f"{status} {name}: spark={len(srows)} duck={len(orows)} "
+            f"cols={'=' if ok_cols else 'DIFF'} vals={'=' if ok_vals else 'DIFF'} "
+            f"({spark_t:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"   spark cols: {sorted(scols)}\n   duck  cols: {sorted(ocols)}")
+            if not ok_vals:
+                s_only = [r for r in s_norm if r not in set(o_norm)][:3]
+                o_only = [r for r in o_norm if r not in set(s_norm)][:3]
+                print(f"   spark-only: {s_only}\n   duck-only : {o_only}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
