@@ -788,41 +788,22 @@ FROM documents
 # Structured Streaming (no SQL oracle — rows-only check)
 # ---------------------------------------------------------------------------
 
-_STREAM_SEQ = [0]
-
-
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest of the events table (availableNow) →
-    per-day, per-type counts via the streaming engine → memory sink."""
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    watermarked per-day, per-type counts via the streaming engine →
+    memory sink (see prometheus_parquet_server_spark.streaming)."""
+    from prometheus_parquet_server_spark.streaming import (
+        run_available_now,
+        stream_events_as_metrics,
+        stream_windowed_counts,
     )
-    counts = (
-        stream.select(
-            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
-            "event_type",
-        )
-        .withWatermark("event_time", "1 day")
-        .groupBy(F.window("event_time", "1 day"), F.col("event_type"))
-        .count()
-    )
-    _STREAM_SEQ[0] += 1
-    sink = f"stream_counts_{_STREAM_SEQ[0]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
-        F.col("window.start").cast("double").alias("day_start"),
-        "event_type",
-        "count",
+
+    ms = stream_events_as_metrics(spark, sf_dir)
+    out = run_available_now(stream_windowed_counts(ms), spark)
+    return out.select(
+        F.col("window_start").cast("double").alias("day_start"),
+        F.col("name").alias("event_type"),
+        F.col("n_samples").alias("count"),
     )
 
 

@@ -1,0 +1,13 @@
+from prometheus_parquet_server_spark.streaming.ingest import (
+    stream_events_as_metrics,
+    stream_windowed_counts,
+    stream_windowed_rate,
+    run_available_now,
+)
+
+__all__ = [
+    "stream_events_as_metrics",
+    "stream_windowed_counts",
+    "stream_windowed_rate",
+    "run_available_now",
+]

@@ -1,0 +1,109 @@
+"""Structured Streaming mirror of the batch metrics model.
+
+The reference has no streaming surface (SURVEY.md §2.7) — it batch-loads at
+startup. This module is the forward-looking path the north star asks for: the
+same canonical long model fed incrementally, with event-time watermarks for
+late data and windowed aggregations standing in for grid-aligned queries.
+
+Patterns used (all stock Structured Streaming):
+- file source with schema pinning (streams can't infer);
+- event-time watermark → bounded state;
+- tumbling/sliding window aggregations (counts, per-window rate proxy);
+- ``availableNow`` trigger for batch-parity testing: drain everything
+  currently in the source, then stop — the result must equal the batch
+  computation over the same files.
+
+At scale the file source becomes Kafka/queue; nothing below changes except
+``readStream`` options — the transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table → canonical metrics stream
+    (name, labels, event_time, value)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.select(
+        F.col("event_type").alias("name"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "value",
+    )
+
+
+def stream_windowed_counts(
+    metrics_stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-(window, name) sample counts with a late-data watermark."""
+    return (
+        metrics_stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("name"))
+        .agg(F.count("*").alias("n_samples"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "name",
+            "n_samples",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_rate(
+    metrics_stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window per-series increase/seconds — the streaming stand-in
+    for ``rate()``: (max-min value delta across the window) / window span.
+
+    Uses (first/last by event-time) via max_by/min_by — incremental-friendly
+    aggregates, no per-series sort state.
+    """
+    win = F.window("event_time", window, slide)
+    span = F.col("window.end").cast("double") - F.col("window.start").cast("double")
+    return (
+        metrics_stream.withWatermark("event_time", watermark)
+        .groupBy(win, F.col("name"))
+        .agg(
+            F.max_by("value", "event_time").alias("_last"),
+            F.min_by("value", "event_time").alias("_first"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "name",
+            ((F.col("_last") - F.col("_first")) / span).alias("rate"),
+            "n",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink and
+    return the materialized result (batch-parity execution of a streaming
+    plan)."""
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q: StreamingQuery = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

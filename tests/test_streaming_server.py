@@ -1,0 +1,130 @@
+"""Structured Streaming batch-parity + HTTP server + JSON envelope tests."""
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.json_out import _fmt_value, matrix_result
+from prometheus_parquet_server_spark.server import MetricsHTTPServer
+from prometheus_parquet_server_spark.streaming import (
+    run_available_now,
+    stream_events_as_metrics,
+    stream_windowed_counts,
+    stream_windowed_rate,
+)
+from tests.conftest import long_frame
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_counts_match_batch(spark):
+    ms = stream_events_as_metrics(spark, SF)
+    out = run_available_now(stream_windowed_counts(ms), spark)
+    got = {(r["window_start"], r["name"]): r["n_samples"] for r in out.collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = (
+        ev.select(
+            F.window(F.timestamp_micros(F.expr("ts div 1000")), "1 day").alias("w"),
+            F.col("event_type").alias("name"),
+        )
+        .groupBy("w", "name")
+        .count()
+        .collect()
+    )
+    want = {(r["w"]["start"], r["name"]): r["count"] for r in batch}
+    assert got == want and len(got) > 100
+
+
+def test_streaming_rate_produces_series(spark):
+    ms = stream_events_as_metrics(spark, SF)
+    out = run_available_now(stream_windowed_rate(ms), spark).collect()
+    assert len(out) > 0
+    names = {r["name"] for r in out}
+    assert "click" in names
+    assert all(r["n"] >= 1 for r in out)
+
+
+def test_fmt_value():
+    assert _fmt_value(2.0) == "2"
+    assert _fmt_value(2.5) == "2.5"
+    assert _fmt_value(float("nan")) == "NaN"
+    assert _fmt_value(float("inf")) == "inf"
+
+
+def test_matrix_result_envelope(spark):
+    df = long_frame(
+        spark,
+        [
+            ("m", {"h": "a"}, 1.0, 1.0),
+            ("m", {"h": "a"}, 2.0, float("nan")),
+            ("m", {"h": "b"}, 1.0, 3.5),
+        ],
+    )
+    env = matrix_result(df, time_offset=10.0)
+    assert env["status"] == "success"
+    assert env["data"]["resultType"] == "matrix"
+    series = env["data"]["result"]
+    assert len(series) == 2
+    a = next(s for s in series if s["metric"].get("h") == "a")
+    assert a["metric"]["__name__"] == "m"
+    assert a["values"] == [[11.0, "1"], [12.0, "NaN"]]  # offset added back
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from prometheus_parquet_server_spark.driver_contract import _metrics_canonical
+
+    metrics = _metrics_canonical(spark, SF).cache()
+    metrics.count()
+    srv = MetricsHTTPServer(spark, metrics, port=3017)
+    srv.start()
+    yield "http://localhost:3017"
+    srv.stop()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_routes(server):
+    st, body = _get(f"{server}/")
+    assert st == 200 and body["series"] == 75
+
+    st, body = _get(f"{server}/api/v1/labels")
+    assert st == 200 and body["data"] == ["__name__", "user_id"]
+
+    st, body = _get(f"{server}/api/v1/label/__name__/values")
+    assert body["data"] == ["click", "error", "purchase", "signup", "view"]
+
+    q = urllib.parse.quote('rate(click{user_id="1"}[5m])')
+    st, body = _get(
+        f"{server}/api/v1/query_range?query={q}&start=1704067200&end=1704070200&step=15s"
+    )
+    assert st == 200
+    assert body["data"]["resultType"] == "matrix"
+    assert len(body["data"]["result"]) == 1
+    points = body["data"]["result"][0]["values"]
+    assert len(points) == 201  # floor((3000+15)/15) = 201 grid points
+    assert all(isinstance(v, str) for _, v in points)
+
+
+def test_server_errors(server):
+    q = urllib.parse.quote("avg(click{})")
+    st, body = _get(f"{server}/api/v1/query_range?query={q}&start=0&end=10&step=1")
+    assert st == 400 and "Unknown function" in body["error"]
+
+    st, _ = _get(f"{server}/api/v1/query_range?query=x&start=0&end=10&step=1x")
+    assert st == 400
+
+    st, _ = _get(f"{server}/nope")
+    assert st == 404
