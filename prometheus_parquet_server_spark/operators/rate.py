@@ -63,6 +63,19 @@ def _endpoint_probes(
     )
 
 
+def _lag_fast_path_applicable(grid, over_range: float, offset: float) -> bool:
+    """The t−r endpoint coincides with an earlier grid slot when r is a
+    whole number of steps AND all quantities are integral (integer doubles
+    under 2^53 add/subtract exactly, so ``start + (i−k)·step`` is
+    bit-identical to ``(start + i·step) − r`` — float-safe slot reuse)."""
+    if grid is None or over_range <= 0.0:
+        return False
+    vals = (grid.start, grid.increment, over_range, offset)
+    if not all(float(v).is_integer() for v in vals):
+        return False
+    return (over_range % grid.increment) == 0.0
+
+
 def rate_to_grid(
     samples: DataFrame,
     grid_df: DataFrame,
@@ -71,12 +84,22 @@ def rate_to_grid(
     offset: float = 0.0,
     ts_col: str = "ts",
     out_col: str = "value",
+    grid=None,
 ) -> DataFrame:
     """P1: ``rate(v[r])`` = (interp(t) − interp(t−r)) / r per grid instant.
 
     ``series_cols=None`` = canonical long-frame mode (name, labels, ts,
     value) in and out; explicit plain columns otherwise.
+
+    Pass the :class:`RegularTimeRange` as ``grid`` to enable the lag fast
+    path: one probe per extended-grid slot and a window ``lag(k)`` instead
+    of two probes + a pairing shuffle (the lag window reuses the as-of
+    window's partitioning/sort).
     """
+    if _lag_fast_path_applicable(grid, over_range, offset):
+        return _rate_lagged(
+            samples, grid, series_cols, over_range, offset, ts_col, out_col
+        )
     canonical = series_cols is None
     if canonical:
         # maps stay out of the wide shuffles — string key only, series
@@ -104,6 +127,64 @@ def rate_to_grid(
         agged = agged.join(series, "_skey")
     cols = ["name", "labels"] if canonical else key_cols
     return agged.select(*cols, F.col("gts").alias(ts_col), out_col)
+
+
+def _rate_lagged(
+    samples: DataFrame,
+    grid,
+    series_cols: Sequence[str] | None,
+    over_range: float,
+    offset: float,
+    ts_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Lag fast path: resample onto the grid extended k slots backwards,
+    then ``(v[i] − v[i−k]) / r`` per series ordered by slot index."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    k = int(over_range / grid.increment)
+    n = len(grid)
+    # extended grid: idx ∈ [−k, n); gts = start + idx·step (same expression
+    # as RegularTimeRange.to_df → bit-identical instants)
+    ext = spark.range(-k, n).select(
+        F.col("id").alias("_gidx"),
+        (
+            F.lit(grid.start) + F.col("id").cast("double") * F.lit(grid.increment)
+        ).alias("gts"),
+    )
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+        probe_series = series.select("_skey")
+    else:
+        series = samples.select(*series_cols).distinct()
+        key_cols = list(series_cols)
+        probe_series = series
+    probes = probe_series.crossJoin(F.broadcast(ext)).withColumn(
+        "_pt", F.col("gts") - F.lit(float(offset))
+    )
+    ctx = _asof_context(samples, probes, key_cols, carry_cols=["_gidx", "gts"])
+    interp = ctx.select(
+        *key_cols,
+        "_gidx",
+        "gts",
+        interp_value(F.col("_pt"), F.col("_prev"), F.col("_next")).alias("_iv"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_gidx")
+    out = (
+        interp.withColumn("_lo", F.lag("_iv", k).over(w))
+        .filter(F.col("_gidx") >= 0)
+        .select(
+            *key_cols,
+            F.col("gts").alias(ts_col),
+            ((F.col("_iv") - F.col("_lo")) / F.lit(float(over_range))).alias(out_col),
+        )
+    )
+    if canonical:
+        out = out.join(series, "_skey").select("name", "labels", ts_col, out_col)
+    return out
 
 
 def interpolate_at_probes_raw(

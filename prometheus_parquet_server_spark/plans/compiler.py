@@ -134,11 +134,13 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         if not isinstance(arg, UnprocessedVector):
             raise QueryError(f"'{node.name}' needs a range vector")
         fn = _RATE_FUNCS[node.name]
+        kwargs = {"grid": ctx.grid} if node.name == "rate" else {}
         df = fn(
             arg.df,
             ctx.grid_df(),
             over_range=float(arg.over_range),
             offset=float(arg.offset or 0),
+            **kwargs,
         )
         return Processed(df)
 
