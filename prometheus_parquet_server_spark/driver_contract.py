@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from prometheus_parquet_server_spark.operators.aggregate import (
+    aggregate_over_series,
+    sum_over_series,
+)
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.pipeline.dedup import (
     minhash_bands,
@@ -425,11 +429,61 @@ FROM interp GROUP BY name, gts
 """
 
 
+def q_a2_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ``sum without (user_id)`` — errors in the reference
+    (query.rs:461-463), implemented here; equivalent to grouping by name."""
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    canonical = rs.select(
+        "name",
+        F.create_map(F.lit("user_id"), F.col("user_id")).alias("labels"),
+        "ts",
+        "value",
+    )
+    out = sum_over_series(canonical, without=["user_id"])
+    return out.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregations (avg/min/max/count) over aligned series."""
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    canonical = rs.select(
+        "name",
+        F.create_map(F.lit("user_id"), F.col("user_id")).alias("labels"),
+        "ts",
+        "value",
+    )
+    out = aggregate_over_series(
+        canonical, ("avg", "min", "max", "count"), by=["__name__"]
+    )
+    return out.select(
+        "name",
+        "ts",
+        F.round("avg", 6).alias("avg_value"),
+        F.round("min", 6).alias("min_value"),
+        F.round("max", 6).alias("max_value"),
+        F.col("count").alias("n_series"),
+    )
+
+
 def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
     return rs.groupBy("ts").agg(F.round(F.sum("value"), 6).alias("value"))
 
+
+SQL_A2 = SQL_A1  # sum without (user_id) over {name,user_id} series ≡ sum by name
+
+SQL_A4 = SQL_A1.replace(
+    "SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY name, gts",
+    """SELECT name, gts AS ts,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       CAST(COUNT(value) AS BIGINT) AS n_series
+FROM interp GROUP BY name, gts""",
+)
 
 SQL_A3 = SQL_A1.replace(
     "SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY name, gts",
@@ -786,6 +840,39 @@ QUALIFY rank <= 10
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, id_a < id_b)."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        cosine_similarity_col,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) >= 0.35
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -838,7 +925,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_irate": q_p2_irate,
     "p3_histogram_quantile": q_p3_histogram_quantile,
     "a1_sum_by": q_a1_sum_by,
+    "a2_sum_without": q_a2_sum_without,
     "a3_sum_bare": q_a3_sum_bare,
+    "a4_multi_agg": q_a4_multi_agg,
     "promql_sum_rate": q_promql_sum_rate,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
@@ -848,6 +937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_fp": q_dedup_exact_fp,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
@@ -865,7 +955,9 @@ ORACLES: dict[str, str] = {
     "p2_irate": SQL_P2,
     "p3_histogram_quantile": SQL_P3,
     "a1_sum_by": SQL_A1,
+    "a2_sum_without": SQL_A2,
     "a3_sum_bare": SQL_A3,
+    "a4_multi_agg": SQL_A4,
     "promql_sum_rate": SQL_PROMQL_SUM_RATE,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
@@ -875,6 +967,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_fp": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,

@@ -28,20 +28,41 @@ from prometheus_parquet_server_spark.labels import NAME_LABEL
 from prometheus_parquet_server_spark.model import canonical_labels_json
 
 
-def sum_over_series(
+#: Cross-series aggregation functions. The reference implements only sum
+#: (src/query.rs:506-507 errors on everything else); the rest follow the
+#: same align-then-aggregate shape with Spark's native semantics (NaN
+#: propagates through sum/avg and max — Spark orders NaN greatest; count
+#: counts every aligned point).
+AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def aggregate_over_series(
     df: DataFrame,
+    fns: Sequence[str] = ("sum",),
     by: Sequence[str] | None = None,
     without: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Element-wise sum across series per instant.
+    """Element-wise aggregation across series per instant.
 
     ``df``: canonical long frame (name, labels, ts, value), grid-aligned.
-    Exactly one of ``by`` / ``without`` may be given; neither = bare sum
-    (group key empty).
-    Output: (name, labels, ts, value) — name NULL unless retained.
+    Exactly one of ``by`` / ``without`` may be given; neither = bare
+    aggregate (group key empty).
+
+    One ``fns`` entry → output column ``value``; several → one column per
+    function name. Output: (name, labels, ts, value...) — name NULL unless
+    retained.
     """
     if by is not None and without is not None:
         raise ValueError("pass at most one of by/without")
+    for fn in fns:
+        if fn not in AGG_FNS:
+            raise ValueError(f"unknown aggregation {fn!r}")
 
     if by is not None:
         keys = [k for k in by if k != NAME_LABEL]
@@ -72,15 +93,28 @@ def sum_over_series(
         "ts",
         "value",
     )
-    summed = prepared.groupBy("_name", "_gkey", "ts").agg(
-        F.sum("value").alias("value")
-    )
+    single = len(fns) == 1
+    aggs = [
+        AGG_FNS[fn]("value").alias("value" if single else fn) for fn in fns
+    ]
+    summed = prepared.groupBy("_name", "_gkey", "ts").agg(*aggs)
     labels_back = F.coalesce(
         F.from_json(F.col("_gkey"), "map<string,string>"),
         F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<string>")
         ),
     )
+    out_cols = ["value"] if single else list(fns)
     return summed.select(
-        F.col("_name").alias("name"), labels_back.alias("labels"), "ts", "value"
+        F.col("_name").alias("name"), labels_back.alias("labels"), "ts", *out_cols
     )
+
+
+def sum_over_series(
+    df: DataFrame,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """A1–A3: element-wise sum across series (reference semantics — NaN
+    poisons the group, groups of one pass through)."""
+    return aggregate_over_series(df, ("sum",), by=by, without=without)

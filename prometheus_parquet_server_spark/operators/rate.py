@@ -140,9 +140,9 @@ def _rate_lagged(
 ) -> DataFrame:
     """Lag fast path: resample onto the grid extended k slots backwards,
     then ``(v[i] − v[i−k]) / r`` per series ordered by slot index."""
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
+    # NB: not getActiveSession() — that is thread-local and None on e.g.
+    # HTTP-handler threads; the input frame knows its session.
+    spark = samples.sparkSession
     k = int(over_range / grid.increment)
     n = len(grid)
     # extended grid: idx ∈ [−k, n); gts = start + idx·step (same expression

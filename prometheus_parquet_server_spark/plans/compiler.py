@@ -26,7 +26,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from prometheus_parquet_server_spark.labels import matchers_predicate
-from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
+from prometheus_parquet_server_spark.operators.aggregate import (
+    AGG_FNS,
+    aggregate_over_series,
+)
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
@@ -160,19 +163,27 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             raise QueryError("resampling failed")
         return Processed(histogram_quantile(series.df, phi.value))
 
-    if node.name == "sum":
-        # src/query.rs:498-546; reference: only 'by' (A1), 'without' and bare
-        # error there but are implemented here (SURVEY §2.5 A2/A3)
+    if node.name in AGG_FNS:
+        # src/query.rs:498-546; the reference implements only `sum by` (A1)
+        # — 'without', bare, and avg/min/max/count error there but follow
+        # the identical align-then-aggregate shape (SURVEY §2.5 A2/A3)
         if len(node.args) != 1:
-            raise QueryError(f"'sum' expects a single argument, got {len(node.args)}")
+            raise QueryError(
+                f"'{node.name}' expects a single argument, got {len(node.args)}"
+            )
         arg = _resampled(_eval(node.args[0], ctx, state), ctx)
         if not isinstance(arg, Processed):
             raise QueryError("resampling failed")
+        fns = (node.name,)
         if node.agg is None:
-            return Processed(sum_over_series(arg.df))
+            return Processed(aggregate_over_series(arg.df, fns))
         if node.agg.action == "by":
-            return Processed(sum_over_series(arg.df, by=list(node.agg.labels)))
-        return Processed(sum_over_series(arg.df, without=list(node.agg.labels)))
+            return Processed(
+                aggregate_over_series(arg.df, fns, by=list(node.agg.labels))
+            )
+        return Processed(
+            aggregate_over_series(arg.df, fns, without=list(node.agg.labels))
+        )
 
     raise QueryError(f"Unknown function: {node.name}")
 

@@ -117,11 +117,24 @@ def test_state_machine_errors(spark):
     with pytest.raises(QueryError, match="range vector"):
         run(spark, df, 'rate(m_bucket{timing="a"})')  # rate over instant
     with pytest.raises(QueryError, match="Unknown function"):
-        run(spark, df, 'avg(m_bucket{})')
+        run(spark, df, 'quantile_over_time(m_bucket{})')
     with pytest.raises(QueryError, match="exactly one __name__"):
         run(spark, df, '{timing="a"}')
     with pytest.raises(QueryError, match="scalar"):
         run(spark, df, "42")
+
+
+def test_avg_max_count_by(spark):
+    # beyond-reference aggregations follow the same align-then-agg shape
+    df = bucket_fixture(spark)
+    avg = run(spark, df, 'avg by (Le) (m_bucket{})').collect()
+    got = {(r["labels"]["Le"], r["ts"]): r["value"] for r in avg}
+    assert got[("0.5", 0.0)] == 1.5  # (1*1 + 1*2)/2
+    cnt = run(spark, df, 'count by (Le) (m_bucket{})').collect()
+    assert {r["value"] for r in cnt} == {2}
+    mx = run(spark, df, 'max(m_bucket{timing="a"}) by (timing)').collect()
+    gm = {r["ts"]: r["value"] for r in mx}
+    assert gm[0.0] == 4.0  # +Inf bucket count at ts=0 for timing=a
 
 
 def test_offset_query(spark):

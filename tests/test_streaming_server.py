@@ -119,7 +119,7 @@ def test_server_routes(server):
 
 
 def test_server_errors(server):
-    q = urllib.parse.quote("avg(click{})")
+    q = urllib.parse.quote("quantile_over_time(click{})")
     st, body = _get(f"{server}/api/v1/query_range?query={q}&start=0&end=10&step=1")
     assert st == 400 and "Unknown function" in body["error"]
 
