@@ -122,7 +122,15 @@ def wide_to_long(
         for name, le, src in plan
     ]
 
-    ts = _qcol(classification.time_column).cast("double")
+    time_type = df.schema[classification.time_column].dataType
+    from pyspark.sql import types as T
+
+    if isinstance(time_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # NTZ/date won't cast straight to double; go via timestamp (UTC
+        # session) → epoch seconds, matching the f64-seconds model
+        ts = _qcol(classification.time_column).cast("timestamp").cast("double")
+    else:
+        ts = _qcol(classification.time_column).cast("double")
     exploded = df.select(
         ts.alias("ts"),
         F.array(*label_entries).alias("_lentries") if label_entries

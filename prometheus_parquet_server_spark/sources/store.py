@@ -39,3 +39,21 @@ def time_range(df: DataFrame) -> tuple[float, float]:
     """Global MinMaxTime (src/timeseries.rs:423-445)."""
     row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     return row["lo"], row["hi"]
+
+
+def shift_to_midnight_offset(df: DataFrame, now: float | None = None) -> float:
+    """``--shift_to_midnight`` (reference src/main.rs:207-226 +
+    src/timeseries.rs:410-417): query_time_offset = today's local midnight −
+    the store's min timestamp. Queries subtract it from their grid
+    (RegularTimeRange.time_offset) and serialization adds it back per point
+    (json_out.matrix_result time_offset) — so recorded test data appears to
+    start "today" in Grafana."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    local = _time.localtime(now)
+    midnight = _time.mktime(
+        (local.tm_year, local.tm_mon, local.tm_mday, 0, 0, 0, -1, -1, -1)
+    )
+    min_ts, _ = time_range(df)
+    return float(midnight) - float(min_ts)

@@ -193,3 +193,20 @@ def test_store_roundtrip(spark, tmp_path):
     assert set(back.columns) == {"name", "labels", "ts", "value"}
     # partition pruning by name: the name=... directory exists
     assert (tmp_path / "store" / "name=m_gauge").exists()
+
+
+def test_timestamp_time_column(spark):
+    # parquet TIMESTAMP / TIMESTAMP_NTZ time columns are numeric per the
+    # reference's physical-type rule (INT64/INT96) → epoch-seconds doubles
+    import datetime
+
+    pdf = pd.DataFrame(
+        {
+            "time": pd.to_datetime(["2024-01-01T00:00:00", "2024-01-01T00:01:00"]),
+            "host": ["a", "a"],
+            "v": [1.0, 2.0],
+        }
+    )
+    out = wide_to_long(spark.createDataFrame(pdf), "m").collect()
+    ts = sorted(r["ts"] for r in out)
+    assert ts == [1704067200.0, 1704067260.0]
