@@ -114,6 +114,87 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize kernel over the media frame.
+
+    Real Spark plumbing (Arrow batches, fixed output schema, payload column
+    rewritten); the pixel work is stubbed deterministically — with PIL
+    installed, `_try_real_decode`-style code would decode/resize/re-encode.
+    The stub emits a payload of exactly width*height bytes derived from a
+    rolling hash of the input so downstream operators see realistic shapes.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                seed = hashlib.md5(payload).digest()
+                reps = (n // len(seed)) + 1
+                out_payloads.append((seed * reps)[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                    "decoder": "stub",
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_s", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_s: float = 1.0, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (a 1→N
+    mapInPandas — the batch shape a real ffmpeg-backed kernel needs).
+    Stub frames are deterministic slices of the payload; duration comes from
+    ``meta.duration_s`` (default 1s when absent)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "frame_ts_s", "frame")}
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                duration = (meta or {}).get("duration_s") or 1.0
+                n = min(max_frames, max(1, int(duration / every_s)))
+                step = max(1, len(payload) // max(n, 1)) if payload else 1
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_s"].append(i * every_s)
+                    rows["frame"].append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def media_frame_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text as an opaque binary payload — the
     stand-in media table for this container (no real media in testdata)."""

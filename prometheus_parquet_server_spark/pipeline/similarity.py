@@ -100,6 +100,71 @@ def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return planes
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into Voronoi cells
+    around centroids; search only the ``n_probe`` cells nearest each probe.
+
+    Centroid selection is deterministic (the lowest-id corpus vectors) —
+    at real scale you'd k-means these, but assignment/search mechanics are
+    identical. Scale shape: centroid assignment is one broadcast pass over
+    the corpus (and is precomputable/persistable as a ``cell`` column for
+    partition pruning); per-probe work scans n_probe/n_centroids of the
+    data.
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    centroids = [
+        (int(r["cid"]), list(r[vec_col]))
+        for r in corpus.withColumn("cid", F.row_number().over(w) - 1)
+        .filter(F.col("cid") < n_centroids)
+        .collect()
+    ]
+
+    def _best_cells(vec: Column, n: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity_col(
+                        vec, F.array(*[F.lit(float(x)) for x in cvec])
+                    )).alias("neg_sim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.withColumn("cell", _best_cells(F.col(vec_col), 1)[0]["cid"])
+    p = probes.withColumn(
+        "cell", F.explode(F.transform(_best_cells(F.col("probe_vec"), n_probe), lambda s: s["cid"]))
+    )
+    sim = cosine_similarity_col(F.col("probe_vec"), F.col(vec_col))
+    scored = (
+        c.join(F.broadcast(p), "cell")
+        .filter(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     probes: DataFrame,

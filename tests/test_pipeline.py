@@ -153,3 +153,43 @@ def test_fingerprint_stability(spark):
     df = spark.createDataFrame([("A  b!c",), ("a b c",)], "text string")
     fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_topk(emb):
+    from prometheus_parquet_server_spark.pipeline.similarity import ivf_topk
+
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {(r["probe_id"], r["neighbor_id"]): r["cosine"]
+             for r in brute_force_topk(emb, probes, k=5).collect()}
+    approx = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=4).collect()
+    assert len(approx) > 0
+    best_exact = {p: max(c for (pp, _), c in exact.items() if pp == p)
+                  for p in {pp for pp, _ in exact}}
+    for r in approx:
+        assert r["cosine"] <= best_exact[r["probe_id"]] + 1e-9
+    # recall sanity: with half the cells probed, expect >= 1 overlap per probe
+    overlap = sum(1 for r in approx if (r["probe_id"], r["neighbor_id"]) in exact)
+    assert overlap >= len(best_exact)
+
+
+def test_multimodal_resize_and_frames(docs):
+    from prometheus_parquet_server_spark.pipeline.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_frame_from_documents(docs.limit(20))
+    resized = resize_images(media, width=16, height=4).collect()
+    assert len(resized) == 20
+    assert all(len(r["payload"]) == 64 for r in resized)
+    assert all((r["width"], r["height"]) == (16, 4) for r in resized)
+
+    frames = sample_frames(media, every_s=0.25, max_frames=4).collect()
+    # duration defaults to 1s → 4 frames per media item
+    assert len(frames) == 80
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
