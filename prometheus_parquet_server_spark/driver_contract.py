@@ -217,7 +217,7 @@ FROM metrics WHERE name = 'purchase' GROUP BY user_id
 
 def q_t3_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
-    out = resample_to_grid(m, _grid(spark), series_cols=["user_id"])
+    out = resample_to_grid(m, _grid(spark), series_cols=["user_id"], grid=GRID)
     return out.filter(~F.isnan("value")).select(
         "user_id", "ts", F.round("value", 6).alias("value")
     )
@@ -232,7 +232,9 @@ FROM interp WHERE NOT isnan(value)
 
 def q_t5_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "view")
-    out = resample_to_grid(m, _grid(spark), series_cols=["user_id"], offset=OFFSET_S)
+    out = resample_to_grid(
+        m, _grid(spark), series_cols=["user_id"], offset=OFFSET_S, grid=GRID
+    )
     return out.filter(~F.isnan("value")).select(
         "user_id", "ts", F.round("value", 6).alias("value")
     )
@@ -394,7 +396,7 @@ FROM buckets b LEFT JOIN cand c USING (t, ts)
 
 def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
-    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     return (
         rs.groupBy("name", "ts")
         .agg(F.round(F.sum("value"), 6).alias("value"))
@@ -433,7 +435,7 @@ def q_a2_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: ``sum without (user_id)`` — errors in the reference
     (query.rs:461-463), implemented here; equivalent to grouping by name."""
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
-    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     canonical = rs.select(
         "name",
         F.create_map(F.lit("user_id"), F.col("user_id")).alias("labels"),
@@ -447,7 +449,7 @@ def q_a2_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregations (avg/min/max/count) over aligned series."""
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
-    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     canonical = rs.select(
         "name",
         F.create_map(F.lit("user_id"), F.col("user_id")).alias("labels"),
@@ -469,7 +471,7 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
-    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"])
+    rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     return rs.groupBy("ts").agg(F.round(F.sum("value"), 6).alias("value"))
 
 

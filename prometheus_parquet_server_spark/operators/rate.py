@@ -138,53 +138,29 @@ def _rate_lagged(
     ts_col: str,
     out_col: str,
 ) -> DataFrame:
-    """Lag fast path: resample onto the grid extended k slots backwards,
-    then ``(v[i] − v[i−k]) / r`` per series ordered by slot index."""
-    # NB: not getActiveSession() — that is thread-local and None on e.g.
-    # HTTP-handler threads; the input frame knows its session.
-    spark = samples.sparkSession
+    """Lag fast path: sort-free slot resample onto the grid extended k slots
+    backwards, then ``(v[i] − v[i−k]) / r`` per series ordered by slot."""
+    from prometheus_parquet_server_spark.operators.interpolate import (
+        resample_slots,
+    )
+
     k = int(over_range / grid.increment)
-    n = len(grid)
-    # extended grid: idx ∈ [−k, n); gts = start + idx·step (same expression
-    # as RegularTimeRange.to_df → bit-identical instants)
-    ext = spark.range(-k, n).select(
-        F.col("id").alias("_gidx"),
-        (
-            F.lit(grid.start) + F.col("id").cast("double") * F.lit(grid.increment)
-        ).alias("gts"),
+    out, series, key_cols = resample_slots(
+        samples, grid, series_cols, offset, slot_from=-k
     )
-    canonical = series_cols is None
-    if canonical:
-        samples, series = keyed_series(samples)
-        key_cols = ["_skey"]
-        probe_series = series.select("_skey")
-    else:
-        series = samples.select(*series_cols).distinct()
-        key_cols = list(series_cols)
-        probe_series = series
-    probes = probe_series.crossJoin(F.broadcast(ext)).withColumn(
-        "_pt", F.col("gts") - F.lit(float(offset))
-    )
-    ctx = _asof_context(samples, probes, key_cols, carry_cols=["_gidx", "gts"])
-    interp = ctx.select(
-        *key_cols,
-        "_gidx",
-        "gts",
-        interp_value(F.col("_pt"), F.col("_prev"), F.col("_next")).alias("_iv"),
-    )
-    w = Window.partitionBy(*key_cols).orderBy("_gidx")
-    out = (
-        interp.withColumn("_lo", F.lag("_iv", k).over(w))
-        .filter(F.col("_gidx") >= 0)
+    w = Window.partitionBy(*key_cols).orderBy("_slot")
+    res = (
+        out.withColumn("_lo", F.lag("value", k).over(w))
+        .filter(F.col("_slot") >= 0)
         .select(
             *key_cols,
             F.col("gts").alias(ts_col),
-            ((F.col("_iv") - F.col("_lo")) / F.lit(float(over_range))).alias(out_col),
+            ((F.col("value") - F.col("_lo")) / F.lit(float(over_range))).alias(out_col),
         )
     )
-    if canonical:
-        out = out.join(series, "_skey").select("name", "labels", ts_col, out_col)
-    return out
+    if series is not None:
+        res = res.join(series, "_skey").select("name", "labels", ts_col, out_col)
+    return res
 
 
 def interpolate_at_probes_raw(

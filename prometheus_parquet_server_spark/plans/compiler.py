@@ -88,7 +88,9 @@ def _resampled(state: State, ctx: _Ctx) -> State:
         return state
     if isinstance(state, Unprocessed):
         offset = float(state.offset or 0)
-        return Processed(resample_to_grid(state.df, ctx.grid_df(), offset=offset))
+        return Processed(
+            resample_to_grid(state.df, ctx.grid_df(), offset=offset, grid=ctx.grid)
+        )
     raise QueryError("Cannot resample a vectorized time series")
 
 
