@@ -74,7 +74,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-_METRICS_CACHE: dict[str, DataFrame] = {}
+_METRICS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +86,10 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     same trade and stops every operator's two subtrees (samples + distinct
     series) from re-running the scan+dedup.
     """
-    cached = _METRICS_CACHE.get(sf_dir)
+    # key includes the application id — a cached frame bound to a stopped
+    # SparkContext must not leak into a later session
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _METRICS_CACHE.get(cache_key)
     if cached is not None:
         return cached
     ev = _events(spark, sf_dir)
@@ -101,7 +104,7 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("value"))
         .cache()
     )
-    _METRICS_CACHE[sf_dir] = out
+    _METRICS_CACHE[cache_key] = out
     return out
 
 

@@ -46,14 +46,16 @@ def select_series(
             raise QueryError("only equality is supported for the __name__ matcher")
 
     out = df
+    pruned = None
     for m in name_matchers:
         if m.op == "=":
             # Equality on name first: partition pruning does the index probe.
             out = out.filter(F.col("name") == m.value)
+            pruned = m
             break
-    rest = [m for m in matchers if m.label != NAME_LABEL] + [
-        m for m in name_matchers if m.op != "="
-    ]
+    # every other matcher still applies (incl. further __name__ matchers —
+    # two different equalities must conjoin to the empty set, not win-first)
+    rest = [m for m in matchers if m is not pruned]
     if rest:
         out = out.filter(matchers_predicate(rest, F.col("labels"), F.col("name")))
     return out

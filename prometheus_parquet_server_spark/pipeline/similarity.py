@@ -95,7 +95,7 @@ def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
         plane = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
-            plane.append(((state >> 33) / 2**31) - 1.0)  # [-1, 1)
+            plane.append(((state >> 33) / 2**30) - 1.0)  # [-1, 1)
         planes.append(plane)
     return planes
 
@@ -119,12 +119,13 @@ def ivf_topk(
     partition pruning); per-probe work scans n_probe/n_centroids of the
     data.
     """
-    w = Window.orderBy(F.col(id_col).asc())
+    # TakeOrdered (orderBy+limit) — NOT a global row_number window, which
+    # would funnel the whole corpus through one partition
     centroids = [
-        (int(r["cid"]), list(r[vec_col]))
-        for r in corpus.withColumn("cid", F.row_number().over(w) - 1)
-        .filter(F.col("cid") < n_centroids)
-        .collect()
+        (i, list(r[vec_col]))
+        for i, r in enumerate(
+            corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+        )
     ]
 
     def _best_cells(vec: Column, n: int) -> Column:

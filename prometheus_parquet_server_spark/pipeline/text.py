@@ -66,7 +66,8 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 def language_id(text: Column) -> Column:
     """Stopword-marker language heuristic: the language whose marker words
-    occur most often wins; ties and zero hits → 'und' (undetermined)."""
+    occur most often wins; ties go to the alphabetically-first language;
+    zero hits → 'und' (undetermined)."""
     def _contains(arr):
         return lambda t: F.array_contains(arr, t)
 

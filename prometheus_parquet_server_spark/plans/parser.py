@@ -85,6 +85,24 @@ class _Lexer:
         return parse_duration(m.group())
 
 
+_ESCAPES = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(text: str) -> str:
+    """Resolve backslash escapes without round-tripping through
+    unicode_escape (which mojibakes non-ASCII label values)."""
+    out, i = [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "\\" and i + 1 < len(text):
+            out.append(_ESCAPES.get(text[i + 1], text[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def parse_promql(query: str) -> Node:
     lex = _Lexer(query)
     node = _parse_expr(lex)
@@ -169,7 +187,7 @@ def _parse_selector(lex: _Lexer, name: str | None) -> SelectorNode:
             raw = lex.next()
             if raw is None or raw[0] not in "\"'":
                 raise PromQLError(f"expected quoted value, got {raw!r}")
-            value = raw[1:-1].encode().decode("unicode_escape")
+            value = _unescape(raw[1:-1])
             matchers.append(LabelMatcher(label, op, value))
             if lex.peek() == ",":
                 lex.next()

@@ -115,7 +115,11 @@ class MetricsHTTPServer:
                     body = self.rfile.read(length).decode()
                     ctype = self.headers.get("Content-Type", "")
                     if "json" in ctype:
-                        params.update(json.loads(body))
+                        # numeric JSON values must not crash the str-typed
+                        # parsers — coerce everything to str like form data
+                        params.update(
+                            {k: str(v) for k, v in json.loads(body).items()}
+                        )
                     else:
                         params.update({k: v[0] for k, v in parse_qs(body).items()})
                 return params
