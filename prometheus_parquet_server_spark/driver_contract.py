@@ -878,6 +878,36 @@ WHERE ROUND(
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the embedding near-dup pairs —
+    duplicate-cluster resolution (keep-one-per-component)."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+    )
+
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+_ND_PAIRS_SQL = SQL_DEDUP_EMBEDDING.strip().rstrip()
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE nd AS ({_ND_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM nd
+    UNION
+    SELECT id_b AS a, id_a AS b FROM nd
+),
+reach AS (
+    SELECT a AS node, b AS other FROM edges
+    UNION
+    SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+)
+SELECT node, LEAST(node, MIN(other)) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -943,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
@@ -973,6 +1004,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,

@@ -1,0 +1,109 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+LSH/cosine dedup produces PAIRS; deduplication needs CLUSTERS (keep one doc
+per component). This is the iterative-algorithm shape Spark handles that
+single-pass SQL can't express directly: alternating small-label propagation
+until fixpoint.
+
+Scale shape: each iteration is one groupBy-min + one join, both keyed on
+node id; iteration count is O(log(diameter)) for the doubling variant used
+here (large-star/small-star style). Convergence is checked with a cheap
+aggregate; no driver-side adjacency state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns (node BIGINT, component BIGINT) where component = min node id
+    reachable from ``node``. Deterministic; empty input → empty output.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        # materialize once — the edge set is re-read every iteration, and
+        # recomputing an expensive upstream (e.g. all-pairs cosine) per
+        # iteration turns O(log d) rounds into O(rounds × full-input cost)
+        .localCheckpoint(eager=True)
+    )
+    # label(n) := min neighbor ∪ self, iterated with label-of-label doubling
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_mb")).alias("component"),
+        )
+    )
+
+    for _ in range(max_iterations):
+        # propagate: component(n) := min(component(component(n)), component(n))
+        lab2 = labels.select(
+            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+        )
+        propagated = (
+            labels.join(lab2, labels.component == lab2.cnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ccomp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # also pull labels across edges (handles chains the doubling misses)
+        via_edges = (
+            edges.join(labels.withColumnRenamed("node", "b2"), edges.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("component").alias("ecomp"))
+            .select(F.col("a").alias("node"), "ecomp")
+        )
+        new_labels = (
+            propagated.join(via_edges, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ecomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # truncate the growing lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → (component, size, member_ids, keeper).
+
+    ``keeper`` = min id, the canonical representative; everything else in
+    the component is droppable."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("size"),
+            F.sort_array(F.collect_list("node")).alias("member_ids"),
+        )
+        .withColumn("keeper", F.col("component"))
+    )

@@ -93,7 +93,9 @@ def stream_windowed_rate(
     )
 
 
-def run_available_now(df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
     return the materialized result (batch-parity execution of a streaming
     plan)."""
@@ -101,7 +103,7 @@ def run_available_now(df: DataFrame, spark: SparkSession) -> DataFrame:
     q: StreamingQuery = (
         df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

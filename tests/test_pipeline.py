@@ -193,3 +193,31 @@ def test_multimodal_resize_and_frames(docs):
     for r in frames:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+
+
+def test_connected_components_clusters(spark):
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    clusters = {r["component"]: r for r in duplicate_clusters(pairs).collect()}
+    assert clusters[1]["member_ids"] == [1, 2, 3, 4] and clusters[1]["keeper"] == 1
+    assert clusters[10]["size"] == 2
+
+    # long chain exercises the doubling propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 31
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0

@@ -128,3 +128,40 @@ def test_server_errors(server):
 
     st, _ = _get(f"{server}/nope")
     assert st == 404
+
+
+def test_stateful_sessionization(spark):
+    from prometheus_parquet_server_spark.streaming import run_available_now
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize
+
+    # stream the events table; sessions close on >30min inactivity per user
+    static = spark.read.parquet(f"{SF}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    ev = stream.select(
+        "user_id", (F.expr("ts div 1000") / F.lit(1e6)).alias("ts_s"), "value"
+    )
+    sessions = sessionize(ev, gap_s=1800.0)
+    out = run_available_now(sessions, spark, output_mode="update").collect()
+
+    # batch reference: per-user gap>30min boundaries; closed sessions only
+    batch = static.select(
+        "user_id", (F.expr("ts div 1000") / F.lit(1e6)).alias("ts_s"), "value"
+    ).toPandas()
+    want_closed = 0
+    want_by_user = {}
+    for uid, grp in batch.groupby("user_id"):
+        ts = sorted(grp["ts_s"])
+        n_sessions = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > 1800.0)
+        want_closed += n_sessions - 1  # the last session stays open in state
+        want_by_user[uid] = n_sessions - 1
+    assert len(out) == want_closed
+    got_by_user = {}
+    for r in out:
+        got_by_user[r["user_id"]] = got_by_user.get(r["user_id"], 0) + 1
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    assert {u: c for u, c in want_by_user.items() if c} == got_by_user
