@@ -500,6 +500,32 @@ SQL_A3 = SQL_A1.replace(
 # PromQL end-to-end (parser + compiler + operators)
 # ---------------------------------------------------------------------------
 
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk over aligned series (beyond-reference aggregation)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "topk(3, click{})", GRID)
+    return out.filter(~F.isnan("value")).select(
+        "name",
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_TOPK = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT 'click' AS name, user_id, gts AS ts, ROUND(value, 6) AS value
+FROM (
+    SELECT i.*, ROW_NUMBER() OVER (
+        PARTITION BY gts
+        ORDER BY CASE WHEN isnan(value) THEN NULL ELSE value END DESC NULLS LAST,
+                 'click' || '|' || '{{"user_id":"' || user_id || '"}}'
+    ) AS rk
+    FROM interp i
+) WHERE rk <= 3 AND NOT isnan(value)
+"""
+
+
 def q_promql_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PromQL stack: 'sum by (__name__) (rate(click{}[30m]))'."""
     metrics = _metrics_canonical(spark, sf_dir)
@@ -964,6 +990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_sum_bare": q_a3_sum_bare,
     "a4_multi_agg": q_a4_multi_agg,
     "promql_sum_rate": q_promql_sum_rate,
+    "promql_topk": q_topk,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -995,6 +1022,7 @@ ORACLES: dict[str, str] = {
     "a3_sum_bare": SQL_A3,
     "a4_multi_agg": SQL_A4,
     "promql_sum_rate": SQL_PROMQL_SUM_RATE,
+    "promql_topk": SQL_TOPK,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

@@ -118,3 +118,26 @@ def sum_over_series(
     """A1–A3: element-wise sum across series (reference semantics — NaN
     poisons the group, groups of one pass through)."""
     return aggregate_over_series(df, ("sum",), by=by, without=without)
+
+
+def topk_over_series(df: DataFrame, k: int, largest: bool = True) -> DataFrame:
+    """PromQL ``topk(k, v)`` / ``bottomk(k, v)`` (beyond the reference's
+    4-function surface): keep the k series with the largest (smallest)
+    value per instant, labels intact.
+
+    Deterministic tie-break on the canonical series key. NaN values are
+    ranked last in both directions (Spark orders NaN greatest, so ascending
+    puts NaN last naturally; descending sorts on a NaN→null projection with
+    nulls last)."""
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.model import series_key_str
+
+    rank_val = F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
+    order = rank_val.desc_nulls_last() if largest else rank_val.asc_nulls_last()
+    w = Window.partitionBy("ts").orderBy(order, series_key_str())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

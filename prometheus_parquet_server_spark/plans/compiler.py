@@ -29,6 +29,7 @@ from prometheus_parquet_server_spark.labels import matchers_predicate
 from prometheus_parquet_server_spark.operators.aggregate import (
     AGG_FNS,
     aggregate_over_series,
+    topk_over_series,
 )
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
@@ -164,6 +165,22 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         if not isinstance(series, Processed):
             raise QueryError("resampling failed")
         return Processed(histogram_quantile(series.df, phi.value))
+
+    if node.name in ("topk", "bottomk"):
+        # beyond the reference surface: rank series per instant
+        if len(node.args) != 2:
+            raise QueryError(f"'{node.name}' needs exactly 2 arguments")
+        if node.agg is not None:
+            raise QueryError(f"'{node.name}' expects no aggregation")
+        kval = _eval(node.args[0], ctx, state)
+        if not isinstance(kval, ScalarResult):
+            raise QueryError("Expected a scalar")
+        arg = _resampled(_eval(node.args[1], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("resampling failed")
+        return Processed(
+            topk_over_series(arg.df, int(kval.value), largest=node.name == "topk")
+        )
 
     if node.name in AGG_FNS:
         # src/query.rs:498-546; the reference implements only `sum by` (A1)

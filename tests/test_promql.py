@@ -143,3 +143,16 @@ def test_offset_query(spark):
     got = {r["ts"]: r["value"] for r in out}
     assert got[60.0] == 4.0  # value at 0s shown at 60s
     assert got[120.0] == 6.0
+
+
+def test_topk_bottomk(spark):
+    df = bucket_fixture(spark)
+    top = run(spark, df, 'topk(2, m_bucket{Le="+Inf"})').collect()
+    # per ts keep 2 largest; timing=b is 2x timing=a
+    by_ts = {}
+    for r in top:
+        by_ts.setdefault(r["ts"], []).append(r["labels"]["timing"])
+    assert all(sorted(v) == ["a", "b"] for v in by_ts.values())  # only 2 series exist
+    bot = run(spark, df, 'bottomk(1, m_bucket{Le="+Inf"})').collect()
+    assert all(r["labels"]["timing"] == "a" for r in bot)
+    assert len(bot) == 3  # one per grid instant
