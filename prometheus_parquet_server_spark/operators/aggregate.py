@@ -120,24 +120,36 @@ def sum_over_series(
     return aggregate_over_series(df, ("sum",), by=by, without=without)
 
 
-def topk_over_series(df: DataFrame, k: int, largest: bool = True) -> DataFrame:
+def topk_over_series(
+    df: DataFrame, k: int, largest: bool = True, salt_buckets: int = 16
+) -> DataFrame:
     """PromQL ``topk(k, v)`` / ``bottomk(k, v)`` (beyond the reference's
     4-function surface): keep the k series with the largest (smallest)
     value per instant, labels intact.
 
-    Deterministic tie-break on the canonical series key. NaN values are
-    ranked last in both directions (Spark orders NaN greatest, so ascending
-    puts NaN last naturally; descending sorts on a NaN→null projection with
-    nulls last)."""
+    Two-phase with salting: a window partitioned by ``ts`` alone would put
+    EVERY series for an instant into one partition — a guaranteed skew wall
+    at high cardinality. Phase 1 ranks within (ts, series-hash salt) and
+    keeps k per salt; phase 2 ranks the ≤ salt_buckets·k survivors per ts.
+    The per-ts top-k is always a subset of the per-salt top-k union, so the
+    result is identical; no partition ever holds more than its salt's share.
+
+    Deterministic tie-break on the canonical series key. NaN values rank
+    last in both directions (Spark orders NaN greatest; descending ranks on
+    a NaN→null projection with nulls last)."""
     from pyspark.sql import Window
 
     from prometheus_parquet_server_spark.model import series_key_str
 
     rank_val = F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
     order = rank_val.desc_nulls_last() if largest else rank_val.asc_nulls_last()
-    w = Window.partitionBy("ts").orderBy(order, series_key_str())
+    salt = F.pmod(F.xxhash64(series_key_str()), F.lit(salt_buckets))
+    w1 = Window.partitionBy("ts", salt).orderBy(order, series_key_str())
+    w2 = Window.partitionBy("ts").orderBy(order, series_key_str())
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        .drop("_rk1", "_rk")
     )
