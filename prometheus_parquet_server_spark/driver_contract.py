@@ -551,6 +551,92 @@ FROM rate GROUP BY gts
 """
 
 
+def q_promql_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector arithmetic with matching (beyond-reference; the reference
+    rejects Node::Operator): 'click{} * 2 + on(user_id) view{}'."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "click{} * 2 + on(user_id) view{}", GRID)
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_BINOP = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('click', 'g.gts', 'a')},
+{_interp_sql('view', 'g.gts', 'b')}
+SELECT a.user_id, a.gts AS ts, ROUND(a.value * 2 + b.value, 6) AS value
+FROM a JOIN b ON b.user_id = a.user_id AND b.gts = a.gts
+WHERE NOT isnan(a.value) AND NOT isnan(b.value)
+"""
+
+
+def q_promql_cmp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison filter semantics: 'click{} > 100' keeps matching samples
+    with name and labels intact."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "click{} > 100", GRID)
+    return out.select(
+        "name",
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_CMP = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT 'click' AS name, user_id, gts AS ts, ROUND(value, 6) AS value
+FROM interp WHERE NOT isnan(value) AND value > 100
+"""
+
+
+def q_promql_set_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operator: click series for users with no matching purchase series
+    in the rhs selector (every user purchases, so the rhs is restricted)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(
+        spark, metrics, 'click{} unless on(user_id) purchase{user_id=~"1.*"}', GRID
+    )
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_UNLESS = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT user_id, gts AS ts, ROUND(value, 6) AS value
+FROM interp
+WHERE NOT isnan(value)
+  AND user_id NOT IN (
+      -- unanchored regex, same as the engine's =~ (Rust Regex::is_match)
+      SELECT DISTINCT user_id FROM metrics
+      WHERE name = 'purchase' AND regexp_matches(user_id, '1.*')
+  )
+"""
+
+
+def q_promql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series φ-quantile per instant: 'quantile(0.9, click{})'
+    (linear interpolation between order statistics ≡ quantile_cont)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "quantile(0.9, click{})", GRID)
+    return out.filter(~F.isnan("value")).select(
+        "ts", F.round("value", 6).alias("value")
+    )
+
+
+SQL_PROMQL_QUANTILE = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT gts AS ts, ROUND(quantile_cont(value, 0.9), 6) AS value
+FROM interp WHERE NOT isnan(value) GROUP BY gts
+"""
+
+
 # ---------------------------------------------------------------------------
 # M: metadata
 # ---------------------------------------------------------------------------
@@ -991,6 +1077,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_multi_agg": q_a4_multi_agg,
     "promql_sum_rate": q_promql_sum_rate,
     "promql_topk": q_topk,
+    "promql_binop": q_promql_binop,
+    "promql_cmp_filter": q_promql_cmp_filter,
+    "promql_set_unless": q_promql_set_unless,
+    "promql_quantile": q_promql_quantile,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1023,6 +1113,10 @@ ORACLES: dict[str, str] = {
     "a4_multi_agg": SQL_A4,
     "promql_sum_rate": SQL_PROMQL_SUM_RATE,
     "promql_topk": SQL_TOPK,
+    "promql_binop": SQL_PROMQL_BINOP,
+    "promql_cmp_filter": SQL_PROMQL_CMP,
+    "promql_set_unless": SQL_PROMQL_UNLESS,
+    "promql_quantile": SQL_PROMQL_QUANTILE,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

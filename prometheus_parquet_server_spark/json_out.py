@@ -62,5 +62,39 @@ def matrix_result(df: DataFrame, time_offset: float = 0.0) -> dict[str, Any]:
     }
 
 
+def vector_result(df: DataFrame, time_offset: float = 0.0) -> dict[str, Any]:
+    """Instant-vector envelope: one ``{metric, value:[t, "v"]}`` per series.
+
+    The frame is grid-aligned on a single-point grid (see
+    ``run_instant_query``), so each series contributes exactly one sample.
+    """
+    rows = df.select("name", F.to_json("labels").alias("_lj"), "ts", "value").collect()
+    result = []
+    for row in rows:
+        metric = dict(json.loads(row["_lj"]) if row["_lj"] else {})
+        if row["name"] is not None:
+            metric[NAME_LABEL] = row["name"]
+        result.append(
+            {
+                "metric": metric,
+                "value": [row["ts"] + time_offset, _fmt_value(row["value"])],
+            }
+        )
+    result.sort(key=lambda s: sorted(s["metric"].items()))
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": result},
+    }
+
+
+def scalar_result(value: float, at: float) -> dict[str, Any]:
+    """Scalar envelope — the shape the reference's dummy ``1+1`` instant
+    endpoint emits (src/main.rs:406-413)."""
+    return {
+        "status": "success",
+        "data": {"resultType": "scalar", "result": [at, _fmt_value(value)]},
+    }
+
+
 def error_response(message: str) -> dict[str, Any]:
     return {"status": "error", "error": message}

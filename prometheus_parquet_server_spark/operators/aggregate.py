@@ -39,30 +39,22 @@ AGG_FNS = {
     "min": F.min,
     "max": F.max,
     "count": F.count,
+    "stddev": F.stddev_pop,  # PromQL stddev is the population deviation
+    "stdvar": F.var_pop,
 }
 
 
-def aggregate_over_series(
+def _grouped_agg(
     df: DataFrame,
-    fns: Sequence[str] = ("sum",),
-    by: Sequence[str] | None = None,
-    without: Sequence[str] | None = None,
+    aggs: list,
+    out_cols: list[str],
+    by: Sequence[str] | None,
+    without: Sequence[str] | None,
 ) -> DataFrame:
-    """Element-wise aggregation across series per instant.
-
-    ``df``: canonical long frame (name, labels, ts, value), grid-aligned.
-    Exactly one of ``by`` / ``without`` may be given; neither = bare
-    aggregate (group key empty).
-
-    One ``fns`` entry → output column ``value``; several → one column per
-    function name. Output: (name, labels, ts, value...) — name NULL unless
-    retained.
-    """
+    """Shared align-then-aggregate shape: group on (retained-labels JSON,
+    ts) with no MAP columns in the shuffle, then rebuild the label map."""
     if by is not None and without is not None:
         raise ValueError("pass at most one of by/without")
-    for fn in fns:
-        if fn not in AGG_FNS:
-            raise ValueError(f"unknown aggregation {fn!r}")
 
     if by is not None:
         keys = [k for k in by if k != NAME_LABEL]
@@ -93,10 +85,6 @@ def aggregate_over_series(
         "ts",
         "value",
     )
-    single = len(fns) == 1
-    aggs = [
-        AGG_FNS[fn]("value").alias("value" if single else fn) for fn in fns
-    ]
     summed = prepared.groupBy("_name", "_gkey", "ts").agg(*aggs)
     labels_back = F.coalesce(
         F.from_json(F.col("_gkey"), "map<string,string>"),
@@ -104,10 +92,47 @@ def aggregate_over_series(
             F.array().cast("array<string>"), F.array().cast("array<string>")
         ),
     )
-    out_cols = ["value"] if single else list(fns)
     return summed.select(
         F.col("_name").alias("name"), labels_back.alias("labels"), "ts", *out_cols
     )
+
+
+def aggregate_over_series(
+    df: DataFrame,
+    fns: Sequence[str] = ("sum",),
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """Element-wise aggregation across series per instant.
+
+    ``df``: canonical long frame (name, labels, ts, value), grid-aligned.
+    Exactly one of ``by`` / ``without`` may be given; neither = bare
+    aggregate (group key empty).
+
+    One ``fns`` entry → output column ``value``; several → one column per
+    function name. Output: (name, labels, ts, value...) — name NULL unless
+    retained.
+    """
+    for fn in fns:
+        if fn not in AGG_FNS:
+            raise ValueError(f"unknown aggregation {fn!r}")
+    single = len(fns) == 1
+    aggs = [AGG_FNS[fn]("value").alias("value" if single else fn) for fn in fns]
+    out_cols = ["value"] if single else list(fns)
+    return _grouped_agg(df, aggs, out_cols, by, without)
+
+
+def quantile_over_series(
+    df: DataFrame,
+    phi: float,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """PromQL ``quantile(φ, v)``: φ-quantile across series per instant with
+    linear interpolation between order statistics (exact ``percentile`` —
+    identical math to SQL ``percentile_cont``/DuckDB ``quantile_cont``)."""
+    aggs = [F.percentile(F.col("value"), F.lit(float(phi))).alias("value")]
+    return _grouped_agg(df, aggs, ["value"], by, without)
 
 
 def sum_over_series(

@@ -1,0 +1,277 @@
+"""PromQL binary operators over grid-aligned vectors (beyond-reference).
+
+The reference parses binary expressions (promql crate grammar) but its
+interpreter rejects them: ``Node::Operator`` → "Not implemented yet"
+(/root/reference/src/query.rs:550-552; readme.md:105 "arithmetic
+unimplemented"). Like ``sum without`` / bare ``sum`` (SURVEY §2.5 A2/A3) we
+implement the full surface anyway, with real-Prometheus semantics adapted to
+this engine's data model:
+
+- operands are **grid-aligned** frames (name, labels, ts, value) — every
+  series has a row at every grid instant (NaN where the reference would show
+  an interpolation miss), so set-op "existence" means row presence;
+- arithmetic: ``+ - * / % ^`` — IEEE-754 throughout (x/0 → ±inf, 0/0 → NaN,
+  ``%`` = Rust/Go fmod with the dividend's sign, ``^`` = powf);
+- comparisons: ``== != > < >= <=`` — filter semantics by default (keep the
+  left sample where the comparison holds), ``bool`` mode yields 1.0/0.0.
+  IEEE NaN rules (any comparison with NaN is false, except ``!=`` which is
+  true) are enforced explicitly because Spark orders NaN greatest and equal
+  to itself;
+- vector matching: ``on(...)`` / ``ignoring(...)`` with one-to-one default
+  and ``group_left(...)`` / ``group_right(...)`` many-to-one;
+- set ops: ``and`` (semi join), ``unless`` (anti join), ``or`` (left union
+  unmatched right).
+
+Scale shape: one equi-join on (match-key, ts) per operator. The match key is
+a plain string so the shuffle carries no MAP columns (see model.py
+series_key_str rationale); both sides are grid-aligned outputs of the same
+plan family, so AQE can pick broadcast for small selector results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.labels import NAME_LABEL
+from prometheus_parquet_server_spark.model import canonical_labels_json
+
+ARITH_OPS = ("+", "-", "*", "/", "%", "^")
+COMP_OPS = ("==", "!=", ">", "<", ">=", "<=")
+SET_OPS = ("and", "or", "unless")
+
+
+def _inf() -> Column:
+    return F.lit(float("inf"))
+
+
+def _nan() -> Column:
+    return F.lit(float("nan"))
+
+
+def _ieee_div(num: Column, den: Column) -> Column:
+    """x/0 → ±inf, 0/0 → NaN (Spark's non-ANSI double division NULLs out)."""
+    return (
+        F.when(den != 0, num / den)
+        .when(F.isnan(num) | (num == 0), _nan())
+        .when(num > 0, _inf())
+        .otherwise(-_inf())
+    )
+
+
+def _ieee_mod(num: Column, den: Column) -> Column:
+    """fmod semantics (sign of the dividend), NaN for den == 0 like Rust
+    ``%`` / Go ``math.Mod``. Spark's ``%`` already truncates toward zero for
+    doubles but NULLs on zero divisors."""
+    return F.when(den != 0, num % den).otherwise(_nan())
+
+
+def arith_expr(op: str, left: Column, right: Column) -> Column:
+    if op == "+":
+        return left + right
+    if op == "-":
+        return left - right
+    if op == "*":
+        return left * right
+    if op == "/":
+        return _ieee_div(left, right)
+    if op == "%":
+        return _ieee_mod(left, right)
+    if op == "^":
+        return F.pow(left, right)
+    raise ValueError(f"unknown arithmetic operator {op!r}")
+
+
+def comp_expr(op: str, left: Column, right: Column) -> Column:
+    """Boolean column with IEEE NaN rules (Spark's NaN ordering differs:
+    there NaN == NaN and NaN > everything — neither holds in PromQL)."""
+    has_nan = F.isnan(left) | F.isnan(right)
+    if op == "!=":
+        return has_nan | (left != right)
+    raw = {
+        "==": left == right,
+        ">": left > right,
+        "<": left < right,
+        ">=": left >= right,
+        "<=": left <= right,
+    }[op]
+    return ~has_nan & raw
+
+
+def scalar_scalar_op(op: str, left: float, right: float, bool_mode: bool) -> float:
+    """Driver-side fold for literal⊕literal (covers the reference's dummy
+    instant endpoint: ``1+1`` → 2, src/main.rs:406-413)."""
+    import math
+
+    if op in COMP_OPS:
+        res = {
+            "==": left == right,
+            "!=": left != right,
+            ">": left > right,
+            "<": left < right,
+            ">=": left >= right,
+            "<=": left <= right,
+        }[op]
+        return 1.0 if res else 0.0
+    if op == "+":
+        return left + right
+    if op == "-":
+        return left - right
+    if op == "*":
+        return left * right
+    if op == "/":
+        if right == 0:
+            if math.isnan(left) or left == 0:
+                return float("nan")
+            return math.copysign(float("inf"), left)
+        return left / right
+    if op == "%":
+        return math.fmod(left, right) if right != 0 else float("nan")
+    if op == "^":
+        return math.pow(left, right)
+    raise ValueError(f"unknown operator {op!r}")
+
+
+def vector_scalar_op(
+    df: DataFrame, op: str, scalar: float, scalar_on_left: bool = False,
+    bool_mode: bool = False,
+) -> DataFrame:
+    """vector ⊕ scalar (or scalar ⊕ vector): elementwise over every sample.
+
+    Arithmetic and ``bool`` comparisons drop the metric name (PromQL: the
+    result is no longer that metric); filter comparisons keep samples
+    unchanged.
+    """
+    lit = F.lit(float(scalar))
+    left, right = (lit, F.col("value")) if scalar_on_left else (F.col("value"), lit)
+    no_name = F.lit(None).cast("string")
+    if op in COMP_OPS:
+        cond = comp_expr(op, left, right)
+        if bool_mode:
+            out_val = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            return df.select(
+                no_name.alias("name"), "labels", "ts", out_val.alias("value")
+            )
+        return df.filter(cond)
+    return df.select(
+        no_name.alias("name"), "labels", "ts",
+        arith_expr(op, left, right).alias("value"),
+    )
+
+
+def _match_key(labels: Column, on: list[str] | None, ignoring: list[str] | None) -> Column:
+    """Canonical string key of the matching label subset. ``__name__`` never
+    participates in matching (Prometheus drops it before matching)."""
+    if on is not None:
+        keep = F.array([F.lit(k) for k in on if k != NAME_LABEL])
+        restricted = F.map_filter(labels, lambda k, _: F.array_contains(keep, k))
+    elif ignoring:
+        drop = F.array([F.lit(k) for k in ignoring if k != NAME_LABEL])
+        restricted = F.map_filter(labels, lambda k, _: ~F.array_contains(drop, k))
+    else:
+        restricted = labels
+    return canonical_labels_json(restricted)
+
+
+def _result_labels(labels: Column, on: list[str] | None, ignoring: list[str] | None) -> Column:
+    """One-to-one result label set: the side's labels restricted to the
+    matching labels (on) or minus the ignored ones."""
+    if on is not None:
+        keep = F.array([F.lit(k) for k in on if k != NAME_LABEL])
+        return F.map_filter(labels, lambda k, _: F.array_contains(keep, k))
+    if ignoring:
+        drop = F.array([F.lit(k) for k in ignoring if k != NAME_LABEL])
+        return F.map_filter(labels, lambda k, _: ~F.array_contains(drop, k))
+    return labels
+
+
+def vector_vector_op(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    op: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | None = None,
+    group: str | None = None,  # None | 'left' | 'right'
+    include: list[str] | None = None,  # group_left(...extra rhs labels...)
+    bool_mode: bool = False,
+) -> DataFrame:
+    """vector ⊕ vector with label matching.
+
+    One-to-one (``group=None``): inner join on (match key, ts); output labels
+    are the lhs labels restricted by the matching clause; name dropped for
+    arithmetic / bool, kept from lhs for filter comparisons.
+
+    group_left / group_right: the "many" side keeps its full label set (plus
+    ``include`` labels copied from the "one" side); each many-row joins its
+    single one-row per (key, ts).
+
+    Set ops (`and`/`or`/`unless`) ignore group/bool and preserve the lhs rows
+    (plus, for ``or``, the unmatched rhs rows).
+    """
+    key_l = _match_key(F.col("labels"), on, ignoring)
+    key_r = _match_key(F.col("labels"), on, ignoring)
+    left = lhs.select(
+        key_l.alias("_mk"), "ts", F.col("name").alias("_ln"),
+        F.col("labels").alias("_ll"), F.col("value").alias("_lv"),
+    )
+    right = rhs.select(
+        key_r.alias("_mk"), "ts", F.col("name").alias("_rn"),
+        F.col("labels").alias("_rl"), F.col("value").alias("_rv"),
+    )
+
+    if op in SET_OPS:
+        if op == "and":
+            kept = left.join(right.select("_mk", "ts").distinct(), ["_mk", "ts"], "semi")
+        elif op == "unless":
+            kept = left.join(right.select("_mk", "ts").distinct(), ["_mk", "ts"], "anti")
+        else:  # or: all of lhs plus rhs rows with no lhs match at that instant
+            extra = right.join(
+                left.select("_mk", "ts").distinct(), ["_mk", "ts"], "anti"
+            ).select(
+                "_mk", "ts", F.col("_rn").alias("_ln"),
+                F.col("_rl").alias("_ll"), F.col("_rv").alias("_lv"),
+            )
+            kept = left.unionByName(extra)
+        return kept.select(
+            F.col("_ln").alias("name"), F.col("_ll").alias("labels"),
+            "ts", F.col("_lv").alias("value"),
+        )
+
+    joined = left.join(right, ["_mk", "ts"], "inner")
+    lv, rv = F.col("_lv"), F.col("_rv")
+
+    if group in ("left", "right"):
+        many_labels = F.col("_ll") if group == "left" else F.col("_rl")
+        one_labels = F.col("_rl") if group == "left" else F.col("_ll")
+        if include:
+            inc = F.array([F.lit(k) for k in include])
+            copied = F.map_filter(one_labels, lambda k, _: F.array_contains(inc, k))
+            out_labels = F.map_concat(
+                F.map_filter(many_labels, lambda k, _: ~F.array_contains(inc, k)),
+                copied,
+            )
+        else:
+            out_labels = many_labels
+        out_name = F.lit(None).cast("string")
+    else:
+        out_labels = _result_labels(F.col("_ll"), on, ignoring)
+        out_name = F.lit(None).cast("string")
+
+    if op in COMP_OPS:
+        cond = comp_expr(op, lv, rv)
+        if bool_mode:
+            val = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            return joined.select(
+                out_name.alias("name"), out_labels.alias("labels"),
+                "ts", val.alias("value"),
+            )
+        # filter mode keeps the lhs sample (name intact)
+        return joined.filter(cond).select(
+            F.col("_ln").alias("name"), F.col("_ll").alias("labels"),
+            "ts", lv.alias("value"),
+        )
+
+    return joined.select(
+        out_name.alias("name"), out_labels.alias("labels"),
+        "ts", arith_expr(op, lv, rv).alias("value"),
+    )

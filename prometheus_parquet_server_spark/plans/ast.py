@@ -1,11 +1,14 @@
 """PromQL AST — the subset the reference consumes from the promql crate
-(/root/reference/src/query.rs:548-581 and Cargo.toml's promql v0.4.2).
+(/root/reference/src/query.rs:548-581 and Cargo.toml's promql v0.4.2),
+plus binary/unary expressions.
 
-Node kinds actually interpreted: scalar literals, vector selectors (with
-matchers, ``[range]``, ``offset``), and function calls with an optional
-``by``/``without`` aggregation modifier. Binary operators and negation parse
-in the reference's grammar but error in its interpreter — our parser mirrors
-that by raising at parse time with the same messages.
+Node kinds the reference interprets: scalar literals, vector selectors
+(with matchers, ``[range]``, ``offset``), and function calls with an
+optional ``by``/``without`` aggregation modifier. Binary operators and
+negation parse in the reference's grammar but error in its interpreter
+("Not implemented yet" / negation, src/query.rs:550-552, 577-579) — like
+``sum without`` (SURVEY §2.5 A2/A3) we implement them anyway with
+real-PromQL semantics (operators/binop.py).
 """
 
 from __future__ import annotations
@@ -40,4 +43,31 @@ class FuncNode:
     agg: AggMod | None = None
 
 
-Node = ScalarNode | SelectorNode | FuncNode
+@dataclass(frozen=True)
+class VectorMatching:
+    """``on(...)`` / ``ignoring(...)`` with optional ``group_left(...)`` /
+    ``group_right(...)``."""
+
+    on: tuple[str, ...] | None = None  # None = match on full label set
+    ignoring: tuple[str, ...] = ()
+    group: str | None = None  # None | 'left' | 'right'
+    include: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class BinaryNode:
+    op: str  # + - * / % ^ == != > < >= <= and or unless
+    lhs: "Node"
+    rhs: "Node"
+    bool_mode: bool = False
+    matching: VectorMatching | None = None
+
+
+@dataclass(frozen=True)
+class UnaryNode:
+    """Unary minus (the reference's Node::Negation, rejected there)."""
+
+    operand: "Node"
+
+
+Node = ScalarNode | SelectorNode | FuncNode | BinaryNode | UnaryNode

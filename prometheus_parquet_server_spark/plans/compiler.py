@@ -29,6 +29,7 @@ from prometheus_parquet_server_spark.labels import matchers_predicate
 from prometheus_parquet_server_spark.operators.aggregate import (
     AGG_FNS,
     aggregate_over_series,
+    quantile_over_series,
     topk_over_series,
 )
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
@@ -36,11 +37,19 @@ from prometheus_parquet_server_spark.operators.histogram import histogram_quanti
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.select import QueryError, select_series
+from prometheus_parquet_server_spark.operators.binop import (
+    SET_OPS,
+    scalar_scalar_op,
+    vector_scalar_op,
+    vector_vector_op,
+)
 from prometheus_parquet_server_spark.plans.ast import (
+    BinaryNode,
     FuncNode,
     Node,
     ScalarNode,
     SelectorNode,
+    UnaryNode,
 )
 from prometheus_parquet_server_spark.plans.parser import parse_promql
 
@@ -182,6 +191,22 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             topk_over_series(arg.df, int(kval.value), largest=node.name == "topk")
         )
 
+    if node.name == "quantile":
+        # beyond-reference: φ-quantile across series, with by/without
+        if len(node.args) != 2:
+            raise QueryError("'quantile' needs exactly 2 arguments")
+        phi = _eval(node.args[0], ctx, state)
+        if not isinstance(phi, ScalarResult):
+            raise QueryError("Expected a scalar")
+        arg = _resampled(_eval(node.args[1], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("resampling failed")
+        by = list(node.agg.labels) if node.agg and node.agg.action == "by" else None
+        without = (
+            list(node.agg.labels) if node.agg and node.agg.action == "without" else None
+        )
+        return Processed(quantile_over_series(arg.df, phi.value, by=by, without=without))
+
     if node.name in AGG_FNS:
         # src/query.rs:498-546; the reference implements only `sum by` (A1)
         # — 'without', bare, and avg/min/max/count error there but follow
@@ -207,6 +232,57 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
     raise QueryError(f"Unknown function: {node.name}")
 
 
+def _eval_binary(node: BinaryNode, ctx: _Ctx, state: State) -> State:
+    """Binary expressions (beyond-reference; the reference's interpreter
+    rejects Node::Operator, src/query.rs:550-552). Both operands are
+    grid-aligned before combining, so the join key is (labels, grid ts)."""
+    lhs = _resampled(_eval(node.lhs, ctx, state), ctx)
+    rhs = _resampled(_eval(node.rhs, ctx, state), ctx)
+
+    if isinstance(lhs, ScalarResult) and isinstance(rhs, ScalarResult):
+        if node.matching is not None:
+            raise QueryError("vector matching is not valid between scalars")
+        return ScalarResult(
+            scalar_scalar_op(node.op, lhs.value, rhs.value, node.bool_mode)
+        )
+
+    if node.op in SET_OPS:
+        if not (isinstance(lhs, Processed) and isinstance(rhs, Processed)):
+            raise QueryError(f"set operator {node.op!r} requires vector operands")
+    elif isinstance(lhs, ScalarResult) or isinstance(rhs, ScalarResult):
+        scalar_on_left = isinstance(lhs, ScalarResult)
+        scalar = lhs.value if scalar_on_left else rhs.value
+        vec = rhs if scalar_on_left else lhs
+        if node.matching is not None:
+            raise QueryError("vector matching is not valid with a scalar operand")
+        return Processed(
+            vector_scalar_op(vec.df, node.op, scalar, scalar_on_left, node.bool_mode)
+        )
+
+    m = node.matching
+    return Processed(
+        vector_vector_op(
+            lhs.df,
+            rhs.df,
+            node.op,
+            on=list(m.on) if m and m.on is not None else None,
+            ignoring=list(m.ignoring) if m else None,
+            group=m.group if m else None,
+            include=list(m.include) if m else None,
+            bool_mode=node.bool_mode,
+        )
+    )
+
+
+def _eval_unary(node: UnaryNode, ctx: _Ctx, state: State) -> State:
+    """Unary minus (Node::Negation errors in the reference,
+    src/query.rs:577-579): negate every sample; metric name dropped."""
+    operand = _resampled(_eval(node.operand, ctx, state), ctx)
+    if isinstance(operand, ScalarResult):
+        return ScalarResult(-operand.value)
+    return Processed(vector_scalar_op(operand.df, "*", -1.0, scalar_on_left=True))
+
+
 def _eval(node: Node, ctx: _Ctx, state: State) -> State:
     if isinstance(node, ScalarNode):
         return ScalarResult(node.value)
@@ -214,6 +290,10 @@ def _eval(node: Node, ctx: _Ctx, state: State) -> State:
         return _eval_selector(node, ctx, state)
     if isinstance(node, FuncNode):
         return _eval_func(node, ctx, state)
+    if isinstance(node, BinaryNode):
+        return _eval_binary(node, ctx, state)
+    if isinstance(node, UnaryNode):
+        return _eval_unary(node, ctx, state)
     raise QueryError(f"unsupported node {node!r}")
 
 
@@ -241,3 +321,30 @@ def run_query(
     if not isinstance(result, Processed):
         raise QueryError("query did not produce a processed series")
     return result.df
+
+
+def run_instant_query(
+    spark: SparkSession,
+    collection: DataFrame,
+    query: str,
+    at: float,
+    time_offset: float = 0.0,
+) -> tuple[str, float | DataFrame]:
+    """Instant query (``/api/v1/query``): evaluate on a single-point grid.
+
+    The reference's endpoint is a dummy that only accepts ``1+1``
+    (src/main.rs:406-413); with real scalar arithmetic and a degenerate
+    one-point ``RegularTimeRange`` (start == end → len formula yields 1,
+    src/timevectors.rs:181-182) the full engine serves it. Returns
+    ``("scalar", float)`` or ``("vector", DataFrame)`` with one row per
+    series.
+    """
+    ast = parse_promql(query)
+    grid = RegularTimeRange(at, at, 1.0, time_offset=time_offset)
+    ctx = _Ctx(spark, collection, grid)
+    result = _resampled(_eval(ast, ctx, _Collection()), ctx)
+    if isinstance(result, ScalarResult):
+        return "scalar", result.value
+    if isinstance(result, Processed):
+        return "vector", result.df
+    raise QueryError("query did not produce a result")

@@ -3,11 +3,13 @@
 Grammar scope = what the reference's interpreter consumes from the promql
 crate (src/query.rs): scalar literals; vector selectors
 ``name{label op "value", ...}[range] offset dur`` with ops = != =~ !~;
-function calls ``fn by (l1, l2) (args)`` / ``fn(args) by (l1)``.
-
-Parity errors (raised here, since we control the whole stack):
-- binary operators → "Not implemented yet" (src/query.rs:550-552)
-- unary minus / negation → "Negation not implemented" (src/query.rs:577-579)
+function calls ``fn by (l1, l2) (args)`` / ``fn(args) by (l1)`` — plus the
+full binary-expression grammar the promql crate parses but the reference's
+interpreter rejects (src/query.rs:550-552, 577-579): arithmetic,
+comparisons with ``bool``, set ops, ``on``/``ignoring`` +
+``group_left``/``group_right`` vector matching, and unary minus.
+Precedence and associativity follow PromQL (``^`` right-associative and
+tighter than unary minus).
 """
 
 from __future__ import annotations
@@ -18,10 +20,13 @@ from prometheus_parquet_server_spark.durations import parse_duration
 from prometheus_parquet_server_spark.labels import NAME_LABEL, LabelMatcher
 from prometheus_parquet_server_spark.plans.ast import (
     AggMod,
+    BinaryNode,
     FuncNode,
     Node,
     ScalarNode,
     SelectorNode,
+    UnaryNode,
+    VectorMatching,
 )
 
 
@@ -35,7 +40,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(\.\d*)?([eE][-+]?\d+)?|\.\d+)
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|\+|-|\*|/|%|\^)
+  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\{|\}|\(|\)|\[|\]|,|\+|-|\*|/|%|\^)
     """,
     re.VERBOSE,
 )
@@ -111,12 +116,95 @@ def parse_promql(query: str) -> Node:
     return node
 
 
-def _parse_expr(lex: _Lexer) -> Node:
+#: PromQL operator precedence (higher binds tighter); ``^`` is handled
+#: separately in :func:`_parse_power` (right-associative, tightest).
+_BIN_PRECEDENCE = {
+    "or": 1,
+    "and": 2,
+    "unless": 2,
+    "==": 3,
+    "!=": 3,
+    "<=": 3,
+    "<": 3,
+    ">=": 3,
+    ">": 3,
+    "+": 4,
+    "-": 4,
+    "*": 5,
+    "/": 5,
+    "%": 5,
+}
+
+_COMP_OPS = ("==", "!=", ">", "<", ">=", "<=")
+_SET_OPS = ("and", "or", "unless")
+
+
+def _parse_bin_modifiers(
+    lex: _Lexer, op: str
+) -> tuple[bool, VectorMatching | None]:
+    """``[bool] [on(...)|ignoring(...)] [group_left[(...)]|group_right[(...)]]``"""
+    bool_mode = False
+    if lex.peek() == "bool":
+        lex.next()
+        if op not in _COMP_OPS:
+            raise PromQLError(f"'bool' modifier is only valid for comparisons, not {op!r}")
+        bool_mode = True
+    on: tuple[str, ...] | None = None
+    ignoring: tuple[str, ...] = ()
+    group: str | None = None
+    include: tuple[str, ...] = ()
+    if lex.peek() in ("on", "ignoring"):
+        kind = lex.next()
+        labels = _parse_agg_labels(lex)
+        if kind == "on":
+            on = labels
+        else:
+            ignoring = labels
+    if lex.peek() in ("group_left", "group_right"):
+        g = lex.next()
+        if op in _SET_OPS:
+            raise PromQLError(f"grouping modifier is not valid for {op!r}")
+        group = "left" if g == "group_left" else "right"
+        if lex.peek() == "(":
+            include = _parse_agg_labels(lex)
+    if on is None and not ignoring and group is None and not include:
+        return bool_mode, None
+    return bool_mode, VectorMatching(on, ignoring, group, include)
+
+
+def _parse_expr(lex: _Lexer, min_prec: int = 1) -> Node:
+    node = _parse_unary(lex)
+    while True:
+        tok = lex.peek()
+        prec = _BIN_PRECEDENCE.get(tok) if tok is not None else None
+        if prec is None or prec < min_prec:
+            return node
+        op = lex.next()
+        bool_mode, matching = _parse_bin_modifiers(lex, op)
+        rhs = _parse_expr(lex, prec + 1)  # all levels left-associative
+        node = BinaryNode(op, node, rhs, bool_mode, matching)
+
+
+def _parse_unary(lex: _Lexer) -> Node:
+    if lex.peek() == "-":
+        lex.next()
+        operand = _parse_unary(lex)
+        if isinstance(operand, ScalarNode):
+            return ScalarNode(-operand.value)  # constant fold
+        return UnaryNode(operand)
+    if lex.peek() == "+":
+        lex.next()
+        return _parse_unary(lex)  # unary plus is a no-op
+    return _parse_power(lex)
+
+
+def _parse_power(lex: _Lexer) -> Node:
     node = _parse_primary(lex)
-    nxt = lex.peek()
-    if nxt in ("+", "-", "*", "/", "%", "^"):
-        # parsed by the promql crate, rejected by the interpreter
-        raise PromQLError("Not implemented yet")
+    if lex.peek() == "^":
+        lex.next()
+        bool_mode, matching = _parse_bin_modifiers(lex, "^")
+        rhs = _parse_unary(lex)  # right-associative; unary allowed on rhs
+        return BinaryNode("^", node, rhs, bool_mode, matching)
     return node
 
 
@@ -124,8 +212,6 @@ def _parse_primary(lex: _Lexer) -> Node:
     tok = lex.peek()
     if tok is None:
         raise PromQLError("unexpected end of query")
-    if tok == "-":
-        raise PromQLError("Negation not implemented")
     if tok == "(":
         lex.expect("(")
         inner = _parse_expr(lex)

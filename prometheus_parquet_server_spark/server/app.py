@@ -26,14 +26,22 @@ from urllib.parse import parse_qs, unquote, urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 from prometheus_parquet_server_spark.durations import parse_duration, parse_timestamp
-from prometheus_parquet_server_spark.json_out import error_response, matrix_result
+from prometheus_parquet_server_spark.json_out import (
+    error_response,
+    matrix_result,
+    scalar_result,
+    vector_result,
+)
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.select import (
     all_label_names,
     label_values,
     series_count,
 )
-from prometheus_parquet_server_spark.plans.compiler import run_query
+from prometheus_parquet_server_spark.plans.compiler import (
+    run_instant_query,
+    run_query,
+)
 
 
 def prepare_collection_for_serving(
@@ -91,13 +99,23 @@ class MetricsHTTPServer:
         return 200, {"status": "success", "data": sorted(vals)}
 
     def handle_instant_query(self, params: dict[str, str]) -> tuple[int, dict]:
-        # reference dummy: only "1+1" → 2 (src/main.rs:406-413)
-        if params.get("query", "").replace(" ", "") == "1+1":
-            return 200, {
-                "status": "success",
-                "data": {"resultType": "scalar", "result": [0, "2"]},
-            }
-        return 400, error_response("only '1+1' is supported here")
+        """Real instant evaluation (the reference's endpoint is a dummy that
+        only accepts ``1+1`` → 2, src/main.rs:406-413 — scalar arithmetic
+        makes that a special case of the full engine)."""
+        try:
+            query = params["query"]
+            at = parse_timestamp(params["time"]) if "time" in params else 0.0
+        except (KeyError, ValueError) as e:
+            return 400, error_response(f"bad request: {e}")
+        try:
+            kind, result = run_instant_query(
+                self.spark, self.collection, query, at, time_offset=self.time_offset
+            )
+            if kind == "scalar":
+                return 200, scalar_result(result, at)
+            return 200, vector_result(result, time_offset=self.time_offset)
+        except Exception as e:
+            return 400, error_response(str(e))
 
     def handle_root(self) -> tuple[int, dict]:
         return 200, {"series": series_count(self.collection)}

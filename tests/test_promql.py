@@ -41,13 +41,41 @@ def test_parse_agg_after_args():
 
 
 def test_parse_scalar_and_errors():
+    from prometheus_parquet_server_spark.plans.ast import BinaryNode, UnaryNode
+
     assert parse_promql("1.5") == ScalarNode(1.5)
-    with pytest.raises(PromQLError, match="Not implemented"):
-        parse_promql("1+1")  # binary ops error, like src/query.rs:550-552
-    with pytest.raises(PromQLError, match="Negation"):
-        parse_promql("-foo")
+    # binary ops / negation error in the reference (src/query.rs:550-552,
+    # 577-579) but are implemented here, like sum without (SURVEY §2.5)
+    n = parse_promql("1+1")
+    assert isinstance(n, BinaryNode) and n.op == "+"
+    neg = parse_promql("-foo")
+    assert isinstance(neg, UnaryNode)
+    assert parse_promql("-1.5") == ScalarNode(-1.5)  # constant fold
     with pytest.raises(PromQLError):
         parse_promql('m{a=}')
+
+
+def test_parse_binary_precedence_and_modifiers():
+    from prometheus_parquet_server_spark.plans.ast import BinaryNode
+
+    # * binds tighter than +
+    n = parse_promql("a + b * c")
+    assert n.op == "+" and isinstance(n.rhs, BinaryNode) and n.rhs.op == "*"
+    # ^ is right-associative
+    p = parse_promql("2 ^ 3 ^ 2")
+    assert p.op == "^" and isinstance(p.rhs, BinaryNode) and p.rhs.op == "^"
+    # comparison with bool; matching + grouping clauses
+    c = parse_promql('a > bool 5')
+    assert c.op == ">" and c.bool_mode
+    m = parse_promql('a / on(le, t) group_left(extra) b')
+    assert m.matching.on == ("le", "t")
+    assert m.matching.group == "left" and m.matching.include == ("extra",)
+    i = parse_promql('a and ignoring(host) b')
+    assert i.matching.ignoring == ("host",) and i.matching.on is None
+    with pytest.raises(PromQLError, match="bool"):
+        parse_promql("a + bool b")
+    with pytest.raises(PromQLError, match="grouping"):
+        parse_promql("a or group_left b")
 
 
 # ---------- compiler ----------

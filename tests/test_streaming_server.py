@@ -118,6 +118,24 @@ def test_server_routes(server):
     assert all(isinstance(v, str) for _, v in points)
 
 
+def test_server_instant_query(server):
+    # the reference's dummy accepts only "1+1" → 2; here it falls out of
+    # real scalar arithmetic
+    st, body = _get(f"{server}/api/v1/query?query=1%2B1")
+    assert st == 200
+    assert body["data"]["resultType"] == "scalar"
+    assert body["data"]["result"][1] == "2"
+
+    q = urllib.parse.quote('click{user_id="1"}')
+    st, body = _get(f"{server}/api/v1/query?query={q}&time=1704070200")
+    assert st == 200
+    assert body["data"]["resultType"] == "vector"
+    res = body["data"]["result"]
+    assert len(res) == 1 and res[0]["metric"]["__name__"] == "click"
+    t, v = res[0]["value"]
+    assert t == 1704070200.0 and isinstance(v, str)
+
+
 def test_server_errors(server):
     q = urllib.parse.quote("quantile_over_time(click{})")
     st, body = _get(f"{server}/api/v1/query_range?query={q}&start=0&end=10&step=1")
