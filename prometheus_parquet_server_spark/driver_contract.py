@@ -637,6 +637,94 @@ FROM interp WHERE NOT isnan(value) GROUP BY gts
 """
 
 
+def q_promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-vector window aggregation: 'sum_over_time(click{}[30m])' —
+    raw samples in each closed window [t − r, t], slot-explode plan."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "sum_over_time(click{}[30m])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_OVER_TIME = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT s.user_id, g.gts AS ts, ROUND(SUM(s.value), 6) AS value
+FROM grid g
+JOIN metrics s ON s.name = 'click'
+  AND s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2
+"""
+
+
+def q_promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'last_over_time(click{}[30m])' — newest raw sample per window
+    (name preserved, PromQL semantics)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "last_over_time(click{}[30m])", GRID)
+    return out.select(
+        "name",
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_LAST_OT = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT 'click' AS name, s.user_id, g.gts AS ts,
+       ROUND(arg_max(s.value, s.ts), 6) AS value
+FROM grid g
+JOIN metrics s ON s.name = 'click'
+  AND s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promql_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'increase(click{}[30m])' = interp(t) − interp(t−r) (≡ rate·r: the
+    reference's rate has no counter-reset logic)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "increase(click{}[30m])", GRID)
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_INCREASE = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('click', 'g.gts', 'hi')},
+{_interp_sql('click', f'(g.gts - {_d(RATE_RANGE)})', 'lo')}
+SELECT h.user_id, h.gts AS ts,
+       ROUND((h.value - l.value) / {_d(RATE_RANGE)} * {_d(RATE_RANGE)}, 6) AS value
+FROM hi h JOIN lo l ON l.user_id = h.user_id AND l.gts = h.gts
+WHERE NOT isnan(h.value) AND NOT isnan(l.value)
+"""
+
+
+def q_promql_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise math composition: 'round(sqrt(click{}), 0.01)'."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "round(sqrt(click{}), 0.01)", GRID)
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_MATH = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT user_id, gts AS ts,
+       ROUND(FLOOR(SQRT(value) / 0.01 + 0.5) * 0.01, 6) AS value
+FROM interp WHERE NOT isnan(value) AND value >= 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # M: metadata
 # ---------------------------------------------------------------------------
@@ -1081,6 +1169,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_cmp_filter": q_promql_cmp_filter,
     "promql_set_unless": q_promql_set_unless,
     "promql_quantile": q_promql_quantile,
+    "promql_over_time": q_promql_over_time,
+    "promql_last_over_time": q_promql_last_over_time,
+    "promql_increase": q_promql_increase,
+    "promql_math": q_promql_math,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1117,6 +1209,10 @@ ORACLES: dict[str, str] = {
     "promql_cmp_filter": SQL_PROMQL_CMP,
     "promql_set_unless": SQL_PROMQL_UNLESS,
     "promql_quantile": SQL_PROMQL_QUANTILE,
+    "promql_over_time": SQL_PROMQL_OVER_TIME,
+    "promql_last_over_time": SQL_PROMQL_LAST_OT,
+    "promql_increase": SQL_PROMQL_INCREASE,
+    "promql_math": SQL_PROMQL_MATH,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

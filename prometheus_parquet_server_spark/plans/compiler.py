@@ -35,6 +35,16 @@ from prometheus_parquet_server_spark.operators.aggregate import (
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
+from prometheus_parquet_server_spark.operators.mathfn import (
+    MATH_FNS,
+    apply_clamp,
+    apply_math_fn,
+    apply_round,
+)
+from prometheus_parquet_server_spark.operators.over_time import (
+    OVER_TIME_FNS,
+    over_time_to_grid,
+)
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.select import QueryError, select_series
 from prometheus_parquet_server_spark.operators.binop import (
@@ -158,6 +168,88 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             **kwargs,
         )
         return Processed(df)
+
+    if node.name.endswith("_over_time") and node.name[: -len("_over_time")] in OVER_TIME_FNS:
+        # beyond-reference: aggregate raw samples inside each grid window
+        if node.agg is not None:
+            raise QueryError(f"'{node.name}' expects no aggregation")
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        return Processed(
+            over_time_to_grid(
+                arg.df,
+                ctx.grid,
+                node.name[: -len("_over_time")],
+                over_range=float(arg.over_range),
+                offset=float(arg.offset or 0),
+            )
+        )
+
+    if node.name in ("increase", "delta"):
+        # beyond-reference: interp(t) − interp(t−r) — the reference's rate
+        # has no counter-reset logic, so increase ≡ delta ≡ rate·r
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        df = rate_to_grid(
+            arg.df,
+            ctx.grid_df(),
+            over_range=float(arg.over_range),
+            offset=float(arg.offset or 0),
+            grid=ctx.grid,
+        )
+        return Processed(
+            df.withColumn("value", F.col("value") * F.lit(float(arg.over_range)))
+        )
+
+    if node.name in MATH_FNS:
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if isinstance(arg, ScalarResult):
+            import math as _math
+
+            fns = {
+                "abs": abs, "ceil": _math.ceil, "floor": _math.floor,
+                "exp": _math.exp, "sqrt": lambda x: _math.sqrt(x) if x >= 0 else float("nan"),
+                "sgn": lambda x: float((x > 0) - (x < 0)),
+                "ln": lambda x: _math.log(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
+                "log2": lambda x: _math.log2(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
+                "log10": lambda x: _math.log10(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
+            }
+            return ScalarResult(float(fns[node.name](arg.value)))
+        return Processed(apply_math_fn(arg.df, node.name))
+
+    if node.name in ("round", "clamp", "clamp_min", "clamp_max"):
+        if not node.args:
+            raise QueryError(f"'{node.name}' needs arguments")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError(f"'{node.name}' needs a vector first argument")
+        extras = []
+        for a in node.args[1:]:
+            s = _eval(a, ctx, state)
+            if not isinstance(s, ScalarResult):
+                raise QueryError(f"'{node.name}' extra arguments must be scalars")
+            extras.append(s.value)
+        if node.name == "round":
+            if len(extras) > 1:
+                raise QueryError("'round' takes (v[, to_nearest])")
+            return Processed(apply_round(arg.df, extras[0] if extras else 1.0))
+        if node.name == "clamp":
+            if len(extras) != 2:
+                raise QueryError("'clamp' needs (v, min, max)")
+            return Processed(apply_clamp(arg.df, lo=extras[0], hi=extras[1]))
+        if len(extras) != 1:
+            raise QueryError(f"'{node.name}' needs (v, bound)")
+        if node.name == "clamp_min":
+            return Processed(apply_clamp(arg.df, lo=extras[0]))
+        return Processed(apply_clamp(arg.df, hi=extras[0]))
 
     if node.name == "histogram_quantile":
         # src/query.rs:259-356
