@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "p3_histogram_quantile",
     "a1_sum_by",
     "promql_sum_rate",
+    "promql_binop",
+    "promql_over_time",
+    "promql_quantile",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
