@@ -725,6 +725,45 @@ FROM interp WHERE NOT isnan(value) AND value >= 0
 """
 
 
+def q_promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'label_replace' derives a cohort label (first digit of user_id) —
+    anchored regex with $1 group reference."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(
+        spark,
+        metrics,
+        r'label_replace(click{}, "cohort", "$1", "user_id", "(\\d)\\d*")',
+        GRID,
+    )
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        F.col("labels").getItem("cohort").alias("cohort"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_LABEL_REPLACE = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT user_id, regexp_replace(user_id, '^(?:(\\d)\\d*)$', '\\1') AS cohort,
+       gts AS ts, ROUND(value, 6) AS value
+FROM interp WHERE NOT isnan(value)
+"""
+
+
+def q_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'absent' over an empty selection: 1.0 at every grid instant."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, 'absent(click{user_id="no_such_user"})', GRID)
+    return out.select("ts", "value")
+
+
+SQL_PROMQL_ABSENT = f"""
+WITH {_GRID_CTE}
+SELECT gts AS ts, {_d(1.0)} AS value FROM grid
+"""
+
+
 # ---------------------------------------------------------------------------
 # M: metadata
 # ---------------------------------------------------------------------------
@@ -1173,6 +1212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_last_over_time": q_promql_last_over_time,
     "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
+    "promql_label_replace": q_promql_label_replace,
+    "promql_absent": q_promql_absent,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1213,6 +1254,8 @@ ORACLES: dict[str, str] = {
     "promql_last_over_time": SQL_PROMQL_LAST_OT,
     "promql_increase": SQL_PROMQL_INCREASE,
     "promql_math": SQL_PROMQL_MATH,
+    "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,
+    "promql_absent": SQL_PROMQL_ABSENT,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

@@ -24,6 +24,13 @@ class ScalarNode:
 
 
 @dataclass(frozen=True)
+class StringNode:
+    """String literal argument (label_replace / label_join)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
 class SelectorNode:
     matchers: tuple[LabelMatcher, ...]
     range_s: int | None = None  # [5m] → 300 (integer seconds, like the promql crate)
@@ -70,4 +77,4 @@ class UnaryNode:
     operand: "Node"
 
 
-Node = ScalarNode | SelectorNode | FuncNode | BinaryNode | UnaryNode
+Node = ScalarNode | StringNode | SelectorNode | FuncNode | BinaryNode | UnaryNode

@@ -53,12 +53,19 @@ from prometheus_parquet_server_spark.operators.binop import (
     vector_scalar_op,
     vector_vector_op,
 )
+from prometheus_parquet_server_spark.operators.labelfn import (
+    absent_over_grid,
+    label_join,
+    label_replace,
+    timestamp_of,
+)
 from prometheus_parquet_server_spark.plans.ast import (
     BinaryNode,
     FuncNode,
     Node,
     ScalarNode,
     SelectorNode,
+    StringNode,
     UnaryNode,
 )
 from prometheus_parquet_server_spark.plans.parser import parse_promql
@@ -99,12 +106,17 @@ class ScalarResult:
     value: float
 
 
-State = Unprocessed | UnprocessedVector | Processed | ScalarResult
+@dataclass
+class StringResult:
+    value: str
+
+
+State = Unprocessed | UnprocessedVector | Processed | ScalarResult | StringResult
 
 
 def _resampled(state: State, ctx: _Ctx) -> State:
     """``QueryResult::resampled`` (src/query.rs:109-124)."""
-    if isinstance(state, (Processed, ScalarResult)):
+    if isinstance(state, (Processed, ScalarResult, StringResult)):
         return state
     if isinstance(state, Unprocessed):
         offset = float(state.offset or 0)
@@ -251,6 +263,41 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             return Processed(apply_clamp(arg.df, lo=extras[0]))
         return Processed(apply_clamp(arg.df, hi=extras[0]))
 
+    if node.name in ("label_replace", "label_join"):
+        # beyond-reference label manipulation; string args via StringNode
+        if len(node.args) < (5 if node.name == "label_replace" else 3):
+            raise QueryError(f"'{node.name}' is missing arguments")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError(f"'{node.name}' needs a vector first argument")
+        strs = []
+        for a in node.args[1:]:
+            s = _eval(a, ctx, state)
+            if not isinstance(s, StringResult):
+                raise QueryError(f"'{node.name}' arguments must be strings")
+            strs.append(s.value)
+        if node.name == "label_replace":
+            if len(strs) != 4:
+                raise QueryError("'label_replace' needs (v, dst, repl, src, regex)")
+            return Processed(label_replace(arg.df, *strs))
+        return Processed(label_join(arg.df, strs[0], strs[1], strs[2:]))
+
+    if node.name == "absent":
+        if len(node.args) != 1:
+            raise QueryError("'absent' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("'absent' needs a vector argument")
+        return Processed(absent_over_grid(arg.df, ctx.grid_df()))
+
+    if node.name == "timestamp":
+        if len(node.args) != 1:
+            raise QueryError("'timestamp' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("'timestamp' needs a vector argument")
+        return Processed(timestamp_of(arg.df))
+
     if node.name == "histogram_quantile":
         # src/query.rs:259-356
         if len(node.args) != 2:
@@ -378,6 +425,8 @@ def _eval_unary(node: UnaryNode, ctx: _Ctx, state: State) -> State:
 def _eval(node: Node, ctx: _Ctx, state: State) -> State:
     if isinstance(node, ScalarNode):
         return ScalarResult(node.value)
+    if isinstance(node, StringNode):
+        return StringResult(node.value)
     if isinstance(node, SelectorNode):
         return _eval_selector(node, ctx, state)
     if isinstance(node, FuncNode):
@@ -408,7 +457,7 @@ def run_query(
     ctx = _Ctx(spark, collection, grid)
     result = _eval(ast, ctx, _Collection())
     result = _resampled(result, ctx)
-    if isinstance(result, ScalarResult):
+    if isinstance(result, (ScalarResult, StringResult)):
         raise QueryError("scalar result is not a matrix")
     if not isinstance(result, Processed):
         raise QueryError("query did not produce a processed series")
@@ -437,6 +486,8 @@ def run_instant_query(
     result = _resampled(_eval(ast, ctx, _Collection()), ctx)
     if isinstance(result, ScalarResult):
         return "scalar", result.value
+    if isinstance(result, StringResult):
+        return "string", result.value
     if isinstance(result, Processed):
         return "vector", result.df
     raise QueryError("query did not produce a result")

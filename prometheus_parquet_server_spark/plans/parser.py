@@ -25,6 +25,7 @@ from prometheus_parquet_server_spark.plans.ast import (
     Node,
     ScalarNode,
     SelectorNode,
+    StringNode,
     UnaryNode,
     VectorMatching,
 )
@@ -220,6 +221,9 @@ def _parse_primary(lex: _Lexer) -> Node:
     if re.fullmatch(r"\d.*|\.\d.*", tok):
         lex.next()
         return ScalarNode(float(tok))
+    if tok[0] in "\"'":
+        lex.next()
+        return StringNode(_unescape(tok[1:-1]))
     if tok == "{":
         return _parse_selector(lex, name=None)
     # identifier: function call or metric selector
