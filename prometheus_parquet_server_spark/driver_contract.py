@@ -764,6 +764,57 @@ SELECT gts AS ts, {_d(1.0)} AS value FROM grid
 """
 
 
+SUBQ_RANGE = 3600.0  # [1h:15m] subquery over the 15-min grid
+
+
+def q_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery: 'max_over_time(click{}[1h:15m])' — inner resample on a
+    15-min grid extended 1h before the outer start, outer max per window."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "max_over_time(click{}[1h:15m])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_SUBQ_GRID = RegularTimeRange(GRID_START - SUBQ_RANGE, GRID.end, GRID_STEP)
+
+SQL_PROMQL_SUBQUERY = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+grid2 AS (
+    SELECT {_d(_SUBQ_GRID.start)} + i * {_d(GRID_STEP)} AS gts
+    FROM range({len(_SUBQ_GRID)}) t(i)
+),
+samples_inner AS (
+    SELECT user_id, ts, value FROM metrics WHERE name = 'click'
+),
+straddle_inner AS (
+    SELECT s.user_id, g.gts,
+           MAX(CASE WHEN s.ts <= g.gts THEN s.ts END) AS t0,
+           MIN(CASE WHEN s.ts >  g.gts THEN s.ts END) AS t1
+    FROM grid2 g CROSS JOIN samples_inner s
+    GROUP BY 1, 2
+),
+inner_rs AS (
+    SELECT j.user_id, j.gts,
+           CASE WHEN j.t0 IS NULL THEN s1.value
+                WHEN j.t1 IS NULL THEN s0.value
+                ELSE ((j.gts - j.t0) * s1.value + (j.t1 - j.gts) * s0.value)
+                     / (j.t1 - j.t0)
+           END AS value
+    FROM straddle_inner j
+    LEFT JOIN samples_inner s0 ON s0.user_id = j.user_id AND s0.ts = j.t0
+    LEFT JOIN samples_inner s1 ON s1.user_id = j.user_id AND s1.ts = j.t1
+)
+SELECT i.user_id, g.gts AS ts, ROUND(MAX(i.value), 6) AS value
+FROM grid g
+JOIN inner_rs i ON i.gts >= g.gts - {_d(SUBQ_RANGE)} AND i.gts <= g.gts
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # M: metadata
 # ---------------------------------------------------------------------------
@@ -1214,6 +1265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
     "promql_absent": q_promql_absent,
+    "promql_subquery": q_promql_subquery,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1256,6 +1308,7 @@ ORACLES: dict[str, str] = {
     "promql_math": SQL_PROMQL_MATH,
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,
     "promql_absent": SQL_PROMQL_ABSENT,
+    "promql_subquery": SQL_PROMQL_SUBQUERY,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

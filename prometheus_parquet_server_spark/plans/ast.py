@@ -77,4 +77,23 @@ class UnaryNode:
     operand: "Node"
 
 
-Node = ScalarNode | StringNode | SelectorNode | FuncNode | BinaryNode | UnaryNode
+@dataclass(frozen=True)
+class SubqueryNode:
+    """``expr[range:step]`` — evaluate ``expr`` on a finer inner grid and
+    expose the aligned result as a range vector."""
+
+    expr: "Node"
+    range_s: int
+    step_s: int | None = None  # None → outer grid step
+    offset_s: int | None = None
+
+
+Node = (
+    ScalarNode
+    | StringNode
+    | SelectorNode
+    | FuncNode
+    | BinaryNode
+    | UnaryNode
+    | SubqueryNode
+)

@@ -66,6 +66,7 @@ from prometheus_parquet_server_spark.plans.ast import (
     ScalarNode,
     SelectorNode,
     StringNode,
+    SubqueryNode,
     UnaryNode,
 )
 from prometheus_parquet_server_spark.plans.parser import parse_promql
@@ -422,11 +423,29 @@ def _eval_unary(node: UnaryNode, ctx: _Ctx, state: State) -> State:
     return Processed(vector_scalar_op(operand.df, "*", -1.0, scalar_on_left=True))
 
 
+def _eval_subquery(node: SubqueryNode, ctx: _Ctx, state: State) -> State:
+    """``expr[range:step]`` (beyond-reference): evaluate the inner expression
+    on a finer grid covering [outer_start − range, outer_end], then expose
+    the aligned rows as a range vector — the outer rate/irate/*_over_time
+    consume them exactly like raw samples (grid instants are strictly
+    increasing per series, the VecTimeRange invariant)."""
+    step = float(node.step_s) if node.step_s else ctx.grid.increment
+    rng = float(node.range_s)
+    inner_grid = RegularTimeRange(ctx.grid.start - rng, ctx.grid.end, step)
+    inner_ctx = _Ctx(ctx.spark, ctx.collection, inner_grid)
+    inner = _resampled(_eval(node.expr, inner_ctx, state), inner_ctx)
+    if not isinstance(inner, Processed):
+        raise QueryError("subquery inner expression must produce a vector")
+    return UnprocessedVector(inner.df, node.range_s, node.offset_s)
+
+
 def _eval(node: Node, ctx: _Ctx, state: State) -> State:
     if isinstance(node, ScalarNode):
         return ScalarResult(node.value)
     if isinstance(node, StringNode):
         return StringResult(node.value)
+    if isinstance(node, SubqueryNode):
+        return _eval_subquery(node, ctx, state)
     if isinstance(node, SelectorNode):
         return _eval_selector(node, ctx, state)
     if isinstance(node, FuncNode):

@@ -26,6 +26,7 @@ from prometheus_parquet_server_spark.plans.ast import (
     ScalarNode,
     SelectorNode,
     StringNode,
+    SubqueryNode,
     UnaryNode,
     VectorMatching,
 )
@@ -79,6 +80,16 @@ class _Lexer:
         got = self.next()
         if got != tok:
             raise PromQLError(f"expected {tok!r}, got {got!r}")
+
+    def eat_colon(self) -> bool:
+        """Consume a raw ':' (subquery separator). Not a peek()-able token:
+        the ident pattern legitimately allows ':' inside recording-rule
+        names, so ':30s' would lex as one identifier."""
+        self._skip_ws()
+        if self.pos < len(self.text) and self.text[self.pos] == ":":
+            self.pos += 1
+            return True
+        return False
 
     def next_duration(self) -> float:
         """Durations like ``5m``/``1h30m``/``300`` are not regular tokens —
@@ -209,6 +220,24 @@ def _parse_power(lex: _Lexer) -> Node:
     return node
 
 
+def _maybe_subquery(lex: _Lexer, node: Node) -> Node:
+    """Postfix ``[range:step] [offset d]`` on a non-selector expression
+    (selectors handle their own bracket — range vector vs subquery)."""
+    if lex.peek() != "[":
+        return node
+    lex.expect("[")
+    rng = int(lex.next_duration())
+    if not lex.eat_colon():
+        raise PromQLError("range modifier is only valid on a selector")
+    step = None if lex.peek() == "]" else int(lex.next_duration())
+    lex.expect("]")
+    offset_s = None
+    if lex.peek() == "offset":
+        lex.next()
+        offset_s = int(lex.next_duration())
+    return SubqueryNode(node, rng, step, offset_s)
+
+
 def _parse_primary(lex: _Lexer) -> Node:
     tok = lex.peek()
     if tok is None:
@@ -217,7 +246,7 @@ def _parse_primary(lex: _Lexer) -> Node:
         lex.expect("(")
         inner = _parse_expr(lex)
         lex.expect(")")
-        return inner
+        return _maybe_subquery(lex, inner)
     if re.fullmatch(r"\d.*|\.\d.*", tok):
         lex.next()
         return ScalarNode(float(tok))
@@ -230,7 +259,7 @@ def _parse_primary(lex: _Lexer) -> Node:
     ident = lex.next()
     nxt = lex.peek()
     if nxt == "(" or (nxt in AGG_ACTIONS and ident not in AGG_ACTIONS):
-        return _parse_func(lex, ident)
+        return _maybe_subquery(lex, _parse_func(lex, ident))
     return _parse_selector(lex, name=ident)
 
 
@@ -263,7 +292,7 @@ def _parse_func(lex: _Lexer, name: str) -> FuncNode:
     return FuncNode(name, tuple(args), agg)
 
 
-def _parse_selector(lex: _Lexer, name: str | None) -> SelectorNode:
+def _parse_selector(lex: _Lexer, name: str | None) -> Node:
     matchers: list[LabelMatcher] = []
     if name is not None:
         matchers.append(LabelMatcher(NAME_LABEL, "=", name))
@@ -289,6 +318,17 @@ def _parse_selector(lex: _Lexer, name: str | None) -> SelectorNode:
     if lex.peek() == "[":
         lex.expect("[")
         range_s = int(lex.next_duration())  # promql crate: integer seconds
+        if lex.eat_colon():
+            # subquery over the instant selector: m{}[30m:5m]
+            step = None if lex.peek() == "]" else int(lex.next_duration())
+            lex.expect("]")
+            sq_offset = None
+            if lex.peek() == "offset":
+                lex.next()
+                sq_offset = int(lex.next_duration())
+            return SubqueryNode(
+                SelectorNode(tuple(matchers)), range_s, step, sq_offset
+            )
         lex.expect("]")
     if lex.peek() == "offset":
         lex.next()

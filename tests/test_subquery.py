@@ -1,0 +1,71 @@
+"""Subqueries ``expr[range:step]`` (beyond-reference): inner expression on a
+finer grid, consumed by outer range-vector functions."""
+
+import pytest
+
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.select import QueryError
+from prometheus_parquet_server_spark.plans.ast import SubqueryNode, SelectorNode
+from prometheus_parquet_server_spark.plans.compiler import run_query
+from prometheus_parquet_server_spark.plans.parser import PromQLError, parse_promql
+from tests.conftest import assert_close, long_frame
+
+
+def fixture(spark):
+    # linear counter: value = ts/30, samples every 30s over [0, 240]
+    rows = [("m", {"h": "a"}, t, t / 30.0) for t in range(0, 241, 30)]
+    return long_frame(spark, [(n, l, float(t), v) for n, l, t, v in rows])
+
+
+def run(spark, df, q, start=120.0, end=240.0, step=60.0):
+    return run_query(spark, df, q, RegularTimeRange(start, end, step))
+
+
+def test_parse_subquery_forms():
+    n = parse_promql("rate(m{}[1m])[10m:30s]")
+    assert isinstance(n, SubqueryNode)
+    assert n.range_s == 600 and n.step_s == 30
+    assert n.expr.name == "rate"
+    # selector subquery (instant selector inside)
+    s = parse_promql("m{}[10m:30s]")
+    assert isinstance(s, SubqueryNode) and isinstance(s.expr, SelectorNode)
+    assert s.expr.range_s is None
+    # default step
+    d = parse_promql("m{}[10m:]")
+    assert d.step_s is None
+    # range on a non-selector is still an error
+    with pytest.raises(PromQLError, match="selector"):
+        parse_promql("rate(m{}[1m])[5m]")
+
+
+def test_max_over_time_of_subquery_selector(spark):
+    df = fixture(spark)
+    # inner: resample m on 30s grid; outer: max over [t-60, t]
+    out = run(spark, df, "max_over_time(m{}[1m:30s])").collect()
+    got = {r["ts"]: r["value"] for r in out}
+    # at t=240: inner instants 180,210,240 → max = 240/30 = 8
+    assert_close(got[240.0], 8.0)
+    assert_close(got[120.0], 4.0)
+
+
+def test_avg_over_time_of_rate_subquery(spark):
+    df = fixture(spark)
+    # rate of a linear counter (slope 1/30) is constant inside the range;
+    # averaging it over any window stays 1/30
+    out = run(spark, df, "avg_over_time(rate(m{}[1m])[2m:30s])").collect()
+    got = {r["ts"]: r["value"] for r in out}
+    assert_close(got[240.0], 1.0 / 30.0)
+
+
+def test_rate_of_subquery(spark):
+    df = fixture(spark)
+    # rate over the resampled-inner series == rate over raw (linear data)
+    out = run(spark, df, "rate(m{}[2m:30s])").collect()
+    got = {r["ts"]: r["value"] for r in out}
+    assert_close(got[240.0], 1.0 / 30.0)
+
+
+def test_subquery_errors(spark):
+    df = fixture(spark)
+    with pytest.raises(QueryError, match="vector"):
+        run(spark, df, "sum_over_time((1+1)[2m:30s])")
