@@ -219,13 +219,20 @@ def vector_vector_op(
         F.col("labels").alias("_rl"), F.col("value").alias("_rv"),
     )
 
+    # Both operands are grid-aligned outputs of explode-based plans, whose
+    # static size Catalyst underestimates (Generate output is costed at the
+    # child's size) — left alone it BROADCASTS a grid-sized side (measured
+    # 22 s vs 6 s at 12.4 M rows/side). Plan sort-merge; AQE still demotes
+    # to broadcast at runtime when a side is genuinely small.
+    left = left.hint("merge")
+
     if op in SET_OPS:
         if op == "and":
             kept = left.join(right.select("_mk", "ts").distinct(), ["_mk", "ts"], "semi")
         elif op == "unless":
             kept = left.join(right.select("_mk", "ts").distinct(), ["_mk", "ts"], "anti")
         else:  # or: all of lhs plus rhs rows with no lhs match at that instant
-            extra = right.join(
+            extra = right.hint("merge").join(
                 left.select("_mk", "ts").distinct(), ["_mk", "ts"], "anti"
             ).select(
                 "_mk", "ts", F.col("_rn").alias("_ln"),
