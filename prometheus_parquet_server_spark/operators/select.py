@@ -90,3 +90,30 @@ def series_count(df: DataFrame) -> int:
 def filter_by_name(df: DataFrame, name: str) -> DataFrame:
     """M4: all series for one metric name (src/timeseries.rs:447-457)."""
     return df.filter(F.col("name") == name)
+
+
+def series_sets(df: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
+    """Distinct (name, labels) pairs matching the selector — the
+    ``/api/v1/series`` metadata query (beyond-reference: the reference has
+    no series endpoint). Relaxed name rule: any matcher combination is
+    allowed, like real Prometheus ``match[]``.
+
+    Distinct runs on the canonical labels JSON (maps can't be deduped
+    directly); one row per series comes back with the map rebuilt.
+    """
+    from prometheus_parquet_server_spark.model import canonical_labels_json
+
+    sel = select_series(df, matchers, require_name_equality=False)
+    dedup = (
+        sel.select(
+            "name", canonical_labels_json(F.col("labels")).alias("_lj")
+        )
+        .distinct()
+    )
+    labels_back = F.coalesce(
+        F.from_json(F.col("_lj"), "map<string,string>"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    )
+    return dedup.select("name", labels_back.alias("labels"))

@@ -37,6 +37,7 @@ from prometheus_parquet_server_spark.operators.select import (
     all_label_names,
     label_values,
     series_count,
+    series_sets,
 )
 from prometheus_parquet_server_spark.plans.compiler import (
     run_instant_query,
@@ -117,6 +118,40 @@ class MetricsHTTPServer:
         except Exception as e:
             return 400, error_response(str(e))
 
+    def handle_series(self, selectors: list[str]) -> tuple[int, dict]:
+        """``/api/v1/series?match[]=<selector>...`` (beyond-reference):
+        union of the distinct label sets matched by each selector."""
+        import json as _json
+
+        from prometheus_parquet_server_spark.labels import NAME_LABEL
+        from prometheus_parquet_server_spark.plans.ast import SelectorNode
+        from prometheus_parquet_server_spark.plans.parser import parse_promql
+
+        if not selectors:
+            return 400, error_response("no match[] parameter provided")
+        seen: set[str] = set()
+        out = []
+        try:
+            for sel in selectors:
+                node = parse_promql(sel)
+                if not isinstance(node, SelectorNode) or node.range_s is not None:
+                    return 400, error_response(
+                        f"match[] must be an instant vector selector: {sel!r}"
+                    )
+                rows = series_sets(self.collection, list(node.matchers)).collect()
+                for r in rows:
+                    metric = dict(r["labels"])
+                    if r["name"] is not None:
+                        metric[NAME_LABEL] = r["name"]
+                    key = _json.dumps(metric, sort_keys=True)
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(metric)
+        except Exception as e:
+            return 400, error_response(str(e))
+        out.sort(key=lambda m: sorted(m.items()))
+        return 200, {"status": "success", "data": out}
+
     def handle_root(self) -> tuple[int, dict]:
         return 200, {"series": series_count(self.collection)}
 
@@ -164,6 +199,14 @@ class MetricsHTTPServer:
                     self._send(*outer.handle_query_range(self._params()))
                 elif path == "/api/v1/query":
                     self._send(*outer.handle_instant_query(self._params()))
+                elif path == "/api/v1/series":
+                    parsed = urlparse(self.path)
+                    multi = parse_qs(parsed.query).get("match[]", [])
+                    length = int(self.headers.get("Content-Length") or 0)
+                    if length:
+                        body = self.rfile.read(length).decode()
+                        multi += parse_qs(body).get("match[]", [])
+                    self._send(*outer.handle_series(multi))
                 elif path.startswith("/api/v1/label/") and path.endswith("/values"):
                     label = unquote(path[len("/api/v1/label/") : -len("/values")])
                     self._send(*outer.handle_label_values(label))

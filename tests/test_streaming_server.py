@@ -136,6 +136,25 @@ def test_server_instant_query(server):
     assert t == 1704070200.0 and isinstance(v, str)
 
 
+def test_server_series_endpoint(server):
+    q = urllib.parse.quote('click{user_id=~"1.?"}')
+    st, body = _get(f"{server}/api/v1/series?match[]={q}")
+    assert st == 200
+    sets = body["data"]
+    assert all(s["__name__"] == "click" for s in sets)
+    ids = {s["user_id"] for s in sets}
+    assert "1" in ids and all(i.startswith("1") and len(i) <= 2 for i in ids)
+
+    # two selectors union and dedupe
+    q2 = urllib.parse.quote('view{user_id="1"}')
+    st, body = _get(f"{server}/api/v1/series?match[]={q}&match[]={q2}")
+    names = {s["__name__"] for s in body["data"]}
+    assert names == {"click", "view"}
+
+    st, body = _get(f"{server}/api/v1/series")
+    assert st == 400
+
+
 def test_server_errors(server):
     q = urllib.parse.quote("quantile_over_time(click{})")
     st, body = _get(f"{server}/api/v1/query_range?query={q}&start=0&end=10&step=1")
