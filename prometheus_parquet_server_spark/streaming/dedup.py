@@ -1,0 +1,62 @@
+"""Streaming deduplication for the training-data pipeline.
+
+Batch dedup (pipeline/dedup.py) answers "which documents in this corpus are
+duplicates"; a continuously-fed corpus needs the streaming complement:
+emit each NEW document once, suppressing later copies, with bounded state.
+
+Stock Structured Streaming building blocks:
+- content fingerprint (the batch ``pipeline.text.fingerprint`` — md5 of
+  normalized text — so batch and stream agree on identity);
+- ``dropDuplicatesWithinWatermark`` keyed on the fingerprint: exactly-once
+  emission per fingerprint while the state store only retains keys inside
+  the watermark horizon — the property that makes this run forever at
+  100 TB/day (a plain ``dropDuplicates`` would grow state without bound);
+- ``availableNow`` parity: draining a static corpus through the stream
+  must emit exactly one row per distinct fingerprint (asserted in
+  tests/test_streaming_server.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.text import fingerprint
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents table with event-time from created_at
+    (synthesized deterministically from doc_id when absent)."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cols = set(static.columns)
+    if "created_at" in cols:
+        event_time = F.col("created_at").cast("timestamp")
+    else:
+        # deterministic synthetic event time — keeps the watermark machinery
+        # honest without a wall clock
+        event_time = F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("doc_id"), F.lit(86400))
+        )
+    return stream.withColumn("event_time", event_time)
+
+
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Exact streaming dedup: first occurrence of each content fingerprint
+    passes through; duplicates arriving within the watermark horizon are
+    dropped; state for fingerprints older than the horizon is evicted.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        docs_stream.select("doc_id", "event_time", F.col(text_col), fp)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

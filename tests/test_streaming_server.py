@@ -136,6 +136,46 @@ def test_server_instant_query(server):
     assert t == 1704070200.0 and isinstance(v, str)
 
 
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prometheus_parquet_server_spark.pipeline.text import fingerprint
+    from prometheus_parquet_server_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_documents,
+    )
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+
+    # the synthetic corpus has no exact duplicates — inject some (75 docs
+    # re-appended with new doc_ids but identical text up to normalization)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dupes = (
+        src.limit(75)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.upper(F.col("text")))  # normalization-equal
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+    # single FILE named documents.parquet (the stream's pathGlobFilter
+    # matches leaf file names, like the driver's testdata layout)
+    pdf = src.unionByName(dupes).toPandas()
+    pq.write_table(pa.Table.from_pandas(pdf), corpus_dir + "/documents.parquet")
+    stream = stream_documents(spark, corpus_dir)
+    out = run_available_now(stream_dedup_exact(stream), spark, output_mode="append")
+    batch = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    n_total = batch.count()
+    n_distinct = (
+        batch.select(fingerprint(F.col("text")).alias("fp")).distinct().count()
+    )
+    assert n_distinct < n_total  # the injection actually created duplicates
+    # exactly one surviving row per distinct content fingerprint
+    assert out.count() == n_distinct
+    assert out.select("fingerprint").distinct().count() == n_distinct
+
+
 def test_server_series_endpoint(server):
     q = urllib.parse.quote('click{user_id=~"1.?"}')
     st, body = _get(f"{server}/api/v1/series?match[]={q}")
