@@ -278,7 +278,9 @@ WHERE NOT isnan(h.value) AND NOT isnan(l.value)
 
 def q_p2_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
-    out = irate_to_grid(m, _grid(spark), series_cols=["user_id"], over_range=RATE_RANGE)
+    out = irate_to_grid(
+        m, _grid(spark), series_cols=["user_id"], over_range=RATE_RANGE, grid=GRID
+    )
     return out.filter(~F.isnan("value")).select(
         "user_id", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
     )

@@ -205,6 +205,112 @@ def irate_value(pt: Column, prev: Column, nxt: Column) -> Column:
     )
 
 
+def _irate_slots(
+    samples: DataFrame,
+    grid,
+    series_cols: Sequence[str] | None,
+    offset: float,
+    ts_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Sort-free irate on a REGULAR grid (same slot-ownership trick as
+    resample_slots): each adjacent sample pair (i, i+1) owns the slots with
+    ``ts[i] <= pt < ts[i+1]`` — exactly locate()'s Between(i, i+1) — and
+    carries its lagged predecessor (tp, vp) for the general-case formula.
+    Slots before the first sample (Below) and at/after the last (Above) are
+    NaN per timeseries.rs:123-128, so those ranges are never emitted; the
+    consumer treats missing grid rows as NaN series points — but to keep
+    the output shape identical to the window path we DO emit them with NaN.
+    """
+    from prometheus_parquet_server_spark.operators.interpolate import keyed_series
+
+    n = len(grid)
+    start, step = grid.start, grid.increment
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+    else:
+        series = None
+        key_cols = list(series_cols)
+
+    lo, hi = F.lit(0).cast("long"), F.lit(n).cast("long")
+
+    def pt_of(slot):
+        return (F.lit(start) + slot.cast("double") * F.lit(step)) - F.lit(
+            float(offset)
+        )
+
+    t = F.col("ts")
+    nc = F.ceil((t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)).cast("long")
+    nc = F.when(pt_of(nc - 1) >= t, nc - 1).otherwise(nc)
+    nc = F.when(pt_of(nc) < t, nc + 1).otherwise(nc)
+    a = F.greatest(lo, F.least(hi, nc))
+
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    s = (
+        samples.select(*key_cols, "ts", "value")
+        .withColumn("_a", a)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_tp", F.lag("ts").over(w))
+        .withColumn("_vp", F.lag("value").over(w))
+        .withColumn("_nts", F.lead("ts").over(w))
+        .withColumn("_nv", F.lead("value").over(w))
+        .withColumn("_na", F.lead("_a").over(w))
+    )
+    # three slot ranges per sample row: Below (first sample only), the
+    # Between range owned by pair (this, next), Above (last sample only)
+    pair_to = F.when(F.col("_nts").isNull(), F.lit(None).cast("long")).otherwise(
+        F.col("_na")
+    )
+    ranges = F.array(
+        F.struct(
+            F.col("_a").alias("f"),
+            F.coalesce(pair_to, F.col("_a")).alias("u"),
+            F.lit(0).alias("oob"),
+        ),
+        F.struct(
+            F.when(F.col("_rn") == 1, lo).otherwise(F.lit(None).cast("long")).alias("f"),
+            F.col("_a").alias("u"),
+            F.lit(1).alias("oob"),  # Below → NaN
+        ),
+        F.struct(
+            F.when(F.col("_nts").isNull(), F.col("_a")).otherwise(
+                F.lit(None).cast("long")
+            ).alias("f"),
+            F.when(F.col("_nts").isNull(), hi).otherwise(F.lit(None).cast("long")).alias("u"),
+            F.lit(1).alias("oob"),  # Above (pt >= last ts) → NaN
+        ),
+    )
+    exploded = (
+        s.select(
+            *key_cols, "ts", "value", "_tp", "_vp", "_nts", "_nv",
+            F.explode(ranges).alias("_r"),
+        )
+        .filter(F.col("_r.f").isNotNull() & (F.col("_r.u") > F.col("_r.f")))
+        .select(
+            *key_cols,
+            "ts", "value", "_tp", "_vp", "_nts", "_nv",
+            F.col("_r.oob").alias("_oob"),
+            F.explode(F.sequence(F.col("_r.f"), F.col("_r.u") - 1)).alias("_slot"),
+        )
+    )
+    gts = F.lit(start) + F.col("_slot").cast("double") * F.lit(step)
+    pt = gts - F.lit(float(offset))
+    prev = F.struct(
+        F.col("ts").alias("t"), F.col("value").alias("v"),
+        F.col("_tp").alias("tp"), F.col("_vp").alias("vp"),
+    )
+    nxt = F.struct(F.col("_nts").alias("t"), F.col("_nv").alias("v"))
+    val = F.when(F.col("_oob") == 1, NAN()).otherwise(irate_value(pt, prev, nxt))
+    out = exploded.select(
+        *key_cols, gts.alias(ts_col), val.alias(out_col)
+    )
+    if series is not None:
+        out = out.join(series, "_skey").select("name", "labels", ts_col, out_col)
+    return out
+
+
 def irate_to_grid(
     samples: DataFrame,
     grid_df: DataFrame,
@@ -213,10 +319,16 @@ def irate_to_grid(
     offset: float = 0.0,
     ts_col: str = "ts",
     out_col: str = "value",
+    grid=None,
 ) -> DataFrame:
     """P2: ``irate(v[r])``. ``r`` only gates the r==0 → NaN check — its value
     is otherwise ignored by the math (src/timeseries.rs:117-121 uses only
-    ``last_instant``)."""
+    ``last_instant``).
+
+    Pass the :class:`RegularTimeRange` as ``grid`` for the sort-free
+    slot-explode plan (no probe union, samples-only window)."""
+    if grid is not None and over_range != 0.0:
+        return _irate_slots(samples, grid, series_cols, offset, ts_col, out_col)
     canonical = series_cols is None
     if canonical:
         samples, series = keyed_series(samples)

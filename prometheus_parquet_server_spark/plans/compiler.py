@@ -172,7 +172,7 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         if not isinstance(arg, UnprocessedVector):
             raise QueryError(f"'{node.name}' needs a range vector")
         fn = _RATE_FUNCS[node.name]
-        kwargs = {"grid": ctx.grid} if node.name == "rate" else {}
+        kwargs = {"grid": ctx.grid}
         df = fn(
             arg.df,
             ctx.grid_df(),

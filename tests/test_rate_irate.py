@@ -78,3 +78,31 @@ def test_irate_negative_delta_nan(spark):
     # general case with decreasing series → dv < 0 → NaN
     got = _run(spark, DEC, irate_to_grid, [116.0], 300.0)
     assert_close(got[116.0], NAN)
+
+
+def test_irate_slot_path_matches_window_path(spark):
+    """The sort-free slot-explode irate must be value-identical (NaN-aware)
+    to the union+window as-of path on irregular random series."""
+    import math
+    import random
+
+    random.seed(7)
+    rows = []
+    for s in range(25):
+        ts = sorted(random.sample(range(0, 2000), random.randint(1, 30)))
+        for t in ts:
+            rows.append((f"s{s}", float(t), random.uniform(-5, 50)))
+    df = spark.createDataFrame(rows, "k string, ts double, value double")
+    grid = RegularTimeRange(13.0, 1987.0, 21.0)
+    gdf = grid.to_df(spark)
+    slow = irate_to_grid(df, gdf, series_cols=["k"], over_range=60.0)
+    fast = irate_to_grid(df, gdf, series_cols=["k"], over_range=60.0, grid=grid)
+    a = {(r["k"], r["ts"]): r["value"] for r in slow.collect()}
+    b = {(r["k"], r["ts"]): r["value"] for r in fast.collect()}
+    assert set(a) == set(b)
+    for key in a:
+        x, y = a[key], b[key]
+        if math.isnan(x):
+            assert math.isnan(y), (key, x, y)
+        else:
+            assert x == y, (key, x, y)
