@@ -766,6 +766,60 @@ SELECT gts AS ts, {_d(1.0)} AS value FROM grid
 """
 
 
+DERIV_RANGE = 21600.0  # 6h — enough density for ≥2-sample windows
+
+
+def q_promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'deriv(click{}[6h])': least-squares slope over each window's raw
+    samples (covar_pop/var_pop — windows need ≥ 2 samples)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "deriv(click{}[6h])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round(F.col("value") * 1e6, 4).alias("slope_e6"),
+    )
+
+
+SQL_PROMQL_DERIV = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT s.user_id, g.gts AS ts,
+       ROUND(covar_pop(s.ts, s.value) / var_pop(s.ts) * 1e6, 4) AS slope_e6
+FROM grid g
+JOIN metrics s ON s.name = 'click'
+  AND s.ts >= g.gts - {_d(DERIV_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2 AND var_pop(s.ts) > 0
+"""
+
+
+def q_promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'changes(click{}[30m])': adjacent-sample changes with both endpoints
+    inside the window; windows holding ≥ 1 sample but no pair emit 0."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "changes(click{}[30m])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"), "ts", "value"
+    )
+
+
+SQL_PROMQL_CHANGES = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+s AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER w AS tp, LAG(value) OVER w AS vp
+    FROM metrics WHERE name = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT s.user_id, g.gts AS ts,
+       CAST(SUM(CASE WHEN s.tp IS NOT NULL AND s.tp >= g.gts - {_d(RATE_RANGE)}
+                      AND s.value <> s.vp THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM grid g
+JOIN s ON s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2
+"""
+
+
 SUBQ_RANGE = 3600.0  # [1h:15m] subquery over the 15-min grid
 
 
@@ -1268,6 +1322,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_label_replace": q_promql_label_replace,
     "promql_absent": q_promql_absent,
     "promql_subquery": q_promql_subquery,
+    "promql_deriv": q_promql_deriv,
+    "promql_changes": q_promql_changes,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1311,6 +1367,8 @@ ORACLES: dict[str, str] = {
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,
     "promql_absent": SQL_PROMQL_ABSENT,
     "promql_subquery": SQL_PROMQL_SUBQUERY,
+    "promql_deriv": SQL_PROMQL_DERIV,
+    "promql_changes": SQL_PROMQL_CHANGES,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

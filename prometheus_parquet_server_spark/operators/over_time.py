@@ -43,6 +43,32 @@ OVER_TIME_FNS = {
 }
 
 
+def _slot_bounds(grid, over_range: float, offset: float, ts_expr: Column):
+    """(lo, hi) slot range whose window ``[pt − r, pt]`` contains
+    ``ts_expr`` — the shared boundary math (exact ±1 correction so the
+    comparisons match an oracle's float predicates ulp-for-ulp)."""
+    n, start, step = len(grid), grid.start, grid.increment
+    r = float(over_range)
+
+    def pt_of(slot: Column) -> Column:
+        return (F.lit(start) + slot.cast("double") * F.lit(step)) - F.lit(
+            float(offset)
+        )
+
+    t = ts_expr
+    lo = F.ceil((t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)).cast("long")
+    lo = F.when(pt_of(lo - 1) >= t, lo - 1).otherwise(lo)
+    lo = F.when(pt_of(lo) < t, lo + 1).otherwise(lo)
+    hi = F.floor(
+        (t + F.lit(r) + F.lit(float(offset)) - F.lit(start)) / F.lit(step)
+    ).cast("long")
+    hi = F.when(pt_of(hi + 1) - F.lit(r) <= t, hi + 1).otherwise(hi)
+    hi = F.when(pt_of(hi) - F.lit(r) > t, hi - 1).otherwise(hi)
+    lo = F.greatest(F.lit(0).cast("long"), lo)
+    hi = F.least(F.lit(n - 1).cast("long"), hi)
+    return lo, hi
+
+
 def over_time_to_grid(
     samples: DataFrame,
     grid,
@@ -63,8 +89,7 @@ def over_time_to_grid(
     """
     if fn not in OVER_TIME_FNS:
         raise ValueError(f"unknown over_time aggregation {fn!r}")
-    r = float(over_range)
-    n, start, step = len(grid), grid.start, grid.increment
+    start, step = grid.start, grid.increment
     canonical = series_cols is None
     if canonical:
         samples, series = keyed_series(samples)
@@ -73,26 +98,7 @@ def over_time_to_grid(
         series = None
         key_cols = list(series_cols)
 
-    def pt_of(slot: Column) -> Column:
-        # identical float ops to grid_probes: (start + slot·step) − offset
-        return (F.lit(start) + slot.cast("double") * F.lit(step)) - F.lit(
-            float(offset)
-        )
-
-    t = F.col("ts")
-    # smallest slot with pt(slot) >= ts
-    lo = F.ceil((t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)).cast("long")
-    lo = F.when(pt_of(lo - 1) >= t, lo - 1).otherwise(lo)
-    lo = F.when(pt_of(lo) < t, lo + 1).otherwise(lo)
-    # largest slot with pt(slot) - r <= ts (exact predicate, not ts + r)
-    hi = F.floor(
-        (t + F.lit(r) + F.lit(float(offset)) - F.lit(start)) / F.lit(step)
-    ).cast("long")
-    hi = F.when(pt_of(hi + 1) - F.lit(r) <= t, hi + 1).otherwise(hi)
-    hi = F.when(pt_of(hi) - F.lit(r) > t, hi - 1).otherwise(hi)
-
-    lo = F.greatest(F.lit(0).cast("long"), lo)
-    hi = F.least(F.lit(n - 1).cast("long"), hi)
+    lo, hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
 
     exploded = (
         samples.select(*key_cols, "ts", "value", lo.alias("_lo"), hi.alias("_hi"))
@@ -113,5 +119,138 @@ def over_time_to_grid(
         )
         return out.join(series, "_skey").select(
             name_out.alias("name"), "labels", gts, "value"
+        )
+    return out.select(*key_cols, gts, "value")
+
+
+def deriv_to_grid(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+    predict_t: float | None = None,
+) -> DataFrame:
+    """``deriv(v[r])`` / ``predict_linear(v[r], t)``: simple least-squares
+    over the window's raw samples (PromQL semantics).
+
+    slope = covar_pop(ts, value) / var_pop(ts); predict_linear extrapolates
+    the regression to ``pt + t`` seconds: ``avg(v) + slope·(pt + t −
+    avg(ts))``. Windows with fewer than 2 samples produce no point
+    (Prometheus requires two samples; it also sidesteps 0/0).
+
+    Same slot-explode plan as over_time_to_grid — covar/var/avg are plain
+    map-side-combining aggregates, so the only shuffle is the
+    groupBy(series, slot).
+    """
+    start, step = grid.start, grid.increment
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+    else:
+        series = None
+        key_cols = list(series_cols)
+
+    lo, hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
+    exploded = (
+        samples.select(*key_cols, "ts", "value", lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_hi") >= F.col("_lo"))
+        .select(
+            *key_cols,
+            "ts",
+            "value",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_slot"),
+        )
+    )
+    grouped = exploded.groupBy(*key_cols, "_slot").agg(
+        F.covar_pop("ts", "value").alias("_cov"),
+        F.var_pop("ts").alias("_var"),
+        F.avg("ts").alias("_tbar"),
+        F.avg("value").alias("_vbar"),
+        F.count("value").alias("_n"),
+    )
+    grouped = grouped.filter((F.col("_n") >= 2) & (F.col("_var") > 0))
+    gts = F.lit(start) + F.col("_slot").cast("double") * F.lit(step)
+    slope = F.col("_cov") / F.col("_var")
+    if predict_t is None:
+        value = slope
+    else:
+        pt = gts - F.lit(float(offset))
+        value = F.col("_vbar") + slope * (
+            (pt + F.lit(float(predict_t))) - F.col("_tbar")
+        )
+    out = grouped.select(*key_cols, gts.alias("ts"), value.alias("value"))
+    if series is not None:
+        return out.join(series, "_skey").select(
+            F.lit(None).cast("string").alias("name"), "labels", "ts", "value"
+        )
+    return out
+
+
+def changes_to_grid(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+    resets: bool = False,
+) -> DataFrame:
+    """``changes(v[r])`` / ``resets(v[r])``: number of adjacent-sample value
+    changes (decreases, for resets) whose BOTH endpoints lie in the window
+    ``[pt − r, pt]``.
+
+    Slot logic: pair (i−1, i) counts toward slots where ``pt >= ts[i]`` AND
+    ``pt − r <= ts[i−1]`` — lower bound from the newer endpoint, upper from
+    the older one. Every sample in the window also contributes a 0 so that
+    windows with ≥1 sample but no qualifying pair still emit 0 (Prometheus
+    emits 0, not nothing, when the series exists in the window).
+    """
+    start, step = grid.start, grid.increment
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+    else:
+        series = None
+        key_cols = list(series_cols)
+
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    s = samples.select(*key_cols, "ts", "value").withColumn(
+        "_tp", F.lag("ts").over(w)
+    ).withColumn("_vp", F.lag("value").over(w))
+
+    # presence range: sample itself in window (contributes 0)
+    p_lo, p_hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
+    # pair range: ts (newer) bounds below, _tp (older) bounds above
+    q_lo, _ = _slot_bounds(grid, over_range, offset, F.col("ts"))
+    _, q_hi = _slot_bounds(grid, over_range, offset, F.col("_tp"))
+    event = (
+        (F.col("value") < F.col("_vp")) if resets else (F.col("value") != F.col("_vp"))
+    )
+    contrib = F.array(
+        F.struct(p_lo.alias("f"), p_hi.alias("u"), F.lit(0).alias("c")),
+        F.struct(
+            F.when(F.col("_tp").isNotNull() & event, q_lo).alias("f"),
+            F.when(F.col("_tp").isNotNull() & event, q_hi).alias("u"),
+            F.lit(1).alias("c"),
+        ),
+    )
+    exploded = (
+        s.select(*key_cols, F.explode(contrib).alias("_r"))
+        .filter(F.col("_r.f").isNotNull() & (F.col("_r.u") >= F.col("_r.f")))
+        .select(
+            *key_cols,
+            F.col("_r.c").alias("_c"),
+            F.explode(F.sequence(F.col("_r.f"), F.col("_r.u"))).alias("_slot"),
+        )
+    )
+    out = exploded.groupBy(*key_cols, "_slot").agg(
+        F.sum("_c").cast("double").alias("value")
+    )
+    gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
+    if series is not None:
+        return out.join(series, "_skey").select(
+            F.lit(None).cast("string").alias("name"), "labels", gts, "value"
         )
     return out.select(*key_cols, gts, "value")

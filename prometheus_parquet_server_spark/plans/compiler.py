@@ -43,6 +43,8 @@ from prometheus_parquet_server_spark.operators.mathfn import (
 )
 from prometheus_parquet_server_spark.operators.over_time import (
     OVER_TIME_FNS,
+    changes_to_grid,
+    deriv_to_grid,
     over_time_to_grid,
 )
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
@@ -198,6 +200,32 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 node.name[: -len("_over_time")],
                 over_range=float(arg.over_range),
                 offset=float(arg.offset or 0),
+            )
+        )
+
+    if node.name in ("deriv", "changes", "resets", "predict_linear"):
+        # beyond-reference: regression / change-counting over window samples
+        want = 2 if node.name == "predict_linear" else 1
+        if len(node.args) != want:
+            raise QueryError(f"'{node.name}' expects {want} argument(s)")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        common = dict(
+            over_range=float(arg.over_range), offset=float(arg.offset or 0)
+        )
+        if node.name == "deriv":
+            return Processed(deriv_to_grid(arg.df, ctx.grid, **common))
+        if node.name == "predict_linear":
+            t = _eval(node.args[1], ctx, state)
+            if not isinstance(t, ScalarResult):
+                raise QueryError("Expected a scalar")
+            return Processed(
+                deriv_to_grid(arg.df, ctx.grid, predict_t=t.value, **common)
+            )
+        return Processed(
+            changes_to_grid(
+                arg.df, ctx.grid, resets=node.name == "resets", **common
             )
         )
 

@@ -146,3 +146,36 @@ def test_nested_composition(spark):
     out = run(spark, df, 'sqrt(sum_over_time(m{h="a"}[1m]))').collect()
     got = {r["ts"]: r["value"] for r in out}
     assert_close(got[60.0], math.sqrt(3.0))
+
+
+# ---------- deriv / predict_linear / changes / resets ----------
+
+def test_deriv_and_predict_linear(spark):
+    df = fixture(spark)  # h=a linear: value = ts/30 → slope 1/30
+    d = run(spark, df, 'deriv(m{h="a"}[2m])').collect()
+    got = {r["ts"]: r["value"] for r in d}
+    assert_close(got[120.0], 1.0 / 30.0)
+    assert all(r["name"] is None for r in d)
+    # predict 60s ahead from t=120: value = 120/30 + 60/30 = 6
+    p = run(spark, df, 'predict_linear(m{h="a"}[2m], 60)').collect()
+    assert_close({r["ts"]: r["value"] for r in p}[120.0], 6.0)
+    # single-sample windows (h=b) produce no deriv point
+    assert run(spark, df, 'deriv(m{h="b"}[30s])').count() == 0
+
+
+def test_changes_and_resets(spark):
+    rows = [
+        ("m", {"h": "c"}, 0.0, 1.0),
+        ("m", {"h": "c"}, 30.0, 2.0),   # change (up)
+        ("m", {"h": "c"}, 60.0, 2.0),   # no change
+        ("m", {"h": "c"}, 90.0, 1.0),   # change (down) = reset
+        ("m", {"h": "c"}, 120.0, 3.0),  # change (up)
+    ]
+    df = long_frame(spark, rows)
+    ch = run(spark, df, 'changes(m{}[2m])').collect()
+    got = {r["ts"]: r["value"] for r in ch}
+    # window [0,120]: pairs at 30(up),60(eq),90(down),120(up) → 3 changes
+    assert got[120.0] == 3.0
+    assert got[0.0] == 0.0  # only one sample in window → 0, not absent
+    rs = run(spark, df, 'resets(m{}[2m])').collect()
+    assert {r["ts"]: r["value"] for r in rs}[120.0] == 1.0
