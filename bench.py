@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "pipeline_prepare",
     "dedup_exact_fp",
     "dedup_minhash",
     "dedup_simhash",

@@ -1144,6 +1144,72 @@ FROM best
 """
 
 
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the pass a 100 TB corpus-preparation job
+    runs, as ONE declarative plan: exact dedup (keep the lowest doc_id per
+    content fingerprint) → quality gate (score ≥ 0.5, ≥ 20 tokens) →
+    language-ID + per-doc stats. One hash-agg for the dedup keeper set
+    (broadcast semi join back), everything else codegen'd expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", "text", fingerprint(F.col("text")).alias("fp"))
+    keeper = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = d.join(keeper, ["fp", "doc_id"], "semi")
+    feats = quality_features(F.col("text"))
+    out = survivors.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    )
+    return out.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 20))
+
+
+SQL_PIPELINE_PREPARE = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+),
+keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY fp),
+survivors AS (
+    SELECT d.doc_id, d.text FROM d
+    JOIN keeper k ON k.fp = d.fp AND k.doc_id = d.doc_id
+),
+feats AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
+           length(text) AS n_char,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+           len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+               x -> list_contains({_STOP_LIST_SQL}, x))) AS n_stop
+    FROM survivors
+),
+scored AS (
+    SELECT doc_id, text, CAST(n_tok AS INT) AS n_tokens,
+           ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+                 + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END) * 0.3
+                 + LEAST(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0) * 0.3,
+                 6) AS quality_score
+    FROM feats
+),
+langs AS (
+    SELECT doc_id,
+           {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items())}
+    FROM survivors
+),
+best AS (
+    SELECT doc_id, {", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))},
+           GREATEST({", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))}) AS best
+    FROM langs
+)
+SELECT s.doc_id,
+       CASE WHEN b.best > 0 THEN (CASE {_LANG_CASE} END) ELSE 'und' END AS lang_pred,
+       s.n_tokens, s.quality_score
+FROM scored s JOIN best b ON b.doc_id = s.doc_id
+WHERE s.quality_score >= 0.5 AND s.n_tokens >= 20
+"""
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1334,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "pipeline_prepare": q_pipeline_prepare,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
@@ -1379,6 +1446,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "pipeline_prepare": SQL_PIPELINE_PREPARE,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
