@@ -820,6 +820,25 @@ GROUP BY 1, 2
 """
 
 
+def q_promql_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step scalar machinery: '(click{} + time()) - time()' round-trips
+    through two GridScalar joins and must equal the plain resample."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "(click{} + time()) - time()", GRID)
+    return out.filter(~F.isnan("value")).select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_TIME = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT user_id, gts AS ts, ROUND((value + gts) - gts, 6) AS value
+FROM interp WHERE NOT isnan(value)
+"""
+
+
 SUBQ_RANGE = 3600.0  # [1h:15m] subquery over the 15-min grid
 
 
@@ -1390,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_subquery": q_promql_subquery,
     "promql_deriv": q_promql_deriv,
     "promql_changes": q_promql_changes,
+    "promql_time_arith": q_promql_time_arith,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -1436,6 +1456,7 @@ ORACLES: dict[str, str] = {
     "promql_subquery": SQL_PROMQL_SUBQUERY,
     "promql_deriv": SQL_PROMQL_DERIV,
     "promql_changes": SQL_PROMQL_CHANGES,
+    "promql_time_arith": SQL_PROMQL_TIME,
     "m2_metric_names": SQL_M2,
     "m3_series_count": SQL_M3,
     "tpch_q1": SQL_TPCH_Q1,

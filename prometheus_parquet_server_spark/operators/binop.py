@@ -159,6 +159,55 @@ def vector_scalar_op(
     )
 
 
+def vector_gridscalar_op(
+    vec: DataFrame, gs: DataFrame, op: str, scalar_on_left: bool = False,
+    bool_mode: bool = False,
+) -> DataFrame:
+    """vector ⊕ per-step scalar (``time()`` / ``scalar(v)``): the scalar
+    side joins on ts alone (broadcast — it is grid-length) and applies
+    elementwise like a literal scalar."""
+    j = vec.join(F.broadcast(gs.select("ts", F.col("value").alias("_gs"))), "ts")
+    other = F.col("_gs")
+    left, right = (other, F.col("value")) if scalar_on_left else (F.col("value"), other)
+    no_name = F.lit(None).cast("string")
+    if op in COMP_OPS:
+        cond = comp_expr(op, left, right)
+        if bool_mode:
+            val = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            return j.select(no_name.alias("name"), "labels", "ts", val.alias("value"))
+        return j.filter(cond).select("name", "labels", "ts", "value")
+    return j.select(
+        no_name.alias("name"), "labels", "ts",
+        arith_expr(op, left, right).alias("value"),
+    )
+
+
+def gridscalar_gridscalar_op(lhs: DataFrame, rhs: DataFrame, op: str) -> DataFrame:
+    """per-step scalar ⊕ per-step scalar → per-step scalar (comparisons
+    yield 1.0/0.0, like scalar-scalar in PromQL)."""
+    j = lhs.select("ts", F.col("value").alias("_l")).join(
+        rhs.select("ts", F.col("value").alias("_r")), "ts"
+    )
+    l, r = F.col("_l"), F.col("_r")
+    if op in COMP_OPS:
+        val = F.when(comp_expr(op, l, r), F.lit(1.0)).otherwise(F.lit(0.0))
+    else:
+        val = arith_expr(op, l, r)
+    return j.select("ts", val.alias("value"))
+
+
+def gridscalar_const_op(
+    gs: DataFrame, op: str, scalar: float, scalar_on_left: bool = False
+) -> DataFrame:
+    lit = F.lit(float(scalar))
+    left, right = (lit, F.col("value")) if scalar_on_left else (F.col("value"), lit)
+    if op in COMP_OPS:
+        val = F.when(comp_expr(op, left, right), F.lit(1.0)).otherwise(F.lit(0.0))
+    else:
+        val = arith_expr(op, left, right)
+    return gs.select("ts", val.alias("value"))
+
+
 def _match_key(labels: Column, on: list[str] | None, ignoring: list[str] | None) -> Column:
     """Canonical string key of the matching label subset. ``__name__`` never
     participates in matching (Prometheus drops it before matching)."""

@@ -51,7 +51,10 @@ from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_t
 from prometheus_parquet_server_spark.operators.select import QueryError, select_series
 from prometheus_parquet_server_spark.operators.binop import (
     SET_OPS,
+    gridscalar_const_op,
+    gridscalar_gridscalar_op,
     scalar_scalar_op,
+    vector_gridscalar_op,
     vector_scalar_op,
     vector_vector_op,
 )
@@ -114,12 +117,28 @@ class StringResult:
     value: str
 
 
-State = Unprocessed | UnprocessedVector | Processed | ScalarResult | StringResult
+@dataclass
+class GridScalar:
+    """Per-step scalar (PromQL scalar type under a range query): one value
+    per grid instant, no labels. Produced by ``time()`` and ``scalar(v)``;
+    binary ops against vectors join on ts alone (no label matching)."""
+
+    df: DataFrame  # columns: ts, value
+
+
+State = (
+    Unprocessed
+    | UnprocessedVector
+    | Processed
+    | ScalarResult
+    | StringResult
+    | GridScalar
+)
 
 
 def _resampled(state: State, ctx: _Ctx) -> State:
     """``QueryResult::resampled`` (src/query.rs:109-124)."""
-    if isinstance(state, (Processed, ScalarResult, StringResult)):
+    if isinstance(state, (Processed, ScalarResult, StringResult, GridScalar)):
         return state
     if isinstance(state, Unprocessed):
         offset = float(state.offset or 0)
@@ -247,6 +266,65 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         return Processed(
             df.withColumn("value", F.col("value") * F.lit(float(arg.over_range)))
         )
+
+    if node.name == "time":
+        # per-step scalar: the grid instant itself (seconds since epoch)
+        if node.args:
+            raise QueryError("'time' takes no arguments")
+        return GridScalar(
+            ctx.grid_df().select(
+                F.col("gts").alias("ts"), F.col("gts").alias("value")
+            )
+        )
+
+    if node.name == "scalar":
+        # exactly-one-series vector → per-step scalar; else NaN per step
+        if len(node.args) != 1:
+            raise QueryError("'scalar' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if isinstance(arg, GridScalar):
+            return arg
+        if not isinstance(arg, Processed):
+            raise QueryError("'scalar' needs a vector argument")
+        per_ts = arg.df.groupBy("ts").agg(
+            F.count("*").alias("_n"), F.first("value").alias("_v")
+        )
+        nan = F.lit(float("nan"))
+        gs = (
+            ctx.grid_df()
+            .join(per_ts, F.col("gts") == F.col("ts"), "left")
+            .select(
+                F.col("gts").alias("ts"),
+                F.when(F.col("_n") == 1, F.col("_v")).otherwise(nan).alias("value"),
+            )
+        )
+        return GridScalar(gs)
+
+    if node.name == "vector":
+        # scalar → single all-labels-empty series over the grid
+        if len(node.args) != 1:
+            raise QueryError("'vector' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        empty_labels = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        no_name = F.lit(None).cast("string")
+        if isinstance(arg, ScalarResult):
+            df = ctx.grid_df().select(
+                no_name.alias("name"), empty_labels.alias("labels"),
+                F.col("gts").alias("ts"), F.lit(float(arg.value)).alias("value"),
+            )
+            return Processed(df)
+        if isinstance(arg, GridScalar):
+            return Processed(
+                arg.df.select(
+                    no_name.alias("name"), empty_labels.alias("labels"),
+                    "ts", "value",
+                )
+            )
+        if isinstance(arg, Processed):
+            return arg
+        raise QueryError("'vector' needs a scalar argument")
 
     if node.name in MATH_FNS:
         if len(node.args) != 1:
@@ -417,6 +495,30 @@ def _eval_binary(node: BinaryNode, ctx: _Ctx, state: State) -> State:
     if node.op in SET_OPS:
         if not (isinstance(lhs, Processed) and isinstance(rhs, Processed)):
             raise QueryError(f"set operator {node.op!r} requires vector operands")
+    elif isinstance(lhs, GridScalar) or isinstance(rhs, GridScalar):
+        if node.matching is not None:
+            raise QueryError("vector matching is not valid with a scalar operand")
+        if isinstance(lhs, GridScalar) and isinstance(rhs, GridScalar):
+            return GridScalar(gridscalar_gridscalar_op(lhs.df, rhs.df, node.op))
+        if isinstance(lhs, GridScalar) and isinstance(rhs, ScalarResult):
+            return GridScalar(gridscalar_const_op(lhs.df, node.op, rhs.value))
+        if isinstance(rhs, GridScalar) and isinstance(lhs, ScalarResult):
+            return GridScalar(
+                gridscalar_const_op(rhs.df, node.op, lhs.value, scalar_on_left=True)
+            )
+        if isinstance(lhs, GridScalar):  # vector on the right
+            return Processed(
+                vector_gridscalar_op(
+                    rhs.df, lhs.df, node.op, scalar_on_left=True,
+                    bool_mode=node.bool_mode,
+                )
+            )
+        return Processed(
+            vector_gridscalar_op(
+                lhs.df, rhs.df, node.op, scalar_on_left=False,
+                bool_mode=node.bool_mode,
+            )
+        )
     elif isinstance(lhs, ScalarResult) or isinstance(rhs, ScalarResult):
         scalar_on_left = isinstance(lhs, ScalarResult)
         scalar = lhs.value if scalar_on_left else rhs.value
@@ -448,6 +550,8 @@ def _eval_unary(node: UnaryNode, ctx: _Ctx, state: State) -> State:
     operand = _resampled(_eval(node.operand, ctx, state), ctx)
     if isinstance(operand, ScalarResult):
         return ScalarResult(-operand.value)
+    if isinstance(operand, GridScalar):
+        return GridScalar(gridscalar_const_op(operand.df, "*", -1.0))
     return Processed(vector_scalar_op(operand.df, "*", -1.0, scalar_on_left=True))
 
 
@@ -504,6 +608,18 @@ def run_query(
     ctx = _Ctx(spark, collection, grid)
     result = _eval(ast, ctx, _Collection())
     result = _resampled(result, ctx)
+    if isinstance(result, GridScalar):
+        # per-step scalar under a range query → one all-labels-empty series
+        # (Prometheus's query_range does the same conversion)
+        empty_labels = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        return result.df.select(
+            F.lit(None).cast("string").alias("name"),
+            empty_labels.alias("labels"),
+            "ts",
+            "value",
+        )
     if isinstance(result, (ScalarResult, StringResult)):
         raise QueryError("scalar result is not a matrix")
     if not isinstance(result, Processed):
@@ -533,6 +649,9 @@ def run_instant_query(
     result = _resampled(_eval(ast, ctx, _Collection()), ctx)
     if isinstance(result, ScalarResult):
         return "scalar", result.value
+    if isinstance(result, GridScalar):
+        rows = result.df.collect()  # single-point grid → one row
+        return "scalar", rows[0]["value"] if rows else float("nan")
     if isinstance(result, StringResult):
         return "string", result.value
     if isinstance(result, Processed):

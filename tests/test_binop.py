@@ -180,3 +180,54 @@ def test_quantile_and_stddev_aggs(spark):
     q1 = run(spark, df, 'quantile by (host) (0.9, req{})').collect()
     g = {(r["labels"]["host"], r["ts"]): r["value"] for r in q1}
     assert g[("a", 0.0)] == 10.0
+
+
+# ---------- time() / scalar() / vector() (per-step scalars) ----------
+
+def test_time_function(spark):
+    df = fixture(spark)
+    out = run(spark, df, "time()").collect()
+    assert {(r["ts"], r["value"]) for r in out} == {(t, t) for t in [0.0, 60.0, 120.0]}
+    assert all(dict(r["labels"]) == {} for r in out)
+    # sample age: timestamp(v) - time() == 0 on grid-aligned frames
+    age = run(spark, df, 'timestamp(req{host="a"}) - time()').collect()
+    assert all(r["value"] == 0.0 for r in age)
+
+
+def test_time_arithmetic_with_vector(spark):
+    df = fixture(spark)
+    # value plus the grid instant, per step
+    out = run(spark, df, 'req{host="a"} + time()').collect()
+    got = {r["ts"]: r["value"] for r in out}
+    assert got[60.0] == 11.0 + 60.0
+    # comparison filter against a per-step scalar
+    flt = run(spark, df, 'req{} > time()').collect()
+    assert all(r["value"] > r["ts"] for r in flt)
+
+
+def test_scalar_function(spark):
+    df = fixture(spark)
+    # one matching series → its values as a per-step scalar series
+    out = run(spark, df, 'scalar(req{host="a"}) * 2').collect()
+    got = {r["ts"]: r["value"] for r in out}
+    assert got[0.0] == 20.0 and dict(out[0]["labels"]) == {}
+    # two matching series → NaN per step
+    nan_out = run(spark, df, "scalar(req{})").collect()
+    assert all(math.isnan(r["value"]) for r in nan_out)
+
+
+def test_vector_function(spark):
+    df = fixture(spark)
+    out = run(spark, df, "vector(1)").collect()
+    assert {r["value"] for r in out} == {1.0} and len(out) == 3
+    # vector(time()) lifts the per-step scalar into a vector series
+    vt = run(spark, df, "vector(time())").collect()
+    assert all(r["value"] == r["ts"] for r in vt)
+
+
+def test_instant_time(spark):
+    from prometheus_parquet_server_spark.plans.compiler import run_instant_query
+
+    df = fixture(spark)
+    kind, val = run_instant_query(spark, df, "time()", at=1234.0)
+    assert kind == "scalar" and val == 1234.0
