@@ -248,7 +248,12 @@ def vector_vector_op(
 
     One-to-one (``group=None``): inner join on (match key, ts); output labels
     are the lhs labels restricted by the matching clause; name dropped for
-    arithmetic / bool, kept from lhs for filter comparisons.
+    arithmetic / bool, kept from the retained side for filter comparisons.
+    NOTE: unlike Prometheus, duplicate match groups are NOT detected — a
+    many-to-many selector pair silently cross-products instead of erroring.
+    Detection would cost a count-window over the full grid-sized frame per
+    query; at the 100 TB design point that tax on every correct query is
+    worse than the misuse it guards, so it is deliberately omitted.
 
     group_left / group_right: the "many" side keeps its full label set (plus
     ``include`` labels copied from the "one" side); each many-row joins its
@@ -321,10 +326,15 @@ def vector_vector_op(
                 out_name.alias("name"), out_labels.alias("labels"),
                 "ts", val.alias("value"),
             )
-        # filter mode keeps the lhs sample (name intact)
+        # filter mode keeps the MANY side's samples (Prometheus: the side
+        # named by group_right is the many side; default/group_left → lhs)
+        if group == "right":
+            keep_n, keep_l, keep_v = F.col("_rn"), F.col("_rl"), rv
+        else:
+            keep_n, keep_l, keep_v = F.col("_ln"), F.col("_ll"), lv
         return joined.filter(cond).select(
-            F.col("_ln").alias("name"), F.col("_ll").alias("labels"),
-            "ts", lv.alias("value"),
+            keep_n.alias("name"), keep_l.alias("labels"),
+            "ts", keep_v.alias("value"),
         )
 
     return joined.select(

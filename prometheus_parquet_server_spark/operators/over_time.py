@@ -69,6 +69,37 @@ def _slot_bounds(grid, over_range: float, offset: float, ts_expr: Column):
     return lo, hi
 
 
+def _keyed_window_explode(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    offset: float,
+    series_cols: Sequence[str] | None,
+):
+    """Shared prologue for window aggregations: key the series (canonical
+    mode), compute each sample's slot range, explode to (key, ts, value,
+    _slot). Returns (exploded, series_frame_or_None, key_cols)."""
+    canonical = series_cols is None
+    if canonical:
+        samples, series = keyed_series(samples)
+        key_cols = ["_skey"]
+    else:
+        series = None
+        key_cols = list(series_cols)
+    lo, hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
+    exploded = (
+        samples.select(*key_cols, "ts", "value", lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_hi") >= F.col("_lo"))
+        .select(
+            *key_cols,
+            "ts",
+            "value",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_slot"),
+        )
+    )
+    return exploded, series, key_cols
+
+
 def over_time_to_grid(
     samples: DataFrame,
     grid,
@@ -90,25 +121,8 @@ def over_time_to_grid(
     if fn not in OVER_TIME_FNS:
         raise ValueError(f"unknown over_time aggregation {fn!r}")
     start, step = grid.start, grid.increment
-    canonical = series_cols is None
-    if canonical:
-        samples, series = keyed_series(samples)
-        key_cols = ["_skey"]
-    else:
-        series = None
-        key_cols = list(series_cols)
-
-    lo, hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
-
-    exploded = (
-        samples.select(*key_cols, "ts", "value", lo.alias("_lo"), hi.alias("_hi"))
-        .filter(F.col("_hi") >= F.col("_lo"))
-        .select(
-            *key_cols,
-            "ts",
-            "value",
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_slot"),
-        )
+    exploded, series, key_cols = _keyed_window_explode(
+        samples, grid, over_range, offset, series_cols
     )
     agg = OVER_TIME_FNS[fn]().alias("value")
     out = exploded.groupBy(*key_cols, "_slot").agg(agg)
@@ -144,24 +158,8 @@ def deriv_to_grid(
     groupBy(series, slot).
     """
     start, step = grid.start, grid.increment
-    canonical = series_cols is None
-    if canonical:
-        samples, series = keyed_series(samples)
-        key_cols = ["_skey"]
-    else:
-        series = None
-        key_cols = list(series_cols)
-
-    lo, hi = _slot_bounds(grid, over_range, offset, F.col("ts"))
-    exploded = (
-        samples.select(*key_cols, "ts", "value", lo.alias("_lo"), hi.alias("_hi"))
-        .filter(F.col("_hi") >= F.col("_lo"))
-        .select(
-            *key_cols,
-            "ts",
-            "value",
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_slot"),
-        )
+    exploded, series, key_cols = _keyed_window_explode(
+        samples, grid, over_range, offset, series_cols
     )
     grouped = exploded.groupBy(*key_cols, "_slot").agg(
         F.covar_pop("ts", "value").alias("_cov"),
@@ -225,9 +223,16 @@ def changes_to_grid(
     # pair range: ts (newer) bounds below, _tp (older) bounds above
     q_lo, _ = _slot_bounds(grid, over_range, offset, F.col("ts"))
     _, q_hi = _slot_bounds(grid, over_range, offset, F.col("_tp"))
-    event = (
-        (F.col("value") < F.col("_vp")) if resets else (F.col("value") != F.col("_vp"))
-    )
+    if resets:
+        # explicit NaN guard: Spark orders NaN greatest (x < NaN is true),
+        # but Go/PromQL comparisons with NaN are always false
+        event = (
+            ~F.isnan("value") & ~F.isnan("_vp") & (F.col("value") < F.col("_vp"))
+        )
+    else:
+        # Spark's NaN equality (NaN = NaN) happens to match Prometheus's
+        # changes() rule: both-NaN is no change, NaN vs number is a change
+        event = F.col("value") != F.col("_vp")
     contrib = F.array(
         F.struct(p_lo.alias("f"), p_hi.alias("u"), F.lit(0).alias("c")),
         F.struct(

@@ -488,6 +488,8 @@ def _eval_binary(node: BinaryNode, ctx: _Ctx, state: State) -> State:
     if isinstance(lhs, ScalarResult) and isinstance(rhs, ScalarResult):
         if node.matching is not None:
             raise QueryError("vector matching is not valid between scalars")
+        if node.op in ("==", "!=", ">", "<", ">=", "<=") and not node.bool_mode:
+            raise QueryError("comparisons between scalars must use BOOL modifier")
         return ScalarResult(
             scalar_scalar_op(node.op, lhs.value, rhs.value, node.bool_mode)
         )
@@ -563,7 +565,11 @@ def _eval_subquery(node: SubqueryNode, ctx: _Ctx, state: State) -> State:
     increasing per series, the VecTimeRange invariant)."""
     step = float(node.step_s) if node.step_s else ctx.grid.increment
     rng = float(node.range_s)
-    inner_grid = RegularTimeRange(ctx.grid.start - rng, ctx.grid.end, step)
+    # consumers probe at [gts − offset − r, gts − offset], so the inner grid
+    # must reach offset seconds further back (and the trailing offset of the
+    # outer end is harmless to keep)
+    off = float(node.offset_s or 0)
+    inner_grid = RegularTimeRange(ctx.grid.start - rng - off, ctx.grid.end, step)
     inner_ctx = _Ctx(ctx.spark, ctx.collection, inner_grid)
     inner = _resampled(_eval(node.expr, inner_ctx, state), inner_ctx)
     if not isinstance(inner, Processed):

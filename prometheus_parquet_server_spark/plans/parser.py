@@ -255,8 +255,11 @@ def _parse_primary(lex: _Lexer) -> Node:
         return StringNode(_unescape(tok[1:-1]))
     if tok == "{":
         return _parse_selector(lex, name=None)
-    # identifier: function call or metric selector
+    # identifier: number word, function call, or metric selector
     ident = lex.next()
+    if ident.lower() in ("inf", "nan"):
+        # PromQL lexes inf/nan case-insensitively as number literals
+        return ScalarNode(float(ident))
     nxt = lex.peek()
     if nxt == "(" or (nxt in AGG_ACTIONS and ident not in AGG_ACTIONS):
         return _maybe_subquery(lex, _parse_func(lex, ident))

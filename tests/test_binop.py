@@ -51,8 +51,12 @@ def test_instant_scalar_arithmetic(spark):
     assert math.isinf(val) and val > 0  # IEEE, not NULL
     kind, val = run_instant_query(spark, df, "0 / 0", at=0.0)
     assert math.isnan(val)
-    kind, val = run_instant_query(spark, df, "2 > 1", at=0.0)
+    kind, val = run_instant_query(spark, df, "2 > bool 1", at=0.0)
     assert val == 1.0
+    kind, val = run_instant_query(spark, df, "1 / Inf", at=0.0)
+    assert val == 0.0  # inf/nan lex as number literals
+    with pytest.raises(QueryError, match="BOOL"):
+        run_instant_query(spark, df, "2 > 1", at=0.0)  # PromQL parity
 
 
 def test_instant_vector_query(spark):
@@ -231,3 +235,13 @@ def test_instant_time(spark):
     df = fixture(spark)
     kind, val = run_instant_query(spark, df, "time()", at=1234.0)
     assert kind == "scalar" and val == 1234.0
+
+
+def test_group_right_comparison_filter(spark):
+    df = fixture(spark)
+    # total > each part always holds; filter mode keeps the MANY (rhs) side
+    out = run(spark, df, 'sum(req{}) > on() group_right req{}').collect()
+    assert len(out) == 6
+    assert all(r["name"] == "req" for r in out)
+    got = {(r["labels"]["host"], r["ts"]): r["value"] for r in out}
+    assert got[("a", 0.0)] == 10.0  # the rhs sample value is kept

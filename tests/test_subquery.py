@@ -69,3 +69,18 @@ def test_subquery_errors(spark):
     df = fixture(spark)
     with pytest.raises(QueryError, match="vector"):
         run(spark, df, "sum_over_time((1+1)[2m:30s])")
+
+
+def test_subquery_with_offset(spark):
+    """The inner grid must extend offset seconds further back: the shifted
+    result at t equals the unshifted result at t − offset."""
+    df = fixture(spark)
+    base = {r["ts"]: r["value"] for r in run(spark, df, "max_over_time(m{}[1m:30s])").collect()}
+    shifted = {
+        r["ts"]: r["value"]
+        for r in run(spark, df, "max_over_time(m{}[1m:30s] offset 1m)").collect()
+    }
+    overlap = [t for t in shifted if t - 60.0 in base]
+    assert overlap  # the comparison is non-vacuous
+    for t in overlap:
+        assert shifted[t] == base[t - 60.0], (t, shifted[t], base[t - 60.0])
