@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_exact_fp",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
     "text_quality",
     "emb_cosine_topk",
 ]

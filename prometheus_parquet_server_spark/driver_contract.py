@@ -40,7 +40,11 @@ from prometheus_parquet_server_spark.pipeline.multimodal import (
     extract_features,
     media_frame_from_documents,
 )
-from prometheus_parquet_server_spark.pipeline.similarity import brute_force_topk
+from prometheus_parquet_server_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_lsh_pairs,
+    fixed_planes,
+)
 from prometheus_parquet_server_spark.pipeline.text import (
     fingerprint,
     language_id,
@@ -1276,42 +1280,90 @@ QUALIFY rank <= 10
 """
 
 
+#: LSH geometry for the graded near-dup path — MUST match between the Spark
+#: query and the DuckDB oracle (same seed → same planes on both sides).
+_ND_BANDS = 8
+_ND_PLANES_PER_BAND = 4
+_ND_DIM = 64
+_ND_THRESHOLD = 0.35
+_ND_PLANES = fixed_planes(_ND_DIM, _ND_BANDS * _ND_PLANES_PER_BAND, seed=42)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, id_a < id_b)."""
-    from prometheus_parquet_server_spark.pipeline.similarity import (
-        cosine_similarity_col,
-    )
-
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-first (the scale
+    path): banded sign-LSH candidate generation (equi-join on band bucket)
+    → in-bucket cosine verify ≥ threshold. Replaces the all-pairs O(n²)
+    BroadcastNestedLoopJoin; the all-pairs variant survives only as the
+    small-n recall check in tests/test_pipeline.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
+    return embedding_lsh_pairs(
+        emb,
+        threshold=_ND_THRESHOLD,
+        bands=_ND_BANDS,
+        planes_per_band=_ND_PLANES_PER_BAND,
+        dim=_ND_DIM,
     )
 
 
-SQL_DEDUP_EMBEDDING = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-         6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-         6) >= 0.35
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ",".join(repr(float(p)) for p in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB replay of similarity.sign_bucket: per plane, the sign bit of
+    the projection rounded to 9 decimals (same rounding Spark applies, so
+    last-ulp float drift can't flip a bucket)."""
+    bits = [
+        "CASE WHEN ROUND(list_dot_product(embedding::DOUBLE[], "
+        f"{_plane_sql(p)}), 9) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return " || ".join(bits)
+
+
+_ND_BANDED_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, "
+    f"{_bucket_sql(_ND_PLANES[b * _ND_PLANES_PER_BAND:(b + 1) * _ND_PLANES_PER_BAND])}"
+    " AS bucket FROM embeddings"
+    for b in range(_ND_BANDS)
+)
+
+_ND_CORE_SQL = f"""
+banded AS (
+{_ND_BANDED_SQL}
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.vec_id < y.vec_id
+),
+nd AS (
+    SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(
+                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+    ) WHERE cosine >= {_ND_THRESHOLD}
+)"""
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {_ND_CORE_SQL}
+SELECT id_a, id_b, cosine FROM nd
 """
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected components over the embedding near-dup pairs —
-    duplicate-cluster resolution (keep-one-per-component)."""
+    """Iterative connected components over the LSH-bucketed embedding
+    near-dup pairs — duplicate-cluster resolution (keep-one-per-component).
+    The feed is the same equi-join LSH path as dedup_embedding, so the
+    whole pipeline (candidates → verify → cluster) is linear in corpus
+    size, no all-pairs stage anywhere."""
     from prometheus_parquet_server_spark.pipeline.clustering import (
         connected_components,
     )
@@ -1320,10 +1372,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-_ND_PAIRS_SQL = SQL_DEDUP_EMBEDDING.strip().rstrip()
-
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE nd AS ({_ND_PAIRS_SQL}),
+WITH RECURSIVE {_ND_CORE_SQL},
 edges AS (
     SELECT id_a AS a, id_b AS b FROM nd
     UNION

@@ -71,7 +71,12 @@ def brute_force_topk(
 
 
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per (fixed, deterministic) hyperplane."""
+    """Sign-LSH bucket id: one bit per (fixed, deterministic) hyperplane.
+
+    The projection is rounded to 9 decimals before the sign test so the
+    bucket assignment is reproducible across engines (Spark HOF fold vs
+    DuckDB list_dot_product) despite last-ulp float differences.
+    """
     bits = []
     for plane in planes:
         proj = F.aggregate(
@@ -83,7 +88,7 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(F.when(F.round(proj, 9) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -98,6 +103,61 @@ def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
             plane.append(((state >> 33) / 2**30) - 1.0)  # [-1, 1)
         planes.append(plane)
     return planes
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded sign-LSH — the scale path.
+
+    Pair generation is an EQUI-join on (band, bucket): each row emits
+    ``bands`` band keys (``planes_per_band`` sign bits each, deterministic
+    planes), candidates are rows sharing any band bucket, and only
+    candidates get the cosine verify. The shuffle keys on band buckets —
+    linear in corpus size — versus the all-pairs O(n²)
+    BroadcastNestedLoopJoin this replaces. Recall is tunable via
+    bands × planes_per_band (more bands → higher recall, more candidates);
+    precision is exact because every candidate is cosine-verified.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    """
+    planes = fixed_planes(dim, bands * planes_per_band, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sign_bucket(
+                F.col(vec_col), planes[b * planes_per_band : (b + 1) * planes_per_band]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = emb.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_topk(
