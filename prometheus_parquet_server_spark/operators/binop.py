@@ -30,7 +30,7 @@ plan family, so AQE can pick broadcast for small selector results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.labels import NAME_LABEL
@@ -234,6 +234,24 @@ def _result_labels(labels: Column, on: list[str] | None, ignoring: list[str] | N
     return labels
 
 
+#: Prometheus error parity (promql/engine.go resultMetric/matching errors).
+DUPLICATE_SERIES_MSG = (
+    "found duplicate series for the match group on the {side} hand-side of the"
+    " operation: many-to-{kind} matching must be explicit (group_left/group_right)"
+)
+
+
+def _guarded(value: Column, n_matches: Column, side: str, kind: str) -> Column:
+    """Fold a duplicate-match-group assertion into the value expression so
+    Catalyst cannot prune it: assert_true yields NULL when the group is
+    unique (coalesce falls through to the real value) and raises at
+    execution when a duplicate match group is hit."""
+    msg = DUPLICATE_SERIES_MSG.format(side=side, kind=kind)
+    return F.coalesce(
+        F.assert_true(n_matches <= 1, F.lit(msg)).cast("double"), value
+    )
+
+
 def vector_vector_op(
     lhs: DataFrame,
     rhs: DataFrame,
@@ -243,17 +261,23 @@ def vector_vector_op(
     group: str | None = None,  # None | 'left' | 'right'
     include: list[str] | None = None,  # group_left(...extra rhs labels...)
     bool_mode: bool = False,
+    check_matching: bool = True,
 ) -> DataFrame:
     """vector ⊕ vector with label matching.
 
     One-to-one (``group=None``): inner join on (match key, ts); output labels
     are the lhs labels restricted by the matching clause; name dropped for
     arithmetic / bool, kept from the retained side for filter comparisons.
-    NOTE: unlike Prometheus, duplicate match groups are NOT detected — a
-    many-to-many selector pair silently cross-products instead of erroring.
-    Detection would cost a count-window over the full grid-sized frame per
-    query; at the 100 TB design point that tax on every correct query is
-    worse than the misuse it guards, so it is deliberately omitted.
+
+    Duplicate match groups raise like Prometheus ("found duplicate series
+    for the match group…") instead of silently cross-producting. The check
+    is folded into the plan, not a separate job: a count window partitioned
+    by (match key, ts) — the exact partitioning the sort-merge join already
+    produces, so under the hinted merge plan it adds no exchange; the guard
+    lives inside the value expression (assert_true ∘ coalesce) so column
+    pruning can't drop it, and it raises only when a group with >1 match is
+    actually evaluated. ``check_matching=False`` opts out (e.g. operands
+    already known unique by construction).
 
     group_left / group_right: the "many" side keeps its full label set (plus
     ``include`` labels copied from the "one" side); each many-row joins its
@@ -298,7 +322,35 @@ def vector_vector_op(
             "ts", F.col("_lv").alias("value"),
         )
 
+    if check_matching and op not in SET_OPS and group in ("left", "right"):
+        # the "one" side must be unique per (match key, instant); the window
+        # keys on the join keys, so its exchange is the join's exchange. The
+        # guard folds into the one-side value column → it only fires for
+        # groups the many side actually matches (Prometheus semantics).
+        w_one = Window.partitionBy("_mk", "ts")
+        n_one = F.count(F.lit(1)).over(w_one)
+        if group == "left":
+            right = right.withColumn(
+                "_rv", _guarded(F.col("_rv"), n_one, "right", "one")
+            )
+        else:
+            left = left.withColumn(
+                "_lv", _guarded(F.col("_lv"), n_one, "left", "many")
+            )
+
     joined = left.join(right, ["_mk", "ts"], "inner")
+
+    if check_matching and op not in SET_OPS and group is None:
+        # one-to-one: any (match key, ts) group joining >1 row means a
+        # duplicate series on some side. Count over the joined frame — it is
+        # already hash-partitioned AND sorted on (_mk, ts) by the sort-merge
+        # join, so this window adds no exchange and no sort.
+        w11 = Window.partitionBy("_mk", "ts")
+        joined = joined.withColumn(
+            "_lv",
+            _guarded(F.col("_lv"), F.count(F.lit(1)).over(w11), "right", "one"),
+        )
+
     lv, rv = F.col("_lv"), F.col("_rv")
 
     if group in ("left", "right"):

@@ -158,6 +158,27 @@ def test_set_ops(spark):
     assert len(merged) == 6
 
 
+def test_duplicate_match_group_raises(spark):
+    """Prometheus error parity: many-to-many (or an ambiguous one side)
+    raises "found duplicate series for the match group" at evaluation
+    instead of silently cross-producting."""
+    df = fixture(spark)
+    # on() collapses both sides into a single match group: 2×2 series
+    with pytest.raises(Exception, match="duplicate series"):
+        run(spark, df, 'req{} + on() lim{}').collect()
+    # group_left with a non-unique "one" side (2 lim series in the group)
+    with pytest.raises(Exception, match="duplicate series"):
+        run(spark, df, 'req{} / on() group_left lim{}').collect()
+    # group_right mirror: the lhs is now the ambiguous "one" side
+    with pytest.raises(Exception, match="duplicate series"):
+        run(spark, df, 'req{} / on() group_right lim{}').collect()
+    # sanity: well-formed matches are unaffected by the guard
+    ok = run(spark, df, 'req{} + on(host) lim{}').collect()
+    assert len(ok) == 6
+    ok_gl = run(spark, df, 'req{} / on() group_left sum(lim{})').collect()
+    assert len(ok_gl) == 6
+
+
 def test_binop_errors(spark):
     df = fixture(spark)
     with pytest.raises(QueryError, match="vector operands"):
