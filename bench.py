@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "text_quality",
     "emb_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

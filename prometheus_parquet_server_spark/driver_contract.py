@@ -1358,6 +1358,57 @@ SELECT id_a, id_b, cosine FROM nd
 """
 
 
+#: geometry for the graded ANN query — single sign-LSH bucket table,
+#: 2^4 = 16 buckets over dim-64 embeddings, shared seed with the Spark side.
+_ANN_PLANES_N = 4
+_ANN_PLANES = fixed_planes(_ND_DIM, _ANN_PLANES_N, seed=42)
+_ANN_K = 10
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors, sign-LSH bucketed (the scale path
+    graded alongside the exact emb_cosine_topk baseline): candidates must
+    share the probe's 4-bit sign bucket, so each probe scans an expected
+    1/16th of the corpus instead of all of it. Deterministic planes → the
+    DuckDB oracle replays the identical bucket assignment."""
+    from prometheus_parquet_server_spark.pipeline.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return lsh_bucketed_topk(
+        emb, probes, k=_ANN_K, num_planes=_ANN_PLANES_N, dim=_ND_DIM
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH corpus_b AS (
+    SELECT vec_id, embedding, {_bucket_sql(_ANN_PLANES)} AS bucket
+    FROM embeddings
+),
+probes_b AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec, bucket
+    FROM corpus_b WHERE vec_id < 5
+),
+scored AS (
+    SELECT p.probe_id, c.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(p.probe_vec::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM corpus_b c JOIN probes_b p
+      ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_ANN_K}
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected components over the LSH-bucketed embedding
     near-dup pairs — duplicate-cluster resolution (keep-one-per-component).
@@ -1475,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
     "streaming_event_counts": q_streaming_event_counts,
 }
@@ -1522,6 +1574,7 @@ ORACLES: dict[str, str] = {
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # streaming_event_counts: non-SQL-expressible (stateful streaming) — rows-only
 }
