@@ -160,6 +160,67 @@ def embedding_lsh_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) centroids, fully distributed.
+
+    Init = the lowest-id corpus vectors (TakeOrdered, reproducible); each
+    round assigns every vector to its max-cosine centroid (per-row codegen
+    expression against literal centroids — no shuffle) and recomputes the
+    centroid as the per-dimension mean via one groupBy(cell) hash-aggregate
+    (map-side partial, one small shuffle of n_centroids × dim partials).
+    Means are L2-normalized driver-side (spherical k-means — cosine
+    assignment needs unit centroids, and k rows is a legitimate collect
+    boundary). Empty cells keep their previous centroid.
+    """
+    import math
+
+    centroids = [
+        list(r[vec_col])
+        for r in corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    ]
+
+    def _nearest(vec):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity_col(
+                        vec, F.array(*[F.lit(float(x)) for x in cvec])
+                    )).alias("neg_sim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in enumerate(centroids)
+            ]
+        )
+        return F.array_sort(scored)[0]["cid"]
+
+    for _ in range(max(0, iterations)):
+        assigned = corpus.withColumn("cell", _nearest(F.col(vec_col)))
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            mean = [r[f"c{i}"] for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in mean))
+            new[r["cell"]] = [x / norm for x in mean] if norm > 0 else mean
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -168,25 +229,27 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iterations: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into Voronoi cells
-    around centroids; search only the ``n_probe`` cells nearest each probe.
+    around k-means centroids; search only the ``n_probe`` cells nearest
+    each probe.
 
-    Centroid selection is deterministic (the lowest-id corpus vectors) —
-    at real scale you'd k-means these, but assignment/search mechanics are
-    identical. Scale shape: centroid assignment is one broadcast pass over
-    the corpus (and is precomputable/persistable as a ``cell`` column for
+    Centroids come from :func:`kmeans_centroids` (deterministic spherical
+    Lloyd rounds; ``kmeans_iterations=0`` degenerates to the lowest-id
+    init). Scale shape: centroid assignment is one broadcast pass over the
+    corpus (and is precomputable/persistable as a ``cell`` column for
     partition pruning); per-probe work scans n_probe/n_centroids of the
     data.
     """
-    # TakeOrdered (orderBy+limit) — NOT a global row_number window, which
-    # would funnel the whole corpus through one partition
-    centroids = [
-        (i, list(r[vec_col]))
-        for i, r in enumerate(
-            corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    centroids = list(
+        enumerate(
+            kmeans_centroids(
+                corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
+            )
         )
-    ]
+    )
 
     def _best_cells(vec: Column, n: int) -> Column:
         scored = F.array(

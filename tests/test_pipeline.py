@@ -179,6 +179,54 @@ def test_multimodal_stub_pipeline(docs):
     }
 
 
+def test_ivf_kmeans_beats_lowest_id_on_clustered_data(spark):
+    """On clustered data (the regime IVF exists for), k-means centroid
+    refinement must recover the planted structure that lowest-id init
+    misses: 8 well-separated clusters stored in cluster order means the
+    lowest-id centroids all come from the first clusters."""
+    import math
+    import random
+
+    from prometheus_parquet_server_spark.pipeline.similarity import ivf_topk
+
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0, 1) for _ in range(64)]) for _ in range(8)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            rows.append((vid, unit([x + rng.gauss(0, 0.15) for x in c])))
+            vid += 1
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    probes = data.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(data, probes, k=10).collect()
+    }
+
+    def recall(iters):
+        approx = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                data, probes, k=10, n_centroids=8, n_probe=2,
+                kmeans_iterations=iters,
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r_init, r_kmeans = recall(0), recall(2)
+    # measured: 0.537 vs 1.0 — pin with slack for environment drift
+    assert r_kmeans > r_init + 0.2
+    assert r_kmeans >= 0.9
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame([("A  b!c",), ("a b c",)], "text string")
     fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
