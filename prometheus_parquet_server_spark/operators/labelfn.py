@@ -73,15 +73,31 @@ def label_join(df: DataFrame, dst: str, sep: str, srcs: list[str]) -> DataFrame:
     )
 
 
-def absent_over_grid(df: DataFrame, grid_df: DataFrame) -> DataFrame:
-    """Grid instants with no samples in the selection → value 1.0."""
+def absent_over_grid(
+    df: DataFrame, grid_df: DataFrame, eq_labels: dict[str, str] | None = None
+) -> DataFrame:
+    """Grid instants with no samples in the selection → value 1.0.
+
+    ``eq_labels``: the selector's equality matchers (Prometheus derives the
+    absent() result labels from them — ``absent(up{job="api"})`` yields
+    ``{job="api"}``; regex/negative matchers and ``__name__`` contribute
+    nothing). Absence is per-selection (our frames are grid-aligned: a
+    matched series has a row — possibly NaN — at every instant), so the
+    result is non-empty only when the selector matched no series at all;
+    see COVERAGE.md."""
     present = df.select(F.col("ts").alias("gts")).distinct()
-    empty_labels = F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<string>")
-    )
+    if eq_labels:
+        ks, vs = zip(*sorted(eq_labels.items()))
+        out_labels = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in ks]), F.array(*[F.lit(v) for v in vs])
+        )
+    else:
+        out_labels = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
     return grid_df.join(F.broadcast(present), "gts", "anti").select(
         F.lit(None).cast("string").alias("name"),
-        empty_labels.alias("labels"),
+        out_labels.alias("labels"),
         F.col("gts").alias("ts"),
         F.lit(1.0).alias("value"),
     )

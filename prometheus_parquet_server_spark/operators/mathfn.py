@@ -73,11 +73,40 @@ def apply_math_fn(df: DataFrame, fn: str) -> DataFrame:
     )
 
 
+def round_expr(v: Column, to_nearest: float = 1.0) -> Column:
+    """Value expression of PromQL ``round``: nearest multiple, ties up."""
+    t = F.lit(float(to_nearest))
+    return _finite_only(v, F.floor(v / t + F.lit(0.5)).cast("double") * t)
+
+
+def clamp_expr(
+    v: Column, lo: float | None = None, hi: float | None = None
+) -> Column | None:
+    """Value expression of PromQL ``clamp``/``clamp_min``/``clamp_max``.
+
+    Returns ``None`` for the lo > hi case — Prometheus defines
+    ``clamp(v, min, max)`` with min > max as the EMPTY vector, which the
+    caller must express as a filter, not a value. A NaN bound propagates
+    NaN to every sample (Go's math.Max/Min), short-circuited explicitly
+    because Spark's least/greatest order NaN greatest instead."""
+    import math
+
+    if lo is not None and hi is not None and lo > hi:
+        return None
+    if (lo is not None and math.isnan(lo)) or (hi is not None and math.isnan(hi)):
+        return _nan()
+    expr = v
+    if lo is not None:
+        expr = F.greatest(expr, F.lit(float(lo)))
+    if hi is not None:
+        expr = F.least(expr, F.lit(float(hi)))
+    # only NaN passes through (clamp of ±inf saturates like Go min/max)
+    return F.when(F.isnan(v), v).otherwise(expr)
+
+
 def apply_round(df: DataFrame, to_nearest: float = 1.0) -> DataFrame:
     """PromQL ``round(v, to_nearest)``: nearest multiple, ties round up."""
-    t = F.lit(float(to_nearest))
-    v = F.col("value")
-    expr = _finite_only(v, F.floor(v / t + F.lit(0.5)).cast("double") * t)
+    expr = round_expr(F.col("value"), to_nearest)
     return df.select(
         F.lit(None).cast("string").alias("name"), "labels", "ts", expr.alias("value")
     )
@@ -87,14 +116,8 @@ def apply_clamp(
     df: DataFrame, lo: float | None = None, hi: float | None = None
 ) -> DataFrame:
     """``clamp(v, min, max)`` / ``clamp_min`` / ``clamp_max``."""
-    v = F.col("value")
-    expr = v
-    if lo is not None:
-        expr = F.greatest(expr, F.lit(float(lo)))
-    if hi is not None:
-        expr = F.least(expr, F.lit(float(hi)))
-    # only NaN passes through (clamp of ±inf saturates like Go min/max)
-    expr = F.when(F.isnan(v), v).otherwise(expr)
-    return df.select(
-        F.lit(None).cast("string").alias("name"), "labels", "ts", expr.alias("value")
-    )
+    expr = clamp_expr(F.col("value"), lo, hi)
+    out_name = F.lit(None).cast("string").alias("name")
+    if expr is None:  # min > max → empty vector (Prometheus special case)
+        return df.select(out_name, "labels", "ts", "value").filter(F.lit(False))
+    return df.select(out_name, "labels", "ts", expr.alias("value"))

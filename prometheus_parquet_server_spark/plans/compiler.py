@@ -40,6 +40,8 @@ from prometheus_parquet_server_spark.operators.mathfn import (
     apply_clamp,
     apply_math_fn,
     apply_round,
+    clamp_expr,
+    round_expr,
 )
 from prometheus_parquet_server_spark.operators.over_time import (
     OVER_TIME_FNS,
@@ -50,6 +52,7 @@ from prometheus_parquet_server_spark.operators.over_time import (
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.select import QueryError, select_series
 from prometheus_parquet_server_spark.operators.binop import (
+    COMP_OPS,
     SET_OPS,
     gridscalar_const_op,
     gridscalar_gridscalar_op,
@@ -342,14 +345,28 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 "log10": lambda x: _math.log10(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
             }
             return ScalarResult(float(fns[node.name](arg.value)))
+        if isinstance(arg, GridScalar):
+            # per-step scalar (time()/scalar(v)): apply the same value
+            # expression to the (ts, value) frame — floor(time()/3600) etc.
+            return GridScalar(
+                arg.df.select(
+                    "ts", MATH_FNS[node.name](F.col("value")).alias("value")
+                )
+            )
+        if not isinstance(arg, Processed):
+            raise QueryError(
+                f"'{node.name}' needs a scalar or instant-vector argument"
+            )
         return Processed(apply_math_fn(arg.df, node.name))
 
     if node.name in ("round", "clamp", "clamp_min", "clamp_max"):
         if not node.args:
             raise QueryError(f"'{node.name}' needs arguments")
         arg = _resampled(_eval(node.args[0], ctx, state), ctx)
-        if not isinstance(arg, Processed):
-            raise QueryError(f"'{node.name}' needs a vector first argument")
+        if not isinstance(arg, (Processed, GridScalar)):
+            raise QueryError(
+                f"'{node.name}' needs a scalar or instant-vector first argument"
+            )
         extras = []
         for a in node.args[1:]:
             s = _eval(a, ctx, state)
@@ -359,16 +376,32 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         if node.name == "round":
             if len(extras) > 1:
                 raise QueryError("'round' takes (v[, to_nearest])")
-            return Processed(apply_round(arg.df, extras[0] if extras else 1.0))
+            to_nearest = extras[0] if extras else 1.0
+            if isinstance(arg, GridScalar):
+                return GridScalar(
+                    arg.df.select(
+                        "ts", round_expr(F.col("value"), to_nearest).alias("value")
+                    )
+                )
+            return Processed(apply_round(arg.df, to_nearest))
         if node.name == "clamp":
             if len(extras) != 2:
                 raise QueryError("'clamp' needs (v, min, max)")
-            return Processed(apply_clamp(arg.df, lo=extras[0], hi=extras[1]))
-        if len(extras) != 1:
-            raise QueryError(f"'{node.name}' needs (v, bound)")
-        if node.name == "clamp_min":
-            return Processed(apply_clamp(arg.df, lo=extras[0]))
-        return Processed(apply_clamp(arg.df, hi=extras[0]))
+            lo, hi = extras[0], extras[1]
+        elif node.name == "clamp_min":
+            if len(extras) != 1:
+                raise QueryError(f"'{node.name}' needs (v, bound)")
+            lo, hi = extras[0], None
+        else:
+            if len(extras) != 1:
+                raise QueryError(f"'{node.name}' needs (v, bound)")
+            lo, hi = None, extras[0]
+        if isinstance(arg, GridScalar):
+            expr = clamp_expr(F.col("value"), lo, hi)
+            if expr is None:  # min > max → empty
+                return GridScalar(arg.df.filter(F.lit(False)))
+            return GridScalar(arg.df.select("ts", expr.alias("value")))
+        return Processed(apply_clamp(arg.df, lo=lo, hi=hi))
 
     if node.name in ("label_replace", "label_join"):
         # beyond-reference label manipulation; string args via StringNode
@@ -395,7 +428,21 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         arg = _resampled(_eval(node.args[0], ctx, state), ctx)
         if not isinstance(arg, Processed):
             raise QueryError("'absent' needs a vector argument")
-        return Processed(absent_over_grid(arg.df, ctx.grid_df()))
+        # Prometheus: result labels come from the selector's '=' matchers
+        # (absent(up{job="api"}) → {job="api"}); __name__ and regex/negative
+        # matchers contribute nothing, conflicting duplicates drop the label
+        eq_labels: dict[str, str] = {}
+        if isinstance(node.args[0], SelectorNode):
+            seen_conflict = set()
+            for m in node.args[0].matchers:
+                if m.op != "=" or m.label == "__name__":
+                    continue
+                if m.label in eq_labels and eq_labels[m.label] != m.value:
+                    seen_conflict.add(m.label)
+                eq_labels[m.label] = m.value
+            for k in seen_conflict:
+                eq_labels.pop(k, None)
+        return Processed(absent_over_grid(arg.df, ctx.grid_df(), eq_labels))
 
     if node.name == "timestamp":
         if len(node.args) != 1:
@@ -500,6 +547,15 @@ def _eval_binary(node: BinaryNode, ctx: _Ctx, state: State) -> State:
     elif isinstance(lhs, GridScalar) or isinstance(rhs, GridScalar):
         if node.matching is not None:
             raise QueryError("vector matching is not valid with a scalar operand")
+        # scalar ⊕ scalar comparisons (time() > 100, scalar(a) > scalar(b))
+        # require the bool modifier, same as literal⊕literal above
+        if (
+            node.op in COMP_OPS
+            and not node.bool_mode
+            and isinstance(lhs, (GridScalar, ScalarResult))
+            and isinstance(rhs, (GridScalar, ScalarResult))
+        ):
+            raise QueryError("comparisons between scalars must use BOOL modifier")
         if isinstance(lhs, GridScalar) and isinstance(rhs, GridScalar):
             return GridScalar(gridscalar_gridscalar_op(lhs.df, rhs.df, node.op))
         if isinstance(lhs, GridScalar) and isinstance(rhs, ScalarResult):

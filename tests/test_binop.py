@@ -258,6 +258,47 @@ def test_instant_time(spark):
     assert kind == "scalar" and val == 1234.0
 
 
+def test_math_fns_on_per_step_scalar(spark):
+    """floor(time()/3600)-style expressions: math/round/clamp applied to a
+    GridScalar operate on its (ts, value) frame (ADVICE r1)."""
+    df = fixture(spark)
+    out = run(spark, df, "vector(floor(time() / 45) * 45)").collect()
+    got = {r["ts"]: r["value"] for r in out}
+    assert got == {0.0: 0.0, 60.0: 45.0, 120.0: 90.0}
+    sq = run(spark, df, "vector(sqrt(time()))").collect()
+    assert {r["ts"]: r["value"] for r in sq}[0.0] == 0.0
+    rd = run(spark, df, "vector(round(time(), 50))").collect()
+    assert {r["ts"]: r["value"] for r in rd} == {0.0: 0.0, 60.0: 50.0, 120.0: 100.0}
+    cl = run(spark, df, "vector(clamp(time(), 30, 90))").collect()
+    assert {r["ts"]: r["value"] for r in cl} == {0.0: 30.0, 60.0: 60.0, 120.0: 90.0}
+    # min > max → empty (Prometheus special case), also through vector()
+    assert run(spark, df, "vector(clamp(time(), 90, 30))").count() == 0
+    # string argument → clean QueryError, not an AttributeError
+    with pytest.raises((QueryError, PromQLError)):
+        run(spark, df, 'floor("not a vector")')
+
+
+def test_scalar_comparisons_require_bool(spark):
+    df = fixture(spark)
+    with pytest.raises(QueryError, match="BOOL"):
+        run(spark, df, "time() > 100")
+    with pytest.raises(QueryError, match="BOOL"):
+        run(spark, df, 'scalar(req{host="a"}) > scalar(req{host="b"})')
+    out = run(spark, df, "vector(time() > bool 100)").collect()
+    assert {r["ts"]: r["value"] for r in out} == {0.0: 0.0, 60.0: 0.0, 120.0: 1.0}
+
+
+def test_clamp_edge_cases(spark):
+    df = fixture(spark)
+    # min > max on a vector → empty vector
+    assert run(spark, df, "clamp(req{}, 5, 1)").count() == 0
+    # NaN bound → NaN for every sample (Go math.Max/Min semantics)
+    nan_out = run(spark, df, "clamp(req{}, NaN, 10)").collect()
+    assert len(nan_out) == 6 and all(math.isnan(r["value"]) for r in nan_out)
+    nan_min = run(spark, df, "clamp_min(req{}, NaN)").collect()
+    assert all(math.isnan(r["value"]) for r in nan_min)
+
+
 def test_group_right_comparison_filter(spark):
     df = fixture(spark)
     # total > each part always holds; filter mode keeps the MANY (rhs) side

@@ -64,7 +64,13 @@ def test_label_join(spark):
 def test_absent(spark):
     df = fixture(spark)
     out = run(spark, df, 'absent(m{host="nope"})').collect()
-    assert [(r["ts"], r["value"], dict(r["labels"])) for r in out] == [(0.0, 1.0, {})]
+    # Prometheus derives result labels from the selector's '=' matchers
+    assert [(r["ts"], r["value"], dict(r["labels"])) for r in out] == [
+        (0.0, 1.0, {"host": "nope"})
+    ]
+    # regex / negative matchers and __name__ contribute nothing
+    out2 = run(spark, df, 'absent(m{host=~"nope.*", env!="x"})').collect()
+    assert all(dict(r["labels"]) == {} for r in out2) and len(out2) > 0
     # non-empty selection → no absent rows
     assert run(spark, df, 'absent(m{})').count() == 0
 
