@@ -22,6 +22,7 @@ BENCH_QUERIES = [
     "p1_rate",
     "p2_irate",
     "p3_histogram_quantile",
+    "hq_sum_rate",
     "a1_sum_by",
     "promql_sum_rate",
     "promql_binop",

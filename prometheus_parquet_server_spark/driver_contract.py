@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
@@ -396,6 +396,126 @@ cand AS (
 )
 SELECT b.t, b.ts, ROUND(COALESCE(c.q, {_d(_HQ_TOP)}), 6) AS value
 FROM buckets b LEFT JOIN cand c USING (t, ts)
+"""
+
+
+def _hq_counter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative bucket COUNTER series — the reference's native data shape
+    (main.rs:44-84 queries `..._bucket` series carrying a ``Le`` label):
+    per (event_type, Le), the running count of events with value ≤ Le,
+    sampled at 6h window boundaries."""
+    b = _hq_buckets(spark, sf_dir)
+    stack_args = ", ".join(
+        [f"'{t}', b{i}" for i, t in enumerate(HQ_THRESHOLDS)] + ["'+Inf', binf"]
+    )
+    long_b = b.selectExpr(
+        "t", "ts", f"stack({len(HQ_THRESHOLDS) + 1}, {stack_args}) as (le, cnt)"
+    )
+    w = Window.partitionBy("t", "le").orderBy("ts")
+    return long_b.select(
+        F.lit("v_bucket").alias("name"),
+        F.create_map(F.lit("t"), F.col("t"), F.lit("Le"), F.col("le")).alias("labels"),
+        "ts",
+        F.sum("cnt").over(w).alias("value"),
+    )
+
+
+def q_hq_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's de-facto example query, end-to-end through the full
+    engine (parse → compile → rate → sum by → histogram_quantile):
+    ``histogram_quantile(0.95, sum by (Le) (rate(v_bucket{}[6h])))``
+    (main.rs:44-84 runs the same P3∘A1∘P1 composition). One plan: slot
+    resample for the rate endpoints, one (Le, ts) hash-agg, HOF bucket
+    walk — no Python in the loop."""
+    metrics = _hq_counter_metrics(spark, sf_dir)
+    out = run_query(
+        spark,
+        metrics,
+        "histogram_quantile(0.95, sum by (Le) (rate(v_bucket{}[6h])))",
+        GRID,
+    )
+    # +1e-9 before rounding: bucket interpolation lands on exact dyadic
+    # values (… .2265625) where Spark rounds half-even and DuckDB half-up;
+    # the nudge (1e-9 ≫ the engines' ulp-level drift) breaks the tie the
+    # same way on both sides without moving any non-tie value.
+    return out.filter(~F.isnan("value")).select(
+        "ts", F.round(F.col("value") + F.lit(1e-9), 6).alias("value")
+    )
+
+
+def _hq_interp_sql(probe: str, out: str) -> str:
+    """Clamped-interp CTE over the cumulative bucket series (t, le, ts)."""
+    probe_j = probe.replace("g.gts", "j.gts")
+    return f"""
+straddle_{out} AS (
+    SELECT s.t, s.le, g.gts,
+           MAX(CASE WHEN s.ts <= {probe} THEN s.ts END) AS t0,
+           MIN(CASE WHEN s.ts >  {probe} THEN s.ts END) AS t1
+    FROM grid g CROSS JOIN bcum s
+    GROUP BY 1, 2, 3
+),
+{out} AS (
+    SELECT j.t, j.le, j.gts,
+           CASE WHEN j.t0 IS NULL THEN s1.value
+                WHEN j.t1 IS NULL THEN s0.value
+                ELSE (({probe_j} - j.t0) * s1.value + (j.t1 - {probe_j}) * s0.value)
+                     / (j.t1 - j.t0)
+           END AS value
+    FROM straddle_{out} j
+    LEFT JOIN bcum s0 ON s0.t = j.t AND s0.le = j.le AND s0.ts = j.t0
+    LEFT JOIN bcum s1 ON s1.t = j.t AND s1.le = j.le AND s1.ts = j.t1
+)"""
+
+
+_HQ_RATE_UNION = " UNION ALL ".join(
+    f"SELECT t, ts, {_d(t)} AS le, b{i} AS cnt FROM bwin"
+    for i, t in enumerate(HQ_THRESHOLDS)
+) + f" UNION ALL SELECT t, ts, CAST('inf' AS DOUBLE) AS le, binf FROM bwin"
+
+SQL_HQ_SUM_RATE = f"""
+WITH {_GRID_CTE},
+bwin AS (
+    SELECT event_type AS t,
+           (epoch_us(ts) // {int(HQ_WINDOW_S * 1e6)}) * {_d(HQ_WINDOW_S)} AS ts,
+           {_HQ_CASES}
+           COUNT(*)::DOUBLE AS binf
+    FROM events GROUP BY 1, 2
+),
+blong AS ({_HQ_RATE_UNION}),
+bcum AS (
+    SELECT t, le, ts,
+           SUM(cnt) OVER (PARTITION BY t, le ORDER BY ts) AS value
+    FROM blong
+),
+{_hq_interp_sql('g.gts', 'hi')},
+{_hq_interp_sql(f'(g.gts - {_d(HQ_WINDOW_S)})', 'lo')},
+rate_tl AS (
+    SELECT h.t, h.le, h.gts, (h.value - l.value) / {_d(HQ_WINDOW_S)} AS r
+    FROM hi h JOIN lo l ON l.t = h.t AND l.le = h.le AND l.gts = h.gts
+),
+sum_l AS (
+    SELECT le, gts, SUM(r) AS cnt FROM rate_tl GROUP BY le, gts
+),
+winf AS (
+    SELECT gts, cnt AS total FROM sum_l WHERE isinf(le)
+),
+walk AS (
+    SELECT s.le, s.gts, s.cnt,
+           LAG(s.le, 1, CAST(0.0 AS DOUBLE))  OVER (PARTITION BY s.gts ORDER BY s.le) AS ple,
+           LAG(s.cnt, 1, CAST(0.0 AS DOUBLE)) OVER (PARTITION BY s.gts ORDER BY s.le) AS pcnt,
+           w.total * {_d(HQ_PHI)} AS cutoff
+    FROM sum_l s JOIN winf w USING (gts)
+    WHERE NOT isinf(s.le)
+),
+cand AS (
+    SELECT gts, le - (le - ple) * (cnt - cutoff) / (cnt - pcnt) AS q
+    FROM walk WHERE cnt >= cutoff
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY gts ORDER BY le) = 1
+)
+SELECT w.gts AS ts,
+       ROUND(COALESCE(c.q, {_d(_HQ_TOP)}) + {_d(1e-9)}, 6) AS value
+FROM winf w LEFT JOIN cand c USING (gts)
+WHERE w.total > 0
 """
 
 
@@ -1491,6 +1611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_rate": q_p1_rate,
     "p2_irate": q_p2_irate,
     "p3_histogram_quantile": q_p3_histogram_quantile,
+    "hq_sum_rate": q_hq_sum_rate,
     "a1_sum_by": q_a1_sum_by,
     "a2_sum_without": q_a2_sum_without,
     "a3_sum_bare": q_a3_sum_bare,
@@ -1539,6 +1660,7 @@ ORACLES: dict[str, str] = {
     "p1_rate": SQL_P1,
     "p2_irate": SQL_P2,
     "p3_histogram_quantile": SQL_P3,
+    "hq_sum_rate": SQL_HQ_SUM_RATE,
     "a1_sum_by": SQL_A1,
     "a2_sum_without": SQL_A2,
     "a3_sum_bare": SQL_A3,
