@@ -37,8 +37,10 @@ from prometheus_parquet_server_spark.pipeline.dedup import (
     simhash,
 )
 from prometheus_parquet_server_spark.pipeline.multimodal import (
+    decode_media,
     extract_features,
     media_frame_from_documents,
+    synthetic_media_from_documents,
 )
 from prometheus_parquet_server_spark.pipeline.similarity import (
     brute_force_topk,
@@ -1576,6 +1578,43 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: deterministic BMP/WAV payloads are
+    byte-encoded per doc_id (mapInPandas), then the decode kernel parses
+    the actual headers/pixels/PCM frames back out. The oracle predicts
+    every decoded field (dims, duration, container size) from doc_id alone,
+    so a decoder that cheats on the byte format cannot match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dec = decode_media(synthetic_media_from_documents(docs))
+    return dec.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("duration_s", 6).alias("duration_s"),
+        "decoder",
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 54 + ((3 * (doc_id % 21 + 4) + 3) // 4) * 4
+                           * ((doc_id * 7) % 13 + 3)
+                 ELSE 44 + 2 * ((doc_id % 50 + 1) * 400)
+            END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 21 + 4 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 13 + 3 END AS INT) AS height,
+       CASE WHEN doc_id % 2 = 1
+            THEN ROUND(((doc_id % 50 + 1) * 400) / 8000.0, 6)
+       END AS duration_s,
+       'real' AS decoder
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (no SQL oracle — rows-only check)
 # ---------------------------------------------------------------------------
@@ -1649,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "streaming_event_counts": q_streaming_event_counts,
 }
 
@@ -1698,5 +1738,6 @@ ORACLES: dict[str, str] = {
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     # streaming_event_counts: non-SQL-expressible (stateful streaming) — rows-only
 }
