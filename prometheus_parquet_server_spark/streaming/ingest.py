@@ -98,7 +98,14 @@ def run_available_now(
 ) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
     return the materialized result (batch-parity execution of a streaming
-    plan)."""
+    plan).
+
+    Mode semantics matter for the bounded-state claim: ``complete`` retains
+    every window's state for re-emission (full batch parity, but state
+    grows with history — fine for a finite drain, not for run-forever);
+    ``append``/``update`` are the production modes where the watermark
+    actually evicts state and append only emits watermark-closed windows
+    (exercised in tests/test_streaming_server.py)."""
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
     q: StreamingQuery = (
         df.writeStream.format("memory")

@@ -22,11 +22,7 @@ from tests.conftest import long_frame
 SF = "/root/testdata/sf0.001"
 
 
-def test_streaming_counts_match_batch(spark):
-    ms = stream_events_as_metrics(spark, SF)
-    out = run_available_now(stream_windowed_counts(ms), spark)
-    got = {(r["window_start"], r["name"]): r["n_samples"] for r in out.collect()}
-
+def _batch_counts(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     batch = (
         ev.select(
@@ -37,17 +33,80 @@ def test_streaming_counts_match_batch(spark):
         .count()
         .collect()
     )
-    want = {(r["w"]["start"], r["name"]): r["count"] for r in batch}
+    return {(r["w"]["start"], r["w"]["end"], r["name"]): r["count"] for r in batch}
+
+
+def _max_event_time(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return ev.agg(
+        F.max(F.timestamp_micros(F.expr("ts div 1000")))
+    ).first()[0]
+
+
+def test_streaming_counts_match_batch(spark):
+    ms = stream_events_as_metrics(spark, SF)
+    out = run_available_now(stream_windowed_counts(ms), spark)
+    got = {(r["window_start"], r["name"]): r["n_samples"] for r in out.collect()}
+    want = {(s, n): c for (s, _e, n), c in _batch_counts(spark).items()}
     assert got == want and len(got) > 100
 
 
-def test_streaming_rate_produces_series(spark):
+def test_streaming_counts_append_mode_respects_watermark(spark):
+    """Append mode is where the watermark actually binds: only windows whose
+    end precedes the final watermark (max event time − 1 day) are emitted,
+    and their values equal the batch computation — i.e. state was held
+    exactly until the horizon passed, then finalized."""
+    import datetime
+
+    ms = stream_events_as_metrics(spark, SF)
+    out = run_available_now(
+        stream_windowed_counts(ms), spark, output_mode="append"
+    )
+    got = {(r["window_start"], r["name"]): r["n_samples"] for r in out.collect()}
+    horizon = _max_event_time(spark) - datetime.timedelta(days=1)
+    want = {
+        (s, n): c for (s, e, n), c in _batch_counts(spark).items() if e <= horizon
+    }
+    assert got == want
+    assert 0 < len(got) < len(_batch_counts(spark))  # some windows held back
+
+
+def test_streaming_rate_matches_batch(spark):
+    """stream_windowed_rate parity: the availableNow drain must equal the
+    identical sliding-window computation run as a plain batch job."""
     ms = stream_events_as_metrics(spark, SF)
     out = run_available_now(stream_windowed_rate(ms), spark).collect()
-    assert len(out) > 0
-    names = {r["name"] for r in out}
-    assert "click" in names
-    assert all(r["n"] >= 1 for r in out)
+    assert len(out) > 0 and "click" in {r["name"] for r in out}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    m = ev.select(
+        F.col("event_type").alias("name"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "value",
+    )
+    win = F.window("event_time", "6 hours", "1 hour")
+    span = F.col("window.end").cast("double") - F.col("window.start").cast("double")
+    batch = (
+        m.groupBy(win, F.col("name"))
+        .agg(
+            F.max_by("value", "event_time").alias("_last"),
+            F.min_by("value", "event_time").alias("_first"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "name",
+            ((F.col("_last") - F.col("_first")) / span).alias("rate"),
+            "n",
+        )
+        .collect()
+    )
+    got = {(r["window_start"], r["name"]): (r["rate"], r["n"]) for r in out}
+    want = {(r["window_start"], r["name"]): (r["rate"], r["n"]) for r in batch}
+    assert got.keys() == want.keys()
+    for k, (rate, n) in want.items():
+        assert got[k][1] == n
+        assert got[k][0] == pytest.approx(rate, nan_ok=True)
 
 
 def test_fmt_value():
