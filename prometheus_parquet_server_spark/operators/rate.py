@@ -163,6 +163,53 @@ def _rate_lagged(
     return res
 
 
+def rate_from_aligned(
+    aligned_ext_sel: DataFrame,
+    grid,
+    over_range: float,
+) -> DataFrame:
+    """Serving fast path: rate over a store aligned to this grid EXTENDED
+    ``pad`` steps backwards (see MetricsHTTPServer._aligned_for).
+
+    ``interp(t)`` for every (extended-)grid instant is materialized in the
+    aligned frame, and when r is a whole number of (integral) steps the
+    t−r endpoint is exactly an earlier instant of the same frame (same
+    float — see _lag_fast_path_applicable), so
+    ``rate = (v[i] − v[i−k]) / r`` is ONE ``lag(k)`` window over the
+    persisted frame — no slot explode, no raw scan, no edge case (the
+    backward padding supplies the t−r endpoints of the first k instants;
+    caller must check k ≤ pad).
+
+    Bit-identical to rate_to_grid: identical interpolation feeds an
+    identical (hi − lo)/r expression.
+
+    Serving-scale trade: the single window shuffle carries the labels MAP
+    directly (partitioned on the string series key) instead of the batch
+    path's keyed_series split+join — one exchange instead of three on a
+    frame that is panel-sized by construction. The batch operators keep
+    maps out of wide shuffles; this path is only reachable through a
+    server-provided aligned store.
+    """
+    from prometheus_parquet_server_spark.model import series_key_str
+
+    k = int(over_range / grid.increment)
+    w = Window.partitionBy(
+        series_key_str(F.col("name"), F.col("labels"))
+    ).orderBy("ts")
+    return (
+        aligned_ext_sel.withColumn("_lo", F.lag("value", k).over(w))
+        .filter(F.col("ts") >= F.lit(float(grid.start)))
+        .select(
+            "name",
+            "labels",
+            "ts",
+            ((F.col("value") - F.col("_lo")) / F.lit(float(over_range))).alias(
+                "value"
+            ),
+        )
+    )
+
+
 def interpolate_at_probes_raw(
     samples: DataFrame,
     probes: DataFrame,

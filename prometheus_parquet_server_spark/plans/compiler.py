@@ -49,7 +49,12 @@ from prometheus_parquet_server_spark.operators.over_time import (
     deriv_to_grid,
     over_time_to_grid,
 )
-from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
+from prometheus_parquet_server_spark.operators.rate import (
+    _lag_fast_path_applicable,
+    irate_to_grid,
+    rate_from_aligned,
+    rate_to_grid,
+)
 from prometheus_parquet_server_spark.operators.select import QueryError, select_series
 from prometheus_parquet_server_spark.operators.binop import (
     COMP_OPS,
@@ -87,6 +92,18 @@ class _Ctx:
     spark: SparkSession
     collection: DataFrame  # canonical long frame
     grid: RegularTimeRange
+    #: optional pre-aligned store for EXACTLY this grid (one interpolated row
+    #: per series per grid instant, offset 0). Instant selectors read it and
+    #: skip the resample stage entirely — per-series interpolation commutes
+    #: with label filtering, so results are identical. Range-vector selectors
+    #: ([r]) and offsets still read raw samples (rate over interpolated
+    #: points would be wrong).
+    aligned: DataFrame | None = None
+    #: optional store aligned to the grid extended ``aligned_ext_steps``
+    #: steps BACKWARDS (instants start − pad·inc … end). rate() uses it for
+    #: the pure-lag fast path when r ≤ pad·inc (rate.rate_from_aligned).
+    aligned_ext: DataFrame | None = None
+    aligned_ext_steps: int = 0
 
     def grid_df(self) -> DataFrame:
         return self.grid.to_df(self.spark)
@@ -103,6 +120,9 @@ class UnprocessedVector:
     df: DataFrame
     over_range: int = 0
     offset: int | None = None
+    #: the same selection over the ctx.aligned store, when one exists —
+    #: lets rate() take the aligned lag fast path (rate.rate_from_aligned)
+    aligned_df: DataFrame | None = None
 
 
 @dataclass
@@ -176,9 +196,15 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
             return UnprocessedVector(df, node.range_s, offset)
         return Unprocessed(df, offset)
     # fresh selection from the collection: name-equality rule enforced (F3)
+    if ctx.aligned is not None and node.range_s is None and node.offset_s is None:
+        # serving fast path: the store is already aligned to this grid
+        return Processed(select_series(ctx.aligned, matchers))
     df = select_series(ctx.collection, matchers)
     if node.range_s is not None:
-        return UnprocessedVector(df, node.range_s, node.offset_s)
+        aligned_sel = None
+        if ctx.aligned_ext is not None and node.offset_s is None:
+            aligned_sel = select_series(ctx.aligned_ext, matchers)
+        return UnprocessedVector(df, node.range_s, node.offset_s, aligned_sel)
     return Unprocessed(df, node.offset_s)
 
 
@@ -195,6 +221,18 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         arg = _eval(node.args[0], ctx, state)
         if not isinstance(arg, UnprocessedVector):
             raise QueryError(f"'{node.name}' needs a range vector")
+        if (
+            node.name == "rate"
+            and arg.aligned_df is not None
+            and not arg.offset
+            and _lag_fast_path_applicable(ctx.grid, float(arg.over_range), 0.0)
+            and float(arg.over_range) / ctx.grid.increment <= ctx.aligned_ext_steps
+        ):
+            return Processed(
+                rate_from_aligned(
+                    arg.aligned_df, ctx.grid, float(arg.over_range)
+                )
+            )
         fn = _RATE_FUNCS[node.name]
         kwargs = {"grid": ctx.grid}
         df = fn(
@@ -660,14 +698,21 @@ def run_query(
     collection: DataFrame,
     query: str,
     grid: RegularTimeRange,
+    aligned: DataFrame | None = None,
+    aligned_ext: DataFrame | None = None,
+    aligned_ext_steps: int = 0,
 ) -> DataFrame:
     """``run_query`` (src/query.rs:583-596): parse → interpret → resample.
 
     Returns the grid-aligned long frame (name, labels, ts, value); raises
     QueryError/PromQLError like the reference's 400s (src/main.rs:386-393).
+    ``aligned``: optional pre-aligned (cached) store for this exact grid —
+    instant selectors then skip interpolation; ``aligned_ext`` extends it
+    ``aligned_ext_steps`` steps backwards for the rate lag fast path (see
+    _Ctx).
     """
     ast = parse_promql(query)
-    ctx = _Ctx(spark, collection, grid)
+    ctx = _Ctx(spark, collection, grid, aligned, aligned_ext, aligned_ext_steps)
     result = _eval(ast, ctx, _Collection())
     result = _resampled(result, ctx)
     if isinstance(result, GridScalar):

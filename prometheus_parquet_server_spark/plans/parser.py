@@ -15,6 +15,7 @@ tighter than unary minus).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from prometheus_parquet_server_spark.durations import parse_duration
 from prometheus_parquet_server_spark.labels import NAME_LABEL, LabelMatcher
@@ -120,7 +121,11 @@ def _unescape(text: str) -> str:
     return "".join(out)
 
 
+@lru_cache(maxsize=512)
 def parse_promql(query: str) -> Node:
+    """Parse a PromQL string to its AST. Cached: every node type is a frozen
+    dataclass, so the AST is safely shareable across queries — repeated
+    dashboard panels skip re-parsing (errors are not cached by lru_cache)."""
     lex = _Lexer(query)
     node = _parse_expr(lex)
     if lex.peek() is not None:

@@ -20,10 +20,13 @@ from __future__ import annotations
 
 import json
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
 
 from prometheus_parquet_server_spark.durations import parse_duration, parse_timestamp
 from prometheus_parquet_server_spark.json_out import (
@@ -46,14 +49,27 @@ from prometheus_parquet_server_spark.plans.compiler import (
 
 
 def prepare_collection_for_serving(
-    collection: DataFrame, partitions: int = 4
+    collection: DataFrame,
+    partitions: int = 4,
+    shuffle_partitions: int = 4,
+    tune_session: bool = True,
 ) -> DataFrame:
     """Latency-tune a store for interactive serving: coalesce to a few
-    partitions and cache (measured: p50 1.75 s → 1.3 s per query_range on a
-    cached sf0.01 store; the rest is Spark's per-stage scheduling floor).
-    Also set ``spark.sql.shuffle.partitions`` low (≈8) on the serving
-    session — dashboard queries touch small aligned frames, not the full
-    ingest width."""
+    partitions and cache; with ``tune_session`` also reconfigure the
+    SparkSession for low-latency small queries — few shuffle partitions
+    (dashboard frames are tiny) and AQE OFF (its per-stage re-planning
+    costs more than it saves at panel scale; keep it ON for batch/analytic
+    sessions). NOTE: session-level settings affect every query on this
+    session — dedicate a session to serving.
+
+    Round-1 p50 was 1.75 s per query_range on a cached sf0.01 store; with
+    this + the per-grid aligned store + the caches in MetricsHTTPServer,
+    scripts/bench_serving.py measures cold (first-evaluation) p50 around
+    ~0.5 s and cache-hit p50 under a millisecond."""
+    if tune_session:
+        conf = collection.sparkSession.conf
+        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        conf.set("spark.sql.adaptive.enabled", "false")
     return collection.coalesce(partitions).cache()
 
 
@@ -66,6 +82,9 @@ class MetricsHTTPServer:
         collection: DataFrame,
         port: int = 3003,
         time_offset: float = 0.0,
+        response_cache_size: int = 128,
+        aligned_store_grids: int = 4,
+        aligned_pad_steps: int = 256,
     ):
         self.spark = spark
         self.collection = collection
@@ -73,6 +92,93 @@ class MetricsHTTPServer:
         self.time_offset = time_offset  # --shift_to_midnight equivalent
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # The store is immutable once loaded (the reference batch-loads at
+        # startup, src/main.rs:47-72), so responses and per-grid aligned
+        # frames can be cached without invalidation concerns.
+        self._response_cache: "OrderedDict[tuple, tuple[int, dict]]" = OrderedDict()
+        self._response_cache_size = response_cache_size
+        self._aligned: "OrderedDict[tuple, tuple[RegularTimeRange, DataFrame]]" = (
+            OrderedDict()
+        )
+        self._aligned_grids = aligned_store_grids
+        self._aligned_pad_steps = aligned_pad_steps
+        self._lock = threading.Lock()
+
+    # ---- serving caches ----------------------------------------------------
+
+    def _aligned_for(
+        self, grid: RegularTimeRange
+    ) -> tuple[DataFrame, DataFrame | None, int]:
+        """Per-grid aligned store: every series interpolated onto the grid
+        ONCE, persisted; all instant selectors on that grid then skip the
+        resample stage, and rate() lags over it (the dominant per-query
+        costs). Dashboards reuse a handful of grids, so a small LRU
+        suffices. Returns (exact frame, backward-extended frame | None,
+        pad steps).
+
+        When start/step are integral (every real dashboard), the frame is
+        built on the grid extended ``_aligned_pad_steps`` backwards — the
+        padding supplies rate's t−r endpoints (bit-exact: integer doubles
+        add/subtract exactly) — and the exact view is a ts ≥ start filter.
+
+        A request whose grid is a PREFIX of a cached one (same start, same
+        step, shorter range) is served by a ts filter on the cached frame:
+        both grids enumerate ``start + n*inc`` with the identical floats,
+        so the subset is bit-exact. (General sliding reuse is deliberately
+        NOT attempted — ``start' + m*inc`` need not equal
+        ``start + (k+m)*inc`` in f64, and the engine's grid arithmetic is
+        bit-for-bit reference parity.)"""
+        from pyspark.sql import functions as F
+
+        start_lit = F.lit(float(grid.start))
+        with self._lock:
+            for key, (agrid, pad, df) in self._aligned.items():
+                if (
+                    agrid.start == grid.start
+                    and agrid.increment == grid.increment
+                    and len(grid) <= len(agrid)
+                ):
+                    self._aligned.move_to_end(key)
+                    ext = df
+                    if len(grid) < len(agrid):
+                        ext = df.filter(F.col("ts") <= grid.instants()[-1])
+                    exact = ext.filter(F.col("ts") >= start_lit) if pad else ext
+                    return exact, (ext if pad else None), pad
+        pad = self._aligned_pad_steps
+        if not (
+            float(grid.start).is_integer() and float(grid.increment).is_integer()
+        ):
+            pad = 0  # fractional grids: no bit-exact backward extension
+        build_grid = grid
+        if pad:
+            build_grid = RegularTimeRange(
+                grid.start - pad * grid.increment, grid.end, grid.increment
+            )
+        ext = resample_to_grid(
+            self.collection, build_grid.to_df(self.spark), grid=build_grid
+        ).persist()
+        ext.count()  # materialize outside the request's critical path
+        with self._lock:
+            self._aligned[(grid.start, grid.end, grid.increment)] = (
+                grid, pad, ext,
+            )
+            while len(self._aligned) > self._aligned_grids:
+                _, (_g, _p, old) = self._aligned.popitem(last=False)
+                old.unpersist()
+        exact = ext.filter(F.col("ts") >= start_lit) if pad else ext
+        return exact, (ext if pad else None), pad
+
+    def _cached_response(self, key: tuple, compute) -> tuple[int, dict]:
+        with self._lock:
+            if key in self._response_cache:
+                self._response_cache.move_to_end(key)
+                return self._response_cache[key]
+        status, payload = compute()
+        with self._lock:
+            self._response_cache[key] = (status, payload)
+            while len(self._response_cache) > self._response_cache_size:
+                self._response_cache.popitem(last=False)
+        return status, payload
 
     # ---- request handlers -------------------------------------------------
 
@@ -84,12 +190,22 @@ class MetricsHTTPServer:
             step = parse_duration(params["step"])
         except (KeyError, ValueError) as e:
             return 400, error_response(f"bad request: {e}")
-        try:
-            grid = RegularTimeRange(start, end, step, time_offset=self.time_offset)
-            df = run_query(self.spark, self.collection, query, grid)
-            return 200, matrix_result(df, time_offset=self.time_offset)
-        except Exception as e:  # query errors → 400 (src/main.rs:386-393)
-            return 400, error_response(str(e))
+
+        def compute() -> tuple[int, dict]:
+            try:
+                grid = RegularTimeRange(
+                    start, end, step, time_offset=self.time_offset
+                )
+                exact, ext, pad = self._aligned_for(grid)
+                df = run_query(
+                    self.spark, self.collection, query, grid,
+                    aligned=exact, aligned_ext=ext, aligned_ext_steps=pad,
+                )
+                return 200, matrix_result(df, time_offset=self.time_offset)
+            except Exception as e:  # query errors → 400 (src/main.rs:386-393)
+                return 400, error_response(str(e))
+
+        return self._cached_response(("range", query, start, end, step), compute)
 
     def handle_labels(self) -> tuple[int, dict]:
         names = [r["label"] for r in all_label_names(self.collection).collect()]
