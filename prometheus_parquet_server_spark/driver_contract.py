@@ -1444,33 +1444,33 @@ def _bucket_sql(planes: list[list[float]]) -> str:
 
 
 _ND_BANDED_SQL = "\nUNION ALL\n".join(
-    f"SELECT vec_id, {b} AS band, "
+    f"SELECT vec_id, nv, {b} AS band, "
     f"{_bucket_sql(_ND_PLANES[b * _ND_PLANES_PER_BAND:(b + 1) * _ND_PLANES_PER_BAND])}"
-    " AS bucket FROM embeddings"
+    " AS bucket FROM normed"
     for b in range(_ND_BANDS)
 )
 
 _ND_CORE_SQL = f"""
+normed AS (
+    SELECT vec_id, embedding,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+                THEN list_transform(
+                    embedding::DOUBLE[],
+                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                ELSE NULL
+           END AS nv
+    FROM embeddings
+),
 banded AS (
 {_ND_BANDED_SQL}
 ),
-cand AS (
-    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-    FROM banded x
-    JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.vec_id < y.vec_id
-),
 nd AS (
-    SELECT id_a, id_b, cosine FROM (
-        SELECT c.id_a, c.id_b,
-               ROUND(
-                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS cosine
-        FROM cand c
-        JOIN embeddings a ON a.vec_id = c.id_a
-        JOIN embeddings b ON b.vec_id = c.id_b
+    SELECT DISTINCT id_a, id_b, cosine FROM (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               ROUND(list_dot_product(x.nv, y.nv), 6) AS cosine
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.vec_id < y.vec_id
     ) WHERE cosine >= {_ND_THRESHOLD}
 )"""
 

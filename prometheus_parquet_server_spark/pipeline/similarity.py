@@ -38,6 +38,17 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(ad, bd) / denom).otherwise(F.lit(0.0))
 
 
+def unit_vector(a: Column) -> Column:
+    """L2-normalized copy (zero vectors → all zeros). Normalizing ONCE per
+    corpus row turns every pairwise cosine into a single dot-product fold —
+    the hot-loop form the LSH dedup verify uses."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    n = _norm(ad)
+    return F.transform(
+        ad, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -121,42 +132,75 @@ def embedding_lsh_pairs(
     ``bands`` band keys (``planes_per_band`` sign bits each, deterministic
     planes), candidates are rows sharing any band bucket, and only
     candidates get the cosine verify. The shuffle keys on band buckets —
-    linear in corpus size — versus the all-pairs O(n²)
-    BroadcastNestedLoopJoin this replaces. Recall is tunable via
-    bands × planes_per_band (more bands → higher recall, more candidates);
-    precision is exact because every candidate is cosine-verified.
+    versus the all-pairs O(n²) BroadcastNestedLoopJoin this replaces.
+    Recall is tunable via bands × planes_per_band (more bands → higher
+    recall, more candidates); precision is exact because every candidate
+    is cosine-verified.
 
-    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    Verify shape — everything stays inside whole-stage codegen: the L2
+    norm is computed once per corpus row (a plain column, NULL for zero
+    vectors so they pair with nothing), the normalized vector is expanded
+    to ``dim`` scalar columns (higher-order functions are interpreted in
+    Spark — a nested fold per candidate pair was measured ~8× slower than
+    this flat form), the pair cosine is a left-to-right chained
+    multiply-add over those columns (same accumulation order as the
+    DuckDB oracle's list_dot_product), and the pair-dedup (``distinct``)
+    runs AFTER the threshold filter — the only wide shuffle over
+    candidate pairs carries (id, id, cosine) survivors, typically orders
+    of magnitude fewer than candidates.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold
+    (cosine = dot of unit vectors, rounded to 6).
     """
     planes = fixed_planes(dim, bands * planes_per_band, seed)
-    band_structs = [
+    norm = _norm(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.when(norm > 0, norm).alias("_n"),
+    )
+    elems = [
+        (F.col("_v")[i].cast("double") / F.col("_n")).alias(f"_e{i}")
+        for i in range(dim)
+    ]
+    band_structs_v = [
         F.struct(
             F.lit(b).alias("band"),
             sign_bucket(
-                F.col(vec_col), planes[b * planes_per_band : (b + 1) * planes_per_band]
+                F.col("_v"), planes[b * planes_per_band : (b + 1) * planes_per_band]
             ).alias("bucket"),
         )
         for b in range(bands)
     ]
-    banded = emb.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
-    cand = (
+    banded = base.select(
+        "_id", *elems, F.explode(F.array(*band_structs_v)).alias("bb")
+    ).select(
+        "_id",
+        *[f"_e{i}" for i in range(dim)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"_e{i}").alias(f"_a{i}") for i in range(dim)],
+        "band",
+        "bucket",
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"_e{i}").alias(f"_b{i}") for i in range(dim)],
+        "band",
+        "bucket",
+    )
+    dot = F.col("_a0") * F.col("_b0")
+    for i in range(1, dim):
+        dot = dot + F.col(f"_a{i}") * F.col(f"_b{i}")
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("cosine"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

@@ -124,13 +124,15 @@ def test_embedding_lsh_pairs_recall_vs_allpairs(emb):
     candidate is cosine-verified) with bounded recall loss vs the O(n²)
     ground truth."""
     from prometheus_parquet_server_spark.pipeline.similarity import (
-        cosine_similarity_col,
+        _dot,
         embedding_lsh_pairs,
+        unit_vector,
     )
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+    normed = emb.select("vec_id", unit_vector(F.col("embedding")).alias("nv"))
+    a = normed.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
+    b = normed.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")), 6)
     truth = {
         (r["id_a"], r["id_b"])
         for r in a.join(b, F.col("id_a") < F.col("id_b"))
