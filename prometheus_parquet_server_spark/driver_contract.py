@@ -787,6 +787,104 @@ GROUP BY 1, 2
 """
 
 
+def q_promql_quantile_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'quantile_over_time(0.9, click{}[30m])' — φ-quantile of the raw
+    samples in each window (linear interpolation between order stats)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "quantile_over_time(0.9, click{}[30m])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_QUANTILE_OT = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT s.user_id, g.gts AS ts, ROUND(quantile_cont(s.value, 0.9), 6) AS value
+FROM grid g
+JOIN metrics s ON s.name = 'click'
+  AND s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2
+"""
+
+
+def q_promql_present_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'present_over_time(click{}[30m])' — 1 for every window holding at
+    least one raw sample."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "present_over_time(click{}[30m])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"), "ts", "value"
+    )
+
+
+SQL_PROMQL_PRESENT_OT = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT s.user_id, g.gts AS ts, {_d(1.0)} AS value
+FROM grid g
+JOIN metrics s ON s.name = 'click'
+  AND s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
+GROUP BY 1, 2
+"""
+
+
+def q_promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'count_values("v", round(click{}, 50))' — counts per distinct
+    (rounded) sample value per instant; the value label is parsed back to
+    a double so the oracle needn't replicate JVM float formatting."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, 'count_values("v", round(click{}, 50))', GRID)
+    return out.select(
+        F.col("labels").getItem("v").cast("double").alias("v"),
+        "ts",
+        F.col("value").alias("n_series"),
+    ).filter(~F.isnan("v"))
+
+
+SQL_PROMQL_COUNT_VALUES = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}, {_interp_sql('click', 'g.gts', 'interp')}
+SELECT FLOOR(value / 50.0 + 0.5) * 50.0 AS v, gts AS ts,
+       COUNT(*)::DOUBLE AS n_series
+FROM interp WHERE NOT isnan(value)
+GROUP BY 1, 2
+"""
+
+
+def q_promql_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'group by (user_id) (click{})' — 1 per group regardless of values."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "group by (user_id) (click{})", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"), "ts", "value"
+    )
+
+
+SQL_PROMQL_GROUP = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT DISTINCT s.user_id, g.gts AS ts, {_d(1.0)} AS value
+FROM grid g CROSS JOIN (SELECT DISTINCT user_id FROM metrics WHERE name = 'click') s
+"""
+
+
+def q_promql_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'day_of_week(timestamp(click{}))' — date-part functions over epoch
+    seconds (UTC), composed with timestamp()."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "day_of_week(timestamp(click{}))", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"), "ts", "value"
+    )
+
+
+SQL_PROMQL_DATE_PARTS = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE}
+SELECT s.user_id, g.gts AS ts,
+       CAST(EXTRACT(dow FROM make_timestamp(CAST(g.gts * 1000000 AS BIGINT))) AS DOUBLE) AS value
+FROM grid g CROSS JOIN (SELECT DISTINCT user_id FROM metrics WHERE name = 'click') s
+"""
+
+
 def q_promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'last_over_time(click{}[30m])' — newest raw sample per window
     (name preserved, PromQL semantics)."""
@@ -1663,6 +1761,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
     "promql_last_over_time": q_promql_last_over_time,
+    "promql_quantile_ot": q_promql_quantile_ot,
+    "promql_present_ot": q_promql_present_ot,
+    "promql_count_values": q_promql_count_values,
+    "promql_group": q_promql_group,
+    "promql_date_parts": q_promql_date_parts,
     "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
@@ -1713,6 +1816,11 @@ ORACLES: dict[str, str] = {
     "promql_quantile": SQL_PROMQL_QUANTILE,
     "promql_over_time": SQL_PROMQL_OVER_TIME,
     "promql_last_over_time": SQL_PROMQL_LAST_OT,
+    "promql_quantile_ot": SQL_PROMQL_QUANTILE_OT,
+    "promql_present_ot": SQL_PROMQL_PRESENT_OT,
+    "promql_count_values": SQL_PROMQL_COUNT_VALUES,
+    "promql_group": SQL_PROMQL_GROUP,
+    "promql_date_parts": SQL_PROMQL_DATE_PARTS,
     "promql_increase": SQL_PROMQL_INCREASE,
     "promql_math": SQL_PROMQL_MATH,
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.labels import NAME_LABEL
@@ -41,6 +41,8 @@ AGG_FNS = {
     "count": F.count,
     "stddev": F.stddev_pop,  # PromQL stddev is the population deviation
     "stdvar": F.var_pop,
+    # PromQL `group`: 1 for every group regardless of values (even NaN)
+    "group": lambda _c: F.max(F.lit(1.0)),
 }
 
 
@@ -120,6 +122,49 @@ def aggregate_over_series(
     aggs = [AGG_FNS[fn]("value").alias("value" if single else fn) for fn in fns]
     out_cols = ["value"] if single else list(fns)
     return _grouped_agg(df, aggs, out_cols, by, without)
+
+
+def value_label_str(v: Column) -> Column:
+    """Sample value → label string for ``count_values`` (integral floats
+    render without a decimal point, like the JSON envelope's _fmt_value)."""
+    as_long = v.cast("long")
+    return (
+        F.when(F.isnan(v), F.lit("NaN"))
+        .when(
+            (v == as_long.cast("double")) & (F.abs(v) < F.lit(1e15)),
+            as_long.cast("string"),
+        )
+        .otherwise(v.cast("string"))
+    )
+
+
+def count_values_over_series(
+    df: DataFrame,
+    dst_label: str,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """PromQL ``count_values(dst, v)``: per instant, count the series
+    sharing each distinct sample value; the formatted value joins the
+    output labels as ``dst``. Bare → labels are just {dst}; ``by``/
+    ``without`` compose like any aggregator. Same no-MAP-in-shuffle shape
+    as the other aggregations (the value string is part of the canonical
+    JSON group key)."""
+    injected = df.select(
+        "name",
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst_label)),
+            F.create_map(F.lit(dst_label), value_label_str(F.col("value"))),
+        ).alias("labels"),
+        "ts",
+        "value",
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("value")]
+    if without is not None:
+        without = [w for w in without if w != dst_label]
+        return _grouped_agg(injected, aggs, ["value"], None, without)
+    by_keys = [b for b in (by or []) if b != dst_label] + [dst_label]
+    return _grouped_agg(injected, aggs, ["value"], by_keys, None)
 
 
 def quantile_over_series(

@@ -62,6 +62,31 @@ MATH_FNS = {
 }
 
 
+def _date_part(part) -> "callable":
+    def expr(c: Column) -> Column:
+        ts = F.timestamp_seconds(c)
+        raw = part(ts).cast("double")
+        # NaN/±inf epoch values → NaN (cast to timestamp NULLs them out)
+        return F.when(F.isnan(c) | raw.isNull(), _nan()).otherwise(raw)
+
+    return expr
+
+
+#: PromQL date-part functions over epoch-second sample VALUES (UTC, like
+#: Prometheus; the session timezone is pinned to UTC in session.py).
+#: day_of_week is 0-based Sunday (Spark's dayofweek is 1-based Sunday).
+DATE_FNS = {
+    "minute": _date_part(F.minute),
+    "hour": _date_part(F.hour),
+    "day_of_week": _date_part(lambda t: F.dayofweek(t) - F.lit(1)),
+    "day_of_month": _date_part(F.dayofmonth),
+    "day_of_year": _date_part(F.dayofyear),
+    "days_in_month": _date_part(lambda t: F.dayofmonth(F.last_day(t))),
+    "month": _date_part(F.month),
+    "year": _date_part(F.year),
+}
+
+
 def apply_math_fn(df: DataFrame, fn: str) -> DataFrame:
     """Apply a unary math function to every sample; name dropped."""
     expr = MATH_FNS[fn](F.col("value"))

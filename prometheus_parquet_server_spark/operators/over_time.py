@@ -40,6 +40,9 @@ OVER_TIME_FNS = {
     "last": lambda: F.max_by("value", "ts"),
     "stddev": lambda: F.stddev_pop("value"),
     "stdvar": lambda: F.var_pop("value"),
+    # present_over_time: 1 for any window holding ≥1 sample (windows with
+    # none produce no row at all, so the aggregate is a constant)
+    "present": lambda: F.max(F.lit(1.0)),
 }
 
 
@@ -107,6 +110,7 @@ def over_time_to_grid(
     over_range: float,
     series_cols: Sequence[str] | None = None,
     offset: float = 0.0,
+    phi: float | None = None,
 ) -> DataFrame:
     """Aggregate raw samples per series over each grid window.
 
@@ -118,13 +122,18 @@ def over_time_to_grid(
     PromQL name semantics: every ``*_over_time`` drops the metric name
     except ``last_over_time``.
     """
-    if fn not in OVER_TIME_FNS:
+    if fn not in OVER_TIME_FNS and fn != "quantile":
         raise ValueError(f"unknown over_time aggregation {fn!r}")
     start, step = grid.start, grid.increment
     exploded, series, key_cols = _keyed_window_explode(
         samples, grid, over_range, offset, series_cols
     )
-    agg = OVER_TIME_FNS[fn]().alias("value")
+    if fn == "quantile":
+        # quantile_over_time(φ, v[r]): linear interpolation between order
+        # statistics — exact percentile, same math as quantile_cont
+        agg = F.percentile(F.col("value"), F.lit(float(phi))).alias("value")
+    else:
+        agg = OVER_TIME_FNS[fn]().alias("value")
     out = exploded.groupBy(*key_cols, "_slot").agg(agg)
     gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
     if series is not None:

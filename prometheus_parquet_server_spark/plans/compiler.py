@@ -29,6 +29,7 @@ from prometheus_parquet_server_spark.labels import matchers_predicate
 from prometheus_parquet_server_spark.operators.aggregate import (
     AGG_FNS,
     aggregate_over_series,
+    count_values_over_series,
     quantile_over_series,
     topk_over_series,
 )
@@ -36,6 +37,7 @@ from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
 from prometheus_parquet_server_spark.operators.mathfn import (
+    DATE_FNS,
     MATH_FNS,
     apply_clamp,
     apply_math_fn,
@@ -537,6 +539,92 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             list(node.agg.labels) if node.agg and node.agg.action == "without" else None
         )
         return Processed(quantile_over_series(arg.df, phi.value, by=by, without=without))
+
+    if node.name == "quantile_over_time":
+        # beyond-reference: φ-quantile of the raw samples in each window
+        if len(node.args) != 2:
+            raise QueryError("'quantile_over_time' needs exactly 2 arguments")
+        phi = _eval(node.args[0], ctx, state)
+        if not isinstance(phi, ScalarResult):
+            raise QueryError("Expected a scalar")
+        arg = _eval(node.args[1], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError("'quantile_over_time' needs a range vector")
+        return Processed(
+            over_time_to_grid(
+                arg.df,
+                ctx.grid,
+                "quantile",
+                over_range=float(arg.over_range),
+                offset=float(arg.offset or 0),
+                phi=phi.value,
+            )
+        )
+
+    if node.name == "count_values":
+        # count_values("dst", v): counts per distinct sample value; the
+        # formatted value becomes label `dst` on the output groups
+        if len(node.args) != 2:
+            raise QueryError("'count_values' needs exactly 2 arguments")
+        dst = _eval(node.args[0], ctx, state)
+        if not isinstance(dst, StringResult):
+            raise QueryError("'count_values' first argument must be a string")
+        arg = _resampled(_eval(node.args[1], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError("'count_values' needs a vector argument")
+        by = list(node.agg.labels) if node.agg and node.agg.action == "by" else None
+        without = (
+            list(node.agg.labels) if node.agg and node.agg.action == "without" else None
+        )
+        return Processed(
+            count_values_over_series(arg.df, dst.value, by=by, without=without)
+        )
+
+    if node.name in DATE_FNS:
+        # date parts of epoch-second VALUES, default vector(time()) —
+        # hour(), day_of_week(timestamp(v)), ... (UTC, like Prometheus)
+        if len(node.args) > 1:
+            raise QueryError(f"'{node.name}' takes at most one argument")
+        if not node.args:
+            empty_labels = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+            df = ctx.grid_df().select(
+                F.lit(None).cast("string").alias("name"),
+                empty_labels.alias("labels"),
+                F.col("gts").alias("ts"),
+                DATE_FNS[node.name](F.col("gts")).alias("value"),
+            )
+            return Processed(df)
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if isinstance(arg, GridScalar):
+            return GridScalar(
+                arg.df.select(
+                    "ts", DATE_FNS[node.name](F.col("value")).alias("value")
+                )
+            )
+        if not isinstance(arg, Processed):
+            raise QueryError(f"'{node.name}' needs a scalar or vector argument")
+        return Processed(
+            arg.df.select(
+                F.lit(None).cast("string").alias("name"),
+                "labels",
+                "ts",
+                DATE_FNS[node.name](F.col("value")).alias("value"),
+            )
+        )
+
+    if node.name in ("sort", "sort_desc"):
+        # presentation-only: Prometheus ignores sort in range queries and
+        # orders instant results at serialization; the engine's envelope
+        # already orders deterministically, so this is the identity on the
+        # series set (documented in COVERAGE.md)
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument")
+        arg = _resampled(_eval(node.args[0], ctx, state), ctx)
+        if not isinstance(arg, Processed):
+            raise QueryError(f"'{node.name}' needs a vector argument")
+        return arg
 
     if node.name in AGG_FNS:
         # src/query.rs:498-546; the reference implements only `sum by` (A1)

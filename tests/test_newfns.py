@@ -1,0 +1,78 @@
+"""group / count_values / quantile_over_time / present_over_time /
+date-part functions / sort (beyond-reference everyday-PromQL surface)."""
+
+import pytest
+
+from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+from prometheus_parquet_server_spark.operators.select import QueryError
+from prometheus_parquet_server_spark.plans.compiler import run_query
+from tests.conftest import long_frame
+
+GRID = RegularTimeRange(0.0, 120.0, 60.0)
+
+
+def fixture(spark):
+    rows = []
+    for ts in [0.0, 60.0, 120.0]:
+        rows += [
+            ("m", {"h": "a"}, ts, 10.0),
+            ("m", {"h": "b"}, ts, 10.0),
+            ("m", {"h": "c"}, ts, 7.5),
+        ]
+    return long_frame(spark, rows)
+
+
+def run(spark, df, q):
+    return run_query(spark, df, q, GRID)
+
+
+def test_group_aggregator(spark):
+    df = fixture(spark)
+    out = run(spark, df, "group by (h) (m{})").collect()
+    assert len(out) == 9 and all(r["value"] == 1.0 for r in out)
+    bare = run(spark, df, "group(m{})").collect()
+    assert len(bare) == 3 and all(dict(r["labels"]) == {} for r in bare)
+
+
+def test_count_values(spark):
+    df = fixture(spark)
+    out = run(spark, df, 'count_values("v", m{})').collect()
+    got = {(r["labels"]["v"], r["ts"]): r["value"] for r in out}
+    # integral floats format without a decimal point, like the envelope
+    assert got[("10", 0.0)] == 2.0
+    assert got[("7.5", 0.0)] == 1.0
+    by = run(spark, df, 'count_values by (h) ("v", m{})').collect()
+    assert all(set(r["labels"].keys()) == {"h", "v"} for r in by)
+    assert all(r["value"] == 1.0 for r in by)
+    with pytest.raises(QueryError, match="string"):
+        run(spark, df, "count_values(1, m{})")
+
+
+def test_quantile_and_present_over_time(spark):
+    df = fixture(spark)
+    q = run(spark, df, "quantile_over_time(0.5, m{}[90])").collect()
+    got = {(r["labels"]["h"], r["ts"]): r["value"] for r in q}
+    assert got[("a", 60.0)] == 10.0  # two samples, both 10
+    p = run(spark, df, "present_over_time(m{}[90])").collect()
+    assert all(r["value"] == 1.0 for r in p) and len(p) == 9
+
+
+def test_date_part_functions(spark):
+    df = fixture(spark)
+    # epoch 0 = Thursday 1970-01-01 (dow 4, 0-based Sunday), January
+    dow = run(spark, df, "day_of_week(timestamp(m{}))").collect()
+    assert {r["value"] for r in dow} == {4.0}
+    dim = run(spark, df, "days_in_month(timestamp(m{}))").collect()
+    assert {r["value"] for r in dim} == {31.0}
+    # zero-arg default = vector(time()); minute advances with the grid
+    mins = run(spark, df, "minute(time() + 120)").collect()
+    assert {(r["ts"], r["value"]) for r in mins} == {(0.0, 2.0), (60.0, 3.0), (120.0, 4.0)}
+    yr = run(spark, df, "year()").collect()
+    assert all(r["value"] == 1970.0 for r in yr)
+
+
+def test_sort_is_series_identity(spark):
+    df = fixture(spark)
+    plain = {(r["ts"], r["value"]) for r in run(spark, df, "sum(m{})").collect()}
+    srt = {(r["ts"], r["value"]) for r in run(spark, df, "sort_desc(sum(m{}))").collect()}
+    assert plain == srt
