@@ -885,6 +885,29 @@ FROM grid g CROSS JOIN (SELECT DISTINCT user_id FROM metrics WHERE name = 'click
 """
 
 
+def q_promql_at_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'avg(click{} @ end())' — the @ modifier pins the selection to one
+    fixed instant (here the grid end), replicated across every step."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "avg(click{} @ end())", GRID)
+    return out.filter(~F.isnan("value")).select(
+        "ts", F.round("value", 6).alias("value")
+    )
+
+
+_GRID_END = GRID_START + (GRID_LEN - 1) * GRID_STEP
+
+SQL_PROMQL_AT = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+{_interp_sql('click', _d(_GRID_END), 'atend')},
+fixed AS (
+    SELECT AVG(value) AS v FROM atend WHERE gts = {_d(_GRID_END)}
+)
+SELECT g.gts AS ts, ROUND(f.v, 6) AS value
+FROM grid g CROSS JOIN fixed f
+"""
+
+
 def q_promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'last_over_time(click{}[30m])' — newest raw sample per window
     (name preserved, PromQL semantics)."""
@@ -1766,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_count_values": q_promql_count_values,
     "promql_group": q_promql_group,
     "promql_date_parts": q_promql_date_parts,
+    "promql_at_modifier": q_promql_at_modifier,
     "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
@@ -1821,6 +1845,7 @@ ORACLES: dict[str, str] = {
     "promql_count_values": SQL_PROMQL_COUNT_VALUES,
     "promql_group": SQL_PROMQL_GROUP,
     "promql_date_parts": SQL_PROMQL_DATE_PARTS,
+    "promql_at_modifier": SQL_PROMQL_AT,
     "promql_increase": SQL_PROMQL_INCREASE,
     "promql_math": SQL_PROMQL_MATH,
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,

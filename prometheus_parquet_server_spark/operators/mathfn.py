@@ -59,6 +59,19 @@ MATH_FNS = {
     "log10": lambda c: _guarded_log(c, F.log10),
     "sqrt": lambda c: F.sqrt(c),
     "sgn": lambda c: F.signum(c),
+    # trigonometric family (PromQL ≥ 2.31; Go math semantics = IEEE, which
+    # Spark's JVM functions share: asin(|x|>1) → NaN, tan(π/2) → finite huge)
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "rad": lambda c: F.radians(c),
+    "deg": lambda c: F.degrees(c),
 }
 
 

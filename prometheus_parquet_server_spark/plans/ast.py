@@ -35,6 +35,9 @@ class SelectorNode:
     matchers: tuple[LabelMatcher, ...]
     range_s: int | None = None  # [5m] → 300 (integer seconds, like the promql crate)
     offset_s: int | None = None
+    #: ``@`` modifier: a fixed unix timestamp, or "start"/"end" (resolved
+    #: against the query grid at evaluation time)
+    at_s: float | str | None = None
 
 
 @dataclass(frozen=True)

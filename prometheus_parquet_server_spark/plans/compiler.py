@@ -198,6 +198,33 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
             return UnprocessedVector(df, node.range_s, offset)
         return Unprocessed(df, offset)
     # fresh selection from the collection: name-equality rule enforced (F3)
+    if node.at_s is not None:
+        # @ modifier: the selection is evaluated at ONE fixed instant and
+        # replicated across the grid (Prometheus query_range semantics for
+        # `m @ t` — a constant series). start()/end() resolve against the
+        # query grid. One single-instant resample + a broadcast cross join.
+        if node.range_s is not None:
+            raise QueryError("@ modifier on range vectors is not supported")
+        if node.at_s == "start":
+            at = ctx.grid.start
+        elif node.at_s == "end":
+            at = ctx.grid.end
+        else:
+            at = float(node.at_s)
+        off = float(node.offset_s or 0)
+        at_grid = RegularTimeRange(at, at, 1.0)
+        fixed = resample_to_grid(
+            select_series(ctx.collection, matchers),
+            at_grid.to_df(ctx.spark),
+            offset=off,
+            grid=at_grid,
+        )
+        rep = (
+            fixed.drop("ts")
+            .crossJoin(F.broadcast(ctx.grid_df()))
+            .select("name", "labels", F.col("gts").alias("ts"), "value")
+        )
+        return Processed(rep)
     if ctx.aligned is not None and node.range_s is None and node.offset_s is None:
         # serving fast path: the store is already aligned to this grid
         return Processed(select_series(ctx.aligned, matchers))
@@ -376,6 +403,14 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         if isinstance(arg, ScalarResult):
             import math as _math
 
+            def _dom(f):  # IEEE domain errors → NaN (Go math semantics)
+                def g(x):
+                    try:
+                        return f(x)
+                    except ValueError:
+                        return float("nan")
+                return g
+
             fns = {
                 "abs": abs, "ceil": _math.ceil, "floor": _math.floor,
                 "exp": _math.exp, "sqrt": lambda x: _math.sqrt(x) if x >= 0 else float("nan"),
@@ -383,6 +418,10 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 "ln": lambda x: _math.log(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
                 "log2": lambda x: _math.log2(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
                 "log10": lambda x: _math.log10(x) if x > 0 else (float("-inf") if x == 0 else float("nan")),
+                "sin": _math.sin, "cos": _math.cos, "tan": _math.tan,
+                "asin": _dom(_math.asin), "acos": _dom(_math.acos),
+                "atan": _math.atan, "sinh": _math.sinh, "cosh": _math.cosh,
+                "tanh": _math.tanh, "rad": _math.radians, "deg": _math.degrees,
             }
             return ScalarResult(float(fns[node.name](arg.value)))
         if isinstance(arg, GridScalar):
@@ -611,6 +650,40 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 "labels",
                 "ts",
                 DATE_FNS[node.name](F.col("value")).alias("value"),
+            )
+        )
+
+    if node.name == "pi":
+        if node.args:
+            raise QueryError("'pi' takes no arguments")
+        import math as _math
+
+        return ScalarResult(_math.pi)
+
+    if node.name == "absent_over_time":
+        # 1 at grid instants whose window [t−r, t] holds no raw sample for
+        # ANY matched series; labels from the selector's '=' matchers —
+        # the windowed sibling of absent() (same anti-join shape)
+        if len(node.args) != 1:
+            raise QueryError("'absent_over_time' expects a single argument")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError("'absent_over_time' needs a range vector")
+        present = over_time_to_grid(
+            arg.df,
+            ctx.grid,
+            "present",
+            over_range=float(arg.over_range),
+            offset=float(arg.offset or 0),
+        )
+        eq_labels: dict[str, str] = {}
+        if isinstance(node.args[0], SelectorNode):
+            for m in node.args[0].matchers:
+                if m.op == "=" and m.label != "__name__":
+                    eq_labels[m.label] = m.value
+        return Processed(
+            absent_over_grid(
+                present.select("ts"), ctx.grid_df(), eq_labels
             )
         )
 

@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(\.\d*)?([eE][-+]?\d+)?|\.\d+)
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\{|\}|\(|\)|\[|\]|,|\+|-|\*|/|%|\^)
+  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\{|\}|\(|\)|\[|\]|,|\+|-|\*|/|%|\^|@)
     """,
     re.VERBOSE,
 )
@@ -338,7 +338,31 @@ def _parse_selector(lex: _Lexer, name: str | None) -> Node:
                 SelectorNode(tuple(matchers)), range_s, step, sq_offset
             )
         lex.expect("]")
-    if lex.peek() == "offset":
+    at_s: float | str | None = None
+    while lex.peek() in ("offset", "@"):
+        tok = lex.next()
+        if tok == "offset":
+            if offset_s is not None:
+                raise PromQLError("duplicate offset modifier")
+            offset_s = int(lex.next_duration())
+        else:
+            if at_s is not None:
+                raise PromQLError("duplicate @ modifier")
+            at_s = _parse_at(lex)
+    return SelectorNode(tuple(matchers), range_s, offset_s, at_s)
+
+
+def _parse_at(lex: _Lexer) -> float | str:
+    """``@ <unix ts>`` / ``@ start()`` / ``@ end()``."""
+    tok = lex.peek()
+    if tok == "-":
         lex.next()
-        offset_s = int(lex.next_duration())
-    return SelectorNode(tuple(matchers), range_s, offset_s)
+        return -float(lex.next())
+    if tok in ("start", "end"):
+        lex.next()
+        lex.expect("(")
+        lex.expect(")")
+        return tok
+    if tok is not None and re.fullmatch(r"\d.*|\.\d.*", tok):
+        return float(lex.next())
+    raise PromQLError(f"expected timestamp after @, got {tok!r}")

@@ -71,6 +71,48 @@ def test_date_part_functions(spark):
     assert all(r["value"] == 1970.0 for r in yr)
 
 
+def test_trig_and_pi(spark):
+    import math
+
+    from prometheus_parquet_server_spark.plans.compiler import run_instant_query
+
+    df = fixture(spark)
+    out = run(spark, df, "sin(m{} * 0)").collect()
+    assert all(r["value"] == 0.0 for r in out)
+    k, v = run_instant_query(spark, df, "deg(pi())", at=0.0)
+    assert k == "scalar" and v == 180.0
+    k, v = run_instant_query(spark, df, "acos(2)", at=0.0)
+    assert math.isnan(v)  # domain error → NaN, not an exception
+    k, v = run_instant_query(spark, df, "tanh(0)", at=0.0)
+    assert v == 0.0
+
+
+def test_absent_over_time(spark):
+    df = fixture(spark)
+    out = run(spark, df, 'absent_over_time(m{h="nope"}[90])').collect()
+    assert len(out) == 3
+    assert all(r["value"] == 1.0 and dict(r["labels"]) == {"h": "nope"} for r in out)
+    assert run(spark, df, "absent_over_time(m{}[90])").count() == 0
+
+
+def test_at_modifier(spark):
+    from prometheus_parquet_server_spark.plans.parser import PromQLError
+
+    df = fixture(spark)
+    # pin to the grid end: every step shows the final interpolated value
+    out = run(spark, df, 'm{h="a"} @ end()').collect()
+    assert {(r["ts"], r["value"]) for r in out} == {
+        (0.0, 10.0), (60.0, 10.0), (120.0, 10.0)
+    }
+    # fixed literal timestamp + canonical ratio-to-pinned-instant compose
+    ratio = run(spark, df, 'm{h="a"} / on() group_left sum(m{h="a"} @ 120)').collect()
+    assert all(r["value"] == 1.0 for r in ratio)  # constant series / itself
+    with pytest.raises(QueryError, match="range vectors"):
+        run(spark, df, "rate(m{}[60] @ 120)")
+    with pytest.raises(PromQLError, match="duplicate"):
+        run(spark, df, "m{} @ 120 @ 60")
+
+
 def test_sort_is_series_identity(spark):
     df = fixture(spark)
     plain = {(r["ts"], r["value"]) for r in run(spark, df, "sum(m{})").collect()}

@@ -145,6 +145,10 @@ def test_state_machine_errors(spark):
     with pytest.raises(QueryError, match="range vector"):
         run(spark, df, 'rate(m_bucket{timing="a"})')  # rate over instant
     with pytest.raises(QueryError, match="Unknown function"):
+        run(spark, df, 'no_such_function(m_bucket{})')
+    # formerly-unknown quantile_over_time is implemented now — its arity
+    # error proves it dispatches, not falls through
+    with pytest.raises(QueryError, match="2 arguments"):
         run(spark, df, 'quantile_over_time(m_bucket{})')
     with pytest.raises(QueryError, match="exactly one __name__"):
         run(spark, df, '{timing="a"}')
