@@ -908,6 +908,53 @@ FROM grid g CROSS JOIN fixed f
 """
 
 
+def q_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'holt_winters(click{}[30m], 0.3, 0.2)' — double exponential
+    smoothing folded over each window's ts-ordered raw samples."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "holt_winters(click{}[2h], 0.3, 0.2)", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_HW_SF, _HW_TF = _d(0.3), _d(0.2)
+# identical float ops on both engines: 1−sf / 1−tf are computed, not
+# pre-folded literals (fl(1−fl(0.3)) need not equal fl(0.7))
+_HW_1SF = f"({_d(1.0)} - {_HW_SF})"
+_HW_1TF = f"({_d(1.0)} - {_HW_TF})"
+_HW_S1_FIRST = f"{_HW_SF}*x.s1 + {_HW_1SF}*(acc.s1 + (x.s1 - acc.s1))"
+_HW_S1_GEN = f"{_HW_SF}*x.s1 + {_HW_1SF}*(acc.s1 + acc.b)"
+
+SQL_PROMQL_HOLT_WINTERS = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+win AS (
+    SELECT s.user_id, g.gts, list(s.value ORDER BY s.ts) AS vals
+    FROM grid g
+    JOIN metrics s ON s.name = 'click'
+      AND s.ts >= g.gts - {_d(7200.0)} AND s.ts <= g.gts
+    GROUP BY 1, 2
+)
+SELECT user_id, gts AS ts,
+       ROUND((list_reduce(
+         list_transform(vals, x -> struct_pack(
+             s1 := x, b := CAST(0.0 AS DOUBLE), n := 1)),
+         (acc, x) -> CASE
+           WHEN acc.n = 1 THEN struct_pack(
+             s1 := {_HW_S1_FIRST},
+             b  := {_HW_TF}*(({_HW_S1_FIRST}) - acc.s1) + {_HW_1TF}*(x.s1 - acc.s1),
+             n  := 2)
+           ELSE struct_pack(
+             s1 := {_HW_S1_GEN},
+             b  := {_HW_TF}*(({_HW_S1_GEN}) - acc.s1) + {_HW_1TF}*acc.b,
+             n  := acc.n + 1)
+         END)).s1, 6) AS value
+FROM win WHERE len(vals) >= 2
+"""
+
+
 def q_promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'last_over_time(click{}[30m])' — newest raw sample per window
     (name preserved, PromQL semantics)."""
@@ -1790,6 +1837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_group": q_promql_group,
     "promql_date_parts": q_promql_date_parts,
     "promql_at_modifier": q_promql_at_modifier,
+    "promql_holt_winters": q_promql_holt_winters,
     "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
@@ -1846,6 +1894,7 @@ ORACLES: dict[str, str] = {
     "promql_group": SQL_PROMQL_GROUP,
     "promql_date_parts": SQL_PROMQL_DATE_PARTS,
     "promql_at_modifier": SQL_PROMQL_AT,
+    "promql_holt_winters": SQL_PROMQL_HOLT_WINTERS,
     "promql_increase": SQL_PROMQL_INCREASE,
     "promql_math": SQL_PROMQL_MATH,
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,

@@ -146,6 +146,78 @@ def over_time_to_grid(
     return out.select(*key_cols, gts, "value")
 
 
+def holt_winters_to_grid(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    sf: float,
+    tf: float,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+) -> DataFrame:
+    """``holt_winters(v[r], sf, tf)`` (Prometheus 3: ``double_exponential_
+    smoothing``): per window, fold the ts-ordered raw samples through the
+    smoothing recurrence
+
+        s1 ← sf·x + (1−sf)·(s1 + b);  b ← tf·(s1' − s1) + (1−tf)·b
+
+    seeded with s1 = x₀, b = x₁ − x₀ (the i=1 step is written with the
+    same unsimplified expressions an oracle evaluates, so floats match
+    term for term). Windows with < 2 samples produce no point.
+
+    Plan shape: the slot groupBy collects each window's (ts, value) pairs
+    once, sorts in-place (array_sort — deterministic, ts unique) and runs
+    the fold as a single aggregate expression; no per-row Python, one
+    shuffle keyed (series, slot)."""
+    start, step = grid.start, grid.increment
+    sfl, tfl = F.lit(float(sf)), F.lit(float(tf))
+    exploded, series, key_cols = _keyed_window_explode(
+        samples, grid, over_range, offset, series_cols
+    )
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("ts"), F.col("value").alias("v")))
+    )
+
+    init = F.struct(
+        F.lit(0.0).alias("s1"), F.lit(0.0).alias("b"), F.lit(0).alias("n")
+    )
+
+    def fold(acc, e):
+        x = e["v"]
+        # i = 1: trend seeds to x1 − x0 BEFORE the update (written out, not
+        # algebraically simplified, for bit-parity with the SQL oracle)
+        s1_first = sfl * x + (F.lit(1.0) - sfl) * (acc["s1"] + (x - acc["s1"]))
+        first = F.struct(
+            s1_first.alias("s1"),
+            (tfl * (s1_first - acc["s1"]) + (F.lit(1.0) - tfl) * (x - acc["s1"])).alias("b"),
+            F.lit(2).alias("n"),
+        )
+        s1_gen = sfl * x + (F.lit(1.0) - sfl) * (acc["s1"] + acc["b"])
+        general = F.struct(
+            s1_gen.alias("s1"),
+            (tfl * (s1_gen - acc["s1"]) + (F.lit(1.0) - tfl) * acc["b"]).alias("b"),
+            (acc["n"] + 1).alias("n"),
+        )
+        seed = F.struct(x.alias("s1"), F.lit(0.0).alias("b"), F.lit(1).alias("n"))
+        return (
+            F.when(acc["n"] == 0, seed)
+            .when(acc["n"] == 1, first)
+            .otherwise(general)
+        )
+
+    collected = exploded.groupBy(*key_cols, "_slot").agg(pts.alias("_pts"))
+    out = collected.select(
+        *key_cols, "_slot", F.aggregate(F.col("_pts"), init, fold).alias("_hw")
+    ).filter(F.col("_hw.n") >= 2)
+    gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
+    val = F.col("_hw.s1").alias("value")
+    if series is not None:
+        return out.join(series, "_skey").select(
+            F.lit(None).cast("string").alias("name"), "labels", gts, val
+        )
+    return out.select(*key_cols, gts, val)
+
+
 def deriv_to_grid(
     samples: DataFrame,
     grid,

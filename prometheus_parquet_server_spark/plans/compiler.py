@@ -49,6 +49,7 @@ from prometheus_parquet_server_spark.operators.over_time import (
     OVER_TIME_FNS,
     changes_to_grid,
     deriv_to_grid,
+    holt_winters_to_grid,
     over_time_to_grid,
 )
 from prometheus_parquet_server_spark.operators.rate import (
@@ -597,6 +598,32 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 over_range=float(arg.over_range),
                 offset=float(arg.offset or 0),
                 phi=phi.value,
+            )
+        )
+
+    if node.name in ("holt_winters", "double_exponential_smoothing"):
+        if len(node.args) != 3:
+            raise QueryError(f"'{node.name}' needs (v[r], sf, tf)")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        params = []
+        for a in node.args[1:]:
+            s = _eval(a, ctx, state)
+            if not isinstance(s, ScalarResult):
+                raise QueryError("Expected a scalar")
+            params.append(s.value)
+        sf, tf = params
+        if not (0 < sf < 1) or not (0 < tf < 1):
+            raise QueryError("smoothing factors must be in (0, 1)")
+        return Processed(
+            holt_winters_to_grid(
+                arg.df,
+                ctx.grid,
+                over_range=float(arg.over_range),
+                sf=sf,
+                tf=tf,
+                offset=float(arg.offset or 0),
             )
         )
 

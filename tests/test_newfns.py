@@ -113,6 +113,25 @@ def test_at_modifier(spark):
         run(spark, df, "m{} @ 120 @ 60")
 
 
+def test_holt_winters(spark):
+    """Hand-computed double exponential smoothing: samples [10,12,11,14],
+    sf=0.3, tf=0.2 → s1 seeds 10, b seeds 2, final s1 = 14.644."""
+    rows = [("m", {"h": "a"}, ts, v)
+            for ts, v in [(10.0, 10.0), (20.0, 12.0), (30.0, 11.0), (40.0, 14.0)]]
+    df = long_frame(spark, rows)
+    grid = RegularTimeRange(0.0, 60.0, 60.0)
+    out = run_query(spark, df, "holt_winters(m{}[60], 0.3, 0.2)", grid).collect()
+    assert [(r["ts"], round(r["value"], 6)) for r in out] == [(60.0, 14.644)]
+    # alias + <2-sample windows produce no point + factor validation
+    alias = run_query(
+        spark, df, "double_exponential_smoothing(m{}[60], 0.3, 0.2)", grid
+    ).collect()
+    assert [round(r["value"], 6) for r in alias] == [14.644]
+    assert run_query(spark, df, "holt_winters(m{}[15], 0.3, 0.2)", grid).count() == 0
+    with pytest.raises(QueryError, match="smoothing factors"):
+        run_query(spark, df, "holt_winters(m{}[60], 1.5, 0.2)", grid)
+
+
 def test_sort_is_series_identity(spark):
     df = fixture(spark)
     plain = {(r["ts"], r["value"]) for r in run(spark, df, "sum(m{})").collect()}
