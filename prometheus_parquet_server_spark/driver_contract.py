@@ -1540,6 +1540,54 @@ FROM documents
 """
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char grams, window 4):
+    per-row integer arithmetic, exploded to (doc_id, fp) rows."""
+    from prometheus_parquet_server_spark.pipeline.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
+SQL_TEXT_WINNOWING = """
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+    FROM documents
+),
+codes AS (
+    SELECT doc_id, s, length(s) AS n,
+           list_transform(range(1, length(s) + 1),
+                          i -> CAST(unicode(s[CAST(i AS INT)]) AS BIGINT)) AS cs
+    FROM norm
+),
+hashes AS (
+    SELECT doc_id, n,
+           CASE WHEN n >= 5 THEN
+               list_transform(range(1, n - 3), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 5)),
+                       (acc, j) -> (acc * 257 + cs[CAST(i + j AS INT)]) % 1000003))
+           ELSE CAST([] AS BIGINT[]) END AS hs
+    FROM codes
+),
+sel AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                WHEN len(hs) < 4 THEN [list_min(hs)]
+                ELSE list_transform(range(1, len(hs) - 2),
+                         i -> list_min(list_slice(hs, CAST(i AS INT),
+                                                  CAST(i + 3 AS INT))))
+           END AS fps
+    FROM hashes
+)
+SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fp FROM sel
+"""
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 5).select(
@@ -1860,6 +1908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
+    "text_winnowing": q_text_winnowing,
     "emb_cosine_topk": q_emb_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
@@ -1917,6 +1966,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_winnowing": SQL_TEXT_WINNOWING,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -279,6 +279,41 @@ def test_fingerprint_stability(spark):
     assert fps[0] == fps[1]
 
 
+def test_winnowing_fingerprints(spark):
+    """Rolling-hash winnowing: local edits perturb only nearby selections
+    (the property that makes it a near-dup fingerprint), and the selection
+    is a subset of all k-gram hashes."""
+    from prometheus_parquet_server_spark.pipeline.text import (
+        WINNOW_MOD,
+        winnowing_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "hazy")  # one char differs mid-document
+    other = "completely different content about volcanic pelicans erupting"
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, base.upper() + "  ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[4]  # normalization: case/whitespace-insensitive
+    inter12 = len(got[1] & got[2]) / len(got[1] | got[2])
+    inter13 = len(got[1] & got[3]) / len(got[1] | got[3])
+    assert inter12 > 0.5 > inter13  # local edit ≫ unrelated doc
+    assert all(0 <= fp < WINNOW_MOD for fps in got.values() for fp in fps)
+    # shorter than k chars → empty; short-but-valid → single global min
+    tiny = spark.createDataFrame([(9, "ab"), (10, "abcdef")], "doc_id long, text string")
+    tg = {r["doc_id"]: r["fp"] for r in tiny.select(
+        "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")).collect()}
+    assert tg[9] == []
+    assert len(tg[10]) == 1
+
+
 def test_ivf_topk(emb):
     from prometheus_parquet_server_spark.pipeline.similarity import ivf_topk
 
