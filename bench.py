@@ -31,7 +31,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "promql_quantile_ot",
+    "promql_holt_winters",
     "pipeline_prepare",
+    "text_winnowing",
     "dedup_exact_fp",
     "dedup_minhash",
     "dedup_simhash",

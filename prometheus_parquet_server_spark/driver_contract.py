@@ -1542,15 +1542,14 @@ FROM documents
 
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=5 char grams, window 4):
-    per-row integer arithmetic, exploded to (doc_id, fp) rows."""
+    per-row integer arithmetic, exploded to (doc_id, fp) rows — the staged
+    scale form (each intermediate materialized once per row)."""
     from prometheus_parquet_server_spark.pipeline.text import (
-        winnowing_fingerprints,
+        winnowing_fingerprint_rows,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
-    )
+    return winnowing_fingerprint_rows(docs)
 
 
 SQL_TEXT_WINNOWING = """

@@ -151,3 +151,55 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         .otherwise(F.slice(mn, 1, nh - F.lit(w - 1)))
     )
     return F.array_sort(F.array_distinct(wins))
+
+
+def winnowing_fingerprint_rows(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 5, w: int = 4
+):
+    """Winnowing fingerprints as exploded rows (id, fp) — the SCALE form.
+
+    Same algorithm as :func:`winnowing_fingerprints`, but each intermediate
+    (normalized text, char codes, gram hashes) is staged as its own column
+    across SELECTs, so Catalyst materializes it once per row instead of
+    re-inlining the expression per reference (the single-Column form
+    references the hash array ~w+4 times; measured 31 s → 5 s over the
+    sf0.1 corpus). Still zero shuffles — per-row expressions + explode.
+    """
+    b, m = F.lit(WINNOW_BASE).cast("long"), F.lit(WINNOW_MOD).cast("long")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    s1 = df.select(F.col(id_col), norm.alias("_norm"))
+    s2 = s1.select(
+        id_col,
+        F.length("_norm").alias("_n"),
+        F.transform(
+            F.split(F.col("_norm"), r"(?!^)"), lambda ch: F.ascii(ch).cast("long")
+        ).alias("_codes"),
+    )
+    n = F.col("_n")
+    h = F.col("_codes")
+    for t in range(1, k):
+        shifted = F.slice(F.col("_codes"), t + 1, F.greatest(n - t, F.lit(1)))
+        h = F.zip_with(h, shifted, lambda a, c: (a * b + c) % m)
+    s3 = s2.select(
+        id_col,
+        F.when(n >= k, F.slice(h, 1, n - F.lit(k - 1)))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_hashes"),
+    )
+    hs = F.col("_hashes")
+    nh = F.size(hs)
+    mn = hs
+    for t in range(1, w):
+        mn = F.zip_with(
+            mn,
+            F.slice(hs, t + 1, F.greatest(nh - t, F.lit(1))),
+            lambda a, c: F.least(a, c),
+        )
+    wins = (
+        F.when(nh == 0, F.array().cast("array<long>"))
+        .when(nh < w, F.array(F.array_min(hs)))
+        .otherwise(F.slice(mn, 1, nh - F.lit(w - 1)))
+    )
+    return s3.select(
+        id_col, F.explode(F.array_sort(F.array_distinct(wins))).alias("fp")
+    )
