@@ -255,7 +255,7 @@ def test_server_series_endpoint(server):
 
 
 def test_server_errors(server):
-    q = urllib.parse.quote("quantile_over_time(click{})")
+    q = urllib.parse.quote("no_such_function(click{})")
     st, body = _get(f"{server}/api/v1/query_range?query={q}&start=0&end=10&step=1")
     assert st == 400 and "Unknown function" in body["error"]
 
