@@ -955,6 +955,63 @@ FROM win WHERE len(vals) >= 2
 """
 
 
+def q_promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'idelta(click{}[2h])' — difference of the last two raw samples in
+    each window (standard PromQL; ≥2-sample windows only)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "idelta(click{}[2h])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_IDELTA = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+win AS (
+    SELECT s.user_id, g.gts, list(s.value ORDER BY s.ts) AS vals
+    FROM grid g
+    JOIN metrics s ON s.name = 'click'
+      AND s.ts >= g.gts - {_d(7200.0)} AND s.ts <= g.gts
+    GROUP BY 1, 2
+)
+SELECT user_id, gts AS ts, ROUND(vals[-1] - vals[-2], 6) AS value
+FROM win WHERE len(vals) >= 2
+"""
+
+
+def q_promql_mad_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'mad_over_time(click{}[2h])' — median absolute deviation of each
+    window's raw samples (median via exact percentile both levels)."""
+    metrics = _metrics_canonical(spark, sf_dir)
+    out = run_query(spark, metrics, "mad_over_time(click{}[2h])", GRID)
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PROMQL_MAD_OT = f"""
+WITH {_METRICS_CTE}, {_GRID_CTE},
+win AS (
+    SELECT s.user_id, g.gts, s.value
+    FROM grid g
+    JOIN metrics s ON s.name = 'click'
+      AND s.ts >= g.gts - {_d(7200.0)} AND s.ts <= g.gts
+),
+meds AS (
+    SELECT user_id, gts, quantile_cont(value, 0.5) AS med
+    FROM win GROUP BY 1, 2
+)
+SELECT w.user_id, w.gts AS ts,
+       ROUND(quantile_cont(abs(w.value - m.med), 0.5), 6) AS value
+FROM win w JOIN meds m ON m.user_id = w.user_id AND m.gts = w.gts
+GROUP BY w.user_id, w.gts
+"""
+
+
 def q_promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'last_over_time(click{}[30m])' — newest raw sample per window
     (name preserved, PromQL semantics)."""
@@ -1885,6 +1942,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_date_parts": q_promql_date_parts,
     "promql_at_modifier": q_promql_at_modifier,
     "promql_holt_winters": q_promql_holt_winters,
+    "promql_idelta": q_promql_idelta,
+    "promql_mad_ot": q_promql_mad_ot,
     "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
@@ -1943,6 +2002,8 @@ ORACLES: dict[str, str] = {
     "promql_date_parts": SQL_PROMQL_DATE_PARTS,
     "promql_at_modifier": SQL_PROMQL_AT,
     "promql_holt_winters": SQL_PROMQL_HOLT_WINTERS,
+    "promql_idelta": SQL_PROMQL_IDELTA,
+    "promql_mad_ot": SQL_PROMQL_MAD_OT,
     "promql_increase": SQL_PROMQL_INCREASE,
     "promql_math": SQL_PROMQL_MATH,
     "promql_label_replace": SQL_PROMQL_LABEL_REPLACE,

@@ -146,6 +146,75 @@ def over_time_to_grid(
     return out.select(*key_cols, gts, "value")
 
 
+def idelta_to_grid(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+) -> DataFrame:
+    """``idelta(v[r])`` (standard PromQL): difference of the LAST TWO raw
+    samples inside each window. Windows with < 2 samples emit no point.
+    One collect+sort per (series, slot) — the same shape as holt_winters,
+    but only the top two order statistics matter."""
+    start, step = grid.start, grid.increment
+    exploded, series, key_cols = _keyed_window_explode(
+        samples, grid, over_range, offset, series_cols
+    )
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("ts"), F.col("value").alias("v")))
+    )
+    collected = exploded.groupBy(*key_cols, "_slot").agg(pts.alias("_pts"))
+    n = F.size(F.col("_pts"))
+    val = (
+        F.element_at(F.col("_pts"), -1)["v"] - F.element_at(F.col("_pts"), -2)["v"]
+    )
+    out = collected.filter(n >= 2)
+    gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
+    if series is not None:
+        return out.join(series, "_skey").select(
+            F.lit(None).cast("string").alias("name"), "labels", gts, val.alias("value")
+        )
+    return out.select(*key_cols, gts, val.alias("value"))
+
+
+def mad_over_time_to_grid(
+    samples: DataFrame,
+    grid,
+    over_range: float,
+    series_cols: Sequence[str] | None = None,
+    offset: float = 0.0,
+) -> DataFrame:
+    """``mad_over_time(v[r])``: median absolute deviation of each window's
+    raw samples — median(|x − median(x)|), both medians with linear
+    interpolation between order statistics (exact percentile, the same
+    math as quantile_cont, so a SQL oracle replays it)."""
+    start, step = grid.start, grid.increment
+    exploded, series, key_cols = _keyed_window_explode(
+        samples, grid, over_range, offset, series_cols
+    )
+    med = F.percentile(F.col("value"), F.lit(0.5))
+    collected = exploded.groupBy(*key_cols, "_slot").agg(
+        med.alias("_med"), F.collect_list("value").alias("_vals")
+    )
+    # median of deviations: sort |x − med| and interpolate the middle
+    devs = F.array_sort(
+        F.transform(F.col("_vals"), lambda v: F.abs(v - F.col("_med")))
+    )
+    n = F.size(devs)
+    lo_idx = ((n + 1) / 2).cast("int")  # 1-based lower middle
+    lo = F.element_at(devs, lo_idx)
+    hi = F.element_at(devs, lo_idx + 1)
+    mad = F.when(n % 2 == 1, lo).otherwise((lo + hi) / F.lit(2.0))
+    gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
+    out = collected.select(*key_cols, "_slot", mad.alias("value"))
+    if series is not None:
+        return out.join(series, "_skey").select(
+            F.lit(None).cast("string").alias("name"), "labels", gts, "value"
+        )
+    return out.select(*key_cols, gts, "value")
+
+
 def holt_winters_to_grid(
     samples: DataFrame,
     grid,

@@ -50,6 +50,8 @@ from prometheus_parquet_server_spark.operators.over_time import (
     changes_to_grid,
     deriv_to_grid,
     holt_winters_to_grid,
+    idelta_to_grid,
+    mad_over_time_to_grid,
     over_time_to_grid,
 )
 from prometheus_parquet_server_spark.operators.rate import (
@@ -579,6 +581,22 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             list(node.agg.labels) if node.agg and node.agg.action == "without" else None
         )
         return Processed(quantile_over_series(arg.df, phi.value, by=by, without=without))
+
+    if node.name in ("idelta", "mad_over_time"):
+        if len(node.args) != 1:
+            raise QueryError(f"'{node.name}' expects a single argument")
+        arg = _eval(node.args[0], ctx, state)
+        if not isinstance(arg, UnprocessedVector):
+            raise QueryError(f"'{node.name}' needs a range vector")
+        fn = idelta_to_grid if node.name == "idelta" else mad_over_time_to_grid
+        return Processed(
+            fn(
+                arg.df,
+                ctx.grid,
+                over_range=float(arg.over_range),
+                offset=float(arg.offset or 0),
+            )
+        )
 
     if node.name == "quantile_over_time":
         # beyond-reference: φ-quantile of the raw samples in each window

@@ -132,6 +132,23 @@ def test_holt_winters(spark):
         run_query(spark, df, "holt_winters(m{}[60], 1.5, 0.2)", grid)
 
 
+def test_idelta_and_mad_over_time(spark):
+    rows = [("m", {"h": "a"}, ts, v)
+            for ts, v in [(10.0, 10.0), (20.0, 12.0), (30.0, 11.0), (40.0, 17.0)]]
+    df = long_frame(spark, rows)
+    grid = RegularTimeRange(0.0, 60.0, 60.0)
+    out = run_query(spark, df, "idelta(m{}[60])", grid).collect()
+    assert [(r["ts"], r["value"]) for r in out] == [(60.0, 6.0)]  # 17 − 11
+    # <2-sample windows emit nothing
+    assert run_query(spark, df, "idelta(m{}[15])", grid).count() == 0
+    # values 10,12,11,17 → median 11.5, |dev| sorted [0.5,0.5,1.5,5.5] → 1.0
+    mad = run_query(spark, df, "mad_over_time(m{}[60])", grid).collect()
+    assert [(r["ts"], r["value"]) for r in mad] == [(60.0, 1.0)]
+    # single-sample window → deviation 0
+    one = run_query(spark, df, "mad_over_time(m{}[12])", grid).collect()
+    assert all(r["value"] == 0.0 for r in one)
+
+
 def test_sort_is_series_identity(spark):
     df = fixture(spark)
     plain = {(r["ts"], r["value"]) for r in run(spark, df, "sum(m{})").collect()}
