@@ -60,3 +60,53 @@ def stream_dedup_exact(
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def stream_dedup_near(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "2 days",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate streaming dedup, stage 1 of 2: per-band-bucket
+    first-wins.
+
+    Same MinHash signatures/banding as the batch path (pipeline/dedup.py),
+    so batch and stream agree on candidate identity. Each document emits
+    ``bands`` band keys; ``dropDuplicatesWithinWatermark`` on the band key
+    keeps only the FIRST claimant of each bucket inside the watermark
+    horizon — bounded state (one entry per live bucket), exactly one
+    stateful operator. Output: the surviving (doc_id, event_time,
+    band_key) rows.
+
+    Consolidation to per-document keep/drop (a doc survives iff it kept
+    ALL its bands — a later near-dup shares ≥1 bucket with an earlier doc
+    and loses it) is :func:`consolidate_near_dedup`, a plain aggregation
+    the consumer runs on the drained/sunk rows. It is NOT chained into the
+    stream: Spark's multi-stateful support does not include
+    dedup-followed-by-aggregation — the chained form silently emits
+    nothing in append mode (observed, Spark 4.1)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm)
+    keyed = docs_stream.select(
+        "doc_id",
+        "event_time",
+        F.explode(minhash_bands(sig, bands, num_perm // bands)).alias("band_key"),
+    ).withWatermark("event_time", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["band_key"])
+
+
+def consolidate_near_dedup(kept_bands: DataFrame, bands: int = 4) -> DataFrame:
+    """Stage 2 (batch, over the drained stage-1 rows): documents that kept
+    every band — no bucket was claimed by an earlier document."""
+    return (
+        kept_bands.groupBy("doc_id")
+        .agg(F.count("*").alias("_n_kept"), F.min("event_time").alias("event_time"))
+        .filter(F.col("_n_kept") == bands)
+        .select("doc_id", "event_time")
+    )

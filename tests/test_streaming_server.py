@@ -266,6 +266,71 @@ def test_server_errors(server):
     assert st == 404
 
 
+def test_streaming_near_dedup(spark, tmp_path):
+    """Two-batch near-dup suppression: originals arrive first, then
+    near-duplicates (one word changed) plus a fresh doc. The stream's
+    per-bucket first-wins + batch consolidation keeps originals and the
+    fresh doc, drops the near-dups."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from prometheus_parquet_server_spark.streaming.dedup import (
+        consolidate_near_dedup,
+        stream_dedup_near,
+    )
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+
+    d = str(tmp_path / "docs")
+    (tmp_path / "docs").mkdir()
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_time"])
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/{name}")
+
+    texts = [
+        "the pelican colony nested along rocky coastal cliffs feeding on "
+        "silver fish every misty morning before tourists arrived " * 3,
+        "volcanic eruptions reshaped the island plateau burying ancient "
+        "forests beneath layers of dark pumice and drifting ash " * 3,
+        "galaxies rotate slowly around supermassive centers while stellar "
+        "nurseries ignite young suns inside cold molecular clouds " * 3,
+        "submarine crews navigate abyssal trenches charting hydrothermal "
+        "vents where blind shrimp cluster around mineral chimneys " * 3,
+    ]
+    mk([(i, t, t0) for i, t in enumerate(texts)], "f1.parquet")
+    import time as _time
+
+    _time.sleep(1.1)  # file source orders batches by modification time
+    later = t0 + datetime.timedelta(hours=2)
+    mk(
+        [
+            (100, texts[0].upper(), later),  # exact dup up to normalization
+            (101, texts[1].replace("ancient", "primeval", 1), later),  # near-dup
+            (102, "completely fresh content with brand new vocabulary entirely", later),
+        ],
+        "f2.parquet",
+    )
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        # session reads parquet ns timestamps as LONG ns (nanosAsLong)
+        .withColumn("event_time", F.timestamp_micros(F.expr("event_time div 1000")))
+    )
+    kept_bands = run_available_now(
+        stream_dedup_near(stream, watermark="1 hour"), spark, output_mode="append"
+    )
+    kept = {r["doc_id"] for r in consolidate_near_dedup(kept_bands).collect()}
+    assert {0, 1, 2, 3} <= kept        # originals all survive
+    assert 102 in kept                 # fresh content survives
+    assert 100 not in kept and 101 not in kept  # near-dups suppressed
+
+
 def test_stateful_sessionization(spark):
     from prometheus_parquet_server_spark.streaming import run_available_now
     from prometheus_parquet_server_spark.streaming.sessions import sessionize
