@@ -224,15 +224,20 @@ class MetricsHTTPServer:
             at = parse_timestamp(params["time"]) if "time" in params else 0.0
         except (KeyError, ValueError) as e:
             return 400, error_response(f"bad request: {e}")
-        try:
-            kind, result = run_instant_query(
-                self.spark, self.collection, query, at, time_offset=self.time_offset
-            )
-            if kind == "scalar":
-                return 200, scalar_result(result, at)
-            return 200, vector_result(result, time_offset=self.time_offset)
-        except Exception as e:
-            return 400, error_response(str(e))
+
+        def compute() -> tuple[int, dict]:
+            try:
+                kind, result = run_instant_query(
+                    self.spark, self.collection, query, at,
+                    time_offset=self.time_offset,
+                )
+                if kind == "scalar":
+                    return 200, scalar_result(result, at)
+                return 200, vector_result(result, time_offset=self.time_offset)
+            except Exception as e:
+                return 400, error_response(str(e))
+
+        return self._cached_response(("instant", query, at), compute)
 
     def handle_series(self, selectors: list[str]) -> tuple[int, dict]:
         """``/api/v1/series?match[]=<selector>...`` (beyond-reference):
