@@ -126,10 +126,15 @@ def aggregate_over_series(
 
 def value_label_str(v: Column) -> Column:
     """Sample value → label string for ``count_values`` (integral floats
-    render without a decimal point, like the JSON envelope's _fmt_value)."""
+    render without a decimal point and infinities as +Inf/-Inf, like
+    Prometheus). Known remainder: non-integral magnitudes ≥ 1e7 (or
+    < 1e-3) fall back to Java's Double.toString scientific notation
+    ("1.23456785E7") rather than Go's shortest-decimal form."""
     as_long = v.cast("long")
     return (
         F.when(F.isnan(v), F.lit("NaN"))
+        .when(v == F.lit(float("inf")), F.lit("+Inf"))
+        .when(v == F.lit(float("-inf")), F.lit("-Inf"))
         .when(
             (v == as_long.cast("double")) & (F.abs(v) < F.lit(1e15)),
             as_long.cast("string"),

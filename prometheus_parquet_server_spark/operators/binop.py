@@ -234,19 +234,25 @@ def _result_labels(labels: Column, on: list[str] | None, ignoring: list[str] | N
     return labels
 
 
-#: Prometheus error parity (promql/engine.go resultMetric/matching errors).
-DUPLICATE_SERIES_MSG = (
-    "found duplicate series for the match group on the {side} hand-side of the"
-    " operation: many-to-{kind} matching must be explicit (group_left/group_right)"
+#: Prometheus error parity (promql/engine.go matching errors). One-to-one
+#: cannot attribute the side from a joined-group count, so the text stays
+#: side-neutral; the group_left/group_right message mirrors Prometheus's
+#: "multiple matches for labels" wording.
+DUPLICATE_ONE_TO_ONE_MSG = (
+    "found duplicate series for the match group in a one-to-one matching:"
+    " many-to-one matching must be explicit (group_left/group_right)"
+)
+DUPLICATE_GROUP_MSG = (
+    "found duplicate series for the match group: multiple matches for labels —"
+    " grouping labels must ensure unique matches on the \"one\" side"
 )
 
 
-def _guarded(value: Column, n_matches: Column, side: str, kind: str) -> Column:
+def _guarded(value: Column, n_matches: Column, msg: str) -> Column:
     """Fold a duplicate-match-group assertion into the value expression so
     Catalyst cannot prune it: assert_true yields NULL when the group is
     unique (coalesce falls through to the real value) and raises at
     execution when a duplicate match group is hit."""
-    msg = DUPLICATE_SERIES_MSG.format(side=side, kind=kind)
     return F.coalesce(
         F.assert_true(n_matches <= 1, F.lit(msg)).cast("double"), value
     )
@@ -331,11 +337,11 @@ def vector_vector_op(
         n_one = F.count(F.lit(1)).over(w_one)
         if group == "left":
             right = right.withColumn(
-                "_rv", _guarded(F.col("_rv"), n_one, "right", "one")
+                "_rv", _guarded(F.col("_rv"), n_one, DUPLICATE_GROUP_MSG)
             )
         else:
             left = left.withColumn(
-                "_lv", _guarded(F.col("_lv"), n_one, "left", "many")
+                "_lv", _guarded(F.col("_lv"), n_one, DUPLICATE_GROUP_MSG)
             )
 
     joined = left.join(right, ["_mk", "ts"], "inner")
@@ -348,7 +354,9 @@ def vector_vector_op(
         w11 = Window.partitionBy("_mk", "ts")
         joined = joined.withColumn(
             "_lv",
-            _guarded(F.col("_lv"), F.count(F.lit(1)).over(w11), "right", "one"),
+            _guarded(
+                F.col("_lv"), F.count(F.lit(1)).over(w11), DUPLICATE_ONE_TO_ONE_MSG
+            ),
         )
 
     lv, rv = F.col("_lv"), F.col("_rv")

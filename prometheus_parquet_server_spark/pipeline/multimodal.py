@@ -107,14 +107,16 @@ def _parse_image(payload: bytes) -> tuple[int, int, bytes] | None:
             rows.reverse()
         pix = b"".join(rows)
     elif payload[:2] == b"P6":
-        parts = payload.split(maxsplit=4)
-        if len(parts) < 5:
+        import re as _re
+
+        # the header ends after exactly ONE whitespace byte following
+        # maxval — bytes.split would also swallow pixel bytes that happen
+        # to be whitespace values (0x09-0x0D, 0x20)
+        mh = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", payload)
+        if not mh:
             return None
-        try:
-            width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        except ValueError:
-            return None
-        pix = parts[4][: width * height * 3]
+        width, height, maxval = (int(mh.group(g)) for g in (1, 2, 3))
+        pix = payload[mh.end() : mh.end() + width * height * 3]
         if maxval > 255 or len(pix) < width * height * 3:
             return None
     else:

@@ -213,7 +213,10 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
         elif node.at_s == "end":
             at = ctx.grid.end
         else:
-            at = float(node.at_s)
+            # literal timestamps are user-clock values; the grid's axis is
+            # already shifted by time_offset (shift-to-midnight), so shift
+            # the pin the same way start/end were at grid construction
+            at = float(node.at_s) - ctx.grid.time_offset
         off = float(node.offset_s or 0)
         at_grid = RegularTimeRange(at, at, 1.0)
         fixed = resample_to_grid(
@@ -238,6 +241,25 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
             aligned_sel = select_series(ctx.aligned_ext, matchers)
         return UnprocessedVector(df, node.range_s, node.offset_s, aligned_sel)
     return Unprocessed(df, node.offset_s)
+
+
+def _absent_eq_labels(node: Node) -> dict[str, str]:
+    """Result labels for absent()/absent_over_time() — Prometheus derives
+    them from the selector's '=' matchers (absent(up{job="api"}) →
+    {job="api"}); __name__ and regex/negative matchers contribute nothing,
+    conflicting duplicates drop the label entirely."""
+    eq_labels: dict[str, str] = {}
+    if isinstance(node, SelectorNode):
+        conflicts = set()
+        for m in node.matchers:
+            if m.op != "=" or m.label == "__name__":
+                continue
+            if m.label in eq_labels and eq_labels[m.label] != m.value:
+                conflicts.add(m.label)
+            eq_labels[m.label] = m.value
+        for k in conflicts:
+            eq_labels.pop(k, None)
+    return eq_labels
 
 
 _RATE_FUNCS = {"rate": rate_to_grid, "irate": irate_to_grid}
@@ -510,21 +532,9 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         arg = _resampled(_eval(node.args[0], ctx, state), ctx)
         if not isinstance(arg, Processed):
             raise QueryError("'absent' needs a vector argument")
-        # Prometheus: result labels come from the selector's '=' matchers
-        # (absent(up{job="api"}) → {job="api"}); __name__ and regex/negative
-        # matchers contribute nothing, conflicting duplicates drop the label
-        eq_labels: dict[str, str] = {}
-        if isinstance(node.args[0], SelectorNode):
-            seen_conflict = set()
-            for m in node.args[0].matchers:
-                if m.op != "=" or m.label == "__name__":
-                    continue
-                if m.label in eq_labels and eq_labels[m.label] != m.value:
-                    seen_conflict.add(m.label)
-                eq_labels[m.label] = m.value
-            for k in seen_conflict:
-                eq_labels.pop(k, None)
-        return Processed(absent_over_grid(arg.df, ctx.grid_df(), eq_labels))
+        return Processed(
+            absent_over_grid(arg.df, ctx.grid_df(), _absent_eq_labels(node.args[0]))
+        )
 
     if node.name == "timestamp":
         if len(node.args) != 1:
@@ -608,6 +618,22 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         arg = _eval(node.args[1], ctx, state)
         if not isinstance(arg, UnprocessedVector):
             raise QueryError("'quantile_over_time' needs a range vector")
+        if not (0.0 <= phi.value <= 1.0):
+            # Prometheus: φ > 1 → +Inf, φ < 0 → −Inf for every window
+            # (rather than Spark's percentage-out-of-range analysis error)
+            bound = float("inf") if phi.value > 1 else float("-inf")
+            present = over_time_to_grid(
+                arg.df,
+                ctx.grid,
+                "present",
+                over_range=float(arg.over_range),
+                offset=float(arg.offset or 0),
+            )
+            return Processed(
+                present.select(
+                    "name", "labels", "ts", F.lit(bound).alias("value")
+                )
+            )
         return Processed(
             over_time_to_grid(
                 arg.df,
@@ -721,14 +747,9 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             over_range=float(arg.over_range),
             offset=float(arg.offset or 0),
         )
-        eq_labels: dict[str, str] = {}
-        if isinstance(node.args[0], SelectorNode):
-            for m in node.args[0].matchers:
-                if m.op == "=" and m.label != "__name__":
-                    eq_labels[m.label] = m.value
         return Processed(
             absent_over_grid(
-                present.select("ts"), ctx.grid_df(), eq_labels
+                present.select("ts"), ctx.grid_df(), _absent_eq_labels(node.args[0])
             )
         )
 

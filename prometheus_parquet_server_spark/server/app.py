@@ -158,13 +158,20 @@ class MetricsHTTPServer:
             self.collection, build_grid.to_df(self.spark), grid=build_grid
         ).persist()
         ext.count()  # materialize outside the request's critical path
+        key = (grid.start, grid.end, grid.increment)
         with self._lock:
-            self._aligned[(grid.start, grid.end, grid.increment)] = (
-                grid, pad, ext,
-            )
-            while len(self._aligned) > self._aligned_grids:
-                _, (_g, _p, old) = self._aligned.popitem(last=False)
-                old.unpersist()
+            if key in self._aligned:
+                # a concurrent request built the same grid while we were
+                # outside the lock — keep theirs, drop our duplicate (an
+                # overwrite would orphan a persisted frame)
+                ext.unpersist()
+                _g, pad, ext = self._aligned[key]
+                self._aligned.move_to_end(key)
+            else:
+                self._aligned[key] = (grid, pad, ext)
+                while len(self._aligned) > self._aligned_grids:
+                    _, (_g, _p, old) = self._aligned.popitem(last=False)
+                    old.unpersist()
         exact = ext.filter(F.col("ts") >= start_lit) if pad else ext
         return exact, (ext if pad else None), pad
 
@@ -174,10 +181,11 @@ class MetricsHTTPServer:
                 self._response_cache.move_to_end(key)
                 return self._response_cache[key]
         status, payload = compute()
-        with self._lock:
-            self._response_cache[key] = (status, payload)
-            while len(self._response_cache) > self._response_cache_size:
-                self._response_cache.popitem(last=False)
+        if status == 200:  # never cache errors — transient failures would
+            with self._lock:  # otherwise replay as permanent 400s
+                self._response_cache[key] = (status, payload)
+                while len(self._response_cache) > self._response_cache_size:
+                    self._response_cache.popitem(last=False)
         return status, payload
 
     # ---- request handlers -------------------------------------------------

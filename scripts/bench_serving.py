@@ -49,19 +49,6 @@ def main() -> None:
     srv._aligned_for(RegularTimeRange(START, END, STEP))
     align_s = time.time() - t0
 
-    def run(q: str) -> float:
-        params = {
-            "query": q,
-            "start": str(START),
-            "end": str(END),
-            "step": f"{int(STEP)}s",
-        }
-        t = time.time()
-        status, payload = srv.handle_query_range(params)
-        dt = time.time() - t
-        assert status == 200, payload
-        return dt
-
     def run_at(q: str, end: float) -> float:
         params = {
             "query": q,
@@ -75,13 +62,13 @@ def main() -> None:
         assert status == 200, payload
         return dt
 
-    cold = [run(q) for q in PANEL_QUERIES]
+    cold = [run_at(q, END) for q in PANEL_QUERIES]
     # steady state: a NEW grid (zoomed end) → response cache misses, plans
     # rebuilt, but JVM codegen is warm and the aligned store prefix-reuses
     steady = [run_at(q, END - STEP) for q in PANEL_QUERIES]
     steady2 = [run_at(q, END - 2 * STEP) for q in PANEL_QUERIES]
     steady = [min(a, b) for a, b in zip(steady, steady2)]
-    warm = [run(q) for q in PANEL_QUERIES]
+    warm = [run_at(q, END) for q in PANEL_QUERIES]
 
     print(f"aligned-store build: {align_s:.2f}s (once per grid anchor)")
     for q, dt, dt2 in zip(PANEL_QUERIES, cold, steady):

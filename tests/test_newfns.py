@@ -149,6 +149,29 @@ def test_idelta_and_mad_over_time(spark):
     assert all(r["value"] == 0.0 for r in one)
 
 
+def test_quantile_over_time_phi_out_of_range(spark):
+    """Prometheus parity: φ > 1 → +Inf per window, φ < 0 → −Inf (not a
+    Spark percentage-range error)."""
+    import math
+
+    df = fixture(spark)
+    hi = run(spark, df, "quantile_over_time(1.5, m{}[90])").collect()
+    assert len(hi) == 9 and all(math.isinf(r["value"]) and r["value"] > 0 for r in hi)
+    lo = run(spark, df, "quantile_over_time(-0.5, m{}[90])").collect()
+    assert all(math.isinf(r["value"]) and r["value"] < 0 for r in lo)
+
+
+def test_at_modifier_respects_time_offset(spark):
+    """Literal @ timestamps are user-clock values: with shift-to-midnight
+    the pin must shift like the grid bounds do."""
+    rows = [("m", {"h": "a"}, ts, v) for ts, v in [(0.0, 1.0), (60.0, 2.0), (120.0, 3.0)]]
+    df = long_frame(spark, rows)
+    # grid axis shifted by 1000: user-time 1120 = engine-time 120
+    grid = RegularTimeRange(1000.0, 1120.0, 60.0, time_offset=1000.0)
+    out = run_query(spark, df, "m{} @ 1120", grid).collect()
+    assert {r["value"] for r in out} == {3.0}
+
+
 def test_sort_is_series_identity(spark):
     df = fixture(spark)
     plain = {(r["ts"], r["value"]) for r in run(spark, df, "sum(m{})").collect()}

@@ -254,6 +254,12 @@ def test_multimodal_real_decode_roundtrip(spark):
     # P6 PPM
     ppm = b"P6\n3 2\n255\n" + bytes(range(18))
     assert decode_image(ppm)["width"] == 3
+    # pixel data starting with a whitespace BYTE must not be swallowed by
+    # header parsing (0x20 == space)
+    ppm_ws = b"P6\n1 1\n255\n" + bytes([0x20, 0x0A, 0x09])
+    dws = decode_image(ppm_ws)
+    assert dws is not None and dws["width"] == 1
+    assert abs(dws["feature"][3] - (0x20 + 0x0A + 0x09) / 3 / 255.0) < 1e-12
     # non-media bytes fall through
     assert decode_image(b"not an image at all" * 10) is None
     assert decode_audio(b"RIFFxxxx" + b"nope" * 20) is None
