@@ -331,8 +331,12 @@ def vector_vector_op(
     if check_matching and op not in SET_OPS and group in ("left", "right"):
         # the "one" side must be unique per (match key, instant); the window
         # keys on the join keys, so its exchange is the join's exchange. The
-        # guard folds into the one-side value column → it only fires for
-        # groups the many side actually matches (Prometheus semantics).
+        # guard folds into the one-side value column. Deliberate relaxation
+        # vs Prometheus: promql errors on duplicate one-side signatures at
+        # hash-build time even when the many side never matches them; here
+        # the guard fires lazily, so an unmatched duplicate group passes.
+        # Guarding unmatched groups would force an extra aggregation over
+        # the whole one side per query for an error path — not worth it.
         w_one = Window.partitionBy("_mk", "ts")
         n_one = F.count(F.lit(1)).over(w_one)
         if group == "left":
@@ -350,7 +354,10 @@ def vector_vector_op(
         # one-to-one: any (match key, ts) group joining >1 row means a
         # duplicate series on some side. Count over the joined frame — it is
         # already hash-partitioned AND sorted on (_mk, ts) by the sort-merge
-        # join, so this window adds no exchange and no sort.
+        # join, so this window adds no exchange and no sort. Deliberate
+        # relaxation vs Prometheus, which rejects duplicate signatures
+        # during hash build even when the other side never matches that
+        # group; a post-join guard only sees groups that matched.
         w11 = Window.partitionBy("_mk", "ts")
         joined = joined.withColumn(
             "_lv",

@@ -204,7 +204,9 @@ def mad_over_time_to_grid(
     n = F.size(devs)
     lo_idx = ((n + 1) / 2).cast("int")  # 1-based lower middle
     lo = F.element_at(devs, lo_idx)
-    hi = F.element_at(devs, lo_idx + 1)
+    # 0-based NULL-safe get == 1-based lo_idx + 1; never constructs an
+    # out-of-bounds index for odd-sized windows (ANSI-mode safe).
+    hi = F.get(devs, lo_idx)
     mad = F.when(n % 2 == 1, lo).otherwise((lo + hi) / F.lit(2.0))
     gts = (F.lit(start) + F.col("_slot").cast("double") * F.lit(step)).alias("ts")
     out = collected.select(*key_cols, "_slot", mad.alias("value"))

@@ -21,6 +21,7 @@ anything else errors "Unknown function".
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +110,17 @@ class _Ctx:
     #: the pure-lag fast path when r ≤ pad·inc (rate.rate_from_aligned).
     aligned_ext: DataFrame | None = None
     aligned_ext_steps: int = 0
+    #: lazy builder for (aligned, aligned_ext, aligned_ext_steps) — invoked
+    #: at most once, and only when the plan actually reaches an
+    #: aligned-eligible read (instant selector, or a rate whose range fits
+    #: the backward pad). Queries that never touch the aligned store
+    #: (offsets, oversized ranges) skip the build entirely.
+    aligned_provider: "Callable[[], tuple[DataFrame, DataFrame | None, int]] | None" = None
+
+    def resolve_aligned(self) -> None:
+        if self.aligned_provider is not None:
+            provider, self.aligned_provider = self.aligned_provider, None
+            self.aligned, self.aligned_ext, self.aligned_ext_steps = provider()
 
     def grid_df(self) -> DataFrame:
         return self.grid.to_df(self.spark)
@@ -231,12 +243,21 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
             .select("name", "labels", F.col("gts").alias("ts"), "value")
         )
         return Processed(rep)
+    if node.range_s is None and node.offset_s is None:
+        ctx.resolve_aligned()
     if ctx.aligned is not None and node.range_s is None and node.offset_s is None:
         # serving fast path: the store is already aligned to this grid
         return Processed(select_series(ctx.aligned, matchers))
     df = select_series(ctx.collection, matchers)
     if node.range_s is not None:
         aligned_sel = None
+        if (
+            node.offset_s is None
+            and ctx.aligned_ext_steps
+            and node.range_s / ctx.grid.increment <= ctx.aligned_ext_steps
+        ):
+            # only ranges the backward pad can cover trigger the build
+            ctx.resolve_aligned()
         if ctx.aligned_ext is not None and node.offset_s is None:
             aligned_sel = select_series(ctx.aligned_ext, matchers)
         return UnprocessedVector(df, node.range_s, node.offset_s, aligned_sel)
@@ -928,6 +949,7 @@ def run_query(
     aligned: DataFrame | None = None,
     aligned_ext: DataFrame | None = None,
     aligned_ext_steps: int = 0,
+    aligned_provider: Callable[[], tuple[DataFrame, DataFrame | None, int]] | None = None,
 ) -> DataFrame:
     """``run_query`` (src/query.rs:583-596): parse → interpret → resample.
 
@@ -936,10 +958,16 @@ def run_query(
     ``aligned``: optional pre-aligned (cached) store for this exact grid —
     instant selectors then skip interpolation; ``aligned_ext`` extends it
     ``aligned_ext_steps`` steps backwards for the rate lag fast path (see
-    _Ctx).
+    _Ctx). ``aligned_provider`` supplies all three lazily — the build cost
+    is paid only by queries whose plan actually reads the aligned store
+    (pass ``aligned_ext_steps`` as the expected pad so range eligibility
+    can be decided without building).
     """
     ast = parse_promql(query)
-    ctx = _Ctx(spark, collection, grid, aligned, aligned_ext, aligned_ext_steps)
+    ctx = _Ctx(
+        spark, collection, grid, aligned, aligned_ext, aligned_ext_steps,
+        aligned_provider,
+    )
     result = _eval(ast, ctx, _Collection())
     result = _resampled(result, ctx)
     if isinstance(result, GridScalar):

@@ -352,17 +352,28 @@ def _parse_selector(lex: _Lexer, name: str | None) -> Node:
     return SelectorNode(tuple(matchers), range_s, offset_s, at_s)
 
 
+_AT_NUM = r"(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"
+
+
 def _parse_at(lex: _Lexer) -> float | str:
-    """``@ <unix ts>`` / ``@ start()`` / ``@ end()``."""
+    """``@ <unix ts>`` / ``@ start()`` / ``@ end()``.
+
+    Not accepted after subquery selectors (``m[30m:5m] @ t``) — the
+    subquery branch returns before the offset/@ loop, matching the
+    range-vector limitation documented on :func:`_parse_selector`.
+    """
     tok = lex.peek()
     if tok == "-":
         lex.next()
+        num = lex.peek()
+        if num is None or not re.fullmatch(_AT_NUM, num):
+            raise PromQLError(f"expected timestamp after @ -, got {num!r}")
         return -float(lex.next())
     if tok in ("start", "end"):
         lex.next()
         lex.expect("(")
         lex.expect(")")
         return tok
-    if tok is not None and re.fullmatch(r"\d.*|\.\d.*", tok):
+    if tok is not None and re.fullmatch(_AT_NUM, tok):
         return float(lex.next())
     raise PromQLError(f"expected timestamp after @, got {tok!r}")

@@ -97,7 +97,7 @@ class MetricsHTTPServer:
         # frames can be cached without invalidation concerns.
         self._response_cache: "OrderedDict[tuple, tuple[int, dict]]" = OrderedDict()
         self._response_cache_size = response_cache_size
-        self._aligned: "OrderedDict[tuple, tuple[RegularTimeRange, DataFrame]]" = (
+        self._aligned: "OrderedDict[tuple, tuple[RegularTimeRange, int, DataFrame]]" = (
             OrderedDict()
         )
         self._aligned_grids = aligned_store_grids
@@ -204,10 +204,22 @@ class MetricsHTTPServer:
                 grid = RegularTimeRange(
                     start, end, step, time_offset=self.time_offset
                 )
-                exact, ext, pad = self._aligned_for(grid)
+                # lazy: the aligned store is built (and persisted) only when
+                # the compiled plan actually reads it — pure range-vector
+                # queries with oversized ranges and offset queries skip the
+                # first-request build tax entirely. The pad hint mirrors
+                # _aligned_for's integral-grid rule so range eligibility is
+                # decidable up front.
+                pad_hint = (
+                    self._aligned_pad_steps
+                    if float(grid.start).is_integer()
+                    and float(grid.increment).is_integer()
+                    else 0
+                )
                 df = run_query(
                     self.spark, self.collection, query, grid,
-                    aligned=exact, aligned_ext=ext, aligned_ext_steps=pad,
+                    aligned_ext_steps=pad_hint,
+                    aligned_provider=lambda: self._aligned_for(grid),
                 )
                 return 200, matrix_result(df, time_offset=self.time_offset)
             except Exception as e:  # query errors → 400 (src/main.rs:386-393)

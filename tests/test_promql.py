@@ -53,6 +53,14 @@ def test_parse_scalar_and_errors():
     assert parse_promql("-1.5") == ScalarNode(-1.5)  # constant fold
     with pytest.raises(PromQLError):
         parse_promql('m{a=}')
+    # malformed @ timestamps raise PromQLError (not a bare ValueError),
+    # both after '@' and after '@ -'
+    with pytest.raises(PromQLError):
+        parse_promql("m @ -foo")
+    with pytest.raises(PromQLError):
+        parse_promql("m @ nonsense")
+    n = parse_promql("m @ -1.5e3")
+    assert n.at_s == -1500.0
 
 
 def test_parse_binary_precedence_and_modifiers():

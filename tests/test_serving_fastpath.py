@@ -68,3 +68,45 @@ def test_aligned_store_bit_parity(spark, q):
             assert isinstance(g, float) and math.isnan(g)
         else:
             assert v == g, (k, v, g)  # bit-identical, not approx
+
+
+@pytest.mark.parametrize(
+    "q,should_build",
+    [
+        ('m{host="a"}', True),            # instant selector → aligned-eligible
+        ("rate(m{}[300])", True),         # range fits the pad → ext fast path
+        ("rate(m{}[2400])", False),       # k=160 > PAD → raw path, no build
+        ('m{host="a"} offset 60', False), # offsets read raw samples
+    ],
+)
+def test_aligned_provider_lazy(spark, q, should_build):
+    """The aligned store is built only when the plan actually reads it."""
+    coll = _collection(spark)
+    calls = []
+
+    def provider():
+        calls.append(1)
+        exact, ext = _aligned(spark, coll)
+        return exact, ext, PAD
+
+    df = run_query(
+        spark, coll, q, GRID,
+        aligned_ext_steps=PAD, aligned_provider=provider,
+    )
+    df.collect()
+    assert bool(calls) is should_build
+    # and results stay bit-identical to the no-provider path
+    want = _rows(run_query(spark, coll, q, GRID))
+    got = _rows(
+        run_query(
+            spark, coll, q, GRID,
+            aligned_ext_steps=PAD, aligned_provider=provider,
+        )
+    )
+    assert want.keys() == got.keys()
+    for k, v in want.items():
+        g = got[k]
+        if isinstance(v, float) and math.isnan(v):
+            assert isinstance(g, float) and math.isnan(g)
+        else:
+            assert v == g, (k, v, g)

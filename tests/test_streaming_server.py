@@ -331,6 +331,48 @@ def test_streaming_near_dedup(spark, tmp_path):
     assert 100 not in kept and 101 not in kept  # near-dups suppressed
 
 
+def test_verify_near_dedup_resurrects_chance_collisions(spark):
+    """Stage-3 verify: a doc that lost a band to a DISSIMILAR claimant
+    (chance bucket collision) is resurrected; a true near-dup that lost
+    bands to its similar original is not."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+    from prometheus_parquet_server_spark.streaming.dedup import verify_near_dedup
+
+    ta = (
+        "the pelican colony nested along rocky coastal cliffs feeding on "
+        "silver fish every misty morning before tourists arrived " * 3
+    )
+    tb = ta.replace("rocky", "jagged", 1)  # near-dup of ta
+    tc = "completely fresh content with brand new vocabulary entirely unrelated"
+    docs = spark.createDataFrame([(0, ta), (1, tb), (2, tc)], ["doc_id", "text"])
+
+    sig = minhash_signature(F.col("text"), num_perm=16)
+    rows = docs.select(
+        "doc_id", F.explode(minhash_bands(sig, 4, 4)).alias("band_key")
+    ).collect()
+    # first-wins by doc_id: claimant of each bucket is the lowest id in it
+    by_key: dict = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_key.setdefault(r["band_key"], r["doc_id"])
+    # doc 1 must actually share ≥1 bucket with doc 0 (else the scenario is vacuous)
+    assert any(
+        v == 0 and any(r["doc_id"] == 1 and r["band_key"] == k for r in rows)
+        for k, v in by_key.items()
+    )
+    # simulate a chance collision: one of doc 2's buckets claimed by doc 0
+    doc2_keys = [r["band_key"] for r in rows if r["doc_id"] == 2]
+    by_key[doc2_keys[0]] = 0
+    kept = spark.createDataFrame(
+        [(k, v) for k, v in by_key.items()], ["band_key", "doc_id"]
+    )
+    resurrected = {r["doc_id"] for r in verify_near_dedup(docs, kept).collect()}
+    assert 2 in resurrected      # dissimilar claimant → chance collision
+    assert 1 not in resurrected  # similar claimant → genuine near-dup
+
+
 def test_stateful_sessionization(spark):
     from prometheus_parquet_server_spark.streaming import run_available_now
     from prometheus_parquet_server_spark.streaming.sessions import sessionize
