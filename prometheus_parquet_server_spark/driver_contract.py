@@ -2,9 +2,11 @@
 SURVEY.md §2, each with a DuckDB-replayable ANSI-SQL oracle.
 
 Design rules for oracle parity (learned by probing both engines):
-- time axis = integer microseconds / 1e6 on BOTH sides: Spark reads events.ts
-  as int64 ns (``nanosAsLong``) → ``ts div 1000 / 1e6``; DuckDB truncates ns
-  to µs on read → ``epoch_us(ts)/1000000.0``. Same integer, same division.
+- time axis = integer microseconds / 1e6 on BOTH sides: Spark normalizes
+  events.ts to epoch-µs BIGINT via sources.ingest.epoch_micros (schema-
+  adaptive: timestamp[us] → unix_micros under the pinned UTC session tz;
+  legacy timestamp[ns]-as-long → ``div 1000``); DuckDB reads the same µs →
+  ``epoch_us(ts)/1000000.0``. Same integer, same division.
 - dedupe samples with MAX (order-independent), never AVG, so float results
   are bit-identical.
 - round order-DEPENDENT aggregates (big SUM/AVG) — partial-aggregation order
@@ -54,6 +56,7 @@ from prometheus_parquet_server_spark.pipeline.text import (
     token_count,
 )
 from prometheus_parquet_server_spark.plans.compiler import run_query
+from prometheus_parquet_server_spark.sources.ingest import epoch_micros
 
 # ---------------------------------------------------------------------------
 # shared fixtures: the events→metrics model and the query grid
@@ -103,7 +106,7 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             F.col("event_type").alias("name"),
             F.col("user_id").cast("string").alias("user_id"),
-            (F.expr("ts div 1000") / F.lit(1e6)).alias("ts"),
+            (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
             "value",
         )
         .groupBy("name", "user_id", "ts")
@@ -336,7 +339,8 @@ def _hq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative histogram series synthesized from events: per event_type
     and 6h window, counts of value <= threshold (plus +Inf total)."""
     ev = _events(spark, sf_dir)
-    wts = (F.expr("ts div 21600000000000") * F.lit(HQ_WINDOW_S)).alias("ts")
+    win_us = int(HQ_WINDOW_S * 1e6)
+    wts = (F.floor(epoch_micros(ev) / F.lit(win_us)) * F.lit(HQ_WINDOW_S)).alias("ts")
     aggs = [
         F.sum(F.when(F.col("value") <= t, 1).otherwise(0)).cast("double").alias(f"b{i}")
         for i, t in enumerate(HQ_THRESHOLDS)

@@ -81,13 +81,42 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per (fixed, deterministic) hyperplane.
+def _proj_sql(vec_sql: str, plane: list[float]) -> str:
+    """Flat left-to-right multiply-add of ``vec · plane`` as a SQL string.
+
+    Same accumulation order as an ``aggregate(zip_with(...))`` fold seeded
+    with 0.0 (IEEE: 0.0 + x == x), but parsed once as a single expression —
+    building the equivalent Column tree element-by-element costs thousands
+    of py4j round-trips (measured: ~19 s of pure driver time for the banded
+    dedup query) and produces interpreted HOF nodes; this form is one
+    driver call and whole-stage-codegen'd.
+    """
+    return " + ".join(
+        f"cast({vec_sql}[{i}] as double) * {float(p)!r}" for i, p in enumerate(plane)
+    )
+
+
+def sign_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """Sign-LSH bucket id as a SQL expression string: one bit per (fixed,
+    deterministic) hyperplane.
 
     The projection is rounded to 9 decimals before the sign test so the
-    bucket assignment is reproducible across engines (Spark HOF fold vs
+    bucket assignment is reproducible across engines (Spark codegen sum vs
     DuckDB list_dot_product) despite last-ulp float differences.
     """
+    bits = [
+        f"case when round({_proj_sql(vec_sql, p)}, 9) >= 0 then '1' else '0' end"
+        for p in planes
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def sign_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Column form of :func:`sign_bucket_sql`. ``vec`` may be a column name
+    (fast path: one parsed SQL string) or an arbitrary Column expression
+    (legacy path, retained for composed inputs)."""
+    if isinstance(vec, str):
+        return F.expr(sign_bucket_sql(vec, planes))
     bits = []
     for plane in planes:
         proj = F.aggregate(
@@ -153,54 +182,51 @@ def embedding_lsh_pairs(
     (cosine = dot of unit vectors, rounded to 6).
     """
     planes = fixed_planes(dim, bands * planes_per_band, seed)
-    norm = _norm(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    base = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.when(norm > 0, norm).alias("_n"),
-    )
-    elems = [
-        (F.col("_v")[i].cast("double") / F.col("_n")).alias(f"_e{i}")
-        for i in range(dim)
-    ]
-    band_structs_v = [
-        F.struct(
-            F.lit(b).alias("band"),
-            sign_bucket(
-                F.col("_v"), planes[b * planes_per_band : (b + 1) * planes_per_band]
-            ).alias("bucket"),
+    # 1. candidate generation over a NARROW frame: (id, band, bucket) only.
+    #    Bucket bits come from the RAW vector (same as the DuckDB oracle);
+    #    the whole banded projection is ONE parsed SQL expression — building
+    #    it as a Column tree cost ~19 s of py4j round-trips at dim=64.
+    band_structs = ", ".join(
+        "struct({b} as band, {bits} as bucket)".format(
+            b=b,
+            bits=sign_bucket_sql(
+                vec_col, planes[b * planes_per_band : (b + 1) * planes_per_band]
+            ),
         )
         for b in range(bands)
-    ]
-    banded = base.select(
-        "_id", *elems, F.explode(F.array(*band_structs_v)).alias("bb")
-    ).select(
-        "_id",
-        *[f"_e{i}" for i in range(dim)],
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"),
-        *[F.col(f"_e{i}").alias(f"_a{i}") for i in range(dim)],
-        "band",
-        "bucket",
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"),
-        *[F.col(f"_e{i}").alias(f"_b{i}") for i in range(dim)],
-        "band",
-        "bucket",
-    )
-    dot = F.col("_a0") * F.col("_b0")
-    for i in range(1, dim):
-        dot = dot + F.col(f"_a{i}") * F.col(f"_b{i}")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    banded = emb.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        # dedup BEFORE the verify: a pair colliding in several bands is
+        # cosine-checked once, and the only pair-shuffle carries two longs
         .distinct()
+    )
+    # 2. verify: fetch unit vectors by id (equi-joins, linear in corpus),
+    #    pair cosine as one codegen'd flat multiply-add — left-to-right,
+    #    the same accumulation order as DuckDB's list_dot_product.
+    sq = " + ".join(
+        f"cast({vec_col}[{i}] as double) * cast({vec_col}[{i}] as double)"
+        for i in range(dim)
+    )
+    unit = (
+        f"case when sqrt({sq}) > 0 then "
+        f"array({', '.join(f'cast({vec_col}[{i}] as double) / sqrt({sq})' for i in range(dim))})"
+        " else null end"
+    )
+    nvs = emb.select(F.col(id_col).alias("_id"), F.expr(unit).alias("_nv"))
+    dot = " + ".join(f"_nva[{i}] * _nvb[{i}]" for i in range(dim))
+    return (
+        cand.join(nvs.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_nva")), "id_a")
+        .join(nvs.select(F.col("_id").alias("id_b"), F.col("_nv").alias("_nvb")), "id_b")
+        .select("id_a", "id_b", F.expr(f"round({dot}, 6)").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -157,6 +157,25 @@ def wide_to_long(
     )
 
 
+def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch microseconds (BIGINT) for a time column of ANY supported layout.
+
+    Parquet writers disagree on the physical time encoding; the reference
+    coerces every numeric to f64 at ingest (src/metricstore.rs:138-159) and
+    we do the equivalent schema-adaptive normalization here:
+
+    - TIMESTAMP / TIMESTAMP_NTZ (parquet timestamp[us]/[ms]): ``unix_micros``
+      after an NTZ→instant cast — exact under the engine's pinned UTC session
+      timezone (session.py), matching DuckDB's naive-as-UTC ``epoch_us``.
+    - LONG (parquet timestamp[ns] read via ``nanosAsLong``): integer
+      ``div 1000`` — the same ns→µs truncation DuckDB applies on read.
+    """
+    dt = df.schema[col].dataType.typeName()
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.expr(f"{col} div 1000")
+
+
 def check_monotonic(df: DataFrame) -> None:
     """VecTimeRange invariant (src/timevectors.rs:71-97): strictly increasing
     timestamps per series — duplicates are an ingest error."""

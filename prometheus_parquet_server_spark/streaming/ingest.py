@@ -35,10 +35,12 @@ def stream_events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    from prometheus_parquet_server_spark.sources.ingest import epoch_micros
+
     return stream.select(
         F.col("event_type").alias("name"),
         F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.timestamp_micros(epoch_micros(stream)).alias("event_time"),
         "value",
     )
 

@@ -18,6 +18,7 @@ from prometheus_parquet_server_spark.streaming import (
     stream_windowed_rate,
 )
 from tests.conftest import long_frame
+from prometheus_parquet_server_spark.sources.ingest import epoch_micros
 
 SF = "/root/testdata/sf0.001"
 
@@ -26,7 +27,7 @@ def _batch_counts(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     batch = (
         ev.select(
-            F.window(F.timestamp_micros(F.expr("ts div 1000")), "1 day").alias("w"),
+            F.window(F.timestamp_micros(epoch_micros(ev)), "1 day").alias("w"),
             F.col("event_type").alias("name"),
         )
         .groupBy("w", "name")
@@ -39,7 +40,7 @@ def _batch_counts(spark):
 def _max_event_time(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     return ev.agg(
-        F.max(F.timestamp_micros(F.expr("ts div 1000")))
+        F.max(F.timestamp_micros(epoch_micros(ev)))
     ).first()[0]
 
 
@@ -81,7 +82,7 @@ def test_streaming_rate_matches_batch(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     m = ev.select(
         F.col("event_type").alias("name"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.timestamp_micros(epoch_micros(ev)).alias("event_time"),
         "value",
     )
     win = F.window("event_time", "6 hours", "1 hour")
@@ -385,14 +386,14 @@ def test_stateful_sessionization(spark):
         .parquet(SF)
     )
     ev = stream.select(
-        "user_id", (F.expr("ts div 1000") / F.lit(1e6)).alias("ts_s"), "value"
+        "user_id", (epoch_micros(static) / F.lit(1e6)).alias("ts_s"), "value"
     )
     sessions = sessionize(ev, gap_s=1800.0)
     out = run_available_now(sessions, spark, output_mode="update").collect()
 
     # batch reference: per-user gap>30min boundaries; closed sessions only
     batch = static.select(
-        "user_id", (F.expr("ts div 1000") / F.lit(1e6)).alias("ts_s"), "value"
+        "user_id", (epoch_micros(static) / F.lit(1e6)).alias("ts_s"), "value"
     ).toPandas()
     want_closed = 0
     want_by_user = {}
