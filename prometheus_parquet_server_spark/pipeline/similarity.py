@@ -14,6 +14,8 @@ All vector math is JVM-side (zip_with/aggregate HOFs) — no Python UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +134,52 @@ def sign_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def banded_buckets_udf(planes: list[list[float]], planes_per_band: int):
+    """Arrow-vectorized banded sign-LSH bucketing: ONE numpy matmul per
+    batch computes every (row × plane) projection, then the sign bits are
+    grouped into per-band bucket strings.
+
+    Why a pandas_udf here and flat SQL in :func:`sign_bucket_sql`: the ANN
+    path projects 4 planes (~800 expression nodes — compiles fine and stays
+    in whole-stage codegen), but the banded dedup path projects
+    bands × planes_per_band = 32 planes. Expressed as scalar SQL that is a
+    ~6 400-node tree in ONE generated method (Catalyst's CollapseProject
+    inlines any staged intermediate referenced once, so chunked projections
+    re-merge), which exceeds Janino's 64 KB method limit and silently falls
+    back to interpreted eval — the round-3 10× regression. A dense
+    (batch × dim) @ (dim × planes) product is precisely the kernel
+    vectorized Arrow UDFs are for: C-speed BLAS per batch, no shuffle, no
+    Janino ceiling, scales per-partition at 100 TB.
+
+    Projections are rounded to 9 decimals before the sign test (same as
+    the SQL path) so bucket assignment is reproducible across engines —
+    numpy's pairwise-summed dot and DuckDB's left-to-right
+    list_dot_product agree far below 1e-9 for unit-scale inputs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    bands = mat.shape[1] // planes_per_band
+
+    @pandas_udf("array<string>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        bits = np.where(np.round(m @ mat, 9) >= 0, "1", "0")
+        return pd.Series(
+            [
+                [
+                    "".join(row[b * planes_per_band : (b + 1) * planes_per_band])
+                    for b in range(bands)
+                ]
+                for row in bits
+            ]
+        )
+
+    return _buckets
+
+
 def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes (LCG — no numpy RNG state)."""
     planes = []
@@ -166,17 +214,16 @@ def embedding_lsh_pairs(
     recall, more candidates); precision is exact because every candidate
     is cosine-verified.
 
-    Verify shape — everything stays inside whole-stage codegen: the L2
-    norm is computed once per corpus row (a plain column, NULL for zero
-    vectors so they pair with nothing), the normalized vector is expanded
-    to ``dim`` scalar columns (higher-order functions are interpreted in
-    Spark — a nested fold per candidate pair was measured ~8× slower than
-    this flat form), the pair cosine is a left-to-right chained
-    multiply-add over those columns (same accumulation order as the
-    DuckDB oracle's list_dot_product), and the pair-dedup (``distinct``)
-    runs AFTER the threshold filter — the only wide shuffle over
-    candidate pairs carries (id, id, cosine) survivors, typically orders
-    of magnitude fewer than candidates.
+    Verify shape — stays inside whole-stage codegen: the L2 norm is
+    computed once per corpus row as its OWN projected column (NULL for
+    zero vectors so they pair with nothing), and a second projection
+    divides each element by it — staged so Catalyst keeps the norm as a
+    single generated local (CollapseProject refuses to inline a non-cheap
+    alias referenced ``dim`` times) and no generated method approaches
+    Janino's 64 KB limit. The pair cosine is a left-to-right chained
+    multiply-add over the unit vectors (same accumulation order as the
+    DuckDB oracle's list_dot_product); candidate pair-dedup (``distinct``)
+    runs BEFORE the verify so each colliding pair is cosine-checked once.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold
     (cosine = dot of unit vectors, rounded to 6).
@@ -184,28 +231,28 @@ def embedding_lsh_pairs(
     planes = fixed_planes(dim, bands * planes_per_band, seed)
     # 1. candidate generation over a NARROW frame: (id, band, bucket) only.
     #    Bucket bits come from the RAW vector (same as the DuckDB oracle);
-    #    the whole banded projection is ONE parsed SQL expression — building
-    #    it as a Column tree cost ~19 s of py4j round-trips at dim=64.
-    band_structs = ", ".join(
-        "struct({b} as band, {bits} as bucket)".format(
-            b=b,
-            bits=sign_bucket_sql(
-                vec_col, planes[b * planes_per_band : (b + 1) * planes_per_band]
-            ),
-        )
-        for b in range(bands)
-    )
+    #    all 32 plane projections are ONE Arrow-batched numpy matmul (see
+    #    banded_buckets_udf — the scalar-SQL form blew Janino's 64 KB
+    #    method limit and ran interpreted).
+    bucket_fn = banded_buckets_udf(planes, planes_per_band)
     banded = emb.select(
         F.col(id_col).alias("_id"),
-        F.expr(f"explode(array({band_structs}))").alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("band", "bucket"),
+    )
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200")
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
         .filter(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         # dedup BEFORE the verify: a pair colliding in several bands is
-        # cosine-checked once, and the only pair-shuffle carries two longs
+        # cosine-checked once, and the only pair-shuffle carries two longs.
+        # The EXPLICIT hash repartition (not the distinct's implicit
+        # exchange) pins the verify's parallelism: the pair frame is so
+        # narrow (16 B/row) that AQE would coalesce it to ~1 partition and
+        # serialize the whole verify onto one core (measured 3x slower at
+        # sf0.1); distinct reuses this exchange, so no extra shuffle.
+        .repartition(n_shuffle, "id_a", "id_b")
         .distinct()
     )
     # 2. verify: fetch unit vectors by id (equi-joins, linear in corpus),
@@ -215,12 +262,23 @@ def embedding_lsh_pairs(
         f"cast({vec_col}[{i}] as double) * cast({vec_col}[{i}] as double)"
         for i in range(dim)
     )
-    unit = (
-        f"case when sqrt({sq}) > 0 then "
-        f"array({', '.join(f'cast({vec_col}[{i}] as double) / sqrt({sq})' for i in range(dim))})"
-        " else null end"
+    # The normalization is STAGED across two projections: the first computes
+    # the L2 norm once as its own column, the second divides each element by
+    # that column. Catalyst's CollapseProject refuses to inline a non-cheap
+    # producer expression referenced `dim` times, so the norm stays a single
+    # generated local and every codegen'd method stays far under Janino's
+    # 64 KB limit. The single-projection form (norm subtree repeated per
+    # element, ~8k expression nodes) blew codegen and silently ran
+    # interpreted — the r3 dedup_embedding 10x regression.
+    unit_elems = ", ".join(f"cast(_v[{i}] as double) / _n" for i in range(dim))
+    nvs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.expr(f"sqrt({sq})").alias("_n"),
+    ).select(
+        "_id",
+        F.expr(f"case when _n > 0 then array({unit_elems}) else null end").alias("_nv"),
     )
-    nvs = emb.select(F.col(id_col).alias("_id"), F.expr(unit).alias("_nv"))
     dot = " + ".join(f"_nva[{i}] * _nvb[{i}]" for i in range(dim))
     return (
         cand.join(nvs.select(F.col("_id").alias("id_a"), F.col("_nv").alias("_nva")), "id_a")

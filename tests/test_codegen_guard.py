@@ -43,9 +43,11 @@ def test_lsh_pairs_compile_under_strict_codegen(strict_codegen):
     spark = strict_codegen
     emb = _emb_frame(spark)
     rows = embedding_lsh_pairs(emb, threshold=0.35, dim=DIM).collect()
-    got = {(r.id_a, r.id_b) for r in rows}
-    assert (3, 1000) in got and (7, 1001) in got
-    assert all(r.cosine >= 0.35 for r in rows)
+    by_pair = {(r.id_a, r.id_b): r.cosine for r in rows}
+    # the planted exact duplicates must be found AND verify at cosine 1.0 —
+    # an independent check on the normalize+dot math, not just the filter
+    assert by_pair.get((3, 1000)) == 1.0
+    assert by_pair.get((7, 1001)) == 1.0
 
 
 def test_ann_bucketed_compile_under_strict_codegen(strict_codegen):
