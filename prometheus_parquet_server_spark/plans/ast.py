@@ -89,6 +89,10 @@ class SubqueryNode:
     range_s: int
     step_s: int | None = None  # None → outer grid step
     offset_s: int | None = None
+    #: ``@`` modifier: pin the subquery window to one fixed instant
+    #: (unix seconds, or "start"/"end" resolved against the query grid) —
+    #: the consuming function then yields the same value at every step
+    at_s: float | str | None = None
 
 
 Node = (

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from dataclasses import replace as dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -220,15 +221,7 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
         # query grid. One single-instant resample + a broadcast cross join.
         if node.range_s is not None:
             raise QueryError("@ modifier on range vectors is not supported")
-        if node.at_s == "start":
-            at = ctx.grid.start
-        elif node.at_s == "end":
-            at = ctx.grid.end
-        else:
-            # literal timestamps are user-clock values; the grid's axis is
-            # already shifted by time_offset (shift-to-midnight), so shift
-            # the pin the same way start/end were at grid construction
-            at = float(node.at_s) - ctx.grid.time_offset
+        at = _resolve_at_instant(node.at_s, ctx)
         off = float(node.offset_s or 0)
         at_grid = RegularTimeRange(at, at, 1.0)
         fixed = resample_to_grid(
@@ -286,7 +279,50 @@ def _absent_eq_labels(node: Node) -> dict[str, str]:
 _RATE_FUNCS = {"rate": rate_to_grid, "irate": irate_to_grid}
 
 
+def _resolve_at_instant(at_s: float | str, ctx: _Ctx) -> float:
+    """``@`` instant on the grid's internal axis. start()/end() resolve
+    against the query grid; literal timestamps are user-clock values, and
+    the grid's axis is already shifted by time_offset (shift-to-midnight),
+    so the pin is shifted the same way start/end were at construction."""
+    if at_s == "start":
+        return ctx.grid.start
+    if at_s == "end":
+        return ctx.grid.end
+    return float(at_s) - ctx.grid.time_offset
+
+
 def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
+    # ``f(..., e[r:s] @ t, ...)``: an @-anchored subquery fixes the window
+    # every step reads, so the consuming function is CONSTANT across the
+    # grid. Evaluate the whole function ONCE on a single-instant grid at t,
+    # then replicate the row per series across the outer grid — the same
+    # broadcast-cross-join shape the instant-selector @ uses, and the only
+    # shape that works with window-probing consumers (a constant `offset`
+    # cannot express a per-step anchor).
+    anchored = next(
+        (
+            (i, a)
+            for i, a in enumerate(node.args)
+            if isinstance(a, SubqueryNode) and a.at_s is not None
+        ),
+        None,
+    )
+    if anchored is not None:
+        idx, sq = anchored
+        at = _resolve_at_instant(sq.at_s, ctx)
+        at_grid = RegularTimeRange(at, at, 1.0)
+        sub_ctx = _Ctx(ctx.spark, ctx.collection, at_grid)
+        plain = dc_replace(sq, at_s=None)
+        args = tuple(plain if i == idx else a for i, a in enumerate(node.args))
+        one = _eval(FuncNode(node.name, args, node.agg), sub_ctx, state)
+        if not isinstance(one, Processed):
+            raise QueryError("@ modifier on a subquery requires a vector result")
+        rep = (
+            one.df.drop("ts")
+            .crossJoin(F.broadcast(ctx.grid_df()))
+            .select("name", "labels", F.col("gts").alias("ts"), "value")
+        )
+        return Processed(rep)
     if node.name in _RATE_FUNCS:
         # src/query.rs:358-436
         if node.agg is not None:
@@ -905,6 +941,13 @@ def _eval_subquery(node: SubqueryNode, ctx: _Ctx, state: State) -> State:
     the aligned rows as a range vector — the outer rate/irate/*_over_time
     consume them exactly like raw samples (grid instants are strictly
     increasing per series, the VecTimeRange invariant)."""
+    if node.at_s is not None:
+        # @-anchored subqueries are intercepted by their consuming function
+        # (_eval_func) and evaluated on a single-instant grid; reaching here
+        # means the consumer cannot honor the anchor — error, never ignore
+        raise QueryError(
+            "@ modifier on a subquery is only supported as a function argument"
+        )
     step = float(node.step_s) if node.step_s else ctx.grid.increment
     rng = float(node.range_s)
     # consumers probe at [gts − offset − r, gts − offset], so the inner grid

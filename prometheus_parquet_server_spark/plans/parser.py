@@ -226,8 +226,9 @@ def _parse_power(lex: _Lexer) -> Node:
 
 
 def _maybe_subquery(lex: _Lexer, node: Node) -> Node:
-    """Postfix ``[range:step] [offset d]`` on a non-selector expression
-    (selectors handle their own bracket — range vector vs subquery)."""
+    """Postfix ``[range:step] [offset d] [@ t]`` on a non-selector
+    expression (selectors handle their own bracket — range vector vs
+    subquery)."""
     if lex.peek() != "[":
         return node
     lex.expect("[")
@@ -236,11 +237,26 @@ def _maybe_subquery(lex: _Lexer, node: Node) -> Node:
         raise PromQLError("range modifier is only valid on a selector")
     step = None if lex.peek() == "]" else int(lex.next_duration())
     lex.expect("]")
-    offset_s = None
-    if lex.peek() == "offset":
-        lex.next()
-        offset_s = int(lex.next_duration())
-    return SubqueryNode(node, rng, step, offset_s)
+    offset_s, at_s = _parse_offset_at(lex)
+    return SubqueryNode(node, rng, step, offset_s, at_s)
+
+
+def _parse_offset_at(lex: _Lexer) -> tuple[int | None, float | str | None]:
+    """Trailing ``offset d`` / ``@ t`` modifiers, any order, each at most
+    once (Prometheus accepts both orders after subqueries and selectors)."""
+    offset_s: int | None = None
+    at_s: float | str | None = None
+    while lex.peek() in ("offset", "@"):
+        tok = lex.next()
+        if tok == "offset":
+            if offset_s is not None:
+                raise PromQLError("duplicate offset modifier")
+            offset_s = int(lex.next_duration())
+        else:
+            if at_s is not None:
+                raise PromQLError("duplicate @ modifier")
+            at_s = _parse_at(lex)
+    return offset_s, at_s
 
 
 def _parse_primary(lex: _Lexer) -> Node:
@@ -330,25 +346,12 @@ def _parse_selector(lex: _Lexer, name: str | None) -> Node:
             # subquery over the instant selector: m{}[30m:5m]
             step = None if lex.peek() == "]" else int(lex.next_duration())
             lex.expect("]")
-            sq_offset = None
-            if lex.peek() == "offset":
-                lex.next()
-                sq_offset = int(lex.next_duration())
+            sq_offset, sq_at = _parse_offset_at(lex)
             return SubqueryNode(
-                SelectorNode(tuple(matchers)), range_s, step, sq_offset
+                SelectorNode(tuple(matchers)), range_s, step, sq_offset, sq_at
             )
         lex.expect("]")
-    at_s: float | str | None = None
-    while lex.peek() in ("offset", "@"):
-        tok = lex.next()
-        if tok == "offset":
-            if offset_s is not None:
-                raise PromQLError("duplicate offset modifier")
-            offset_s = int(lex.next_duration())
-        else:
-            if at_s is not None:
-                raise PromQLError("duplicate @ modifier")
-            at_s = _parse_at(lex)
+    offset_s, at_s = _parse_offset_at(lex)
     return SelectorNode(tuple(matchers), range_s, offset_s, at_s)
 
 
@@ -358,9 +361,9 @@ _AT_NUM = r"(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"
 def _parse_at(lex: _Lexer) -> float | str:
     """``@ <unix ts>`` / ``@ start()`` / ``@ end()``.
 
-    Not accepted after subquery selectors (``m[30m:5m] @ t``) — the
-    subquery branch returns before the offset/@ loop, matching the
-    range-vector limitation documented on :func:`_parse_selector`.
+    Accepted after instant selectors AND subqueries (``m[30m:5m] @ t``);
+    range-vector selectors (``m[5m] @ t``) still reject it in the
+    compiler, matching this engine's documented limitation.
     """
     tok = lex.peek()
     if tok == "-":

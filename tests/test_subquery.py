@@ -71,6 +71,44 @@ def test_subquery_errors(spark):
         run(spark, df, "sum_over_time((1+1)[2m:30s])")
 
 
+def test_parse_subquery_at_modifier():
+    n = parse_promql("avg_over_time(m{}[2m:30s] @ 100.5)").args[0]
+    assert isinstance(n, SubqueryNode) and n.at_s == 100.5
+    # offset and @ compose in either order
+    a = parse_promql("m{}[2m:30s] @ 120 offset 1m")
+    b = parse_promql("m{}[2m:30s] offset 1m @ 120")
+    assert a.at_s == b.at_s == 120.0 and a.offset_s == b.offset_s == 60
+    assert parse_promql("m{}[2m:30s] @ start()").at_s == "start"
+    assert parse_promql("rate(m{}[1m])[10m:30s] @ end()").at_s == "end"
+    with pytest.raises(PromQLError, match="duplicate"):
+        parse_promql("m{}[2m:30s] @ 120 @ 60")
+
+
+def test_subquery_at_modifier(spark):
+    """``f(e[r:s] @ t)`` pins the window: every grid step yields the value
+    f would produce at t, i.e. a constant series."""
+    df = fixture(spark)
+    # max over inner instants 180,210,240 anchored at t=240 → 8 everywhere
+    out = run(spark, df, "max_over_time(m{}[1m:30s] @ 240)").collect()
+    assert {r["ts"] for r in out} == {120.0, 180.0, 240.0}
+    assert all(r["value"] == 8.0 for r in out)
+    # @ end() == @ 240 for this grid; @ start() == the unanchored t=120 value
+    end = {r["ts"]: r["value"] for r in run(spark, df, "max_over_time(m{}[1m:30s] @ end())").collect()}
+    assert set(end.values()) == {8.0}
+    start = {r["ts"]: r["value"] for r in run(spark, df, "max_over_time(m{}[1m:30s] @ start())").collect()}
+    assert set(start.values()) == {4.0}
+    # anchored + offset: window slides back from the pin, still constant
+    offs = run(spark, df, "max_over_time(m{}[1m:30s] @ 240 offset 1m)").collect()
+    assert all(r["value"] == 6.0 for r in offs)  # max at inner 120..180 = 180/30
+    # a consumer that cannot take a range vector still errors (the anchor
+    # never silently turns a range vector into something sum() accepts)
+    with pytest.raises(QueryError):
+        run(spark, df, "sum(m{}[2m:30s] @ 240)")
+    # and an anchored subquery with NO consuming function is rejected
+    with pytest.raises(QueryError, match="function argument"):
+        run(spark, df, "m{}[2m:30s] @ 240")
+
+
 def test_subquery_with_offset(spark):
     """The inner grid must extend offset seconds further back: the shifted
     result at t equals the unshifted result at t − offset."""
