@@ -180,6 +180,39 @@ def banded_buckets_udf(planes: list[list[float]], planes_per_band: int):
     return _buckets
 
 
+def centroid_cells_udf(centroids: list[list[float]], n: int):
+    """Arrow-vectorized Voronoi assignment: one numpy matmul per batch
+    scores every row against every centroid (cosine), returning the ``n``
+    best cell ids ordered by similarity desc, centroid id asc.
+
+    Same kernel-vs-expression reasoning as :func:`banded_buckets_udf`:
+    k centroids × dim dims as scalar expressions means k interpreted HOF
+    folds per row (plus ~k·dim py4j round-trips building literal arrays at
+    plan time); as a dense (batch × dim) @ (dim × k) product it is one
+    C-speed matmul per Arrow batch, no shuffle, no codegen ceiling. The
+    stable argsort reproduces the engine's tie-break (equal similarity →
+    lowest centroid id), including exact ties from duplicate centroids.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cunit = np.divide(cmat, np.where(cnorm > 0, cnorm, 1.0)[:, None])
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        mnorm = np.linalg.norm(m, axis=1)
+        m = np.divide(m, np.where(mnorm > 0, mnorm, 1.0)[:, None])
+        sims = m @ cunit.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    return _cells
+
+
 def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes (LCG — no numpy RNG state)."""
     planes = []
@@ -299,13 +332,14 @@ def kmeans_centroids(
     """Deterministic spherical k-means (Lloyd) centroids, fully distributed.
 
     Init = the lowest-id corpus vectors (TakeOrdered, reproducible); each
-    round assigns every vector to its max-cosine centroid (per-row codegen
-    expression against literal centroids — no shuffle) and recomputes the
-    centroid as the per-dimension mean via one groupBy(cell) hash-aggregate
-    (map-side partial, one small shuffle of n_centroids × dim partials).
-    Means are L2-normalized driver-side (spherical k-means — cosine
-    assignment needs unit centroids, and k rows is a legitimate collect
-    boundary). Empty cells keep their previous centroid.
+    round assigns every vector to its max-cosine centroid (one Arrow-batched
+    numpy matmul per batch — :func:`centroid_cells_udf`, no shuffle) and
+    recomputes the centroid as the per-dimension mean via one groupBy(cell)
+    hash-aggregate (map-side partial, one small shuffle of
+    n_centroids × dim partials). Means are L2-normalized driver-side
+    (spherical k-means — cosine assignment needs unit centroids, and k rows
+    is a legitimate collect boundary). Empty cells keep their previous
+    centroid.
     """
     import math
 
@@ -314,22 +348,9 @@ def kmeans_centroids(
         for r in corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
     ]
 
-    def _nearest(vec):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine_similarity_col(
-                        vec, F.array(*[F.lit(float(x)) for x in cvec])
-                    )).alias("neg_sim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in enumerate(centroids)
-            ]
-        )
-        return F.array_sort(scored)[0]["cid"]
-
     for _ in range(max(0, iterations)):
-        assigned = corpus.withColumn("cell", _nearest(F.col(vec_col)))
+        nearest = centroid_cells_udf(centroids, 1)
+        assigned = corpus.withColumn("cell", nearest(F.col(vec_col))[0])
         rows = (
             assigned.groupBy("cell")
             .agg(
@@ -371,31 +392,13 @@ def ivf_topk(
     partition pruning); per-probe work scans n_probe/n_centroids of the
     data.
     """
-    centroids = list(
-        enumerate(
-            kmeans_centroids(
-                corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
-            )
-        )
+    centroids = kmeans_centroids(
+        corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
     )
 
-    def _best_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine_similarity_col(
-                        vec, F.array(*[F.lit(float(x)) for x in cvec])
-                    )).alias("neg_sim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
-
-    c = corpus.withColumn("cell", _best_cells(F.col(vec_col), 1)[0]["cid"])
+    c = corpus.withColumn("cell", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
     p = probes.withColumn(
-        "cell", F.explode(F.transform(_best_cells(F.col("probe_vec"), n_probe), lambda s: s["cid"]))
+        "cell", F.explode(centroid_cells_udf(centroids, n_probe)(F.col("probe_vec")))
     )
     sim = cosine_similarity_col(F.col("probe_vec"), F.col(vec_col))
     scored = (
