@@ -56,6 +56,7 @@ def connected_components(
             labels.join(lab2, labels.component == lab2.cnode, "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("ccomp"), F.col("component"))
                 ).alias("component"),
@@ -72,20 +73,19 @@ def connected_components(
             propagated.join(via_edges, "node", "left")
             .select(
                 "node",
+                "_old",
                 F.least(
                     F.col("component"), F.coalesce(F.col("ecomp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)  # truncate the growing lineage
         )
+        # convergence check rides the checkpointed frame (the prior label is
+        # carried as a column), so it is a narrow filter — not another join
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
