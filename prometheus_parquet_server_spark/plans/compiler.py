@@ -220,7 +220,12 @@ def _eval_selector(node: SelectorNode, ctx: _Ctx, state: State) -> State:
         # `m @ t` — a constant series). start()/end() resolve against the
         # query grid. One single-instant resample + a broadcast cross join.
         if node.range_s is not None:
-            raise QueryError("@ modifier on range vectors is not supported")
+            # range-vector anchors are honored by the consuming function
+            # (_eval_func single-instant interception); reaching here means
+            # no consumer can apply them — error, never ignore
+            raise QueryError(
+                "@ modifier on a range vector is only supported as a function argument"
+            )
         at = _resolve_at_instant(node.at_s, ctx)
         off = float(node.offset_s or 0)
         at_grid = RegularTimeRange(at, at, 1.0)
@@ -291,20 +296,26 @@ def _resolve_at_instant(at_s: float | str, ctx: _Ctx) -> float:
     return float(at_s) - ctx.grid.time_offset
 
 
+def _is_anchored_range(a: Node) -> bool:
+    """An argument whose @ anchor the consuming function must honor: an
+    @-anchored subquery, or an @-anchored range-vector selector (instant
+    selectors handle their own @ in _eval_selector)."""
+    if isinstance(a, SubqueryNode):
+        return a.at_s is not None
+    return isinstance(a, SelectorNode) and a.at_s is not None and a.range_s is not None
+
+
 def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
-    # ``f(..., e[r:s] @ t, ...)``: an @-anchored subquery fixes the window
-    # every step reads, so the consuming function is CONSTANT across the
-    # grid. Evaluate the whole function ONCE on a single-instant grid at t,
-    # then replicate the row per series across the outer grid — the same
-    # broadcast-cross-join shape the instant-selector @ uses, and the only
-    # shape that works with window-probing consumers (a constant `offset`
-    # cannot express a per-step anchor).
+    # ``f(..., e[r:s] @ t, ...)`` / ``f(..., m[r] @ t, ...)``: an @-anchored
+    # range argument fixes the window every step reads, so the consuming
+    # function is CONSTANT across the grid. Evaluate the whole function ONCE
+    # on a single-instant grid at t, then replicate the row per series
+    # across the outer grid — the same broadcast-cross-join shape the
+    # instant-selector @ uses, and the only shape that works with
+    # window-probing consumers (a constant `offset` cannot express a
+    # per-step anchor).
     anchored = next(
-        (
-            (i, a)
-            for i, a in enumerate(node.args)
-            if isinstance(a, SubqueryNode) and a.at_s is not None
-        ),
+        ((i, a) for i, a in enumerate(node.args) if _is_anchored_range(a)),
         None,
     )
     if anchored is not None:

@@ -107,8 +107,13 @@ def test_at_modifier(spark):
     # fixed literal timestamp + canonical ratio-to-pinned-instant compose
     ratio = run(spark, df, 'm{h="a"} / on() group_left sum(m{h="a"} @ 120)').collect()
     assert all(r["value"] == 1.0 for r in ratio)  # constant series / itself
-    with pytest.raises(QueryError, match="range vectors"):
-        run(spark, df, "rate(m{}[60] @ 120)")
+    # range-vector @ is honored by the consuming function (constant series);
+    # constant-valued fixture → rate 0 at every step
+    rate_at = run(spark, df, 'rate(m{h="a"}[60] @ 120)').collect()
+    assert len(rate_at) == 3 and all(r["value"] == 0.0 for r in rate_at)
+    # ...but without a consumer the anchor has nowhere to apply → error
+    with pytest.raises(QueryError, match="function argument"):
+        run(spark, df, "m{}[60] @ 120")
     with pytest.raises(PromQLError, match="duplicate"):
         run(spark, df, "m{} @ 120 @ 60")
 

@@ -100,6 +100,12 @@ def test_subquery_at_modifier(spark):
     # anchored + offset: window slides back from the pin, still constant
     offs = run(spark, df, "max_over_time(m{}[1m:30s] @ 240 offset 1m)").collect()
     assert all(r["value"] == 6.0 for r in offs)  # max at inner 120..180 = 180/30
+    # range-vector selector @ takes the same interception: a linear counter
+    # has slope 1/30 anchored anywhere → constant 1/30 at every step
+    rate_at = run(spark, df, "rate(m{}[2m] @ 240)").collect()
+    assert len(rate_at) == 3
+    for r in rate_at:
+        assert_close(r["value"], 1.0 / 30.0)
     # a consumer that cannot take a range vector still errors (the anchor
     # never silently turns a range vector into something sum() accepts)
     with pytest.raises(QueryError):
