@@ -1,0 +1,81 @@
+"""Cross-path parity for the Arrow numpy kernels.
+
+The LSH banding and IVF cell assignment moved from scalar SQL / HOF
+expressions to Arrow-batched numpy matmuls (similarity.banded_buckets_udf,
+similarity.centroid_cells_udf). The DuckDB oracle only samples their
+outputs; these tests pin the stronger invariant that the kernel paths are
+EXACTLY equivalent to the in-engine SQL/Column formulations they replaced —
+including the round-to-9-decimals sign rule and tie-breaks.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.similarity import (
+    banded_buckets_udf,
+    centroid_cells_udf,
+    cosine_similarity_col,
+    fixed_planes,
+    sign_bucket_sql,
+)
+
+DIM = 16
+
+
+def _frame(spark):
+    rows = [
+        (i, [math.sin(i * 0.7 + j * 0.3) * 2.0 for j in range(DIM)])
+        for i in range(60)
+    ]
+    rows.append((98, [0.0] * DIM))  # zero vector: every projection is +0
+    rows.append((99, rows[5][1]))  # exact duplicate: bit-identical buckets
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_banded_buckets_match_sql_path(spark):
+    emb = _frame(spark)
+    planes = fixed_planes(DIM, 8, seed=7)  # 2 bands x 4 planes
+    fn = banded_buckets_udf(planes, 4)
+    got = {
+        r.vec_id: list(r.b)
+        for r in emb.select("vec_id", fn(F.col("embedding")).alias("b")).collect()
+    }
+    for band in range(2):
+        sql = sign_bucket_sql("embedding", planes[band * 4 : (band + 1) * 4])
+        want = {
+            r.vec_id: r.bk
+            for r in emb.select("vec_id", F.expr(sql).alias("bk")).collect()
+        }
+        for vid, bucket in want.items():
+            assert got[vid][band] == bucket, (vid, band, got[vid][band], bucket)
+    # zero vector: +0 projections count as sign '1' on both paths
+    assert got[98] == ["1" * 4] * 2
+
+
+def test_centroid_cells_match_exact_cosine(spark):
+    emb = _frame(spark)
+    centroids = [
+        [math.cos(c * 1.1 + j * 0.5) for j in range(DIM)] for c in range(5)
+    ]
+    centroids.append(list(centroids[0]))  # duplicate centroid: exact tie
+    fn = centroid_cells_udf(centroids, 3)
+    got = {
+        r.vec_id: list(r.cells)
+        for r in emb.select("vec_id", fn(F.col("embedding")).alias("cells")).collect()
+    }
+    # engine-side expected ranking via the Column cosine (HOF fold), the
+    # formulation centroid_cells_udf replaced
+    sims_cols = [
+        cosine_similarity_col(
+            F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec])
+        ).alias(f"s{c}")
+        for c, cvec in enumerate(centroids)
+    ]
+    for r in emb.select("vec_id", *sims_cols).collect():
+        sims = [r[f"s{c}"] for c in range(len(centroids))]
+        want = sorted(range(len(centroids)), key=lambda c: (-sims[c], c))[:3]
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want, sims)
+    # the duplicated centroid ties exactly; lowest cid must win the order
+    for cells in got.values():
+        assert not (5 in cells and 0 in cells and cells.index(5) < cells.index(0))
