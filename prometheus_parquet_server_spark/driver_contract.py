@@ -1966,7 +1966,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Structured Streaming (no SQL oracle — rows-only check)
+# Structured Streaming
 # ---------------------------------------------------------------------------
 
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,6 +1986,21 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name").alias("event_type"),
         F.col("n_samples").alias("count"),
     )
+
+
+#: The STREAMING mechanics (watermark state, availableNow drain, memory
+#: sink) are not SQL-expressible, but the RESULT of a complete-mode drain
+#: over a finite source is exactly the batch computation — that equality is
+#: the batch-parity property the streaming engine is held to, so the oracle
+#: grades it directly. Tumbling 1-day windows are epoch-aligned in Spark
+#: (UTC session) and date_trunc('day') is the same alignment in DuckDB.
+SQL_STREAMING_EVENT_COUNTS = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_start,
+       event_type,
+       COUNT(*) AS count
+FROM events
+GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2119,5 +2134,5 @@ ORACLES: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
-    # streaming_event_counts: non-SQL-expressible (stateful streaming) — rows-only
+    "streaming_event_counts": SQL_STREAMING_EVENT_COUNTS,
 }
