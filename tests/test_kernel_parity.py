@@ -79,3 +79,18 @@ def test_centroid_cells_match_exact_cosine(spark):
     # the duplicated centroid ties exactly; lowest cid must win the order
     for cells in got.values():
         assert not (5 in cells and 0 in cells and cells.index(5) < cells.index(0))
+
+
+def test_dedup_embedding_plan_shape(spark):
+    """Lock the scale-critical plan properties of the LSH dedup path:
+    candidates come from equi-joins (never a nested-loop plan), banding
+    runs as the Arrow kernel, and the pair frame keeps its explicit hash
+    repartition (the AQE-coalesce guard). A regression in any of these is
+    a silent 10x at scale long before it is a wrong answer."""
+    from prometheus_parquet_server_spark.driver_contract import QUERIES
+
+    df = QUERIES["dedup_embedding"](spark, "/root/testdata/sf0.001")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "hashpartitioning(id_a" in plan
