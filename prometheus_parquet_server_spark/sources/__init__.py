@@ -5,6 +5,10 @@ from prometheus_parquet_server_spark.sources.classify import (
     classify_columns,
     classify_metric_type,
 )
+from prometheus_parquet_server_spark.sources.filesource import (
+    ingest_directory,
+    ingest_file,
+)
 from prometheus_parquet_server_spark.sources.ingest import wide_to_long
 from prometheus_parquet_server_spark.sources.retag import read_mapping
 from prometheus_parquet_server_spark.sources.store import (
@@ -20,6 +24,8 @@ __all__ = [
     "classify_columns",
     "classify_metric_type",
     "wide_to_long",
+    "ingest_directory",
+    "ingest_file",
     "read_mapping",
     "read_store",
     "write_store",

@@ -1,0 +1,93 @@
+"""CSV / JSON-lines file sources feed the SAME classify→unpivot pipeline as
+parquet — format parity is checked by ingesting identical data through all
+three readers and comparing canonical rows."""
+
+import json
+
+import pytest
+
+from prometheus_parquet_server_spark.sources.classify import IngestError
+from prometheus_parquet_server_spark.sources.filesource import (
+    file_base_name,
+    infer_format,
+    ingest_directory,
+    ingest_file,
+)
+
+ROWS = [
+    (1.5, 10.0, "a"),
+    (2.5, 20.0, "b"),
+    (3.5, 30.0, "a"),
+]
+
+
+def _write_inputs(tmp_path):
+    csv = tmp_path / "cpu_load.csv"
+    csv.write_text(
+        "time,value,host\n" + "\n".join(f"{t},{v},{h}" for t, v, h in ROWS)
+    )
+    jl = tmp_path / "cpu_load.jsonl"
+    jl.write_text(
+        "\n".join(
+            json.dumps({"time": t, "value": v, "host": h}) for t, v, h in ROWS
+        )
+    )
+    return csv, jl
+
+
+def _canonical(df):
+    return sorted(
+        ((r["name"], dict(r["labels"]), r["ts"], r["value"]) for r in df.collect()),
+        key=lambda x: (x[0], x[2], sorted(x[1].items())),
+    )
+
+
+def test_csv_json_parquet_parity(spark, tmp_path):
+    csv, jl = _write_inputs(tmp_path)
+    pq = tmp_path / "cpu_load.parquet"
+    spark.createDataFrame(ROWS, "time double, value double, host string").coalesce(
+        1
+    ).write.parquet(str(pq))
+
+    got_csv = _canonical(ingest_file(spark, csv))
+    got_json = _canonical(ingest_file(spark, jl))
+    got_pq = _canonical(ingest_file(spark, pq))
+    assert got_csv == got_json == got_pq
+    # single value column named 'value' → bare base name; labels per row
+    assert got_csv[0] == ("cpu_load", {"host": "a"}, 1.5, 10.0)
+    assert len(got_csv) == 3
+
+
+def test_fixed_labels_and_explicit_schema(spark, tmp_path):
+    csv, _ = _write_inputs(tmp_path)
+    out = ingest_file(
+        spark,
+        csv,
+        fixed_labels={"dc": "eu"},
+        schema="time double, value double, host string",
+    )
+    rows = _canonical(out)
+    hosts = {1.5: "a", 2.5: "b", 3.5: "a"}
+    assert len(rows) == 3
+    for name, labels, ts, _value in rows:
+        assert name == "cpu_load"
+        assert labels == {"dc": "eu", "host": hosts[ts]}
+
+
+def test_directory_union_skips_bad_files(spark, tmp_path):
+    _write_inputs(tmp_path)
+    # a schema-invalid member (no time, no value columns) must be skipped,
+    # not fatal (zip-source parity)
+    (tmp_path / "broken.csv").write_text("host,note\na,b")
+    out = ingest_directory(spark, tmp_path)
+    # csv + jsonl of the same data → 6 rows, one metric name
+    assert out.count() == 6
+    assert [r["name"] for r in out.select("name").distinct().collect()] == ["cpu_load"]
+
+
+def test_format_inference_and_errors(tmp_path):
+    assert infer_format("x/metrics.csv") == "csv"
+    assert infer_format("m.ndjson") == "json"
+    assert file_base_name("/tmp/9cpu load.csv") == "_9cpu_load"
+    with pytest.raises(IngestError, match="cannot infer"):
+        infer_format("metrics.avro")
