@@ -1965,6 +1965,74 @@ FROM documents
 """
 
 
+def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the documents table —
+    per-split counts (the whole-table assignment is the operator; counts
+    keep the graded frame small and order-free)."""
+    from prometheus_parquet_server_spark.pipeline.split import assign_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        assign_split(docs, id_col="doc_id", seed=42)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_PIPELINE_SPLIT = """
+WITH bucketed AS (
+    SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM bucketed
+GROUP BY 1
+"""
+
+
+def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word 5-gram with a
+    deterministic held-out 'benchmark' slice (doc_id % 29 = 0), benchmark
+    members excluded from the audited side."""
+    from prometheus_parquet_server_spark.pipeline.split import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    hits = contamination_hits(docs.filter(F.col("doc_id") % 29 != 0), bench, n=5)
+    return hits.select("doc_id", "n_contaminated_grams")
+
+
+SQL_PIPELINE_CONTAMINATION = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                     i -> md5(array_to_string(list_slice(t, CAST(i AS INT),
+                                                         CAST(i + 4 AS INT)), ' ')))
+                ELSE [] END) AS gs
+    FROM toks
+),
+bench AS (
+    SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 29 = 0
+),
+doc_grams AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 29 <> 0
+)
+SELECT d.doc_id, COUNT(*) AS n_contaminated_grams
+FROM doc_grams d JOIN bench b ON d.gram = b.gram
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2065,7 +2133,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "streaming_event_counts": q_streaming_event_counts,
-    # ---- entries 51+ (ungraded tail: redundant family variants) ----
+    # ---- entries 51+ (ungraded tail: redundant family variants plus
+    # extras that don't fit the 50-slot graded budget; all oracle-checked
+    # locally by scripts/check_oracles.py) ----
+    "pipeline_split": q_pipeline_split,
+    "pipeline_contamination": q_pipeline_contamination,
     "a4_multi_agg": q_a4_multi_agg,
     "promql_last_over_time": q_promql_last_over_time,
     "promql_quantile_ot": q_promql_quantile_ot,
@@ -2135,4 +2207,6 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_event_counts": SQL_STREAMING_EVENT_COUNTS,
+    "pipeline_split": SQL_PIPELINE_SPLIT,
+    "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
 }

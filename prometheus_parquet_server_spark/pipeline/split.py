@@ -1,0 +1,112 @@
+"""Dataset splitting and benchmark-contamination checks.
+
+Two operators every large-scale training-data pipeline needs downstream of
+dedup/quality filtering:
+
+- :func:`assign_split` — deterministic, engine-replayable train/val/test
+  assignment. The split must be a pure function of the document identity
+  (reruns, backfills, and other engines must agree), so the bucket is the
+  first 8 hex chars of ``md5(id ':' seed)`` as an integer mod 10 000 —
+  md5 is bit-identical everywhere, unlike engine-native hashes
+  (xxhash64/murmur differ between Spark and DuckDB). One codegen'd
+  expression per row, no shuffle, no RNG state.
+- :func:`contamination_hits` — documents sharing any word ``n``-gram with
+  a benchmark/eval corpus (the standard train-set decontamination test).
+  Scale shape: the benchmark side is tiny relative to the corpus → its
+  distinct gram set BROADCASTS; the corpus side explodes grams narrowly
+  (no shuffle before the join) and only matching (doc, gram) rows reach
+  the final per-doc count aggregation.
+
+All expressions are JVM-side; gram identity is ``md5`` of the
+space-joined lowercased tokens, so a DuckDB oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+#: bucket space for split assignment — weights resolve to integer bands
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): first 8 md5 hex chars of
+    ``id ':' seed`` as an integer, mod the bucket space."""
+    digest = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % SPLIT_BUCKETS
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``split`` column by cumulative weight bands over the bucket.
+
+    Weights must sum to 1; band edges are ``round(cum_weight * 10_000)``
+    so the banding is exact integer comparison, not float accumulation.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(F.col(id_col), seed)
+    edges: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        edges.append((name, round(acc * SPLIT_BUCKETS)))
+    expr = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def word_ngram_hashes(text: Column, n: int = 8) -> Column:
+    """Distinct md5 hashes of word ``n``-grams (lowercased whitespace
+    tokens, space-joined). Documents with fewer than ``n`` tokens yield an
+    empty set."""
+    toks = tokens_col(text)
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document count of distinct word ``n``-grams shared with the
+    benchmark corpus — (id, n_contaminated_grams), only documents with at
+    least one hit. Drop or audit these before training."""
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_ngram_hashes(F.col(bcol), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )

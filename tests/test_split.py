@@ -1,0 +1,69 @@
+"""Dataset split assignment + benchmark contamination (pipeline/split.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.split import (
+    SPLIT_BUCKETS,
+    assign_split,
+    contamination_hits,
+    word_ngram_hashes,
+)
+
+
+def test_assign_split_deterministic_and_banded(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    out = assign_split(df, seed=42)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # ~98/1/1 split; bands are exact so rerun is bit-identical
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 1900
+    again = {r["doc_id"]: r["split"] for r in assign_split(df, seed=42).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # engine-replayable: the bucket is plain md5 — python agrees
+    for doc_id, split in list(first.items())[:50]:
+        bucket = int(hashlib.md5(f"{doc_id}:42".encode()).hexdigest()[:8], 16) % SPLIT_BUCKETS
+        expected = "train" if bucket < 9800 else ("val" if bucket < 9900 else "test")
+        assert split == expected, (doc_id, bucket, split, expected)
+    # a different seed shuffles membership
+    other = {r["doc_id"]: r["split"] for r in assign_split(df, seed=7).collect()}
+    assert other != first
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, weights=(("train", 0.5), ("val", 0.1)))
+
+
+def test_word_ngram_hashes_short_docs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two three four five")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngram_hashes(F.col("text"), 4).alias("g")).collect()
+    }
+    assert rows[1] == []  # 3 tokens < n=4
+    assert len(rows[2]) == 2  # two 4-grams
+
+
+def test_contamination_hits_finds_shared_grams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here nothing shared"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_grams"] for r in contamination_hits(docs, bench, n=5).collect()}
+    # doc 1 shares exactly one 5-gram ("alpha beta gamma delta epsilon")
+    assert got == {1: 1}
