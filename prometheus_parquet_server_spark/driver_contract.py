@@ -1994,6 +1994,42 @@ GROUP BY 1
 """
 
 
+def q_pipeline_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents table: 512-token packs across 8
+    parallel buckets — per-pack doc counts and token totals."""
+    from prometheus_parquet_server_spark.pipeline.split import pack_assignments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_assignments(docs, budget_tokens=512, n_buckets=8)
+    return packed.groupBy("pack_bucket", "pack_seq").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+SQL_PIPELINE_PACKING = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 % 8 AS pack_bucket
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tokens, pack_bucket,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+               AS pack_seq
+    FROM toks
+)
+SELECT pack_bucket, pack_seq,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
 def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing any word 5-gram with a
     deterministic held-out 'benchmark' slice (doc_id % 29 = 0), benchmark
@@ -2137,6 +2173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extras that don't fit the 50-slot graded budget; all oracle-checked
     # locally by scripts/check_oracles.py) ----
     "pipeline_split": q_pipeline_split,
+    "pipeline_packing": q_pipeline_packing,
     "pipeline_contamination": q_pipeline_contamination,
     "a4_multi_agg": q_a4_multi_agg,
     "promql_last_over_time": q_promql_last_over_time,
@@ -2208,5 +2245,6 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_event_counts": SQL_STREAMING_EVENT_COUNTS,
     "pipeline_split": SQL_PIPELINE_SPLIT,
+    "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
 }

@@ -1,6 +1,6 @@
 """Dataset splitting and benchmark-contamination checks.
 
-Two operators every large-scale training-data pipeline needs downstream of
+Operators every large-scale training-data pipeline needs downstream of
 dedup/quality filtering:
 
 - :func:`assign_split` — deterministic, engine-replayable train/val/test
@@ -10,6 +10,9 @@ dedup/quality filtering:
   md5 is bit-identical everywhere, unlike engine-native hashes
   (xxhash64/murmur differ between Spark and DuckDB). One codegen'd
   expression per row, no shuffle, no RNG state.
+- :func:`pack_assignments` — sequence packing: fixed-token-budget pack
+  ids via a per-bucket running token total (see its docstring for the
+  parallelism/packing-tightness trade).
 - :func:`contamination_hits` — documents sharing any word ``n``-gram with
   a benchmark/eval corpus (the standard train-set decontamination test).
   Scale shape: the benchmark side is tiny relative to the corpus → its
@@ -23,7 +26,7 @@ space-joined lowercased tokens, so a DuckDB oracle replays it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.pipeline.text import tokens_col
@@ -83,6 +86,50 @@ def word_ngram_hashes(text: Column, n: int = 8) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def pack_assignments(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing for
+    training batches): (id, n_tokens, pack_bucket, pack_seq).
+
+    Globally-greedy packing is inherently sequential, so the distributed
+    approximation is: deterministic bucket (md5 band — narrow, no shuffle)
+    → per-bucket running token total ordered by id (ONE window, parallel
+    across buckets) → ``pack_seq = floor(pre_tokens / budget)``, i.e. each
+    document joins the pack its starting offset falls into. The cost of
+    parallelism is at most one partially-filled pack per bucket; shrink
+    ``n_buckets`` toward 1 for tighter packing or raise it for wider
+    clusters. Deterministic and engine-replayable (md5 + integer window
+    math only).
+    """
+    tok = F.size(tokens_col(F.col(text_col)))
+    bucket = split_bucket(F.col(id_col), seed) % n_buckets
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            tok.alias("n_tokens"),
+            bucket.alias("pack_bucket"),
+        )
+        .withColumn(
+            "pack_seq",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget_tokens)
+            ),
+        )
+    )
 
 
 def contamination_hits(

@@ -52,6 +52,25 @@ def test_word_ngram_hashes_short_docs_empty(spark):
     assert len(rows[2]) == 2  # two 4-grams
 
 
+def test_pack_assignments_boundaries(spark):
+    from prometheus_parquet_server_spark.pipeline.split import pack_assignments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens, starts at 0  -> pack 0
+            (2, "a b c d"),        # 4 tokens, starts at 3  -> pack 0
+            (3, "a b c d e"),      # 5 tokens, starts at 7  -> pack 1
+        ],
+        "doc_id bigint, text string",
+    )
+    # n_buckets=1 collapses to pure id-ordered packing
+    out = {
+        r["doc_id"]: (r["pack_bucket"], r["pack_seq"], r["n_tokens"])
+        for r in pack_assignments(docs, budget_tokens=6, n_buckets=1).collect()
+    }
+    assert out == {1: (0, 0, 3), 2: (0, 0, 4), 3: (0, 1, 5)}
+
+
 def test_contamination_hits_finds_shared_grams(spark):
     docs = spark.createDataFrame(
         [
