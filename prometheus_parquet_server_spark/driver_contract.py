@@ -1965,6 +1965,98 @@ FROM documents
 """
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events table's ``props`` column
+    is a JSON string; extract ``$.k`` JVM-side (get_json_object — no Python
+    in the path) and aggregate per event type. avg is derived from the
+    exact integer sum/count so both engines divide the same two numbers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("_k"))
+        .groupBy("event_type")
+        .agg(F.count("_k").alias("n_k"), F.sum("_k").alias("sum_k"))
+        .select(
+            "event_type",
+            "n_k",
+            "sum_k",
+            F.round(F.col("sum_k") / F.col("n_k"), 6).alias("avg_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+WITH k AS (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       COUNT(k) AS n_k,
+       SUM(k) AS sum_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM k
+GROUP BY event_type
+"""
+
+
+def q_emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the labeled embeddings: each probe's label
+    predicted by majority vote of its 5 exact-cosine nearest neighbors
+    (ties → smaller label). Composes brute_force_topk with a vote window —
+    the standard embedding-quality eval a training pipeline runs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    nn = brute_force_topk(emb, probes, k=5)
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+        )
+        .groupBy("probe_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("probe_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+SQL_EMB_KNN_LABEL = """
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
+           ROUND(
+             list_dot_product(p.probe_vec::DOUBLE[], e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM probes p CROSS JOIN embeddings e
+    WHERE e.vec_id <> p.probe_id
+),
+nn AS (
+    SELECT probe_id, neighbor_id, label
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) <= 5
+),
+votes AS (
+    SELECT probe_id, label, COUNT(*) AS votes
+    FROM nn GROUP BY probe_id, label
+)
+SELECT probe_id, label AS predicted_label, votes
+FROM votes
+QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        ORDER BY votes DESC, label) = 1
+"""
+
+
 def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment over the documents table —
     per-split counts (the whole-table assignment is the operator; counts
@@ -2175,6 +2267,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split": q_pipeline_split,
     "pipeline_packing": q_pipeline_packing,
     "pipeline_contamination": q_pipeline_contamination,
+    "events_props_json": q_events_props_json,
+    "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
     "promql_last_over_time": q_promql_last_over_time,
     "promql_quantile_ot": q_promql_quantile_ot,
@@ -2247,4 +2341,6 @@ ORACLES: dict[str, str] = {
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
+    "events_props_json": SQL_EVENTS_PROPS_JSON,
+    "emb_knn_label": SQL_EMB_KNN_LABEL,
 }
