@@ -9,7 +9,13 @@
   the only wide exchange and the corpus scan prunes to matching buckets when
   the corpus is stored bucketed by ``bucket``.
 
-All vector math is JVM-side (zip_with/aggregate HOFs) — no Python UDFs.
+Per-pair vector math is JVM-side (codegen'd flat expressions / HOF folds);
+the two DENSE-MATRIX kernels — banded-LSH plane projection and centroid
+Voronoi assignment — run as Arrow-batched numpy matmuls
+(:func:`banded_buckets_udf`, :func:`centroid_cells_udf`): for
+(batch × dim) @ (dim × k) work a vectorized kernel beats scalar codegen
+and has no Janino method-size ceiling (EXPLAIN.md §12). No row-at-a-time
+Python anywhere.
 """
 
 from __future__ import annotations
