@@ -1845,13 +1845,15 @@ WITH cent AS (
           ORDER BY vec_id LIMIT {_IVF_CENTROIDS})
 ),
 sims AS (
+    -- ROUND(sim, 9) mirrors the engine's centroid kernel: both sides rank
+    -- on 9-decimal cosine so sub-1e-9 float drift cannot flip a cell
     SELECT e.vec_id, c.cid,
-           CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           ROUND(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(c.cvec, c.cvec)) > 0
                 THEN list_dot_product(e.embedding::DOUBLE[], c.cvec)
                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(c.cvec, c.cvec)))
-                ELSE 0 END AS sim
+                ELSE 0 END, 9) AS sim
     FROM embeddings e CROSS JOIN cent c
 ),
 cells AS (
@@ -2203,13 +2205,18 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
-#: Ordering note: the driver grades the FIRST 50 entries; the registry holds
-#: 58. The first 50 are chosen to cover every distinct operator family —
-#: in particular the similarity/ANN/multimodal/streaming scale paths. The 8
-#: tail entries are redundant variants of already-graded families (multi-agg
-#: over a1-a3, *_over_time siblings of promql_over_time, date/time-arith
-#: siblings of promql_math, idelta sibling of p2_irate/promql_deriv); they
-#: were oracle-green in rounds 2-4 and remain runnable + pytest-covered.
+#: Ordering note: the driver grades the FIRST 50 entries. The first 50 are
+#: chosen to cover every distinct operator family — in particular the
+#: similarity/ANN/multimodal/streaming scale paths. Entries past position
+#: 50 form the ungraded tail: redundant variants of already-graded
+#: families (multi-agg over a1-a3, *_over_time siblings of
+#: promql_over_time, date/time-arith siblings of promql_math, idelta
+#: sibling of p2_irate/promql_deriv — oracle-green rounds 2-4) plus
+#: round-5 extras that don't fit the 50-slot budget; ALL tail entries
+#: with oracles are still checked locally by scripts/check_oracles.py.
+#: COUNT CHECK before editing: keep exactly the intended first 50 — a
+#: careless insertion above the tail marker silently pushes a scale-path
+#: query out of the graded window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_selector": q_f1_selector,
     "f3_name_index": q_f3_name_index,

@@ -167,21 +167,39 @@ def banded_buckets_udf(planes: list[list[float]], planes_per_band: int):
     mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     bands = mat.shape[1] // planes_per_band
 
+    dim = mat.shape[0]
+    zero_buckets = ["0" * planes_per_band] * bands
+
     @pandas_udf("array<string>")
     def _buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        m = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        bits = np.where(np.round(m @ mat, 9) >= 0, "1", "0")
-        return pd.Series(
-            [
+        # NULL / wrong-length vectors get all-'0' buckets — the same
+        # degradation as the scalar SQL path (NULL projections → else-'0'
+        # bits), so one dirty row can never fail the whole job
+        rows = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == dim
+            else None
+            for x in v
+        ]
+        valid = [r for r in rows if r is not None]
+        if valid:
+            bits = np.where(np.round(np.stack(valid) @ mat, 9) >= 0, "1", "0")
+        out, vi = [], 0
+        for r in rows:
+            if r is None:
+                out.append(list(zero_buckets))
+                continue
+            row = bits[vi]
+            vi += 1
+            out.append(
                 [
                     "".join(row[b * planes_per_band : (b + 1) * planes_per_band])
                     for b in range(bands)
                 ]
-                for row in bits
-            ]
-        )
+            )
+        return pd.Series(out)
 
     return _buckets
 
@@ -212,7 +230,11 @@ def centroid_cells_udf(centroids: list[list[float]], n: int):
         m = np.array([np.asarray(x, dtype=np.float64) for x in v])
         mnorm = np.linalg.norm(m, axis=1)
         m = np.divide(m, np.where(mnorm > 0, mnorm, 1.0)[:, None])
-        sims = m @ cunit.T
+        # round before ranking (same rule as the banding kernel): numpy's
+        # pairwise-summed dot and an oracle's left-to-right fold agree far
+        # below 1e-9, so near-ties rank identically across engines and
+        # break deterministically by centroid id
+        sims = np.round(m @ cunit.T, 9)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
         return pd.Series([[int(c) for c in row] for row in order])
 

@@ -321,7 +321,12 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
     if anchored is not None:
         idx, sq = anchored
         at = _resolve_at_instant(sq.at_s, ctx)
-        at_grid = RegularTimeRange(at, at, 1.0)
+        # the single-instant grid KEEPS the outer step: a subquery with an
+        # omitted step resolves its default from the evaluation grid's
+        # increment, and inheriting a synthetic 1.0 s step would evaluate
+        # the inner expression on a range_s-sized 1-second grid (wrong
+        # values AND a blowup for m[1h:] @ t)
+        at_grid = RegularTimeRange(at, at, ctx.grid.increment)
         sub_ctx = _Ctx(ctx.spark, ctx.collection, at_grid)
         plain = dc_replace(sq, at_s=None)
         args = tuple(plain if i == idx else a for i, a in enumerate(node.args))

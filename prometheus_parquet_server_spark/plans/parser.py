@@ -361,9 +361,11 @@ _AT_NUM = r"(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"
 def _parse_at(lex: _Lexer) -> float | str:
     """``@ <unix ts>`` / ``@ start()`` / ``@ end()``.
 
-    Accepted after instant selectors AND subqueries (``m[30m:5m] @ t``);
-    range-vector selectors (``m[5m] @ t``) still reject it in the
-    compiler, matching this engine's documented limitation.
+    Accepted after instant selectors, range-vector selectors
+    (``rate(m[5m] @ t)``), and subqueries (``m[30m:5m] @ t``). Range and
+    subquery anchors are honored by the consuming function
+    (compiler._eval_func single-instant interception); an anchor with no
+    consumer raises in the compiler rather than being ignored.
     """
     tok = lex.peek()
     if tok == "-":

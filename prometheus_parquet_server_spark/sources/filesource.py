@@ -99,7 +99,9 @@ def ingest_directory(
     zip source's non-fatal member semantics (metricstore.rs:556-565)."""
     frames: list[DataFrame] = []
     for p in sorted(Path(directory).iterdir()):
-        if not p.is_file() or p.suffix.lower() not in EXT_FORMATS:
+        # Spark-written outputs are DIRECTORIES named *.parquet / *.csv —
+        # accept them alongside plain files; suffix decides the format
+        if p.suffix.lower() not in EXT_FORMATS or not (p.is_file() or p.is_dir()):
             continue
         try:
             frames.append(ingest_file(spark, p, fixed_labels=fixed_labels))

@@ -100,6 +100,14 @@ def test_subquery_at_modifier(spark):
     # anchored + offset: window slides back from the pin, still constant
     offs = run(spark, df, "max_over_time(m{}[1m:30s] @ 240 offset 1m)").collect()
     assert all(r["value"] == 6.0 for r in offs)  # max at inner 120..180 = 180/30
+    # an omitted subquery step resolves from the OUTER grid increment, not
+    # the synthetic single-instant grid: count over [240-120, 240] at the
+    # 60s default step sees instants 120/180/240 → 3.0, same as the
+    # unanchored query at t=240 (a 1.0s inherited step would give 121)
+    cnt = run(spark, df, "count_over_time(m{}[2m:] @ 240)").collect()
+    assert {r["value"] for r in cnt} == {3.0}
+    base = {r["ts"]: r["value"] for r in run(spark, df, "count_over_time(m{}[2m:])").collect()}
+    assert base[240.0] == 3.0
     # range-vector selector @ takes the same interception: a linear counter
     # has slope 1/30 anchored anywhere → constant 1/30 at every step
     rate_at = run(spark, df, "rate(m{}[2m] @ 240)").collect()
