@@ -75,7 +75,14 @@ def assign_split(
 def word_ngram_hashes(text: Column, n: int = 8) -> Column:
     """Distinct md5 hashes of word ``n``-grams (lowercased whitespace
     tokens, space-joined). Documents with fewer than ``n`` tokens yield an
-    empty set."""
+    empty set.
+
+    Deliberately NOT shared with dedup._shingles despite the similar
+    windowing: dedup treats a short document as one whole-text shingle
+    (short near-dups should still collide), while contamination must NOT
+    flag a document on a partial gram — here short docs contribute
+    nothing. The md5 is the cross-engine gram identity for the oracle.
+    """
     toks = tokens_col(text)
     count = F.size(toks) - F.lit(n - 1)
     grams = F.when(
