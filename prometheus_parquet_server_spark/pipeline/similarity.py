@@ -241,6 +241,52 @@ def centroid_cells_udf(centroids: list[list[float]], n: int):
     return _cells
 
 
+def lsh_geometry(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.99,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Pick (bands, planes_per_band) for banded sign-LSH from first
+    principles — the knob EXPLAIN.md §9 demonstrates, computed instead of
+    hand-tuned.
+
+    For random hyperplanes, two vectors at cosine τ agree on a sign bit
+    with probability ``p = 1 − acos(τ)/π``; a ``b``-bit band collides with
+    ``p^b`` and ``B`` bands give recall ``1 − (1 − p^b)^B``. For each bit
+    width, take the fewest bands meeting ``target_recall``, estimate the
+    verify cost under a uniform-occupancy assumption
+    (``B · n² / (2 · 2^b)`` candidate pairs + ``B · n`` banding rows), and
+    return the cheapest geometry. More bits → exponentially smaller
+    buckets but more bands to hold recall; the optimum shifts toward more
+    bits as ``n`` grows — exactly the at-scale behavior a fixed 8 × 4
+    cannot provide.
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    best: tuple[float, int, int] | None = None
+    for ppb in range(2, 13):
+        pb = p**ppb
+        if pb >= 1.0:
+            bands = 1
+        else:
+            bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if bands < 1 or bands > max_bands:
+            continue
+        est_pairs = bands * n_rows * n_rows / (2.0 * 2**ppb)
+        cost = est_pairs + bands * n_rows
+        if best is None or cost < best[0]:
+            best = (cost, bands, ppb)
+    if best is None:
+        raise ValueError(
+            f"no geometry meets recall {target_recall} within {max_bands} bands"
+        )
+    return best[1], best[2]
+
+
 def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes (LCG — no numpy RNG state)."""
     planes = []

@@ -83,6 +83,31 @@ def test_centroid_cells_match_exact_cosine(spark):
         assert not (5 in cells and 0 in cells and cells.index(5) < cells.index(0))
 
 
+def test_lsh_geometry_scales_with_corpus():
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.similarity import lsh_geometry
+
+    b_small, ppb_small = lsh_geometry(2_000, threshold=0.8)
+    b_big, ppb_big = lsh_geometry(10_000_000, threshold=0.8)
+    # more corpus → more bits per band (smaller buckets), never fewer
+    assert ppb_big >= ppb_small
+    # every returned geometry actually meets the recall target
+    for n, (bands, ppb) in [(2_000, (b_small, ppb_small)), (10_000_000, (b_big, ppb_big))]:
+        p = 1.0 - math.acos(0.8) / math.pi
+        recall = 1.0 - (1.0 - p**ppb) ** bands
+        assert recall >= 0.99, (n, bands, ppb, recall)
+    # the measured EXPLAIN §9 point: at 16k the optimizer should beat the
+    # pinned 8x4 geometry's estimated verify cost
+    bands16, ppb16 = lsh_geometry(16_000, threshold=0.8)
+    est = lambda b, k: b * 16_000**2 / (2 * 2**k) + b * 16_000
+    assert est(bands16, ppb16) < est(8, 4)
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_geometry(1000, threshold=1.5)
+
+
 def test_dedup_embedding_plan_shape(spark):
     """Lock the scale-critical plan properties of the LSH dedup path:
     candidates come from equi-joins (never a nested-loop plan), banding
