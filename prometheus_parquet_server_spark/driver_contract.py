@@ -2163,6 +2163,177 @@ GROUP BY d.doc_id
 """
 
 
+def q_pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic PII (an email, an IPv4, a
+    phone number derived from doc_id) is appended to each document, then
+    redacted and counted — (doc_id, clean_text, n_email, n_ipv4, n_phone).
+    The injection makes the redaction exercise real matches instead of
+    vacuously clean prose; both engines inject the identical strings."""
+    from prometheus_parquet_server_spark.pipeline.scrub import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7 tel +1 415-555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("_txt"),
+    )
+    counts = pii_counts(F.col("_txt"))
+    return injected.select(
+        "doc_id",
+        scrub_pii(F.col("_txt")).alias("clean_text"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+    )
+
+
+SQL_PIPELINE_PII_SCRUB = """
+WITH injected AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.7 tel +1 415-555-01' || CAST(doc_id % 10 AS VARCHAR) AS txt
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id, txt,
+           len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM injected
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t1,
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+           regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+               '<IP>', 'g') AS t2
+    FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\\+[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g')
+           AS clean_text,
+       n_email, n_ipv4,
+       len(regexp_extract_all(t2, '\\+[0-9][0-9()\\- ]{6,}[0-9]')) AS n_phone
+FROM s2
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per document (dup-word fraction,
+    longest same-word run, top-bigram share) — the thresholds repetition
+    filters cut on."""
+    from prometheus_parquet_server_spark.pipeline.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs)
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS pos FROM toks
+),
+islands AS (
+    SELECT doc_id, w,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY pos) AS island
+    FROM words
+),
+runlen AS (
+    SELECT doc_id, COUNT(*) AS rl FROM islands GROUP BY doc_id, w, island
+),
+maxrun AS (SELECT doc_id, MAX(rl) AS max_run FROM runlen GROUP BY doc_id),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                  i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+    FROM toks WHERE len(t) >= 2
+),
+bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+bitop AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bic GROUP BY doc_id)
+SELECT toks.doc_id,
+       len(t) AS n_words,
+       ROUND(CASE WHEN len(t) > 0
+             THEN (len(t) - len(list_distinct(t))) * 1.0 / len(t)
+             ELSE 0 END, 6) AS dup_word_frac,
+       COALESCE(max_run, 0) AS max_run,
+       COALESCE(top_bigram_count, 0) AS top_bigram_count,
+       ROUND(CASE WHEN len(t) >= 2
+             THEN COALESCE(top_bigram_count, 0) * 1.0 / (len(t) - 1)
+             ELSE 0 END, 6) AS top_bigram_frac
+FROM toks
+LEFT JOIN maxrun USING (doc_id)
+LEFT JOIN bitop USING (doc_id)
+"""
+
+
+def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capped sampling: at most 10 documents per source, chosen
+    by deterministic md5-shuffled order (skew-proof two-phase rank — see
+    pipeline.sample.capped_sample)."""
+    from prometheus_parquet_server_spark.pipeline.sample import capped_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return capped_sample(docs, group_col="source", cap=10, id_col="doc_id").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+SQL_PIPELINE_CAPPED_SAMPLE = """
+WITH keyed AS (
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+    FROM documents
+)
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= 10
+"""
+
+
+def q_pipeline_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified down-sampling: keep 20% of src0, 80% of src1, 50% of
+    everything else — deterministic md5-band keep decision, reported as
+    per-source kept counts."""
+    from prometheus_parquet_server_spark.pipeline.sample import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, {"src0": 0.2, "src1": 0.8}, group_col="source", default_fraction=0.5
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+SQL_PIPELINE_STRATIFIED = """
+WITH bucketed AS (
+    SELECT source,
+           CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_kept
+FROM bucketed
+WHERE bucket < CASE WHEN source = 'src0' THEN 2000
+                    WHEN source = 'src1' THEN 8000
+                    ELSE 5000 END
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2274,6 +2445,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split": q_pipeline_split,
     "pipeline_packing": q_pipeline_packing,
     "pipeline_contamination": q_pipeline_contamination,
+    "pipeline_pii_scrub": q_pipeline_pii_scrub,
+    "text_repetition": q_text_repetition,
+    "pipeline_capped_sample": q_pipeline_capped_sample,
+    "pipeline_stratified": q_pipeline_stratified,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2348,6 +2523,10 @@ ORACLES: dict[str, str] = {
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
+    "pipeline_pii_scrub": SQL_PIPELINE_PII_SCRUB,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "pipeline_capped_sample": SQL_PIPELINE_CAPPED_SAMPLE,
+    "pipeline_stratified": SQL_PIPELINE_STRATIFIED,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

@@ -18,6 +18,16 @@ from prometheus_parquet_server_spark.pipeline.text import (
     quality_features,
     language_id,
     fingerprint,
+    repetition_metrics,
+)
+from prometheus_parquet_server_spark.pipeline.scrub import (
+    PII_PATTERNS,
+    pii_counts,
+    scrub_pii,
+)
+from prometheus_parquet_server_spark.pipeline.sample import (
+    capped_sample,
+    stratified_sample,
 )
 from prometheus_parquet_server_spark.pipeline.dedup import (
     exact_duplicates,
@@ -39,6 +49,12 @@ __all__ = [
     "quality_features",
     "language_id",
     "fingerprint",
+    "repetition_metrics",
+    "PII_PATTERNS",
+    "pii_counts",
+    "scrub_pii",
+    "capped_sample",
+    "stratified_sample",
     "exact_duplicates",
     "minhash_signature",
     "minhash_bands",

@@ -1,0 +1,82 @@
+"""Deterministic dataset sampling: per-group caps and stratified
+fractions — the balancing passes a training-data pipeline runs after
+dedup/quality filtering (cap any one domain/source's share, down-sample
+over-represented strata) without RNG state, so every rerun and every
+engine agrees document-for-document.
+
+Randomness is replaced by the md5-band construction shared with
+``split.split_bucket``: ordering / keeping decisions are pure functions
+of ``(id, seed)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.split import (
+    SPLIT_BUCKETS,
+    split_bucket,
+)
+
+
+def capped_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    presample_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by md5-shuffled order
+    (deterministic 'random' sample), with ``sample_rank`` in [1, cap].
+
+    Scale shape: a naive single window rank would sort EVERY row of a hot
+    group on one task — the classic skew wall. Instead rank twice:
+    stage 1 partitions by ``(group, salt)`` (``presample_salts`` md5-derived
+    salts) and keeps the per-salt top-``cap``, bounding any group to
+    ``cap × presample_salts`` surviving rows regardless of skew; stage 2
+    ranks those survivors per group for the final top-``cap``. Both stages
+    order by ``(md5(id:seed), id)`` — a total order — so the two-phase
+    result is row-identical to the single-window form the oracle replays
+    (every final top-``cap`` row is necessarily its salt's top-``cap``).
+    """
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    salt = split_bucket(F.col(id_col), seed + 1) % presample_salts
+    staged = df.withColumn("_key", key).withColumn("_salt", salt)
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_key", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_key", id_col)
+    return (
+        staged.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= cap)
+        .drop("_key", "_salt", "_r1")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[group]`` share of each group
+    (groups absent from the map keep ``default_fraction``).
+
+    The keep decision is ``split_bucket(id) < fraction × 10 000`` — a pure
+    per-row predicate: zero shuffle, exact integer band comparison, and
+    any engine replays the same kept-set. Map-side only at any scale.
+    """
+    for g, frac in {**fractions, "": default_fraction}.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g or 'default'} must be in [0,1], got {frac}")
+    bucket = split_bucket(F.col(id_col), seed)
+    threshold = F.lit(round(default_fraction * SPLIT_BUCKETS))
+    for g, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(group_col) == g, F.lit(round(frac * SPLIT_BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

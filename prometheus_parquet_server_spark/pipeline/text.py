@@ -84,6 +84,80 @@ def language_id(text: Column) -> Column:
     return out
 
 
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition features per document:
+    ``(id, n_words, dup_word_frac, max_run, top_bigram_count,
+    top_bigram_frac)`` — the signals repetition-removal filters threshold
+    on (fraction of repeated words, longest consecutive same-word run,
+    share of the most frequent word bigram).
+
+    Scale shape: ``dup_word_frac`` and ``max_run`` are pure per-row folds
+    over the token array (zero shuffle; the run fold is one
+    ``aggregate`` with a 3-field struct accumulator — O(n) per row).
+    The top-bigram count CANNOT be a per-row fold without O(n²) work on
+    long documents, so it takes the explode route: bigram rows →
+    ``groupBy(id, bigram)`` count → ``groupBy(id)`` max — two map-side
+    combinable hash aggregates whose shuffles carry (id, md5-sized key,
+    count) only, then one id-keyed join back to the narrow per-row frame.
+    At 100 TB every stage is embarrassingly parallel and AQE coalesces the
+    small post-agg side.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    dup_frac = F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(t))) / n, 6)
+    ).otherwise(F.lit(0.0))
+    # longest consecutive same-word run: left fold carrying
+    # (previous word, current run length, best run length)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    def _step(s, w):
+        run = F.when(w == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+        )
+    max_run = F.aggregate(t, init, _step, lambda s: s["best"])
+    per_row = base.select(
+        id_col,
+        n.alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        max_run.alias("max_run"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    top = (
+        base.filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_bigram_count"))
+    )
+    return (
+        per_row.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            "max_run",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.when(
+                F.col("n_words") >= 2,
+                F.round(F.coalesce("top_bigram_count", F.lit(0)) / (F.col("n_words") - 1), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercase, strip
     non-alphanumerics, collapse whitespace) — the content-defined identity

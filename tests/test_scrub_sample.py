@@ -1,0 +1,141 @@
+"""PII scrubbing, repetition metrics, and deterministic sampling —
+edge-case coverage the sf0.01 oracle harness can't see (empty text,
+overlap precedence, skew equivalence of the two-phase cap)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.sample import (
+    capped_sample,
+    stratified_sample,
+)
+from prometheus_parquet_server_spark.pipeline.scrub import pii_counts, scrub_pii
+from prometheus_parquet_server_spark.pipeline.text import repetition_metrics
+
+
+def _scrub_one(spark, text):
+    counts = pii_counts(F.col("t"))
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            scrub_pii(F.col("t")).alias("clean"),
+            *[c.alias(k) for k, c in counts.items()],
+        )
+        .collect()[0]
+    )
+    return row
+
+
+def test_scrub_all_kinds(spark):
+    r = _scrub_one(
+        spark,
+        "mail a.b+c@sub.example.org, host 192.168.0.1, call +44 (0)20-7946-0958.",
+    )
+    assert r["clean"] == "mail <EMAIL>, host <IP>, call <PHONE>."
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1)
+
+
+def test_scrub_no_false_positives(spark):
+    # bare digit runs, version strings with <4 octets, and @-less hosts stay
+    r = _scrub_one(spark, "version 1.2.3 of pkg at example.com port 8080")
+    assert r["clean"] == "version 1.2.3 of pkg at example.com port 8080"
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)
+
+
+def test_scrub_overlap_counts_once(spark):
+    # the host part of an email contains an IP-shaped substring: the email
+    # pattern wins (applied first) and the IP counter must NOT also fire
+    r = _scrub_one(spark, "x user@10.0.0.7.example.com y")
+    assert r["clean"] == "x <EMAIL> y"
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 0, 0)
+
+
+def test_repetition_metrics_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # run of 3, top bigram 'a a' ×2 of 3
+            (2, "x y x y"),          # no run >1, 'x y' ×2 of 3
+            (3, "unique words only"),
+            (4, ""),                 # empty text edge
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[1]["max_run"] == 3
+    assert rows[1]["top_bigram_count"] == 2
+    assert rows[1]["dup_word_frac"] == 0.5  # 4 words, 2 distinct
+    assert rows[2]["max_run"] == 1
+    assert rows[2]["top_bigram_count"] == 2
+    assert rows[3]["max_run"] == 1
+    assert rows[3]["top_bigram_count"] == 1
+    assert rows[3]["dup_word_frac"] == 0.0
+    assert rows[4]["n_words"] == 0
+    assert rows[4]["max_run"] == 0
+    assert rows[4]["top_bigram_count"] == 0
+    assert rows[4]["top_bigram_frac"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot group (200 rows) + many small groups — the shape the
+    # two-phase rank exists for
+    return spark.range(260).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 6).cast("string")))
+        .alias("source"),
+    )
+
+
+def test_capped_sample_matches_single_window(skewed):
+    """The skew-proof two-phase rank must be row-identical to the naive
+    single-window form for every presample_salts setting."""
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("42")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    naive = (
+        skewed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 7)
+    )
+    expected = sorted(
+        (r["doc_id"], r["source"], r["sample_rank"]) for r in naive.collect()
+    )
+    for salts in (1, 4, 16):
+        got = sorted(
+            (r["doc_id"], r["source"], r["sample_rank"])
+            for r in capped_sample(
+                skewed, "source", cap=7, presample_salts=salts
+            ).collect()
+        )
+        assert got == expected, f"salts={salts}"
+
+
+def test_capped_sample_caps_and_keeps_small_groups(skewed):
+    out = capped_sample(skewed, "source", cap=7).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in out}
+    assert by_src["hot"] == 7
+    # small groups (10 rows each) keep all 7; none exceed the cap
+    assert all(c <= 7 for c in by_src.values())
+
+
+def test_stratified_sample_deterministic_and_banded(skewed):
+    kept = stratified_sample(
+        skewed, {"hot": 0.1}, group_col="source", default_fraction=1.0
+    )
+    again = stratified_sample(
+        skewed, {"hot": 0.1}, group_col="source", default_fraction=1.0
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(r["doc_id"] for r in again.collect())
+    by_src = {
+        r["source"]: r["count"] for r in kept.groupBy("source").count().collect()
+    }
+    # default 1.0 keeps every row of the small groups
+    assert sum(v for k, v in by_src.items() if k != "hot") == 60
+    # ~10% of the hot group survives the md5 band (exact count is fixed)
+    assert 0 < by_src.get("hot", 0) < 60
+
+
+def test_stratified_sample_rejects_bad_fraction(skewed):
+    with pytest.raises(ValueError):
+        stratified_sample(skewed, {"hot": 1.5})
