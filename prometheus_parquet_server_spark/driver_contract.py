@@ -2334,6 +2334,59 @@ GROUP BY source
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table: every click gets the most recent
+    purchase value at-or-before it for the same user (both sides deduped
+    to unique (user, ts) with MAX per the house order-independence rule).
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from prometheus_parquet_server_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id",
+        (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+        "event_type",
+        "value",
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=("user_id",),
+        right_cols=("purchase_value",),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) / 1000000.0 AS ts, event_type, value
+    FROM events
+),
+l AS (
+    SELECT user_id, ts, ROUND(MAX(value), 6) AS click_value
+    FROM base WHERE event_type = 'click' GROUP BY user_id, ts
+),
+r AS (
+    SELECT user_id, ts, ROUND(MAX(value), 6) AS purchase_value
+    FROM base WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, l.click_value,
+       r.purchase_value AS purchase_value_asof,
+       r.ts AS ts_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2449,6 +2502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "pipeline_stratified": q_pipeline_stratified,
+    "events_asof_join": q_events_asof_join,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2527,6 +2581,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "pipeline_capped_sample": SQL_PIPELINE_CAPPED_SAMPLE,
     "pipeline_stratified": SQL_PIPELINE_STRATIFIED,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

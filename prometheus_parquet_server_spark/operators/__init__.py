@@ -6,9 +6,11 @@ from prometheus_parquet_server_spark.operators.interpolate import (
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
+from prometheus_parquet_server_spark.operators.asof import asof_join
 
 __all__ = [
     "RegularTimeRange",
+    "asof_join",
     "interpolate_at_probes",
     "resample_to_grid",
     "rate_to_grid",

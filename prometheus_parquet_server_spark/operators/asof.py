@@ -1,0 +1,106 @@
+"""General as-of join — the temporal join Spark's DataFrame API lacks.
+
+For every left row, attach the most recent right row at-or-before its
+timestamp (``direction="backward"``; ``"forward"`` takes the earliest
+at-or-after), matching within ``by`` key groups, optionally bounded by a
+``tolerance`` window. The same locate-last-sample-before-t primitive the
+PromQL resampler uses internally (operators/interpolate.py `_asof_context`),
+exposed as a standalone relational operator.
+
+Implementation — union + one window, not a range join: both sides are
+unioned with a side tag, and one ``last(..., ignorenulls=True)`` window
+per right column, ordered by ``(on, side)`` within ``by`` partitions,
+carries the latest right values forward onto left rows. Equal timestamps
+order the right row first, so an exact-timestamp match is taken (the same
+tie rule as DuckDB's ``ASOF JOIN ... ON l.t >= r.t`` oracle).
+
+Scale shape: ONE shuffle — the window's hash exchange on ``by`` — and a
+per-partition sort, regardless of how many right columns are carried
+(all ``last`` calls share the window frame). A broadcast-range-join
+formulation would duplicate right rows per left row and re-aggregate;
+a per-left-row binary search would be a driver loop. If both inputs are
+bucketed/sorted by ``by`` the exchange vanishes entirely (EXPLAIN.md §5).
+
+Determinism: when several right rows share (by, on), "the" as-of row is
+ambiguous — callers should pre-aggregate the right side to unique
+(by, on) keys (the oracle queries dedupe with MAX, the house rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = ("value",),
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: all left columns, plus ``<c><suffix>`` for each of
+    ``right_cols`` and ``<on><suffix>`` (the matched right timestamp) —
+    NULL where no right row qualifies (or the match falls outside
+    ``tolerance``, measured in ``on`` units).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    bys = list(by)
+    payload = [c for c in left.columns if c not in bys and c != on]
+    out_cols = [f"{c}{suffix}" for c in right_cols]
+    on_out = f"{on}{suffix}"
+    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
+
+    l = left.select(
+        *bys,
+        F.col(on),
+        *payload,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(o) for c, o in zip(right_cols, out_cols)],
+        F.lit(None).cast(rtypes[on]).alias(on_out),
+    )
+    ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
+    r = right.select(
+        *bys,
+        F.col(on),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in payload],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(o) for c, o in zip(right_cols, out_cols)],
+        F.col(on).alias(on_out),
+    )
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*bys)
+        .orderBy(order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *bys,
+        on,
+        *payload,
+        "_side",
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+        F.last(on_out, ignorenulls=True).over(w).alias(on_out),
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        gap = (
+            F.col(on) - F.col(on_out)
+            if direction == "backward"
+            else F.col(on_out) - F.col(on)
+        )
+        within = F.col(on_out).isNotNull() & (gap <= F.lit(tolerance))
+        out = out.select(
+            *bys,
+            on,
+            *payload,
+            *[F.when(within, F.col(o)).alias(o) for o in out_cols],
+            F.when(within, F.col(on_out)).alias(on_out),
+        )
+    return out

@@ -1,0 +1,72 @@
+"""asof_join: directions, ties, tolerance, no-match nulls, payload carry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 10.0, "b"), (1, 2.0, "c"), (2, 3.0, "d")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 4.0, 100.0), (1, 10.0, 200.0), (3, 1.0, 9.0)],
+        "k long, ts double, value double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {
+        (r["k"], r["ts"]): (r["tag"], r["value_asof"], r["ts_asof"])
+        for r in df.collect()
+    }
+
+
+def test_backward_with_ties_and_nulls(frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="ts", by=("k",)))
+    assert got[(1, 5.0)] == ("a", 100.0, 4.0)
+    # exact-timestamp right row is taken (>= semantics, DuckDB ASOF parity)
+    assert got[(1, 10.0)] == ("b", 200.0, 10.0)
+    # left row before every right row → null match
+    assert got[(1, 2.0)] == ("c", None, None)
+    # key with no right rows at all → null match
+    assert got[(2, 3.0)] == ("d", None, None)
+
+
+def test_forward(frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="ts", by=("k",), direction="forward"))
+    assert got[(1, 2.0)] == ("c", 100.0, 4.0)
+    assert got[(1, 5.0)] == ("a", 200.0, 10.0)
+    assert got[(1, 10.0)] == ("b", 200.0, 10.0)
+    assert got[(2, 3.0)] == ("d", None, None)
+
+
+def test_tolerance_nulls_stale_matches(frames):
+    left, right = frames
+    got = _rows(asof_join(left, right, on="ts", by=("k",), tolerance=0.5))
+    # gap 1.0 > 0.5 → nulled; exact match (gap 0) survives
+    assert got[(1, 5.0)] == ("a", None, None)
+    assert got[(1, 10.0)] == ("b", 200.0, 10.0)
+
+
+def test_multiple_right_cols(spark):
+    left = spark.createDataFrame([(1, 5.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 4.0, 10.0, "x")], "k long, ts double, v double, s string"
+    )
+    r = asof_join(left, right, on="ts", by=("k",), right_cols=("v", "s")).collect()[0]
+    assert (r["v_asof"], r["s_asof"], r["ts_asof"]) == (10.0, "x", 4.0)
+
+
+def test_bad_args(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(left, right, tolerance=-1.0)
