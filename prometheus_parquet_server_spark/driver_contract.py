@@ -2387,6 +2387,53 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the 50 most frequent tokens with term and
+    document frequencies (tokenizer-training prep)."""
+    from prometheus_parquet_server_spark.pipeline.stats import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=50)
+
+
+SQL_VOCAB_TOPK = """
+WITH rows AS (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM rows GROUP BY token
+)
+SELECT token, tf, df,
+       ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+FROM stats
+QUALIFY rank <= 50
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (count, mean, exact
+    interpolated p50/p90, max) — the mixture-design reporting pass."""
+    from prometheus_parquet_server_spark.pipeline.stats import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs, group_col="source", length_col="n_chars")
+
+
+SQL_CORPUS_STATS = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS mean_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2503,6 +2550,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "pipeline_stratified": q_pipeline_stratified,
     "events_asof_join": q_events_asof_join,
+    "vocab_topk": q_vocab_topk,
+    "corpus_stats": q_corpus_stats,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2582,6 +2631,8 @@ ORACLES: dict[str, str] = {
     "pipeline_capped_sample": SQL_PIPELINE_CAPPED_SAMPLE,
     "pipeline_stratified": SQL_PIPELINE_STRATIFIED,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "corpus_stats": SQL_CORPUS_STATS,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

@@ -29,6 +29,11 @@ from prometheus_parquet_server_spark.pipeline.sample import (
     capped_sample,
     stratified_sample,
 )
+from prometheus_parquet_server_spark.pipeline.stats import (
+    corpus_stats,
+    token_stats,
+    vocab_topk,
+)
 from prometheus_parquet_server_spark.pipeline.dedup import (
     exact_duplicates,
     minhash_signature,
@@ -55,6 +60,9 @@ __all__ = [
     "scrub_pii",
     "capped_sample",
     "stratified_sample",
+    "corpus_stats",
+    "token_stats",
+    "vocab_topk",
     "exact_duplicates",
     "minhash_signature",
     "minhash_bands",

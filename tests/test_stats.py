@@ -1,0 +1,51 @@
+"""Corpus statistics: tf/df correctness, top-k tie-break, exact percentiles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.stats import (
+    corpus_stats,
+    token_stats,
+    vocab_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a", "s1", 5),
+            (2, "b c", "s1", 3),
+            (3, "a", "s2", 1),
+            (4, "", "s2", 0),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+
+def test_token_stats_tf_df(docs):
+    got = {r["token"]: (r["tf"], r["df"]) for r in token_stats(docs).collect()}
+    assert got == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+
+
+def test_vocab_topk_rank_and_tiebreak(docs):
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["rank"], r["token"], r["tf"]) for r in rows] == [
+        (1, "a", 3),
+        (2, "b", 2),
+    ]
+
+
+def test_vocab_topk_tie_lexicographic(spark):
+    df = spark.createDataFrame([(1, "z y z y")], "doc_id long, text string")
+    rows = vocab_topk(df, k=1).collect()
+    assert rows[0]["token"] == "y"  # tf tie (2 == 2) → lexicographically first
+
+
+def test_corpus_stats_exact_percentiles(docs):
+    got = {r["source"]: r for r in corpus_stats(docs).collect()}
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["mean_chars"] == 4.0
+    assert got["s1"]["p50_chars"] == 4.0  # interpolated midpoint of (3, 5)
+    assert got["s1"]["p90_chars"] == 4.8  # 3 + 0.9*(5-3)
+    assert got["s2"]["max_chars"] == 1
