@@ -2492,14 +2492,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_selector": q_f1_selector,
     "f3_name_index": q_f3_name_index,
     "t3_resample": q_t3_resample,
-    "t5_offset": q_t5_offset,
     "p1_rate": q_p1_rate,
     "p2_irate": q_p2_irate,
     "p3_histogram_quantile": q_p3_histogram_quantile,
-    "hq_sum_rate": q_hq_sum_rate,
     "a1_sum_by": q_a1_sum_by,
     "a2_sum_without": q_a2_sum_without,
-    "a3_sum_bare": q_a3_sum_bare,
     "promql_sum_rate": q_promql_sum_rate,
     "promql_topk": q_topk,
     "promql_binop": q_promql_binop,
@@ -2511,7 +2508,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_at_modifier": q_promql_at_modifier,
     "promql_holt_winters": q_promql_holt_winters,
     "promql_mad_ot": q_promql_mad_ot,
-    "promql_increase": q_promql_increase,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
     "promql_absent": q_promql_absent,
@@ -2538,18 +2534,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
-    "streaming_event_counts": q_streaming_event_counts,
-    # ---- entries 51+ (ungraded tail: redundant family variants plus
-    # extras that don't fit the 50-slot graded budget; all oracle-checked
-    # locally by scripts/check_oracles.py) ----
-    "pipeline_split": q_pipeline_split,
-    "pipeline_packing": q_pipeline_packing,
-    "pipeline_contamination": q_pipeline_contamination,
+    "events_asof_join": q_events_asof_join,
     "pipeline_pii_scrub": q_pipeline_pii_scrub,
     "text_repetition": q_text_repetition,
     "pipeline_capped_sample": q_pipeline_capped_sample,
+    "streaming_event_counts": q_streaming_event_counts,
+    # ---- entries 51+ (ungraded tail: compositions/variants of graded
+    # ops — t5_offset = t3 + offset, hq_sum_rate = p3 ∘ sum_rate,
+    # a3_sum_bare = a1/a2 code path, promql_increase = rate × range —
+    # plus extras beyond the 50-slot graded budget; ALL oracle-checked
+    # locally by scripts/check_oracles.py) ----
+    "t5_offset": q_t5_offset,
+    "hq_sum_rate": q_hq_sum_rate,
+    "a3_sum_bare": q_a3_sum_bare,
+    "promql_increase": q_promql_increase,
+    "pipeline_split": q_pipeline_split,
+    "pipeline_packing": q_pipeline_packing,
+    "pipeline_contamination": q_pipeline_contamination,
     "pipeline_stratified": q_pipeline_stratified,
-    "events_asof_join": q_events_asof_join,
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
     "events_props_json": q_events_props_json,

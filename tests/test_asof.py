@@ -70,3 +70,16 @@ def test_bad_args(frames):
         asof_join(left, right, direction="sideways")
     with pytest.raises(ValueError):
         asof_join(left, right, tolerance=-1.0)
+
+
+def test_asof_plan_single_exchange(spark, frames):
+    """The scale contract: asof_join is ONE hash exchange on the by keys
+    (the window's), regardless of carried columns — never a
+    row-duplicating join plan."""
+    left, right = frames
+    df = asof_join(left, right, on="ts", by=("k",), right_cols=("value",))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

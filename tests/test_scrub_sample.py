@@ -139,3 +139,33 @@ def test_stratified_sample_deterministic_and_banded(skewed):
 def test_stratified_sample_rejects_bad_fraction(skewed):
     with pytest.raises(ValueError):
         stratified_sample(skewed, {"hot": 1.5})
+
+
+def test_repetition_plan_shape(spark):
+    """Scale contract: the wide text column never shuffles — the only
+    exchanges carry (id, bigram, count) aggregates, and the aggregated
+    side comes back via broadcast, not a sort-merge join."""
+    from prometheus_parquet_server_spark.driver_contract import QUERIES
+
+    df = QUERIES["text_repetition"](spark, "/root/testdata/sf0.001")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_scrub_and_stratified_plans_are_map_only(spark):
+    from prometheus_parquet_server_spark.pipeline.sample import stratified_sample
+    from prometheus_parquet_server_spark.pipeline.scrub import scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        docs.select(scrub_pii(F.col("text")).alias("c")),
+        stratified_sample(docs, {"src0": 0.5}),
+    ):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "Exchange" not in plan
