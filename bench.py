@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "text_quality",
     "emb_cosine_topk",
     "ann_lsh_topk",
+    # round-5 additions — new rows extend the suite; per-query times stay
+    # comparable with earlier rounds (BASELINE.md round table caveat)
+    "events_asof_join",
+    "text_repetition",
+    "pipeline_pii_scrub",
+    "pipeline_capped_sample",
+    "vocab_topk",
 ]
 
 
