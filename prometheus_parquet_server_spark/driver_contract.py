@@ -2434,6 +2434,21 @@ GROUP BY source
 """
 
 
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table: fit on one
+    sufficient-statistics pass (per-partition Arrow numpy partials →
+    driver eigh), project to 4 components via an Arrow matmul kernel.
+    Not SQL-expressible (eigendecomposition) → no DuckDB oracle;
+    correctness is pinned by tests/test_pca.py numpy parity."""
+    from prometheus_parquet_server_spark.pipeline.pca import embedding_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_pca(emb, k=4)
+    return out.select(
+        "vec_id", F.transform("pca", lambda x: F.round(x, 6)).alias("pca")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2554,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
+    "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,

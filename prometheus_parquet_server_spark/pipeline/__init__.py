@@ -34,6 +34,11 @@ from prometheus_parquet_server_spark.pipeline.stats import (
     token_stats,
     vocab_topk,
 )
+from prometheus_parquet_server_spark.pipeline.pca import (
+    embedding_pca,
+    pca_components,
+    pca_project,
+)
 from prometheus_parquet_server_spark.pipeline.dedup import (
     exact_duplicates,
     minhash_signature,
@@ -63,6 +68,9 @@ __all__ = [
     "corpus_stats",
     "token_stats",
     "vocab_topk",
+    "embedding_pca",
+    "pca_components",
+    "pca_project",
     "exact_duplicates",
     "minhash_signature",
     "minhash_bands",
