@@ -2449,6 +2449,43 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 16-token windows with 4-token overlap over the
+    documents table (small window so the synthetic corpus's ~25-token
+    docs actually split)."""
+    from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
+SQL_PIPELINE_CHUNKS = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+counted AS (
+    SELECT doc_id, t, len(t) AS n,
+           CASE WHEN len(t) <= 16 THEN 1
+                ELSE CAST(FLOOR((len(t) - 16 + 11) / 12.0) AS INT) + 1 END AS n_chunks
+    FROM toks WHERE len(t) > 0
+),
+exploded AS (
+    SELECT doc_id, n, t,
+           unnest(range(0, n_chunks)) AS chunk_id
+    FROM counted
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(LEAST(16, n - chunk_id * 12) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, CAST(chunk_id * 12 + 1 AS INT),
+                                  CAST(chunk_id * 12 + 16 AS INT)), ' ')
+           AS chunk_text
+FROM exploded
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2570,6 +2607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
+    "pipeline_chunks": q_pipeline_chunks,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2651,6 +2689,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

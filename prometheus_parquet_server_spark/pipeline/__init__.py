@@ -39,6 +39,7 @@ from prometheus_parquet_server_spark.pipeline.pca import (
     pca_components,
     pca_project,
 )
+from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
 from prometheus_parquet_server_spark.pipeline.dedup import (
     exact_duplicates,
     minhash_signature,
@@ -71,6 +72,7 @@ __all__ = [
     "embedding_pca",
     "pca_components",
     "pca_project",
+    "chunk_documents",
     "exact_duplicates",
     "minhash_signature",
     "minhash_bands",

@@ -169,3 +169,35 @@ def test_scrub_and_stratified_plans_are_map_only(spark):
             df._jdf.queryExecution(), "simple"
         )
         assert "Exchange" not in plan
+
+
+def test_chunk_documents_golden(spark):
+    from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens: max=4, overlap=1 → stride 3
+            (2, "x y"),            # fits in one chunk
+            (3, ""),               # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),
+        (2, 0, 2, "x y"),
+    ]
+    # exact boundary: 4 tokens → single chunk; 5 tokens → two chunks
+    five = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    got = chunk_documents(five, max_tokens=4, overlap=1).collect()
+    assert sorted(r["chunk_text"] for r in got) == ["a b c d", "d e"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
