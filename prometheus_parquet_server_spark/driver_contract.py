@@ -2486,6 +2486,38 @@ FROM exploded
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (smoothed idf, ties → token)."""
+    from prometheus_parquet_server_spark.pipeline.stats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH rows AS (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM rows GROUP BY doc_id, token
+),
+docfreq AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM rows GROUP BY token
+),
+total AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf,
+       ROUND(tf.tf * (LN((total.n + 1) * 1.0 / (docfreq.df + 1)) + 1), 6) AS score,
+       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * (LN((total.n + 1) * 1.0 / (docfreq.df + 1)) + 1),
+                          6) DESC,
+                    tf.token) AS rank
+FROM tf JOIN docfreq USING (token) CROSS JOIN total
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2608,6 +2640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "pipeline_chunks": q_pipeline_chunks,
+    "tfidf_topk": q_tfidf_topk,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2690,6 +2723,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

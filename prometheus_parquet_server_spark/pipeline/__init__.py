@@ -31,6 +31,7 @@ from prometheus_parquet_server_spark.pipeline.sample import (
 )
 from prometheus_parquet_server_spark.pipeline.stats import (
     corpus_stats,
+    tfidf_topk,
     token_stats,
     vocab_topk,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "capped_sample",
     "stratified_sample",
     "corpus_stats",
+    "tfidf_topk",
     "token_stats",
     "vocab_topk",
     "embedding_pca",

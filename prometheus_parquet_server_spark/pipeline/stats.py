@@ -58,6 +58,47 @@ def vocab_topk(
     return ranked.select("token", "tf", "df", F.row_number().over(w).alias("rank"))
 
 
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` keywords per document by smoothed tf-idf:
+    ``(id, token, tf, score, rank)`` with
+    ``score = tf · (ln((N + 1)/(df + 1)) + 1)`` (ties → token asc).
+
+    Plan shape: ONE explode feeds both aggregates — per-(doc, token)
+    term counts and per-token document frequencies; the tiny token→df
+    frame and the 1-row corpus count come back via broadcast joins, and
+    the only window runs per-doc over that doc's distinct tokens. The
+    text column itself never shuffles.
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    tf = rows.groupBy("_doc", "token").agg(F.count("*").alias("tf"))
+    docfreq = rows.groupBy("token").agg(F.countDistinct("_doc").alias("_df"))
+    total = df.agg(F.countDistinct(id_col).alias("_N"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_doc").alias(id_col),
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("_N") + 1) / (F.col("_df") + 1)) + 1), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_col: str = "source",

@@ -49,3 +49,23 @@ def test_corpus_stats_exact_percentiles(docs):
     assert got["s1"]["p50_chars"] == 4.0  # interpolated midpoint of (3, 5)
     assert got["s1"]["p90_chars"] == 4.8  # 3 + 0.9*(5-3)
     assert got["s2"]["max_chars"] == 1
+
+
+def test_tfidf_topk_golden(spark):
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.stats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "rare rare common"), (2, "common other"), (3, "common")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["rank"]): (r["token"], r["score"])
+            for r in tfidf_topk(df, k=2).collect()}
+    # N=3; 'rare' df=1 → idf = ln(4/2)+1; tf=2 in doc 1 beats 'common'
+    assert rows[(1, 1)][0] == "rare"
+    assert rows[(1, 1)][1] == round(2 * (math.log(4 / 2) + 1), 6)
+    # 'common' appears in every doc → idf = ln(4/4)+1 = 1 → score = tf
+    assert rows[(3, 1)] == ("common", 1.0)
+    # doc 2: 'other' (df=1) outscores 'common' (df=3)
+    assert rows[(2, 1)][0] == "other"
