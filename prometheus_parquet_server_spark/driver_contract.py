@@ -2518,6 +2518,52 @@ QUALIFY rank <= 3
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join over events: every view within the one-hour
+    window after an error by the same user — an equi-join on
+    (user, time-bucket) plus an exact containment filter, never a
+    nested-loop plan."""
+    from prometheus_parquet_server_spark.operators.range_join import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id",
+        (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+        "event_type",
+        "value",
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    windows = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + 3600.0).alias("end"),
+        F.col("ts").alias("error_ts"),
+    )
+    return range_join(
+        views, windows, ts_col="ts", by=("user_id",), bucket_width=3600.0
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) / 1000000.0 AS ts, event_type, value
+    FROM events
+),
+v AS (
+    SELECT user_id, ts, value AS view_value FROM base WHERE event_type = 'view'
+),
+e AS (
+    SELECT user_id, ts AS "start", ts + 3600.0 AS "end", ts AS error_ts
+    FROM base WHERE event_type = 'error'
+)
+SELECT v.user_id, v.ts, v.view_value, e."start", e."end", e.error_ts
+FROM v JOIN e ON v.user_id = e.user_id
+             AND v.ts >= e."start" AND v.ts <= e."end"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2641,6 +2687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "pipeline_chunks": q_pipeline_chunks,
     "tfidf_topk": q_tfidf_topk,
+    "events_range_join": q_events_range_join,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2724,6 +2771,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

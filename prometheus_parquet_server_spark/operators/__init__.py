@@ -7,10 +7,12 @@ from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_t
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
 from prometheus_parquet_server_spark.operators.asof import asof_join
+from prometheus_parquet_server_spark.operators.range_join import range_join
 
 __all__ = [
     "RegularTimeRange",
     "asof_join",
+    "range_join",
     "interpolate_at_probes",
     "resample_to_grid",
     "rate_to_grid",

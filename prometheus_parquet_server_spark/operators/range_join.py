@@ -1,0 +1,71 @@
+"""Bucketed range join — point-in-interval joins without a nested loop.
+
+Spark plans a bare ``l.ts BETWEEN r.start AND r.end`` predicate (plus any
+key equality) as BroadcastNestedLoopJoin or a cartesian product — O(n·m)
+and the canonical 100 TB killer. The standard fix (the same trick behind
+Databricks' range-join optimization and KDB's bucketed asof): quantize
+time into ``bucket_width`` buckets, explode each interval onto every
+bucket it covers, equi-join points to intervals on (keys…, bucket), and
+re-check the exact predicate. Each point lives in exactly ONE bucket, so
+a qualifying (point, interval) pair meets exactly once — no dedup pass.
+
+Cost model: the shuffle keys on (by, bucket) — skew-free if intervals are
+short relative to ``bucket_width`` × key cardinality; candidate pairs per
+bucket ≈ points × intervals co-resident in that bucket, so pick
+``bucket_width`` near the typical interval length (width ≫ intervals
+re-creates the blowup bucket-locally; width ≪ intervals explodes interval
+copies ≈ length/width per row — linear, bounded, and spread across the
+cluster either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: tuple[str, ...] = (),
+    bucket_width: float = 3600.0,
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start ≤ ts ≤ end`` (or ``< end``
+    with ``inclusive_end=False``) and equal ``by`` keys. Output carries
+    every point column plus every interval column (names must not clash
+    apart from the ``by`` keys). Intervals where ``end < start`` match
+    nothing; NULL bounds match nothing.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    clash = (set(points.columns) & set(intervals.columns)) - set(by)
+    if clash:
+        raise ValueError(f"column name clash outside by keys: {sorted(clash)}")
+    bw = F.lit(float(bucket_width))
+    p = points.withColumn("_bucket", F.floor(F.col(ts_col) / bw))
+    i = intervals.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw), F.floor(F.col(end_col) / bw)
+            )
+        ),
+    )
+    upper = (
+        F.col(ts_col) <= F.col(end_col)
+        if inclusive_end
+        else F.col(ts_col) < F.col(end_col)
+    )
+    return (
+        p.join(i, [*by, "_bucket"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & upper)
+        .drop("_bucket")
+    )
