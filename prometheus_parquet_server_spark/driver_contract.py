@@ -2564,6 +2564,46 @@ FROM v JOIN e ON v.user_id = e.user_id
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization of the events table (30-minute
+    inactivity gap per user): one window + one hash aggregate sharing a
+    single user-keyed shuffle. Twin of the streaming stateful operator
+    (streaming/sessions.py sessionize) — same session boundaries."""
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
+    )
+    return sessionize_batch(base, gap_s=1800.0)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) / 1000000.0 AS ts_s, value FROM events
+),
+flagged AS (
+    SELECT user_id, ts_s, value,
+           CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                     > 1800.0 THEN 1 ELSE 0 END AS new_flag
+    FROM base
+),
+numbered AS (
+    SELECT user_id, ts_s, value,
+           SUM(new_flag) OVER (PARTITION BY user_id ORDER BY ts_s
+               ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts_s) AS session_start,
+       MAX(ts_s) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2688,6 +2728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_chunks": q_pipeline_chunks,
     "tfidf_topk": q_tfidf_topk,
     "events_range_join": q_events_range_join,
+    "events_sessionize": q_events_sessionize,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2772,6 +2813,7 @@ ORACLES: dict[str, str] = {
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

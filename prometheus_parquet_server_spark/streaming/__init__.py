@@ -1,3 +1,7 @@
+from prometheus_parquet_server_spark.streaming.sessions import (
+    sessionize,
+    sessionize_batch,
+)
 from prometheus_parquet_server_spark.streaming.ingest import (
     stream_events_as_metrics,
     stream_windowed_counts,
@@ -10,4 +14,6 @@ __all__ = [
     "stream_windowed_counts",
     "stream_windowed_rate",
     "run_available_now",
+    "sessionize",
+    "sessionize_batch",
 ]

@@ -90,3 +90,48 @@ def sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of :func:`sessionize` — gaps-and-islands over the whole
+    table: ``(user, session_seq, session_start, session_end, n_events,
+    sum_value)``, ``session_seq`` numbering a user's sessions from 1 in
+    time order. Unlike the streaming form (whose open tail sits in state)
+    every session is emitted, including the last.
+
+    Scale shape: one window (lag → gap flag → running-sum session index)
+    and one hash aggregate, both keyed on the user — the groupBy rides the
+    window's exchange, so the whole operator is a single shuffle. This is
+    also the ground truth the streaming parity test compares against.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    flagged = events.select(
+        user_col,
+        ts_col,
+        value_col,
+        F.when(
+            (F.col(ts_col) - F.lag(ts_col).over(w)) > gap_s, 1
+        ).otherwise(0).alias("_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) + 1,
+    )
+    return flagged.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )

@@ -409,3 +409,82 @@ def test_stateful_sessionization(spark):
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
     assert {u: c for u, c in want_by_user.items() if c} == got_by_user
+
+
+def test_sessionize_batch_golden_and_stream_parity(spark):
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 1.0), (1, 100.0, 2.0), (1, 5000.0, 3.0),  # gap closes s1
+            (2, 10.0, 4.0),
+        ],
+        "user_id long, ts_s double, value double",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionize_batch(df, gap_s=1800.0).collect()
+    }
+    assert got == {
+        (1, 1): (0.0, 100.0, 2, 3.0),
+        (1, 2): (5000.0, 5000.0, 1, 3.0),
+        (2, 1): (10.0, 10.0, 1, 4.0),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize_batch(df, gap_s=0)
+
+
+def test_sessionize_batch_matches_streaming_closed_sessions(spark):
+    """The streaming operator's closed sessions must be exactly the batch
+    sessions minus each user's open tail."""
+    from prometheus_parquet_server_spark.sources.ingest import epoch_micros
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+    from prometheus_parquet_server_spark.streaming.sessions import (
+        sessionize,
+        sessionize_batch,
+    )
+    from pyspark.sql import functions as F
+
+    pq = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = sessionize_batch(
+        pq.select(
+            "user_id", (epoch_micros(pq) / F.lit(1e6)).alias("ts_s"), "value"
+        ),
+        gap_s=1800.0,
+    )
+    # drop each user's last (open) session — the streaming form keeps it in state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed_batch = (
+        batch.withColumn("_max", F.max("session_seq").over(w))
+        .filter(F.col("session_seq") < F.col("_max"))
+        .select("user_id", "session_start", "session_end", "n_events",
+                F.round("sum_value", 6).alias("sum_value"))
+    )
+    ev = (
+        spark.readStream.schema(pq.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    stream = sessionize(
+        ev.select(
+            "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
+        ),
+        gap_s=1800.0,
+    )
+    out = run_available_now(stream, spark, output_mode="update")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"])
+        for r in closed_batch.collect()
+    )
+    assert got == want
