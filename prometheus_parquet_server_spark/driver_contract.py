@@ -2604,6 +2604,52 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: events → 1-minute partials →
+    1-hour → 1-day, each level re-aggregated FROM THE PREVIOUS level's
+    (count, sum, min, max) partials — the raw table is scanned once. The
+    day level is returned; the oracle aggregates raw → day directly, so a
+    hash match proves the cascade recombination is exact."""
+    from prometheus_parquet_server_spark.operators.rollup import rollup_cascade
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type", (epoch_micros(ev) / F.lit(1e6)).alias("ts"), "value"
+    )
+    day = rollup_cascade(
+        base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",)
+    )[86400.0]
+    return day.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        # avg from the ROUNDED sum: the raw cascade sum differs from the
+        # oracle's direct sum by ulps, which a direct sum/n quotient can
+        # amplify across a 6-decimal rounding boundary; the rounded sums
+        # are identical across engines, so this quotient is too
+        F.round(F.round("sum_v", 6) / F.col("n"), 6).alias("avg_v"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+WITH base AS (
+    SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
+)
+SELECT event_type,
+       FLOOR(ts / 86400.0) * 86400.0 AS bucket_ts,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_v,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v,
+       ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_v
+FROM base
+GROUP BY event_type, FLOOR(ts / 86400.0) * 86400.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2729,6 +2775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "events_range_join": q_events_range_join,
     "events_sessionize": q_events_sessionize,
+    "events_rollup": q_events_rollup,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2814,6 +2861,7 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

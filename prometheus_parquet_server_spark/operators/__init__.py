@@ -8,11 +8,19 @@ from prometheus_parquet_server_spark.operators.histogram import histogram_quanti
 from prometheus_parquet_server_spark.operators.aggregate import sum_over_series
 from prometheus_parquet_server_spark.operators.asof import asof_join
 from prometheus_parquet_server_spark.operators.range_join import range_join
+from prometheus_parquet_server_spark.operators.rollup import (
+    rollup_cascade,
+    rollup_level,
+    time_bucket_partials,
+)
 
 __all__ = [
     "RegularTimeRange",
     "asof_join",
     "range_join",
+    "rollup_cascade",
+    "rollup_level",
+    "time_bucket_partials",
     "interpolate_at_probes",
     "resample_to_grid",
     "rate_to_grid",

@@ -1,0 +1,86 @@
+"""Multi-resolution time rollups (hypertable / continuous-aggregate
+style): minute → hour → day levels where every level re-aggregates the
+PREVIOUS level's partials, never the raw rows.
+
+The scale point: at 100 TB the raw table is scanned exactly once (for the
+finest level); each coarser level reads ``previous_rows / fanout`` partial
+rows, so the whole cascade costs ~1 raw scan + ε, and any level can serve
+queries at its own granularity. This only works for ASSOCIATIVE partials —
+(count, sum, min, max) re-combine exactly; avg is derived at read time as
+sum/count, never averaged-of-averages. The cascade is proven equal to
+direct aggregation from raw by the oracle gate (the DuckDB oracle groups
+the raw table straight to the coarsest level) and by pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the associative partial set every level carries
+_PARTIALS = ("n", "sum_v", "min_v", "max_v")
+
+
+def time_bucket_partials(
+    df: DataFrame,
+    width_s: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Finest level: raw rows → (by…, bucket_ts, n, sum_v, min_v, max_v)
+    with ``bucket_ts = floor(ts / width) · width`` (epoch seconds)."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be > 0, got {width_s}")
+    bucket = (F.floor(F.col(ts_col) / F.lit(width_s)) * F.lit(width_s)).alias(
+        "bucket_ts"
+    )
+    return df.groupBy(*by, bucket).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def rollup_level(
+    partials: DataFrame, width_s: float, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Coarser level FROM a finer level: re-bucket ``bucket_ts`` and
+    combine partials (sum of counts/sums, min of mins, max of maxes).
+    ``width_s`` must be a multiple of the finer width for exact nesting."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be > 0, got {width_s}")
+    bucket = (
+        F.floor(F.col("bucket_ts") / F.lit(width_s)) * F.lit(width_s)
+    ).alias("bucket_ts")
+    return partials.groupBy(*by, bucket).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    widths_s: tuple[float, ...] = (60.0, 3600.0, 86400.0),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: tuple[str, ...] = (),
+) -> dict[float, DataFrame]:
+    """Build every level, finest first; each ``widths_s[i+1]`` must be an
+    integer multiple of ``widths_s[i]``. Returns {width → level frame};
+    read ``avg`` as ``sum_v / n`` at whichever level serves the query."""
+    if not widths_s:
+        raise ValueError("need at least one rollup width")
+    for a, b in zip(widths_s, widths_s[1:]):
+        if b % a != 0:
+            raise ValueError(f"width {b} is not a multiple of finer width {a}")
+    levels: dict[float, DataFrame] = {}
+    current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by)
+    levels[widths_s[0]] = current
+    for w in widths_s[1:]:
+        current = rollup_level(current, w, by)
+        levels[w] = current
+    return levels

@@ -1,0 +1,65 @@
+"""Rollup cascade: re-aggregated partials must equal direct aggregation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.operators.rollup import (
+    rollup_cascade,
+    time_bucket_partials,
+)
+from prometheus_parquet_server_spark.sources.ingest import epoch_micros
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return ev.select(
+        "event_type", (epoch_micros(ev) / F.lit(1e6)).alias("ts"), "value"
+    ).cache()
+
+
+def _collect(df):
+    return {
+        (r["event_type"], r["bucket_ts"]): (
+            r["n"], r["sum_v"], r["min_v"], r["max_v"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_cascade_equals_direct(base):
+    levels = rollup_cascade(base, (60.0, 3600.0, 86400.0), by=("event_type",))
+    for width in (3600.0, 86400.0):
+        direct = _collect(
+            time_bucket_partials(base, width, by=("event_type",))
+        )
+        cascaded = _collect(levels[width])
+        assert set(direct) == set(cascaded)
+        for key, (n, s, mn, mx) in direct.items():
+            cn, cs, cmn, cmx = cascaded[key]
+            assert cn == n and cmn == mn and cmx == mx
+            # sums re-combine in a different order — equal to float tolerance
+            assert math.isclose(cs, s, rel_tol=1e-12)
+
+
+def test_level_row_counts_decrease(base):
+    levels = rollup_cascade(base, (60.0, 3600.0, 86400.0), by=("event_type",))
+    counts = [levels[w].count() for w in (60.0, 3600.0, 86400.0)]
+    assert counts[0] > counts[1] > counts[2] > 0
+    # total event count is preserved through every level
+    raw = base.count()
+    for w in (60.0, 3600.0, 86400.0):
+        assert levels[w].agg(F.sum("n")).first()[0] == raw
+
+
+def test_bad_widths(base):
+    with pytest.raises(ValueError, match="multiple"):
+        rollup_cascade(base, (60.0, 90.0))
+    with pytest.raises(ValueError, match="width_s"):
+        time_bucket_partials(base, 0)
+    with pytest.raises(ValueError, match="at least one"):
+        rollup_cascade(base, ())
