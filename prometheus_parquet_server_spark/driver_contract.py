@@ -2650,6 +2650,34 @@ GROUP BY event_type, FLOOR(ts / 86400.0) * 86400.0
 """
 
 
+def q_streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained via availableNow: the surviving-row
+    count per distinct fingerprint is deterministic (exactly one survivor
+    per content fingerprint regardless of arrival order), so the 1-row
+    (n_unique, n_total) frame hash-matches a batch DuckDB oracle even
+    though WHICH duplicate survives is order-dependent."""
+    from prometheus_parquet_server_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_documents,
+    )
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+
+    deduped = stream_dedup_exact(stream_documents(spark, sf_dir))
+    out = run_available_now(deduped, spark, output_mode="append")
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return out.agg(
+        F.count("*").alias("n_unique"), F.lit(total).alias("n_total")
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+           AS n_unique,
+       COUNT(*) AS n_total
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2776,6 +2804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_sessionize": q_events_sessionize,
     "events_rollup": q_events_rollup,
+    "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2862,6 +2891,7 @@ ORACLES: dict[str, str] = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "streaming_dedup_survivors": SQL_STREAMING_DEDUP,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }
