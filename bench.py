@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "pipeline_pii_scrub",
     "pipeline_capped_sample",
     "vocab_topk",
+    "events_range_join",
+    "events_sessionize",
+    "events_rollup",
+    "tfidf_topk",
+    "pipeline_chunks",
 ]
 
 
