@@ -45,7 +45,8 @@ def asof_join(
     """Left as-of join: all left columns, plus ``<c><suffix>`` for each of
     ``right_cols`` and ``<on><suffix>`` (the matched right timestamp) —
     NULL where no right row qualifies (or the match falls outside
-    ``tolerance``, measured in ``on`` units).
+    ``tolerance``, measured in ``on`` units). Rows with a NULL timestamp
+    match nothing on either side — the DuckDB ASOF comparison semantics.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -55,6 +56,12 @@ def asof_join(
     payload = [c for c in left.columns if c not in bys and c != on]
     out_cols = [f"{c}{suffix}" for c in right_cols]
     on_out = f"{on}{suffix}"
+    clash = set(left.columns) & ({*out_cols, on_out, "_side"})
+    if clash:
+        raise ValueError(
+            f"left columns clash with asof output/helper names: {sorted(clash)} "
+            f"(rename them or pass a different suffix)"
+        )
     rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
 
     l = left.select(
@@ -66,7 +73,11 @@ def asof_join(
         F.lit(None).cast(rtypes[on]).alias(on_out),
     )
     ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
-    r = right.select(
+    # NULL-timestamp right rows can never be "the most recent at-or-before"
+    # anything (DuckDB ASOF `l.ts >= r.ts` matches nothing for NULL) — and
+    # under the window ordering they would sort FIRST and leak their
+    # payload into every match, so drop them before the union
+    r = right.filter(F.col(on).isNotNull()).select(
         *bys,
         F.col(on),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in payload],
@@ -89,18 +100,21 @@ def asof_join(
         F.last(on_out, ignorenulls=True).over(w).alias(on_out),
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
+    # a NULL-timestamp LEFT row matches nothing either (it would sort last
+    # under the forward/desc ordering and spuriously pick up the earliest
+    # right row); tolerance additionally nulls stale matches
+    within = F.col(on).isNotNull() & F.col(on_out).isNotNull()
     if tolerance is not None:
         gap = (
             F.col(on) - F.col(on_out)
             if direction == "backward"
             else F.col(on_out) - F.col(on)
         )
-        within = F.col(on_out).isNotNull() & (gap <= F.lit(tolerance))
-        out = out.select(
-            *bys,
-            on,
-            *payload,
-            *[F.when(within, F.col(o)).alias(o) for o in out_cols],
-            F.when(within, F.col(on_out)).alias(on_out),
-        )
-    return out
+        within = within & (gap <= F.lit(tolerance))
+    return out.select(
+        *bys,
+        on,
+        *payload,
+        *[F.when(within, F.col(o)).alias(o) for o in out_cols],
+        F.when(within, F.col(on_out)).alias(on_out),
+    )

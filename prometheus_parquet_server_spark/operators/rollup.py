@@ -75,7 +75,10 @@ def rollup_cascade(
     if not widths_s:
         raise ValueError("need at least one rollup width")
     for a, b in zip(widths_s, widths_s[1:]):
-        if b % a != 0:
+        # ratio check, not float modulo: 0.3 % 0.1 is 0.0999… in IEEE
+        # doubles even though 0.3 is exactly three 0.1 buckets
+        ratio = b / a
+        if ratio < 1 or abs(ratio - round(ratio)) > 1e-9:
             raise ValueError(f"width {b} is not a multiple of finer width {a}")
     levels: dict[float, DataFrame] = {}
     current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by)

@@ -37,14 +37,16 @@ from pyspark.sql import functions as F
 
 
 def _suffstats(df: DataFrame, vec_col: str, dim: int) -> tuple[int, np.ndarray, np.ndarray]:
-    """One pass: global (n, Σx, XᵀX) from per-partition numpy partials."""
-    import pyspark.sql.types as T
+    """One pass: global (n, Σx, XᵀX) from per-partition numpy partials.
 
-    fields = [T.StructField("n", T.LongType())] + [
-        T.StructField(f"s{i}", T.DoubleType()) for i in range(dim)
-    ] + [T.StructField(f"c{i}", T.DoubleType()) for i in range(dim * dim)]
-    schema = T.StructType(fields)
-
+    Each partition emits ONE flattened ``array<double>`` of length
+    ``1 + dim + dim²`` ([n, Σx…, XᵀX…]) — a single Arrow list value, so
+    driver-side reassembly is ``np.asarray`` per partition + one vectorized
+    sum, not per-field Row lookups (which would be partitions × dim² hash
+    probes). If partition counts ever make even this collect heavy, the
+    drop-in escalation is summing the array column with one Spark
+    ``aggregate`` before collecting.
+    """
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         s = np.zeros(dim)
@@ -61,15 +63,18 @@ def _suffstats(df: DataFrame, vec_col: str, dim: int) -> tuple[int, np.ndarray, 
             n += m.shape[0]
             s += m.sum(axis=0)
             c += m.T @ m
-        out = {"n": [n]}
-        out.update({f"s{i}": [s[i]] for i in range(dim)})
-        out.update({f"c{i}": [c.ravel()[i]] for i in range(dim * dim)})
-        yield pd.DataFrame(out)
+        flat = np.concatenate(([float(n)], s, c.ravel()))
+        yield pd.DataFrame({"partial": [flat.tolist()]})
 
-    rows = df.select(vec_col).mapInPandas(_partials, schema=schema).collect()
-    n = sum(r["n"] for r in rows)
-    s = np.array([[r[f"s{i}"] for i in range(dim)] for r in rows]).sum(axis=0)
-    c = np.array([[r[f"c{i}"] for i in range(dim * dim)] for r in rows]).sum(axis=0)
+    rows = df.select(vec_col).mapInPandas(
+        _partials, schema="partial array<double>"
+    ).collect()
+    total = np.sum(
+        [np.asarray(r["partial"], dtype=np.float64) for r in rows], axis=0
+    )
+    n = int(total[0])
+    s = total[1 : 1 + dim]
+    c = total[1 + dim :]
     return n, s, c.reshape(dim, dim)
 
 

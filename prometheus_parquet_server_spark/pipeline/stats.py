@@ -65,11 +65,13 @@ def tfidf_topk(
     ``(id, token, tf, score, rank)`` with
     ``score = tf · (ln((N + 1)/(df + 1)) + 1)`` (ties → token asc).
 
-    Plan shape: ONE explode feeds both aggregates — per-(doc, token)
-    term counts and per-token document frequencies; the tiny token→df
-    frame and the 1-row corpus count come back via broadcast joins, and
-    the only window runs per-doc over that doc's distinct tokens. The
-    text column itself never shuffles.
+    Plan shape: the corpus is exploded and aggregated ONCE — the
+    per-(doc, token) term-count frame is reused to derive document
+    frequencies (one row per distinct (doc, token) already exists, so
+    ``df`` is a plain count, no second scan and no count-distinct
+    expand); the tiny token→df frame and the 1-row corpus count come
+    back via broadcast joins, and the only window runs per-doc over that
+    doc's distinct tokens. The text column itself never shuffles.
     """
     from pyspark.sql import Window
 
@@ -78,7 +80,7 @@ def tfidf_topk(
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
     tf = rows.groupBy("_doc", "token").agg(F.count("*").alias("tf"))
-    docfreq = rows.groupBy("token").agg(F.countDistinct("_doc").alias("_df"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
     total = df.agg(F.countDistinct(id_col).alias("_N"))
     scored = (
         tf.join(F.broadcast(docfreq), "token")

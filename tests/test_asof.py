@@ -83,3 +83,35 @@ def test_asof_plan_single_exchange(spark, frames):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_null_timestamps_match_nothing(spark):
+    """NULL ts on either side must never produce a match (DuckDB ASOF
+    parity) — regression for the NULL-sorts-first/last leak."""
+    left = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, None, "b")], "k long, ts double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 9.0), (1, 4.0, 100.0)], "k long, ts double, value double"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["tag"]: (r["value_asof"], r["ts_asof"])
+            for r in asof_join(
+                left, right, on="ts", by=("k",), direction=direction
+            ).collect()
+        }
+        # NULL-ts left row matches nothing in either direction
+        assert got["b"] == (None, None), direction
+        # NULL-ts right row never supplies a value
+        if direction == "backward":
+            assert got["a"] == (100.0, 4.0)
+        else:
+            assert got["a"] == (None, None)
+
+
+def test_output_name_clash_rejected(spark):
+    left = spark.createDataFrame([(1, 5.0, 1.0)], "k long, ts double, value_asof double")
+    right = spark.createDataFrame([(1, 4.0, 2.0)], "k long, ts double, value double")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="ts", by=("k",))

@@ -63,3 +63,10 @@ def test_bad_widths(base):
         time_bucket_partials(base, 0)
     with pytest.raises(ValueError, match="at least one"):
         rollup_cascade(base, ())
+
+
+def test_non_integer_multiple_widths_allowed(base):
+    """0.3 is exactly three 0.1 buckets — float modulo would falsely
+    reject this; the ratio check must accept it."""
+    levels = rollup_cascade(base, (0.1, 0.3), by=("event_type",))
+    assert levels[0.3].count() > 0
