@@ -2678,6 +2678,40 @@ FROM documents
 """
 
 
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: each source keeps md5-ordered
+    documents until 300 tokens accumulate (the boundary doc is kept) —
+    reported per-source as docs kept and tokens realized."""
+    from prometheus_parquet_server_spark.pipeline.sample import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = token_budget_sample(docs, budget_tokens=300, group_col="source")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+SQL_PIPELINE_TOKEN_BUDGET = """
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+    FROM documents
+),
+cum AS (
+    SELECT source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM toks
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+FROM cum
+WHERE cum_tokens - n_tokens < 300
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2805,6 +2839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_rollup": q_events_rollup,
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
+    "pipeline_token_budget": q_pipeline_token_budget,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2892,6 +2927,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "streaming_dedup_survivors": SQL_STREAMING_DEDUP,
+    "pipeline_token_budget": SQL_PIPELINE_TOKEN_BUDGET,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

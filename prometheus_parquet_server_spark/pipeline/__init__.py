@@ -28,6 +28,7 @@ from prometheus_parquet_server_spark.pipeline.scrub import (
 from prometheus_parquet_server_spark.pipeline.sample import (
     capped_sample,
     stratified_sample,
+    token_budget_sample,
 )
 from prometheus_parquet_server_spark.pipeline.stats import (
     corpus_stats,
@@ -67,6 +68,7 @@ __all__ = [
     "scrub_pii",
     "capped_sample",
     "stratified_sample",
+    "token_budget_sample",
     "corpus_stats",
     "tfidf_topk",
     "token_stats",

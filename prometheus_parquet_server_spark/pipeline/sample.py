@@ -55,6 +55,45 @@ def capped_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each group's documents, in deterministic md5-shuffled order,
+    until the group's cumulative token count reaches ``budget_tokens`` —
+    mixture design by TOKENS rather than document counts. A document is
+    kept iff the tokens BEFORE it are under budget (so the boundary
+    document that crosses the budget is kept, and every group with any
+    documents keeps at least one). Adds ``n_tokens`` and ``cum_tokens``.
+
+    Scale shape: one window per group ordered by the md5 key (running
+    token sum). Unlike :func:`capped_sample` the cutoff depends on a
+    running SUM, so a salt-and-merge two-phase rank cannot shortcut it;
+    a hot group's sort is the price of an exact token boundary — callers
+    with pathological skew should pre-thin with :func:`capped_sample` or
+    :func:`stratified_sample` first.
+    """
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.withColumn("n_tokens", F.size(tokens_col(F.col(text_col))))
+    return (
+        staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

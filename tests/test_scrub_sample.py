@@ -201,3 +201,30 @@ def test_chunk_documents_golden(spark):
         chunk_documents(df, max_tokens=4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=0)
+
+
+def test_token_budget_sample(spark):
+    from prometheus_parquet_server_spark.pipeline.sample import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "g") for i in range(20)] + [(100, "a b c", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    kept = token_budget_sample(df, budget_tokens=35, group_col="source")
+    by = {r["source"]: r for r in kept.groupBy("source")
+          .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t")).collect()}
+    # 10-token docs: 3 fit under 35 before the boundary; the 4th starts at
+    # 30 < 35 so it is kept too (boundary doc), the 5th starts at 40 — cut
+    assert by["g"]["n"] == 4 and by["g"]["t"] == 40
+    # a group smaller than the budget keeps everything
+    assert by["tiny"]["n"] == 1 and by["tiny"]["t"] == 3
+    # determinism: same kept set on rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(df, budget_tokens=35, group_col="source").collect()
+    )
+    assert ids1 == ids2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        token_budget_sample(df, budget_tokens=0)
