@@ -56,34 +56,50 @@ def asof_join(
     payload = [c for c in left.columns if c not in bys and c != on]
     out_cols = [f"{c}{suffix}" for c in right_cols]
     on_out = f"{on}{suffix}"
-    clash = set(left.columns) & ({*out_cols, on_out, "_side"})
+    outs = [on_out, *out_cols]
+    if len(set(outs)) != len(outs):
+        raise ValueError(
+            f"asof output names collide among themselves: {outs} "
+            f"(right_cols must not contain the on column or duplicates)"
+        )
+    clash = set(left.columns) & ({*outs, "_side", "_r"})
     if clash:
         raise ValueError(
             f"left columns clash with asof output/helper names: {sorted(clash)} "
             f"(rename them or pass a different suffix)"
         )
-    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
+    import pyspark.sql.types as T
 
+    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
+    # the matched right row travels as ONE struct so its (timestamp,
+    # values) stay a unit — per-column last(ignorenulls) would skip a
+    # NULL payload value and pair an OLDER row's value with a newer
+    # row's timestamp (DuckDB ASOF returns the newest row's NULL as-is)
+    rstruct = T.StructType(
+        [T.StructField(on_out, rtypes[on])]
+        + [T.StructField(o, rtypes[c]) for c, o in zip(right_cols, out_cols)]
+    )
     l = left.select(
         *bys,
         F.col(on),
         *payload,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(rtypes[c]).alias(o) for c, o in zip(right_cols, out_cols)],
-        F.lit(None).cast(rtypes[on]).alias(on_out),
+        F.lit(None).cast(rstruct).alias("_r"),
     )
-    ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
     # NULL-timestamp right rows can never be "the most recent at-or-before"
     # anything (DuckDB ASOF `l.ts >= r.ts` matches nothing for NULL) — and
     # under the window ordering they would sort FIRST and leak their
     # payload into every match, so drop them before the union
+    ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
     r = right.filter(F.col(on).isNotNull()).select(
         *bys,
         F.col(on),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in payload],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(o) for c, o in zip(right_cols, out_cols)],
-        F.col(on).alias(on_out),
+        F.struct(
+            F.col(on).alias(on_out),
+            *[F.col(c).alias(o) for c, o in zip(right_cols, out_cols)],
+        ).alias("_r"),
     )
     order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
@@ -96,25 +112,25 @@ def asof_join(
         on,
         *payload,
         "_side",
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
-        F.last(on_out, ignorenulls=True).over(w).alias(on_out),
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     # a NULL-timestamp LEFT row matches nothing either (it would sort last
     # under the forward/desc ordering and spuriously pick up the earliest
     # right row); tolerance additionally nulls stale matches
-    within = F.col(on).isNotNull() & F.col(on_out).isNotNull()
+    matched_ts = F.col("_r").getField(on_out)
+    within = F.col(on).isNotNull() & F.col("_r").isNotNull()
     if tolerance is not None:
         gap = (
-            F.col(on) - F.col(on_out)
+            F.col(on) - matched_ts
             if direction == "backward"
-            else F.col(on_out) - F.col(on)
+            else matched_ts - F.col(on)
         )
         within = within & (gap <= F.lit(tolerance))
     return out.select(
         *bys,
         on,
         *payload,
-        *[F.when(within, F.col(o)).alias(o) for o in out_cols],
-        F.when(within, F.col(on_out)).alias(on_out),
+        *[F.when(within, F.col("_r").getField(o)).alias(o) for o in out_cols],
+        F.when(within, matched_ts).alias(on_out),
     )

@@ -69,17 +69,23 @@ def rollup_cascade(
     value_col: str = "value",
     by: tuple[str, ...] = (),
 ) -> dict[float, DataFrame]:
-    """Build every level, finest first; each ``widths_s[i+1]`` must be an
-    integer multiple of ``widths_s[i]``. Returns {width → level frame};
+    """Build every level, finest first; each ``widths_s[i+1]`` must nest
+    exactly in ``widths_s[i]`` (``b == k·a`` bit-for-bit). Returns {width → level frame};
     read ``avg`` as ``sum_v / n`` at whichever level serves the query."""
     if not widths_s:
         raise ValueError("need at least one rollup width")
     for a, b in zip(widths_s, widths_s[1:]):
-        # ratio check, not float modulo: 0.3 % 0.1 is 0.0999… in IEEE
-        # doubles even though 0.3 is exactly three 0.1 buckets
-        ratio = b / a
-        if ratio < 1 or abs(ratio - round(ratio)) > 1e-9:
-            raise ValueError(f"width {b} is not a multiple of finer width {a}")
+        # exact-nesting check: b must equal k·a BIT-FOR-BIT, because the
+        # buckets are floor(ts/width)·width — with an inexact quotient
+        # (e.g. 0.1→0.3, where floor(0.3/0.1) is floor(2.999…) = 2) rows
+        # silently migrate between coarse buckets and the cascade stops
+        # equaling direct aggregation. Integer-second widths always pass.
+        k = round(b / a)
+        if k < 1 or a * k != b:
+            raise ValueError(
+                f"width {b} does not nest exactly in finer width {a} "
+                f"(need b == k*a exactly in float arithmetic)"
+            )
     levels: dict[float, DataFrame] = {}
     current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by)
     levels[widths_s[0]] = current

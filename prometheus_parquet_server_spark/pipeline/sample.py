@@ -20,6 +20,13 @@ from prometheus_parquet_server_spark.pipeline.split import (
 )
 
 
+def _shuffle_key(id_col: str, seed: int):
+    """The shared md5 'deterministic random order' key — ``md5(id ':' seed)``.
+    One definition so every sampler (and the DuckDB oracle replays) stays
+    byte-identical."""
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+
+
 def capped_sample(
     df: DataFrame,
     group_col: str = "source",
@@ -41,7 +48,7 @@ def capped_sample(
     result is row-identical to the single-window form the oracle replays
     (every final top-``cap`` row is necessarily its salt's top-``cap``).
     """
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    key = _shuffle_key(id_col, seed)
     salt = split_bucket(F.col(id_col), seed + 1) % presample_salts
     staged = df.withColumn("_key", key).withColumn("_salt", salt)
     w1 = Window.partitionBy(group_col, "_salt").orderBy("_key", id_col)
@@ -81,7 +88,14 @@ def token_budget_sample(
 
     if budget_tokens < 1:
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    clash = {"n_tokens", "cum_tokens"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns clash with token_budget_sample outputs: {sorted(clash)} "
+            f"(rename them first — silently overwriting would apply the budget "
+            f"to the wrong token metric)"
+        )
+    key = _shuffle_key(id_col, seed)
     w = (
         Window.partitionBy(group_col)
         .orderBy(key, id_col)

@@ -75,13 +75,17 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    rows = df.select(
+    # NULL-id documents are excluded up front: they would form a counted
+    # _doc=NULL group in docfreq while countDistinct(id) excludes them
+    # from N — inconsistent idf denominators
+    valid = df.filter(F.col(id_col).isNotNull())
+    rows = valid.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
     tf = rows.groupBy("_doc", "token").agg(F.count("*").alias("tf"))
     docfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
-    total = df.agg(F.countDistinct(id_col).alias("_N"))
+    total = valid.agg(F.countDistinct(id_col).alias("_N"))
     scored = (
         tf.join(F.broadcast(docfreq), "token")
         .crossJoin(F.broadcast(total))

@@ -58,7 +58,9 @@ def main() -> None:
         f"asof_join ({N // 1_000_000}M rows, {USERS // 1000}k keys)",
         asof_join(clicks, purchases, on="ts", by=("user_id",), right_cols=("pv",)),
     )
-    windows = purchases.limit(2_000_000).select(
+    # deterministic map-side predicate, NOT limit(): a GlobalLimit funnels
+    # the interval side through one task and would distort the timing
+    windows = purchases.filter(F.col("user_id") % 2 == 0).select(
         "user_id", F.col("ts").alias("start"), (F.col("ts") + 300.0).alias("end")
     )
     timed(

@@ -115,3 +115,25 @@ def test_output_name_clash_rejected(spark):
     right = spark.createDataFrame([(1, 4.0, 2.0)], "k long, ts double, value double")
     with pytest.raises(ValueError, match="clash"):
         asof_join(left, right, on="ts", by=("k",))
+
+
+def test_null_payload_value_keeps_row_identity(spark):
+    """A right row whose VALUE is NULL is still the as-of match — its NULL
+    must be returned (DuckDB ASOF parity), not an older row's value paired
+    with the newer timestamp."""
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 10.0), (1, 2.0, None)], "k long, ts double, value double"
+    )
+    r = asof_join(left, right, on="ts", by=("k",)).collect()[0]
+    assert r["ts_asof"] == 2.0 and r["value_asof"] is None
+    # and with tolerance 1.5 the (NULL, 2.0) match is within range
+    r2 = asof_join(left, right, on="ts", by=("k",), tolerance=1.5).collect()[0]
+    assert r2["ts_asof"] == 2.0 and r2["value_asof"] is None
+
+
+def test_self_clashing_output_names_rejected(spark):
+    left = spark.createDataFrame([(1, 5.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, 4.0, 2.0)], "k long, ts double, value double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts", by=("k",), right_cols=("ts", "value"))

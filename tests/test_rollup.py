@@ -57,7 +57,7 @@ def test_level_row_counts_decrease(base):
 
 
 def test_bad_widths(base):
-    with pytest.raises(ValueError, match="multiple"):
+    with pytest.raises(ValueError, match="nest"):
         rollup_cascade(base, (60.0, 90.0))
     with pytest.raises(ValueError, match="width_s"):
         time_bucket_partials(base, 0)
@@ -65,8 +65,12 @@ def test_bad_widths(base):
         rollup_cascade(base, ())
 
 
-def test_non_integer_multiple_widths_allowed(base):
-    """0.3 is exactly three 0.1 buckets — float modulo would falsely
-    reject this; the ratio check must accept it."""
-    levels = rollup_cascade(base, (0.1, 0.3), by=("event_type",))
-    assert levels[0.3].count() > 0
+def test_inexact_float_widths_rejected(base):
+    """floor(ts/0.1)*0.1 buckets do NOT nest inside 0.3 buckets (0.3/0.1
+    is 2.999… in doubles, and 0.1*3 != 0.3 bit-for-bit) — rows would
+    silently migrate between coarse buckets, so the cascade must refuse."""
+    with pytest.raises(ValueError, match="nest"):
+        rollup_cascade(base, (0.1, 0.3), by=("event_type",))
+    # exact float nesting (0.25 → 0.5 → 1.0) is fine
+    levels = rollup_cascade(base, (0.25, 0.5, 1.0), by=("event_type",))
+    assert levels[1.0].count() > 0

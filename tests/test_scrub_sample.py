@@ -228,3 +228,13 @@ def test_token_budget_sample(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         token_budget_sample(df, budget_tokens=0)
+
+
+def test_token_budget_rejects_clobbering(spark):
+    from prometheus_parquet_server_spark.pipeline.sample import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b", "g", 99)], "doc_id long, text string, source string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="clash"):
+        token_budget_sample(df, budget_tokens=10, group_col="source")
