@@ -2712,6 +2712,41 @@ GROUP BY source
 """
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM perplexity scoring, self-fitted on the corpus
+    (CCNet-style quality filter without an external model): per-doc
+    average negative log-probability under the add-one-smoothed bigram
+    distribution of the corpus itself."""
+    from prometheus_parquet_server_spark.pipeline.lm_score import perplexity_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_scores(docs)
+
+
+SQL_TEXT_PERPLEXITY = """
+WITH normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+    FROM documents
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(t)),
+                  i -> substr(t, CAST(i AS INT), 2))) AS bigram
+    FROM normed WHERE length(t) >= 2
+),
+model AS (
+    SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
+),
+total AS (SELECT SUM(cnt) AS tot FROM model)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN((m.cnt + 1) * 1.0 / (total.tot + 1369))), 6) AS avg_neg_logp
+FROM bigrams b JOIN model m USING (bigram) CROSS JOIN total
+GROUP BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2840,6 +2875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
+    "text_perplexity": q_text_perplexity,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2928,6 +2964,7 @@ ORACLES: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "streaming_dedup_survivors": SQL_STREAMING_DEDUP,
     "pipeline_token_budget": SQL_PIPELINE_TOKEN_BUDGET,
+    "text_perplexity": SQL_TEXT_PERPLEXITY,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

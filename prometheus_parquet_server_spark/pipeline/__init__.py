@@ -42,6 +42,10 @@ from prometheus_parquet_server_spark.pipeline.pca import (
     pca_project,
 )
 from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
+from prometheus_parquet_server_spark.pipeline.lm_score import (
+    bigram_model,
+    perplexity_scores,
+)
 from prometheus_parquet_server_spark.pipeline.dedup import (
     exact_duplicates,
     minhash_signature,
@@ -77,6 +81,8 @@ __all__ = [
     "pca_components",
     "pca_project",
     "chunk_documents",
+    "bigram_model",
+    "perplexity_scores",
     "exact_duplicates",
     "minhash_signature",
     "minhash_bands",

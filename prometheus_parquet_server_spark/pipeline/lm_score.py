@@ -1,0 +1,95 @@
+"""Language-model perplexity scoring — the CCNet-style quality filter,
+self-contained: fit a character-bigram model ON THE CORPUS ITSELF (or any
+reference frame), then score each document's cross-entropy under it.
+High-entropy documents (gibberish, binary spill, wrong language) float to
+the top for removal; no external model artifact needed.
+
+Fully declarative, two aggregation passes:
+
+1. **Fit** — explode each document's normalized character bigrams, one
+   ``groupBy(bigram)`` hash count (map-side combinable; the model is at
+   most |alphabet|² ≈ 1.4k rows for the a–z/0–9/space alphabet).
+2. **Score** — explode per-doc bigrams, broadcast-join the tiny model,
+   per-doc average negative log-probability. Add-one smoothing over the
+   fixed alphabet² event space keeps unseen bigrams finite and makes the
+   probabilities an exact closed form both engines compute identically:
+   ``p(b) = (count(b) + 1) / (total + |alphabet|²)``.
+
+Scores are exact rational arithmetic until the final ``ln`` — rounded to
+6 so the DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: normalized alphabet: lowercase alphanumerics + space (37 symbols)
+ALPHABET_SIZE = 37
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(bigram, count) over the normalized corpus — the fitted model."""
+    return (
+        _bigram_rows(df, text_col, id_col)
+        .groupBy("bigram")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exploded (id, bigram) rows of the normalized text (lowercased,
+    non-[a-z0-9] runs collapsed to single spaces, trimmed); documents
+    shorter than 2 normalized chars contribute nothing."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    staged = df.select(F.col(id_col), norm.alias("_norm"))
+    n = F.length("_norm")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.col("_norm").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(id_col, F.explode(grams).alias("bigram"))
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_neg_logp) — per-document cross-entropy under
+    the (supplied or self-fitted) bigram model with add-one smoothing.
+    Documents with no bigrams are excluded (no events to score).
+
+    Scale shape: the model is ≤ alphabet² rows → broadcast; the per-doc
+    aggregate is one hash ``groupBy(id)``. Fitting on the corpus itself
+    costs one extra count pass over the same exploded rows.
+    """
+    if model is None:
+        model = bigram_model(docs, text_col, id_col)
+    total = model.agg(F.sum("count").alias("_total"))
+    rows = _bigram_rows(docs, text_col, id_col)
+    v = ALPHABET_SIZE * ALPHABET_SIZE
+    return (
+        rows.join(F.broadcast(model), "bigram", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("count"), F.lit(0)) + 1)
+                    / (F.col("_total") + F.lit(v))
+                )
+            ).alias("_nlp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_nlp"), 6).alias("avg_neg_logp"),
+        )
+    )

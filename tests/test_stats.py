@@ -69,3 +69,37 @@ def test_tfidf_topk_golden(spark):
     assert rows[(3, 1)] == ("common", 1.0)
     # doc 2: 'other' (df=1) outscores 'common' (df=3)
     assert rows[(2, 1)][0] == "other"
+
+
+def test_perplexity_scores_golden(spark):
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.lm_score import (
+        ALPHABET_SIZE,
+        bigram_model,
+        perplexity_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ababab"), (2, "ab"), (3, "x")],  # doc 3: too short, excluded
+        "doc_id long, text string",
+    )
+    model = {r["bigram"]: r["count"] for r in bigram_model(df).collect()}
+    # "ababab" → ab,ba,ab,ba,ab ; "ab" → ab  ⇒ ab:4, ba:2
+    assert model == {"ab": 4, "ba": 2}
+    got = {r["doc_id"]: r for r in perplexity_scores(df).collect()}
+    assert set(got) == {1, 2}
+    v = ALPHABET_SIZE * ALPHABET_SIZE
+    p_ab = (4 + 1) / (6 + v)
+    p_ba = (2 + 1) / (6 + v)
+    want1 = round(-(3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5, 6)
+    assert got[1]["n_bigrams"] == 5 and abs(got[1]["avg_neg_logp"] - want1) < 1e-9
+    # the rarer-bigram doc scores HIGHER entropy than the common-bigram doc
+    assert got[2]["avg_neg_logp"] == round(-math.log(p_ab), 6)
+    # gibberish (unseen bigrams) scores higher than in-distribution text
+    probe = spark.createDataFrame(
+        [(10, "ababab"), (11, "zq zq zq")], "doc_id long, text string"
+    )
+    scored = {r["doc_id"]: r["avg_neg_logp"]
+              for r in perplexity_scores(probe, model=bigram_model(df)).collect()}
+    assert scored[11] > scored[10]
