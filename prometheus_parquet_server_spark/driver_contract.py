@@ -2747,6 +2747,81 @@ GROUP BY b.doc_id
 """
 
 
+def q_pipeline_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2 — the round-5 operators composed as ONE declarative
+    plan: PII scrub → per-row quality gates (length, dup-word fraction) →
+    exact dedup on the clean-text fingerprint (lowest id survives) →
+    deterministic train/val/test split. Every stage is individually
+    oracle-verified elsewhere; this entry proves they compose. Plan: two
+    hash exchanges total (the dedup groupBy and its survivor semi-join) —
+    everything else is map-only."""
+    from prometheus_parquet_server_spark.pipeline.scrub import scrub_pii
+    from prometheus_parquet_server_spark.pipeline.split import assign_split
+    from prometheus_parquet_server_spark.pipeline.text import fingerprint, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id", scrub_pii(F.col("text")).alias("_clean")
+    ).select(
+        "doc_id",
+        "_clean",
+        F.size(tokens_col(F.col("_clean"))).alias("n_words"),
+        fingerprint(F.col("_clean")).alias("_fp"),
+    )
+    t = tokens_col(F.col("_clean"))
+    dup_frac = F.round(
+        (F.size(t) - F.size(F.array_distinct(t))) / F.size(t), 6
+    )
+    gated = staged.filter(F.col("n_words") >= 5).select(
+        "doc_id", "n_words", "_fp", dup_frac.alias("dup_word_frac")
+    ).filter(F.col("dup_word_frac") <= 0.6)
+    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(survivors, ["_fp", "doc_id"]).drop("_fp")
+    return assign_split(kept, id_col="doc_id", seed=42).select(
+        "doc_id", "n_words", "dup_word_frac", "split"
+    )
+
+
+SQL_PIPELINE_PREPARE_V2 = """
+WITH scrubbed AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, clean,
+           list_filter(string_split_regex(lower(clean), '\\s+'), x -> x <> '') AS t
+    FROM scrubbed
+),
+gated AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           ROUND((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6)
+               AS dup_word_frac,
+           md5(trim(regexp_replace(lower(clean), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM toks
+    WHERE len(t) >= 5
+),
+filtered AS (SELECT * FROM gated WHERE dup_word_frac <= 0.6),
+survivors AS (SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)
+SELECT f.doc_id, f.n_words, f.dup_word_frac,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM filtered f
+JOIN survivors s ON f.fp = s.fp AND f.doc_id = s.doc_id
+CROSS JOIN LATERAL (
+    SELECT CAST(CONCAT('0x', substr(md5(CAST(f.doc_id AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+) b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2876,6 +2951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
     "text_perplexity": q_text_perplexity,
+    "pipeline_prepare_v2": q_pipeline_prepare_v2,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -2965,6 +3041,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_survivors": SQL_STREAMING_DEDUP,
     "pipeline_token_budget": SQL_PIPELINE_TOKEN_BUDGET,
     "text_perplexity": SQL_TEXT_PERPLEXITY,
+    "pipeline_prepare_v2": SQL_PIPELINE_PREPARE_V2,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }
