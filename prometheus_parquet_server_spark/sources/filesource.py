@@ -36,6 +36,7 @@ EXT_FORMATS = {
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
+    ".orc": "orc",
 }
 
 
@@ -72,6 +73,8 @@ def read_wide(
         return reader.option("header", True).csv(str(path))
     if fmt == "json":
         return reader.json(str(path))
+    if fmt == "orc":
+        return reader.orc(str(path))
     raise IngestError(f"unsupported source format {fmt!r}")
 
 

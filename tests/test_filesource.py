@@ -91,3 +91,13 @@ def test_format_inference_and_errors(tmp_path):
     assert file_base_name("/tmp/9cpu load.csv") == "_9cpu_load"
     with pytest.raises(IngestError, match="cannot infer"):
         infer_format("metrics.avro")
+
+
+def test_orc_parity(spark, tmp_path):
+    """ORC goes through the same classify→unpivot pipeline as parquet."""
+    csv, _ = _write_inputs(tmp_path)
+    orc = tmp_path / "cpu_load.orc"
+    spark.createDataFrame(ROWS, "time double, value double, host string").coalesce(
+        1
+    ).write.orc(str(orc))
+    assert _canonical(ingest_file(spark, orc)) == _canonical(ingest_file(spark, csv))
