@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the round-5 relational/text
+operators, each checked against a transparent pure-Python reference."""
+
+from __future__ import annotations
+
+import bisect
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prometheus_parquet_server_spark.operators.asof import asof_join
+from prometheus_parquet_server_spark.operators.rollup import rollup_cascade
+from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
+
+_words = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(words=_words, max_tokens=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunks_reconstruct_the_document(spark, words, max_tokens, overlap):
+    """Dropping each non-first chunk's overlapping prefix and concatenating
+    must reproduce the original token stream exactly — no token lost or
+    duplicated by the windowing, for ANY (max_tokens, overlap)."""
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap
+        ).collect()
+    )
+    rebuilt: list[str] = []
+    for cid, ctext in chunks:
+        toks = ctext.split(" ") if ctext else []
+        rebuilt.extend(toks if cid == 0 else toks[overlap:])
+    assert rebuilt == words
+
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_events, right=_events)
+def test_asof_matches_python_reference(spark, left, right):
+    """Backward as-of against a bisect-based reference (unique right
+    (key, ts) per the operator's determinism contract)."""
+    rmap: dict[int, dict[int, float]] = {}
+    for k, t in right:
+        rmap.setdefault(k, {})[t] = float(k * 1000 + t)
+    l_df = spark.createDataFrame(
+        [(k, float(t)) for k, t in left], "k long, ts double"
+    )
+    r_df = spark.createDataFrame(
+        [(k, float(t), v) for k, ts in rmap.items() for t, v in ts.items()],
+        "k long, ts double, value double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["value_asof"], r["ts_asof"])
+        for r in asof_join(l_df, r_df, on="ts", by=("k",)).collect()
+    }
+    for k, t in set(left):
+        ts_sorted = sorted(rmap.get(k, {}))
+        i = bisect.bisect_right(ts_sorted, t)
+        want = (
+            (rmap[k][ts_sorted[i - 1]], float(ts_sorted[i - 1]))
+            if i > 0
+            else (None, None)
+        )
+        assert got[(k, float(t))] == want, (k, t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rollup_cascade_matches_direct_python(spark, data):
+    """Day-level cascade totals equal a pure-Python direct aggregation."""
+    df = spark.createDataFrame(
+        [("m", float(t), float(v)) for t, v in data],
+        "event_type string, ts double, value double",
+    )
+    day = rollup_cascade(df, (10.0, 50.0, 100.0), by=("event_type",))[100.0]
+    got = {
+        r["bucket_ts"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in day.collect()
+    }
+    want: dict[float, list] = {}
+    for t, v in data:
+        b = math.floor(t / 100.0) * 100.0
+        acc = want.setdefault(b, [0, 0.0, float("inf"), float("-inf")])
+        acc[0] += 1
+        acc[1] += float(v)
+        acc[2] = min(acc[2], float(v))
+        acc[3] = max(acc[3], float(v))
+    assert set(got) == set(want)
+    for b, (n, s, mn, mx) in want.items():
+        gn, gs, gmn, gmx = got[b]
+        assert gn == n and gmn == mn and gmx == mx
+        assert math.isclose(gs, s, rel_tol=1e-12, abs_tol=1e-9)
