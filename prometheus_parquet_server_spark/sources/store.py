@@ -88,3 +88,74 @@ def shift_to_midnight_offset(df: DataFrame, now: float | None = None) -> float:
     )
     min_ts, _ = time_range(df)
     return float(midnight) - float(min_ts)
+
+
+def store_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition file census of a name-partitioned store:
+    (name, n_files, total_bytes, avg_file_bytes) — the signal compaction
+    decisions read. Metadata-only (directory listing, no data scan)."""
+    from pathlib import Path
+
+    rows = []
+    for part in sorted(Path(path).glob("name=*")):
+        files = [f for f in part.rglob("*.parquet") if f.is_file()]
+        if not files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        rows.append((part.name.split("=", 1)[1], len(files), total, total // len(files)))
+    return spark.createDataFrame(
+        rows, "name string, n_files long, total_bytes long, avg_file_bytes long"
+    )
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> list[str]:
+    """Small-file compaction — the lake-maintenance pass a long-running
+    100 TB store needs: streaming/incremental ingest leaves each partition
+    littered with tiny files, and every query then pays per-file open/
+    footer-read/task-schedule overhead. Rewrites each over-fragmented
+    ``name=`` partition into ``ceil(bytes / target)`` sorted files.
+
+    Partition-at-a-time (not whole-store): only fragmented partitions are
+    rewritten, each in its own atomic overwrite — an interrupted compaction
+    leaves every other partition untouched. Returns the names compacted.
+
+    At real scale the same loop runs as N independent jobs (one per
+    partition, embarrassingly parallel across a workflow scheduler);
+    within one partition the rewrite is a narrow coalesce — no shuffle.
+    """
+    from pyspark.sql import functions as _F
+
+    from prometheus_parquet_server_spark.model import series_key_str
+
+    if target_file_bytes < 1:
+        raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    stats = store_file_stats(spark, path).collect()
+    compacted: list[str] = []
+    for r in stats:
+        if r["n_files"] < min_files_to_compact or r["avg_file_bytes"] >= target_file_bytes:
+            continue
+        name, part_path = r["name"], f"{path}/name={r['name']}"
+        n_out = max(1, -(-r["total_bytes"] // target_file_bytes))  # ceil
+        part = (
+            spark.read.parquet(part_path)
+            .withColumn("_sk", series_key_str(name=_F.lit(name)))
+            .sortWithinPartitions("_sk", "ts")
+            .drop("_sk")
+            .coalesce(n_out)
+        )
+        # write to a sibling temp dir then swap — the overwrite of THIS
+        # partition is all-or-nothing and never reads what it writes
+        tmp = f"{path}/.compact_tmp_name={name}"
+        part.write.mode("overwrite").parquet(tmp)
+        import shutil
+        from pathlib import Path
+
+        shutil.rmtree(part_path)
+        Path(tmp).rename(part_path)
+        compacted.append(name)
+    return compacted

@@ -239,3 +239,53 @@ def test_bucketed_store_shuffle_free_windows(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_store_merges_small_files(spark, tmp_path):
+    """Fragmented partitions compact to fewer files with identical data;
+    partitions already at target shape are left byte-untouched."""
+    from pathlib import Path
+
+    from prometheus_parquet_server_spark.sources.store import (
+        compact_store,
+        read_store,
+        store_file_stats,
+        write_store,
+    )
+
+    def mk(name, n):
+        return spark.createDataFrame(
+            [(name, {"h": str(i % 3)}, float(i), float(i) * 2) for i in range(n)],
+            "name string, labels map<string,string>, ts double, value double",
+        )
+
+    store = str(tmp_path / "store")
+    write_store(mk("frag", 40), store)
+    # fragment the 'frag' partition with 5 tiny appends; 'ok' stays whole
+    for i in range(5):
+        mk("frag", 4).write.mode("append").parquet(f"{store}/name=frag")
+    mk("ok", 10).coalesce(1).write.mode("append").parquet(f"{store}/name=ok")
+    before = {r["name"]: r["n_files"] for r in store_file_stats(spark, store).collect()}
+    assert before["frag"] > 5
+    rows_before = sorted(
+        (r["ts"], r["value"], r["name"]) for r in read_store(spark, store).collect()
+    )
+    ok_files_before = sorted(
+        f.name for f in Path(f"{store}/name=ok").glob("*.parquet")
+    )
+
+    compacted = compact_store(spark, store, target_file_bytes=1 << 30)
+    assert compacted == ["frag"]
+    after = {r["name"]: r["n_files"] for r in store_file_stats(spark, store).collect()}
+    assert after["frag"] == 1
+    assert sorted(
+        f.name for f in Path(f"{store}/name=ok").glob("*.parquet")
+    ) == ok_files_before
+    rows_after = sorted(
+        (r["ts"], r["value"], r["name"]) for r in read_store(spark, store).collect()
+    )
+    assert rows_after == rows_before
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compact_store(spark, store, target_file_bytes=0)
