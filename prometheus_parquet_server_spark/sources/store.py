@@ -159,3 +159,42 @@ def compact_store(
         Path(tmp).rename(part_path)
         compacted.append(name)
     return compacted
+
+
+def expire_store(
+    spark: SparkSession,
+    path: str,
+    min_ts: float,
+) -> dict[str, int]:
+    """Retention pass — drop every sample older than ``min_ts`` (epoch
+    seconds), the other half of lake maintenance beside
+    :func:`compact_store`. Partition-at-a-time with the same atomic
+    temp-dir swap; the per-partition min(ts) probe is a metadata-only
+    aggregate (parquet footer statistics), so partitions with nothing to
+    expire are skipped without reading data, and a fully-expired
+    partition is removed outright. Returns {name: rows_dropped}.
+    """
+    import shutil
+    from pathlib import Path
+
+    dropped: dict[str, int] = {}
+    for part in sorted(Path(path).glob("name=*")):
+        name = part.name.split("=", 1)[1]
+        df = spark.read.parquet(str(part))
+        row = df.agg(
+            F.min("ts").alias("lo"), F.count("*").alias("n")
+        ).first()
+        if row["n"] == 0 or row["lo"] is None or row["lo"] >= min_ts:
+            continue  # nothing to expire — partition untouched
+        kept = df.filter(F.col("ts") >= min_ts)
+        n_kept = kept.count()
+        if n_kept == 0:
+            shutil.rmtree(part)
+            dropped[name] = row["n"]
+            continue
+        tmp = f"{path}/.expire_tmp_name={name}"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part)
+        Path(tmp).rename(part)
+        dropped[name] = row["n"] - n_kept
+    return dropped

@@ -289,3 +289,31 @@ def test_compact_store_merges_small_files(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         compact_store(spark, store, target_file_bytes=0)
+
+
+def test_expire_store_retention(spark, tmp_path):
+    from pathlib import Path
+
+    from prometheus_parquet_server_spark.sources.store import (
+        expire_store,
+        read_store,
+        write_store,
+    )
+
+    df = spark.createDataFrame(
+        [("old", {}, 10.0, 1.0), ("old", {}, 20.0, 2.0),
+         ("mix", {}, 10.0, 3.0), ("mix", {}, 100.0, 4.0),
+         ("new", {}, 200.0, 5.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    store = str(tmp_path / "store")
+    write_store(df, store)
+    new_files = sorted(f.name for f in Path(f"{store}/name=new").glob("*.parquet"))
+
+    dropped = expire_store(spark, store, min_ts=50.0)
+    assert dropped == {"old": 2, "mix": 1}
+    # fully-expired partition removed; untouched partition byte-identical
+    assert not Path(f"{store}/name=old").exists()
+    assert sorted(f.name for f in Path(f"{store}/name=new").glob("*.parquet")) == new_files
+    left = sorted((r["name"], r["ts"]) for r in read_store(spark, store).collect())
+    assert left == [("mix", 100.0), ("new", 200.0)]
