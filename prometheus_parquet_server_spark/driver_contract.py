@@ -2757,7 +2757,11 @@ def q_pipeline_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else is map-only."""
     from prometheus_parquet_server_spark.pipeline.scrub import scrub_pii
     from prometheus_parquet_server_spark.pipeline.split import assign_split
-    from prometheus_parquet_server_spark.pipeline.text import fingerprint, tokens_col
+    from prometheus_parquet_server_spark.pipeline.text import (
+        dup_word_frac_col,
+        fingerprint,
+        tokens_col,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = docs.select(
@@ -2768,12 +2772,11 @@ def q_pipeline_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col(F.col("_clean"))).alias("n_words"),
         fingerprint(F.col("_clean")).alias("_fp"),
     )
-    t = tokens_col(F.col("_clean"))
-    dup_frac = F.round(
-        (F.size(t) - F.size(F.array_distinct(t))) / F.size(t), 6
-    )
     gated = staged.filter(F.col("n_words") >= 5).select(
-        "doc_id", "n_words", "_fp", dup_frac.alias("dup_word_frac")
+        "doc_id",
+        "n_words",
+        "_fp",
+        dup_word_frac_col(tokens_col(F.col("_clean"))).alias("dup_word_frac"),
     ).filter(F.col("dup_word_frac") <= 0.6)
     survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     kept = gated.join(survivors, ["_fp", "doc_id"]).drop("_fp")

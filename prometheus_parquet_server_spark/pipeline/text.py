@@ -84,6 +84,18 @@ def language_id(text: Column) -> Column:
     return out
 
 
+def dup_word_frac_col(tokens: Column) -> Column:
+    """Fraction of repeated words, rounded to 6 (0.0 for empty docs) — the
+    single definition shared by :func:`repetition_metrics` and the
+    capstone quality gate so the threshold formula cannot drift."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n = F.size(tokens)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(tokens))) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition features per document:
     ``(id, n_words, dup_word_frac, max_run, top_bigram_count,
@@ -108,9 +120,7 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     base = df.select(F.col(id_col), toks.alias("_t"))
     t = F.col("_t")
     n = F.size(t)
-    dup_frac = F.when(
-        n > 0, F.round((n - F.size(F.array_distinct(t))) / n, 6)
-    ).otherwise(F.lit(0.0))
+    dup_frac = dup_word_frac_col(t)
     # longest consecutive same-word run: left fold carrying
     # (previous word, current run length, best run length)
     init = F.struct(

@@ -90,19 +90,49 @@ def shift_to_midnight_offset(df: DataFrame, now: float | None = None) -> float:
     return float(midnight) - float(min_ts)
 
 
+def _partition_dirs(path: str):
+    """(dir, unescaped metric name) per ``name=`` partition — Hive escapes
+    special chars in partition values (':' → '%3A'), so the directory name
+    must be unquoted before it can be compared with real metric names."""
+    from pathlib import Path
+    from urllib.parse import unquote
+
+    for part in sorted(Path(path).glob("name=*")):
+        yield part, unquote(part.name.split("=", 1)[1])
+
+
+def _swap_partition_dir(part_path, tmp: str) -> None:
+    """Replace the live partition dir with ``tmp`` via rename-aside: the
+    live dir is renamed out of the way BEFORE the new one moves in, so a
+    crash at any step leaves either the old or the new data discoverable —
+    never a window where the partition is simply gone."""
+    import shutil
+    from pathlib import Path
+
+    part_path = Path(part_path)
+    trash = Path(f"{part_path}.trash")
+    if trash.exists():
+        shutil.rmtree(trash)
+    part_path.rename(trash)
+    try:
+        Path(tmp).rename(part_path)
+    except BaseException:
+        trash.rename(part_path)  # roll back — old data stays live
+        raise
+    shutil.rmtree(trash)
+
+
 def store_file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-partition file census of a name-partitioned store:
     (name, n_files, total_bytes, avg_file_bytes) — the signal compaction
     decisions read. Metadata-only (directory listing, no data scan)."""
-    from pathlib import Path
-
     rows = []
-    for part in sorted(Path(path).glob("name=*")):
+    for part, name in _partition_dirs(path):
         files = [f for f in part.rglob("*.parquet") if f.is_file()]
         if not files:
             continue
         total = sum(f.stat().st_size for f in files)
-        rows.append((part.name.split("=", 1)[1], len(files), total, total // len(files)))
+        rows.append((name, len(files), total, total // len(files)))
     return spark.createDataFrame(
         rows, "name string, n_files long, total_bytes long, avg_file_bytes long"
     )
@@ -121,42 +151,39 @@ def compact_store(
     ``name=`` partition into ``ceil(bytes / target)`` sorted files.
 
     Partition-at-a-time (not whole-store): only fragmented partitions are
-    rewritten, each in its own atomic overwrite — an interrupted compaction
-    leaves every other partition untouched. Returns the names compacted.
+    rewritten, each swapped in via rename-aside (old dir renamed away, new
+    dir renamed in — a crash leaves old or new data live, never neither),
+    so an interrupted compaction leaves every other partition untouched.
+    Returns the (unescaped) metric names compacted.
 
     At real scale the same loop runs as N independent jobs (one per
     partition, embarrassingly parallel across a workflow scheduler);
     within one partition the rewrite is a narrow coalesce — no shuffle.
     """
-    from pyspark.sql import functions as _F
-
-    from prometheus_parquet_server_spark.model import series_key_str
-
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
-    stats = store_file_stats(spark, path).collect()
     compacted: list[str] = []
-    for r in stats:
-        if r["n_files"] < min_files_to_compact or r["avg_file_bytes"] >= target_file_bytes:
+    for part, name in _partition_dirs(path):
+        files = [f for f in part.rglob("*.parquet") if f.is_file()]
+        total = sum(f.stat().st_size for f in files)
+        if len(files) < min_files_to_compact or not files:
             continue
-        name, part_path = r["name"], f"{path}/name={r['name']}"
-        n_out = max(1, -(-r["total_bytes"] // target_file_bytes))  # ceil
-        part = (
-            spark.read.parquet(part_path)
-            .withColumn("_sk", series_key_str(name=_F.lit(name)))
+        if total // len(files) >= target_file_bytes:
+            continue
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        # sort AFTER coalesce: sorting the small input splits first would
+        # leave each output file a concatenation of sorted runs, silently
+        # breaking the store's files-sorted-by-series-key invariant
+        out = (
+            spark.read.parquet(str(part))
+            .withColumn("_sk", series_key_str(name=F.lit(name)))
+            .coalesce(n_out)
             .sortWithinPartitions("_sk", "ts")
             .drop("_sk")
-            .coalesce(n_out)
         )
-        # write to a sibling temp dir then swap — the overwrite of THIS
-        # partition is all-or-nothing and never reads what it writes
-        tmp = f"{path}/.compact_tmp_name={name}"
-        part.write.mode("overwrite").parquet(tmp)
-        import shutil
-        from pathlib import Path
-
-        shutil.rmtree(part_path)
-        Path(tmp).rename(part_path)
+        tmp = f"{path}/.compact_tmp_name={part.name.split('=', 1)[1]}"
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_partition_dir(part, tmp)
         compacted.append(name)
     return compacted
 
@@ -168,22 +195,20 @@ def expire_store(
 ) -> dict[str, int]:
     """Retention pass — drop every sample older than ``min_ts`` (epoch
     seconds), the other half of lake maintenance beside
-    :func:`compact_store`. Partition-at-a-time with the same atomic
-    temp-dir swap; the per-partition min(ts) probe is a metadata-only
-    aggregate (parquet footer statistics), so partitions with nothing to
-    expire are skipped without reading data, and a fully-expired
-    partition is removed outright. Returns {name: rows_dropped}.
+    :func:`compact_store`. Partition-at-a-time with the same rename-aside
+    swap; the per-partition min(ts)/count probe is a ts-only column-pruned
+    scan (cheap relative to a rewrite — footer-stat pushdown would need
+    ``spark.sql.parquet.aggregatePushDown``, which this repo does not
+    assume), so partitions with nothing to expire pay one narrow read and
+    are left byte-untouched; a fully-expired partition is removed
+    outright. Returns {unescaped name: rows_dropped}.
     """
     import shutil
-    from pathlib import Path
 
     dropped: dict[str, int] = {}
-    for part in sorted(Path(path).glob("name=*")):
-        name = part.name.split("=", 1)[1]
+    for part, name in _partition_dirs(path):
         df = spark.read.parquet(str(part))
-        row = df.agg(
-            F.min("ts").alias("lo"), F.count("*").alias("n")
-        ).first()
+        row = df.agg(F.min("ts").alias("lo"), F.count("*").alias("n")).first()
         if row["n"] == 0 or row["lo"] is None or row["lo"] >= min_ts:
             continue  # nothing to expire — partition untouched
         kept = df.filter(F.col("ts") >= min_ts)
@@ -192,9 +217,8 @@ def expire_store(
             shutil.rmtree(part)
             dropped[name] = row["n"]
             continue
-        tmp = f"{path}/.expire_tmp_name={name}"
+        tmp = f"{path}/.expire_tmp_name={part.name.split('=', 1)[1]}"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part)
-        Path(tmp).rename(part)
+        _swap_partition_dir(part, tmp)
         dropped[name] = row["n"] - n_kept
     return dropped

@@ -317,3 +317,31 @@ def test_expire_store_retention(spark, tmp_path):
     assert sorted(f.name for f in Path(f"{store}/name=new").glob("*.parquet")) == new_files
     left = sorted((r["name"], r["ts"]) for r in read_store(spark, store).collect())
     assert left == [("mix", 100.0), ("new", 200.0)]
+
+
+def test_maintenance_unescapes_hive_partition_names(spark, tmp_path):
+    """Recording-rule names contain ':' which Hive escapes to %3A in the
+    partition dir — census/compaction/expiry must report the REAL name."""
+    from prometheus_parquet_server_spark.sources.store import (
+        compact_store,
+        expire_store,
+        store_file_stats,
+        write_store,
+    )
+
+    df = spark.createDataFrame(
+        [("job:rate5m", {}, float(i), 1.0) for i in range(8)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    store = str(tmp_path / "store")
+    write_store(df, store)
+    for _ in range(2):
+        df.limit(2).drop("name").write.mode("append").parquet(
+            f"{store}/name=job%3Arate5m"
+        )
+    names = [r["name"] for r in store_file_stats(spark, store).collect()]
+    assert names == ["job:rate5m"]
+    assert compact_store(spark, store, target_file_bytes=1 << 30) == ["job:rate5m"]
+    # 8 original rows (ts 0–7) + two appends of 2 rows each (ts 0, 1):
+    # cutoff 4.0 drops ts 0–3 (4 rows) plus all 4 appended rows
+    assert expire_store(spark, store, min_ts=4.0) == {"job:rate5m": 8}
