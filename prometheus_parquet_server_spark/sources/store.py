@@ -13,7 +13,7 @@ per-series windows mostly avoid wide shuffles (AQE handles the rest).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.model import series_key_str
@@ -222,3 +222,52 @@ def expire_store(
         _swap_partition_dir(part, tmp)
         dropped[name] = row["n"] - n_kept
     return dropped
+
+
+def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str]:
+    """Upsert into the partitioned store: an update row REPLACES any
+    existing sample with the same (series key, ts); new (series, ts)
+    pairs append. Completes the store lifecycle (write → upsert →
+    compact → expire) without a table format: only the ``name=``
+    partitions actually touched by ``updates`` are rewritten, each via
+    the same crash-safe rename-aside swap as compaction, so a backfill
+    of one metric never rewrites — or risks — the rest of the store.
+
+    The merge itself is one union + one window per touched partition:
+    updates tagged priority 0, existing rows 1, ``row_number() over
+    (partition by (series key, ts) order by priority)`` keeps the winner.
+    Returns the (unescaped) metric names rewritten.
+    """
+    names = [r["name"] for r in updates.select("name").distinct().collect()]
+    existing_dirs = {n: p for p, n in _partition_dirs(path)}
+    touched: list[str] = []
+    for name in sorted(names):
+        upd = updates.filter(F.col("name") == name).drop("name")
+        part = existing_dirs.get(name)
+        if part is None:
+            # brand-new metric: plain partitioned append, no merge needed
+            upd.withColumn("name", F.lit(name)).write.mode("append").partitionBy(
+                "name"
+            ).parquet(path)
+            touched.append(name)
+            continue
+        merged = (
+            upd.withColumn("_prio", F.lit(0))
+            .unionByName(
+                spark.read.parquet(str(part)).withColumn("_prio", F.lit(1))
+            )
+            .withColumn("_sk", series_key_str(name=F.lit(name)))
+        )
+        w = Window.partitionBy("_sk", "ts").orderBy("_prio")
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+            .sortWithinPartitions("_sk", "ts")
+            .drop("_sk")
+        )
+        tmp = f"{path}/.upsert_tmp_name={part.name.split('=', 1)[1]}"
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_partition_dir(part, tmp)
+        touched.append(name)
+    return touched

@@ -345,3 +345,39 @@ def test_maintenance_unescapes_hive_partition_names(spark, tmp_path):
     # 8 original rows (ts 0–7) + two appends of 2 rows each (ts 0, 1):
     # cutoff 4.0 drops ts 0–3 (4 rows) plus all 4 appended rows
     assert expire_store(spark, store, min_ts=4.0) == {"job:rate5m": 8}
+
+
+def test_upsert_store_updates_win_and_append(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.store import (
+        read_store,
+        upsert_store,
+        write_store,
+    )
+
+    base = spark.createDataFrame(
+        [("m", {"h": "a"}, 1.0, 10.0), ("m", {"h": "a"}, 2.0, 20.0),
+         ("other", {}, 1.0, 99.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    store = str(tmp_path / "store")
+    write_store(base, store)
+    updates = spark.createDataFrame(
+        [("m", {"h": "a"}, 2.0, 21.0),   # replaces existing (series, ts)
+         ("m", {"h": "b"}, 2.0, 5.0),    # new series, same ts — appends
+         ("m", {"h": "a"}, 3.0, 30.0),   # new ts — appends
+         ("brand_new", {}, 1.0, 7.0)],   # new metric partition
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    touched = upsert_store(spark, store, updates)
+    assert sorted(touched) == ["brand_new", "m"]
+    rows = {
+        (r["name"], r["labels"].get("h"), r["ts"]): r["value"]
+        for r in read_store(spark, store).collect()
+    }
+    assert rows[("m", "a", 2.0)] == 21.0      # update won
+    assert rows[("m", "a", 1.0)] == 10.0      # untouched sample kept
+    assert rows[("m", "b", 2.0)] == 5.0       # new series appended
+    assert rows[("m", "a", 3.0)] == 30.0      # new ts appended
+    assert rows[("brand_new", None, 1.0)] == 7.0
+    assert rows[("other", None, 1.0)] == 99.0  # untouched partition
+    assert len(rows) == 6
