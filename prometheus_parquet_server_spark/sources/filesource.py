@@ -22,6 +22,7 @@ from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.labels import legalize_metric_name
 from prometheus_parquet_server_spark.sources.classify import IngestError
@@ -115,3 +116,56 @@ def ingest_directory(
             [], "name string, labels map<string,string>, ts double, value double"
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def read_wide_quarantine(
+    spark: SparkSession,
+    path: str | Path,
+    schema,
+    quarantine_path: str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Schema-enforced CSV/JSON read with a dead-letter channel: rows that
+    fail the schema land in ``quarantine_path`` (with their raw text)
+    instead of silently becoming all-NULL rows or failing the whole file —
+    the record-level complement of ``ingest_directory``'s file-level skip.
+
+    Mechanics: PERMISSIVE mode + a ``_corrupt_record`` column captures the
+    raw text of every unparsable row; good rows flow on with the column
+    dropped, bad rows are appended (raw text + source file + format) to
+    the quarantine parquet for later inspection/replay. Requires an
+    explicit ``schema`` — corrupt-record capture is undefined under
+    inference. One read, one filtered write — map-only on both sides.
+    """
+    import pyspark.sql.types as T
+
+    fmt = fmt or infer_format(path)
+    if fmt not in ("csv", "json"):
+        raise IngestError(
+            f"quarantine reads support csv/json text sources, not {fmt!r}"
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if "_corrupt_record" not in [f.name for f in schema.fields]:
+        schema = schema.add("_corrupt_record", T.StringType())
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    raw = (
+        reader.option("header", True).csv(str(path))
+        if fmt == "csv"
+        else reader.json(str(path))
+    )
+    # cache before splitting: the corrupt-record column is only populated
+    # on the same pass that parses the row (Spark drops it under separate
+    # column-pruned scans)
+    raw = raw.cache()
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record"),
+        F.lit(str(path)).alias("source_file"),
+        F.lit(fmt).alias("format"),
+    )
+    bad.write.mode("append").parquet(quarantine_path)
+    return raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

@@ -101,3 +101,35 @@ def test_orc_parity(spark, tmp_path):
         1
     ).write.orc(str(orc))
     assert _canonical(ingest_file(spark, orc)) == _canonical(ingest_file(spark, csv))
+
+
+def test_quarantine_captures_corrupt_rows(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.filesource import (
+        read_wide_quarantine,
+    )
+
+    jl = tmp_path / "m.jsonl"
+    jl.write_text(
+        '{"time": 1.0, "value": 2.0, "host": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"time": 2.0, "value": 3.0, "host": "b"}\n'
+        '{"time": "also-bad"\n'
+    )
+    q = str(tmp_path / "quarantine")
+    good = read_wide_quarantine(
+        spark, jl, "time double, value double, host string", q
+    )
+    assert sorted((r["time"], r["host"]) for r in good.collect()) == [
+        (1.0, "a"),
+        (2.0, "b"),
+    ]
+    bad = spark.read.parquet(q).collect()
+    assert len(bad) == 2
+    assert {r["raw_record"] for r in bad} == {"THIS IS NOT JSON", '{"time": "also-bad"'}
+    assert all(r["format"] == "json" and r["source_file"].endswith("m.jsonl") for r in bad)
+
+    import pytest as _pytest
+    from prometheus_parquet_server_spark.sources import IngestError
+
+    with _pytest.raises(IngestError, match="quarantine"):
+        read_wide_quarantine(spark, tmp_path / "x.parquet", "a int", q)
