@@ -271,3 +271,57 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
         _swap_partition_dir(part, tmp)
         touched.append(name)
     return touched
+
+
+def store_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Integrity manifest: (name, n_rows, content_hash) per partition,
+    where ``content_hash`` is the bit-XOR of each row's
+    ``xxhash64(series key, ts, value)`` — order-insensitive, so any
+    re-layout of the same rows (compaction, upsert no-op, replication)
+    hashes identically, while one flipped value, lost row, or duplicated
+    row changes it. The scan is embarrassingly parallel (map-side partial
+    XOR, one tiny shuffle of per-partition partials).
+    """
+    df = read_store(spark, path)
+    return (
+        df.withColumn("_sk", series_key_str())
+        .groupBy("name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(xxhash64(_sk, ts, value))").alias("content_hash"),
+        )
+    )
+
+
+def verify_store_manifest(
+    spark: SparkSession, path: str, manifest: DataFrame
+) -> DataFrame:
+    """Diff the live store against a previously-recorded manifest:
+    returns (name, status) rows for every discrepancy — ``changed``
+    (hash or count differs), ``missing`` (in manifest, not on disk),
+    ``unexpected`` (on disk, not in manifest). Empty result = intact.
+
+    ``manifest`` must be MATERIALIZED data (rows read back from wherever
+    the manifest was persisted), not a live/cached :func:`store_manifest`
+    plan over the same path — Spark's cache-plan matching would serve the
+    identical cached plan to BOTH sides of the diff and report an intact
+    store no matter what changed (pinned by the tampering test).
+    """
+    live = store_manifest(spark, path)
+    m = manifest.select(
+        F.col("name"),
+        F.col("n_rows").alias("_m_rows"),
+        F.col("content_hash").alias("_m_hash"),
+    )
+    joined = live.join(m, "name", "full_outer")
+    return joined.select(
+        "name",
+        F.when(F.col("n_rows").isNull(), F.lit("missing"))
+        .when(F.col("_m_rows").isNull(), F.lit("unexpected"))
+        .when(
+            (F.col("n_rows") != F.col("_m_rows"))
+            | ~F.col("content_hash").eqNullSafe(F.col("_m_hash")),
+            F.lit("changed"),
+        )
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())

@@ -381,3 +381,43 @@ def test_upsert_store_updates_win_and_append(spark, tmp_path):
     assert rows[("brand_new", None, 1.0)] == 7.0
     assert rows[("other", None, 1.0)] == 99.0  # untouched partition
     assert len(rows) == 6
+
+
+def test_store_manifest_detects_tampering(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.store import (
+        compact_store,
+        store_manifest,
+        upsert_store,
+        verify_store_manifest,
+        write_store,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts double, value double"
+    )
+    store = str(tmp_path / "store")
+    write_store(mk([("a", {}, 1.0, 1.0), ("a", {}, 2.0, 2.0), ("b", {}, 1.0, 3.0)]), store)
+    # materialize to literal rows (as a persisted manifest would be) —
+    # keeping it as a live plan over the same path would let Spark's
+    # cache-plan matching serve stale data to BOTH sides of the diff
+    manifest = spark.createDataFrame(
+        store_manifest(spark, store).collect(),
+        "name string, n_rows long, content_hash long",
+    )
+
+    # intact store → empty diff; re-layout (compaction) must NOT trip it
+    for _ in range(2):
+        mk([("a", {}, 9.0, 9.0)]).drop("name").write.mode("append").parquet(
+            f"{store}/name=a"
+        )
+    upsert_store(spark, store, mk([("a", {}, 9.0, 9.0)]))  # dedupe the appends
+    compact_store(spark, store, target_file_bytes=1 << 30)
+    diff = verify_store_manifest(spark, store, manifest).collect()
+    # 'a' genuinely changed (new ts=9 sample); 'b' intact and absent
+    assert [(r["name"], r["status"]) for r in diff] == [("a", "changed")]
+
+    # value flip detected even at identical row count
+    upsert_store(spark, store, mk([("b", {}, 1.0, 999.0)]))
+    diff2 = {r["name"]: r["status"] for r in
+             verify_store_manifest(spark, store, manifest).collect()}
+    assert diff2["b"] == "changed"
