@@ -8,11 +8,18 @@ from prometheus_parquet_server_spark.sources.classify import (
 from prometheus_parquet_server_spark.sources.filesource import (
     ingest_directory,
     ingest_file,
+    read_wide_quarantine,
 )
 from prometheus_parquet_server_spark.sources.ingest import wide_to_long
 from prometheus_parquet_server_spark.sources.retag import read_mapping
 from prometheus_parquet_server_spark.sources.store import (
+    compact_store,
+    expire_store,
     read_store,
+    store_file_stats,
+    store_manifest,
+    upsert_store,
+    verify_store_manifest,
     write_store,
 )
 from prometheus_parquet_server_spark.sources.zipsource import ingest_zip
@@ -29,5 +36,12 @@ __all__ = [
     "read_mapping",
     "read_store",
     "write_store",
+    "read_wide_quarantine",
+    "compact_store",
+    "expire_store",
+    "store_file_stats",
+    "store_manifest",
+    "upsert_store",
+    "verify_store_manifest",
     "ingest_zip",
 ]
