@@ -2825,6 +2825,62 @@ CROSS JOIN LATERAL (
 """
 
 
+def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging over the perplexity scores: 4 quantile stages
+    (easy→hard), reported as per-stage doc counts and mean score —
+    broadcast-cutpoint banding, not a global sort."""
+    from prometheus_parquet_server_spark.pipeline.lm_score import (
+        curriculum_stages,
+        perplexity_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = curriculum_stages(perplexity_scores(docs), n_stages=4)
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("avg_neg_logp"), 6).alias("mean_score"),
+    )
+
+
+SQL_PIPELINE_CURRICULUM = """
+WITH normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+    FROM documents
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(t)),
+                  i -> substr(t, CAST(i AS INT), 2))) AS bigram
+    FROM normed WHERE length(t) >= 2
+),
+model AS (
+    SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
+),
+total AS (SELECT SUM(cnt) AS tot FROM model),
+scores AS (
+    SELECT b.doc_id,
+           ROUND(AVG(-LN((m.cnt + 1) * 1.0 / (total.tot + 1369))), 6) AS s
+    FROM bigrams b JOIN model m USING (bigram) CROSS JOIN total
+    GROUP BY b.doc_id
+),
+cuts AS (
+    SELECT ROUND(quantile_cont(s, 0.25), 6) AS c1,
+           ROUND(quantile_cont(s, 0.50), 6) AS c2,
+           ROUND(quantile_cont(s, 0.75), 6) AS c3
+    FROM scores
+)
+SELECT CASE WHEN s <= c1 THEN 1
+            WHEN s <= c2 THEN 2
+            WHEN s <= c3 THEN 3
+            ELSE 4 END AS stage,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(s), 6) AS mean_score
+FROM scores CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------
@@ -2955,6 +3011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_token_budget": q_pipeline_token_budget,
     "text_perplexity": q_text_perplexity,
     "pipeline_prepare_v2": q_pipeline_prepare_v2,
+    "pipeline_curriculum": q_pipeline_curriculum,
     "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
     "a4_multi_agg": q_a4_multi_agg,
@@ -3045,6 +3102,7 @@ ORACLES: dict[str, str] = {
     "pipeline_token_budget": SQL_PIPELINE_TOKEN_BUDGET,
     "text_perplexity": SQL_TEXT_PERPLEXITY,
     "pipeline_prepare_v2": SQL_PIPELINE_PREPARE_V2,
+    "pipeline_curriculum": SQL_PIPELINE_CURRICULUM,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
 }

@@ -44,6 +44,7 @@ from prometheus_parquet_server_spark.pipeline.pca import (
 from prometheus_parquet_server_spark.pipeline.chunk import chunk_documents
 from prometheus_parquet_server_spark.pipeline.lm_score import (
     bigram_model,
+    curriculum_stages,
     perplexity_scores,
 )
 from prometheus_parquet_server_spark.pipeline.dedup import (
@@ -82,6 +83,7 @@ __all__ = [
     "pca_project",
     "chunk_documents",
     "bigram_model",
+    "curriculum_stages",
     "perplexity_scores",
     "exact_duplicates",
     "minhash_signature",

@@ -93,3 +93,46 @@ def perplexity_scores(
             F.round(F.avg("_nlp"), 6).alias("avg_neg_logp"),
         )
     )
+
+
+def curriculum_stages(
+    scores: DataFrame,
+    n_stages: int = 4,
+    score_col: str = "avg_neg_logp",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum-learning stage assignment: band rows into ``n_stages``
+    quantile stages of ``score_col`` (stage 1 = easiest/lowest score when
+    ``ascending``). Adds a ``stage`` column.
+
+    Scale shape: a global ``ntile`` would sort the whole corpus on one
+    axis; instead the ``n_stages − 1`` exact interpolated cutpoints are
+    computed by ONE tiny aggregate, broadcast, and applied as a per-row
+    banding expression — map-only after a constant-size reduction.
+    Cutpoints are rounded to 6 (like the scores they cut) so the banding
+    is engine-replayable; boundary rows (score == cutpoint) go to the
+    LOWER stage (``<=`` banding).
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    if n_stages == 1:
+        return scores.withColumn("stage", F.lit(1))
+    qs = [i / n_stages for i in range(1, n_stages)]
+    cuts_row = scores.agg(
+        *[
+            F.round(F.expr(f"percentile({score_col}, {q!r})"), 6).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    cuts = [cuts_row[f"c{i}"] for i in range(len(qs))]
+    ordered = cuts if ascending else list(reversed(cuts))
+    expr = F.lit(n_stages)
+    for stage in range(n_stages - 1, 0, -1):
+        cut = ordered[stage - 1]
+        cond = (
+            F.col(score_col) <= F.lit(cut)
+            if ascending
+            else F.col(score_col) >= F.lit(cut)
+        )
+        expr = F.when(cond, F.lit(stage)).otherwise(expr)
+    return scores.withColumn("stage", expr)

@@ -103,3 +103,22 @@ def test_perplexity_scores_golden(spark):
     scored = {r["doc_id"]: r["avg_neg_logp"]
               for r in perplexity_scores(probe, model=bigram_model(df)).collect()}
     assert scored[11] > scored[10]
+
+
+def test_curriculum_stages_banding(spark):
+    from prometheus_parquet_server_spark.pipeline.lm_score import curriculum_stages
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "doc_id long, avg_neg_logp double"
+    )
+    got = {r["doc_id"]: r["stage"] for r in curriculum_stages(df, 4).collect()}
+    # exact quartile cutpoints of 1..8 are 2.75/4.5/6.25 → 2-2-2-2 split
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    desc = {r["doc_id"]: r["stage"]
+            for r in curriculum_stages(df, 4, ascending=False).collect()}
+    assert desc == {8: 1, 7: 1, 6: 2, 5: 2, 4: 3, 3: 3, 2: 4, 1: 4}
+    one = curriculum_stages(df, 1).collect()
+    assert all(r["stage"] == 1 for r in one)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curriculum_stages(df, 0)
