@@ -146,26 +146,39 @@ def read_wide_quarantine(
         )
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    if "_corrupt_record" not in [f.name for f in schema.fields]:
-        schema = schema.add("_corrupt_record", T.StringType())
-    reader = (
-        spark.read.schema(schema)
+    # StructType.add MUTATES self — build the corrupt-capture schema on a
+    # COPY so the caller's schema object doesn't silently grow a field
+    capture = T.StructType(list(schema.fields))
+    if "_corrupt_record" not in [f.name for f in capture.fields]:
+        capture = capture.add("_corrupt_record", T.StringType())
+
+    def _read(reader):
+        return (
+            reader.option("header", True).csv(str(path))
+            if fmt == "csv"
+            else reader.json(str(path))
+        )
+
+    # Quarantine side: PERMISSIVE + corrupt-record capture. Spark refuses
+    # a query whose only referenced source column is the corrupt record,
+    # so the frame is cached (InMemoryRelation — the standard workaround)
+    # for exactly the duration of the quarantine write, then released.
+    raw = _read(
+        spark.read.schema(capture)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-    )
-    raw = (
-        reader.option("header", True).csv(str(path))
-        if fmt == "csv"
-        else reader.json(str(path))
-    )
-    # cache before splitting: the corrupt-record column is only populated
-    # on the same pass that parses the row (Spark drops it under separate
-    # column-pruned scans)
-    raw = raw.cache()
-    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_record"),
-        F.lit(str(path)).alias("source_file"),
-        F.lit(fmt).alias("format"),
-    )
-    bad.write.mode("append").parquet(quarantine_path)
-    return raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    ).cache()
+    try:
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("raw_record"),
+            F.lit(str(path)).alias("source_file"),
+            F.lit(fmt).alias("format"),
+        )
+        bad.write.mode("append").parquet(quarantine_path)
+    finally:
+        raw.unpersist()
+    # Good side: an independent DROPMALFORMED read with the ORIGINAL
+    # schema — the same surviving row set, but no corrupt column anywhere
+    # in the plan (so any downstream shape, including count(), prunes
+    # freely) and no cache the caller would have to release.
+    return _read(spark.read.schema(schema).option("mode", "DROPMALFORMED"))

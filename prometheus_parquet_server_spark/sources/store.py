@@ -101,16 +101,28 @@ def _partition_dirs(path: str):
         yield part, unquote(part.name.split("=", 1)[1])
 
 
+def _trash_dir(part_path) -> "Path":
+    """Dot-prefixed sibling trash dir: ``name=X`` → ``.trash_name=X``.
+    The dot prefix matters — a ``name=X.trash`` sibling would itself be
+    partition-discovered as a metric literally named ``X.trash`` (and
+    double-count rows mid-swap); Spark ignores dot-prefixed dirs."""
+    from pathlib import Path
+
+    part_path = Path(part_path)
+    return part_path.parent / f".trash_{part_path.name}"
+
+
 def _swap_partition_dir(part_path, tmp: str) -> None:
     """Replace the live partition dir with ``tmp`` via rename-aside: the
     live dir is renamed out of the way BEFORE the new one moves in, so a
     crash at any step leaves either the old or the new data discoverable —
-    never a window where the partition is simply gone."""
+    never a window where the partition is simply gone, and never a
+    half-deleted partition visible to readers."""
     import shutil
     from pathlib import Path
 
     part_path = Path(part_path)
-    trash = Path(f"{part_path}.trash")
+    trash = _trash_dir(part_path)
     if trash.exists():
         shutil.rmtree(trash)
     part_path.rename(trash)
@@ -119,6 +131,21 @@ def _swap_partition_dir(part_path, tmp: str) -> None:
     except BaseException:
         trash.rename(part_path)  # roll back — old data stays live
         raise
+    shutil.rmtree(trash)
+
+
+def _remove_partition_dir(part_path) -> None:
+    """Crash-safe partition removal: rename aside (atomic — readers see
+    the partition fully present or fully gone), then delete the trash; a
+    crash mid-rmtree leaves only an ignored dot-dir behind."""
+    import shutil
+
+    trash = _trash_dir(part_path)
+    if trash.exists():
+        shutil.rmtree(trash)
+    import pathlib
+
+    pathlib.Path(part_path).rename(trash)
     shutil.rmtree(trash)
 
 
@@ -201,10 +228,9 @@ def expire_store(
     ``spark.sql.parquet.aggregatePushDown``, which this repo does not
     assume), so partitions with nothing to expire pay one narrow read and
     are left byte-untouched; a fully-expired partition is removed
-    outright. Returns {unescaped name: rows_dropped}.
+    outright (rename-aside first, so readers never see it half-deleted).
+    Returns {unescaped name: rows_dropped}.
     """
-    import shutil
-
     dropped: dict[str, int] = {}
     for part, name in _partition_dirs(path):
         df = spark.read.parquet(str(part))
@@ -214,7 +240,7 @@ def expire_store(
         kept = df.filter(F.col("ts") >= min_ts)
         n_kept = kept.count()
         if n_kept == 0:
-            shutil.rmtree(part)
+            _remove_partition_dir(part)
             dropped[name] = row["n"]
             continue
         tmp = f"{path}/.expire_tmp_name={part.name.split('=', 1)[1]}"
@@ -235,42 +261,60 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
 
     The merge itself is one union + one window per touched partition:
     updates tagged priority 0, existing rows 1, ``row_number() over
-    (partition by (series key, ts) order by priority)`` keeps the winner.
+    (partition by (series key, ts) order by priority, value desc)`` keeps
+    the winner — the value tie-break makes duplicate (series, ts) rows
+    WITHIN the update batch resolve deterministically (max value wins,
+    the house MAX-dedupe rule) instead of by shuffle layout.
     Returns the (unescaped) metric names rewritten.
     """
-    names = [r["name"] for r in updates.select("name").distinct().collect()]
-    existing_dirs = {n: p for p, n in _partition_dirs(path)}
-    touched: list[str] = []
-    for name in sorted(names):
-        upd = updates.filter(F.col("name") == name).drop("name")
-        part = existing_dirs.get(name)
-        if part is None:
-            # brand-new metric: plain partitioned append, no merge needed
-            upd.withColumn("name", F.lit(name)).write.mode("append").partitionBy(
-                "name"
-            ).parquet(path)
-            touched.append(name)
-            continue
-        merged = (
-            upd.withColumn("_prio", F.lit(0))
-            .unionByName(
-                spark.read.parquet(str(part)).withColumn("_prio", F.lit(1))
+    # cache: the updates lineage is otherwise re-executed once for the
+    # name collect plus once per touched partition
+    updates = updates.cache()
+    try:
+        names = [r["name"] for r in updates.select("name").distinct().collect()]
+        existing_dirs = {n: p for p, n in _partition_dirs(path)}
+        touched: list[str] = []
+        for name in sorted(names):
+            upd = updates.filter(F.col("name") == name).drop("name")
+            part = existing_dirs.get(name)
+            if part is None:
+                # brand-new metric: no merge needed, but keep the store's
+                # sorted-by-series-key file layout like every other writer
+                (
+                    upd.withColumn("name", F.lit(name))
+                    .withColumn("_sk", series_key_str(name=F.lit(name)))
+                    .sortWithinPartitions("_sk", "ts")
+                    .drop("_sk")
+                    .write.mode("append")
+                    .partitionBy("name")
+                    .parquet(path)
+                )
+                touched.append(name)
+                continue
+            merged = (
+                upd.withColumn("_prio", F.lit(0))
+                .unionByName(
+                    spark.read.parquet(str(part)).withColumn("_prio", F.lit(1))
+                )
+                .withColumn("_sk", series_key_str(name=F.lit(name)))
             )
-            .withColumn("_sk", series_key_str(name=F.lit(name)))
-        )
-        w = Window.partitionBy("_sk", "ts").orderBy("_prio")
-        out = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_prio", "_rn")
-            .sortWithinPartitions("_sk", "ts")
-            .drop("_sk")
-        )
-        tmp = f"{path}/.upsert_tmp_name={part.name.split('=', 1)[1]}"
-        out.write.mode("overwrite").parquet(tmp)
-        _swap_partition_dir(part, tmp)
-        touched.append(name)
-    return touched
+            w = Window.partitionBy("_sk", "ts").orderBy(
+                "_prio", F.col("value").desc()
+            )
+            out = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_prio", "_rn")
+                .sortWithinPartitions("_sk", "ts")
+                .drop("_sk")
+            )
+            tmp = f"{path}/.upsert_tmp_name={part.name.split('=', 1)[1]}"
+            out.write.mode("overwrite").parquet(tmp)
+            _swap_partition_dir(part, tmp)
+            touched.append(name)
+        return touched
+    finally:
+        updates.unpersist()
 
 
 def store_manifest(spark: SparkSession, path: str) -> DataFrame:

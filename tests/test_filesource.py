@@ -133,3 +133,20 @@ def test_quarantine_captures_corrupt_rows(spark, tmp_path):
 
     with _pytest.raises(IngestError, match="quarantine"):
         read_wide_quarantine(spark, tmp_path / "x.parquet", "a int", q)
+
+
+def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from prometheus_parquet_server_spark.sources.filesource import (
+        read_wide_quarantine,
+    )
+
+    jl = tmp_path / "m.jsonl"
+    jl.write_text('{"time": 1.0, "value": 2.0}\nBAD\n')
+    schema = T.StructType.fromDDL("time double, value double")
+    n_before = len(schema.fields)
+    good = read_wide_quarantine(spark, jl, schema, str(tmp_path / "q"))
+    assert len(schema.fields) == n_before  # caller's object untouched
+    assert good.columns == ["time", "value"]
+    assert good.count() == 1

@@ -421,3 +421,21 @@ def test_store_manifest_detects_tampering(spark, tmp_path):
     diff2 = {r["name"]: r["status"] for r in
              verify_store_manifest(spark, store, manifest).collect()}
     assert diff2["b"] == "changed"
+
+
+def test_upsert_dedupes_duplicate_updates_deterministically(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.store import (
+        read_store,
+        upsert_store,
+        write_store,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts double, value double"
+    )
+    store = str(tmp_path / "store")
+    write_store(mk([("m", {}, 1.0, 0.0)]), store)
+    # duplicate (series, ts) WITHIN the update batch → max value wins
+    upsert_store(spark, store, mk([("m", {}, 1.0, 21.0), ("m", {}, 1.0, 22.0)]))
+    rows = read_store(spark, store).collect()
+    assert [(r["ts"], r["value"]) for r in rows] == [(1.0, 22.0)]
