@@ -90,75 +90,170 @@ def shift_to_midnight_offset(df: DataFrame, now: float | None = None) -> float:
     return float(midnight) - float(min_ts)
 
 
-def _partition_dirs(path: str):
-    """(dir, unescaped metric name) per ``name=`` partition — Hive escapes
-    special chars in partition values (':' → '%3A'), so the directory name
-    must be unquoted before it can be compared with real metric names."""
-    from pathlib import Path
+class _StoreFS:
+    """All maintenance I/O for a store, routed through the Hadoop
+    ``FileSystem`` API of the session JVM (``Path.getFileSystem``) instead
+    of driver-local ``pathlib``/``shutil`` — so the same compaction/expiry/
+    upsert code runs against any Hadoop-supported scheme (``file:``,
+    ``hdfs:``, ``s3a:``, ``abfs:``, ``gs:``), which is what the 100 TB
+    deployment actually stores data on.
+
+    Crash-safety contract: partition swaps use rename-aside, which is
+    atomic on local/HDFS-style filesystems. Object stores (``s3a:`` etc.)
+    emulate rename as copy+delete — :attr:`atomic_rename` is False there,
+    and callers get a documented warning: on such stores the maintenance
+    pass is crash-safe only down to the copy granularity, and a table
+    format / commit protocol is the real answer. All staging and trash
+    dirs are dot-prefixed, which Spark's partition discovery ignores, so
+    readers never see half-written data regardless of scheme.
+    """
+
+    #: schemes whose FileSystem.rename is atomic (dir renames are single
+    #: metadata ops). Everything else is assumed copy-based.
+    _ATOMIC_SCHEMES = {"file", "hdfs", "viewfs", "webhdfs", "local", None}
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self.root = self._jvm.org.apache.hadoop.fs.Path(path)
+        self.fs = self.root.getFileSystem(spark._jsc.hadoopConfiguration())
+        scheme = self.fs.getUri().getScheme()
+        self.atomic_rename = scheme in self._ATOMIC_SCHEMES
+
+    def jpath(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def exists(self, p) -> bool:
+        return bool(self.fs.exists(p if not isinstance(p, str) else self.jpath(p)))
+
+    def delete(self, p) -> None:
+        p = p if not isinstance(p, str) else self.jpath(p)
+        self.fs.delete(p, True)  # recursive
+
+    def rename(self, src, dst) -> None:
+        src = src if not isinstance(src, str) else self.jpath(src)
+        dst = dst if not isinstance(dst, str) else self.jpath(dst)
+        if not self.fs.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def subdirs(self, p=None) -> list[str]:
+        """Child directory paths of ``p`` (default: store root), sorted by
+        basename. One listStatus round-trip — no recursive walk."""
+        p = self.root if p is None else (self.jpath(p) if isinstance(p, str) else p)
+        if not self.fs.exists(p):
+            return []
+        out = [
+            str(st.getPath())
+            for st in self.fs.listStatus(p)
+            if st.isDirectory()
+        ]
+        return sorted(out, key=_basename)
+
+    def parquet_files(self, p) -> list[tuple[str, int]]:
+        """Recursive (path, bytes) census of ``*.parquet`` under ``p`` via
+        ``listFiles(recursive=True)`` — on object stores this is one
+        LIST call per 1000 keys, not a per-directory walk."""
+        p = self.jpath(p) if isinstance(p, str) else p
+        it = self.fs.listFiles(p, True)
+        files: list[tuple[str, int]] = []
+        while it.hasNext():
+            st = it.next()
+            fp = str(st.getPath())
+            if fp.endswith(".parquet"):
+                files.append((fp, int(st.getLen())))
+        return files
+
+
+def _basename(path_str: str) -> str:
+    return path_str.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _unescape_partition(dirname: str) -> str:
+    """Hive escapes special chars in partition values (':' → '%3A'); the
+    directory basename must be unquoted before it can be compared with
+    real metric names."""
     from urllib.parse import unquote
 
-    for part in sorted(Path(path).glob("name=*")):
-        yield part, unquote(part.name.split("=", 1)[1])
+    return unquote(dirname.split("=", 1)[1])
 
 
-def _trash_dir(part_path) -> "Path":
+def _partition_dirs(fs: _StoreFS):
+    """(dir path str, unescaped metric name) per ``name=`` partition."""
+    for d in fs.subdirs():
+        base = _basename(d)
+        if base.startswith("name="):
+            yield d, _unescape_partition(base)
+
+
+def _trash_path(fs: _StoreFS, part_dir: str) -> str:
     """Dot-prefixed sibling trash dir: ``name=X`` → ``.trash_name=X``.
     The dot prefix matters — a ``name=X.trash`` sibling would itself be
     partition-discovered as a metric literally named ``X.trash`` (and
     double-count rows mid-swap); Spark ignores dot-prefixed dirs."""
-    from pathlib import Path
-
-    part_path = Path(part_path)
-    return part_path.parent / f".trash_{part_path.name}"
+    parent = part_dir.rstrip("/").rsplit("/", 1)[0]
+    return f"{parent}/.trash_{_basename(part_dir)}"
 
 
-def _swap_partition_dir(part_path, tmp: str) -> None:
+def _swap_partition_dir(fs: _StoreFS, part_dir: str, tmp: str) -> None:
     """Replace the live partition dir with ``tmp`` via rename-aside: the
     live dir is renamed out of the way BEFORE the new one moves in, so a
     crash at any step leaves either the old or the new data discoverable —
     never a window where the partition is simply gone, and never a
-    half-deleted partition visible to readers."""
-    import shutil
-    from pathlib import Path
-
-    part_path = Path(part_path)
-    trash = _trash_dir(part_path)
-    if trash.exists():
-        shutil.rmtree(trash)
-    part_path.rename(trash)
+    half-deleted partition visible to readers. Atomicity holds on
+    local/HDFS (``fs.atomic_rename``); see :class:`_StoreFS` for the
+    object-store caveat."""
+    trash = _trash_path(fs, part_dir)
+    if fs.exists(trash):
+        fs.delete(trash)
+    fs.rename(part_dir, trash)
     try:
-        Path(tmp).rename(part_path)
+        fs.rename(tmp, part_dir)
     except BaseException:
-        trash.rename(part_path)  # roll back — old data stays live
+        fs.rename(trash, part_dir)  # roll back — old data stays live
         raise
-    shutil.rmtree(trash)
+    fs.delete(trash)
 
 
-def _remove_partition_dir(part_path) -> None:
-    """Crash-safe partition removal: rename aside (atomic — readers see
-    the partition fully present or fully gone), then delete the trash; a
-    crash mid-rmtree leaves only an ignored dot-dir behind."""
-    import shutil
+def _remove_partition_dir(fs: _StoreFS, part_dir: str) -> None:
+    """Crash-safe partition removal: rename aside (atomic on local/HDFS —
+    readers see the partition fully present or fully gone), then delete
+    the trash; a crash mid-delete leaves only an ignored dot-dir behind."""
+    trash = _trash_path(fs, part_dir)
+    if fs.exists(trash):
+        fs.delete(trash)
+    fs.rename(part_dir, trash)
+    fs.delete(trash)
 
-    trash = _trash_dir(part_path)
-    if trash.exists():
-        shutil.rmtree(trash)
-    import pathlib
 
-    pathlib.Path(part_path).rename(trash)
-    shutil.rmtree(trash)
+def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
+    """Remove leftovers of a crashed maintenance pass before starting a new
+    one: ``.compact_tmp_*`` / ``.expire_tmp_*`` / ``.upsert_tmp_*`` /
+    ``.upsert_stage_*`` staging dirs (never swapped in — old data is still
+    live, so they are pure garbage) and ``.trash_*`` dirs (their swap
+    completed or rolled back — either way the live dir exists). Returns
+    the removed paths (for logging/tests)."""
+    removed = []
+    prefixes = (".compact_tmp_", ".expire_tmp_", ".upsert_tmp_",
+                ".upsert_stage_", ".trash_")
+    for d in fs.subdirs():
+        base = _basename(d)
+        if base.startswith(prefixes):
+            fs.delete(d)
+            removed.append(d)
+    return removed
 
 
 def store_file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-partition file census of a name-partitioned store:
     (name, n_files, total_bytes, avg_file_bytes) — the signal compaction
-    decisions read. Metadata-only (directory listing, no data scan)."""
+    decisions read. Metadata-only (Hadoop FS directory listing, no data
+    scan), so it works unchanged on ``file:``/``hdfs:``/``s3a:`` paths."""
+    fs = _StoreFS(spark, path)
     rows = []
-    for part, name in _partition_dirs(path):
-        files = [f for f in part.rglob("*.parquet") if f.is_file()]
+    for part, name in _partition_dirs(fs):
+        files = fs.parquet_files(part)
         if not files:
             continue
-        total = sum(f.stat().st_size for f in files)
+        total = sum(sz for _, sz in files)
         rows.append((name, len(files), total, total // len(files)))
     return spark.createDataFrame(
         rows, "name string, n_files long, total_bytes long, avg_file_bytes long"
@@ -186,13 +281,18 @@ def compact_store(
     At real scale the same loop runs as N independent jobs (one per
     partition, embarrassingly parallel across a workflow scheduler);
     within one partition the rewrite is a narrow coalesce — no shuffle.
+    All directory I/O goes through the Hadoop FileSystem API
+    (:class:`_StoreFS`) so the pass runs against ``file:``/``hdfs:``/
+    object-store paths alike.
     """
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    fs = _StoreFS(spark, path)
+    _gc_stale_maintenance_dirs(fs)
     compacted: list[str] = []
-    for part, name in _partition_dirs(path):
-        files = [f for f in part.rglob("*.parquet") if f.is_file()]
-        total = sum(f.stat().st_size for f in files)
+    for part, name in _partition_dirs(fs):
+        files = fs.parquet_files(part)
+        total = sum(sz for _, sz in files)
         if len(files) < min_files_to_compact or not files:
             continue
         if total // len(files) >= target_file_bytes:
@@ -202,15 +302,15 @@ def compact_store(
         # leave each output file a concatenation of sorted runs, silently
         # breaking the store's files-sorted-by-series-key invariant
         out = (
-            spark.read.parquet(str(part))
+            spark.read.parquet(part)
             .withColumn("_sk", series_key_str(name=F.lit(name)))
             .coalesce(n_out)
             .sortWithinPartitions("_sk", "ts")
             .drop("_sk")
         )
-        tmp = f"{path}/.compact_tmp_name={part.name.split('=', 1)[1]}"
+        tmp = f"{path}/.compact_tmp_{_basename(part)}"
         out.write.mode("overwrite").parquet(tmp)
-        _swap_partition_dir(part, tmp)
+        _swap_partition_dir(fs, part, tmp)
         compacted.append(name)
     return compacted
 
@@ -229,23 +329,30 @@ def expire_store(
     assume), so partitions with nothing to expire pay one narrow read and
     are left byte-untouched; a fully-expired partition is removed
     outright (rename-aside first, so readers never see it half-deleted).
+    Partitions containing no parquet files (crash leftover, manual
+    cleanup) are skipped, not crashed on; stale staging/trash dirs from
+    an interrupted earlier pass are garbage-collected up front.
     Returns {unescaped name: rows_dropped}.
     """
+    fs = _StoreFS(spark, path)
+    _gc_stale_maintenance_dirs(fs)
     dropped: dict[str, int] = {}
-    for part, name in _partition_dirs(path):
-        df = spark.read.parquet(str(part))
+    for part, name in _partition_dirs(fs):
+        if not fs.parquet_files(part):
+            continue  # empty dir — nothing to read, don't crash the pass
+        df = spark.read.parquet(part)
         row = df.agg(F.min("ts").alias("lo"), F.count("*").alias("n")).first()
         if row["n"] == 0 or row["lo"] is None or row["lo"] >= min_ts:
             continue  # nothing to expire — partition untouched
         kept = df.filter(F.col("ts") >= min_ts)
         n_kept = kept.count()
         if n_kept == 0:
-            _remove_partition_dir(part)
+            _remove_partition_dir(fs, part)
             dropped[name] = row["n"]
             continue
-        tmp = f"{path}/.expire_tmp_name={part.name.split('=', 1)[1]}"
+        tmp = f"{path}/.expire_tmp_{_basename(part)}"
         kept.write.mode("overwrite").parquet(tmp)
-        _swap_partition_dir(part, tmp)
+        _swap_partition_dir(fs, part, tmp)
         dropped[name] = row["n"] - n_kept
     return dropped
 
@@ -259,72 +366,96 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
     the same crash-safe rename-aside swap as compaction, so a backfill
     of one metric never rewrites — or risks — the rest of the store.
 
-    The merge itself is one union + one window per touched partition:
-    updates tagged priority 0, existing rows 1, ``row_number() over
-    (partition by (series key, ts) order by priority, value desc)`` keeps
-    the winner — the value tie-break makes duplicate (series, ts) rows
-    WITHIN the update batch resolve deterministically (max value wins,
-    the house MAX-dedupe rule) instead of by shuffle layout.
+    The merge is ONE distributed job for the whole batch, however many
+    metrics it touches (the round-5 version launched one job per name,
+    serially — hundreds of sequential job launches for a wide backfill):
+    existing rows of every touched partition are read in one
+    partition-pruned scan (``name IN (...)`` prunes at the Hive-partition
+    level, untouched metrics are never opened), unioned with the updates
+    (priority 0 beats existing 1), deduped by ``row_number() over
+    (partition by (series key, ts) order by priority, value desc)`` — the
+    value tie-break makes duplicate (series, ts) rows WITHIN the update
+    batch resolve deterministically (max value wins, the house MAX-dedupe
+    rule) instead of by shuffle layout — and written once with
+    ``partitionBy("name")`` into a dot-prefixed staging dir. Each staged
+    partition is then swapped live with the same crash-safe rename-aside
+    as compaction (driver-side metadata ops only; brand-new metrics
+    rename straight in). Total job waves: name-collect + merged write ≈ 2,
+    independent of the number of touched partitions.
     Returns the (unescaped) metric names rewritten.
     """
+    import uuid
+
+    fs = _StoreFS(spark, path)
+    _gc_stale_maintenance_dirs(fs)
     # cache: the updates lineage is otherwise re-executed once for the
-    # name collect plus once per touched partition
+    # name collect plus once for the merged write
     updates = updates.cache()
     try:
-        names = [r["name"] for r in updates.select("name").distinct().collect()]
-        existing_dirs = {n: p for p, n in _partition_dirs(path)}
-        touched: list[str] = []
-        for name in sorted(names):
-            upd = updates.filter(F.col("name") == name).drop("name")
-            part = existing_dirs.get(name)
-            if part is None:
-                # brand-new metric: no merge needed, but keep the store's
-                # sorted-by-series-key file layout like every other writer
-                (
-                    upd.withColumn("name", F.lit(name))
-                    .withColumn("_sk", series_key_str(name=F.lit(name)))
-                    .sortWithinPartitions("_sk", "ts")
-                    .drop("_sk")
-                    .write.mode("append")
-                    .partitionBy("name")
-                    .parquet(path)
-                )
-                touched.append(name)
+        names = sorted(
+            r["name"] for r in updates.select("name").distinct().collect()
+        )
+        if not names:
+            return []
+        existing_dirs = {n: p for p, n in _partition_dirs(fs)}
+        touched_existing = [n for n in names if n in existing_dirs]
+
+        merged = updates.withColumn("_prio", F.lit(0))
+        if touched_existing:
+            existing = (
+                read_store(spark, path)
+                .filter(F.col("name").isin(touched_existing))
+                .withColumn("_prio", F.lit(1))
+            )
+            merged = merged.unionByName(existing.select(*merged.columns))
+        merged = merged.withColumn("_sk", series_key_str())
+        w = Window.partitionBy("_sk", "ts").orderBy("_prio", F.col("value").desc())
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+            # ride the window's exchange: a second repartition("name") would
+            # re-shuffle everything just to reduce file count — compaction's
+            # job, not upsert's. Rows within each task are sorted so every
+            # output file keeps the sorted-by-series-key invariant.
+            .sortWithinPartitions("name", "_sk", "ts")
+            .drop("_sk")
+        )
+        stage = f"{path}/.upsert_stage_{uuid.uuid4().hex[:12]}"
+        out.write.mode("overwrite").partitionBy("name").parquet(stage)
+
+        # driver-side swap fan-in: pure FS metadata ops, one per partition
+        fs.fs.mkdirs(fs.root)  # no-op if the store already exists
+        for staged in fs.subdirs(stage):
+            base = _basename(staged)
+            if not base.startswith("name="):
                 continue
-            merged = (
-                upd.withColumn("_prio", F.lit(0))
-                .unionByName(
-                    spark.read.parquet(str(part)).withColumn("_prio", F.lit(1))
-                )
-                .withColumn("_sk", series_key_str(name=F.lit(name)))
-            )
-            w = Window.partitionBy("_sk", "ts").orderBy(
-                "_prio", F.col("value").desc()
-            )
-            out = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_prio", "_rn")
-                .sortWithinPartitions("_sk", "ts")
-                .drop("_sk")
-            )
-            tmp = f"{path}/.upsert_tmp_name={part.name.split('=', 1)[1]}"
-            out.write.mode("overwrite").parquet(tmp)
-            _swap_partition_dir(part, tmp)
-            touched.append(name)
-        return touched
+            name = _unescape_partition(base)
+            live = existing_dirs.get(name)
+            if live is None:
+                fs.rename(staged, f"{path}/{base}")  # brand-new metric
+            else:
+                _swap_partition_dir(fs, live, staged)
+        fs.delete(stage)
+        return names
     finally:
         updates.unpersist()
 
 
 def store_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Integrity manifest: (name, n_rows, content_hash) per partition,
-    where ``content_hash`` is the bit-XOR of each row's
+    where ``content_hash`` is the mod-2^64 SUM of each row's
     ``xxhash64(series key, ts, value)`` — order-insensitive, so any
     re-layout of the same rows (compaction, upsert no-op, replication)
     hashes identically, while one flipped value, lost row, or duplicated
-    row changes it. The scan is embarrassingly parallel (map-side partial
-    XOR, one tiny shuffle of per-partition partials).
+    row changes it. A sum (not XOR — the round-5 design) is multiplicity-
+    sensitive: XOR cancels even-multiplicity changes, so removing two
+    copies of one duplicated row while adding two of another kept both
+    n_rows and the hash unchanged; with a wrapping sum every multiplicity
+    change shifts the digest. The wrap goes through decimal(38,0) + pmod
+    because Spark 4's ANSI mode makes a bigint SUM *error* on overflow
+    rather than wrap. The scan is embarrassingly parallel (map-side
+    partial sums, one tiny shuffle of per-partition partials).
     """
     df = read_store(spark, path)
     return (
@@ -332,7 +463,10 @@ def store_manifest(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("name")
         .agg(
             F.count("*").alias("n_rows"),
-            F.expr("bit_xor(xxhash64(_sk, ts, value))").alias("content_hash"),
+            F.expr(
+                "cast(pmod(sum(cast(xxhash64(_sk, ts, value) as decimal(38,0))),"
+                " 18446744073709551616BD) as decimal(20,0))"
+            ).alias("content_hash"),
         )
     )
 

@@ -402,7 +402,7 @@ def test_store_manifest_detects_tampering(spark, tmp_path):
     # cache-plan matching serve stale data to BOTH sides of the diff
     manifest = spark.createDataFrame(
         store_manifest(spark, store).collect(),
-        "name string, n_rows long, content_hash long",
+        "name string, n_rows long, content_hash decimal(20,0)",
     )
 
     # intact store → empty diff; re-layout (compaction) must NOT trip it
