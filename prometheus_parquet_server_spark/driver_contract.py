@@ -2949,23 +2949,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_sum_rate": q_promql_sum_rate,
     "promql_topk": q_topk,
     "promql_binop": q_promql_binop,
-    "promql_cmp_filter": q_promql_cmp_filter,
-    "promql_set_unless": q_promql_set_unless,
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
     "promql_count_values": q_promql_count_values,
-    "promql_at_modifier": q_promql_at_modifier,
-    "promql_holt_winters": q_promql_holt_winters,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
     "promql_absent": q_promql_absent,
     "promql_subquery": q_promql_subquery,
-    "promql_deriv": q_promql_deriv,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q5ish": q_tpch_q5ish,
+    # round-6 rotation: the six round-5 operator families below moved into
+    # the graded head (driver-certified); the near-duplicate variants they
+    # displaced (deriv≈math-family, at_modifier≈subquery's anchored path,
+    # holt_winters≈deriv-family regression, set_unless/cmp_filter≈binop
+    # matching machinery, tpch_q5ish≈q3 join+agg shape) moved to the
+    # locally-checked tail — every SURVEY §2 row stays in the head.
+    "events_range_join": q_events_range_join,
+    "events_sessionize": q_events_sessionize,
+    "events_rollup": q_events_rollup,
+    "tfidf_topk": q_tfidf_topk,
+    "pipeline_chunks": q_pipeline_chunks,
+    "text_perplexity": q_text_perplexity,
     "dedup_exact_fp": q_dedup_exact_fp,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2991,6 +2997,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mad_ot/changes = over_time-family variants beyond the reference —
     # plus extras beyond the 50-slot graded budget; ALL oracle-checked
     # locally by scripts/check_oracles.py) ----
+    "tpch_q5ish": q_tpch_q5ish,
+    "promql_cmp_filter": q_promql_cmp_filter,
+    "promql_set_unless": q_promql_set_unless,
+    "promql_at_modifier": q_promql_at_modifier,
+    "promql_holt_winters": q_promql_holt_winters,
+    "promql_deriv": q_promql_deriv,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3002,14 +3014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
-    "pipeline_chunks": q_pipeline_chunks,
-    "tfidf_topk": q_tfidf_topk,
-    "events_range_join": q_events_range_join,
-    "events_sessionize": q_events_sessionize,
-    "events_rollup": q_events_rollup,
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
-    "text_perplexity": q_text_perplexity,
     "pipeline_prepare_v2": q_pipeline_prepare_v2,
     "pipeline_curriculum": q_pipeline_curriculum,
     "events_props_json": q_events_props_json,
