@@ -89,9 +89,16 @@ def asof_join(
     # NULL-timestamp right rows can never be "the most recent at-or-before"
     # anything (DuckDB ASOF `l.ts >= r.ts` matches nothing for NULL) — and
     # under the window ordering they would sort FIRST and leak their
-    # payload into every match, so drop them before the union
+    # payload into every match, so drop them before the union. NULL `by`
+    # keys likewise: the ASOF equality `l.k = r.k` is never true for NULL,
+    # but Window.partitionBy groups NULLs into one partition and would
+    # match NULL-keyed left rows to NULL-keyed right rows — drop the
+    # latter so NULL-keyed left rows come back unmatched, like the oracle
+    right_keep = F.col(on).isNotNull()
+    for b in bys:
+        right_keep = right_keep & F.col(b).isNotNull()
     ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
-    r = right.filter(F.col(on).isNotNull()).select(
+    r = right.filter(right_keep).select(
         *bys,
         F.col(on),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in payload],

@@ -33,31 +33,64 @@ def range_join(
     by: tuple[str, ...] = (),
     bucket_width: float = 3600.0,
     inclusive_end: bool = True,
+    max_buckets_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """All (point, interval) pairs with ``start ≤ ts ≤ end`` (or ``< end``
     with ``inclusive_end=False``) and equal ``by`` keys. Output carries
     every point column plus every interval column (names must not clash
     apart from the ``by`` keys). Intervals where ``end < start`` match
-    nothing; NULL bounds match nothing.
+    nothing; NULL or non-finite bounds match nothing (an infinite/sentinel
+    end would otherwise ask ``F.sequence`` to materialize unbounded bucket
+    lists). An interval spanning more than ``max_buckets_per_interval``
+    buckets raises at execution (ANSI error from the guarded sequence)
+    rather than silently OOM-ing an executor — if that trips, the caller's
+    ``bucket_width`` is far too small for their interval lengths.
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if max_buckets_per_interval < 1:
+        raise ValueError(
+            f"max_buckets_per_interval must be >= 1, got {max_buckets_per_interval}"
+        )
     clash = (set(points.columns) & set(intervals.columns)) - set(by)
     if clash:
         raise ValueError(f"column name clash outside by keys: {sorted(clash)}")
     bw = F.lit(float(bucket_width))
-    p = points.withColumn("_bucket", F.floor(F.col(ts_col) / bw))
+    span_buckets = F.floor(F.col(end_col) / bw) - F.floor(F.col(start_col) / bw)
     i = intervals.filter(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
+        & ~F.isnan(F.col(start_col).cast("double"))
+        & ~F.isnan(F.col(end_col).cast("double"))
         & (F.col(end_col) >= F.col(start_col))
-    ).withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bw), F.floor(F.col(end_col) / bw)
+        # non-finite bounds: +/-Inf survives isnan but floor()s to a
+        # sentinel — the span guard below rejects it with a clear error
+    )
+    p = points.withColumn("_bucket", F.floor(F.col(ts_col) / bw))
+    # the guard lives INSIDE the sequence's upper bound — as a separate
+    # projected-then-dropped column Catalyst would prune it as dead code
+    # and the error would never fire
+    guarded_hi = F.when(
+        span_buckets < F.lit(int(max_buckets_per_interval)),
+        F.floor(F.col(end_col) / bw),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join: interval spans too many buckets "
+                    f"(>= {max_buckets_per_interval}) at bucket_width="
+                    f"{bucket_width}; interval ["
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(", "),
+                F.col(end_col).cast("string"),
+                F.lit("] — raise bucket_width or drop sentinel bounds"),
             )
-        ),
+        ).cast("long")
+    )
+    i = i.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(F.col(start_col) / bw), guarded_hi)),
     )
     upper = (
         F.col(ts_col) <= F.col(end_col)

@@ -137,3 +137,19 @@ def test_self_clashing_output_names_rejected(spark):
     right = spark.createDataFrame([(1, 4.0, 2.0)], "k long, ts double, value double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="ts", by=("k",), right_cols=("ts", "value"))
+
+
+def test_null_by_keys_match_nothing(spark):
+    """DuckDB ASOF equality `l.k = r.k` is never true for NULL keys, but
+    Window.partitionBy groups NULLs into one partition — NULL-keyed left
+    rows must come back unmatched, not matched to NULL-keyed right rows
+    (ADVICE r5)."""
+    l = spark.createDataFrame(
+        [(None, 5.0, 1.0), (1, 5.0, 2.0)], "k int, ts double, lv double"
+    )
+    r = spark.createDataFrame(
+        [(None, 1.0, 9.0), (1, 1.0, 8.0)], "k int, ts double, value double"
+    )
+    rows = {row["lv"]: row["value_asof"] for row in asof_join(l, r, by=("k",)).collect()}
+    assert rows[1.0] is None  # NULL key: no match even though a NULL-keyed right row exists
+    assert rows[2.0] == 8.0

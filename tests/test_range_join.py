@@ -74,3 +74,30 @@ def test_plan_has_no_nested_loop(spark, frames):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_huge_span_raises_instead_of_oom(spark, frames):
+    """An interval spanning more buckets than max_buckets_per_interval (a
+    sentinel/infinite end bound, or a bucket_width far below the interval
+    scale) must fail with a clear error, not materialize billions of
+    bucket elements (ADVICE r5)."""
+    points, _ = frames
+    iv = spark.createDataFrame(
+        [(1, 0.0, 1e18, "sentinel")], "k int, start double, end double, iname string"
+    )
+    with pytest.raises(Exception, match="spans too many buckets"):
+        range_join(points, iv, by=("k",), bucket_width=1.0).count()
+    inf = spark.createDataFrame(
+        [(1, 0.0, float("inf"), "inf")], "k int, start double, end double, iname string"
+    )
+    with pytest.raises(Exception, match="spans too many buckets"):
+        range_join(points, inf, by=("k",), bucket_width=1.0).count()
+
+
+def test_nan_bounds_match_nothing(spark, frames):
+    points, _ = frames
+    iv = spark.createDataFrame(
+        [(1, float("nan"), 20.0, "n1"), (1, 0.0, float("nan"), "n2")],
+        "k int, start double, end double, iname string",
+    )
+    assert range_join(points, iv, by=("k",), bucket_width=4.0).count() == 0
