@@ -100,6 +100,7 @@ def curriculum_stages(
     n_stages: int = 4,
     score_col: str = "avg_neg_logp",
     ascending: bool = True,
+    exact: bool = True,
 ) -> DataFrame:
     """Curriculum-learning stage assignment: band rows into ``n_stages``
     quantile stages of ``score_col`` (stage 1 = easiest/lowest score when
@@ -112,15 +113,26 @@ def curriculum_stages(
     Cutpoints are rounded to 6 (like the scores they cut) so the banding
     is engine-replayable; boundary rows (score == cutpoint) go to the
     LOWER stage (``<=`` banding).
+
+    ``exact=True`` (the oracle-pinned default) uses ``percentile``, which
+    buffers every value of the corpus on one reducer to interpolate — fine
+    to ~10^8 rows, an executor-memory cliff at 10^11. ``exact=False``
+    switches the cutpoint aggregate to ``percentile_approx`` (GK sketch,
+    bounded memory, mergeable partials — the 100 TB path); stage
+    boundaries then shift by at most the sketch's rank error (≤1/10000
+    of the corpus at the accuracy used here), and only rows within that
+    sliver of a cutpoint can band differently.
     """
     if n_stages < 1:
         raise ValueError(f"n_stages must be >= 1, got {n_stages}")
     if n_stages == 1:
         return scores.withColumn("stage", F.lit(1))
     qs = [i / n_stages for i in range(1, n_stages)]
+    pct = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else ", 10000"
     cuts_row = scores.agg(
         *[
-            F.round(F.expr(f"percentile({score_col}, {q!r})"), 6).alias(f"c{i}")
+            F.round(F.expr(f"{pct}({score_col}, {q!r}{acc})"), 6).alias(f"c{i}")
             for i, q in enumerate(qs)
         ]
     ).first()

@@ -1,0 +1,125 @@
+"""ANN quality gate: measure recall against exact brute force (VERDICT r5 #5).
+
+ann_lsh_topk / ivf_topk correctness rows are hash-exact vs oracles that
+replay the same approximation — they prove determinism, not quality. These
+tests measure how good the approximation actually is on the sf0.01
+embeddings (500 vectors, dim 64, clustered by label):
+
+- IVF recall@10 at the graded n_probe=4 setting and the n_probe=8 setting,
+  with the monotonicity the cell-probing design promises;
+- banded sign-LSH pair recall vs the closed-form prediction lsh_geometry
+  optimizes for — the measured/predicted gap is the test of the
+  random-hyperplane collision model itself.
+
+Measured numbers are recorded in EXPLAIN.md §15.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_lsh_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+    lsh_geometry,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(50)
+        .select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def truth(emb, probes):
+    return {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=10).collect()
+    }
+
+
+def _recall(df, truth):
+    got = {(r["probe_id"], r["neighbor_id"]) for r in df.collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_ivf_recall_at_10(emb, probes, truth):
+    r4 = _recall(ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=4), truth)
+    r8 = _recall(ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=8), truth)
+    # measured 0.668 / 0.836 on this corpus — floors sit a little under
+    # so centroid-seed jitter doesn't flake the gate
+    assert r4 >= 0.60, f"ivf n_probe=4 recall@10 = {r4:.3f}"
+    assert r8 >= 0.78, f"ivf n_probe=8 recall@10 = {r8:.3f}"
+    assert r8 > r4, "probing more cells must not lose neighbors"
+
+
+def test_lsh_bucketed_topk_recall_floor(emb, probes, truth):
+    """Single-bucket LSH top-k is the cheap/low-recall end of the family
+    (expected corpus fraction scanned = 2^-planes); it must still beat a
+    random-candidates floor. Measured 0.106 at 4 planes."""
+    r = _recall(lsh_bucketed_topk(emb, probes, k=10, num_planes=4), truth)
+    assert r >= 0.05, f"lsh_bucketed_topk recall@10 = {r:.3f}"
+
+
+def test_banded_lsh_recall_matches_geometry_prediction(spark, emb):
+    """lsh_geometry promises recall >= target at the threshold via the
+    random-hyperplane model p = 1 - acos(tau)/pi; measured pair recall on
+    real data must sit within tolerance of the closed-form prediction
+    (measured 0.919 vs predicted 0.901 at tau=.35/target .9; 0.993 vs
+    0.990 at target .99)."""
+    cos_expr = (
+        "round(aggregate(zip_with(a.embedding, b.embedding,"
+        " (x,y)->cast(x as double)*cast(y as double)), cast(0 as double),"
+        " (acc,v)->acc+v) / (sqrt(aggregate(a.embedding, cast(0 as double),"
+        " (acc,v)->acc+cast(v as double)*cast(v as double)))"
+        " * sqrt(aggregate(b.embedding, cast(0 as double),"
+        " (acc,v)->acc+cast(v as double)*cast(v as double)))), 6)"
+    )
+    all_pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.expr(cos_expr).alias("cos"))
+        .cache()
+    )
+    try:
+        n = emb.count()
+        for tau, target in ((0.35, 0.9), (0.35, 0.99)):
+            bands, ppb = lsh_geometry(n, tau, target_recall=target)
+            p = 1.0 - math.acos(tau) / math.pi
+            predicted = 1.0 - (1.0 - p**ppb) ** bands
+            exact = all_pairs.filter(F.col("cos") >= tau).count()
+            found = embedding_lsh_pairs(emb, tau, bands, ppb).count()
+            measured = found / exact
+            assert exact > 100  # enough true pairs for the estimate to mean anything
+            # prediction is the worst case AT tau; pairs above tau collide
+            # more often, so measured should not undershoot by much
+            assert measured >= predicted - 0.05, (
+                f"tau={tau} target={target}: measured {measured:.3f} vs "
+                f"predicted {predicted:.3f} with geometry ({bands},{ppb})"
+            )
+            assert measured <= 1.0
+    finally:
+        all_pairs.unpersist()

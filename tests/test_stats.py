@@ -122,3 +122,25 @@ def test_curriculum_stages_banding(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curriculum_stages(df, 0)
+
+
+def test_curriculum_approx_bands_nearly_identically(spark):
+    """The percentile_approx escape hatch (the 100 TB path — bounded
+    memory, mergeable sketch) must band >=99% of rows identically to the
+    exact oracle-pinned default at sf0.01 scale (VERDICT r5 #4)."""
+    from prometheus_parquet_server_spark.pipeline.lm_score import (
+        curriculum_stages,
+        perplexity_scores,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scores = perplexity_scores(docs).select("doc_id", "avg_neg_logp")
+    exact = curriculum_stages(scores, 4).select("doc_id", "stage")
+    approx = curriculum_stages(scores, 4, exact=False).select(
+        "doc_id", F.col("stage").alias("stage_a")
+    )
+    joined = exact.join(approx, "doc_id")
+    total = joined.count()
+    same = joined.filter(F.col("stage") == F.col("stage_a")).count()
+    assert total > 0
+    assert same / total >= 0.99, f"only {same}/{total} rows band identically"
