@@ -2,6 +2,15 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--steady`` (or BENCH_STEADY=1) runs each query N=3 times in ONE warm
+session and reports the per-query MINIMUM — the steady-state protocol
+BASELINE.md's round table needs: single cold runs on a shared host wobble
+up to 1.9x run-to-run (promql_binop measured 5.7-10.6 s across identical
+binaries), so cold-run deltas under ~2x are host noise, while min-of-3
+warm isolates real plan regressions. The default (cold single run) stays
+the driver-recorded mode so BENCH_r*.json remains comparable across
+rounds; steady runs add {"mode": "steady", "runs": 3} to the JSON.
 """
 
 from __future__ import annotations
@@ -63,6 +72,8 @@ def _materialize(df) -> int:
 
 
 def main() -> None:
+    steady = "--steady" in sys.argv or os.environ.get("BENCH_STEADY") == "1"
+    runs = 3 if steady else 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -73,22 +84,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if steady:
+        out["mode"] = "steady"
+        out["runs"] = runs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -12,6 +12,16 @@ from prometheus_parquet_server_spark.sources.filesource import (
 )
 from prometheus_parquet_server_spark.sources.ingest import wide_to_long
 from prometheus_parquet_server_spark.sources.retag import read_mapping
+from prometheus_parquet_server_spark.sources.snapshot_store import (
+    ConcurrentWriteError,
+    snapshot_compact,
+    snapshot_history,
+    snapshot_read,
+    snapshot_upsert,
+    snapshot_vacuum,
+    snapshot_version,
+    snapshot_write,
+)
 from prometheus_parquet_server_spark.sources.store import (
     compact_store,
     expire_store,
@@ -44,4 +54,12 @@ __all__ = [
     "upsert_store",
     "verify_store_manifest",
     "ingest_zip",
+    "ConcurrentWriteError",
+    "snapshot_compact",
+    "snapshot_history",
+    "snapshot_read",
+    "snapshot_upsert",
+    "snapshot_vacuum",
+    "snapshot_version",
+    "snapshot_write",
 ]

@@ -1,0 +1,376 @@
+"""Snapshot store — a commit-protocol table format for object-store safety.
+
+The directory-swap store (:mod:`.store`) is crash-safe only where rename is
+atomic (local/HDFS). This module is the table-format answer the 100 TB
+deployment on an object store needs (the pattern behind Delta/Iceberg,
+re-implemented minimally from public knowledge): data files are IMMUTABLE
+and never renamed; every change publishes a new single-file JSON manifest
+whose creation is the commit point. Readers resolve the highest committed
+manifest and read exactly the files it lists — a half-finished writer is
+invisible because its manifest was never created, regardless of filesystem
+rename semantics.
+
+Layout::
+
+    <root>/data/tx_<uuid>/part-*.parquet   immutable data files
+    <root>/_snapshots/v0000000001.json     manifest (the commit)
+
+Manifest: ``{"version", "parent", "operation", "files": [{"path",
+"n_rows", "min_name", "max_name", "min_ts", "max_ts"}]}``. Per-file
+name/ts ranges give MANIFEST-LEVEL FILE PRUNING: a selector for one metric
+or time range plans a scan over only the intersecting files — the same
+planning-time pruning Hive partitioning gives the swap store, without
+relying on directory layout (and it composes: data files are written
+name-clustered, so a one-metric read usually touches one file per commit).
+
+Concurrency: the manifest is created with ``FileSystem.create(path,
+overwrite=false)`` — atomic on HDFS/local, conditional-PUT on modern S3 —
+so two writers racing to version N+1 see exactly one winner.  Appends
+retry against the new tip (their file set is still valid); conflicting
+upserts/overwrites raise ``ConcurrentWriteError`` for the caller to retry
+at the merge level (serializable semantics, no lost updates).
+
+Reference parity: same canonical long model as the swap store
+(``TimeSeriesCollection``, src/timeseries.rs:396-445); this is the sink
+side scaled past the reference's single-node filesystem assumptions.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.model import series_key_str
+from prometheus_parquet_server_spark.sources.store import _StoreFS, read_store
+
+_SNAP_DIR = "_snapshots"
+_MAX_COMMIT_RETRIES = 10
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this transaction's read and its
+    commit attempt, and the operation cannot be blindly rebased
+    (overwrite/upsert). Re-run the operation against the new tip."""
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return f"{root}/{_SNAP_DIR}/v{version:010d}.json"
+
+
+def _list_versions(fs: _StoreFS, root: str) -> list[int]:
+    snap = f"{root}/{_SNAP_DIR}"
+    if not fs.exists(snap):
+        return []
+    out = []
+    for st in fs.fs.listStatus(fs.jpath(snap)):
+        base = str(st.getPath()).rsplit("/", 1)[-1]
+        if base.startswith("v") and base.endswith(".json"):
+            try:
+                out.append(int(base[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(fs: _StoreFS, root: str, version: int) -> dict:
+    stream = fs.fs.open(fs.jpath(_manifest_path(root, version)))
+    try:
+        # commons-io is on Spark's classpath; a py4j byte[] comes back as
+        # Python bytes. (Reading into a Python bytearray would NOT work:
+        # py4j passes a copy to Java, so read(buf) can't fill it.)
+        data = bytes(fs._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
+    """Atomic publish: create-if-absent of the version file IS the commit.
+    Returns False if that exact version was taken by a racing writer."""
+    path = fs.jpath(_manifest_path(root, manifest["version"]))
+    fs.fs.mkdirs(fs.jpath(f"{root}/{_SNAP_DIR}"))
+    try:
+        stream = fs.fs.create(path, False)  # overwrite=False → exclusive
+    except Exception:
+        return False
+    try:
+        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        stream.close()
+    return True
+
+
+def snapshot_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version, or None for an uninitialized store."""
+    fs = _StoreFS(spark, path)
+    versions = _list_versions(fs, path)
+    return versions[-1] if versions else None
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """(version, parent, operation, n_files, n_rows) per committed
+    snapshot — the audit trail time travel reads."""
+    fs = _StoreFS(spark, path)
+    rows = []
+    for v in _list_versions(fs, path):
+        m = _read_manifest(fs, path, v)
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                m.get("operation", "?"),
+                len(m["files"]),
+                sum(f["n_rows"] for f in m["files"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version long, parent long, operation string, n_files long, n_rows long"
+    )
+
+
+def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dict]:
+    """Write ``df`` as immutable name-clustered data files under a fresh
+    tx dir and return their manifest entries (per-file row count and
+    name/ts ranges, computed by ONE narrow aggregate over the files just
+    written — no footer parsing, no driver loop)."""
+    tx = f"{path}/data/tx_{uuid.uuid4().hex[:12]}"
+    (
+        df.repartition("name")  # whole metrics per file → tight name ranges
+        .withColumn("_sk", series_key_str())
+        .sortWithinPartitions("name", "_sk", "ts")
+        .drop("_sk")
+        .write.mode("overwrite")
+        .parquet(tx)
+    )
+    stats = (
+        spark.read.parquet(tx)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("name").alias("min_name"),
+            F.max("name").alias("max_name"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "path": r["path"],
+            "n_rows": r["n_rows"],
+            "min_name": r["min_name"],
+            "max_name": r["max_name"],
+            "min_ts": r["min_ts"],
+            "max_ts": r["max_ts"],
+        }
+        for r in stats
+    ]
+
+
+def snapshot_write(
+    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new snapshot. ``mode='append'`` adds its files to
+    the current file set (and survives commit races by rebasing onto the
+    new tip — an append's file list is valid against any parent);
+    ``mode='overwrite'`` replaces the file set entirely (a race raises
+    :class:`ConcurrentWriteError`). Returns the committed version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    fs = _StoreFS(spark, path)
+    new_files = _write_data_files(spark, path, df)
+    expected = snapshot_version(spark, path)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = snapshot_version(spark, path)
+        if mode == "overwrite" and parent != expected:
+            raise ConcurrentWriteError(
+                f"overwrite prepared against v{expected} but tip moved to v{parent}"
+            )
+        base = (
+            _read_manifest(fs, path, parent)["files"]
+            if (mode == "append" and parent is not None)
+            else []
+        )
+        manifest = {
+            "version": (parent or 0) + 1,
+            "parent": parent,
+            "operation": mode,
+            "files": base + new_files,
+        }
+        if _try_commit(fs, path, manifest):
+            return manifest["version"]
+    raise ConcurrentWriteError(
+        f"lost {_MAX_COMMIT_RETRIES} straight commit races on {path}"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    names: list[str] | None = None,
+    ts_range: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Read a snapshot (latest, or ``version`` for time travel), planning
+    the scan over only the files whose manifest name/ts ranges intersect
+    the ``names`` / ``ts_range`` predicates — file pruning at the driver
+    from manifest stats alone, before any footer is opened. The residual
+    row-level filter is applied too, so the result is exact."""
+    fs = _StoreFS(spark, path)
+    if version is None:
+        version = snapshot_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    m = _read_manifest(fs, path, version)
+    files = m["files"]
+    if names is not None:
+        files = [
+            f for f in files if any(f["min_name"] <= n <= f["max_name"] for n in names)
+        ]
+    if ts_range is not None:
+        lo, hi = ts_range
+        files = [f for f in files if f["max_ts"] >= lo and f["min_ts"] <= hi]
+    if not files:
+        empty = _read_manifest(fs, path, version)["files"]
+        if not empty:
+            raise FileNotFoundError(f"snapshot v{version} of {path} is empty")
+        schema = spark.read.parquet(empty[0]["path"]).schema
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*[f["path"] for f in files])
+    if names is not None:
+        df = df.filter(F.col("name").isin(names))
+    if ts_range is not None:
+        df = df.filter(F.col("ts").between(ts_range[0], ts_range[1]))
+    return df
+
+
+def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
+    """Merge ``updates`` (replace same (series key, ts); append new) and
+    commit. Only files whose name range intersects the touched metrics are
+    rewritten; every other file carries over by reference — the rewrite
+    cost is proportional to the touched data, not the store. A commit race
+    raises :class:`ConcurrentWriteError` (the merge read a tip that moved;
+    blind rebase could lose the racer's rows)."""
+    fs = _StoreFS(spark, path)
+    updates = updates.cache()
+    try:
+        names = sorted(
+            r["name"] for r in updates.select("name").distinct().collect()
+        )
+        if not names:
+            return snapshot_version(spark, path) or 0
+        parent = snapshot_version(spark, path)
+        base_files: list[dict] = (
+            _read_manifest(fs, path, parent)["files"] if parent is not None else []
+        )
+        touched = [
+            f
+            for f in base_files
+            if any(f["min_name"] <= n <= f["max_name"] for n in names)
+        ]
+        kept = [f for f in base_files if f not in touched]
+        merged = updates.withColumn("_prio", F.lit(0))
+        if touched:
+            existing = spark.read.parquet(*[f["path"] for f in touched]).withColumn(
+                "_prio", F.lit(1)
+            )
+            merged = merged.unionByName(existing.select(*merged.columns))
+        merged = merged.withColumn("_sk", series_key_str())
+        w = Window.partitionBy("_sk", "ts").orderBy("_prio", F.col("value").desc())
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn", "_sk")
+        )
+        new_files = _write_data_files(spark, path, out)
+        manifest = {
+            "version": (parent or 0) + 1,
+            "parent": parent,
+            "operation": "upsert",
+            "files": kept + new_files,
+        }
+        if not _try_commit(fs, path, manifest):
+            raise ConcurrentWriteError(
+                f"upsert prepared against v{parent} but v{manifest['version']} "
+                f"already exists — re-run against the new tip"
+            )
+        return manifest["version"]
+    finally:
+        updates.unpersist()
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """Rewrite the current file set into ~target-sized name-clustered files
+    and commit; content is bit-identical (same rows, new layout), old
+    versions still read the old files (time travel keeps working until
+    :func:`snapshot_vacuum` reclaims them). Returns the new version, or
+    None if there was nothing to compact."""
+    parent = snapshot_version(spark, path)
+    if parent is None:
+        return None
+    fs = _StoreFS(spark, path)
+    base = _read_manifest(fs, path, parent)["files"]
+    if len(base) <= 1:
+        return None
+    df = spark.read.parquet(*[f["path"] for f in base])
+    new_files = _write_data_files(spark, path, df)
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "operation": "compact",
+        "files": new_files,
+    }
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"compact prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
+def snapshot_vacuum(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> list[str]:
+    """Reclaim storage: drop all but the last ``keep_last`` manifests and
+    delete every data file (and empty tx dir) no kept manifest references
+    — including files orphaned by crashed writers that never committed.
+    This is the ONLY operation that deletes data, and it only deletes what
+    no committed-and-kept snapshot can reach. Returns deleted paths."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    fs = _StoreFS(spark, path)
+    versions = _list_versions(fs, path)
+    if not versions:
+        return []
+    kept_versions = versions[-keep_last:]
+
+    def norm(p: str) -> str:
+        # input_file_name() says file:///x, FS listings say file:/x —
+        # compare the URI path component only
+        return str(fs.jpath(p).toUri().getPath())
+
+    live_norm: set[str] = set()
+    for v in kept_versions:
+        live_norm.update(norm(f["path"]) for f in _read_manifest(fs, path, v)["files"])
+    deleted: list[str] = []
+    for v in versions[: -keep_last or None]:
+        if v not in kept_versions:
+            fs.delete(_manifest_path(path, v))
+            deleted.append(_manifest_path(path, v))
+    data_root = f"{path}/data"
+    if fs.exists(data_root):
+        for tx in fs.subdirs(data_root):
+            files = fs.parquet_files(tx)
+            dead = [p for p, _ in files if norm(p) not in live_norm]
+            for p in dead:
+                fs.delete(p)
+                deleted.append(p)
+            if len(dead) == len(files):
+                fs.delete(tx)  # tx dir fully unreferenced
+    return deleted

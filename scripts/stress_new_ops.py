@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Scale stress for the round-5 relational/temporal operators: 20M
-synthetic events across 100k users (generated with spark.range — no I/O
-bias), timing asof_join, range_join, sessionize_batch, and the rollup
-cascade. The question each timing answers: does the operator's single
-planned shuffle actually carry a 20M-row load on local[32], i.e. is the
-plan shape the one that survives a 100× scale-up (EXPLAIN.md round-5
-section records the numbers).
+"""Scale stress for the relational/temporal operators: N synthetic events
+across N/200 users (generated with spark.range — no I/O bias), timing
+asof_join, range_join (uniform AND deliberately skewed), sessionize_batch,
+and the rollup cascade. The question each timing answers: does the
+operator's single planned shuffle actually carry the load on local[32],
+i.e. is the plan shape the one that survives a 100x scale-up. Each op also
+reports its physical Exchange count — the shuffle budget the docstrings
+claim. BASELINE.md's stress table records the numbers.
+
+Usage: python scripts/stress_new_ops.py [N]   (default 20_000_000; the
+round-6 run used 100_000_000)
 """
 
 from __future__ import annotations
@@ -23,16 +27,15 @@ from prometheus_parquet_server_spark.operators.range_join import range_join
 from prometheus_parquet_server_spark.operators.rollup import rollup_cascade
 from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
 
-N = 20_000_000
-USERS = 100_000
-
 
 def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    users = max(1000, n // 200)
     spark = get_spark("stress-new-ops")
     ev = (
-        spark.range(N)
+        spark.range(n)
         .select(
-            (F.col("id") % USERS).alias("user_id"),
+            (F.col("id") % users).alias("user_id"),
             # deterministic pseudo-times: spread over ~30 days, jittered
             (
                 (F.col("id") % 2_592_000).cast("double")
@@ -45,18 +48,28 @@ def main() -> None:
     )
     ev.count()  # materialize the cache outside the timings
 
-    def timed(name, df):
+    def timed(name, df, rows_in):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        exchanges = plan.count("Exchange")
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
-        print(f"{name}: {time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        print(
+            f"{name}: {dt:.1f}s  {rows_in / dt / 1e6:.1f}M rows/s  "
+            f"exchanges={exchanges}"
+        )
 
     clicks = ev.filter(F.col("kind") == "click").select("user_id", "ts", "value")
     purchases = ev.filter(F.col("kind") == "purchase").select(
         "user_id", "ts", F.col("value").alias("pv")
     )
+    nm = n // 1_000_000
     timed(
-        f"asof_join ({N // 1_000_000}M rows, {USERS // 1000}k keys)",
+        f"asof_join ({nm}M rows, {users // 1000}k keys)",
         asof_join(clicks, purchases, on="ts", by=("user_id",), right_cols=("pv",)),
+        n,
     )
     # deterministic map-side predicate, NOT limit(): a GlobalLimit funnels
     # the interval side through one task and would distort the timing
@@ -64,21 +77,41 @@ def main() -> None:
         "user_id", F.col("ts").alias("start"), (F.col("ts") + 300.0).alias("end")
     )
     timed(
-        "range_join (16M points x 2M intervals, 300s windows)",
+        f"range_join ({nm * 4 // 5}M points x {nm // 10}M intervals, 300s windows)",
         range_join(clicks, windows, by=("user_id",), bucket_width=300.0),
+        n,
+    )
+    # skew: ONE user owns every 10th interval — a hot key that a plain
+    # (user, bucket) shuffle must survive. The bucket component of the join
+    # key spreads the hot user across time buckets, which is exactly the
+    # built-in salt the docstring claims; this timing proves it.
+    hot = purchases.select(
+        F.when(F.col("user_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")).alias("user_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + 300.0).alias("end"),
+    )
+    hot_clicks = clicks.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")),
     )
     timed(
-        "sessionize_batch (20M rows)",
+        f"range_join SKEWED (hot key holds ~10% of both sides)",
+        range_join(hot_clicks, hot, by=("user_id",), bucket_width=300.0),
+        n,
+    )
+    timed(
+        f"sessionize_batch ({nm}M rows)",
         sessionize_batch(
             ev.select("user_id", F.col("ts").alias("ts_s"), "value"), gap_s=60.0
         ),
+        n,
     )
     levels = rollup_cascade(
         ev.select(F.col("kind").alias("event_type"), "ts", "value"),
         (60.0, 3600.0, 86400.0),
         by=("event_type",),
     )
-    timed("rollup_cascade day level (20M rows)", levels[86400.0])
+    timed(f"rollup_cascade day level ({nm}M rows)", levels[86400.0], n)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,164 @@
+"""Commit-protocol snapshot store: atomic manifests, pruning, time travel.
+
+The object-store-safe table format (sources/snapshot_store.py): commits
+are create-if-absent manifest files, data files are immutable, readers
+see only committed state. These tests pin the commit atomicity story the
+directory-swap store cannot offer on object stores.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.sources.snapshot_store import (
+    ConcurrentWriteError,
+    snapshot_compact,
+    snapshot_history,
+    snapshot_read,
+    snapshot_upsert,
+    snapshot_vacuum,
+    snapshot_version,
+    snapshot_write,
+)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts double, value double"
+    )
+
+
+def test_write_read_append_and_time_travel(spark, tmp_path):
+    store = f"file://{tmp_path}/snap"
+    v1 = snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    v2 = snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+    assert (v1, v2) == (1, 2)
+    assert snapshot_version(spark, store) == 2
+    assert snapshot_read(spark, store).count() == 2
+    # time travel: v1 predates the append
+    assert snapshot_read(spark, store, version=1).count() == 1
+    hist = {r["version"]: r["operation"] for r in snapshot_history(spark, store).collect()}
+    assert hist == {1: "overwrite", 2: "append"}
+
+
+def test_uncommitted_writer_is_invisible(spark, tmp_path):
+    """Data files without a committed manifest must never surface — the
+    core object-store guarantee (no rename atomicity needed)."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    # simulate a crashed writer: data files land, manifest never created
+    mk(spark, [("ghost", {}, 9.0, 9.0)]).write.parquet(
+        f"{store}/data/tx_crashed0001"
+    )
+    df = snapshot_read(spark, store)
+    assert df.count() == 1
+    assert [r["name"] for r in df.collect()] == ["a"]
+    # vacuum reclaims the orphan
+    deleted = snapshot_vacuum(spark, store, keep_last=1)
+    assert any("tx_crashed0001" in p for p in deleted)
+    assert snapshot_read(spark, store).count() == 1
+
+
+def test_commit_race_one_winner(spark, tmp_path):
+    """Two writers racing to the same version: exactly one wins; the
+    append retries onto the new tip, the overwrite refuses."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _try_commit,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    fs = _StoreFS(spark, store)
+    # steal version 2 out from under the next writer
+    m2 = {"version": 2, "parent": 1, "operation": "test", "files": []}
+    assert _try_commit(fs, store, m2)
+    # same version again → loser
+    assert not _try_commit(fs, store, m2)
+    # an append rebases: lands at v3
+    v = snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+    assert v == 3
+
+
+def test_upsert_rewrites_only_touched_files(spark, tmp_path):
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("b", {}, 1.0, 2.0)]))
+    v = snapshot_upsert(
+        spark, store, mk(spark, [("b", {}, 1.0, 99.0), ("c", {}, 1.0, 3.0)])
+    )
+    assert v == 3
+    rows = {
+        (r["name"], r["ts"]): r["value"] for r in snapshot_read(spark, store).collect()
+    }
+    assert rows == {("a", 1.0): 1.0, ("b", 1.0): 99.0, ("c", 1.0): 3.0}
+    # 'a' file carried over by reference: same path in v2 and v3 manifests
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+    )
+
+    fs = _StoreFS(spark, store)
+    paths = lambda v: {
+        f["path"] for f in _read_manifest(fs, store, v)["files"] if f["min_name"] == "a"
+    }
+    assert paths(2) == paths(3) != set()
+
+
+def test_manifest_level_file_pruning(spark, tmp_path):
+    """A one-metric read must plan over only the files whose manifest name
+    range covers that metric — no other file paths reach the scan."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(
+        spark, store, mk(spark, [("m1", {}, float(t), 1.0) for t in range(5)]),
+        mode="overwrite",
+    )
+    snapshot_write(spark, store, mk(spark, [("m2", {}, float(t), 2.0) for t in range(5)]))
+    df = snapshot_read(spark, store, names=["m1"])
+    assert df.count() == 5
+    scanned = df.select(F.input_file_name()).distinct().collect()
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+    )
+
+    fs = _StoreFS(spark, store)
+    m2_files = {
+        f["path"].split("://", 1)[-1]
+        for f in _read_manifest(fs, store, 2)["files"]
+        if f["min_name"] == "m2"
+    }
+    for r in scanned:
+        assert r[0].split("://", 1)[-1] not in m2_files
+    # ts pruning composes
+    assert snapshot_read(spark, store, ts_range=(3.0, 4.0)).count() == 4
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    store = f"file://{tmp_path}/snap"
+    for i in range(3):
+        snapshot_write(
+            spark, store, mk(spark, [("m", {}, float(i), float(i))]),
+            mode="overwrite" if i == 0 else "append",
+        )
+    before = sorted(
+        (r["ts"], r["value"]) for r in snapshot_read(spark, store).collect()
+    )
+    v = snapshot_compact(spark, store, target_file_bytes=1 << 30)
+    assert v == 4
+    after = sorted((r["ts"], r["value"]) for r in snapshot_read(spark, store).collect())
+    assert before == after
+    # old version still readable until vacuumed
+    assert snapshot_read(spark, store, version=3).count() == 3
+    snapshot_vacuum(spark, store, keep_last=1)
+    with pytest.raises(Exception):
+        snapshot_read(spark, store, version=3).count()
+    assert snapshot_read(spark, store).count() == 3
+
+
+def test_vacuum_keep_last_guard(spark, tmp_path):
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    with pytest.raises(ValueError):
+        snapshot_vacuum(spark, store, keep_last=0)
