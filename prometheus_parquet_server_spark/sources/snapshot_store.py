@@ -334,6 +334,46 @@ def snapshot_compact(
     return manifest["version"]
 
 
+def snapshot_expire(
+    spark: SparkSession, path: str, min_ts: float
+) -> int | None:
+    """Retention commit: drop every sample with ``ts < min_ts``. Files
+    whose manifest ``max_ts`` is already below the cutoff are dropped
+    WITHOUT ANY DATA SCAN — pure manifest arithmetic at the driver, which
+    is the point of carrying per-file ts ranges: steady-state retention on
+    an append-mostly store is O(metadata), not O(data). Only files
+    STRADDLING the cutoff are read and rewritten filtered; untouched files
+    carry over by reference. Returns the committed version, or None if
+    nothing was expirable."""
+    parent = snapshot_version(spark, path)
+    if parent is None:
+        return None
+    fs = _StoreFS(spark, path)
+    base = _read_manifest(fs, path, parent)["files"]
+    dead = [f for f in base if f["max_ts"] < min_ts]
+    straddle = [f for f in base if f["min_ts"] < min_ts <= f["max_ts"]]
+    if not dead and not straddle:
+        return None
+    kept = [f for f in base if f not in dead and f not in straddle]
+    new_files: list[dict] = []
+    if straddle:
+        survivors = spark.read.parquet(*[f["path"] for f in straddle]).filter(
+            F.col("ts") >= min_ts
+        )
+        new_files = _write_data_files(spark, path, survivors)
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "operation": "expire",
+        "files": kept + new_files,
+    }
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"expire prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
 def snapshot_vacuum(
     spark: SparkSession, path: str, keep_last: int = 1
 ) -> list[str]:

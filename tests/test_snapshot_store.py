@@ -162,3 +162,93 @@ def test_vacuum_keep_last_guard(spark, tmp_path):
     snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
     with pytest.raises(ValueError):
         snapshot_vacuum(spark, store, keep_last=0)
+
+
+def test_expire_drops_whole_files_without_scan(spark, tmp_path):
+    """Files entirely below the cutoff drop by manifest arithmetic; only
+    straddling files are rewritten; clean files carry over by reference."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+        snapshot_expire,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    # three commits: old (ts 0-4), straddling (ts 8-12), fresh (ts 20-24)
+    snapshot_write(spark, store, mk(spark, [("m", {}, float(t), 1.0) for t in range(5)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("m", {}, float(t), 2.0) for t in range(8, 13)]))
+    snapshot_write(spark, store, mk(spark, [("m", {}, float(t), 3.0) for t in range(20, 25)]))
+    fs = _StoreFS(spark, store)
+    fresh_paths = {
+        f["path"] for f in _read_manifest(fs, store, 3)["files"] if f["min_ts"] >= 20
+    }
+
+    v = snapshot_expire(spark, store, min_ts=10.0)
+    assert v == 4
+    rows = sorted(r["ts"] for r in snapshot_read(spark, store).collect())
+    assert rows == [10.0, 11.0, 12.0, 20.0, 21.0, 22.0, 23.0, 24.0]
+    after = _read_manifest(fs, store, 4)["files"]
+    # the fresh file was carried by reference, not rewritten
+    assert fresh_paths <= {f["path"] for f in after}
+    # nothing left to expire → no-op returns None, no empty commit
+    assert snapshot_expire(spark, store, min_ts=10.0) is None
+    assert snapshot_version(spark, store) == 4
+
+
+def test_threaded_append_race_lands_both_commits(spark, tmp_path):
+    """Two genuinely concurrent appends: the create-if-absent commit makes
+    exactly one win each version; the loser rebases. Both datasets land."""
+    import threading
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("base", {}, 0.0, 0.0)]), mode="overwrite")
+    errors = []
+
+    def append(name):
+        try:
+            snapshot_write(spark, store, mk(spark, [(name, {}, 1.0, 1.0)]))
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    ts = [threading.Thread(target=append, args=(f"t{i}",)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert snapshot_version(spark, store) == 5
+    names = {r["name"] for r in snapshot_read(spark, store).collect()}
+    assert names == {"base", "t0", "t1", "t2", "t3"}
+
+
+def test_streaming_drains_into_snapshot_store(spark, tmp_path):
+    """foreachBatch + availableNow through snapshot_write: live ingest
+    composes with the table format; every micro-batch is one atomic
+    commit and a reader mid-stream sees only whole batches."""
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_events_as_metrics,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    store = f"file://{tmp_path}/snap"
+    metrics = stream_events_as_metrics(spark, sf_dir).select(
+        "name",
+        "labels",
+        F.unix_timestamp("event_time").cast("double").alias("ts"),
+        "value",
+    )
+
+    def sink(batch_df, batch_id):
+        snapshot_write(batch_df.sparkSession, store, batch_df)
+
+    q = (
+        metrics.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert snapshot_read(spark, store).count() == batch_n
+    assert snapshot_version(spark, store) >= 1
