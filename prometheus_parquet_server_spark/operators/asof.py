@@ -41,17 +41,32 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | None = None,
     suffix: str = "_asof",
+    chunk_s: float | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns, plus ``<c><suffix>`` for each of
     ``right_cols`` and ``<on><suffix>`` (the matched right timestamp) —
     NULL where no right row qualifies (or the match falls outside
     ``tolerance``, measured in ``on`` units). Rows with a NULL timestamp
     match nothing on either side — the DuckDB ASOF comparison semantics.
+
+    ``chunk_s`` is the hot-key escape hatch: the default single window
+    partitions on ``by`` alone, so ONE key holding billions of rows
+    funnels through one task — the classic skew wall. With ``chunk_s``
+    set, rows partition on ``(by, floor(on / chunk_s))`` instead, every
+    partition is bounded by the chunk's row count, and correctness is
+    restored by seeding each chunk with a carry-in row: the last (first,
+    for ``forward``) right row of all earlier (later) chunks, computed on
+    the tiny per-(key, chunk) seed frame and cascaded with one cheap
+    window there. Costs two extra small shuffles (distinct chunk keys +
+    the seed cascade); identical results to the unchunked path for any
+    chunk width (pinned by tests).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if tolerance is not None and tolerance < 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    if chunk_s is not None and chunk_s <= 0:
+        raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
     bys = list(by)
     payload = [c for c in left.columns if c not in bys and c != on]
     out_cols = [f"{c}{suffix}" for c in right_cols]
@@ -62,7 +77,7 @@ def asof_join(
             f"asof output names collide among themselves: {outs} "
             f"(right_cols must not contain the on column or duplicates)"
         )
-    clash = set(left.columns) & ({*outs, "_side", "_r"})
+    clash = set(left.columns) & ({*outs, "_side", "_r", "_chunk"})
     if clash:
         raise ValueError(
             f"left columns clash with asof output/helper names: {sorted(clash)} "
@@ -109,12 +124,67 @@ def asof_join(
         ).alias("_r"),
     )
     order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
-    w = (
-        Window.partitionBy(*bys)
-        .orderBy(order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l.unionByName(r).select(
+    backward = direction == "backward"
+    if chunk_s is None:
+        union = l.unionByName(r)
+        w = (
+            Window.partitionBy(*bys)
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        # hot-key mode: partition on (by, time chunk) so no single key
+        # serializes, and seed each chunk with the carry-in right row
+        # (the winner of all earlier chunks) computed on the tiny
+        # per-(key, chunk) seed frame
+        ck = F.floor(F.col(on) / F.lit(float(chunk_s)))
+        l = l.withColumn("_chunk", ck)
+        r = r.withColumn("_chunk", ck)
+        seed_pick = (
+            F.max_by("_r", F.col(on)) if backward else F.min_by("_r", F.col(on))
+        )
+        seeds = r.groupBy(*bys, "_chunk").agg(seed_pick.alias("_seed"))
+        chunks = (
+            l.select(*bys, "_chunk")
+            .filter(F.col("_chunk").isNotNull())
+            .unionByName(r.select(*bys, "_chunk"))
+            .distinct()
+        )
+        corder = F.col("_chunk").asc() if backward else F.col("_chunk").desc()
+        cw = (
+            Window.partitionBy(*bys)
+            .orderBy(corder)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            chunks.join(seeds, [*bys, "_chunk"], "left")
+            .withColumn("_carry", F.last("_seed", ignorenulls=True).over(cw))
+            .filter(F.col("_carry").isNotNull())
+        )
+        # the pseudo row's `on` is ONLY a sort key placing it before every
+        # real row of its chunk (the true matched timestamp rides inside
+        # the struct); a real right row exactly on the boundary wins via
+        # the side tie-break (-1 sorts first, last() keeps the later row)
+        boundary = (
+            (F.col("_chunk") * F.lit(float(chunk_s)))
+            if backward
+            else ((F.col("_chunk") + 1) * F.lit(float(chunk_s)))
+        )
+        pseudo = carry.select(
+            *bys,
+            boundary.cast(ltypes[on]).alias(on),
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in payload],
+            F.lit(-1).alias("_side"),
+            F.col("_carry").alias("_r"),
+            "_chunk",
+        )
+        union = l.unionByName(r).unionByName(pseudo)
+        w = (
+            Window.partitionBy(*bys, "_chunk")
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    filled = union.select(
         *bys,
         on,
         *payload,

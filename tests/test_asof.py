@@ -153,3 +153,52 @@ def test_null_by_keys_match_nothing(spark):
     rows = {row["lv"]: row["value_asof"] for row in asof_join(l, r, by=("k",)).collect()}
     assert rows[1.0] is None  # NULL key: no match even though a NULL-keyed right row exists
     assert rows[2.0] == 8.0
+
+
+def test_chunked_asof_matches_unchunked(spark):
+    """chunk_s is pure partitioning: results identical to the single-window
+    path for ANY chunk width, both directions, with tolerance, NULLs and
+    boundary-exact timestamps."""
+    import random
+
+    rnd = random.Random(7)
+    lrows = [(rnd.randrange(3), float(rnd.randrange(0, 1000)), float(i))
+             for i in range(300)]
+    # include boundary-exact and NULL-ts rows
+    lrows += [(0, 100.0, 991.0), (1, None, 992.0), (None, 50.0, 993.0)]
+    rrows = [(rnd.randrange(3), float(rnd.randrange(0, 1000)) + 0.5, float(i))
+             for i in range(150)]
+    rrows += [(0, 100.0, 777.0), (2, None, 778.0), (None, 40.0, 779.0)]
+    l = spark.createDataFrame(lrows, "k int, ts double, lv double")
+    r = spark.createDataFrame(rrows, "k int, ts double, value double")
+
+    def key(df):
+        rows = [
+            (row["k"], row["ts"], row["lv"], row["value_asof"], row["ts_asof"])
+            for row in df.collect()
+        ]
+        return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 75.0):
+            base = key(asof_join(l, r, by=("k",), direction=direction, tolerance=tol))
+            for chunk in (10.0, 100.0, 250.0, 10000.0):
+                got = key(
+                    asof_join(
+                        l, r, by=("k",), direction=direction,
+                        tolerance=tol, chunk_s=chunk,
+                    )
+                )
+                assert got == base, f"{direction} tol={tol} chunk={chunk}"
+
+
+def test_chunked_asof_partitions_on_chunk(spark):
+    """The skew contract: the main window's exchange must key on the time
+    chunk too, so one hot key cannot serialize into a single task."""
+    l = spark.createDataFrame([(1, 5.0, 1.0)], "k int, ts double, lv double")
+    r = spark.createDataFrame([(1, 1.0, 9.0)], "k int, ts double, value double")
+    df = asof_join(l, r, by=("k",), chunk_s=60.0)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "_chunk" in plan
+    with pytest.raises(ValueError, match="chunk_s"):
+        asof_join(l, r, by=("k",), chunk_s=0.0)
