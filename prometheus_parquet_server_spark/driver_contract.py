@@ -2367,6 +2367,41 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key scale path of the as-of join (chunk_s partitions the
+    window on (key, time-chunk) with carry-in seeds — operators/asof.py)
+    run against the SAME DuckDB ASOF oracle as events_asof_join: the
+    chunked plan must be result-identical to the native ASOF semantics,
+    not merely to our own unchunked implementation."""
+    from prometheus_parquet_server_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id",
+        (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+        "event_type",
+        "value",
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=("user_id",),
+        right_cols=("purchase_value",),
+        chunk_s=86400.0,
+    )
+
+
 SQL_EVENTS_ASOF_JOIN = """
 WITH base AS (
     SELECT user_id, epoch_us(ts) / 1000000.0 AS ts, event_type, value
@@ -3003,6 +3038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_at_modifier": q_promql_at_modifier,
     "promql_holt_winters": q_promql_holt_winters,
     "promql_deriv": q_promql_deriv,
+    "events_asof_chunked": q_events_asof_chunked,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3097,6 +3133,7 @@ ORACLES: dict[str, str] = {
     "pipeline_capped_sample": SQL_PIPELINE_CAPPED_SAMPLE,
     "pipeline_stratified": SQL_PIPELINE_STRATIFIED,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
