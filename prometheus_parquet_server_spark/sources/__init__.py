@@ -14,7 +14,9 @@ from prometheus_parquet_server_spark.sources.ingest import wide_to_long
 from prometheus_parquet_server_spark.sources.retag import read_mapping
 from prometheus_parquet_server_spark.sources.snapshot_store import (
     ConcurrentWriteError,
+    read_any_store,
     snapshot_compact,
+    snapshot_expire,
     snapshot_history,
     snapshot_read,
     snapshot_upsert,
@@ -55,6 +57,8 @@ __all__ = [
     "verify_store_manifest",
     "ingest_zip",
     "ConcurrentWriteError",
+    "read_any_store",
+    "snapshot_expire",
     "snapshot_compact",
     "snapshot_history",
     "snapshot_read",

@@ -138,8 +138,13 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
     written — no footer parsing, no driver loop)."""
     tx = f"{path}/data/tx_{uuid.uuid4().hex[:12]}"
     (
-        df.repartition("name")  # whole metrics per file → tight name ranges
-        .withColumn("_sk", series_key_str())
+        # RANGE partitioning, not hash-on-name: files stay name-contiguous
+        # (tight min/max name ranges → effective manifest pruning) while a
+        # hot metric still splits across tasks by series key instead of
+        # funneling into one writer — hash repartition("name") would be
+        # the skew wall at exactly the backfill sizes that matter
+        df.withColumn("_sk", series_key_str())
+        .repartitionByRange("name", "_sk", "ts")
         .sortWithinPartitions("name", "_sk", "ts")
         .drop("_sk")
         .write.mode("overwrite")
@@ -332,6 +337,18 @@ def snapshot_compact(
             f"compact prepared against v{parent} but the tip moved"
         )
     return manifest["version"]
+
+
+def read_any_store(spark: SparkSession, path: str) -> DataFrame:
+    """Unified store reader: a path with committed snapshots under
+    ``_snapshots/`` resolves to :func:`snapshot_read` at the latest
+    version; anything else reads as the Hive name-partitioned swap store.
+    Lets query-side code accept either store format without caring which
+    maintenance protocol produced it."""
+    fs = _StoreFS(spark, path)
+    if _list_versions(fs, path):
+        return snapshot_read(spark, path)
+    return read_store(spark, path)
 
 
 def snapshot_expire(

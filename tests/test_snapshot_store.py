@@ -252,3 +252,17 @@ def test_streaming_drains_into_snapshot_store(spark, tmp_path):
     batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert snapshot_read(spark, store).count() == batch_n
     assert snapshot_version(spark, store) >= 1
+
+
+def test_read_any_store_detects_format(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        read_any_store,
+    )
+    from prometheus_parquet_server_spark.sources.store import write_store
+
+    snap = f"file://{tmp_path}/snap"
+    swap = str(tmp_path / "swap")
+    snapshot_write(spark, snap, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    write_store(mk(spark, [("b", {}, 2.0, 2.0)]), swap)
+    assert [r["name"] for r in read_any_store(spark, snap).collect()] == ["a"]
+    assert [r["name"] for r in read_any_store(spark, swap).collect()] == ["b"]
