@@ -98,6 +98,7 @@ def sessionize_batch(
     user_col: str = "user_id",
     ts_col: str = "ts_s",
     value_col: str = "value",
+    chunk_s: float | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`sessionize` — gaps-and-islands over the whole
     table: ``(user, session_seq, session_start, session_end, n_events,
@@ -109,15 +110,36 @@ def sessionize_batch(
     and one hash aggregate, both keyed on the user — the groupBy rides the
     window's exchange, so the whole operator is a single shuffle. This is
     also the ground truth the streaming parity test compares against.
+
+    ``chunk_s`` is the hot-user escape hatch (same idea as
+    ``asof_join(chunk_s=...)``): the default window partitions on the user
+    alone, so one user holding most events funnels through one task. With
+    ``chunk_s`` set (must be > ``gap_s``), events sessionize within
+    (user, time-chunk) partitions first, then a second gaps-and-islands
+    pass over the LOCAL SESSIONS — a frame of sessions, not events, so
+    typically orders of magnitude smaller — merges the sessions that span
+    chunk boundaries. Result-identical for any chunk width (pinned by
+    tests); costs one extra small shuffle over the session frame.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if gap_s <= 0:
         raise ValueError(f"gap_s must be > 0, got {gap_s}")
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    flagged = events.select(
-        user_col,
+    if chunk_s is not None and chunk_s <= gap_s:
+        raise ValueError(
+            f"chunk_s must be > gap_s ({gap_s}), got {chunk_s} — a chunk "
+            f"narrower than the gap would merge across non-adjacent chunks"
+        )
+    part = [user_col] if chunk_s is None else [user_col, "_chunk"]
+    src = events
+    if chunk_s is not None:
+        src = events.withColumn(
+            "_chunk", F.floor(F.col(ts_col) / F.lit(float(chunk_s)))
+        )
+    w = Window.partitionBy(*part).orderBy(ts_col)
+    flagged = src.select(
+        *part,
         ts_col,
         value_col,
         F.when(
@@ -129,9 +151,45 @@ def sessionize_batch(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) + 1,
     )
-    return flagged.groupBy(user_col, "session_seq").agg(
+    if chunk_s is None:
+        return flagged.groupBy(user_col, "session_seq").agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    # local sessions carry the RAW sum — rounding happens exactly once,
+    # after the merge, same 6-dp contract as the unchunked path (float
+    # partial-sum order differs, as it already does between shuffle runs;
+    # the house rounding absorbs it)
+    local = flagged.groupBy(*part, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum(value_col), 6).alias("sum_value"),
+        F.sum(value_col).alias("_sum_raw"),
+    )
+    # merge pass over SESSIONS: local sessions of one user are disjoint
+    # and start-ordered, so plain gaps-and-islands with the previous
+    # session's end re-links everything a chunk boundary split
+    mw = Window.partitionBy(user_col).orderBy("session_start")
+    merged = local.select(
+        user_col,
+        "session_start",
+        "session_end",
+        "n_events",
+        "_sum_raw",
+        F.when(
+            (F.col("session_start") - F.lag("session_end").over(mw)) > gap_s, 1
+        ).otherwise(0).alias("_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            mw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) + 1,
+    )
+    return merged.groupBy(user_col, "session_seq").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("_sum_raw"), 6).alias("sum_value"),
     )

@@ -488,3 +488,38 @@ def test_sessionize_batch_matches_streaming_closed_sessions(spark):
         for r in closed_batch.collect()
     )
     assert got == want
+
+
+def test_chunked_sessionize_matches_unchunked(spark):
+    """chunk_s is pure partitioning for sessionize_batch: local sessions
+    within (user, chunk) plus a session-level merge must equal the
+    single-window result for any chunk width — including sessions that
+    span several chunk boundaries and gaps exactly equal to gap_s."""
+    import random
+
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    rnd = random.Random(11)
+    rows = []
+    for u in range(5):
+        t = 0.0
+        for _ in range(200):
+            # mix of tiny gaps (same session), exact-gap ties and big gaps
+            t += rnd.choice([1.0, 5.0, 60.0, 61.0, 600.0])
+            rows.append((u, t, float(rnd.randrange(100))))
+    ev = spark.createDataFrame(rows, "user_id int, ts_s double, value double")
+
+    def key(df):
+        return sorted(
+            (r["user_id"], r["session_seq"], r["session_start"],
+             r["session_end"], r["n_events"], r["sum_value"])
+            for r in df.collect()
+        )
+
+    base = key(sessionize_batch(ev, gap_s=60.0))
+    for chunk in (61.0, 300.0, 1000.0, 10_000.0):
+        assert key(sessionize_batch(ev, gap_s=60.0, chunk_s=chunk)) == base, chunk
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="chunk_s"):
+        sessionize_batch(ev, gap_s=60.0, chunk_s=60.0)
