@@ -2613,6 +2613,21 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(base, gap_s=1800.0)
 
 
+def q_events_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-user scale path of sessionization (chunk_s partitions
+    gaps-and-islands on (user, time-chunk) and merges boundary-spanning
+    sessions at the session level — streaming/sessions.py), run against
+    the SAME DuckDB oracle as events_sessionize: the chunked plan must be
+    result-identical to the reference gaps-and-islands semantics."""
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
+    )
+    return sessionize_batch(base, gap_s=1800.0, chunk_s=7200.0)
+
+
 SQL_EVENTS_SESSIONIZE = """
 WITH base AS (
     SELECT user_id, epoch_us(ts) / 1000000.0 AS ts_s, value FROM events
@@ -3039,6 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_holt_winters": q_promql_holt_winters,
     "promql_deriv": q_promql_deriv,
     "events_asof_chunked": q_events_asof_chunked,
+    "events_sessionize_chunked": q_events_sessionize_chunked,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3134,6 +3150,7 @@ ORACLES: dict[str, str] = {
     "pipeline_stratified": SQL_PIPELINE_STRATIFIED,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
+    "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
