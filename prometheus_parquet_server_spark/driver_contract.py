@@ -1914,6 +1914,57 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the embedding near-dup
+    clusters: one doc per cluster survives — the LONGEST (n_chars desc,
+    doc_id asc tie-break) — plus every unclustered doc. The full
+    graph→corpus dedup pipeline: LSH candidates → cosine verify →
+    connected components → keep-best resolution."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        resolve_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    surv = resolve_duplicates(docs, pairs, score_col="n_chars")
+    return surv.select("doc_id")
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_ND_CORE_SQL},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM nd
+    UNION
+    SELECT id_b AS a, id_a AS b FROM nd
+),
+reach AS (
+    SELECT a AS node, b AS other FROM edges
+    UNION
+    SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+),
+comp AS (
+    SELECT node, LEAST(node, MIN(other)) AS component
+    FROM reach GROUP BY node
+),
+scored AS (
+    SELECT d.doc_id, d.n_chars, c.component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM scored WHERE component IS NOT NULL
+)
+SELECT doc_id FROM scored WHERE component IS NULL
+UNION ALL
+SELECT doc_id FROM ranked WHERE rn = 1
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -3055,6 +3106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_deriv": q_promql_deriv,
     "events_asof_chunked": q_events_asof_chunked,
     "events_sessionize_chunked": q_events_sessionize_chunked,
+    "dedup_survivors": q_dedup_survivors,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3151,6 +3203,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
     "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

@@ -13,7 +13,7 @@ aggregate; no driver-side adjacency state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,40 @@ def duplicate_clusters(
         )
         .withColumn("keeper", F.col("component"))
     )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Survivor selection over near-dup clusters — the step that turns a
+    duplicate graph into a deduplicated corpus. Documents outside every
+    cluster survive untouched; within a cluster exactly one survives:
+    the highest-``score_col`` member (quality-aware keep — retain the
+    best-written copy, not an arbitrary one), ties and ``score_col=None``
+    falling back to the lowest id (the :func:`duplicate_clusters` keeper
+    rule). Returns surviving rows with the original ``docs`` columns.
+
+    Scale shape: the component frame holds only documents that appear in
+    a pair — at real-world dup rates a small fraction of the corpus — so
+    both the inner join (clustered docs) and the left-anti join
+    (untouched docs) broadcast it under AQE; the keeper window partitions
+    per component, bounded by cluster size, never by corpus size.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    clustered = docs.join(comp, docs[id_col] == comp["node"]).drop("node")
+    order = ([F.col(score_col).desc()] if score_col else []) + [F.col(id_col).asc()]
+    w = Window.partitionBy("component").orderBy(*order)
+    winners = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+    loners = docs.join(
+        comp.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+    return loners.unionByName(winners)

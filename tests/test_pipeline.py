@@ -386,3 +386,24 @@ def test_connected_components_clusters(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_resolve_duplicates_quality_keep(spark):
+    """Cluster {1,2,3} keeps the highest-score member (2); cluster {5,6}
+    ties on score → lowest id (5); 4 is unclustered and survives; with
+    score_col=None the lowest id wins everywhere."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (4, 1.0), (5, 7.0), (6, 7.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    surv = {r["doc_id"] for r in resolve_duplicates(docs, pairs, score_col="score").collect()}
+    assert surv == {2, 4, 5}
+    surv_id = {r["doc_id"] for r in resolve_duplicates(docs, pairs).collect()}
+    assert surv_id == {1, 4, 5}
