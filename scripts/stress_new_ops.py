@@ -106,6 +106,29 @@ def main() -> None:
         ),
         n,
     )
+    # worst-case skew: EVERY row under one key — the chunked modes must
+    # hold where the plain per-key windows serialize (BASELINE.md table)
+    one = ev.select(F.lit(1).alias("user_id"), "ts", "value", "kind")
+    oc = one.filter(F.col("kind") == "click").select("user_id", "ts", "value")
+    op = one.filter(F.col("kind") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    timed(
+        f"asof_join CHUNKED 3600s ({nm}M rows, ONE key)",
+        asof_join(
+            oc, op, on="ts", by=("user_id",), right_cols=("pv",), chunk_s=3600.0
+        ),
+        n,
+    )
+    timed(
+        f"sessionize_batch CHUNKED 3600s ({nm}M rows, ONE user)",
+        sessionize_batch(
+            one.select("user_id", F.col("ts").alias("ts_s"), "value"),
+            gap_s=60.0,
+            chunk_s=3600.0,
+        ),
+        n,
+    )
     levels = rollup_cascade(
         ev.select(F.col("kind").alias("event_type"), "ts", "value"),
         (60.0, 3600.0, 86400.0),
