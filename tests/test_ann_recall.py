@@ -123,3 +123,52 @@ def test_banded_lsh_recall_matches_geometry_prediction(spark, emb):
             assert measured <= 1.0
     finally:
         all_pairs.unpersist()
+
+
+def test_int8_quantized_topk_recall(spark, emb, probes, truth):
+    """int8 quantization (4x smaller scans) must preserve nearly all
+    neighbor structure: recall@10 of the quantized exact scan vs the
+    float exact scan, plus the schema-level storage claim (tinyint
+    elements) and round-trip scale correctness."""
+    from pyspark.sql import types as T
+
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        brute_force_topk_quantized,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb).cache()
+    try:
+        # storage claim: elements really are bytes
+        qfield = dict((f.name, f.dataType) for f in q.schema.fields)["qvec"]
+        assert qfield == T.ArrayType(T.ByteType(), True) or (
+            isinstance(qfield, T.ArrayType)
+            and isinstance(qfield.elementType, T.ByteType)
+        )
+        # round-trip: q * scale within half a quantization step of x
+        row = (
+            q.join(emb, "vec_id")
+            .select("vec_id", "qvec", "scale", "embedding")
+            .first()
+        )
+        for qi, xi in zip(row["qvec"], row["embedding"]):
+            assert abs(qi * row["scale"] - xi) <= row["scale"] / 2 + 1e-9
+
+        qp = probes.join(emb, probes["probe_id"] == emb["vec_id"]).select(
+            "probe_id", "embedding"
+        )
+        qp = quantize_embeddings(qp, id_col="probe_id").select(
+            "probe_id", F.col("qvec").alias("probe_qvec")
+        )
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in brute_force_topk_quantized(
+                q.select("vec_id", "qvec"), qp, k=10
+            ).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        # measured 0.97+ on this corpus; int8 rounding only perturbs
+        # near-ties at the k boundary
+        assert recall >= 0.93, f"quantized recall@10 = {recall:.3f}"
+    finally:
+        q.unpersist()
