@@ -224,6 +224,25 @@ def _remove_partition_dir(fs: _StoreFS, part_dir: str) -> None:
     fs.delete(trash)
 
 
+def _warn_if_rename_not_atomic(fs: _StoreFS) -> None:
+    """One warning per maintenance pass on copy-based-rename filesystems:
+    the swap protocol is still correct (staging dirs are dot-prefixed and
+    invisible to readers) but the old→new cutover is no longer atomic —
+    a reader racing the copy can see a partially-populated partition.
+    The snapshot store (sources/snapshot_store.py) is the safe variant
+    there."""
+    if not fs.atomic_rename:
+        import warnings
+
+        warnings.warn(
+            f"store maintenance on {fs.fs.getUri().getScheme()}: rename is "
+            f"copy-based (non-atomic) — readers can race a partition swap; "
+            f"prefer the snapshot store on object stores",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
     """Remove leftovers of a crashed maintenance pass before starting a new
     one: ``.compact_tmp_*`` / ``.expire_tmp_*`` / ``.upsert_tmp_*`` /
@@ -288,6 +307,7 @@ def compact_store(
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
     fs = _StoreFS(spark, path)
+    _warn_if_rename_not_atomic(fs)
     _gc_stale_maintenance_dirs(fs)
     compacted: list[str] = []
     for part, name in _partition_dirs(fs):
@@ -335,6 +355,7 @@ def expire_store(
     Returns {unescaped name: rows_dropped}.
     """
     fs = _StoreFS(spark, path)
+    _warn_if_rename_not_atomic(fs)
     _gc_stale_maintenance_dirs(fs)
     dropped: dict[str, int] = {}
     for part, name in _partition_dirs(fs):
@@ -387,6 +408,7 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
     import uuid
 
     fs = _StoreFS(spark, path)
+    _warn_if_rename_not_atomic(fs)
     _gc_stale_maintenance_dirs(fs)
     # cache: the updates lineage is otherwise re-executed once for the
     # name collect plus once for the merged write

@@ -208,3 +208,22 @@ def test_streaming_ingest_composes_with_store_lifecycle(spark, tmp_path):
     compact_store(spark, store, target_file_bytes=1 << 30)
     # compaction re-layouts but never changes content
     assert verify_store_manifest(spark, store, manifest).collect() == []
+
+
+def test_non_atomic_rename_scheme_warns(spark, tmp_path, monkeypatch):
+    """On a copy-based-rename filesystem the maintenance pass must warn
+    (pointing at the snapshot store) instead of silently claiming the
+    local-FS crash-safety story."""
+    import warnings
+
+    from prometheus_parquet_server_spark.sources import store as store_mod
+
+    stored = str(tmp_path / "store")
+    write_store(mk(spark, [("m", {}, 1.0, 1.0)]), stored)
+    monkeypatch.setattr(
+        store_mod._StoreFS, "_ATOMIC_SCHEMES", frozenset({"hdfs"})
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        compact_store(spark, stored)
+    assert any("non-atomic" in str(w.message) for w in caught)
