@@ -227,3 +227,35 @@ def test_non_atomic_rename_scheme_warns(spark, tmp_path, monkeypatch):
         warnings.simplefilter("always")
         compact_store(spark, stored)
     assert any("non-atomic" in str(w.message) for w in caught)
+
+
+def test_upsert_plan_shape_single_merge(spark, tmp_path):
+    """Plan-shape contract for the batch upsert: the merged frame is ONE
+    window over ONE union — at most 2 exchanges (the window's hash
+    exchange + AQE bookkeeping), never an exchange per touched metric."""
+    from prometheus_parquet_server_spark.model import series_key_str
+    from pyspark.sql import Window
+
+    store = str(tmp_path / "store")
+    write_store(mk(spark, [(f"m{i}", {}, 1.0, 1.0) for i in range(10)]), store)
+    updates = mk(spark, [(f"m{i}", {}, 1.0, 2.0) for i in range(10)])
+    # replicate upsert_store's merged plan (the write itself is not
+    # explainable post-hoc) and pin its exchange count
+    existing = read_store(spark, store).filter(
+        F.col("name").isin([f"m{i}" for i in range(10)])
+    ).withColumn("_prio", F.lit(1))
+    merged = (
+        updates.withColumn("_prio", F.lit(0))
+        .unionByName(existing.select(*updates.withColumn("_prio", F.lit(0)).columns))
+        .withColumn("_sk", series_key_str())
+    )
+    w = Window.partitionBy("_sk", "ts").orderBy("_prio", F.col("value").desc())
+    out = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+        .sortWithinPartitions("name", "_sk", "ts")
+        .drop("_sk")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert plan.count("Exchange") <= 2, plan
