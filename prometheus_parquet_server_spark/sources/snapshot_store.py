@@ -89,7 +89,17 @@ def _read_manifest(fs: _StoreFS, root: str, version: int) -> dict:
 
 def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
     """Atomic publish: create-if-absent of the version file IS the commit.
-    Returns False if that exact version was taken by a racing writer."""
+    Returns False if that exact version was taken by a racing writer.
+
+    Belt-and-braces: on HDFS (and conditional-PUT object stores) the
+    exclusive create alone decides the winner, but the LOCAL filesystem's
+    ``create(overwrite=false)`` is check-then-act — two same-version
+    writers can both pass the exists check and the later write clobbers
+    the earlier. So every commit carries a writer nonce and verifies its
+    own bytes landed by reading the manifest back; a clobbered writer
+    sees the other nonce, returns False, and retries at the next version
+    — no append is ever silently lost."""
+    manifest = dict(manifest, _writer=uuid.uuid4().hex)
     path = fs.jpath(_manifest_path(root, manifest["version"]))
     fs.fs.mkdirs(fs.jpath(f"{root}/{_SNAP_DIR}"))
     try:
@@ -100,7 +110,11 @@ def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
         stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         stream.close()
-    return True
+    try:
+        back = _read_manifest(fs, root, manifest["version"])
+    except Exception:
+        return False
+    return back.get("_writer") == manifest["_writer"]
 
 
 def snapshot_version(spark: SparkSession, path: str) -> int | None:
@@ -162,10 +176,21 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
         )
         .collect()
     )
+    fs = _StoreFS(spark, path)
+    # the stats job reports file:///x, the FS listing file:/x — key both
+    # by the URI path component
+    sizes = {
+        str(fs.jpath(p).toUri().getPath()): sz for p, sz in fs.parquet_files(tx)
+    }
+
+    def _size(p: str) -> int:
+        return sizes.get(str(fs.jpath(p).toUri().getPath()), 0)
+
     return [
         {
             "path": r["path"],
             "n_rows": r["n_rows"],
+            "n_bytes": _size(r["path"]),
             "min_name": r["min_name"],
             "max_name": r["max_name"],
             "min_ts": r["min_ts"],
@@ -311,26 +336,34 @@ def snapshot_compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
 ) -> int | None:
-    """Rewrite the current file set into ~target-sized name-clustered files
-    and commit; content is bit-identical (same rows, new layout), old
-    versions still read the old files (time travel keeps working until
-    :func:`snapshot_vacuum` reclaims them). Returns the new version, or
+    """Rewrite the UNDER-SIZED files into ~target-sized name-clustered
+    files and commit; files already at or above the target carry over by
+    reference — compaction cost is proportional to the small-file debt,
+    never to store size (a 100 TB store with a few fragmented recent
+    commits rewrites only those). Content is identical (same rows, new
+    layout); old versions still read the old files (time travel keeps
+    working until :func:`snapshot_vacuum` reclaims them). Files from
+    pre-round-6 manifests without a recorded size are treated as small
+    (rewritten once, gaining a size entry). Returns the new version, or
     None if there was nothing to compact."""
     parent = snapshot_version(spark, path)
     if parent is None:
         return None
     fs = _StoreFS(spark, path)
     base = _read_manifest(fs, path, parent)["files"]
-    if len(base) <= 1:
+    small = [f for f in base if f.get("n_bytes", 0) < target_file_bytes]
+    if len(small) < min_files_to_compact:
         return None
-    df = spark.read.parquet(*[f["path"] for f in base])
+    kept = [f for f in base if f not in small]
+    df = spark.read.parquet(*[f["path"] for f in small])
     new_files = _write_data_files(spark, path, df)
     manifest = {
         "version": parent + 1,
         "parent": parent,
         "operation": "compact",
-        "files": new_files,
+        "files": kept + new_files,
     }
     if not _try_commit(fs, path, manifest):
         raise ConcurrentWriteError(

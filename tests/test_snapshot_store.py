@@ -266,3 +266,31 @@ def test_read_any_store_detects_format(spark, tmp_path):
     write_store(mk(spark, [("b", {}, 2.0, 2.0)]), swap)
     assert [r["name"] for r in read_any_store(spark, snap).collect()] == ["a"]
     assert [r["name"] for r in read_any_store(spark, swap).collect()] == ["b"]
+
+
+def test_compact_rewrites_only_small_files(spark, tmp_path):
+    """Files already at target size carry over by reference — compaction
+    cost tracks the small-file debt, not the store size."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("big", {}, float(t), 1.0) for t in range(100)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("s1", {}, 1.0, 1.0)]))
+    snapshot_write(spark, store, mk(spark, [("s2", {}, 1.0, 2.0)]))
+    fs = _StoreFS(spark, store)
+    m3 = _read_manifest(fs, store, 3)["files"]
+    big_paths = {f["path"] for f in m3 if f["min_name"] == "big"}
+    big_bytes = max(f["n_bytes"] for f in m3 if f["min_name"] == "big")
+
+    # threshold between the big file and the tiny ones → only tiny rewritten
+    v = snapshot_compact(spark, store, target_file_bytes=big_bytes)
+    assert v == 4
+    m4 = _read_manifest(fs, store, 4)["files"]
+    assert big_paths <= {f["path"] for f in m4}  # carried by reference
+    assert snapshot_read(spark, store).count() == 102
+    # everything at/above target now → no-op, no empty commit
+    assert snapshot_compact(spark, store, target_file_bytes=1) is None
+    assert snapshot_version(spark, store) == 4
