@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark import get_spark
 from prometheus_parquet_server_spark.sources.snapshot_store import (
+    snapshot_compact,
     snapshot_expire,
     snapshot_read,
     snapshot_upsert,
@@ -61,6 +62,10 @@ def main() -> None:
     upd = gen(0, n // 100, "fix").filter(F.col("name").isin("m0", "m1"))
     timed("upsert (2 of 200 metrics, <=1% of rows)",
           lambda: snapshot_upsert(spark, store, upd))
+    # size-aware compaction: only the small files from the append/upsert
+    # commits rewrite; the initial load's full-size files carry over
+    timed("compact (small-file debt only)",
+          lambda: snapshot_compact(spark, store, target_file_bytes=8 << 20))
     timed("expire (drop oldest ~50% by manifest arithmetic)",
           lambda: snapshot_expire(spark, store, min_ts=n / 200.0))
     t0 = time.time()
