@@ -249,7 +249,15 @@ def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
     ``.upsert_stage_*`` staging dirs (never swapped in — old data is still
     live, so they are pure garbage) and ``.trash_*`` dirs (their swap
     completed or rolled back — either way the live dir exists). Returns
-    the removed paths (for logging/tests)."""
+    the removed paths (for logging/tests).
+
+    SINGLE-MAINTAINER assumption (the swap store's whole maintenance
+    surface): this GC treats every staging dir as a dead predecessor's,
+    so two maintenance passes running concurrently would delete each
+    other's staging. Readers are always safe (dot-dirs are invisible);
+    writers must be serialized by the caller. Concurrent writers are the
+    snapshot store's job (sources/snapshot_store.py — optimistic commits,
+    no shared staging)."""
     removed = []
     prefixes = (".compact_tmp_", ".expire_tmp_", ".upsert_tmp_",
                 ".upsert_stage_", ".trash_")
