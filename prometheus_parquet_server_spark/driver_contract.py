@@ -2385,11 +2385,12 @@ GROUP BY source
 """
 
 
-def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join over the events table: every click gets the most recent
-    purchase value at-or-before it for the same user (both sides deduped
-    to unique (user, ts) with MAX per the house order-independence rule).
-    Oracle = DuckDB's native ASOF LEFT JOIN."""
+def _events_asof(spark: SparkSession, sf_dir: str, chunk_s: float | None) -> DataFrame:
+    """Shared builder: clicks get the most recent purchase value
+    at-or-before them per user (both sides deduped to unique (user, ts)
+    with MAX per the house order-independence rule) — one construction so
+    the graded unchunked row and the chunked scale path can never drift
+    and certify different inputs against the same oracle."""
     from prometheus_parquet_server_spark.operators.asof import asof_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2415,42 +2416,22 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="ts",
         by=("user_id",),
         right_cols=("purchase_value",),
+        chunk_s=chunk_s,
     )
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table. Oracle = DuckDB's native
+    ASOF LEFT JOIN (see _events_asof)."""
+    return _events_asof(spark, sf_dir, chunk_s=None)
 
 
 def q_events_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hot-key scale path of the as-of join (chunk_s partitions the
-    window on (key, time-chunk) with carry-in seeds — operators/asof.py)
-    run against the SAME DuckDB ASOF oracle as events_asof_join: the
+    """The hot-key scale path (chunk_s window partitioning with carry-in
+    seeds — operators/asof.py) against the SAME DuckDB ASOF oracle: the
     chunked plan must be result-identical to the native ASOF semantics,
     not merely to our own unchunked implementation."""
-    from prometheus_parquet_server_spark.operators.asof import asof_join
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    base = ev.select(
-        "user_id",
-        (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
-        "event_type",
-        "value",
-    )
-    clicks = (
-        base.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 6).alias("click_value"))
-    )
-    purchases = (
-        base.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
-    )
-    return asof_join(
-        clicks,
-        purchases,
-        on="ts",
-        by=("user_id",),
-        right_cols=("purchase_value",),
-        chunk_s=86400.0,
-    )
+    return _events_asof(spark, sf_dir, chunk_s=86400.0)
 
 
 SQL_EVENTS_ASOF_JOIN = """
@@ -2650,33 +2631,32 @@ FROM v JOIN e ON v.user_id = e.user_id
 """
 
 
+def _events_sessions(spark: SparkSession, sf_dir: str, chunk_s: float | None) -> DataFrame:
+    """Shared builder for the graded sessionization row and its chunked
+    scale path (one construction — no input drift between the two oracle
+    certifications)."""
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
+    )
+    return sessionize_batch(base, gap_s=1800.0, chunk_s=chunk_s)
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization of the events table (30-minute
     inactivity gap per user): one window + one hash aggregate sharing a
     single user-keyed shuffle. Twin of the streaming stateful operator
     (streaming/sessions.py sessionize) — same session boundaries."""
-    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    base = ev.select(
-        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
-    )
-    return sessionize_batch(base, gap_s=1800.0)
+    return _events_sessions(spark, sf_dir, chunk_s=None)
 
 
 def q_events_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hot-user scale path of sessionization (chunk_s partitions
-    gaps-and-islands on (user, time-chunk) and merges boundary-spanning
-    sessions at the session level — streaming/sessions.py), run against
-    the SAME DuckDB oracle as events_sessionize: the chunked plan must be
-    result-identical to the reference gaps-and-islands semantics."""
-    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    base = ev.select(
-        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
-    )
-    return sessionize_batch(base, gap_s=1800.0, chunk_s=7200.0)
+    """The hot-user scale path (chunk_s gaps-and-islands on (user,
+    time-chunk) + session-level merge — streaming/sessions.py) against
+    the SAME DuckDB oracle as events_sessionize."""
+    return _events_sessions(spark, sf_dir, chunk_s=7200.0)
 
 
 SQL_EVENTS_SESSIONIZE = """

@@ -39,12 +39,14 @@ def range_join(
     with ``inclusive_end=False``) and equal ``by`` keys. Output carries
     every point column plus every interval column (names must not clash
     apart from the ``by`` keys). Intervals where ``end < start`` match
-    nothing; NULL or non-finite bounds match nothing (an infinite/sentinel
-    end would otherwise ask ``F.sequence`` to materialize unbounded bucket
-    lists). An interval spanning more than ``max_buckets_per_interval``
-    buckets raises at execution (ANSI error from the guarded sequence)
-    rather than silently OOM-ing an executor — if that trips, the caller's
-    ``bucket_width`` is far too small for their interval lengths.
+    nothing; NULL, NaN and ±Inf bounds match nothing (a non-finite
+    sentinel would otherwise ask ``F.sequence`` to materialize unbounded
+    bucket lists — callers using +Inf as an open-ended-interval sentinel
+    get silent no-match, same as NULL, not a query abort). An interval
+    spanning more than ``max_buckets_per_interval`` buckets — huge but
+    FINITE — raises at execution rather than silently OOM-ing an executor;
+    if that trips, the caller's ``bucket_width`` is far too small for
+    their interval lengths.
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
@@ -57,14 +59,15 @@ def range_join(
         raise ValueError(f"column name clash outside by keys: {sorted(clash)}")
     bw = F.lit(float(bucket_width))
     span_buckets = F.floor(F.col(end_col) / bw) - F.floor(F.col(start_col) / bw)
+    inf = F.lit(float("inf"))
     i = intervals.filter(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
         & ~F.isnan(F.col(start_col).cast("double"))
         & ~F.isnan(F.col(end_col).cast("double"))
+        & (F.col(start_col).cast("double") > -inf)
+        & (F.col(end_col).cast("double") < inf)
         & (F.col(end_col) >= F.col(start_col))
-        # non-finite bounds: +/-Inf survives isnan but floor()s to a
-        # sentinel — the span guard below rejects it with a clear error
     )
     p = points.withColumn("_bucket", F.floor(F.col(ts_col) / bw))
     # the guard lives INSIDE the sequence's upper bound — as a separate

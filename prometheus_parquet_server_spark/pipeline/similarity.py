@@ -593,7 +593,11 @@ def brute_force_topk_quantized(
         "sqrt(aggregate({c}, cast(0 as double),"
         " (acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
-    sim = dot / (F.expr(nrm.format(c="probe_qvec")) * F.expr(nrm.format(c="qvec")))
+    denom = F.expr(nrm.format(c="probe_qvec")) * F.expr(nrm.format(c="qvec"))
+    # zero-norm guard, same contract as cosine_similarity_col: an all-zero
+    # qvec (zero embedding) scores 0.0 / matches nothing — without the
+    # guard the divide yields NULL (or a DIVIDE_BY_ZERO error under ANSI)
+    sim = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
     scored = qcorpus.join(
         F.broadcast(qprobes), F.col("probe_id") != F.col(id_col)
     ).select(

@@ -5,30 +5,35 @@ atomic (local/HDFS). This module is the table-format answer the 100 TB
 deployment on an object store needs (the pattern behind Delta/Iceberg,
 re-implemented minimally from public knowledge): data files are IMMUTABLE
 and never renamed; every change publishes a new single-file JSON manifest
-whose creation is the commit point. Readers resolve the highest committed
+whose appearance is the commit point. Readers resolve the highest readable
 manifest and read exactly the files it lists — a half-finished writer is
-invisible because its manifest was never created, regardless of filesystem
-rename semantics.
+invisible because its manifest was never published, regardless of
+filesystem rename semantics.
 
 Layout::
 
     <root>/data/tx_<uuid>/part-*.parquet   immutable data files
     <root>/_snapshots/v0000000001.json     manifest (the commit)
 
-Manifest: ``{"version", "parent", "operation", "files": [{"path",
-"n_rows", "min_name", "max_name", "min_ts", "max_ts"}]}``. Per-file
-name/ts ranges give MANIFEST-LEVEL FILE PRUNING: a selector for one metric
-or time range plans a scan over only the intersecting files — the same
-planning-time pruning Hive partitioning gives the swap store, without
-relying on directory layout (and it composes: data files are written
-name-clustered, so a one-metric read usually touches one file per commit).
+Manifest: ``{"version", "parent", "operation", "schema", "files":
+[{"path", "n_rows", "n_bytes", "min_name", "max_name", "min_ts",
+"max_ts"}]}``. Per-file name/ts ranges give MANIFEST-LEVEL FILE PRUNING: a
+selector for one metric or time range plans a scan over only the
+intersecting files — the same planning-time pruning Hive partitioning
+gives the swap store, without relying on directory layout (and it
+composes: data files are written name-clustered, so a one-metric read
+usually touches one file per commit). The recorded schema makes a
+legitimately EMPTY snapshot (everything expired / empty overwrite)
+readable as an empty frame instead of an error.
 
-Concurrency: the manifest is created with ``FileSystem.create(path,
-overwrite=false)`` — atomic on HDFS/local, conditional-PUT on modern S3 —
-so two writers racing to version N+1 see exactly one winner.  Appends
-retry against the new tip (their file set is still valid); conflicting
-upserts/overwrites raise ``ConcurrentWriteError`` for the caller to retry
-at the merge level (serializable semantics, no lost updates).
+Concurrency: a manifest is staged as a dot-prefixed temp file (complete
+bytes, invisible to version listing) and published with exclusive-create
+semantics; two writers racing to version N+1 see exactly one winner.
+Appends retry against the new tip (their file list is valid under any
+parent); conflicting upserts/overwrites raise :class:`ConcurrentWriteError`
+for the caller to retry at the merge level (serializable semantics, no
+lost updates). Readers skip any unreadable version file (legacy torn
+writes) rather than wedging, and writers number PAST such junk.
 
 Reference parity: same canonical long model as the swap store
 (``TimeSeriesCollection``, src/timeseries.rs:396-445); this is the sink
@@ -49,6 +54,16 @@ from prometheus_parquet_server_spark.sources.store import _StoreFS, read_store
 _SNAP_DIR = "_snapshots"
 _MAX_COMMIT_RETRIES = 10
 
+# Serializes the exists→rename→verify critical section for writers in THIS
+# process: on a replace-semantics filesystem (POSIX rename) two in-process
+# threads could otherwise both slip through the exists check. Cross-process
+# local-FS writers keep the (microsecond) documented caveat; HDFS
+# (rename-refuses-existing) and conditional-PUT object stores are safe
+# without it.
+import threading as _threading
+
+_COMMIT_LOCK = _threading.Lock()
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this transaction's read and its
@@ -61,6 +76,9 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def _list_versions(fs: _StoreFS, root: str) -> list[int]:
+    """Every version number with a PUBLISHED manifest file — readable or
+    not. Writers number past the max; readers resolve via
+    :func:`_resolve_tip`, which skips unreadable entries."""
     snap = f"{root}/{_SNAP_DIR}"
     if not fs.exists(snap):
         return []
@@ -87,50 +105,104 @@ def _read_manifest(fs: _StoreFS, root: str, version: int) -> dict:
         stream.close()
 
 
-def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
-    """Atomic publish: create-if-absent of the version file IS the commit.
-    Returns False if that exact version was taken by a racing writer.
+def _resolve_tip(fs: _StoreFS, root: str) -> tuple[int | None, dict | None]:
+    """(version, manifest) of the highest READABLE snapshot — a torn or
+    corrupt version file (possible only from pre-temp+rename writers or
+    external tampering) is skipped, not fatal, so one bad file can never
+    wedge every read and write of the store."""
+    for v in reversed(_list_versions(fs, root)):
+        try:
+            return v, _read_manifest(fs, root, v)
+        except Exception:
+            continue
+    return None, None
 
-    Belt-and-braces: on HDFS (and conditional-PUT object stores) the
-    exclusive create alone decides the winner, but the LOCAL filesystem's
-    ``create(overwrite=false)`` is check-then-act — two same-version
-    writers can both pass the exists check and the later write clobbers
-    the earlier. So every commit carries a writer nonce and verifies its
-    own bytes landed by reading the manifest back; a clobbered writer
-    sees the other nonce, returns False, and retries at the next version
-    — no append is ever silently lost."""
+
+def _target_version(fs: _StoreFS, root: str, parent: int | None) -> int | None:
+    """The version this commit must land at, as a CAS against ``parent``:
+    the smallest free number above the parent, skipping only UNREADABLE
+    junk slots (legacy torn writes). Returns None when a READABLE manifest
+    already occupies a slot above the parent — the tip moved, the caller
+    must re-resolve and rebuild its file list on the new tip. This
+    determinism is what makes the commit a compare-and-swap: two racers
+    that merged from the same parent compute the SAME target, so the
+    exclusive publish lets exactly one through, and the loser can never
+    'number past' the winner and silently drop its files."""
+    t = (parent or 0) + 1
+    while fs.exists(_manifest_path(root, t)):
+        if _readable(fs, root, t):
+            return None  # tip moved under us
+        t += 1  # junk slot — skip deterministically
+    return t
+
+
+def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
+    """Publish a manifest; returns False if the version was lost to a
+    racing writer. Two layers:
+
+    - the COMPLETE bytes are first written to a dot-prefixed temp file
+      (invisible to version listing), then renamed to the final name — a
+      crash can no longer leave a torn ``vNNN.json``, only ignorable
+      temp junk;
+    - a writer nonce is verified by reading the final file back. On HDFS
+      (rename fails onto an existing destination) and conditional-PUT
+      object stores the rename alone decides the winner; on the LOCAL
+      filesystem POSIX rename silently REPLACES, so same-version racers
+      are instead decided by the read-back — the clobbered writer sees a
+      foreign nonce, returns False, and retries at the next version.
+      Residual local-FS caveat: a loser's rename landing between the
+      winner's rename and verify makes the LOSER the survivor — still
+      exactly one winner per version, no torn bytes, no lost append
+      (the displaced writer fails its verify and retries).
+    """
     manifest = dict(manifest, _writer=uuid.uuid4().hex)
-    path = fs.jpath(_manifest_path(root, manifest["version"]))
+    final = fs.jpath(_manifest_path(root, manifest["version"]))
+    tmp = fs.jpath(
+        f"{root}/{_SNAP_DIR}/.tmp_v{manifest['version']:010d}_{manifest['_writer'][:8]}.json"
+    )
     fs.fs.mkdirs(fs.jpath(f"{root}/{_SNAP_DIR}"))
-    try:
-        stream = fs.fs.create(path, False)  # overwrite=False → exclusive
-    except Exception:
-        return False
+    stream = fs.fs.create(tmp, True)
     try:
         stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         stream.close()
-    try:
-        back = _read_manifest(fs, root, manifest["version"])
-    except Exception:
-        return False
-    return back.get("_writer") == manifest["_writer"]
+    with _COMMIT_LOCK:
+        try:
+            if fs.fs.exists(final) or not fs.fs.rename(tmp, final):
+                fs.delete(tmp)
+                return False
+        except Exception:
+            fs.delete(tmp)
+            return False
+        try:
+            back = _read_manifest(fs, root, manifest["version"])
+        except Exception:
+            return False
+        return back.get("_writer") == manifest["_writer"]
+
+
+def _schema_json(df: DataFrame) -> dict:
+    return json.loads(df.schema.json())
 
 
 def snapshot_version(spark: SparkSession, path: str) -> int | None:
-    """Highest committed version, or None for an uninitialized store."""
+    """Highest readable committed version, or None for an uninitialized
+    store."""
     fs = _StoreFS(spark, path)
-    versions = _list_versions(fs, path)
-    return versions[-1] if versions else None
+    v, _ = _resolve_tip(fs, path)
+    return v
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
-    """(version, parent, operation, n_files, n_rows) per committed
-    snapshot — the audit trail time travel reads."""
+    """(version, parent, operation, n_files, n_rows) per readable
+    committed snapshot — the audit trail time travel reads."""
     fs = _StoreFS(spark, path)
     rows = []
     for v in _list_versions(fs, path):
-        m = _read_manifest(fs, path, v)
+        try:
+            m = _read_manifest(fs, path, v)
+        except Exception:
+            continue  # legacy torn write — ignorable junk
         rows.append(
             (
                 v,
@@ -147,9 +219,9 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
 
 def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dict]:
     """Write ``df`` as immutable name-clustered data files under a fresh
-    tx dir and return their manifest entries (per-file row count and
-    name/ts ranges, computed by ONE narrow aggregate over the files just
-    written — no footer parsing, no driver loop)."""
+    tx dir and return their manifest entries (per-file row count, size,
+    and name/ts ranges, computed by ONE narrow aggregate over the files
+    just written — no footer parsing, no driver loop)."""
     tx = f"{path}/data/tx_{uuid.uuid4().hex[:12]}"
     (
         # RANGE partitioning, not hash-on-name: files stay name-contiguous
@@ -212,22 +284,29 @@ def snapshot_write(
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     fs = _StoreFS(spark, path)
     new_files = _write_data_files(spark, path, df)
-    expected = snapshot_version(spark, path)
-    for _ in range(_MAX_COMMIT_RETRIES):
-        parent = snapshot_version(spark, path)
+    schema = _schema_json(df)
+    expected, _ = _resolve_tip(fs, path)
+    for attempt in range(_MAX_COMMIT_RETRIES):
+        parent, parent_m = (
+            (expected, None) if attempt == 0 else _resolve_tip(fs, path)
+        )
         if mode == "overwrite" and parent != expected:
             raise ConcurrentWriteError(
                 f"overwrite prepared against v{expected} but tip moved to v{parent}"
             )
-        base = (
-            _read_manifest(fs, path, parent)["files"]
-            if (mode == "append" and parent is not None)
-            else []
-        )
+        base: list[dict] = []
+        if mode == "append" and parent is not None:
+            if parent_m is None:
+                parent_m = _read_manifest(fs, path, parent)
+            base = parent_m["files"]
+        target = _target_version(fs, path, parent)
+        if target is None:
+            continue  # tip moved between resolve and target — rebase
         manifest = {
-            "version": (parent or 0) + 1,
+            "version": target,
             "parent": parent,
             "operation": mode,
+            "schema": schema,
             "files": base + new_files,
         }
         if _try_commit(fs, path, manifest):
@@ -244,17 +323,20 @@ def snapshot_read(
     names: list[str] | None = None,
     ts_range: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest, or ``version`` for time travel), planning
-    the scan over only the files whose manifest name/ts ranges intersect
-    the ``names`` / ``ts_range`` predicates — file pruning at the driver
-    from manifest stats alone, before any footer is opened. The residual
-    row-level filter is applied too, so the result is exact."""
+    """Read a snapshot (latest readable, or ``version`` for time travel),
+    planning the scan over only the files whose manifest name/ts ranges
+    intersect the ``names`` / ``ts_range`` predicates — file pruning at
+    the driver from manifest stats alone, before any footer is opened.
+    The residual row-level filter is applied too, so the result is exact.
+    An empty snapshot (everything expired, empty overwrite) returns an
+    empty frame with the manifest-recorded schema."""
     fs = _StoreFS(spark, path)
     if version is None:
-        version = snapshot_version(spark, path)
+        version, m = _resolve_tip(fs, path)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {path}")
-    m = _read_manifest(fs, path, version)
+    else:
+        m = _read_manifest(fs, path, version)
     files = m["files"]
     if names is not None:
         files = [
@@ -264,11 +346,16 @@ def snapshot_read(
         lo, hi = ts_range
         files = [f for f in files if f["max_ts"] >= lo and f["min_ts"] <= hi]
     if not files:
-        empty = _read_manifest(fs, path, version)["files"]
-        if not empty:
-            raise FileNotFoundError(f"snapshot v{version} of {path} is empty")
-        schema = spark.read.parquet(empty[0]["path"]).schema
-        return spark.createDataFrame([], schema)
+        from pyspark.sql import types as T
+
+        if m.get("schema") is not None:
+            return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+        if m["files"]:  # pruned to nothing: borrow any base file's schema
+            schema = spark.read.parquet(m["files"][0]["path"]).schema
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"snapshot v{version} of {path} is empty and predates recorded schemas"
+        )
     df = spark.read.parquet(*[f["path"] for f in files])
     if names is not None:
         df = df.filter(F.col("name").isin(names))
@@ -292,10 +379,8 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         )
         if not names:
             return snapshot_version(spark, path) or 0
-        parent = snapshot_version(spark, path)
-        base_files: list[dict] = (
-            _read_manifest(fs, path, parent)["files"] if parent is not None else []
-        )
+        parent, parent_m = _resolve_tip(fs, path)
+        base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [
             f
             for f in base_files
@@ -316,10 +401,17 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
             .drop("_prio", "_rn", "_sk")
         )
         new_files = _write_data_files(spark, path, out)
+        target = _target_version(fs, path, parent)
+        if target is None:
+            raise ConcurrentWriteError(
+                f"upsert prepared against v{parent} but the tip moved — "
+                f"re-run against the new tip"
+            )
         manifest = {
-            "version": (parent or 0) + 1,
+            "version": target,
             "parent": parent,
             "operation": "upsert",
+            "schema": _schema_json(updates),
             "files": kept + new_files,
         }
         if not _try_commit(fs, path, manifest):
@@ -345,24 +437,30 @@ def snapshot_compact(
     commits rewrites only those). Content is identical (same rows, new
     layout); old versions still read the old files (time travel keeps
     working until :func:`snapshot_vacuum` reclaims them). Files from
-    pre-round-6 manifests without a recorded size are treated as small
-    (rewritten once, gaining a size entry). Returns the new version, or
-    None if there was nothing to compact."""
-    parent = snapshot_version(spark, path)
+    manifests without a recorded size are treated as small (rewritten
+    once, gaining a size entry). Returns the new version, or None if
+    there was nothing to compact."""
+    fs = _StoreFS(spark, path)
+    parent, parent_m = _resolve_tip(fs, path)
     if parent is None:
         return None
-    fs = _StoreFS(spark, path)
-    base = _read_manifest(fs, path, parent)["files"]
+    base = parent_m["files"]
     small = [f for f in base if f.get("n_bytes", 0) < target_file_bytes]
     if len(small) < min_files_to_compact:
         return None
     kept = [f for f in base if f not in small]
     df = spark.read.parquet(*[f["path"] for f in small])
     new_files = _write_data_files(spark, path, df)
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"compact prepared against v{parent} but the tip moved"
+        )
     manifest = {
-        "version": parent + 1,
+        "version": target,
         "parent": parent,
         "operation": "compact",
+        "schema": parent_m.get("schema") or _schema_json(df),
         "files": kept + new_files,
     }
     if not _try_commit(fs, path, manifest):
@@ -379,7 +477,7 @@ def read_any_store(spark: SparkSession, path: str) -> DataFrame:
     Lets query-side code accept either store format without caring which
     maintenance protocol produced it."""
     fs = _StoreFS(spark, path)
-    if _list_versions(fs, path):
+    if _resolve_tip(fs, path)[0] is not None:
         return snapshot_read(spark, path)
     return read_store(spark, path)
 
@@ -393,28 +491,37 @@ def snapshot_expire(
     is the point of carrying per-file ts ranges: steady-state retention on
     an append-mostly store is O(metadata), not O(data). Only files
     STRADDLING the cutoff are read and rewritten filtered; untouched files
-    carry over by reference. Returns the committed version, or None if
-    nothing was expirable."""
-    parent = snapshot_version(spark, path)
+    carry over by reference. Expiring EVERYTHING is a legal commit (the
+    empty snapshot stays readable via its recorded schema). Returns the
+    committed version, or None if nothing was expirable."""
+    fs = _StoreFS(spark, path)
+    parent, parent_m = _resolve_tip(fs, path)
     if parent is None:
         return None
-    fs = _StoreFS(spark, path)
-    base = _read_manifest(fs, path, parent)["files"]
+    base = parent_m["files"]
     dead = [f for f in base if f["max_ts"] < min_ts]
     straddle = [f for f in base if f["min_ts"] < min_ts <= f["max_ts"]]
     if not dead and not straddle:
         return None
     kept = [f for f in base if f not in dead and f not in straddle]
     new_files: list[dict] = []
+    schema = parent_m.get("schema")
     if straddle:
         survivors = spark.read.parquet(*[f["path"] for f in straddle]).filter(
             F.col("ts") >= min_ts
         )
+        schema = schema or _schema_json(survivors)
         new_files = _write_data_files(spark, path, survivors)
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"expire prepared against v{parent} but the tip moved"
+        )
     manifest = {
-        "version": parent + 1,
+        "version": target,
         "parent": parent,
         "operation": "expire",
+        "schema": schema,
         "files": kept + new_files,
     }
     if not _try_commit(fs, path, manifest):
@@ -425,20 +532,35 @@ def snapshot_expire(
 
 
 def snapshot_vacuum(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    min_age_s: float = 24 * 3600.0,
 ) -> list[str]:
     """Reclaim storage: drop all but the last ``keep_last`` manifests and
-    delete every data file (and empty tx dir) no kept manifest references
-    — including files orphaned by crashed writers that never committed.
+    delete every data file (and empty tx dir) no kept manifest references.
     This is the ONLY operation that deletes data, and it only deletes what
-    no committed-and-kept snapshot can reach. Returns deleted paths."""
+    no committed-and-kept snapshot can reach.
+
+    ``min_age_s`` is the in-flight-writer guard (the same reason Delta's
+    VACUUM has a retention window): a writer that has staged data files
+    but not yet committed its manifest looks exactly like a crashed
+    orphan, so unreferenced files YOUNGER than the threshold are left
+    alone — only files old enough that no live transaction can still be
+    about to reference them are reclaimed. Lower it (or pass 0) only when
+    no writer can be active. Returns deleted paths."""
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if min_age_s < 0:
+        raise ValueError(f"min_age_s must be >= 0, got {min_age_s}")
     fs = _StoreFS(spark, path)
     versions = _list_versions(fs, path)
     if not versions:
         return []
-    kept_versions = versions[-keep_last:]
+    readable = [v for v in versions if _readable(fs, path, v)]
+    kept_versions = set(readable[-keep_last:])
 
     def norm(p: str) -> str:
         # input_file_name() says file:///x, FS listings say file:/x —
@@ -449,18 +571,33 @@ def snapshot_vacuum(
     for v in kept_versions:
         live_norm.update(norm(f["path"]) for f in _read_manifest(fs, path, v)["files"])
     deleted: list[str] = []
-    for v in versions[: -keep_last or None]:
-        if v not in kept_versions:
+    for v in versions:
+        if v not in kept_versions and v < max(kept_versions, default=versions[-1] + 1):
             fs.delete(_manifest_path(path, v))
             deleted.append(_manifest_path(path, v))
+    cutoff_ms = (time.time() - min_age_s) * 1000.0
     data_root = f"{path}/data"
     if fs.exists(data_root):
         for tx in fs.subdirs(data_root):
             files = fs.parquet_files(tx)
-            dead = [p for p, _ in files if norm(p) not in live_norm]
+            dead = []
+            for p, _sz in files:
+                if norm(p) in live_norm:
+                    continue
+                mtime = fs.fs.getFileStatus(fs.jpath(p)).getModificationTime()
+                if mtime <= cutoff_ms:
+                    dead.append(p)
             for p in dead:
                 fs.delete(p)
                 deleted.append(p)
-            if len(dead) == len(files):
+            if files and len(dead) == len(files):
                 fs.delete(tx)  # tx dir fully unreferenced
     return deleted
+
+
+def _readable(fs: _StoreFS, root: str, version: int) -> bool:
+    try:
+        _read_manifest(fs, root, version)
+        return True
+    except Exception:
+        return False

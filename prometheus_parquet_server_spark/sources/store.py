@@ -251,6 +251,13 @@ def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
     completed or rolled back — either way the live dir exists). Returns
     the removed paths (for logging/tests).
 
+    HARD-CRASH recovery: a maintainer killed (OOM, SIGKILL) between the
+    two renames of a swap leaves the OLD data only in ``.trash_name=X``
+    with no live ``name=X`` — the in-process rollback never ran. A trash
+    dir whose live partition is missing is therefore RESTORED (renamed
+    back to live), never deleted; only trash whose live dir exists (swap
+    completed, trash is a stale copy) is garbage.
+
     SINGLE-MAINTAINER assumption (the swap store's whole maintenance
     surface): this GC treats every staging dir as a dead predecessor's,
     so two maintenance passes running concurrently would delete each
@@ -259,11 +266,20 @@ def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
     snapshot store's job (sources/snapshot_store.py — optimistic commits,
     no shared staging)."""
     removed = []
-    prefixes = (".compact_tmp_", ".expire_tmp_", ".upsert_tmp_",
-                ".upsert_stage_", ".trash_")
+    staging_prefixes = (".compact_tmp_", ".expire_tmp_", ".upsert_tmp_",
+                        ".upsert_stage_")
     for d in fs.subdirs():
         base = _basename(d)
-        if base.startswith(prefixes):
+        if base.startswith(".trash_"):
+            live_base = base[len(".trash_"):]
+            live = f"{d.rstrip('/').rsplit('/', 1)[0]}/{live_base}"
+            if fs.exists(live):
+                fs.delete(d)  # swap completed — stale copy
+                removed.append(d)
+            else:
+                # hard crash mid-swap: this trash IS the data — restore
+                fs.rename(d, live)
+        elif base.startswith(staging_prefixes):
             fs.delete(d)
             removed.append(d)
     return removed

@@ -55,7 +55,7 @@ def test_uncommitted_writer_is_invisible(spark, tmp_path):
     assert df.count() == 1
     assert [r["name"] for r in df.collect()] == ["a"]
     # vacuum reclaims the orphan
-    deleted = snapshot_vacuum(spark, store, keep_last=1)
+    deleted = snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
     assert any("tx_crashed0001" in p for p in deleted)
     assert snapshot_read(spark, store).count() == 1
 
@@ -151,7 +151,7 @@ def test_compact_preserves_content_and_history(spark, tmp_path):
     assert before == after
     # old version still readable until vacuumed
     assert snapshot_read(spark, store, version=3).count() == 3
-    snapshot_vacuum(spark, store, keep_last=1)
+    snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
     with pytest.raises(Exception):
         snapshot_read(spark, store, version=3).count()
     assert snapshot_read(spark, store).count() == 3
@@ -162,6 +162,8 @@ def test_vacuum_keep_last_guard(spark, tmp_path):
     snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
     with pytest.raises(ValueError):
         snapshot_vacuum(spark, store, keep_last=0)
+    with pytest.raises(ValueError):
+        snapshot_vacuum(spark, store, min_age_s=-1)
 
 
 def test_expire_drops_whole_files_without_scan(spark, tmp_path):
@@ -294,3 +296,53 @@ def test_compact_rewrites_only_small_files(spark, tmp_path):
     # everything at/above target now → no-op, no empty commit
     assert snapshot_compact(spark, store, target_file_bytes=1) is None
     assert snapshot_version(spark, store) == 4
+
+
+def test_vacuum_age_guard_spares_inflight_writers(spark, tmp_path):
+    """Unreferenced data files YOUNGER than min_age_s must survive vacuum:
+    a writer that staged files but hasn't committed yet is
+    indistinguishable from a crashed orphan, and deleting its files would
+    corrupt its about-to-commit snapshot."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    # an "in-flight" writer's staged-but-uncommitted files (fresh mtime)
+    mk(spark, [("inflight", {}, 9.0, 9.0)]).write.parquet(
+        f"{store}/data/tx_inflight01"
+    )
+    deleted = snapshot_vacuum(spark, store, keep_last=1)  # default age guard
+    assert not any("tx_inflight01" in p for p in deleted)
+    # the files are still there for the writer's commit
+    assert spark.read.parquet(f"{store}/data/tx_inflight01").count() == 1
+
+
+def test_expire_everything_leaves_readable_empty_snapshot(spark, tmp_path):
+    """Expiring all data is a legal retention outcome: the empty snapshot
+    must stay readable (schema from the manifest), not crash readers."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_expire,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("m", {}, 1.0, 1.0)]), mode="overwrite")
+    v = snapshot_expire(spark, store, min_ts=100.0)
+    assert v == 2
+    out = snapshot_read(spark, store)
+    assert out.count() == 0
+    assert set(out.columns) == {"name", "labels", "ts", "value"}
+
+
+def test_torn_manifest_does_not_wedge_store(spark, tmp_path):
+    """An unreadable version file (legacy torn write / tampering) must be
+    skipped by readers and numbered past by writers — not crash every
+    read and write until manual cleanup."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    # plant a torn manifest above the tip
+    (tmp_path / "snap" / "_snapshots" / "v0000000002.json").write_text("{trunca")
+    assert snapshot_version(spark, store) == 1  # readable tip
+    assert snapshot_read(spark, store).count() == 1
+    v = snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+    assert v == 3  # numbered PAST the junk, not into it
+    assert snapshot_read(spark, store).count() == 2
+    hist = {r["version"] for r in snapshot_history(spark, store).collect()}
+    assert hist == {1, 3}

@@ -259,3 +259,26 @@ def test_upsert_plan_shape_single_merge(spark, tmp_path):
     )
     plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_gc_restores_trash_after_hard_crash_mid_swap(spark, tmp_path):
+    """A maintainer killed between the two swap renames leaves the ONLY
+    copy of the partition in .trash_name=X (no live dir, no in-process
+    rollback). GC must restore it, never delete it — deleting would be
+    permanent data loss."""
+    import os
+
+    store = str(tmp_path / "store")
+    write_store(mk(spark, [("m", {}, 1.0, 42.0)]), store)
+    # simulate the crash window: live renamed aside, new data staged
+    os.rename(f"{store}/name=m", f"{store}/.trash_name=m")
+    (tmp_path / "store" / ".compact_tmp_name=m").mkdir()
+    fs = _StoreFS(spark, store)
+    removed = _gc_stale_maintenance_dirs(fs)
+    # staging deleted, trash RESTORED (not in removed)
+    assert any(".compact_tmp_name=m" in p for p in removed)
+    assert not any(".trash_name=m" in p for p in removed)
+    rows = read_store(spark, store).collect()
+    assert [(r["name"], r["ts"], r["value"]) for r in rows] == [("m", 1.0, 42.0)]
+    # and a full maintenance pass right after the crash heals + proceeds
+    assert compact_store(spark, store) == []
