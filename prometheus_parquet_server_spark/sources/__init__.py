@@ -15,6 +15,8 @@ from prometheus_parquet_server_spark.sources.retag import read_mapping
 from prometheus_parquet_server_spark.sources.snapshot_store import (
     ConcurrentWriteError,
     read_any_store,
+    snapshot_as_of,
+    snapshot_select,
     snapshot_compact,
     snapshot_expire,
     snapshot_history,
@@ -58,6 +60,8 @@ __all__ = [
     "ingest_zip",
     "ConcurrentWriteError",
     "read_any_store",
+    "snapshot_as_of",
+    "snapshot_select",
     "snapshot_expire",
     "snapshot_compact",
     "snapshot_history",

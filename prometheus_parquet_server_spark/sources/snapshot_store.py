@@ -155,7 +155,11 @@ def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
       exactly one winner per version, no torn bytes, no lost append
       (the displaced writer fails its verify and retries).
     """
-    manifest = dict(manifest, _writer=uuid.uuid4().hex)
+    import time as _time
+
+    manifest = dict(
+        manifest, _writer=uuid.uuid4().hex, committed_at=_time.time()
+    )
     final = fs.jpath(_manifest_path(root, manifest["version"]))
     tmp = fs.jpath(
         f"{root}/{_SNAP_DIR}/.tmp_v{manifest['version']:010d}_{manifest['_writer'][:8]}.json"
@@ -468,6 +472,46 @@ def snapshot_compact(
             f"compact prepared against v{parent} but the tip moved"
         )
     return manifest["version"]
+
+
+def snapshot_as_of(spark: SparkSession, path: str, ts: float) -> int | None:
+    """Time travel by wall clock: the highest readable version whose
+    commit time is <= ``ts`` (epoch seconds) — "the store as it was at
+    2 a.m.". Versions without a recorded commit time (pre-round-6) are
+    treated as infinitely old, i.e. always eligible."""
+    fs = _StoreFS(spark, path)
+    for v in reversed(_list_versions(fs, path)):
+        try:
+            m = _read_manifest(fs, path, v)
+        except Exception:
+            continue
+        if m.get("committed_at", float("-inf")) <= ts:
+            return v
+    return None
+
+
+def snapshot_select(
+    spark: SparkSession,
+    path: str,
+    matchers,
+    version: int | None = None,
+) -> DataFrame:
+    """PromQL-style selector over a snapshot store: equality ``__name__``
+    matchers prune files at the MANIFEST level (driver-side, before any
+    footer opens — the snapshot store's analogue of the swap store's
+    Hive partition pruning), then every matcher applies exactly via the
+    engine's selector (operators/select.py select_series). The query
+    surface and the table format compose: a one-metric selector on a
+    10^5-file store plans a scan over the handful of files whose name
+    range covers that metric."""
+    from prometheus_parquet_server_spark.labels import NAME_LABEL
+    from prometheus_parquet_server_spark.operators.select import select_series
+
+    names = [
+        m.value for m in matchers if m.label == NAME_LABEL and m.op == "="
+    ] or None
+    df = snapshot_read(spark, path, version=version, names=names)
+    return select_series(df, list(matchers))
 
 
 def read_any_store(spark: SparkSession, path: str) -> DataFrame:

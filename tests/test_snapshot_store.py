@@ -346,3 +346,62 @@ def test_torn_manifest_does_not_wedge_store(spark, tmp_path):
     assert snapshot_read(spark, store).count() == 2
     hist = {r["version"] for r in snapshot_history(spark, store).collect()}
     assert hist == {1, 3}
+
+
+def test_snapshot_select_prunes_and_filters_exactly(spark, tmp_path):
+    """The engine selector composes with the table format: equality
+    __name__ matchers prune at the manifest level; all matchers still
+    apply exactly (regex __name__ falls back to a full scan but stays
+    correct)."""
+    from prometheus_parquet_server_spark.labels import LabelMatcher
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_select,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    rows = [("cpu", {"host": "a"}, 1.0, 1.0), ("cpu", {"host": "b"}, 1.0, 2.0)]
+    snapshot_write(spark, store, mk(spark, rows), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("mem", {"host": "a"}, 1.0, 3.0)]))
+
+    sel = snapshot_select(
+        spark, store,
+        [LabelMatcher("__name__", "=", "cpu"), LabelMatcher("host", "=", "a")],
+    )
+    got = [(r["name"], r["value"]) for r in sel.collect()]
+    assert got == [("cpu", 1.0)]
+    # pruning really happened: the mem file's path never reaches the scan
+    scanned = {r[0] for r in sel.select(F.input_file_name()).distinct().collect()}
+    assert not any("mem" in _p or _is_mem_file(spark, store, _p) for _p in scanned)
+
+
+def _is_mem_file(spark, store, path):
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _resolve_tip,
+        _StoreFS,
+    )
+
+    fs = _StoreFS(spark, store)
+    _, m = _resolve_tip(fs, store)
+    mem = {f["path"].split("://", 1)[-1] for f in m["files"] if f["min_name"] == "mem"}
+    return path.split("://", 1)[-1] in mem
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    import time
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_as_of,
+    )
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    t_between = time.time()
+    time.sleep(0.05)
+    snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+
+    v = snapshot_as_of(spark, store, t_between)
+    assert v == 1
+    assert snapshot_read(spark, store, version=v).count() == 1
+    assert snapshot_as_of(spark, store, time.time()) == 2
+    assert snapshot_as_of(spark, store, 0.0) is None  # before the store existed
