@@ -620,6 +620,16 @@ def snapshot_vacuum(
             fs.delete(_manifest_path(path, v))
             deleted.append(_manifest_path(path, v))
     cutoff_ms = (time.time() - min_age_s) * 1000.0
+    # stale manifest temps: a writer that crashed between staging and
+    # rename leaves .tmp_v*.json junk (harmless — invisible to version
+    # listing — but it accumulates); reclaim it under the same age guard
+    snap_dir = f"{path}/{_SNAP_DIR}"
+    if fs.exists(snap_dir):
+        for st in fs.fs.listStatus(fs.jpath(snap_dir)):
+            base = str(st.getPath()).rsplit("/", 1)[-1]
+            if base.startswith(".tmp_") and st.getModificationTime() <= cutoff_ms:
+                fs.delete(str(st.getPath()))
+                deleted.append(str(st.getPath()))
     data_root = f"{path}/data"
     if fs.exists(data_root):
         for tx in fs.subdirs(data_root):

@@ -405,3 +405,20 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     assert snapshot_read(spark, store, version=v).count() == 1
     assert snapshot_as_of(spark, store, time.time()) == 2
     assert snapshot_as_of(spark, store, 0.0) is None  # before the store existed
+
+
+def test_vacuum_reclaims_stale_manifest_temps(spark, tmp_path):
+    """A writer crashed between staging and rename leaves .tmp_v*.json
+    junk in _snapshots; vacuum reclaims it past the age guard, and a
+    fresh temp (an in-flight commit) survives."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    stale = tmp_path / "snap" / "_snapshots" / ".tmp_v0000000002_deadbeef.json"
+    stale.write_text("{}")
+    deleted = snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
+    assert any(".tmp_v0000000002" in p for p in deleted)
+    fresh = tmp_path / "snap" / "_snapshots" / ".tmp_v0000000003_cafecafe.json"
+    fresh.write_text("{}")
+    deleted2 = snapshot_vacuum(spark, store, keep_last=1)  # default age guard
+    assert not any(".tmp_v0000000003" in p for p in deleted2)
+    assert fresh.exists()
