@@ -422,3 +422,75 @@ def test_vacuum_reclaims_stale_manifest_temps(spark, tmp_path):
     deleted2 = snapshot_vacuum(spark, store, keep_last=1)  # default age guard
     assert not any(".tmp_v0000000003" in p for p in deleted2)
     assert fresh.exists()
+
+
+def test_snapshot_lifecycle_matches_model(spark, tmp_path):
+    """Model-based check: a random-ish sequence of lifecycle ops applied
+    both to the snapshot store and to a plain Python dict model keyed by
+    (name, ts) — after every op the store content must equal the model.
+    Catches cross-op interactions (upsert after expire, compact between
+    appends, vacuum mid-sequence) that single-op tests cannot."""
+    import random
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_expire,
+    )
+
+    rnd = random.Random(1234)
+    store = f"file://{tmp_path}/snap"
+    model: dict[tuple[str, float], float] = {}
+
+    def gen(n):
+        rows = [
+            (f"m{rnd.randrange(4)}", {}, float(rnd.randrange(20)),
+             float(rnd.randrange(100)))
+            for _ in range(n)
+        ]
+        return rows
+
+    def dedupe_max(rows):
+        best: dict[tuple[str, float], float] = {}
+        for name, _, ts, v in rows:
+            k = (name, ts)
+            best[k] = max(best[k], v) if k in best else v
+        return best
+
+    # seed
+    rows = gen(8)
+    snapshot_write(spark, store, mk(spark, rows), mode="overwrite")
+    model = dict(dedupe_max(rows))
+    # NOTE: plain append can duplicate (name, ts) pairs across commits —
+    # the model for append is multiset union, so model values follow the
+    # read-side MAX-dedupe convention only through upsert; keep appends
+    # disjoint by using fresh timestamps
+    next_ts = 100.0
+
+    for step in range(12):
+        op = rnd.choice(["append", "upsert", "expire", "compact", "vacuum"])
+        if op == "append":
+            rows = [
+                (f"m{rnd.randrange(4)}", {}, next_ts + i, float(rnd.randrange(100)))
+                for i in range(3)
+            ]
+            next_ts += 10.0
+            snapshot_write(spark, store, mk(spark, rows))
+            model.update(dedupe_max(rows))
+        elif op == "upsert":
+            rows = gen(5)
+            snapshot_upsert(spark, store, mk(spark, rows))
+            for k, v in dedupe_max(rows).items():
+                model[k] = v  # updates REPLACE
+        elif op == "expire":
+            cut = float(rnd.randrange(25))
+            snapshot_expire(spark, store, min_ts=cut)
+            model = {k: v for k, v in model.items() if k[1] >= cut}
+        elif op == "compact":
+            snapshot_compact(spark, store, target_file_bytes=1 << 30)
+        else:
+            snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
+
+        got = {
+            (r["name"], r["ts"]): r["value"]
+            for r in snapshot_read(spark, store).collect()
+        }
+        assert got == model, f"divergence after step {step} ({op})"
