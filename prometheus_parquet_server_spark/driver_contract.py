@@ -1965,6 +1965,34 @@ SELECT doc_id FROM ranked WHERE rn = 1
 """
 
 
+def q_dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared token n-grams (detection half of
+    exact-substring dedup): hashed n-gram inverted index, text never
+    shuffles (pipeline/dedup.py cross_doc_ngrams)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import cross_doc_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_doc_ngrams(docs, n=8, min_docs=2)
+
+
+SQL_DEDUP_SHARED_NGRAMS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS gram
+    FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS g(i)
+)
+SELECT gram AS gram_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -3087,6 +3115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_chunked": q_events_asof_chunked,
     "events_sessionize_chunked": q_events_sessionize_chunked,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3184,6 +3213,7 @@ ORACLES: dict[str, str] = {
     "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
     "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

@@ -53,6 +53,7 @@ from prometheus_parquet_server_spark.pipeline.dedup import (
     minhash_bands,
     lsh_duplicate_buckets,
     simhash,
+    cross_doc_ngrams,
     ngram_jaccard_pairs,
 )
 from prometheus_parquet_server_spark.pipeline.similarity import (
@@ -90,6 +91,7 @@ __all__ = [
     "minhash_bands",
     "lsh_duplicate_buckets",
     "simhash",
+    "cross_doc_ngrams",
     "ngram_jaccard_pairs",
     "cosine_similarity_col",
     "brute_force_topk",

@@ -161,3 +161,55 @@ def ngram_jaccard_pairs(
         "id_b",
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def cross_doc_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token n-grams shared across documents: ``(gram_hash, n_docs,
+    n_occ)`` for every n-gram appearing in at least ``min_docs`` distinct
+    docs — the detection half of exact-substring deduplication (the
+    published playbook for training corpora: long spans repeated across
+    documents are boilerplate/licenses/templates and should be found
+    before they are memorized). Suffix arrays don't distribute; the
+    Spark-native shape is a hashed n-gram inverted index: one narrow
+    explode of (doc, gram-hash) rows — text itself never shuffles, only
+    32-byte md5 hashes (md5, not xxhash, per the cross-engine identity
+    rule) — then a single map-side-combinable aggregate. Gram-space
+    cardinality is bounded by total corpus tokens, the same scale the
+    vocabulary aggregates already handle.
+
+    Tokenization = the house ``tokens_col`` convention (lowercased
+    whitespace tokens, empties removed), so results line up with
+    token_stats/vocab_topk and the DuckDB oracle replays it exactly.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        toks.alias("_t"),
+        F.explode(starts).alias("_i"),
+    ).select(
+        "_doc",
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("_i"), n))).alias("gram_hash"),
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

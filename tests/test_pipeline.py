@@ -407,3 +407,26 @@ def test_resolve_duplicates_quality_keep(spark):
     assert surv == {2, 4, 5}
     surv_id = {r["doc_id"] for r in resolve_duplicates(docs, pairs).collect()}
     assert surv_id == {1, 4, 5}
+
+
+def test_cross_doc_ngrams_detection(spark):
+    """Shared 3-gram across two docs is found once; within-doc repeats
+    count as occurrences, not extra docs; short docs produce no grams."""
+    from prometheus_parquet_server_spark.pipeline.dedup import cross_doc_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same span here tail one"),
+            (2, "prefix the same span here"),
+            (3, "the same span here and the same span here"),  # 2 occurrences
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cross_doc_ngrams(df, n=4).collect()
+    by_docs = {(r["n_docs"], r["n_occ"]) for r in rows}
+    # 'the same span here' appears in docs 1,2,3 with 4 total occurrences
+    assert (3, 4) in by_docs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cross_doc_ngrams(df, n=0)
