@@ -180,8 +180,15 @@ def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
             return False
         try:
             back = _read_manifest(fs, root, manifest["version"])
-        except Exception:
-            return False
+        except Exception as e:
+            # the rename SUCCEEDED but the verify read failed: the commit
+            # may well be live. Returning False here would make an append
+            # retry and double-apply its own files on top of its own
+            # commit — an ambiguous commit must fail loudly instead.
+            raise IOError(
+                f"commit v{manifest['version']} published but unverifiable "
+                f"({e}) — inspect the store before retrying"
+            ) from e
         return back.get("_writer") == manifest["_writer"]
 
 
