@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
@@ -133,6 +133,32 @@ def _d(x: float) -> str:
     """Double literal for DuckDB — bare decimal literals parse as DECIMAL,
     which poisons downstream arithmetic with fixed-point types."""
     return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _dec(col) -> Column:
+    """Per-row DECIMAL(38,9) cast feeding an order-insensitive exact sum
+    (the round-7 anti-flake contract: float SUM order varies with shuffle
+    placement, and a sum riding a 6-dp rounding boundary flips its graded
+    hash run-to-run — seen on events_sessionize in round 6, and flagged on
+    a1/a2/a3/promql_sum_rate/tpch_q1/events_rollup by
+    scripts/audit_rounding.py). Oracles mirror with
+    SUM(CAST(x AS DECIMAL(38,9))); per-row cast parity between Spark and
+    DuckDB is empirically exact on this data."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,9)")
+
+
+def _round6_exact(col) -> Column:
+    """Round an exact-decimal-sum-carried-as-double at 6 dp IN DECIMAL
+    SPACE: a ≤15-significant-digit decimal round-trips through double
+    exactly, so re-casting recovers the decimal sum and the HALF_UP decimal
+    round can never disagree with the oracle's ROUND(SUM(DECIMAL), 6).
+    Non-finite values (decimal cast would null them) pass through."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(nonfinite, c).otherwise(
+        F.round(c.cast("decimal(38,9)"), 6).cast("double")
+    )
 
 
 _METRICS_CTE = """
@@ -535,7 +561,7 @@ def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     return (
         rs.groupBy("name", "ts")
-        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .agg(F.round(F.sum(_dec("value")), 6).cast("double").alias("value"))
     )
 
 
@@ -562,7 +588,8 @@ interp AS (
     LEFT JOIN samples s0 ON s0.name = j.name AND s0.user_id = j.user_id AND s0.ts = j.t0
     LEFT JOIN samples s1 ON s1.name = j.name AND s1.user_id = j.user_id AND s1.ts = j.t1
 )
-SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value
+SELECT name, gts AS ts,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value
 FROM interp GROUP BY name, gts
 """
 
@@ -578,8 +605,8 @@ def q_a2_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
     )
-    out = sum_over_series(canonical, without=["user_id"])
-    return out.select("name", "ts", F.round("value", 6).alias("value"))
+    out = sum_over_series(canonical, without=["user_id"], exact=True)
+    return out.select("name", "ts", _round6_exact("value").alias("value"))
 
 
 def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,12 +620,12 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     out = aggregate_over_series(
-        canonical, ("avg", "min", "max", "count"), by=["__name__"]
+        canonical, ("avg", "min", "max", "count"), by=["__name__"], exact=True
     )
     return out.select(
         "name",
         "ts",
-        F.round("avg", 6).alias("avg_value"),
+        _round6_exact("avg").alias("avg_value"),
         F.round("min", 6).alias("min_value"),
         F.round("max", 6).alias("max_value"),
         F.col("count").alias("n_series"),
@@ -608,15 +635,24 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
-    return rs.groupBy("ts").agg(F.round(F.sum("value"), 6).alias("value"))
+    return rs.groupBy("ts").agg(
+        F.round(F.sum(_dec("value")), 6).cast("double").alias("value")
+    )
 
 
 SQL_A2 = SQL_A1  # sum without (user_id) over {name,user_id} series ≡ sum by name
 
+_A1_FINAL = (
+    "SELECT name, gts AS ts,\n"
+    "       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value\n"
+    "FROM interp GROUP BY name, gts"
+)
+
 SQL_A4 = SQL_A1.replace(
-    "SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY name, gts",
+    _A1_FINAL,
     """SELECT name, gts AS ts,
-       ROUND(AVG(value), 6) AS avg_value,
+       -- mirrors aggregate.exact_avg: exact decimal sum → double → / count
+       CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(value) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_value,
        ROUND(MIN(value), 6) AS min_value,
        ROUND(MAX(value), 6) AS max_value,
        CAST(COUNT(value) AS BIGINT) AS n_series
@@ -624,8 +660,10 @@ FROM interp GROUP BY name, gts""",
 )
 
 SQL_A3 = SQL_A1.replace(
-    "SELECT name, gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY name, gts",
-    "SELECT gts AS ts, ROUND(SUM(value), 6) AS value\nFROM interp GROUP BY gts",
+    _A1_FINAL,
+    "SELECT gts AS ts,\n"
+    "       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value\n"
+    "FROM interp GROUP BY gts",
 )
 
 
@@ -660,14 +698,28 @@ FROM (
 
 
 def q_promql_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full PromQL stack: 'sum by (__name__) (rate(click{}[30m]))'."""
+    """Full PromQL stack: 'sum by (__name__) (rate(click{}[30m]) * 1e6)'.
+
+    The ×1e6 rides INSIDE the query (per-row scalar binop, before the
+    aggregate) so exact_agg's DECIMAL(38,9) accumulation sees O(10)
+    magnitudes and keeps 1e-9 absolute precision — post-scaling the
+    O(1e-5) raw rates would quantize them to 4 significant digits."""
     metrics = _metrics_canonical(spark, sf_dir)
     grid = RegularTimeRange(
         GRID_START, GRID_START + (GRID_LEN - 1) * GRID_STEP, GRID_STEP
     )
-    out = run_query(spark, metrics, "sum by (__name__) (rate(click{}[30m]))", grid)
+    out = run_query(
+        spark,
+        metrics,
+        "sum by (__name__) (rate(click{}[30m]) * 1000000)",
+        grid,
+        exact_agg=True,
+    )
+    # the scalar binop drops __name__ (PromQL arithmetic semantics), so
+    # `sum by (__name__)` groups a NULL name — restore the selector's
+    # literal, mirroring the oracle's constant 'click'
     return out.filter(~F.isnan("value")).select(
-        "name", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
+        F.lit("click").alias("name"), "ts", _round6_exact("value").alias("value_e6")
     )
 
 
@@ -676,10 +728,12 @@ WITH {_METRICS_CTE}, {_GRID_CTE},
 {_interp_sql('click', 'g.gts', 'hi')},
 {_interp_sql('click', f'(g.gts - {_d(RATE_RANGE)})', 'lo')},
 rate AS (
-    SELECT h.user_id, h.gts, (h.value - l.value) / {_d(RATE_RANGE)} AS value
+    SELECT h.user_id, h.gts,
+           ((h.value - l.value) / {_d(RATE_RANGE)}) * {_d(1e6)} AS value
     FROM hi h JOIN lo l ON l.user_id = h.user_id AND l.gts = h.gts
 )
-SELECT 'click' AS name, gts AS ts, ROUND(SUM(value) * 1e6, 6) AS value_e6
+SELECT 'click' AS name, gts AS ts,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value_e6
 FROM rate GROUP BY gts
 """
 
@@ -1281,13 +1335,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # decimal sums: the audit measured sum_base_price 5e-5 from its
+            # 2-dp boundary vs a ~4e-3 reorder-error bound — a live flake
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec(disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec(disc * (1 + F.col("l_tax")))), 2).cast("double").alias("sum_charge"),
+            _round6_exact(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            _round6_exact(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            _round6_exact(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1295,13 +1351,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_price,
+       CAST(ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1361,8 +1417,8 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -1370,7 +1426,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5ISH = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -2707,7 +2763,9 @@ SELECT user_id, session_seq,
        MIN(ts_s) AS session_start,
        MAX(ts_s) AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       -- exact order-insensitive decimal sum, then round: float partial-sum
+       -- order flips the 6th digit when the true sum rides a boundary
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_seq
 """
@@ -2726,20 +2784,26 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (epoch_micros(ev) / F.lit(1e6)).alias("ts"), "value"
     )
     day = rollup_cascade(
-        base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",)
+        base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",), exact=True
     )[86400.0]
+    # exact=True keeps sum_v DECIMAL(38,9) through every cascade level, so
+    # both sum_v and the sum/n quotient are pure functions of the data —
+    # no partial-sum-order sensitivity anywhere (audit_rounding measured
+    # the float avg 7e-15 from a 6-dp boundary: a live flake)
     return day.select(
         "event_type",
         "bucket_ts",
         "n",
-        F.round("sum_v", 6).alias("sum_v"),
+        F.round("sum_v", 6).cast("double").alias("sum_v"),
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
-        # avg from the ROUNDED sum: the raw cascade sum differs from the
-        # oracle's direct sum by ulps, which a direct sum/n quotient can
-        # amplify across a 6-decimal rounding boundary; the rounded sums
-        # are identical across engines, so this quotient is too
-        F.round(F.round("sum_v", 6) / F.col("n"), 6).alias("avg_v"),
+        # quotient snapped through DECIMAL(38,9) before the 6-dp round
+        # (_round6_exact): sum/n can be an EXACT 6-dp tie (e.g. 7219.32/128
+        # = 56.4009375) that double can't represent — the 9-dp snap absorbs
+        # the sub-1e-9 binary noise identically in both engines, where a
+        # direct double ROUND could split on which side of the tie the
+        # nearest double landed
+        _round6_exact(F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
     )
 
 
@@ -2750,10 +2814,10 @@ WITH base AS (
 SELECT event_type,
        FLOOR(ts / 86400.0) * 86400.0 AS bucket_ts,
        COUNT(*) AS n,
-       ROUND(SUM(value), 6) AS sum_v,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS sum_v,
        ROUND(MIN(value), 6) AS min_v,
        ROUND(MAX(value), 6) AS max_v,
-       ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_v
+       CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_v
 FROM base
 GROUP BY event_type, FLOOR(ts / 86400.0) * 86400.0
 """

@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from prometheus_parquet_server_spark.labels import NAME_LABEL
 from prometheus_parquet_server_spark.model import canonical_labels_json
@@ -44,6 +45,37 @@ AGG_FNS = {
     # PromQL `group`: 1 for every group regardless of values (even NaN)
     "group": lambda _c: F.max(F.lit(1.0)),
 }
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-insensitive sum of a double column: exact DECIMAL(38,9)
+    accumulation, cast back to double.
+
+    Float SUM is order-dependent — Spark's partial-sum order varies with
+    shuffle placement, so a sum whose true value rides a rounding boundary
+    flips its rounded digit run-to-run (the round-6 ``events_sessionize``
+    driver flake; the round-7 audit flagged a1/a2/a3/promql_sum_rate/
+    tpch_q1/events_rollup in the same class). Decimal accumulation is exact,
+    so the result is a pure function of the multiset of values.
+
+    Groups holding a non-finite value (NaN/±Inf would cast to decimal NULL
+    and be silently skipped) fall back to the float sum, whose outcome for
+    non-finite inputs is itself order-insensitive (NaN poisons; same-signed
+    Inf saturates; mixed Inf yields NaN) — preserving the PromQL semantics
+    documented in this module's header.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(F.count_if(nonfinite) > 0, F.sum(c)).otherwise(
+        F.sum(c.cast(T.DecimalType(38, 9))).cast("double")
+    )
+
+
+def exact_avg(col: Column | str) -> Column:
+    """Order-insensitive mean: :func:`exact_sum` divided by the non-null
+    count (one IEEE division of two deterministic operands)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c) / F.count(c)
 
 
 def _grouped_agg(
@@ -104,6 +136,7 @@ def aggregate_over_series(
     fns: Sequence[str] = ("sum",),
     by: Sequence[str] | None = None,
     without: Sequence[str] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Element-wise aggregation across series per instant.
 
@@ -114,12 +147,21 @@ def aggregate_over_series(
     One ``fns`` entry → output column ``value``; several → one column per
     function name. Output: (name, labels, ts, value...) — name NULL unless
     retained.
+
+    ``exact=True`` routes ``sum``/``avg`` through :func:`exact_sum` /
+    :func:`exact_avg` (order-insensitive decimal accumulation) — the
+    reproducible-results mode for pipelines whose outputs are hashed or
+    diffed run-to-run; default off to keep plain float64 PromQL semantics.
     """
     for fn in fns:
         if fn not in AGG_FNS:
             raise ValueError(f"unknown aggregation {fn!r}")
+    builders = dict(AGG_FNS)
+    if exact:
+        builders["sum"] = exact_sum
+        builders["avg"] = exact_avg
     single = len(fns) == 1
-    aggs = [AGG_FNS[fn]("value").alias("value" if single else fn) for fn in fns]
+    aggs = [builders[fn]("value").alias("value" if single else fn) for fn in fns]
     out_cols = ["value"] if single else list(fns)
     return _grouped_agg(df, aggs, out_cols, by, without)
 
@@ -189,10 +231,11 @@ def sum_over_series(
     df: DataFrame,
     by: Sequence[str] | None = None,
     without: Sequence[str] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """A1–A3: element-wise sum across series (reference semantics — NaN
     poisons the group, groups of one pass through)."""
-    return aggregate_over_series(df, ("sum",), by=by, without=without)
+    return aggregate_over_series(df, ("sum",), by=by, without=without, exact=exact)
 
 
 def topk_over_series(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: the associative partial set every level carries
 _PARTIALS = ("n", "sum_v", "min_v", "max_v")
@@ -27,17 +28,26 @@ def time_bucket_partials(
     ts_col: str = "ts",
     value_col: str = "value",
     by: tuple[str, ...] = (),
+    exact: bool = False,
 ) -> DataFrame:
     """Finest level: raw rows → (by…, bucket_ts, n, sum_v, min_v, max_v)
-    with ``bucket_ts = floor(ts / width) · width`` (epoch seconds)."""
+    with ``bucket_ts = floor(ts / width) · width`` (epoch seconds).
+
+    ``exact=True`` accumulates ``sum_v`` as DECIMAL(38,9) — and keeps it
+    decimal up the cascade — so the recombined sums are a pure function of
+    the data, independent of partial-sum order (reproducible-results mode;
+    float sums at a rounding boundary flip digits run-to-run)."""
     if width_s <= 0:
         raise ValueError(f"width_s must be > 0, got {width_s}")
     bucket = (F.floor(F.col(ts_col) / F.lit(width_s)) * F.lit(width_s)).alias(
         "bucket_ts"
     )
+    sum_in = (
+        F.col(value_col).cast(T.DecimalType(38, 9)) if exact else F.col(value_col)
+    )
     return df.groupBy(*by, bucket).agg(
         F.count("*").alias("n"),
-        F.sum(value_col).alias("sum_v"),
+        F.sum(sum_in).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     )
@@ -68,10 +78,14 @@ def rollup_cascade(
     ts_col: str = "ts",
     value_col: str = "value",
     by: tuple[str, ...] = (),
+    exact: bool = False,
 ) -> dict[float, DataFrame]:
     """Build every level, finest first; each ``widths_s[i+1]`` must nest
     exactly in ``widths_s[i]`` (``b == k·a`` bit-for-bit). Returns {width → level frame};
-    read ``avg`` as ``sum_v / n`` at whichever level serves the query."""
+    read ``avg`` as ``sum_v / n`` at whichever level serves the query.
+    ``exact``: decimal ``sum_v`` partials end-to-end (order-insensitive;
+    see :func:`time_bucket_partials`) — re-summing a DECIMAL(38,9) column
+    stays DECIMAL(38,9), so every cascade level keeps exactness."""
     if not widths_s:
         raise ValueError("need at least one rollup width")
     for a, b in zip(widths_s, widths_s[1:]):
@@ -87,7 +101,7 @@ def rollup_cascade(
                 f"(need b == k*a exactly in float arithmetic)"
             )
     levels: dict[float, DataFrame] = {}
-    current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by)
+    current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by, exact=exact)
     levels[widths_s[0]] = current
     for w in widths_s[1:]:
         current = rollup_level(current, w, by)

@@ -117,6 +117,10 @@ class _Ctx:
     #: the backward pad). Queries that never touch the aligned store
     #: (offsets, oversized ranges) skip the build entirely.
     aligned_provider: "Callable[[], tuple[DataFrame, DataFrame | None, int]] | None" = None
+    #: route sum/avg aggregations through order-insensitive decimal
+    #: accumulation (operators.aggregate.exact_sum) — the reproducible-
+    #: results mode; float64 PromQL semantics when off (default)
+    exact_agg: bool = False
 
     def resolve_aligned(self) -> None:
         if self.aligned_provider is not None:
@@ -327,7 +331,7 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
         # the inner expression on a range_s-sized 1-second grid (wrong
         # values AND a blowup for m[1h:] @ t)
         at_grid = RegularTimeRange(at, at, ctx.grid.increment)
-        sub_ctx = _Ctx(ctx.spark, ctx.collection, at_grid)
+        sub_ctx = _Ctx(ctx.spark, ctx.collection, at_grid, exact_agg=ctx.exact_agg)
         plain = dc_replace(sq, at_s=None)
         args = tuple(plain if i == idx else a for i, a in enumerate(node.args))
         one = _eval(FuncNode(node.name, args, node.agg), sub_ctx, state)
@@ -851,13 +855,17 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
             raise QueryError("resampling failed")
         fns = (node.name,)
         if node.agg is None:
-            return Processed(aggregate_over_series(arg.df, fns))
+            return Processed(aggregate_over_series(arg.df, fns, exact=ctx.exact_agg))
         if node.agg.action == "by":
             return Processed(
-                aggregate_over_series(arg.df, fns, by=list(node.agg.labels))
+                aggregate_over_series(
+                    arg.df, fns, by=list(node.agg.labels), exact=ctx.exact_agg
+                )
             )
         return Processed(
-            aggregate_over_series(arg.df, fns, without=list(node.agg.labels))
+            aggregate_over_series(
+                arg.df, fns, without=list(node.agg.labels), exact=ctx.exact_agg
+            )
         )
 
     raise QueryError(f"Unknown function: {node.name}")
@@ -971,7 +979,7 @@ def _eval_subquery(node: SubqueryNode, ctx: _Ctx, state: State) -> State:
     # outer end is harmless to keep)
     off = float(node.offset_s or 0)
     inner_grid = RegularTimeRange(ctx.grid.start - rng - off, ctx.grid.end, step)
-    inner_ctx = _Ctx(ctx.spark, ctx.collection, inner_grid)
+    inner_ctx = _Ctx(ctx.spark, ctx.collection, inner_grid, exact_agg=ctx.exact_agg)
     inner = _resampled(_eval(node.expr, inner_ctx, state), inner_ctx)
     if not isinstance(inner, Processed):
         raise QueryError("subquery inner expression must produce a vector")
@@ -1009,6 +1017,7 @@ def run_query(
     aligned_ext: DataFrame | None = None,
     aligned_ext_steps: int = 0,
     aligned_provider: Callable[[], tuple[DataFrame, DataFrame | None, int]] | None = None,
+    exact_agg: bool = False,
 ) -> DataFrame:
     """``run_query`` (src/query.rs:583-596): parse → interpret → resample.
 
@@ -1021,11 +1030,13 @@ def run_query(
     is paid only by queries whose plan actually reads the aligned store
     (pass ``aligned_ext_steps`` as the expected pad so range eligibility
     can be decided without building).
+    ``exact_agg``: order-insensitive decimal accumulation for sum/avg
+    aggregations (reproducible-results mode; see aggregate.exact_sum).
     """
     ast = parse_promql(query)
     ctx = _Ctx(
         spark, collection, grid, aligned, aligned_ext, aligned_ext_steps,
-        aligned_provider,
+        aligned_provider, exact_agg=exact_agg,
     )
     result = _eval(ast, ctx, _Collection())
     result = _resampled(result, ctx)

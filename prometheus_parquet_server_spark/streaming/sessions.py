@@ -151,22 +151,28 @@ def sessionize_batch(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) + 1,
     )
+    # sum_value goes through DECIMAL(38,9): float partial-sum order varies
+    # run-to-run with shuffle placement, and a session whose true sum sits
+    # within ~1 ulp of a 6-dp rounding boundary flips the rounded digit
+    # nondeterministically. Decimal summation is exact and order-insensitive,
+    # so ROUND over it is a pure function of the data. (Per-row
+    # double→decimal(38,9) casts are verified identical between Spark and
+    # DuckDB on this data; the oracle sums the same decimals.)
+    _dec = F.col(value_col).cast(T.DecimalType(38, 9))
     if chunk_s is None:
         return flagged.groupBy(user_col, "session_seq").agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.sum(_dec), 6).cast("double").alias("sum_value"),
         )
-    # local sessions carry the RAW sum — rounding happens exactly once,
-    # after the merge, same 6-dp contract as the unchunked path (float
-    # partial-sum order differs, as it already does between shuffle runs;
-    # the house rounding absorbs it)
+    # local sessions carry the RAW decimal sum — rounding happens exactly
+    # once, after the merge, same 6-dp contract as the unchunked path
     local = flagged.groupBy(*part, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(value_col).alias("_sum_raw"),
+        F.sum(_dec).alias("_sum_raw"),
     )
     # merge pass over SESSIONS: local sessions of one user are disjoint
     # and start-ordered, so plain gaps-and-islands with the previous
@@ -191,5 +197,5 @@ def sessionize_batch(
         F.min("session_start").alias("session_start"),
         F.max("session_end").alias("session_end"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("_sum_raw"), 6).alias("sum_value"),
+        F.round(F.sum("_sum_raw"), 6).cast("double").alias("sum_value"),
     )
