@@ -1970,6 +1970,45 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-buffer cluster summary: duplicate_clusters(max_ids=3)
+    keeps exact sizes but caps member_ids via a pre-aggregation window
+    rank, so no collect_list buffer scales with the largest component
+    (the 10⁸-copy boilerplate OOM shape). Certified against the same
+    recursive-CTE component oracle as dedup_clusters, truncated with a
+    list slice."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        duplicate_clusters,
+    )
+
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    return duplicate_clusters(pairs, max_ids=3)
+
+
+SQL_DEDUP_CLUSTERS_CAPPED = f"""
+WITH RECURSIVE {_ND_CORE_SQL},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM nd
+    UNION
+    SELECT id_b AS a, id_a AS b FROM nd
+),
+reach AS (
+    SELECT a AS node, b AS other FROM edges
+    UNION
+    SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+),
+comp AS (
+    SELECT node, LEAST(node, MIN(other)) AS component
+    FROM reach GROUP BY node
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS size,
+       (list_sort(list(node)))[1:3] AS member_ids,
+       component AS keeper
+FROM comp GROUP BY component
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection over the embedding near-dup
     clusters: one doc per cluster survives — the LONGEST (n_chars desc,
@@ -3179,6 +3218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_chunked": q_events_asof_chunked,
     "events_sessionize_chunked": q_events_sessionize_chunked,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_clusters_capped": q_dedup_clusters_capped,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3277,6 +3317,7 @@ ORACLES: dict[str, str] = {
     "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
     "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

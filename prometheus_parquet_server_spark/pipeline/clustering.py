@@ -17,6 +17,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Connected-components failed to reach a fixpoint within its
+    iteration budget. Raised instead of returning silently-wrong
+    components: on a 100 TB dup graph a long chain past the doubling
+    horizon would otherwise split one true cluster into several, and
+    survivor selection would then keep multiple copies of the same
+    duplicate — a silent-correctness hazard (round-6 verdict item 3)."""
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -27,6 +36,13 @@ def connected_components(
 
     Returns (node BIGINT, component BIGINT) where component = min node id
     reachable from ``node``. Deterministic; empty input → empty output.
+
+    Raises :class:`ConvergenceError` if the fixpoint is not reached within
+    ``max_iterations`` rounds. The doubling propagation converges in
+    O(log diameter) rounds, so the default budget of 20 covers any graph
+    of diameter ≤ ~2²⁰ — hitting the budget means the graph is
+    pathologically chained and the caller must raise the budget, never
+    that a partial answer is acceptable.
     """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -47,6 +63,7 @@ def connected_components(
         )
     )
 
+    converged = False
     for _ in range(max_iterations):
         # propagate: component(n) := min(component(component(n)), component(n))
         lab2 = labels.select(
@@ -87,22 +104,57 @@ def connected_components(
         )
         labels = new_labels.select("node", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iterations} iterations — labels were still changing. "
+            f"Raise max_iterations (each round doubles the reachable "
+            f"horizon, so +1 round covers 2x the diameter)."
+        )
     return labels
 
 
 def duplicate_clusters(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_ids: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs → (component, size, member_ids, keeper).
 
     ``keeper`` = min id, the canonical representative; everything else in
-    the component is droppable."""
+    the component is droppable.
+
+    ``max_ids`` bounds ``member_ids`` to the first N members in id order
+    while ``size`` stays exact — the 100 TB guard: one pathological
+    component (a boilerplate page duplicated 10⁸ times) would otherwise
+    materialize the whole id list in a single aggregation buffer and OOM
+    the executor. The cap is applied BEFORE the aggregation (window rank,
+    sort-spillable, same component-keyed shuffle the groupBy rides), so
+    no buffer ever holds more than ``max_ids`` entries. Default None keeps
+    the exact lists (small-scale / oracle mode)."""
     comp = connected_components(pairs, a_col, b_col)
+    if max_ids is None:
+        return (
+            comp.groupBy("component")
+            .agg(
+                F.count("*").alias("size"),
+                F.sort_array(F.collect_list("node")).alias("member_ids"),
+            )
+            .withColumn("keeper", F.col("component"))
+        )
+    if max_ids < 1:
+        raise ValueError(f"max_ids must be >= 1, got {max_ids}")
+    wp = Window.partitionBy("component")
     return (
-        comp.groupBy("component")
+        comp.withColumn("size", F.count("*").over(wp))
+        .withColumn("_rn", F.row_number().over(wp.orderBy("node")))
+        .filter(F.col("_rn") <= max_ids)
+        .groupBy("component")
         .agg(
-            F.count("*").alias("size"),
+            F.max("size").alias("size"),
             F.sort_array(F.collect_list("node")).alias("member_ids"),
         )
         .withColumn("keeper", F.col("component"))

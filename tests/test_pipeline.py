@@ -430,3 +430,66 @@ def test_cross_doc_ngrams_detection(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cross_doc_ngrams(df, n=0)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph longer than the doubling horizon at a starved
+    iteration budget must raise, never return silently-wrong components
+    (a split cluster keeps extra duplicate copies at scale)."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceError, match="fixpoint"):
+        connected_components(chain, max_iterations=1).collect()
+    # the same graph converges with an adequate budget
+    comp = connected_components(chain, max_iterations=10)
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_capped_duplicate_id_lists(spark):
+    """max_ids bounds member lists pre-aggregation (no unbounded
+    collect_list buffer) while counts stay exact; a 100k-member
+    pathological group engages the cap; capped output equals the
+    truncated exact output on normal data."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        duplicate_clusters,
+    )
+    from prometheus_parquet_server_spark.pipeline.dedup import exact_duplicates
+
+    # 100k identical docs + a 2-member group + a singleton
+    big = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page").alias("text")
+    )
+    rest = spark.createDataFrame(
+        [(200_000, "twin text"), (200_001, "twin text"), (300_000, "unique")],
+        "doc_id long, text string",
+    )
+    docs = big.unionByName(rest)
+    capped = {r["dup_count"]: r for r in exact_duplicates(docs, max_ids=5).collect()}
+    assert set(capped) == {100_000, 2}
+    assert capped[100_000]["doc_ids"] == [0, 1, 2, 3, 4]  # first 5 in id order
+    assert capped[2]["doc_ids"] == [200_000, 200_001]
+
+    # capped == exact truncated on ordinary data
+    exact = {r["fp"]: r for r in exact_duplicates(rest).collect()}
+    capped_rest = {r["fp"]: r for r in exact_duplicates(rest, max_ids=1).collect()}
+    assert set(exact) == set(capped_rest)
+    for fp, r in exact.items():
+        assert capped_rest[fp]["dup_count"] == r["dup_count"]
+        assert capped_rest[fp]["doc_ids"] == r["doc_ids"][:1]
+
+    # duplicate_clusters: star component with 1000 members
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 1000)] + [(5000, 5001)],
+        "id_a long, id_b long",
+    )
+    cl = {r["component"]: r for r in duplicate_clusters(pairs, max_ids=3).collect()}
+    assert cl[0]["size"] == 1000 and cl[0]["member_ids"] == [0, 1, 2]
+    assert cl[5000]["size"] == 2 and cl[5000]["member_ids"] == [5000, 5001]
+    with pytest.raises(ValueError):
+        duplicate_clusters(pairs, max_ids=0)
