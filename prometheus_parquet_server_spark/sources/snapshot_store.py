@@ -256,10 +256,26 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
             F.max("name").alias("max_name"),
             F.min("ts").alias("min_ts"),
             F.max("ts").alias("max_ts"),
+            # rides the same stats scan for free: NULL/NaN name/ts rows
+            # must never commit — they would publish JSON-null (or NaN)
+            # min/max stats, and every later pruned read, expire and
+            # upsert comparison on that manifest then breaks. One dirty
+            # batch would wedge the store permanently.
+            F.count_if(
+                F.col("name").isNull() | F.col("ts").isNull() | F.isnan("ts")
+            ).alias("n_bad"),
         )
         .collect()
     )
     fs = _StoreFS(spark, path)
+    n_bad = sum(r["n_bad"] for r in stats)
+    if n_bad:
+        fs.delete(tx)  # nothing references the tx dir yet — take it back
+        raise ValueError(
+            f"snapshot write rejected: {n_bad} row(s) with NULL name, NULL "
+            f"ts, or NaN ts — the canonical model requires non-null finite "
+            f"keys; clean the batch before committing"
+        )
     # the stats job reports file:///x, the FS listing file:/x — key both
     # by the URI path component
     sizes = {
@@ -281,6 +297,27 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
         }
         for r in stats
     ]
+
+
+def _name_overlaps(f: dict, names) -> bool:
+    """Does a manifest file entry's name range intersect ``names``?
+    Null stats (a pre-guard manifest written before the NULL/NaN write
+    rejection, or external tooling) are treated as ALWAYS intersecting —
+    the file is read and row-filtered instead of wedging the plan with a
+    None comparison; correctness never depends on pruning."""
+    if f.get("min_name") is None or f.get("max_name") is None:
+        return True
+    return any(f["min_name"] <= n <= f["max_name"] for n in names)
+
+
+def _ts_overlaps(f: dict, lo: float, hi: float) -> bool:
+    """Ts-range analogue of :func:`_name_overlaps` (null-stat entries
+    always intersect; NaN stats fail both comparisons and also land on
+    the safe read-it side via the ``not``)."""
+    mn, mx = f.get("min_ts"), f.get("max_ts")
+    if mn is None or mx is None:
+        return True
+    return not (mx < lo or mn > hi)
 
 
 def snapshot_write(
@@ -350,12 +387,10 @@ def snapshot_read(
         m = _read_manifest(fs, path, version)
     files = m["files"]
     if names is not None:
-        files = [
-            f for f in files if any(f["min_name"] <= n <= f["max_name"] for n in names)
-        ]
+        files = [f for f in files if _name_overlaps(f, names)]
     if ts_range is not None:
         lo, hi = ts_range
-        files = [f for f in files if f["max_ts"] >= lo and f["min_ts"] <= hi]
+        files = [f for f in files if _ts_overlaps(f, lo, hi)]
     if not files:
         from pyspark.sql import types as T
 
@@ -385,18 +420,23 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     fs = _StoreFS(spark, path)
     updates = updates.cache()
     try:
-        names = sorted(
+        distinct_names = [
             r["name"] for r in updates.select("name").distinct().collect()
-        )
+        ]
+        # same contract _write_data_files enforces, surfaced before any
+        # work happens (and before sorted() trips over None): NULL names
+        # have no place in the canonical model
+        if any(n is None for n in distinct_names):
+            raise ValueError(
+                "snapshot_upsert: updates contain NULL metric names — "
+                "clean the batch before committing"
+            )
+        names = sorted(distinct_names)
         if not names:
             return snapshot_version(spark, path) or 0
         parent, parent_m = _resolve_tip(fs, path)
         base_files: list[dict] = parent_m["files"] if parent_m else []
-        touched = [
-            f
-            for f in base_files
-            if any(f["min_name"] <= n <= f["max_name"] for n in names)
-        ]
+        touched = [f for f in base_files if _name_overlaps(f, names)]
         kept = [f for f in base_files if f not in touched]
         merged = updates.withColumn("_prio", F.lit(0))
         if touched:
@@ -422,7 +462,12 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
             "version": target,
             "parent": parent,
             "operation": "upsert",
-            "schema": _schema_json(updates),
+            # most files carry over from the base, so the PARENT's schema
+            # is the store's schema; recording the updates' schema would
+            # let a differently-ordered or narrower update batch change
+            # what a later empty/fully-pruned read reports
+            "schema": (parent_m.get("schema") if parent_m else None)
+            or _schema_json(updates),
             "files": kept + new_files,
         }
         if not _try_commit(fs, path, manifest):
@@ -550,8 +595,21 @@ def snapshot_expire(
     if parent is None:
         return None
     base = parent_m["files"]
-    dead = [f for f in base if f["max_ts"] < min_ts]
-    straddle = [f for f in base if f["min_ts"] < min_ts <= f["max_ts"]]
+    # null-stat entries (pre-guard manifests) can never be proven dead —
+    # they fall into the straddle set and are read+rewritten, the safe side
+    dead = [
+        f for f in base if f.get("max_ts") is not None and f["max_ts"] < min_ts
+    ]
+    straddle = [
+        f
+        for f in base
+        if f not in dead
+        and (
+            f.get("min_ts") is None
+            or f.get("max_ts") is None
+            or f["min_ts"] < min_ts <= f["max_ts"]
+        )
+    ]
     if not dead and not straddle:
         return None
     kept = [f for f in base if f not in dead and f not in straddle]
@@ -611,6 +669,12 @@ def snapshot_vacuum(
     if not versions:
         return []
     readable = [v for v in versions if _readable(fs, path, v)]
+    if not readable:
+        # every manifest is torn/tampered — exactly the state readers are
+        # built to survive and an operator can repair. An empty live set
+        # here would delete every manifest and (past min_age_s) every data
+        # file: vacuum must never turn a repairable store into data loss.
+        return []
     kept_versions = set(readable[-keep_last:])
 
     def norm(p: str) -> str:

@@ -213,15 +213,29 @@ def _swap_partition_dir(fs: _StoreFS, part_dir: str, tmp: str) -> None:
     fs.delete(trash)
 
 
+def _removing_path(fs: _StoreFS, part_dir: str) -> str:
+    """Sibling dir for REMOVAL renames: ``name=X`` → ``.removing_name=X``.
+    Deliberately distinct from ``.trash_``: trash marks a swap's displaced
+    old data (GC RESTORES it when the live dir is missing), while
+    ``.removing_`` marks data already sentenced to deletion — GC COMPLETES
+    the delete. Sharing the trash prefix resurrected fully-expired
+    partitions: a crash between rename-aside and delete left
+    ``.trash_name=X`` with no live dir, and the next pass restored it."""
+    parent = part_dir.rstrip("/").rsplit("/", 1)[0]
+    return f"{parent}/.removing_{_basename(part_dir)}"
+
+
 def _remove_partition_dir(fs: _StoreFS, part_dir: str) -> None:
     """Crash-safe partition removal: rename aside (atomic on local/HDFS —
-    readers see the partition fully present or fully gone), then delete
-    the trash; a crash mid-delete leaves only an ignored dot-dir behind."""
-    trash = _trash_path(fs, part_dir)
-    if fs.exists(trash):
-        fs.delete(trash)
-    fs.rename(part_dir, trash)
-    fs.delete(trash)
+    readers see the partition fully present or fully gone), then delete;
+    a crash mid-delete leaves only a ``.removing_`` dot-dir that the next
+    maintenance pass finishes deleting (never restores — see
+    :func:`_removing_path`)."""
+    marked = _removing_path(fs, part_dir)
+    if fs.exists(marked):
+        fs.delete(marked)
+    fs.rename(part_dir, marked)
+    fs.delete(marked)
 
 
 def _warn_if_rename_not_atomic(fs: _StoreFS) -> None:
@@ -247,9 +261,10 @@ def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
     """Remove leftovers of a crashed maintenance pass before starting a new
     one: ``.compact_tmp_*`` / ``.expire_tmp_*`` / ``.upsert_tmp_*`` /
     ``.upsert_stage_*`` staging dirs (never swapped in — old data is still
-    live, so they are pure garbage) and ``.trash_*`` dirs (their swap
-    completed or rolled back — either way the live dir exists). Returns
-    the removed paths (for logging/tests).
+    live, so they are pure garbage), ``.trash_*`` dirs (their swap
+    completed or rolled back — either way the live dir exists), and
+    ``.removing_*`` dirs (a crashed removal — the delete is completed,
+    never restored). Returns the removed paths (for logging/tests).
 
     HARD-CRASH recovery: a maintainer killed (OOM, SIGKILL) between the
     two renames of a swap leaves the OLD data only in ``.trash_name=X``
@@ -270,7 +285,13 @@ def _gc_stale_maintenance_dirs(fs: _StoreFS) -> list[str]:
                         ".upsert_stage_")
     for d in fs.subdirs():
         base = _basename(d)
-        if base.startswith(".trash_"):
+        if base.startswith(".removing_"):
+            # removal rename-aside that crashed before its delete: the
+            # partition was already sentenced (fully expired) — complete
+            # the delete; restoring would resurrect expired data
+            fs.delete(d)
+            removed.append(d)
+        elif base.startswith(".trash_"):
             live_base = base[len(".trash_"):]
             live = f"{d.rstrip('/').rsplit('/', 1)[0]}/{live_base}"
             if fs.exists(live):
@@ -438,9 +459,20 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
     # name collect plus once for the merged write
     updates = updates.cache()
     try:
-        names = sorted(
+        distinct_names = [
             r["name"] for r in updates.select("name").distinct().collect()
-        )
+        ]
+        # NULL metric names have no legal home in a name-partitioned store:
+        # they would stage into name=__HIVE_DEFAULT_PARTITION__ and be
+        # renamed in as a literal metric partition (and sorted() over
+        # mixed None/str raises besides). Reject the batch explicitly.
+        if any(n is None for n in distinct_names):
+            raise ValueError(
+                "upsert_store: updates contain NULL metric names — the "
+                "canonical model requires a non-null name; filter or fix "
+                "the batch before upserting"
+            )
+        names = sorted(distinct_names)
         if not names:
             return []
         existing_dirs = {n: p for p, n in _partition_dirs(fs)}

@@ -494,3 +494,71 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path):
             for r in snapshot_read(spark, store).collect()
         }
         assert got == model, f"divergence after step {step} ({op})"
+
+
+def test_write_rejects_null_keys_and_cleans_up(spark, tmp_path):
+    """NULL name / NULL ts / NaN ts rows must never commit: their
+    manifest stats would be JSON-null (or NaN) and every later pruned
+    read, expire and upsert on that manifest would break — one dirty
+    batch would wedge the store permanently. The rejected tx dir is
+    reclaimed immediately."""
+    from prometheus_parquet_server_spark.sources.store import _StoreFS
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    for bad in (
+        [(None, {}, 2.0, 2.0)],
+        [("b", {}, None, 2.0)],
+        [("b", {}, float("nan"), 2.0)],
+    ):
+        with pytest.raises(ValueError, match="NULL name, NULL ts, or NaN ts"):
+            snapshot_write(spark, store, mk(spark, bad))
+    # store is untouched and fully functional; rejected tx dirs are gone
+    assert snapshot_version(spark, store) == 1
+    assert snapshot_read(spark, store).count() == 1
+    fs = _StoreFS(spark, store)
+    txs = fs.subdirs(f"{store}/data")
+    assert len(txs) == 1  # only the committed write's tx dir remains
+
+    # upsert rejects NULL names before doing any work
+    with pytest.raises(ValueError, match="NULL metric names"):
+        snapshot_upsert(spark, store, mk(spark, [(None, {}, 3.0, 3.0)]))
+
+
+def test_vacuum_refuses_all_torn_store(spark, tmp_path):
+    """With every manifest torn (the state readers are built to survive),
+    vacuum must be a no-op — an empty live set would otherwise delete
+    every manifest and data file, turning a repairable store into data
+    loss."""
+    import pathlib
+
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    snap_dir = pathlib.Path(f"{tmp_path}/snap/_snapshots")
+    for mf in snap_dir.glob("v*.json"):
+        mf.write_text("{torn")
+    assert snapshot_vacuum(spark, store, keep_last=1, min_age_s=0) == []
+    # the torn manifest and the data files are all still there for repair
+    assert list(snap_dir.glob("v*.json"))
+    assert list(pathlib.Path(f"{tmp_path}/snap/data").rglob("*.parquet"))
+
+
+def test_upsert_keeps_parent_schema_for_empty_reads(spark, tmp_path):
+    """An upsert whose updates frame has a different column order must not
+    change the schema a later fully-pruned/empty read reports — the
+    parent manifest's schema is the store's schema."""
+    store = f"file://{tmp_path}/snap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    reordered = spark.createDataFrame(
+        [(2.0, 2.0, "a", {})],
+        "ts double, value double, name string, labels map<string,string>",
+    )
+    snapshot_upsert(spark, store, reordered)
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_expire,
+    )
+
+    snapshot_expire(spark, store, min_ts=100.0)  # expire everything
+    empty = snapshot_read(spark, store)
+    assert empty.count() == 0
+    assert empty.columns == ["name", "labels", "ts", "value"]

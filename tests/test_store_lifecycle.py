@@ -282,3 +282,55 @@ def test_gc_restores_trash_after_hard_crash_mid_swap(spark, tmp_path):
     assert [(r["name"], r["ts"], r["value"]) for r in rows] == [("m", 1.0, 42.0)]
     # and a full maintenance pass right after the crash heals + proceeds
     assert compact_store(spark, store) == []
+
+
+def test_gc_completes_crashed_removal_not_restore(spark, tmp_path):
+    """A crash between a removal's rename-aside and its delete leaves
+    .removing_name=X with no live dir. GC must COMPLETE the delete —
+    restoring (the .trash_ rule) would resurrect a fully-expired
+    partition."""
+    import pathlib
+
+    from prometheus_parquet_server_spark.sources.store import (
+        _StoreFS,
+        _gc_stale_maintenance_dirs,
+        read_store,
+        write_store,
+    )
+
+    store = f"file://{tmp_path}/store"
+    df = spark.createDataFrame(
+        [("keep", {}, 1.0, 1.0), ("gone", {}, 2.0, 2.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    write_store(df, store)
+    # simulate the crash: expired partition renamed aside, delete never ran
+    root = pathlib.Path(f"{tmp_path}/store")
+    (root / "name=gone").rename(root / ".removing_name=gone")
+    removed = _gc_stale_maintenance_dirs(_StoreFS(spark, store))
+    assert any(".removing_name=gone" in p for p in removed)
+    assert not (root / ".removing_name=gone").exists()
+    assert not (root / "name=gone").exists()  # stays deleted, not restored
+    assert [r["name"] for r in read_store(spark, store).collect()] == ["keep"]
+
+
+def test_upsert_store_rejects_null_names(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.store import (
+        upsert_store,
+        write_store,
+    )
+
+    store = f"file://{tmp_path}/store"
+    ok = spark.createDataFrame(
+        [("a", {}, 1.0, 1.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    write_store(ok, store)
+    bad = spark.createDataFrame(
+        [(None, {}, 2.0, 2.0), ("a", {}, 3.0, 3.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL metric names"):
+        upsert_store(spark, store, bad)
