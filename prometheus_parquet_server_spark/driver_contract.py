@@ -269,6 +269,21 @@ FROM interp WHERE NOT isnan(value)
 """
 
 
+def q_t3_resample_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-series scale path: resample_slots(chunk_s=...) partitions
+    the per-series window on (key, time-chunk) with carry-in seeds from a
+    per-chunk summary frame (operators/interpolate.py). Bit-identical to
+    t3_resample by construction, certified against the SAME DuckDB oracle
+    (the events_asof_chunked pattern)."""
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
+    out = resample_to_grid(
+        m, _grid(spark), series_cols=["user_id"], grid=GRID, chunk_s=7200.0
+    )
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_t5_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "view")
     out = resample_to_grid(
@@ -3219,6 +3234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize_chunked": q_events_sessionize_chunked,
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters_capped": q_dedup_clusters_capped,
+    "t3_resample_chunked": q_t3_resample_chunked,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3318,6 +3334,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
+    "t3_resample_chunked": SQL_T3,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

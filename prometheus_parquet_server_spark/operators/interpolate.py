@@ -166,6 +166,7 @@ def resample_slots(
     series_cols: Sequence[str] | None = None,
     offset: float = 0.0,
     slot_from: int = 0,
+    chunk_s: float | None = None,
 ):
     """Sort-free interpolation onto a REGULAR grid.
 
@@ -181,6 +182,18 @@ def resample_slots(
     Bit-exactness: slot boundaries come from ``ceil((t+offset−start)/step)``
     then a ±1 correction comparing the exact probe expression against the
     sample timestamp — reproducing the window path's comparisons ulp-for-ulp.
+
+    ``chunk_s`` is the hot-series escape hatch (the asof_join/sessionize
+    carry-in pattern): the default window partitions on the series key
+    alone, so one series holding most samples funnels its whole sort
+    through one task. With ``chunk_s`` set, the window partitions on
+    (key, floor(ts/chunk_s)) and each chunk's missing lead — the NEXT
+    chunk's first sample — is carried in via a tiny per-chunk summary
+    frame (one row per non-empty chunk) window-ordered by chunk, so a
+    pair spanning any number of empty chunks still resolves. Every pair
+    is computed exactly once with the SAME expressions, so results are
+    bit-identical for any chunk width (pinned by tests and by the shared
+    t3 oracle).
 
     Returns (df with key_cols + _slot + gts + value, series_frame_or_None,
     key_cols). ``slot_from`` may be negative (rate's extended grid).
@@ -203,26 +216,75 @@ def resample_slots(
             float(offset)
         )
 
-    t = F.col("ts")
-    nc = F.ceil((t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)).cast("long")
-    nc = F.when(pt_of(nc - 1) >= t, nc - 1).otherwise(nc)
-    nc = F.when(pt_of(nc) < t, nc + 1).otherwise(nc)
-    a = F.greatest(lo, F.least(hi, nc))
+    def a_of(t: Column) -> Column:
+        nc = F.ceil(
+            (t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)
+        ).cast("long")
+        nc = F.when(pt_of(nc - 1) >= t, nc - 1).otherwise(nc)
+        nc = F.when(pt_of(nc) < t, nc + 1).otherwise(nc)
+        return F.greatest(lo, F.least(hi, nc))
 
-    w = Window.partitionBy(*key_cols).orderBy("ts")
-    s = (
-        samples.select(*key_cols, "ts", "value")
-        .withColumn("_a", a)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_nts", F.lead("ts").over(w))
-        .withColumn("_nv", F.lead("value").over(w))
-        .withColumn("_na", F.lead("_a").over(w))
-    )
+    a = a_of(F.col("ts"))
+
+    if chunk_s is None:
+        w = Window.partitionBy(*key_cols).orderBy("ts")
+        s = (
+            samples.select(*key_cols, "ts", "value")
+            .withColumn("_a", a)
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nts", F.lead("ts").over(w))
+            .withColumn("_nv", F.lead("value").over(w))
+            .withColumn("_na", F.lead("_a").over(w))
+        )
+        series_first = F.col("_rn") == 1
+    else:
+        if chunk_s <= 0:
+            raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
+        base = samples.select(*key_cols, "ts", "value").withColumn(
+            "_ch", F.floor(F.col("ts") / F.lit(float(chunk_s)))
+        )
+        # per-chunk summary: ONE row per non-empty (key, chunk) — orders of
+        # magnitude smaller than the sample frame. Its window over the key
+        # computes each chunk's carry-in (the next non-empty chunk's first
+        # sample) and whether the chunk is the series' first.
+        sw = Window.partitionBy(*key_cols).orderBy("_ch")
+        summ = (
+            base.groupBy(*key_cols, "_ch")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
+                ).alias("_fst")
+            )
+            .select(
+                *key_cols,
+                "_ch",
+                F.lead("_fst").over(sw).alias("_carry"),
+                F.row_number().over(sw).alias("_chrn"),
+            )
+        )
+        cw = Window.partitionBy(*key_cols, "_ch").orderBy("ts")
+        s = (
+            base.join(summ, [*key_cols, "_ch"])
+            .withColumn("_a", a)
+            .withColumn("_rn", F.row_number().over(cw))
+            .withColumn(
+                "_nts", F.coalesce(F.lead("ts").over(cw), F.col("_carry.ts"))
+            )
+            .withColumn(
+                "_nv", F.coalesce(F.lead("value").over(cw), F.col("_carry.value"))
+            )
+            # _na for the carry-in pair comes from the same a_of expression
+            # the next chunk applies to its own first sample — bit-identical
+            .withColumn(
+                "_na", F.coalesce(F.lead("_a").over(cw), a_of(F.col("_carry.ts")))
+            )
+        )
+        series_first = (F.col("_chrn") == 1) & (F.col("_rn") == 1)
     pair_to = F.when(F.col("_nts").isNull(), hi).otherwise(F.col("_na"))
     ranges = F.array(
         F.struct(F.col("_a").alias("f"), pair_to.alias("u"), F.lit(0).alias("below")),
         F.struct(
-            F.when(F.col("_rn") == 1, lo).otherwise(F.lit(None).cast("long")).alias("f"),
+            F.when(series_first, lo).otherwise(F.lit(None).cast("long")).alias("f"),
             F.col("_a").alias("u"),
             F.lit(1).alias("below"),
         ),
@@ -262,6 +324,7 @@ def resample_to_grid(
     ts_col: str = "ts",
     out_col: str = "value",
     grid=None,
+    chunk_s: float | None = None,
 ) -> DataFrame:
     """T3: align every series onto the regular grid via interpolation
     (src/timeseries.rs:57-68 driven by src/query.rs:109-124).
@@ -273,10 +336,15 @@ def resample_to_grid(
 
     Pass the :class:`RegularTimeRange` as ``grid`` to use the sort-free
     slot-explode plan (bit-identical results, no wide shuffle of the
-    grid-sized output).
+    grid-sized output). ``chunk_s`` (slot path only) is the hot-series
+    escape hatch — see :func:`resample_slots`.
     """
+    if chunk_s is not None and grid is None:
+        raise ValueError("chunk_s requires the slot path — pass grid=")
     if grid is not None:
-        out, series, key_cols = resample_slots(samples, grid, series_cols, offset)
+        out, series, key_cols = resample_slots(
+            samples, grid, series_cols, offset, chunk_s=chunk_s
+        )
         if series is not None:
             return out.join(series, "_skey").select(
                 "name", "labels", F.col("gts").alias(ts_col), F.col("value").alias(out_col)

@@ -6,9 +6,11 @@ keeps per-key state (the open session) across micro-batches and emits a row
 whenever an inactivity gap closes a session.
 
 State is bounded: one open session per key. At scale the state store is
-RocksDB-backed per partition; keys shuffle-hash once. Event-time timeouts
-(``GroupStateTimeout.EventTimeTimeout``) would flush idle sessions in a real
-deployment; the availableNow tests exercise the in-batch gap logic.
+RocksDB-backed per partition; keys shuffle-hash once. With an event-time
+column supplied, ``GroupStateTimeout.EventTimeTimeout`` flushes idle
+sessions once the watermark passes their inactivity horizon — bounded
+state over time, not just per key; the availableNow tests exercise both
+the in-batch gap logic and the timeout flush path.
 """
 
 from __future__ import annotations
@@ -47,10 +49,27 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts_s",
     value_col: str = "value",
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Close a session when consecutive per-user events are more than
     ``gap_s`` apart; emit (user, start, end, n_events, sum_value) per closed
-    session. The open tail session stays in state."""
+    session.
+
+    With ``event_time_col=None`` (the batch-parity drain mode) the open
+    tail session stays in state forever — fine for a finite availableNow
+    drain, but in a run-forever deployment a key that stops sending events
+    would pin its state eternally. Pass ``event_time_col`` (a TIMESTAMP
+    column in ``events``) to run with an event-time watermark and
+    ``GroupStateTimeout.EventTimeTimeout``: when the watermark passes a
+    session's ``last + gap_s`` the idle session is FLUSHED as a closed
+    session and its state removed — bounded state over time, and the
+    flushed boundaries equal :func:`sessionize_batch` on the same data
+    (pinned by tests/test_streaming_server.py)."""
+
+    use_timeout = event_time_col is not None
+    if use_timeout:
+        events = events.withWatermark(event_time_col, watermark)
 
     def _update(
         key: tuple[Any, ...],
@@ -58,6 +77,13 @@ def sessionize(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+        if use_timeout and state.hasTimedOut:
+            # watermark passed last+gap: the idle session IS closed now
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([(user, start, last, n, sv)], columns=cols)
+            return
         if state.exists:
             start, last, n, sv = state.get
         else:
@@ -77,18 +103,27 @@ def sessionize(
                     last, n, sv = t, n + 1, sv + v
         if start is not None:
             state.update((start, last, n, sv))
+            if use_timeout:
+                # flush when the watermark passes the inactivity horizon;
+                # a timeout timestamp must sit strictly beyond the current
+                # watermark (late batches could compute one in the past)
+                timeout_ms = int((last + gap_s) * 1000.0)
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
-            )
+            yield pd.DataFrame(closed, columns=cols)
 
     return events.groupBy(user_col).applyInPandasWithState(
         _update,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -129,6 +129,37 @@ def main() -> None:
         ),
         n,
     )
+    # resampler hot series: EVERY sample in ONE series — the per-series
+    # slot window serializes without chunking (the last §2-core serial
+    # window); chunk_s partitions it on (key, 6h-chunk) with carry-in
+    # seeds and must hold where the uniform path walls
+    from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+    from prometheus_parquet_server_spark.operators.interpolate import (
+        resample_to_grid,
+    )
+
+    ser = (
+        one.select(F.lit("s").alias("sid"), "ts", "value")
+        .groupBy("sid", "ts")
+        .agg(F.max("value").alias("value"))
+        .cache()
+    )
+    n_ser = ser.count()  # materialize outside the timings
+    grid = RegularTimeRange(0.0, 2_592_000.0, 3600.0)  # 721 slots, 30 days
+    gdf = grid.to_df(spark)
+    timed(
+        f"resample_to_grid ({n_ser // 1_000_000}M samples, ONE series)",
+        resample_to_grid(ser, gdf, series_cols=["sid"], grid=grid),
+        n_ser,
+    )
+    timed(
+        f"resample_to_grid CHUNKED 21600s ({n_ser // 1_000_000}M samples, ONE series)",
+        resample_to_grid(
+            ser, gdf, series_cols=["sid"], grid=grid, chunk_s=21600.0
+        ),
+        n_ser,
+    )
+    ser.unpersist()
     levels = rollup_cascade(
         ev.select(F.col("kind").alias("event_type"), "ts", "value"),
         (60.0, 3600.0, 86400.0),

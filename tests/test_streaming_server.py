@@ -523,3 +523,65 @@ def test_chunked_sessionize_matches_unchunked(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="chunk_s"):
         sessionize_batch(ev, gap_s=60.0, chunk_s=60.0)
+
+
+def test_sessionize_event_time_timeout_flushes_idle(spark, tmp_path):
+    """With an event-time watermark, an idle user's open session must be
+    FLUSHED by GroupStateTimeout once the watermark passes last+gap — and
+    the flushed boundaries must equal sessionize_batch on the same data.
+    Without the timeout (NoTimeout drain mode) that session never leaves
+    state: unbounded state growth in a run-forever deployment."""
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+    from prometheus_parquet_server_spark.streaming.sessions import (
+        sessionize,
+        sessionize_batch,
+    )
+
+    src = f"{tmp_path}/sess_src"
+    schema = "user_id long, ts_s double, value double"
+    # file 1: user 1's whole activity (two sessions; the second stays open
+    # until the watermark moves past it)
+    spark.createDataFrame(
+        [(1, 1000.0, 1.0), (1, 1100.0, 2.0), (1, 6000.0, 3.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)  # ts off epoch 0: the
+    # initial watermark is 0 and an event AT the watermark is dropped
+    # file 2: a much later event from user 2 — drives the watermark far
+    # beyond user 1's inactivity horizon. Written strictly later so the
+    # file source's oldest-first ordering puts it in the SECOND batch
+    # (same-mtime files could otherwise batch together or reorder).
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame([(2, 501000.0, 9.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch, so the
+        .parquet(src)  # watermark advances BETWEEN batches and can fire
+    )
+    ev = stream.withColumn("event_time", F.timestamp_seconds(F.col("ts_s")))
+    out = run_available_now(
+        sessionize(ev, gap_s=1800.0, event_time_col="event_time", watermark="10 seconds"),
+        spark,
+        output_mode="update",
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in out.collect()
+    )
+    # user 1: session [0,100] closed by the in-batch gap, session [5000]
+    # closed by TIMEOUT; user 2's session may or may not flush depending on
+    # the final watermark — assert the guaranteed prefix
+    want_user1 = [(1, 1000.0, 1100.0, 2, 3.0), (1, 6000.0, 6000.0, 1, 3.0)]
+    assert [g for g in got if g[0] == 1] == want_user1
+    # flushed boundaries equal the batch twin's sessions for user 1
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize_batch(
+            static.filter(F.col("user_id") == 1), gap_s=1800.0
+        ).collect()
+    )
+    assert [(u, a, b, n, v) for u, a, b, n, v in batch] == want_user1
