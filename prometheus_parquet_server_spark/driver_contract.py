@@ -229,6 +229,70 @@ WHERE name = 'click' AND regexp_matches(user_id, '^1') AND user_id <> '13'
 """
 
 
+_SNAPSHOT_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _snapshot_store_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the canonical metrics table as a committed snapshot
+    store (once per sf_dir per session) — the fixture the snapshot-store
+    oracle rows read through."""
+    import tempfile
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _SNAPSHOT_STORE_CACHE.get(key)
+    if store is None:
+        from prometheus_parquet_server_spark.sources.snapshot_store import (
+            snapshot_write,
+        )
+
+        store = f"file://{tempfile.mkdtemp(prefix='snap_oracle_')}/store"
+        m = _metrics_canonical(spark, sf_dir)
+        # one commit per metric — the incremental-ingest shape — so the
+        # manifest holds several name-clustered files even at test SFs
+        # where AQE coalesces a single write to one file; a one-name
+        # selector then has real files to prune
+        names = sorted(r["name"] for r in m.select("name").distinct().collect())
+        for i, nm in enumerate(names):
+            snapshot_write(
+                spark,
+                store,
+                m.filter(F.col("name") == nm),
+                mode="overwrite" if i == 0 else "append",
+            )
+        _SNAPSHOT_STORE_CACHE[key] = store
+    return store
+
+
+def q_snapshot_select_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table format under the oracle gate: the metrics table committed
+    to a snapshot store, read back through snapshot_select — the
+    name-equality matcher prunes files at the MANIFEST level (driver-side,
+    before any footer opens; the pruned-file-count contract is pinned by
+    tests/test_snapshot_store.py) and every matcher then applies exactly.
+    Hash-matching f1_selector's oracle proves manifest pruning is
+    semantics-preserving under the gate, not just under pytest."""
+    from prometheus_parquet_server_spark.labels import LabelMatcher
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_select,
+    )
+
+    store = _snapshot_store_for(spark, sf_dir)
+    out = snapshot_select(
+        spark,
+        store,
+        [
+            LabelMatcher("__name__", "=", "click"),
+            LabelMatcher("user_id", "=~", "^1"),
+            LabelMatcher("user_id", "!=", "13"),
+        ],
+    )
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_f3_name_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/M4: name-equality selection (partition-pruned path)."""
     m = _metrics_flat(spark, sf_dir)
@@ -3235,6 +3299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters_capped": q_dedup_clusters_capped,
     "t3_resample_chunked": q_t3_resample_chunked,
+    "snapshot_select_f1": q_snapshot_select_f1,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3335,6 +3400,7 @@ ORACLES: dict[str, str] = {
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
     "t3_resample_chunked": SQL_T3,
+    "snapshot_select_f1": SQL_F1,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

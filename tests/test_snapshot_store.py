@@ -562,3 +562,125 @@ def test_upsert_keeps_parent_schema_for_empty_reads(spark, tmp_path):
     empty = snapshot_read(spark, store)
     assert empty.count() == 0
     assert empty.columns == ["name", "labels", "ts", "value"]
+
+
+def test_cross_process_commit_race_one_winner(spark, tmp_path):
+    """TWO OS PROCESSES (separate JVMs — the in-process _COMMIT_LOCK
+    cannot arbitrate them) race the same append commit: a file-based
+    barrier aligns them immediately before the commit loop, so both
+    compute the same CAS target version. Exactly one must win each
+    version; the loser must rebase and land on the next — no lost
+    append, no torn manifest, a linear parent chain."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    store_dir = tmp_path / "snap"
+    store = f"file://{store_dir}"
+    snapshot_write(spark, store, mk(spark, [("base", {}, 0.0, 0.0)]), mode="overwrite")
+
+    script = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from prometheus_parquet_server_spark import get_spark
+from prometheus_parquet_server_spark.sources.snapshot_store import (
+    _read_manifest, _resolve_tip, _schema_json, _target_version, _try_commit,
+    _write_data_files,
+)
+from prometheus_parquet_server_spark.sources.store import _StoreFS
+
+tag, store, barrier_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(f"racer-{{tag}}")
+df = spark.createDataFrame(
+    [(f"proc-{{tag}}", {{}}, 1.0, 1.0)],
+    "name string, labels map<string,string>, ts double, value double",
+)
+fs = _StoreFS(spark, store)
+new_files = _write_data_files(spark, store, df)
+schema = _schema_json(df)
+
+# barrier: announce readiness, wait for the peer, then commit immediately
+me = f"{{barrier_dir}}/ready_{{tag}}"
+open(me, "w").close()
+deadline = time.time() + 120
+while time.time() < deadline:
+    others = [p for p in __import__("os").listdir(barrier_dir) if p.startswith("ready_")]
+    if len(others) >= 2:
+        break
+    time.sleep(0.01)
+
+attempts = 0
+version = None
+for _ in range(10):
+    attempts += 1
+    parent, parent_m = _resolve_tip(fs, store)
+    base = parent_m["files"] if parent_m else []
+    target = _target_version(fs, store, parent)
+    if target is None:
+        continue
+    manifest = {{"version": target, "parent": parent, "operation": "append",
+                "schema": schema, "files": base + new_files}}
+    if _try_commit(fs, store, manifest):
+        version = target
+        break
+print(json.dumps({{"tag": tag, "version": version, "attempts": attempts}}))
+"""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    code = script.format(repo=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, tag, store, str(barrier)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            cwd=repo,
+        )
+        for tag in ("a", "b")
+    ]
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+
+    versions = {r["tag"]: r["version"] for r in results}
+    assert None not in versions.values(), f"a racer lost every retry: {results}"
+    assert sorted(versions.values()) == [2, 3], versions  # distinct, dense
+    # the surviving chain is linear and contains BOTH processes' rows
+    assert snapshot_version(spark, store) == 3
+    names = {r["name"] for r in snapshot_read(spark, store).collect()}
+    assert names == {"base", "proc-a", "proc-b"}
+    hist = {r["version"]: r["parent"] for r in snapshot_history(spark, store).collect()}
+    assert hist == {1: None, 2: 1, 3: 2}
+
+
+def test_graded_snapshot_select_prunes_files(spark):
+    """The snapshot_select_f1 oracle row's store fixture: the
+    name-equality matcher must plan a scan over STRICTLY FEWER files than
+    the full store (manifest-level pruning engaged), while the oracle
+    gate separately proves the result is exact."""
+    from prometheus_parquet_server_spark.driver_contract import (
+        _snapshot_store_for,
+    )
+    from prometheus_parquet_server_spark.labels import LabelMatcher
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _resolve_tip,
+        snapshot_select,
+    )
+    from prometheus_parquet_server_spark.sources.store import _StoreFS
+
+    store = _snapshot_store_for(spark, "/root/testdata/sf0.001")
+    fs = _StoreFS(spark, store)
+    v, m = _resolve_tip(fs, store)
+    total_files = len(m["files"])
+    assert total_files > 1  # pruning needs something to prune
+
+    sel = snapshot_select(spark, store, [LabelMatcher("__name__", "=", "click")])
+    n_scanned = sel.select(F.input_file_name()).distinct().count()
+    assert n_scanned < total_files, (n_scanned, total_files)
