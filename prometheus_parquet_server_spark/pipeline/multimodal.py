@@ -2,15 +2,17 @@
 
 Decode support is two-tier:
 
-- REAL pure-Python codecs for uncompressed container formats that need no
-  external libraries: 24-bit BMP and P6 PPM images (:func:`decode_image`),
-  PCM WAV audio (:func:`decode_audio`). These parse actual bytes —
-  magic, headers, pixel rows / sample frames — through the same
+- REAL pure-Python codecs that need no external libraries: 24-bit BMP and
+  P6 PPM images, non-interlaced 8-bit truecolor PNG (stdlib ``zlib``
+  inflate + full None/Sub/Up/Average/Paeth unfiltering —
+  :func:`decode_png`), all via :func:`decode_image`; PCM WAV audio
+  (:func:`decode_audio`). These parse actual bytes — magic, headers,
+  chunk CRCs, pixel rows / sample frames — through the same
   ``mapInPandas`` Arrow path a PIL/ffmpeg kernel would use
   (:func:`decode_media`).
-- Compressed formats (JPEG/PNG/MP3/MP4) would require codec libraries NOT
-  in this container; those fall back to the clearly-marked deterministic
-  stub so pipelines stay end-to-end runnable.
+- Formats needing codec libraries NOT in this container (JPEG/MP3/MP4,
+  interlaced or paletted PNG) fall back to the clearly-marked
+  deterministic stub so pipelines stay end-to-end runnable.
 
 At scale: binary payloads ride in their own column so column pruning keeps
 metadata-only queries payload-free; ``spark.sql.files.maxPartitionBytes``
@@ -22,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,9 +86,134 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels: bytes, filters: bytes | None = None) -> bytes:
+    """Minimal non-interlaced 8-bit truecolor PNG writer (stdlib zlib +
+    CRC32). ``pixels``: width*height*3 RGB bytes, top-down. ``filters``:
+    optional per-row filter-type bytes (default all 0/None) — used by
+    tests to exercise every unfilter arm with known pixel data."""
+    row = width * 3
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y] if filters else 0
+        line = bytearray(pixels[y * row : (y + 1) * row])
+        if f == 1:  # Sub: delta against the previous pixel in the row
+            for i in range(row - 1, 2, -1):
+                line[i] = (line[i] - line[i - 3]) & 0xFF
+        elif f == 2:  # Up: delta against the previous row
+            prev = pixels[(y - 1) * row : y * row] if y else bytes(row)
+            for i in range(row):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif f != 0:
+            raise ValueError(f"encode_png supports filters 0/1/2, got {f}")
+        raw.append(f)
+        raw += line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Real PNG decode for the non-interlaced 8-bit subset — color type 2
+    (truecolor) and 6 (truecolor+alpha, alpha dropped) — implemented from
+    the public PNG specification with stdlib zlib: chunk walk, IDAT
+    concatenation, inflate, and full per-row unfiltering
+    (None/Sub/Up/Average/Paeth). Returns (width, height, top-down RGB
+    bytes); None for anything outside the subset (interlaced, paletted,
+    16-bit, grayscale) — those fall to the documented stub."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    width = height = ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if tag == b"IHDR":
+            if ln < 13:
+                return None
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or ctype not in (2, 6) or comp or filt or ilace:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not width or not height or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = 3 if ctype == 2 else 4
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += stride + 1
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (
+                    line[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if bpp == 4:  # drop alpha
+        rgb = bytearray(width * height * 3)
+        for i in range(width * height):
+            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+        return width, height, bytes(rgb)
+    return width, height, bytes(out)
+
+
 def _parse_image(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Parse an uncompressed image payload (24-bit BMP or binary P6 PPM)
-    into (width, height, top-down RGB/BGR pixel bytes), or None."""
+    """Parse an image payload (24-bit BMP, binary P6 PPM, or subset PNG —
+    :func:`decode_png`) into (width, height, top-down RGB/BGR pixel
+    bytes), or None."""
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if len(payload) >= 54 and payload[:2] == b"BM":
         (dib_size, width, height, _planes, bpp) = struct.unpack_from(
             "<IiiHH", payload, 14
@@ -125,7 +253,7 @@ def _parse_image(payload: bytes) -> tuple[int, int, bytes] | None:
 
 
 def decode_image(payload: bytes) -> dict | None:
-    """Decode an uncompressed image payload (24-bit BMP or binary P6 PPM).
+    """Decode an image payload (24-bit BMP, binary P6 PPM, or subset PNG).
 
     Returns {width, height, feature} — feature = [mean byte value of each
     third of the pixel stream, mean overall] scaled to [0,1] — or None when
@@ -191,9 +319,9 @@ def decode_audio(payload: bytes) -> dict | None:
 
 def _try_real_decode(kind: str, payload: bytes) -> list[float] | None:
     """Real decoder hook used by :func:`extract_features`: pure-Python
-    BMP/PPM/WAV parsing (no codec libraries needed). Compressed formats
-    (JPEG/PNG/MP3/...) would need libraries absent from this container and
-    fall through to the stub."""
+    BMP/PPM/PNG/WAV parsing (no codec libraries needed — PNG rides stdlib
+    zlib). Formats needing absent libraries (JPEG/MP3/..., PNG variants
+    outside the 8-bit truecolor subset) fall through to the stub."""
     if kind == "image":
         out = decode_image(payload)
         return out["feature"] if out else None
@@ -349,9 +477,9 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Image resize kernel over the media frame.
 
-    Decodable payloads (24-bit BMP / P6 PPM) get a REAL nearest-neighbor
-    resize — parse pixels, sample, re-encode as BMP — with decoder='real'.
-    Compressed formats (would need PIL/ffmpeg, absent here) fall back to a
+    Decodable payloads (24-bit BMP / P6 PPM / subset PNG) get a REAL
+    nearest-neighbor resize — parse pixels, sample, re-encode as BMP —
+    with decoder='real'. Other formats (would need PIL/ffmpeg) fall back to a
     deterministic stub payload of exactly width*height bytes derived from a
     rolling hash of the input so downstream operators see realistic shapes.
     """

@@ -493,3 +493,123 @@ def test_capped_duplicate_id_lists(spark):
     assert cl[5000]["size"] == 2 and cl[5000]["member_ids"] == [5000, 5001]
     with pytest.raises(ValueError):
         duplicate_clusters(pairs, max_ids=0)
+
+
+def _png_chunks(width, height, ctype, raw):
+    """Test-side PNG builder independent of encode_png: assemble chunks
+    around an arbitrary pre-filtered raw stream."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png recovers the exact pixels for None/Sub/Up
+    filtered rows; Average and Paeth rows are forward-filtered BY THE TEST
+    (independent spec-math derivation) and must unfilter back."""
+    from prometheus_parquet_server_spark.pipeline.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 5, 4
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    # filters 0 (None), 1 (Sub), 2 (Up) via the module encoder
+    png = encode_png(w, h, pixels, filters=bytes([0, 1, 2, 1]))
+    assert decode_png(png) == (w, h, pixels)
+    out = decode_image(png)
+    assert out is not None and (out["width"], out["height"]) == (w, h)
+
+    # filters 3 (Average) and 4 (Paeth): forward-filter in the test
+    row = w * 3
+    raw = bytearray()
+    prev = bytes(row)
+    for y, f in enumerate([0, 3, 4, 3]):
+        line = pixels[y * row : (y + 1) * row]
+        stored = bytearray(line)
+        if f == 3:
+            for i in range(row):
+                a = line[i - 3] if i >= 3 else 0
+                stored[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(row):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                stored[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw += stored
+        prev = line
+    png34 = _png_chunks(w, h, 2, bytes(raw))
+    assert decode_png(png34) == (w, h, pixels)
+
+
+def test_png_rgba_and_subset_rejection():
+    """Color type 6 decodes with alpha dropped; out-of-subset PNGs
+    (grayscale, 16-bit) return None and fall to the stub path."""
+    import struct
+
+    from prometheus_parquet_server_spark.pipeline.multimodal import decode_png
+
+    w, h = 3, 2
+    rgb = bytes(range(w * h * 3))
+    rgba = bytearray()
+    for i in range(w * h):
+        rgba += rgb[3 * i : 3 * i + 3] + b"\xaa"
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += rgba[y * w * 4 : (y + 1) * w * 4]
+    assert decode_png(_png_chunks(w, h, 6, bytes(raw))) == (w, h, rgb)
+
+    # grayscale (ctype 0) → None
+    gray_raw = b"\x00" + bytes(w)
+    assert decode_png(_png_chunks(w, 1, 0, gray_raw)) is None
+    assert decode_png(b"not a png") is None
+
+
+def test_png_through_feature_extraction(spark):
+    """A PNG payload must take the REAL decode path in extract_features
+    (feature == decode_image's, not the md5 stub)."""
+    from prometheus_parquet_server_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        _stub_feature,
+        decode_image,
+        encode_png,
+        extract_features,
+    )
+
+    w, h = 8, 8
+    png = encode_png(w, h, bytes((x * 7) % 256 for x in range(w * h * 3)))
+    media = spark.createDataFrame(
+        [(1, "image", png, ("image/png", w, h, None))],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media).collect()[0]
+    want = decode_image(png)["feature"]
+    assert list(row["feature"]) == pytest.approx(want)
+    assert list(row["feature"]) != pytest.approx(_stub_feature(png))
+
+    from prometheus_parquet_server_spark.pipeline.multimodal import resize_images
+
+    rrow = resize_images(media, width=4, height=4).collect()[0]
+    assert rrow["decoder"] == "real" and len(rrow["payload"]) > 0
