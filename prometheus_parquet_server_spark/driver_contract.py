@@ -401,6 +401,26 @@ def q_p2_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p2_irate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irate's hot-series scale path: _irate_slots(chunk_s=...) windows on
+    (key, time-chunk) with the TWO-sample carry-in the irate formula needs
+    (previous chunk's last sample for tp/vp, next chunk's first for the
+    lead — operators/rate.py). Bit-identical to p2_irate, certified
+    against the SAME DuckDB oracle."""
+    m = _metrics_flat(spark, sf_dir).filter(F.col("name") == "click")
+    out = irate_to_grid(
+        m,
+        _grid(spark),
+        series_cols=["user_id"],
+        over_range=RATE_RANGE,
+        grid=GRID,
+        chunk_s=7200.0,
+    )
+    return out.filter(~F.isnan("value")).select(
+        "user_id", "ts", F.round(F.col("value") * 1e6, 6).alias("value_e6")
+    )
+
+
 # irate (reference src/timeseries.rs:116-161) incl. its two quirks: the
 # first-interval delta is v[i]-v[i+1], and the interpolated endpoint uses
 # swapped weights (see operators/rate.py docstring).
@@ -3300,6 +3320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_capped": q_dedup_clusters_capped,
     "t3_resample_chunked": q_t3_resample_chunked,
     "snapshot_select_f1": q_snapshot_select_f1,
+    "p2_irate_chunked": q_p2_irate_chunked,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3401,6 +3422,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
     "t3_resample_chunked": SQL_T3,
     "snapshot_select_f1": SQL_F1,
+    "p2_irate_chunked": SQL_P2,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

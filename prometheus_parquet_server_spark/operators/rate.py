@@ -259,6 +259,7 @@ def _irate_slots(
     offset: float,
     ts_col: str,
     out_col: str,
+    chunk_s: float | None = None,
 ) -> DataFrame:
     """Sort-free irate on a REGULAR grid (same slot-ownership trick as
     resample_slots): each adjacent sample pair (i, i+1) owns the slots with
@@ -268,6 +269,15 @@ def _irate_slots(
     NaN per timeseries.rs:123-128, so those ranges are never emitted; the
     consumer treats missing grid rows as NaN series points — but to keep
     the output shape identical to the window path we DO emit them with NaN.
+
+    ``chunk_s`` is the hot-series escape hatch (the resample_slots
+    pattern, with the TWO-sample carry-in irate needs): the window
+    partitions on (key, floor(ts/chunk_s)); a per-chunk summary frame
+    supplies each chunk BOTH its missing lead (next non-empty chunk's
+    first sample) AND its missing lag pair tp/vp (previous non-empty
+    chunk's LAST sample, feeding the reference's general-case formula,
+    src/timeseries.rs:146-148). Identical expressions per pair →
+    bit-identical output for any chunk width.
     """
     from prometheus_parquet_server_spark.operators.interpolate import keyed_series
 
@@ -288,23 +298,77 @@ def _irate_slots(
             float(offset)
         )
 
-    t = F.col("ts")
-    nc = F.ceil((t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)).cast("long")
-    nc = F.when(pt_of(nc - 1) >= t, nc - 1).otherwise(nc)
-    nc = F.when(pt_of(nc) < t, nc + 1).otherwise(nc)
-    a = F.greatest(lo, F.least(hi, nc))
+    def a_of(t: Column) -> Column:
+        nc = F.ceil(
+            (t + F.lit(float(offset)) - F.lit(start)) / F.lit(step)
+        ).cast("long")
+        nc = F.when(pt_of(nc - 1) >= t, nc - 1).otherwise(nc)
+        nc = F.when(pt_of(nc) < t, nc + 1).otherwise(nc)
+        return F.greatest(lo, F.least(hi, nc))
 
-    w = Window.partitionBy(*key_cols).orderBy("ts")
-    s = (
-        samples.select(*key_cols, "ts", "value")
-        .withColumn("_a", a)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_tp", F.lag("ts").over(w))
-        .withColumn("_vp", F.lag("value").over(w))
-        .withColumn("_nts", F.lead("ts").over(w))
-        .withColumn("_nv", F.lead("value").over(w))
-        .withColumn("_na", F.lead("_a").over(w))
-    )
+    a = a_of(F.col("ts"))
+
+    if chunk_s is None:
+        w = Window.partitionBy(*key_cols).orderBy("ts")
+        s = (
+            samples.select(*key_cols, "ts", "value")
+            .withColumn("_a", a)
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_tp", F.lag("ts").over(w))
+            .withColumn("_vp", F.lag("value").over(w))
+            .withColumn("_nts", F.lead("ts").over(w))
+            .withColumn("_nv", F.lead("value").over(w))
+            .withColumn("_na", F.lead("_a").over(w))
+        )
+        series_first = F.col("_rn") == 1
+    else:
+        if chunk_s <= 0:
+            raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
+        base = samples.select(*key_cols, "ts", "value").withColumn(
+            "_ch", F.floor(F.col("ts") / F.lit(float(chunk_s)))
+        )
+        sw = Window.partitionBy(*key_cols).orderBy("_ch")
+        summ = (
+            base.groupBy(*key_cols, "_ch")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
+                ).alias("_fst"),
+                F.max_by(
+                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
+                ).alias("_lst"),
+            )
+            .select(
+                *key_cols,
+                "_ch",
+                F.lead("_fst").over(sw).alias("_carry"),
+                F.lag("_lst").over(sw).alias("_prevlast"),
+                F.row_number().over(sw).alias("_chrn"),
+            )
+        )
+        cw = Window.partitionBy(*key_cols, "_ch").orderBy("ts")
+        s = (
+            base.join(summ, [*key_cols, "_ch"])
+            .withColumn("_a", a)
+            .withColumn("_rn", F.row_number().over(cw))
+            .withColumn(
+                "_tp", F.coalesce(F.lag("ts").over(cw), F.col("_prevlast.ts"))
+            )
+            .withColumn(
+                "_vp",
+                F.coalesce(F.lag("value").over(cw), F.col("_prevlast.value")),
+            )
+            .withColumn(
+                "_nts", F.coalesce(F.lead("ts").over(cw), F.col("_carry.ts"))
+            )
+            .withColumn(
+                "_nv", F.coalesce(F.lead("value").over(cw), F.col("_carry.value"))
+            )
+            .withColumn(
+                "_na", F.coalesce(F.lead("_a").over(cw), a_of(F.col("_carry.ts")))
+            )
+        )
+        series_first = (F.col("_chrn") == 1) & (F.col("_rn") == 1)
     # three slot ranges per sample row: Below (first sample only), the
     # Between range owned by pair (this, next), Above (last sample only)
     pair_to = F.when(F.col("_nts").isNull(), F.lit(None).cast("long")).otherwise(
@@ -317,7 +381,7 @@ def _irate_slots(
             F.lit(0).alias("oob"),
         ),
         F.struct(
-            F.when(F.col("_rn") == 1, lo).otherwise(F.lit(None).cast("long")).alias("f"),
+            F.when(series_first, lo).otherwise(F.lit(None).cast("long")).alias("f"),
             F.col("_a").alias("u"),
             F.lit(1).alias("oob"),  # Below → NaN
         ),
@@ -367,15 +431,22 @@ def irate_to_grid(
     ts_col: str = "ts",
     out_col: str = "value",
     grid=None,
+    chunk_s: float | None = None,
 ) -> DataFrame:
     """P2: ``irate(v[r])``. ``r`` only gates the r==0 → NaN check — its value
     is otherwise ignored by the math (src/timeseries.rs:117-121 uses only
     ``last_instant``).
 
     Pass the :class:`RegularTimeRange` as ``grid`` for the sort-free
-    slot-explode plan (no probe union, samples-only window)."""
+    slot-explode plan (no probe union, samples-only window); ``chunk_s``
+    (slot path only) is the hot-series escape hatch — see
+    :func:`_irate_slots`."""
+    if chunk_s is not None and grid is None:
+        raise ValueError("chunk_s requires the slot path — pass grid=")
     if grid is not None and over_range != 0.0:
-        return _irate_slots(samples, grid, series_cols, offset, ts_col, out_col)
+        return _irate_slots(
+            samples, grid, series_cols, offset, ts_col, out_col, chunk_s=chunk_s
+        )
     canonical = series_cols is None
     if canonical:
         samples, series = keyed_series(samples)

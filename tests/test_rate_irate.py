@@ -106,3 +106,39 @@ def test_irate_slot_path_matches_window_path(spark):
             assert math.isnan(y), (key, x, y)
         else:
             assert x == y, (key, x, y)
+
+
+def test_chunked_irate_bit_identical(spark):
+    """_irate_slots(chunk_s=...) must match the uniform slot path bit for
+    bit for any chunk width — including the two-sample carry-in across
+    empty chunks (tp/vp from the previous non-empty chunk's LAST sample)
+    and the first-interval / Below / Above NaN arms."""
+    from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+    from prometheus_parquet_server_spark.operators.rate import irate_to_grid
+
+    rows = (
+        [("a", 10.0 + 500.0 * i, float((i * 7) % 13)) for i in range(8)]
+        + [("b", 1000.0 + 3.0 * i, 7.0 + i) for i in range(5)]
+        + [("c", 1700.0, 42.0)]  # single sample: all NaN
+    )
+    df = spark.createDataFrame(rows, "sid string, ts double, value double")
+    grid = RegularTimeRange(0.0, 3600.0, 90.0)
+    gdf = grid.to_df(spark)
+
+    def got(**kw):
+        out = irate_to_grid(
+            df, gdf, series_cols=["sid"], over_range=300.0, grid=grid, **kw
+        )
+        return sorted((r["sid"], r["ts"], repr(r["value"])) for r in out.collect())
+
+    base = got()
+    for cs in (60.0, 777.0, 5000.0):
+        assert got(chunk_s=cs) == base, f"chunk_s={cs} diverged"
+    assert got(offset=120.0, chunk_s=60.0) == got(offset=120.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_s"):
+        irate_to_grid(df, gdf, series_cols=["sid"], over_range=300.0, grid=grid, chunk_s=0.0)
+    with _pytest.raises(ValueError, match="slot path"):
+        irate_to_grid(df, gdf, series_cols=["sid"], over_range=300.0, chunk_s=60.0)
