@@ -30,6 +30,7 @@ from prometheus_parquet_server_spark.operators.interpolate import resample_to_gr
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.aggregate import (
     aggregate_over_series,
+    exact_sum,
     sum_over_series,
 )
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
@@ -143,7 +144,14 @@ def _dec(col) -> Column:
     a1/a2/a3/promql_sum_rate/tpch_q1/events_rollup by
     scripts/audit_rounding.py). Oracles mirror with
     SUM(CAST(x AS DECIMAL(38,9))); per-row cast parity between Spark and
-    DuckDB is empirically exact on this data."""
+    DuckDB is empirically exact on this data.
+
+    Bare-cast contract: callers using _dec directly (the TPC-H rows, whose
+    price/quantity columns are finite by construction — and whose DuckDB
+    oracle would ERROR loudly on CAST(NaN AS DECIMAL)) must guarantee
+    finite in-range values; NaN/Inf casts to decimal NULL and would be
+    silently skipped by SUM. Data that can be dirty goes through
+    aggregate.exact_sum (guarded float fallback) instead."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(38,9)")
 
@@ -660,7 +668,9 @@ def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     return (
         rs.groupBy("name", "ts")
-        .agg(F.round(F.sum(_dec("value")), 6).cast("double").alias("value"))
+        # guarded exact sum (NaN poisons, overflow falls back) + decimal-
+        # space rounding; values < 1e6 round-trip the double exactly
+        .agg(_round6_exact(exact_sum("value")).alias("value"))
     )
 
 
@@ -735,7 +745,7 @@ def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
     return rs.groupBy("ts").agg(
-        F.round(F.sum(_dec("value")), 6).cast("double").alias("value")
+        _round6_exact(exact_sum("value")).alias("value")
     )
 
 

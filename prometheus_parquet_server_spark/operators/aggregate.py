@@ -63,11 +63,20 @@ def exact_sum(col: Column | str) -> Column:
     non-finite inputs is itself order-insensitive (NaN poisons; same-signed
     Inf saturates; mixed Inf yields NaN) — preserving the PromQL semantics
     documented in this module's header.
+
+    Overflow never silently drops values either (ANSI is off, so decimal
+    overflow yields NULL, not an error): a finite value too large for
+    DECIMAL(38,9) (|v| ≥ 1e29) flips the same float-fallback guard, and a
+    NULL *accumulated* sum (overflow past 38 digits) falls back through
+    the COALESCE to the float sum.
     """
     c = F.col(col) if isinstance(col, str) else col
-    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
-    return F.when(F.count_if(nonfinite) > 0, F.sum(c)).otherwise(
-        F.sum(c.cast(T.DecimalType(38, 9))).cast("double")
+    dec = c.cast(T.DecimalType(38, 9))
+    # NaN, ±Inf AND out-of-range finite values ALL cast to decimal NULL
+    # (ANSI off), so one null-flip comparison is the complete guard
+    bad = c.isNotNull() & dec.isNull()
+    return F.when(F.count_if(bad) > 0, F.sum(c)).otherwise(
+        F.coalesce(F.sum(dec).cast("double"), F.sum(c))
     )
 
 

@@ -160,6 +160,77 @@ def keyed_series(samples: DataFrame) -> tuple[DataFrame, DataFrame]:
     return keyed, series
 
 
+def _chunked_slot_context(
+    base: DataFrame,
+    key_cols: Sequence[str],
+    chunk_s: float,
+    a_of,
+    with_prev: bool = False,
+):
+    """Shared hot-series chunking machinery for the slot-explode operators
+    (resample_slots and rate._irate_slots): window ``base`` (key_cols +
+    ts + value) on (key, floor(ts/chunk_s)) and carry each chunk's missing
+    neighbors in from a per-chunk summary frame (one row per non-empty
+    chunk, windowed by chunk — so a pair spanning any number of EMPTY
+    chunks still resolves).
+
+    The lead is carried as ONE STRUCT (never per-column coalesce): a
+    mid-chunk sample with a NULL value must keep its own ts/value pair —
+    per-column ``coalesce(lead(value), carry.value)`` would pair the
+    in-chunk lead's ts with the NEXT CHUNK's value and silently break the
+    bit-identical contract. Same for the lagged pair when ``with_prev``
+    (irate's tp/vp).
+
+    Returns the windowed frame with ``_a``, ``_rn``, ``_nts/_nv/_na``
+    (+ ``_tp/_vp`` when ``with_prev``) and ``_sfirst`` (true on the
+    series' very first sample).
+    """
+    if chunk_s <= 0:
+        raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
+    base = base.withColumn("_ch", F.floor(F.col("ts") / F.lit(float(chunk_s))))
+    pair = F.struct(F.col("ts"), F.col("value"))
+    aggs = [F.min_by(pair, F.col("ts")).alias("_fst")]
+    if with_prev:
+        aggs.append(F.max_by(pair, F.col("ts")).alias("_lst"))
+    sw = Window.partitionBy(*key_cols).orderBy("_ch")
+    sel = [
+        *key_cols,
+        "_ch",
+        F.lead("_fst").over(sw).alias("_carry"),
+        F.row_number().over(sw).alias("_chrn"),
+    ]
+    if with_prev:
+        sel.append(F.lag("_lst").over(sw).alias("_prevlast"))
+    summ = base.groupBy(*key_cols, "_ch").agg(*aggs).select(*sel)
+    cw = Window.partitionBy(*key_cols, "_ch").orderBy("ts")
+    s = (
+        base.join(summ, [*key_cols, "_ch"])
+        .withColumn("_a", a_of(F.col("ts")))
+        .withColumn("_rn", F.row_number().over(cw))
+        .withColumn("_nx", F.coalesce(F.lead(pair).over(cw), F.col("_carry")))
+        .withColumn("_nts", F.col("_nx.ts"))
+        .withColumn("_nv", F.col("_nx.value"))
+        # _na via the same pure a_of the next chunk applies to its own
+        # first sample — bit-identical to lead(_a) for in-chunk leads
+        .withColumn(
+            "_na",
+            F.when(F.col("_nx").isNull(), F.lit(None).cast("long")).otherwise(
+                a_of(F.col("_nx.ts"))
+            ),
+        )
+        .withColumn("_sfirst", (F.col("_chrn") == 1) & (F.col("_rn") == 1))
+    )
+    if with_prev:
+        s = (
+            s.withColumn(
+                "_pv", F.coalesce(F.lag(pair).over(cw), F.col("_prevlast"))
+            )
+            .withColumn("_tp", F.col("_pv.ts"))
+            .withColumn("_vp", F.col("_pv.value"))
+        )
+    return s
+
+
 def resample_slots(
     samples: DataFrame,
     grid,
@@ -238,48 +309,10 @@ def resample_slots(
         )
         series_first = F.col("_rn") == 1
     else:
-        if chunk_s <= 0:
-            raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
-        base = samples.select(*key_cols, "ts", "value").withColumn(
-            "_ch", F.floor(F.col("ts") / F.lit(float(chunk_s)))
+        s = _chunked_slot_context(
+            samples.select(*key_cols, "ts", "value"), key_cols, chunk_s, a_of
         )
-        # per-chunk summary: ONE row per non-empty (key, chunk) — orders of
-        # magnitude smaller than the sample frame. Its window over the key
-        # computes each chunk's carry-in (the next non-empty chunk's first
-        # sample) and whether the chunk is the series' first.
-        sw = Window.partitionBy(*key_cols).orderBy("_ch")
-        summ = (
-            base.groupBy(*key_cols, "_ch")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
-                ).alias("_fst")
-            )
-            .select(
-                *key_cols,
-                "_ch",
-                F.lead("_fst").over(sw).alias("_carry"),
-                F.row_number().over(sw).alias("_chrn"),
-            )
-        )
-        cw = Window.partitionBy(*key_cols, "_ch").orderBy("ts")
-        s = (
-            base.join(summ, [*key_cols, "_ch"])
-            .withColumn("_a", a)
-            .withColumn("_rn", F.row_number().over(cw))
-            .withColumn(
-                "_nts", F.coalesce(F.lead("ts").over(cw), F.col("_carry.ts"))
-            )
-            .withColumn(
-                "_nv", F.coalesce(F.lead("value").over(cw), F.col("_carry.value"))
-            )
-            # _na for the carry-in pair comes from the same a_of expression
-            # the next chunk applies to its own first sample — bit-identical
-            .withColumn(
-                "_na", F.coalesce(F.lead("_a").over(cw), a_of(F.col("_carry.ts")))
-            )
-        )
-        series_first = (F.col("_chrn") == 1) & (F.col("_rn") == 1)
+        series_first = F.col("_sfirst")
     pair_to = F.when(F.col("_nts").isNull(), hi).otherwise(F.col("_na"))
     ranges = F.array(
         F.struct(F.col("_a").alias("f"), pair_to.alias("u"), F.lit(0).alias("below")),

@@ -322,53 +322,18 @@ def _irate_slots(
         )
         series_first = F.col("_rn") == 1
     else:
-        if chunk_s <= 0:
-            raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
-        base = samples.select(*key_cols, "ts", "value").withColumn(
-            "_ch", F.floor(F.col("ts") / F.lit(float(chunk_s)))
+        from prometheus_parquet_server_spark.operators.interpolate import (
+            _chunked_slot_context,
         )
-        sw = Window.partitionBy(*key_cols).orderBy("_ch")
-        summ = (
-            base.groupBy(*key_cols, "_ch")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
-                ).alias("_fst"),
-                F.max_by(
-                    F.struct(F.col("ts"), F.col("value")), F.col("ts")
-                ).alias("_lst"),
-            )
-            .select(
-                *key_cols,
-                "_ch",
-                F.lead("_fst").over(sw).alias("_carry"),
-                F.lag("_lst").over(sw).alias("_prevlast"),
-                F.row_number().over(sw).alias("_chrn"),
-            )
+
+        s = _chunked_slot_context(
+            samples.select(*key_cols, "ts", "value"),
+            key_cols,
+            chunk_s,
+            a_of,
+            with_prev=True,  # irate's tp/vp: previous chunk's LAST sample
         )
-        cw = Window.partitionBy(*key_cols, "_ch").orderBy("ts")
-        s = (
-            base.join(summ, [*key_cols, "_ch"])
-            .withColumn("_a", a)
-            .withColumn("_rn", F.row_number().over(cw))
-            .withColumn(
-                "_tp", F.coalesce(F.lag("ts").over(cw), F.col("_prevlast.ts"))
-            )
-            .withColumn(
-                "_vp",
-                F.coalesce(F.lag("value").over(cw), F.col("_prevlast.value")),
-            )
-            .withColumn(
-                "_nts", F.coalesce(F.lead("ts").over(cw), F.col("_carry.ts"))
-            )
-            .withColumn(
-                "_nv", F.coalesce(F.lead("value").over(cw), F.col("_carry.value"))
-            )
-            .withColumn(
-                "_na", F.coalesce(F.lead("_a").over(cw), a_of(F.col("_carry.ts")))
-            )
-        )
-        series_first = (F.col("_chrn") == 1) & (F.col("_rn") == 1)
+        series_first = F.col("_sfirst")
     # three slot ranges per sample row: Below (first sample only), the
     # Between range owned by pair (this, next), Above (last sample only)
     pair_to = F.when(F.col("_nts").isNull(), F.lit(None).cast("long")).otherwise(

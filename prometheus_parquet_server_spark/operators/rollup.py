@@ -36,15 +36,34 @@ def time_bucket_partials(
     ``exact=True`` accumulates ``sum_v`` as DECIMAL(38,9) — and keeps it
     decimal up the cascade — so the recombined sums are a pure function of
     the data, independent of partial-sum order (reproducible-results mode;
-    float sums at a rounding boundary flip digits run-to-run)."""
+    float sums at a rounding boundary flip digits run-to-run). Exact mode
+    REQUIRES finite in-range values: NaN/Inf (or |v| ≥ 1e29) would cast to
+    decimal NULL and silently vanish from the sum, so the cast is guarded
+    by a live ``raise_error`` — a dirty batch fails the job loudly instead
+    of producing clean-looking wrong partials."""
     if width_s <= 0:
         raise ValueError(f"width_s must be > 0, got {width_s}")
     bucket = (F.floor(F.col(ts_col) / F.lit(width_s)) * F.lit(width_s)).alias(
         "bucket_ts"
     )
-    sum_in = (
-        F.col(value_col).cast(T.DecimalType(38, 9)) if exact else F.col(value_col)
-    )
+    if exact:
+        v = F.col(value_col)
+        dec = v.cast(T.DecimalType(38, 9))
+        # NaN/Inf/overflow all cast to decimal NULL — one comparison
+        bad = v.isNotNull() & dec.isNull()
+        # the raise lives INSIDE the summed expression (a projected-then-
+        # dropped guard column would be pruned as dead code by Catalyst)
+        sum_in = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "rollup exact=True requires finite DECIMAL(38,9)-range "
+                    "values; got NaN/Inf/overflow"
+                )
+            ).cast(T.DecimalType(38, 9)),
+        ).otherwise(dec)
+    else:
+        sum_in = F.col(value_col)
     return df.groupBy(*by, bucket).agg(
         F.count("*").alias("n"),
         F.sum(sum_in).alias("sum_v"),

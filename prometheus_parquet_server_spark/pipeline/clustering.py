@@ -135,29 +135,18 @@ def duplicate_clusters(
     sort-spillable, same component-keyed shuffle the groupBy rides), so
     no buffer ever holds more than ``max_ids`` entries. Default None keeps
     the exact lists (small-scale / oracle mode)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import _capped_id_groups
+
     comp = connected_components(pairs, a_col, b_col)
-    if max_ids is None:
-        return (
-            comp.groupBy("component")
-            .agg(
-                F.count("*").alias("size"),
-                F.sort_array(F.collect_list("node")).alias("member_ids"),
-            )
-            .withColumn("keeper", F.col("component"))
-        )
-    if max_ids < 1:
-        raise ValueError(f"max_ids must be >= 1, got {max_ids}")
-    wp = Window.partitionBy("component")
-    return (
-        comp.withColumn("size", F.count("*").over(wp))
-        .withColumn("_rn", F.row_number().over(wp.orderBy("node")))
-        .filter(F.col("_rn") <= max_ids)
-        .groupBy("component")
-        .agg(
-            F.max("size").alias("size"),
-            F.sort_array(F.collect_list("node")).alias("member_ids"),
-        )
-        .withColumn("keeper", F.col("component"))
+    # _capped_id_groups' >1 filter is vacuous here: every component built
+    # from edges has >= 2 members, so the shared OOM-guard shape (window
+    # rank BEFORE aggregation) applies unchanged
+    grouped = _capped_id_groups(comp, "component", "node", max_ids)
+    return grouped.select(
+        "component",
+        F.col("dup_count").alias("size"),
+        F.col("doc_ids").alias("member_ids"),
+        F.col("component").alias("keeper"),
     )
 
 

@@ -144,8 +144,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
     while pos + 8 <= len(payload):
         ln, tag = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + ln]
-        if len(body) < ln:
+        if len(body) < ln or pos + 12 + ln > len(payload):
             return None
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            return None  # corrupted chunk — reject, don't decode garbage
         if tag == b"IHDR":
             if ln < 13:
                 return None

@@ -90,8 +90,15 @@ def sessionize(
             start = last = None
             n, sv = 0, 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # concatenate BEFORE sorting: a key whose trigger spans several
+        # Arrow batches is not globally ordered across them — per-chunk
+        # sorts would process later-chunk timestamps that precede earlier
+        # chunks' and split sessions spuriously. Memory is bounded by the
+        # key's rows in this trigger (the same bound the state design
+        # already assumes).
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(ts_col)
             for t, v in zip(pdf[ts_col], pdf[value_col]):
                 t, v = float(t), float(v)
                 if start is None:
@@ -192,22 +199,39 @@ def sessionize_batch(
     # nondeterministically. Decimal summation is exact and order-insensitive,
     # so ROUND over it is a pure function of the data. (Per-row
     # double→decimal(38,9) casts are verified identical between Spark and
-    # DuckDB on this data; the oracle sums the same decimals.)
-    _dec = F.col(value_col).cast(T.DecimalType(38, 9))
+    # DuckDB on this data; the oracle sums the same decimals.) Sessions
+    # holding a non-finite or decimal-overflowing value fall back to the
+    # float sum — NaN must POISON sum_value as it always did, not cast to
+    # decimal NULL and silently vanish from the aggregate.
+    _vc = F.col(value_col)
+    _dec = _vc.cast(T.DecimalType(38, 9))
+    # NaN/Inf/overflow all cast to decimal NULL — one comparison suffices
+    _bad = _vc.isNotNull() & _dec.isNull()
     if chunk_s is None:
         return flagged.groupBy(user_col, "session_seq").agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(_dec), 6).cast("double").alias("sum_value"),
+            F.when(F.count_if(_bad) > 0, F.round(F.sum(_vc), 6))
+            .otherwise(
+                F.coalesce(
+                    F.round(F.sum(_dec), 6).cast("double"),
+                    F.round(F.sum(_vc), 6),
+                )
+            )
+            .alias("sum_value"),
         )
     # local sessions carry the RAW decimal sum — rounding happens exactly
-    # once, after the merge, same 6-dp contract as the unchunked path
+    # once, after the merge, same 6-dp contract as the unchunked path —
+    # plus the float sum and bad-count partials so the merge can apply the
+    # same non-finite fallback across chunk boundaries
     local = flagged.groupBy(*part, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
         F.sum(_dec).alias("_sum_raw"),
+        F.sum(_vc).alias("_sum_f"),
+        F.count_if(_bad).alias("_n_bad"),
     )
     # merge pass over SESSIONS: local sessions of one user are disjoint
     # and start-ordered, so plain gaps-and-islands with the previous
@@ -219,6 +243,8 @@ def sessionize_batch(
         "session_end",
         "n_events",
         "_sum_raw",
+        "_sum_f",
+        "_n_bad",
         F.when(
             (F.col("session_start") - F.lag("session_end").over(mw)) > gap_s, 1
         ).otherwise(0).alias("_new"),
@@ -232,5 +258,12 @@ def sessionize_batch(
         F.min("session_start").alias("session_start"),
         F.max("session_end").alias("session_end"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("_sum_raw"), 6).cast("double").alias("sum_value"),
+        F.when(F.sum("_n_bad") > 0, F.round(F.sum("_sum_f"), 6))
+        .otherwise(
+            F.coalesce(
+                F.round(F.sum("_sum_raw"), 6).cast("double"),
+                F.round(F.sum("_sum_f"), 6),
+            )
+        )
+        .alias("sum_value"),
     )

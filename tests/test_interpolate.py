@@ -93,6 +93,10 @@ def test_chunked_resample_bit_identical(spark):
         [("a", 10.0 + 500.0 * i, float(i * i)) for i in range(8)]
         + [("b", 1000.0 + 3.0 * i, 7.0 + i) for i in range(5)]
         + [("c", 1700.0, 42.0)]
+        # NULL value mid-series: the carry must stay a (ts, value) PAIR —
+        # per-column coalesce would pair this row's in-chunk lead ts with
+        # the next chunk's value (the round-7 review finding)
+        + [("d", 100.0, 1.0), ("d", 130.0, None), ("d", 900.0, 5.0)]
     )
     df = spark.createDataFrame(rows, "sid string, ts double, value double")
     grid = RegularTimeRange(0.0, 3600.0, 90.0)

@@ -613,3 +613,19 @@ def test_png_through_feature_extraction(spark):
 
     rrow = resize_images(media, width=4, height=4).collect()[0]
     assert rrow["decoder"] == "real" and len(rrow["payload"]) > 0
+
+
+def test_png_crc_rejection():
+    """A PNG whose chunk bytes are corrupted (CRC mismatch) must be
+    rejected, not decoded into garbage with decoder='real'."""
+    from prometheus_parquet_server_spark.pipeline.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = bytearray(encode_png(4, 4, bytes(range(48))))
+    assert decode_png(bytes(png)) is not None
+    # flip one byte inside the IDAT body (after sig+IHDR: 8+25=33, IDAT
+    # data starts at 33+8)
+    png[45] ^= 0xFF
+    assert decode_png(bytes(png)) is None

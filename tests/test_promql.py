@@ -196,3 +196,27 @@ def test_topk_bottomk(spark):
     bot = run(spark, df, 'bottomk(1, m_bucket{Le="+Inf"})').collect()
     assert all(r["labels"]["timing"] == "a" for r in bot)
     assert len(bot) == 3  # one per grid instant
+
+
+def test_exact_sum_guards(spark):
+    """exact_sum must never silently drop values: NaN poisons (float
+    fallback), Inf saturates, and a finite value beyond DECIMAL(38,9)
+    range (1e30) flips the same fallback instead of casting to NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prometheus_parquet_server_spark.operators.aggregate import exact_sum
+
+    df = spark.createDataFrame(
+        [("nan", 1.0), ("nan", float("nan")),
+         ("inf", 2.0), ("inf", float("inf")),
+         ("big", 1e30), ("big", 3.0),
+         ("ok", 1.25), ("ok", 2.5)],
+        "k string, value double",
+    )
+    got = {r["k"]: r["s"] for r in df.groupBy("k").agg(exact_sum("value").alias("s")).collect()}
+    assert math.isnan(got["nan"])
+    assert got["inf"] == float("inf")
+    assert got["big"] == 1e30 + 3.0  # float fallback, NOT 3.0 (silent drop)
+    assert got["ok"] == 3.75

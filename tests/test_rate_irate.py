@@ -120,6 +120,7 @@ def test_chunked_irate_bit_identical(spark):
         [("a", 10.0 + 500.0 * i, float((i * 7) % 13)) for i in range(8)]
         + [("b", 1000.0 + 3.0 * i, 7.0 + i) for i in range(5)]
         + [("c", 1700.0, 42.0)]  # single sample: all NaN
+        + [("d", 100.0, 1.0), ("d", 130.0, None), ("d", 900.0, 5.0)]  # NULL value pair integrity
     )
     df = spark.createDataFrame(rows, "sid string, ts double, value double")
     grid = RegularTimeRange(0.0, 3600.0, 90.0)

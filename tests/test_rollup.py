@@ -74,3 +74,22 @@ def test_inexact_float_widths_rejected(base):
     # exact float nesting (0.25 → 0.5 → 1.0) is fine
     levels = rollup_cascade(base, (0.25, 0.5, 1.0), by=("event_type",))
     assert levels[1.0].count() > 0
+
+
+def test_exact_rollup_rejects_nonfinite(spark):
+    """exact=True sums DECIMAL — NaN/Inf would cast to NULL and silently
+    vanish; the guarded cast must fail the job loudly instead."""
+    import pytest
+    from prometheus_parquet_server_spark.operators.rollup import rollup_cascade
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, float("nan"))],
+        "event_type string, ts double, value double",
+    )
+    levels = rollup_cascade(df, (60.0,), by=("event_type",), exact=True)
+    with pytest.raises(Exception, match="finite"):
+        levels[60.0].collect()
+    # the float path keeps NaN-poisoning semantics untouched
+    rows = rollup_cascade(df, (60.0,), by=("event_type",))[60.0].collect()
+    import math
+    assert math.isnan(rows[0]["sum_v"])

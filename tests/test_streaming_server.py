@@ -585,3 +585,25 @@ def test_sessionize_event_time_timeout_flushes_idle(spark, tmp_path):
         ).collect()
     )
     assert [(u, a, b, n, v) for u, a, b, n, v in batch] == want_user1
+
+
+def test_sessionize_batch_nan_poisons_sum(spark):
+    """A session containing NaN must report sum_value = NaN in BOTH the
+    uniform and chunked arms — the decimal path may not let NaN cast to
+    NULL and vanish (round-7 review finding)."""
+    import math
+
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, float("nan")), (1, 30.0, 2.0),
+         (2, 10.0, 5.0)],
+        "user_id long, ts_s double, value double",
+    )
+    for kw in ({}, {"chunk_s": 100.0}):
+        got = {
+            r["user_id"]: r["sum_value"]
+            for r in sessionize_batch(df, gap_s=60.0, **kw).collect()
+        }
+        assert math.isnan(got[1]), kw
+        assert got[2] == 5.0, kw
