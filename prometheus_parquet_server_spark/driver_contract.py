@@ -2955,6 +2955,57 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance under the oracle gate: the events
+    table arrives as THREE disjoint batches (user_id mod 3 — every batch
+    touches every day bucket, so the additive partial merge is exercised
+    everywhere), each folded into a persisted minute-level partial store
+    by rollup_ingest (snapshot_merge commit protocol — history is never
+    rescanned). The day level is served from the stored partials via
+    rollup_read. Hash-matching the SAME direct-aggregation DuckDB oracle
+    as events_rollup proves N incremental ingests ≡ one shot over the
+    union, exactly (decimal partials end-to-end)."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_ingest,
+        rollup_read,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _ROLLUP_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='rollup_inc_')}/store"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        base = ev.select(
+            "event_type",
+            (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+            "value",
+            "user_id",
+        )
+        for band in range(3):
+            rollup_ingest(
+                spark,
+                store,
+                base.filter(F.pmod(F.col("user_id"), F.lit(3)) == band),
+                width_s=60.0,
+            )
+        _ROLLUP_STORE_CACHE[key] = store
+    day = rollup_read(spark, store, width_s=86400.0)
+    return day.select(
+        F.col("name").alias("event_type"),
+        "bucket_ts",
+        "n",
+        F.round("sum_v", 6).cast("double").alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        _round6_exact(F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
+    )
+
+
 SQL_EVENTS_ROLLUP = """
 WITH base AS (
     SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
@@ -3331,6 +3382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_resample_chunked": q_t3_resample_chunked,
     "snapshot_select_f1": q_snapshot_select_f1,
     "p2_irate_chunked": q_p2_irate_chunked,
+    "rollup_incremental": q_rollup_incremental,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3433,6 +3485,7 @@ ORACLES: dict[str, str] = {
     "t3_resample_chunked": SQL_T3,
     "snapshot_select_f1": SQL_F1,
     "p2_irate_chunked": SQL_P2,
+    "rollup_incremental": SQL_EVENTS_ROLLUP,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

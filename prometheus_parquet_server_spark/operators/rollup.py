@@ -91,6 +91,86 @@ def rollup_level(
     )
 
 
+def rollup_ingest(
+    spark,
+    store_path: str,
+    df: DataFrame,
+    width_s: float = 60.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    name_col: str = "event_type",
+) -> int:
+    """Continuous-aggregate maintenance: fold a NEW raw batch into the
+    persisted finest-level partials WITHOUT rescanning history — the
+    at-scale answer to "keep a day-level dashboard current over 100 TB of
+    events" (only the new batch is aggregated; the store-side rewrite
+    touches only the files whose name ranges intersect the batch, via
+    :func:`snapshot_merge`'s commit protocol — crash-safe, time-travelable,
+    retention via plain ``snapshot_expire`` manifest arithmetic).
+
+    Partials are stored in the canonical (name, ts) key layout (``ts`` =
+    bucket start) with the associative columns (n, sum_v decimal, min_v,
+    max_v); decimal ``exact`` accumulation end-to-end makes N incremental
+    ingests bit-equal to one shot over the union — certified by the
+    rollup_incremental oracle row against direct DuckDB aggregation.
+    Returns the committed snapshot version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_merge,
+    )
+
+    partials = time_bucket_partials(
+        df.select(
+            F.col(name_col).alias("name"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+        ),
+        width_s,
+        by=("name",),
+        exact=True,
+    ).select("name", F.col("bucket_ts").alias("ts"), "n", "sum_v", "min_v", "max_v")
+
+    def _combine(existing: DataFrame | None, new: DataFrame) -> DataFrame:
+        if existing is None:
+            return new
+        u = existing.select(*new.columns).unionByName(new)
+        # associative recombination — the same partial algebra the cascade
+        # levels use, so fold order never matters
+        return u.groupBy("name", "ts").agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+
+    return snapshot_merge(spark, store_path, partials, _combine)
+
+
+def rollup_read(
+    spark,
+    store_path: str,
+    width_s: float | None = None,
+    names: list[str] | None = None,
+    ts_range: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Serve a rollup store written by :func:`rollup_ingest`: manifest
+    pruning applies (names / ts_range hit the snapshot file stats before
+    any footer opens), and ``width_s`` re-buckets the persisted finest
+    partials up to any exactly-nesting coarser level — reading
+    ``stored_rows / fanout`` partial rows, never raw events. Returns
+    (name, bucket_ts, n, sum_v, min_v, max_v)."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    df = snapshot_read(spark, store_path, names=names, ts_range=ts_range)
+    partials = df.select(
+        "name", F.col("ts").alias("bucket_ts"), "n", "sum_v", "min_v", "max_v"
+    )
+    if width_s is None:
+        return partials
+    return rollup_level(partials, width_s, by=("name",))
+
+
 def rollup_cascade(
     df: DataFrame,
     widths_s: tuple[float, ...] = (60.0, 3600.0, 86400.0),

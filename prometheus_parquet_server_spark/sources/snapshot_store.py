@@ -239,8 +239,13 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
         # (tight min/max name ranges → effective manifest pruning) while a
         # hot metric still splits across tasks by series key instead of
         # funneling into one writer — hash repartition("name") would be
-        # the skew wall at exactly the backfill sizes that matter
-        df.withColumn("_sk", series_key_str())
+        # the skew wall at exactly the backfill sizes that matter.
+        # Frames without a labels column (e.g. rollup partial stores,
+        # which carry only the canonical name/ts keys) cluster on name
+        # alone — ts inside the range key keeps hot names splittable.
+        df.withColumn(
+            "_sk", series_key_str() if "labels" in df.columns else F.col("name")
+        )
         .repartitionByRange("name", "_sk", "ts")
         .sortWithinPartitions("name", "_sk", "ts")
         .drop("_sk")
@@ -473,6 +478,66 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         if not _try_commit(fs, path, manifest):
             raise ConcurrentWriteError(
                 f"upsert prepared against v{parent} but v{manifest['version']} "
+                f"already exists — re-run against the new tip"
+            )
+        return manifest["version"]
+    finally:
+        updates.unpersist()
+
+
+def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) -> int:
+    """Generalized read-modify-write commit — the primitive behind
+    incremental materialized aggregates (operators/rollup.py
+    rollup_ingest): files whose manifest name range intersects the
+    updates' metric names are read back as ``existing`` and REPLACED by
+    ``combine(existing, updates)`` (``existing`` is None when nothing
+    intersects — a fresh store or disjoint names); every other file
+    carries over by reference, so the rewrite cost is proportional to the
+    touched data, not the store. Unlike :func:`snapshot_upsert` (which
+    fixes replace-by-(series, ts) semantics) the merge function is the
+    caller's — additive partial folding, counters, CRDT-style joins.
+    A commit race raises :class:`ConcurrentWriteError` (blind rebase could
+    lose the racer's contribution to the combined rows)."""
+    fs = _StoreFS(spark, path)
+    updates = updates.cache()
+    try:
+        distinct_names = [
+            r["name"] for r in updates.select("name").distinct().collect()
+        ]
+        if any(n is None for n in distinct_names):
+            raise ValueError(
+                "snapshot_merge: updates contain NULL metric names — "
+                "clean the batch before committing"
+            )
+        names = sorted(distinct_names)
+        if not names:
+            return snapshot_version(spark, path) or 0
+        parent, parent_m = _resolve_tip(fs, path)
+        base_files: list[dict] = parent_m["files"] if parent_m else []
+        touched = [f for f in base_files if _name_overlaps(f, names)]
+        kept = [f for f in base_files if f not in touched]
+        existing = (
+            spark.read.parquet(*[f["path"] for f in touched]) if touched else None
+        )
+        out = combine(existing, updates)
+        new_files = _write_data_files(spark, path, out)
+        target = _target_version(fs, path, parent)
+        if target is None:
+            raise ConcurrentWriteError(
+                f"merge prepared against v{parent} but the tip moved — "
+                f"re-run against the new tip"
+            )
+        manifest = {
+            "version": target,
+            "parent": parent,
+            "operation": "merge",
+            "schema": (parent_m.get("schema") if parent_m else None)
+            or _schema_json(out),
+            "files": kept + new_files,
+        }
+        if not _try_commit(fs, path, manifest):
+            raise ConcurrentWriteError(
+                f"merge prepared against v{parent} but v{manifest['version']} "
                 f"already exists — re-run against the new tip"
             )
         return manifest["version"]

@@ -93,3 +93,71 @@ def test_exact_rollup_rejects_nonfinite(spark):
     rows = rollup_cascade(df, (60.0,), by=("event_type",))[60.0].collect()
     import math
     assert math.isnan(rows[0]["sum_v"])
+
+
+def test_rollup_ingest_incremental_equals_one_shot(spark, tmp_path):
+    """N rollup_ingest batches must equal ONE ingest of the union, bit for
+    bit (decimal partials end-to-end), and equal rollup_cascade over the
+    raw union; untouched metrics' files carry over by reference."""
+    import pytest
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_ingest,
+        rollup_read,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _resolve_tip,
+        snapshot_expire,
+    )
+    from prometheus_parquet_server_spark.sources.store import _StoreFS
+
+    rows = [
+        ("click", 10.0 + 37.0 * i, float((i * 13) % 97) / 7.0) for i in range(200)
+    ] + [("view", 100000.0 + 61.0 * i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, ts double, value double")
+
+    inc = f"file://{tmp_path}/inc"
+    for band in range(3):
+        from pyspark.sql import functions as F
+
+        rollup_ingest(
+            spark, inc, df.filter(F.floor(F.col("ts")).cast("long") % 3 == band)
+        )
+    one = f"file://{tmp_path}/one"
+    rollup_ingest(spark, one, df)
+
+    def snap(store, width=None):
+        return sorted(
+            tuple(r) for r in rollup_read(spark, store, width_s=width).collect()
+        )
+
+    assert snap(inc) == snap(one)  # minute level, exact decimal equality
+    assert snap(inc, 3600.0) == snap(one, 3600.0)
+
+    # equals the in-memory cascade over the union (decimal partials)
+    direct = rollup_cascade(df, (60.0,), by=("event_type",), exact=True)[60.0]
+    want = sorted(
+        (r["event_type"], r["bucket_ts"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in direct.collect()
+    )
+    assert snap(inc) == want
+
+    # a batch touching ONLY 'view' must carry 'click' files by reference
+    fs = _StoreFS(spark, inc)
+    _, before = _resolve_tip(fs, inc)
+    click_files_before = {
+        f["path"] for f in before["files"] if f["max_name"] <= "click"
+    }
+    more = spark.createDataFrame(
+        [("view", 100000.0, 5.0)], "event_type string, ts double, value double"
+    )
+    rollup_ingest(spark, inc, more)
+    _, after = _resolve_tip(fs, inc)
+    assert click_files_before <= {f["path"] for f in after["files"]}
+
+    # retention composes: manifest-level expire on the partial store
+    v = snapshot_expire(spark, inc, min_ts=100000.0)
+    assert v is not None
+    left = {r[0] for r in snap(inc)}
+    assert left == {"view"}
