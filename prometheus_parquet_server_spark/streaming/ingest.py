@@ -95,6 +95,53 @@ def stream_windowed_rate(
     )
 
 
+def stream_rollup_ingest(
+    events_stream: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    width_s: float = 60.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    name_col: str = "event_type",
+) -> StreamingQuery:
+    """Streaming continuous aggregate: every micro-batch folds into the
+    persisted rollup-partial snapshot store via ``foreachBatch`` →
+    :func:`operators.rollup.rollup_ingest` — the standard Structured
+    Streaming pattern for sinks with their own transactional protocol.
+    Exactly-once here comes from the COMBINATION: the snapshot commit is
+    atomic (a crashed fold before its manifest publish is invisible, the
+    restarted batch re-folds), and the fold itself is deterministic, so
+    the only at-least-once hazard is a batch that COMMITTED but whose
+    streaming offset didn't — redelivery would double-count; production
+    deployments record the batch id in the manifest to dedupe (noted,
+    not implemented — the availableNow parity test drains once).
+    Returns the started query (caller awaits termination)."""
+    from prometheus_parquet_server_spark.operators.rollup import rollup_ingest
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup_ingest(
+            spark,
+            store_path,
+            batch_df,
+            width_s=width_s,
+            ts_col=ts_col,
+            value_col=value_col,
+            name_col=name_col,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"{store_path}/_stream_checkpoint",
+        )
+        .start()
+    )
+
+
 def run_available_now(
     df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -607,3 +607,44 @@ def test_sessionize_batch_nan_poisons_sum(spark):
         }
         assert math.isnan(got[1]), kw
         assert got[2] == 5.0, kw
+
+
+def test_stream_rollup_ingest_matches_batch(spark, tmp_path):
+    """Streaming continuous aggregate: draining the events stream through
+    foreachBatch -> rollup_ingest must leave the partial store equal to
+    one batch ingest of the same data (multiple micro-batches fold
+    additively through the snapshot_merge protocol)."""
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_ingest,
+        rollup_read,
+    )
+    from prometheus_parquet_server_spark.sources.ingest import epoch_micros
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_rollup_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    static = spark.read.parquet(f"{sf}/events.parquet")
+    base_cols = lambda df: df.select(
+        "event_type", (epoch_micros(static) / F.lit(1e6)).alias("ts"), "value"
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf)
+    )
+    store_s = f"file://{tmp_path}/stream_store"
+    q = stream_rollup_ingest(base_cols(stream), spark, store_s)
+    q.awaitTermination()
+
+    store_b = f"file://{tmp_path}/batch_store"
+    rollup_ingest(spark, store_b, base_cols(static))
+
+    def snap(store):
+        return sorted(
+            tuple(r) for r in rollup_read(spark, store, width_s=3600.0).collect()
+        )
+
+    got, want = snap(store_s), snap(store_b)
+    assert got == want and len(got) > 0
