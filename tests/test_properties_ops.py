@@ -108,3 +108,48 @@ def test_rollup_cascade_matches_direct_python(spark, data):
         gn, gs, gmn, gmx = got[b]
         assert gn == n and gmn == mn and gmx == mx
         assert math.isclose(gs, s, rel_tol=1e-12, abs_tol=1e-9)
+
+
+_samples = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # series id
+        st.integers(0, 400),          # ts (seconds; deduped per series)
+        st.integers(-50, 50),         # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(samples=_samples, chunk_deci=st.integers(1, 60), offset=st.integers(0, 30))
+def test_chunked_slot_ops_equal_uniform(spark, samples, chunk_deci, offset):
+    """For ANY data, chunk width and offset, the chunked slot operators
+    (resample + irate) must be bit-identical to their uniform twins —
+    the carry-in across (possibly empty) chunks is pure partitioning."""
+    from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
+    from prometheus_parquet_server_spark.operators.interpolate import (
+        resample_to_grid,
+    )
+    from prometheus_parquet_server_spark.operators.rate import irate_to_grid
+
+    dedup = {}
+    for sid, ts, v in samples:
+        dedup[(sid, ts)] = float(v)
+    rows = [(str(s), float(t), v) for (s, t), v in sorted(dedup.items())]
+    df = spark.createDataFrame(rows, "sid string, ts double, value double")
+    grid = RegularTimeRange(0.0, 450.0, 30.0)
+    gdf = grid.to_df(spark)
+    cs = chunk_deci * 7.5  # widths incommensurate with both grid and data
+    off = float(offset)
+
+    def snap(fn, **kw):
+        out = fn(df, gdf, series_cols=["sid"], grid=grid, offset=off, **kw)
+        return sorted((r["sid"], r["ts"], repr(r["value"])) for r in out.collect())
+
+    assert snap(resample_to_grid, chunk_s=cs) == snap(resample_to_grid)
+
+    def irate(frame, g, **kw):
+        return irate_to_grid(frame, g, over_range=120.0, **kw)
+
+    assert snap(irate, chunk_s=cs) == snap(irate)
