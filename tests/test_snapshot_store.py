@@ -684,3 +684,44 @@ def test_graded_snapshot_select_prunes_files(spark):
     sel = snapshot_select(spark, store, [LabelMatcher("__name__", "=", "click")])
     n_scanned = sel.select(F.input_file_name()).distinct().count()
     assert n_scanned < total_files, (n_scanned, total_files)
+
+
+def test_snapshot_merge_race_raises(spark, tmp_path):
+    """A merge prepared against a tip that moved must raise
+    ConcurrentWriteError (blind rebase could lose the racer's addition to
+    the combined rows), and the committed state stays the winner's."""
+    import pytest
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_merge,
+    )
+
+    store = f"file://{tmp_path}/merge"
+
+    def additive(existing, new):
+        if existing is None:
+            return new
+        u = existing.select(*new.columns).unionByName(new)
+        return u.groupBy("name").agg(
+            F.min("ts").alias("ts"), F.sum("value").alias("value"),
+            F.first("labels").alias("labels"),
+        ).select("name", "labels", "ts", "value")
+
+    base = mk(spark, [("a", {}, 1.0, 10.0)])
+    snapshot_merge(spark, store, base, additive)
+
+    # simulate the race: a second writer commits between this merge's
+    # read of the tip and its commit attempt — patch the combine to
+    # sneak a commit in the middle
+    def racing_combine(existing, new):
+        snapshot_merge(spark, store, mk(spark, [("a", {}, 2.0, 5.0)]), additive)
+        return additive(existing, new)
+
+    with pytest.raises(Exception, match="tip moved|already exists"):
+        snapshot_merge(spark, store, mk(spark, [("a", {}, 3.0, 7.0)]), racing_combine)
+    # the sneaked commit survives; the loser's contribution is absent
+    rows = {(r["name"], r["value"]) for r in snapshot_read(spark, store).collect()}
+    assert rows == {("a", 15.0)}
+
+    with pytest.raises(ValueError, match="NULL metric names"):
+        snapshot_merge(spark, store, mk(spark, [(None, {}, 9.0, 9.0)]), additive)
