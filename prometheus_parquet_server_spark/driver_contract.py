@@ -1767,6 +1767,59 @@ FROM documents
 """
 
 
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (pipeline/similarity.py hash_embed):
+    tokens md5-bucket into a 64-dim signed-count vector — the raw-text →
+    embedding bridge that lets the cosine/LSH/IVF dedup machinery run on
+    corpora without an embedding column. Graded in the exactly-checkable
+    long form: (doc_id, bucket, weight ∈ ℤ, weight_n = weight/‖w‖ rounded)
+    for nonzero buckets — weights are sums of ±1, so everything before the
+    normalization is integer-exact in both engines."""
+    from prometheus_parquet_server_spark.pipeline.similarity import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = hash_embed(docs, dim=64, normalize=False)
+    long = raw.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "weight")
+    ).filter(F.col("weight") != 0)
+    w = Window.partitionBy("doc_id")
+    return long.select(
+        "doc_id",
+        "bucket",
+        F.col("weight").cast("long").alias("weight"),
+        F.round(
+            F.col("weight") / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(w)),
+            6,
+        ).alias("weight_n"),
+    )
+
+
+SQL_TEXT_HASH_EMBED = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+           CASE WHEN substr(md5(tok), 9, 1) IN ('8','9','a','b','c','d','e','f')
+                THEN -1.0 ELSE 1.0 END AS s
+    FROM toks
+),
+agg AS (
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+    FROM feat GROUP BY doc_id, bucket
+)
+SELECT doc_id, bucket, weight,
+       ROUND(weight / sqrt(SUM(weight * weight) OVER (PARTITION BY doc_id)), 6)
+           AS weight_n
+FROM agg
+WHERE weight <> 0
+"""
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=5 char grams, window 4):
     per-row integer arithmetic, exploded to (doc_id, fp) rows — the staged
@@ -3383,6 +3436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_select_f1": q_snapshot_select_f1,
     "p2_irate_chunked": q_p2_irate_chunked,
     "rollup_incremental": q_rollup_incremental,
+    "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -3486,6 +3540,7 @@ ORACLES: dict[str, str] = {
     "snapshot_select_f1": SQL_F1,
     "p2_irate_chunked": SQL_P2,
     "rollup_incremental": SQL_EVENTS_ROLLUP,
+    "text_hash_embed": SQL_TEXT_HASH_EMBED,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

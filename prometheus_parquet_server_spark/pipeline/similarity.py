@@ -57,6 +57,71 @@ def unit_vector(a: Column) -> Column:
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing text embeddings (the hashing trick, public
+    knowledge via Weinberger et al. 2009 / Vowpal Wabbit): each token
+    md5-hashes to one of ``dim`` buckets with a ±1 sign from a second
+    hash digit; a document's raw vector is the signed bucket counts,
+    L2-normalized. Closes the raw-text → embedding loop without any
+    external model, so the cosine/LSH/IVF dedup machinery runs on text
+    corpora that ship no embedding column.
+
+    Scale shape: everything is per-row Column expressions (two nested
+    HOFs — an O(tokens·dim) fold, the same interpreted-HOF budget as
+    simhash), zero shuffle; the raw→normalized staging is two SELECTs so
+    the fold is not re-evaluated per output element. md5 (not xxhash)
+    keeps the bucket/sign math engine-replayable — the oracle recomputes
+    it in DuckDB ('0x'||substr(md5(tok),1,8) casts identically, verified).
+    Bucket weights are sums of ±1, i.e. EXACT integers — no float-order
+    sensitivity anywhere before the final normalization.
+
+    Returns (id_col, embedding array<double> of length ``dim``);
+    ``normalize=False`` returns the raw integer-valued signed counts
+    (the exactly-oracle-checkable form).
+    """
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = tokens_col(F.col(text_col))
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+
+    def sign(t: Column) -> Column:
+        return F.when(
+            F.substring(F.md5(t), 9, 1).isin(*"89abcdef"), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+
+    zero = F.array_repeat(F.lit(0.0), dim)
+    raw = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.transform(
+            acc,
+            lambda x, i: x + F.when(i == bucket(t), sign(t)).otherwise(F.lit(0.0)),
+        ),
+    )
+    staged = df.select(F.col(id_col), raw.alias("_raw"))
+    if not normalize:
+        return staged.select(id_col, F.col("_raw").alias("embedding"))
+    norm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda s, x: s + x * x)
+    )
+    return staged.select(
+        id_col,
+        F.when(
+            norm > 0, F.transform("_raw", lambda x: x / norm)
+        ).otherwise(F.col("_raw")).alias("embedding"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,

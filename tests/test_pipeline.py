@@ -629,3 +629,41 @@ def test_png_crc_rejection():
     # data starts at 33+8)
     png[45] ^= 0xFF
     assert decode_png(bytes(png)) is None
+
+
+def test_hash_embed_composes_with_cosine_topk(spark):
+    """hash_embed: identical texts → identical unit vectors (cosine 1 via
+    brute_force_topk); empty docs → zero vector; unit norm for nonempty;
+    dim validation."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        brute_force_topk,
+        hash_embed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),   # exact dup of 1
+            (3, "entirely different words here about spark engines"),
+            (4, ""),                            # no tokens → zero vector
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(docs, dim=32).cache()
+    rows = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert rows[1] == rows[2]
+    assert rows[4] == [0.0] * 32
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-9  # unit norm
+    assert rows[1] != rows[3]
+
+    probes = emb.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    top = brute_force_topk(corpus, probes, k=1).collect()
+    assert top[0]["neighbor_id"] == 2 and top[0]["cosine"] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        hash_embed(docs, dim=0)
