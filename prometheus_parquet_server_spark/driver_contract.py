@@ -3040,10 +3040,16 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         for band in range(3):
+            # coalesce: a NULL user_id would satisfy NO band (pmod(NULL)
+            # is NULL) and silently vanish from the incremental store
+            # while the oracle counts it — band 0 is the residual home
             rollup_ingest(
                 spark,
                 store,
-                base.filter(F.pmod(F.col("user_id"), F.lit(3)) == band),
+                base.filter(
+                    F.coalesce(F.pmod(F.col("user_id"), F.lit(3)), F.lit(0))
+                    == band
+                ),
                 width_s=60.0,
             )
         _ROLLUP_STORE_CACHE[key] = store

@@ -118,10 +118,20 @@ def rollup_ingest(
         snapshot_merge,
     )
 
+    # NaN ts would bucket to 0.0 (Spark floor(NaN)=0) BEFORE the snapshot
+    # store's NaN-key rejection could see it — guard the raw key here so a
+    # dirty batch fails loudly instead of folding into the epoch-0 bucket
+    raw_ts = F.col(ts_col)
+    guarded_ts = F.when(
+        F.isnan(raw_ts),
+        F.raise_error(F.lit("rollup_ingest: NaN ts in the raw batch")).cast(
+            "double"
+        ),
+    ).otherwise(raw_ts)
     partials = time_bucket_partials(
         df.select(
             F.col(name_col).alias("name"),
-            F.col(ts_col).alias("ts"),
+            guarded_ts.alias("ts"),
             F.col(value_col).alias("value"),
         ),
         width_s,
@@ -142,7 +152,17 @@ def rollup_ingest(
             F.max("max_v").alias("max_v"),
         )
 
-    return snapshot_merge(spark, store_path, partials, _combine)
+    # the ingest width is pinned as a store property: a second ingest at a
+    # different width raises in snapshot_merge (mixing granularities would
+    # silently corrupt every later read), and rollup_read validates its
+    # requested serving width nests exactly in the recorded one
+    return snapshot_merge(
+        spark,
+        store_path,
+        partials,
+        _combine,
+        properties={"rollup_width_s": float(width_s)},
+    )
 
 
 def rollup_read(
@@ -156,12 +176,28 @@ def rollup_read(
     pruning applies (names / ts_range hit the snapshot file stats before
     any footer opens), and ``width_s`` re-buckets the persisted finest
     partials up to any exactly-nesting coarser level — reading
-    ``stored_rows / fanout`` partial rows, never raw events. Returns
+    ``stored_rows / fanout`` partial rows, never raw events. The store's
+    recorded ingest width (manifest property ``rollup_width_s``) is
+    validated: a serving width that does not nest EXACTLY (``width ==
+    k·stored`` bit-for-bit) raises instead of silently re-bucketing
+    partials across misaligned boundaries (stores from before the
+    property was recorded skip the check, documented legacy). Returns
     (name, bucket_ts, n, sum_v, min_v, max_v)."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
         snapshot_read,
     )
 
+    if width_s is not None:
+        stored_w = snapshot_properties(spark, store_path).get("rollup_width_s")
+        if stored_w is not None:
+            k = round(width_s / stored_w)
+            if k < 1 or stored_w * k != width_s:
+                raise ValueError(
+                    f"serving width {width_s} does not nest exactly in the "
+                    f"store's ingest width {stored_w} (need width == "
+                    f"k*stored exactly in float arithmetic)"
+                )
     df = snapshot_read(spark, store_path, names=names, ts_range=ts_range)
     partials = df.select(
         "name", F.col("ts").alias("bucket_ts"), "n", "sum_v", "min_v", "max_v"

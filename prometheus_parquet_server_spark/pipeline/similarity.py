@@ -100,12 +100,19 @@ def hash_embed(
         ).otherwise(F.lit(1.0))
 
     zero = F.array_repeat(F.lit(0.0), dim)
+    # stage (bucket, sign) per token FIRST: the fold's inner lambda runs
+    # once per (token, element), so hashing inside it would evaluate
+    # ~dim md5s per token — staging keeps it at exactly 2 md5s per token
+    # and leaves only integer compares in the hot inner loop
+    feats = F.transform(
+        toks, lambda t: F.struct(bucket(t).alias("b"), sign(t).alias("s"))
+    )
     raw = F.aggregate(
-        toks,
+        feats,
         zero,
-        lambda acc, t: F.transform(
+        lambda acc, f: F.transform(
             acc,
-            lambda x, i: x + F.when(i == bucket(t), sign(t)).otherwise(F.lit(0.0)),
+            lambda x, i: x + F.when(i == f["b"], f["s"]).otherwise(F.lit(0.0)),
         ),
     )
     staged = df.select(F.col(id_col), raw.alias("_raw"))

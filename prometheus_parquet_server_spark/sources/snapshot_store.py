@@ -362,6 +362,12 @@ def snapshot_write(
             "schema": schema,
             "files": base + new_files,
         }
+        # properties travel with the store: appends inherit the parent's
+        # (an overwrite is a fresh start and drops them)
+        if mode == "append" and parent is not None:
+            _props = (parent_m or _read_manifest(fs, path, parent)).get("properties")
+            if _props:
+                manifest["properties"] = _props
         if _try_commit(fs, path, manifest):
             return manifest["version"]
     raise ConcurrentWriteError(
@@ -463,6 +469,7 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
                 f"upsert prepared against v{parent} but the tip moved — "
                 f"re-run against the new tip"
             )
+        _props = (parent_m or {}).get("properties")
         manifest = {
             "version": target,
             "parent": parent,
@@ -475,6 +482,8 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
             or _schema_json(updates),
             "files": kept + new_files,
         }
+        if _props:
+            manifest["properties"] = _props
         if not _try_commit(fs, path, manifest):
             raise ConcurrentWriteError(
                 f"upsert prepared against v{parent} but v{manifest['version']} "
@@ -485,7 +494,13 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         updates.unpersist()
 
 
-def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) -> int:
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    combine,
+    properties: dict | None = None,
+) -> int:
     """Generalized read-modify-write commit — the primitive behind
     incremental materialized aggregates (operators/rollup.py
     rollup_ingest): files whose manifest name range intersects the
@@ -496,8 +511,27 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) 
     touched data, not the store. Unlike :func:`snapshot_upsert` (which
     fixes replace-by-(series, ts) semantics) the merge function is the
     caller's — additive partial folding, counters, CRDT-style joins.
+
+    **Combine contract:** files are touched by NAME-RANGE overlap, so
+    ``existing`` can contain rows for metric names OUTSIDE ``updates``
+    (bystanders sharing a file with a touched name). ``combine`` MUST
+    preserve every ``existing`` row it does not intentionally replace —
+    a combine that only emits rows for the updated names silently deletes
+    the bystanders from the committed snapshot. Union-then-regroup shapes
+    (rollup_ingest's additive fold) satisfy this by construction.
+
+    ``properties`` (a small JSON-able dict) is recorded in the manifest
+    and inherited by later commits; supplying a value that CONFLICTS with
+    the parent manifest's recorded value raises — the immutability hook
+    rollup stores use to pin their ingest width. Read back via
+    :func:`snapshot_properties`.
+
     A commit race raises :class:`ConcurrentWriteError` (blind rebase could
-    lose the racer's contribution to the combined rows)."""
+    lose the racer's contribution to the combined rows). An empty update
+    batch is a no-op returning the current version — and raises
+    FileNotFoundError on an uninitialized store (there is no version to
+    return, and silently answering 0 would name a nonexistent snapshot).
+    """
     fs = _StoreFS(spark, path)
     updates = updates.cache()
     try:
@@ -511,8 +545,27 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) 
             )
         names = sorted(distinct_names)
         if not names:
-            return snapshot_version(spark, path) or 0
+            v = snapshot_version(spark, path)
+            if v is None:
+                raise FileNotFoundError(
+                    f"snapshot_merge: empty updates on uninitialized store "
+                    f"{path} — nothing to commit and no version to return"
+                )
+            return v
         parent, parent_m = _resolve_tip(fs, path)
+        parent_props = (parent_m or {}).get("properties") or {}
+        if properties:
+            conflicts = {
+                k: (parent_props[k], v)
+                for k, v in properties.items()
+                if k in parent_props and parent_props[k] != v
+            }
+            if conflicts:
+                raise ValueError(
+                    f"snapshot_merge: properties conflict with the store's "
+                    f"recorded values (recorded, supplied): {conflicts}"
+                )
+        merged_props = {**parent_props, **(properties or {})}
         base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [f for f in base_files if _name_overlaps(f, names)]
         kept = [f for f in base_files if f not in touched]
@@ -535,6 +588,8 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) 
             or _schema_json(out),
             "files": kept + new_files,
         }
+        if merged_props:
+            manifest["properties"] = merged_props
         if not _try_commit(fs, path, manifest):
             raise ConcurrentWriteError(
                 f"merge prepared against v{parent} but v{manifest['version']} "
@@ -543,6 +598,16 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame, combine) 
         return manifest["version"]
     finally:
         updates.unpersist()
+
+
+def snapshot_properties(spark: SparkSession, path: str) -> dict:
+    """The tip manifest's recorded ``properties`` dict ({} when none) —
+    small caller-defined facts that travel with the store (e.g. a rollup
+    store's ingest width). Inherited commit-to-commit by
+    :func:`snapshot_merge`, which rejects conflicting re-declarations."""
+    fs = _StoreFS(spark, path)
+    _, m = _resolve_tip(fs, path)
+    return (m or {}).get("properties") or {}
 
 
 def snapshot_compact(
@@ -584,6 +649,8 @@ def snapshot_compact(
         "schema": parent_m.get("schema") or _schema_json(df),
         "files": kept + new_files,
     }
+    if parent_m.get("properties"):
+        manifest["properties"] = parent_m["properties"]
     if not _try_commit(fs, path, manifest):
         raise ConcurrentWriteError(
             f"compact prepared against v{parent} but the tip moved"
@@ -698,6 +765,8 @@ def snapshot_expire(
         "schema": schema,
         "files": kept + new_files,
     }
+    if parent_m.get("properties"):
+        manifest["properties"] = parent_m["properties"]
     if not _try_commit(fs, path, manifest):
         raise ConcurrentWriteError(
             f"expire prepared against v{parent} but the tip moved"

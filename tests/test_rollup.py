@@ -161,3 +161,35 @@ def test_rollup_ingest_incremental_equals_one_shot(spark, tmp_path):
     assert v is not None
     left = {r[0] for r in snap(inc)}
     assert left == {"view"}
+
+
+def test_rollup_store_width_pinned_and_validated(spark, tmp_path):
+    """The ingest width is a store property: a second ingest at a
+    different width raises (mixing granularities), and rollup_read rejects
+    a serving width that does not nest exactly; NaN ts fails the ingest
+    loudly instead of folding into the epoch-0 bucket."""
+    import pytest
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_ingest,
+        rollup_read,
+    )
+
+    store = f"file://{tmp_path}/w"
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 70.0, 2.0)],
+        "event_type string, ts double, value double",
+    )
+    rollup_ingest(spark, store, df, width_s=60.0)
+    with pytest.raises(ValueError, match="properties conflict"):
+        rollup_ingest(spark, store, df, width_s=30.0)
+    with pytest.raises(ValueError, match="nest exactly"):
+        rollup_read(spark, store, width_s=90.0).collect()
+    assert rollup_read(spark, store, width_s=120.0).count() == 1
+
+    bad = spark.createDataFrame(
+        [("a", float("nan"), 1.0)], "event_type string, ts double, value double"
+    )
+    with pytest.raises(Exception, match="NaN ts"):
+        rollup_ingest(spark, store, bad, width_s=60.0)
+    # the store is untouched by the failed ingest
+    assert rollup_read(spark, store).count() == 2

@@ -628,15 +628,31 @@ def test_stream_rollup_ingest_matches_batch(spark, tmp_path):
     base_cols = lambda df: df.select(
         "event_type", (epoch_micros(static) / F.lit(1e6)).alias("ts"), "value"
     )
+    # split the events into THREE source files so maxFilesPerTrigger=1
+    # genuinely drives three micro-batches — each must fold additively
+    # into the store through the existing!=None merge path (a single-file
+    # source would degenerate to one ingest on a fresh store)
+    src = f"{tmp_path}/events_split"
+    for band in range(3):
+        static.filter(F.pmod(F.col("user_id"), F.lit(3)) == band).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    split_static = spark.read.parquet(src)
+    assert split_static.count() == static.count()
     stream = (
         spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf)
+        .parquet(src)
     )
     store_s = f"file://{tmp_path}/stream_store"
     q = stream_rollup_ingest(base_cols(stream), spark, store_s)
     q.awaitTermination()
+    # prove the drain actually committed multiple merge versions
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    assert (snapshot_version(spark, store_s) or 0) >= 3
 
     store_b = f"file://{tmp_path}/batch_store"
     rollup_ingest(spark, store_b, base_cols(static))
