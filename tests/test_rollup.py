@@ -193,3 +193,42 @@ def test_rollup_store_width_pinned_and_validated(spark, tmp_path):
         rollup_ingest(spark, store, bad, width_s=60.0)
     # the store is untouched by the failed ingest
     assert rollup_read(spark, store).count() == 2
+
+
+def test_rollup_store_full_lifecycle_stays_exact(spark, tmp_path):
+    """10 incremental ingests + compaction + vacuum on the partial store
+    must leave exactly the direct aggregation — the continuous-aggregate
+    story composes with every maintenance pass."""
+    from pyspark.sql import functions as F
+
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_ingest,
+        rollup_read,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_compact,
+        snapshot_vacuum,
+        snapshot_version,
+    )
+
+    rows = [
+        (("click", "view")[i % 2], 5.0 + 11.0 * i, float((i * 17) % 31))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts double, value double")
+    store = f"file://{tmp_path}/life"
+    for b in range(10):
+        rollup_ingest(spark, store, df.filter(F.floor("ts").cast("long") % 10 == b))
+    assert snapshot_version(spark, store) == 10
+    snapshot_compact(spark, store, target_file_bytes=64 * 1024 * 1024)
+    deleted = snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
+    assert deleted  # old versions + superseded data files reclaimed
+
+    got = sorted(tuple(r) for r in rollup_read(spark, store).collect())
+    direct = rollup_cascade(df, (60.0,), by=("event_type",), exact=True)[60.0]
+    want = sorted(
+        (r["event_type"], r["bucket_ts"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in direct.collect()
+    )
+    assert got == want
