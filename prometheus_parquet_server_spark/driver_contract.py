@@ -34,8 +34,10 @@ from prometheus_parquet_server_spark.operators.aggregate import (
 )
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.pipeline.dedup import (
+    lsh_candidate_pairs,
     minhash_bands,
     minhash_signature,
+    ngram_jaccard_pairs,
     simhash,
 )
 from prometheus_parquet_server_spark.pipeline.multimodal import (
@@ -1586,6 +1588,63 @@ mins AS (
 )
 SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
 FROM mins
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: MinHash-LSH candidate pairs refined by
+    word-bigram shingle Jaccard — the full two-stage dedup pipeline
+    (lsh_candidate_pairs → ngram_jaccard_pairs) under one oracle.
+
+    Scale shape: signatures per-row, candidates via band equi-join
+    (quadratic only within buckets, max_bucket-boundable), verification
+    joins the shingle frame twice by id — text shuffles once per side,
+    set arithmetic stays JVM-side. jaccard = intersection/union of two
+    ints; IEEE int division is order-free and exact, so the raw double
+    is hash-safe without rounding (no SUM in sight).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs, num_perm=4, bands=1, shingle_n=1)
+    return ngram_jaccard_pairs(docs, pairs, shingle_n=2)
+
+
+SQL_DEDUP_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+),
+mins AS (
+    SELECT doc_id,
+           MIN(md5(tok || '#0')) AS m0, MIN(md5(tok || '#1')) AS m1,
+           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3
+    FROM uni GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+    FROM mins
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                ELSE list_distinct([array_to_string(t, ' ')])
+           END AS s
+    FROM toks
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+            THEN len(list_intersect(x.s, y.s)) / len(list_distinct(list_concat(x.s, y.s)))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+JOIN sh x ON x.doc_id = p.id_a
+JOIN sh y ON y.doc_id = p.id_b
 """
 
 
@@ -3448,6 +3507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_incremental": q_rollup_incremental,
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
+    "dedup_jaccard": q_dedup_jaccard,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3552,6 +3612,7 @@ ORACLES: dict[str, str] = {
     "rollup_incremental": SQL_EVENTS_ROLLUP,
     "text_hash_embed": SQL_TEXT_HASH_EMBED,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

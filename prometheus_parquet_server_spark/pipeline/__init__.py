@@ -52,6 +52,7 @@ from prometheus_parquet_server_spark.pipeline.dedup import (
     minhash_signature,
     minhash_bands,
     lsh_duplicate_buckets,
+    lsh_candidate_pairs,
     simhash,
     cross_doc_ngrams,
     ngram_jaccard_pairs,
@@ -90,6 +91,7 @@ __all__ = [
     "minhash_signature",
     "minhash_bands",
     "lsh_duplicate_buckets",
+    "lsh_candidate_pairs",
     "simhash",
     "cross_doc_ngrams",
     "ngram_jaccard_pairs",

@@ -149,6 +149,54 @@ def lsh_duplicate_buckets(
     return _capped_id_groups(banded, "band_key", id_col, max_ids)
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a < id_b)`` sharing any LSH band —
+    the pair-shaped front half of the MinHash→Jaccard dedup pipeline
+    (:func:`ngram_jaccard_pairs` is the verifier).
+
+    Scale shape: signatures are per-row expressions (no shuffle); the
+    pair join is a band_key equi-join, so work is quadratic only WITHIN
+    a bucket — the standard LSH trade. A boilerplate bucket with 10⁶
+    members would still emit ~10¹² pairs, so ``max_bucket`` (standard
+    production cap) drops buckets larger than the bound before the
+    self-join; None = exact, used by the toy-scale oracle.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
+    )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("band_key"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = banded.select("band_key", F.col(id_col).alias("id_a"))
+    b = banded.select("band_key", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint as a bit-string: per bit position, the majority
     vote over tokens of one md5 hex digit's high bit.

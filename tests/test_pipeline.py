@@ -11,6 +11,7 @@ from prometheus_parquet_server_spark.pipeline import (
     language_id,
     lsh_bucketed_topk,
     lsh_duplicate_buckets,
+    lsh_candidate_pairs,
     ngram_jaccard_pairs,
     quality_features,
     simhash,
@@ -86,6 +87,31 @@ def test_lsh_buckets_catch_near_duplicates(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, pairs).collect()}
     assert jac[(1, 2)] > 0.5 > jac[(1, 3)]
+
+
+def test_lsh_candidate_pairs_and_max_bucket(spark):
+    base = "spark group query row data slow small filter customer line table scan"
+    near = base.replace("slow", "fast")
+    other = "completely different words about pelicans and volcanoes erupting"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, num_perm=16, bands=8).collect()
+    }
+    assert (1, 4) in pairs                     # exact dups share every band
+    assert all(a < b for a, b in pairs)        # canonical orientation
+    # max_bucket drops oversize buckets: with every doc identical, the
+    # single bucket has 4 members and a cap of 3 eliminates all pairs.
+    same = spark.createDataFrame(
+        [(i, base) for i in range(1, 5)], "doc_id long, text string"
+    )
+    assert lsh_candidate_pairs(same, num_perm=4, bands=1, max_bucket=3).count() == 0
+    uncapped = lsh_candidate_pairs(same, num_perm=4, bands=1).count()
+    assert uncapped == 6  # C(4,2) within the one bucket
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(same, max_bucket=1)
 
 
 def test_simhash_close_for_near_duplicates(spark):
