@@ -3398,6 +3398,77 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join under the oracle gate: the events file
+    streamed once, branched into click/view streams, joined with the
+    watermarked event-time interval condition (views within 6 h at-or-
+    before each click, per user), drained with availableNow in append
+    mode — the only mode stream-stream joins support. The oracle is the
+    plain DuckDB interval join over the same rows: for a finite drained
+    source, matched pairs are exactly the batch join (inner-join results
+    emit as matches arrive; no window-close dependence). Values pass
+    through raw — no aggregate, no rounding needed for hash parity; the
+    ts doubles are micros/1e6 in both engines (the asof-row convention).
+    """
+    from prometheus_parquet_server_spark.streaming import (
+        run_available_now,
+        stream_events_as_metrics,
+        stream_interval_join,
+    )
+
+    ms = stream_events_as_metrics(spark, sf_dir)
+    uid = F.col("labels").getItem("user_id").cast("long").alias("user_id")
+    clicks = ms.filter(F.col("name") == "click").select(
+        uid,
+        F.col("event_time").alias("click_time"),
+        F.col("value").alias("click_value"),
+    )
+    views = ms.filter(F.col("name") == "view").select(
+        uid,
+        F.col("event_time").alias("view_time"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_interval_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="click_time",
+        right_time="view_time",
+        range_s=21600.0,
+        watermark="30 days",
+        how="inner",
+    )
+    out = run_available_now(joined, spark, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("click_time").cast("double").alias("click_ts"),
+        F.col("view_time").cast("double").alias("view_ts"),
+        "click_value",
+        "view_value",
+    )
+
+
+#: The range condition compares in exact integer MICROS (Spark timestamp
+#: arithmetic is integer-µs; a double-seconds comparison could disagree on
+#: a boundary-exact pair); only the OUTPUT ts columns go through /1e6.
+SQL_STREAMING_INTERVAL_JOIN = """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM events
+)
+SELECT c.user_id,
+       c.ts_us / 1000000.0 AS click_ts,
+       v.ts_us / 1000000.0 AS view_ts,
+       c.value AS click_value,
+       v.value AS view_value
+FROM base c
+JOIN base v
+  ON c.event_type = 'click' AND v.event_type = 'view'
+ AND c.user_id = v.user_id
+ AND v.ts_us >= c.ts_us - 21600000000 AND v.ts_us <= c.ts_us
+"""
+
+
 #: The STREAMING mechanics (watermark state, availableNow drain, memory
 #: sink) are not SQL-expressible, but the RESULT of a complete-mode drain
 #: over a finite source is exactly the batch computation — that equality is
@@ -3508,6 +3579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
+    "streaming_interval_join": q_streaming_interval_join,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
     "promql_changes": q_promql_changes,
@@ -3613,6 +3685,7 @@ ORACLES: dict[str, str] = {
     "text_hash_embed": SQL_TEXT_HASH_EMBED,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

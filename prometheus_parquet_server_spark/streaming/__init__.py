@@ -8,6 +8,9 @@ from prometheus_parquet_server_spark.streaming.ingest import (
     stream_windowed_rate,
     run_available_now,
 )
+from prometheus_parquet_server_spark.streaming.joins import (
+    stream_interval_join,
+)
 
 __all__ = [
     "stream_events_as_metrics",
@@ -16,4 +19,5 @@ __all__ = [
     "run_available_now",
     "sessionize",
     "sessionize_batch",
+    "stream_interval_join",
 ]

@@ -664,3 +664,141 @@ def test_stream_rollup_ingest_matches_batch(spark, tmp_path):
 
     got, want = snap(store_s), snap(store_b)
     assert got == want and len(got) > 0
+
+
+def test_interval_join_batch_semantics(spark):
+    """Range inclusivity on the numeric (batch-convenience) branch:
+    [left - range_s, left] with both endpoints inclusive; wrong-key and
+    out-of-range rows excluded; validation raises."""
+    from prometheus_parquet_server_spark.streaming import stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "c1"), (2, 100.0, "c2")], "user_id long, lt double, ltag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 40.0, "exact-lower"),   # == lt - 60: inclusive
+            (1, 100.0, "exact-upper"),  # == lt: inclusive
+            (1, 39.9, "below"),         # outside
+            (1, 100.1, "after"),        # outside
+            (2, 50.0, "other-user"),
+            (3, 90.0, "no-left"),
+        ],
+        "user_id long, rt double, rtag string",
+    )
+    out = stream_interval_join(
+        left, right, on="user_id", left_time="lt", right_time="rt",
+        range_s=60.0, watermark=None, how="inner",
+    )
+    got = sorted((r["user_id"], r["ltag"], r["rtag"]) for r in out.collect())
+    assert got == [
+        (1, "c1", "exact-lower"),
+        (1, "c1", "exact-upper"),
+        (2, "c2", "other-user"),
+    ]
+    with pytest.raises(ValueError):
+        stream_interval_join(left, right, left_time="lt", right_time="rt", how="full")
+    with pytest.raises(ValueError):
+        stream_interval_join(left, right, left_time="t", right_time="t")
+    with pytest.raises(ValueError):
+        stream_interval_join(left, right, left_time="lt", right_time="rt", range_s=-1)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The REAL stream-stream drain (timestamp branch, availableNow,
+    append mode) equals the batch join over the same rows — and the same
+    function serves both sides, since withWatermark is a batch no-op."""
+    from prometheus_parquet_server_spark.streaming import (
+        run_available_now,
+        stream_events_as_metrics,
+        stream_interval_join,
+    )
+
+    def branches(ms):
+        uid = F.col("labels").getItem("user_id").cast("long").alias("user_id")
+        clicks = ms.filter(F.col("name") == "click").select(
+            uid, F.col("event_time").alias("ct"), F.col("value").alias("cv")
+        )
+        views = ms.filter(F.col("name") == "view").select(
+            uid, F.col("event_time").alias("vt"), F.col("value").alias("vv")
+        )
+        return stream_interval_join(
+            clicks, views, on="user_id", left_time="ct", right_time="vt",
+            range_s=86400.0, watermark="60 days", how="inner",
+        )
+
+    streamed = run_available_now(
+        branches(stream_events_as_metrics(spark, SF)), spark, output_mode="append"
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch_ms = ev.select(
+        F.col("event_type").alias("name"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
+        F.timestamp_micros(epoch_micros(ev)).alias("event_time"),
+        "value",
+    )
+    batched = branches(batch_ms)
+    key = lambda r: (r["user_id"], r["ct"], r["vt"], r["cv"], r["vv"])
+    got, want = sorted(map(key, streamed.collect())), sorted(map(key, batched.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter across micro-batches: Spark only PLANS an outer
+    stream-stream join when both watermarks and the time-range condition
+    are present (planning success is itself the state-bound proof), and an
+    unmatched left row must emit with NULL right columns once the
+    watermark passes its horizon."""
+    import time as _time
+
+    from prometheus_parquet_server_spark.streaming import (
+        run_available_now,
+        stream_interval_join,
+    )
+
+    src = f"{tmp_path}/ivj_src"
+    schema = "user_id long, side string, ts_s double, value double"
+    # batch 1: one matched click+view pair and one unmatched click
+    spark.createDataFrame(
+        [(1, "click", 1000.0, 1.0), (1, "view", 950.0, 2.0),
+         (2, "click", 1000.0, 3.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # strictly later mtime → second micro-batch
+    # batch 2: far-future events on BOTH sides — the global watermark is
+    # the MIN across the two branch watermarks, so a view alone would
+    # leave the click branch (and thus eviction) stuck at batch 1's time
+    spark.createDataFrame(
+        [(9, "view", 900000.0, 0.0), (9, "click", 900000.0, 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # batch 3: eviction (and thus the outer NULL emit) happens while
+    # PROCESSING the batch after the watermark advanced — availableNow
+    # stops at the last batch, so a third file must exist to host it
+    spark.createDataFrame(
+        [(9, "view", 900100.0, 0.0), (9, "click", 900100.0, 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t = F.timestamp_seconds(F.col("ts_s"))
+    clicks = stream.filter(F.col("side") == "click").select(
+        "user_id", t.alias("ct"), F.col("value").alias("cv")
+    )
+    views = stream.filter(F.col("side") == "view").select(
+        "user_id", t.alias("vt"), F.col("value").alias("vv")
+    )
+    out = run_available_now(
+        stream_interval_join(
+            clicks, views, on="user_id", left_time="ct", right_time="vt",
+            range_s=100.0, watermark="10 seconds", how="leftOuter",
+        ),
+        spark,
+        output_mode="append",
+    )
+    rows = {(r["user_id"], r["vv"]) for r in out.collect()}
+    assert (1, 2.0) in rows          # matched pair
+    assert (2, None) in rows         # unmatched left flushed with NULLs
