@@ -2828,6 +2828,24 @@ QUALIFY rank <= 50
 """
 
 
+def q_corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of corpus_stats: HLL++ distinct docs/tokens + GK length
+    quantiles per source (pipeline/sketch.py). Deliberately rows-only
+    under the driver gate — a sketch doesn't hash-match another engine's
+    sketch; the REAL gate is tests/test_sketch.py, which bounds every
+    estimate against the exact computation (the ANN-recall-gate pattern).
+    Scale shape: the shuffle carries KB-sized sketch buffers, one row per
+    source, instead of every distinct token (exact DISTINCT's wall) or a
+    reducer-side value buffer (exact percentile's wall)."""
+    from prometheus_parquet_server_spark.pipeline.sketch import (
+        approx_length_quantiles,
+        approx_vocab_size,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return approx_vocab_size(docs).join(approx_length_quantiles(docs), "source")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution (count, mean, exact
     interpolated p50/p90, max) — the mixture-design reporting pass."""
@@ -3590,6 +3608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
+    "corpus_stats_approx": q_corpus_stats_approx,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,

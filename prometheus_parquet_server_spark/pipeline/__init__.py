@@ -57,6 +57,10 @@ from prometheus_parquet_server_spark.pipeline.dedup import (
     cross_doc_ngrams,
     ngram_jaccard_pairs,
 )
+from prometheus_parquet_server_spark.pipeline.sketch import (
+    approx_vocab_size,
+    approx_length_quantiles,
+)
 from prometheus_parquet_server_spark.pipeline.similarity import (
     cosine_similarity_col,
     brute_force_topk,
@@ -95,6 +99,8 @@ __all__ = [
     "simhash",
     "cross_doc_ngrams",
     "ngram_jaccard_pairs",
+    "approx_vocab_size",
+    "approx_length_quantiles",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucketed_topk",
