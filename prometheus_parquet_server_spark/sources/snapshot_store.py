@@ -228,13 +228,42 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dict]:
+def _write_data_files(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    time_chunk_s: float | None = None,
+) -> list[dict]:
     """Write ``df`` as immutable name-clustered data files under a fresh
     tx dir and return their manifest entries (per-file row count, size,
     and name/ts ranges, computed by ONE narrow aggregate over the files
-    just written — no footer parsing, no driver loop)."""
+    just written — no footer parsing, no driver loop).
+
+    ``time_chunk_s`` switches the layout from name-major to
+    name-then-time-major (the hypertable chunking pattern): the range key
+    becomes (name, floor(ts/chunk), series, ts), so within a name the
+    files are TIME-contiguous chunks instead of series-contiguous full
+    histories. Name pruning is unchanged (still order-preserving on
+    name); ts pruning becomes effective at chunk granularity — the
+    name-major default gives each multi-series file a near-full-span ts
+    range, which defeats manifest ts pruning for exactly the
+    time-slice-over-many-series scans the grid operators issue."""
     tx = f"{path}/data/tx_{uuid.uuid4().hex[:12]}"
-    (
+    if time_chunk_s is not None and not time_chunk_s > 0:
+        raise ValueError(f"time_chunk_s must be > 0, got {time_chunk_s}")
+    sk = series_key_str() if "labels" in df.columns else F.col("name")
+    range_key = (
+        ["name", "_tc", "_sk", "ts"] if time_chunk_s is not None else ["name", "_sk", "ts"]
+    )
+    staged = df.withColumn("_sk", sk)
+    if time_chunk_s is not None:
+        # NaN ts would floor to chunk 0 and silently mis-cluster — but the
+        # post-write stats scan rejects any NaN-ts batch wholesale, so the
+        # bucket value never reaches a committed manifest.
+        staged = staged.withColumn(
+            "_tc", F.floor(F.col("ts") / F.lit(float(time_chunk_s)))
+        )
+    writer = (
         # RANGE partitioning, not hash-on-name: files stay name-contiguous
         # (tight min/max name ranges → effective manifest pruning) while a
         # hot metric still splits across tasks by series key instead of
@@ -243,15 +272,19 @@ def _write_data_files(spark: SparkSession, path: str, df: DataFrame) -> list[dic
         # Frames without a labels column (e.g. rollup partial stores,
         # which carry only the canonical name/ts keys) cluster on name
         # alone — ts inside the range key keeps hot names splittable.
-        df.withColumn(
-            "_sk", series_key_str() if "labels" in df.columns else F.col("name")
-        )
-        .repartitionByRange("name", "_sk", "ts")
-        .sortWithinPartitions("name", "_sk", "ts")
+        staged.repartitionByRange(*range_key)
+        .sortWithinPartitions(*range_key)
         .drop("_sk")
         .write.mode("overwrite")
-        .parquet(tx)
     )
+    if time_chunk_s is not None:
+        # partitionBy, not just the range key: each chunk gets its OWN
+        # files regardless of how AQE coalesces the shuffle, so a chunk
+        # file's manifest ts range is tight by construction. The _tc
+        # value lives in the directory name only; manifest reads address
+        # concrete files, so the column never resurfaces.
+        writer = writer.partitionBy("_tc")
+    writer.parquet(tx)
     stats = (
         spark.read.parquet(tx)
         .groupBy(F.input_file_name().alias("path"))
@@ -325,18 +358,42 @@ def _ts_overlaps(f: dict, lo: float, hi: float) -> bool:
     return not (mx < lo or mn > hi)
 
 
+def _inherited_chunk(parent_m: dict | None) -> float | None:
+    """The store's pinned ``time_chunk_s`` layout property, if any — every
+    maintenance rewrite (upsert, merge, compact, expire) must re-apply it
+    or the rewritten files silently fall back to the name-major layout."""
+    tc = ((parent_m or {}).get("properties") or {}).get("time_chunk_s")
+    return float(tc) if tc is not None else None
+
+
 def snapshot_write(
-    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    time_chunk_s: float | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds its files to
     the current file set (and survives commit races by rebasing onto the
     new tip — an append's file list is valid against any parent);
     ``mode='overwrite'`` replaces the file set entirely (a race raises
-    :class:`ConcurrentWriteError`). Returns the committed version."""
+    :class:`ConcurrentWriteError`). Returns the committed version.
+
+    ``time_chunk_s`` opts the new files into the time-chunked layout (see
+    :func:`_write_data_files`) and pins the width as the store property
+    ``time_chunk_s`` so later appends keep the layout without restating
+    it; pass it explicitly to change the width (layout is physical, not
+    semantic — mixed widths degrade pruning, never correctness)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     fs = _StoreFS(spark, path)
-    new_files = _write_data_files(spark, path, df)
+    if time_chunk_s is None and mode == "append":
+        tip_v, tip_m = _resolve_tip(fs, path)
+        if tip_m is not None:
+            inherited = (tip_m.get("properties") or {}).get("time_chunk_s")
+            if inherited is not None:
+                time_chunk_s = float(inherited)
+    new_files = _write_data_files(spark, path, df, time_chunk_s=time_chunk_s)
     schema = _schema_json(df)
     expected, _ = _resolve_tip(fs, path)
     for attempt in range(_MAX_COMMIT_RETRIES):
@@ -367,7 +424,11 @@ def snapshot_write(
         if mode == "append" and parent is not None:
             _props = (parent_m or _read_manifest(fs, path, parent)).get("properties")
             if _props:
-                manifest["properties"] = _props
+                manifest["properties"] = dict(_props)
+        if time_chunk_s is not None:
+            manifest.setdefault("properties", {})["time_chunk_s"] = float(
+                time_chunk_s
+            )
         if _try_commit(fs, path, manifest):
             return manifest["version"]
     raise ConcurrentWriteError(
@@ -462,7 +523,9 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
             .filter(F.col("_rn") == 1)
             .drop("_prio", "_rn", "_sk")
         )
-        new_files = _write_data_files(spark, path, out)
+        new_files = _write_data_files(
+            spark, path, out, time_chunk_s=_inherited_chunk(parent_m)
+        )
         target = _target_version(fs, path, parent)
         if target is None:
             raise ConcurrentWriteError(
@@ -573,7 +636,9 @@ def snapshot_merge(
             spark.read.parquet(*[f["path"] for f in touched]) if touched else None
         )
         out = combine(existing, updates)
-        new_files = _write_data_files(spark, path, out)
+        new_files = _write_data_files(
+            spark, path, out, time_chunk_s=_inherited_chunk(parent_m)
+        )
         target = _target_version(fs, path, parent)
         if target is None:
             raise ConcurrentWriteError(
@@ -636,7 +701,10 @@ def snapshot_compact(
         return None
     kept = [f for f in base if f not in small]
     df = spark.read.parquet(*[f["path"] for f in small])
-    new_files = _write_data_files(spark, path, df)
+    # a time-chunked store keeps its layout through compaction
+    new_files = _write_data_files(
+        spark, path, df, time_chunk_s=_inherited_chunk(parent_m)
+    )
     target = _target_version(fs, path, parent)
     if target is None:
         raise ConcurrentWriteError(
@@ -679,6 +747,7 @@ def snapshot_select(
     path: str,
     matchers,
     version: int | None = None,
+    ts_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """PromQL-style selector over a snapshot store: equality ``__name__``
     matchers prune files at the MANIFEST level (driver-side, before any
@@ -687,14 +756,16 @@ def snapshot_select(
     engine's selector (operators/select.py select_series). The query
     surface and the table format compose: a one-metric selector on a
     10^5-file store plans a scan over the handful of files whose name
-    range covers that metric."""
+    range covers that metric. ``ts_range`` adds the time dimension — on a
+    time-chunked store (snapshot_write(time_chunk_s=...)) a grid query's
+    window prunes to the touched chunks' files."""
     from prometheus_parquet_server_spark.labels import NAME_LABEL
     from prometheus_parquet_server_spark.operators.select import select_series
 
     names = [
         m.value for m in matchers if m.label == NAME_LABEL and m.op == "="
     ] or None
-    df = snapshot_read(spark, path, version=version, names=names)
+    df = snapshot_read(spark, path, version=version, names=names, ts_range=ts_range)
     return select_series(df, list(matchers))
 
 
@@ -752,7 +823,9 @@ def snapshot_expire(
             F.col("ts") >= min_ts
         )
         schema = schema or _schema_json(survivors)
-        new_files = _write_data_files(spark, path, survivors)
+        new_files = _write_data_files(
+            spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)
+        )
     target = _target_version(fs, path, parent)
     if target is None:
         raise ConcurrentWriteError(

@@ -725,3 +725,75 @@ def test_snapshot_merge_race_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="NULL metric names"):
         snapshot_merge(spark, store, mk(spark, [(None, {}, 9.0, 9.0)]), additive)
+
+
+def test_time_chunked_layout_prunes_ts_slices(spark, tmp_path):
+    """Name-major clustering gives each multi-series file a near-full-span
+    ts range — a time-slice read over many series prunes nothing. The
+    time-chunked layout (time_chunk_s) must (a) plan strictly fewer files
+    for the same slice, (b) return identical rows, and (c) survive the
+    maintenance paths: appends and compaction inherit the pinned layout
+    property without restating it."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _resolve_tip,
+        _StoreFS,
+        snapshot_properties,
+    )
+
+    rows = [
+        (f"m{i % 3}", {"s": str(i)}, float(t), float(i))
+        for i in range(12)
+        for t in range(0, 1000, 50)
+    ]
+    flat = f"file://{tmp_path}/flat"
+    chunked = f"file://{tmp_path}/chunked"
+    snapshot_write(spark, flat, mk(spark, rows), mode="overwrite")
+    snapshot_write(
+        spark, chunked, mk(spark, rows), mode="overwrite", time_chunk_s=200.0
+    )
+
+    def planned(store, **kw):
+        fs = _StoreFS(spark, store)
+        v, m = _resolve_tip(fs, store)
+        from prometheus_parquet_server_spark.sources.snapshot_store import (
+            _ts_overlaps,
+        )
+
+        lo, hi = kw["ts_range"]
+        return len([f for f in m["files"] if _ts_overlaps(f, lo, hi)]), len(
+            m["files"]
+        )
+
+    slice_kw = {"ts_range": (0.0, 99.0)}
+    # flat: every file's ts span covers the slice — nothing prunes.
+    # chunked: the slice touches exactly the chunk-0 files.
+    n_flat, total_flat = planned(flat, **slice_kw)
+    n_chunked, total_chunked = planned(chunked, **slice_kw)
+    assert n_flat == total_flat
+    assert total_chunked >= 5 and n_chunked * 5 <= total_chunked, (
+        n_chunked,
+        total_chunked,
+    )
+    key = lambda r: (r["name"], r["labels"]["s"], r["ts"], r["value"])
+    got = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
+    want = sorted(map(key, snapshot_read(spark, flat, **slice_kw).collect()))
+    assert got == want and len(got) > 0
+    assert snapshot_properties(spark, chunked)["time_chunk_s"] == 200.0
+
+    # append WITHOUT restating the width: property and layout must persist
+    late = [("m0", {"s": "x"}, 950.0, 9.0)]
+    snapshot_write(spark, chunked, mk(spark, late))
+    assert snapshot_properties(spark, chunked)["time_chunk_s"] == 200.0
+    # compaction keeps the layout: early slice still prunes the late files
+    v = snapshot_compact(spark, chunked, target_file_bytes=10**9)
+    if v is not None:  # everything rewritten into chunked files again
+        n_after = len(planned(chunked, **slice_kw))
+        fs = _StoreFS(spark, chunked)
+        total = len(_read_manifest(fs, chunked, v)["files"])
+        assert n_after < total, (n_after, total)
+    got2 = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
+    assert got2 == want
+
+    with pytest.raises(ValueError):
+        snapshot_write(spark, f"file://{tmp_path}/bad", mk(spark, rows), time_chunk_s=0.0)
