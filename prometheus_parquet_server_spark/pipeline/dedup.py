@@ -124,6 +124,39 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _banded(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int, bands: int, shingle_n: int
+) -> DataFrame:
+    """Shared LSH preamble: (id, band_key) rows, one per band per doc —
+    the single place banding is constructed so the two entry points
+    (:func:`lsh_duplicate_buckets`, :func:`lsh_candidate_pairs`) can never
+    diverge.
+
+    Validates the geometry: ``bands`` must divide ``num_perm`` with at
+    least one signature row per band — ``rows_per_band = 0`` would
+    degenerate every band key to a constant (md5 of the band index
+    alone), silently recreating the all-pairs O(n²) join LSH exists to
+    prevent. Docs with ZERO tokens (empty or NULL text) have no defined
+    MinHash and are dropped — at any shingle_n they would otherwise
+    collapse into one shared constant bucket (at n>=2 their shingle set
+    is [""], at n=1 array_min over the empty set is NULL and concat_ws
+    silently skips it), pairing every boilerplate-empty doc with every
+    other. Exact dedup catches identical-empty docs via fingerprint, and
+    the drop keeps the DuckDB oracles honest: their unnest-based replay
+    never emits rows for an empty token list.
+    """
+    if bands < 1 or num_perm < 1:
+        raise ValueError(f"need bands >= 1 and num_perm >= 1, got {bands}/{num_perm}")
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    return df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
+    )
+
+
 def lsh_duplicate_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -140,12 +173,7 @@ def lsh_duplicate_buckets(
     ``max_ids`` caps doc_ids per bucket with exact dup_count (see
     :func:`_capped_id_groups`); None = exact lists.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
-    )
+    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n)
     return _capped_id_groups(banded, "band_key", id_col, max_ids)
 
 
@@ -169,12 +197,7 @@ def lsh_candidate_pairs(
     production cap) drops buckets larger than the bound before the
     self-join; None = exact, used by the toy-scale oracle.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
-    )
+    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n)
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")

@@ -285,6 +285,15 @@ def _write_data_files(
         # concrete files, so the column never resurfaces.
         writer = writer.partitionBy("_tc")
     writer.parquet(tx)
+    fs = _StoreFS(spark, path)
+    listed = fs.parquet_files(tx)
+    if not listed:
+        # an empty partitionBy write emits only _SUCCESS (unlike the flat
+        # path, which writes one schema-bearing empty file) — there are no
+        # data files to reference and no stats to scan; an empty batch is
+        # a legal no-op file set, not an error
+        fs.delete(tx)
+        return []
     stats = (
         spark.read.parquet(tx)
         .groupBy(F.input_file_name().alias("path"))
@@ -305,7 +314,6 @@ def _write_data_files(
         )
         .collect()
     )
-    fs = _StoreFS(spark, path)
     n_bad = sum(r["n_bad"] for r in stats)
     if n_bad:
         fs.delete(tx)  # nothing references the tx dir yet — take it back
@@ -316,9 +324,7 @@ def _write_data_files(
         )
     # the stats job reports file:///x, the FS listing file:/x — key both
     # by the URI path component
-    sizes = {
-        str(fs.jpath(p).toUri().getPath()): sz for p, sz in fs.parquet_files(tx)
-    }
+    sizes = {str(fs.jpath(p).toUri().getPath()): sz for p, sz in listed}
 
     def _size(p: str) -> int:
         return sizes.get(str(fs.jpath(p).toUri().getPath()), 0)
@@ -387,18 +393,18 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     fs = _StoreFS(spark, path)
+    # one tip resolve serves both layout inheritance and the commit's
+    # expected-parent check — appends run per streaming micro-batch, so
+    # a second directory listing + manifest read per call is real driver
+    # I/O, not noise
+    expected, expected_m = _resolve_tip(fs, path)
     if time_chunk_s is None and mode == "append":
-        tip_v, tip_m = _resolve_tip(fs, path)
-        if tip_m is not None:
-            inherited = (tip_m.get("properties") or {}).get("time_chunk_s")
-            if inherited is not None:
-                time_chunk_s = float(inherited)
+        time_chunk_s = _inherited_chunk(expected_m)
     new_files = _write_data_files(spark, path, df, time_chunk_s=time_chunk_s)
     schema = _schema_json(df)
-    expected, _ = _resolve_tip(fs, path)
     for attempt in range(_MAX_COMMIT_RETRIES):
         parent, parent_m = (
-            (expected, None) if attempt == 0 else _resolve_tip(fs, path)
+            (expected, expected_m) if attempt == 0 else _resolve_tip(fs, path)
         )
         if mode == "overwrite" and parent != expected:
             raise ConcurrentWriteError(

@@ -114,6 +114,32 @@ def test_lsh_candidate_pairs_and_max_bucket(spark):
         lsh_candidate_pairs(same, max_bucket=1)
 
 
+def test_lsh_geometry_validation_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    # bands=0 would divide by zero; bands > num_perm gives rows_per_band=0,
+    # which degenerates every band key to md5(str(b)+'|') — the silent
+    # all-pairs cross join LSH exists to prevent. Both must raise, on both
+    # entry points (shared _banded preamble).
+    for bad in ({"bands": 0}, {"num_perm": 4, "bands": 8}, {"num_perm": 16, "bands": 5}):
+        with pytest.raises(ValueError):
+            lsh_candidate_pairs(df, **bad)
+        with pytest.raises(ValueError):
+            lsh_duplicate_buckets(df, **bad)
+    # empty/NULL-text docs have no defined MinHash: every such doc would
+    # otherwise share one constant bucket (concat_ws skips NULL mins at
+    # shingle_n=1; the [""]-shingle constant signature at n>=2) and pair
+    # with every other — while the DuckDB oracle's unnest emits no rows
+    # for them. They must be dropped at any shingle_n.
+    empties = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None), (4, "   ")], "doc_id long, text string"
+    )
+    for n in (1, 2):
+        assert lsh_candidate_pairs(empties, num_perm=4, bands=1, shingle_n=n).count() == 0
+        assert lsh_duplicate_buckets(empties, num_perm=4, bands=1, shingle_n=n).count() == 0
+
+
 def test_simhash_close_for_near_duplicates(spark):
     base = "spark group query row data slow small filter customer line table scan"
     df = spark.createDataFrame(

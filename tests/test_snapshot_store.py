@@ -788,12 +788,20 @@ def test_time_chunked_layout_prunes_ts_slices(spark, tmp_path):
     # compaction keeps the layout: early slice still prunes the late files
     v = snapshot_compact(spark, chunked, target_file_bytes=10**9)
     if v is not None:  # everything rewritten into chunked files again
-        n_after = len(planned(chunked, **slice_kw))
+        n_after = planned(chunked, **slice_kw)[0]
         fs = _StoreFS(spark, chunked)
         total = len(_read_manifest(fs, chunked, v)["files"])
         assert n_after < total, (n_after, total)
     got2 = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
     assert got2 == want
+
+    # an EMPTY append to a chunked store must commit as a no-op file set:
+    # partitionBy on an empty frame writes zero data files (only _SUCCESS),
+    # so the stats scan has nothing to read — the write path must not
+    # crash trying to infer a schema from it
+    v_empty = snapshot_write(spark, chunked, mk(spark, []))
+    got3 = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
+    assert got3 == want and v_empty is not None
 
     with pytest.raises(ValueError):
         snapshot_write(spark, f"file://{tmp_path}/bad", mk(spark, rows), time_chunk_s=0.0)
