@@ -2846,6 +2846,43 @@ def q_corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_vocab_size(docs).join(approx_length_quantiles(docs), "source")
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram heavy hitters via a Misra-Gries candidate pass + exact
+    verify (pipeline/sketch.py heavy_hitter_grams). Unlike the HLL/GK
+    sketch rows this one IS hash-gradeable: the sketch only proposes
+    candidates (zero false negatives by the mergeable-summaries bound),
+    the second pass counts them exactly, so the output equals an
+    unbounded GROUP BY — which is exactly what the DuckDB oracle runs.
+    Scale shape: the gram stream never shuffles (per-partition MG state
+    is `capacity` counters via mapInPandas); only ≤ partitions×capacity
+    summary rows come back, and pass 2 filters map-side on an InSet of
+    ≤ ~2/f candidate grams before a tiny groupBy. n_occ is an exact
+    count — no float aggregate, no rounding flake surface."""
+    from prometheus_parquet_server_spark.pipeline.sketch import heavy_hitter_grams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitter_grams(docs, n=2, threshold_frac=0.001)
+
+
+SQL_SKETCH_HEAVY_HITTERS = """
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM toks
+),
+tot AS (SELECT COUNT(*) AS n FROM grams)
+SELECT gram, COUNT(*) AS n_occ
+FROM grams, tot
+GROUP BY gram, tot.n
+HAVING COUNT(*) >= tot.n * 0.001
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution (count, mean, exact
     interpolated p50/p90, max) — the mixture-design reporting pass."""
@@ -3609,6 +3646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
@@ -3707,6 +3745,7 @@ ORACLES: dict[str, str] = {
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -60,6 +60,7 @@ from prometheus_parquet_server_spark.pipeline.dedup import (
 from prometheus_parquet_server_spark.pipeline.sketch import (
     approx_vocab_size,
     approx_length_quantiles,
+    heavy_hitter_grams,
 )
 from prometheus_parquet_server_spark.pipeline.similarity import (
     cosine_similarity_col,
@@ -101,6 +102,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "approx_vocab_size",
     "approx_length_quantiles",
+    "heavy_hitter_grams",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucketed_topk",

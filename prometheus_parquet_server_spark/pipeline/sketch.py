@@ -21,9 +21,18 @@ rows are rows-only under the driver gate (the judge sees which); the REAL
 correctness gate is tests/test_sketch.py, which bounds the error of every
 estimate against the exact computation at test scale — the same measured
 pattern as the ANN recall gate (tests/test_ann_recall.py).
+
+:func:`heavy_hitter_grams` is the third family and the odd one out: the
+sketch (Misra-Gries) only GENERATES candidates; a second exact pass
+verifies them, so the result is exactly correct and rides the full
+value-hash oracle gate like any deterministic operator.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,3 +87,131 @@ def approx_length_quantiles(
             )
         )
     return df.groupBy(group_col).agg(*aggs)
+
+
+def _gram_array(text_col: str, n: int):
+    """Token n-grams of ``text_col`` as an array of SPACE-JOINED strings —
+    the same tokenization and join convention as
+    :func:`dedup.cross_doc_ngrams` (which hashes them; here the text is
+    kept because only a bounded candidate set ever shuffles)."""
+    toks = tokens_col(F.col(text_col))
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def heavy_hitter_grams(
+    df: DataFrame,
+    n: int = 2,
+    threshold_frac: float = 0.001,
+    capacity: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact heavy hitters over token n-grams: every gram whose occurrence
+    count is ``>= threshold_frac`` of ALL gram occurrences, with its exact
+    count — boilerplate/template detection without a full-cardinality
+    shuffle.
+
+    Two passes, both bounded:
+
+    1. **Candidates (Misra-Gries).** Each partition streams its grams
+       through a Misra-Gries summary of ``capacity`` counters
+       (``mapInPandas`` — the canonical decrement sketch is imperative
+       per-item state no builtin expresses; a production engine would
+       register it as a JVM UDAF, the Arrow path is the honest Python
+       stand-in). Only the summaries shuffle: ≤ partitions × capacity
+       short rows, never the gram stream. Summed MG counters understate
+       true counts by at most N/(capacity+1) [Misra & Gries 1982;
+       Agarwal et al., "Mergeable Summaries", PODS 2012], so with
+       ``capacity >= 2/threshold_frac`` (the default) every true heavy
+       hitter survives with a positive merged count above the slack
+       line — zero false negatives, and the candidate set is at most
+       ~2/threshold_frac grams.
+    2. **Exact verify.** One more scan counts ONLY the candidates (the
+       candidate set broadcasts; the join filters map-side), then the
+       exact threshold applies. False positives from pass 1 die here, so
+       the output is exactly the grams an unbounded GROUP BY would
+       produce — which is precisely how the DuckDB oracle replays it.
+
+    Returns ``(gram, n_occ)``; no approximate column leaks out.
+    """
+    if not (0 < threshold_frac < 1):
+        raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if capacity is None:
+        capacity = int(2.0 / threshold_frac) + 1
+    if capacity < int(1.0 / threshold_frac) + 1:
+        # below 1/f + 1 the merged-summary guarantee breaks: a true heavy
+        # hitter could be decremented to zero in every partition summary
+        raise ValueError(
+            f"capacity {capacity} cannot guarantee recall at threshold "
+            f"{threshold_frac}; need >= {int(1.0 / threshold_frac) + 1}"
+        )
+    grams = df.select(_gram_array(text_col, n).alias("_g"))
+    cap = capacity
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            for arr in pdf["_g"]:
+                if arr is None:
+                    continue
+                total += len(arr)
+                for g in arr:
+                    c = counters.get(g)
+                    if c is not None:
+                        counters[g] = c + 1
+                    elif len(counters) < cap:
+                        counters[g] = 1
+                    else:
+                        # decrement-all: the amortized-O(1)-per-item form
+                        # (each decrement pays back an increment)
+                        dead = []
+                        for k in counters:
+                            c2 = counters[k] - 1
+                            if c2 == 0:
+                                dead.append(k)
+                            else:
+                                counters[k] = c2
+                        for k in dead:
+                            del counters[k]
+        out = list(counters.items())
+        out.append((None, total))  # per-partition stream length rides along
+        yield pd.DataFrame(out, columns=["gram", "cnt"])
+
+    spark = df.sparkSession
+    # ONE job collects the summaries — they are bounded by construction
+    # (≤ partitions × capacity gram rows + one total row per partition),
+    # the same deliberately-small driver materialization as the IVF
+    # centroid seed. The candidate set itself is ≤ ~2/threshold_frac
+    # entries, so it ships back to the executors as an InSet literal —
+    # pass 2 filters map-side with no join at all.
+    rows = grams.mapInPandas(_mg, "gram string, cnt long").collect()
+    total_n = sum(r["cnt"] for r in rows if r["gram"] is None)
+    if total_n == 0:
+        return spark.createDataFrame([], "gram string, n_occ long")
+    # merged MG count c_hat satisfies c - N/(cap+1) <= c_hat <= c, so
+    # keeping c_hat > N*f - N/(cap+1) loses no true heavy hitter
+    floor_cnt = total_n * threshold_frac - total_n / (cap + 1)
+    merged: dict[str, int] = {}
+    for r in rows:
+        if r["gram"] is not None:
+            merged[r["gram"]] = merged.get(r["gram"], 0) + r["cnt"]
+    candidates = [g for g, c in merged.items() if c > floor_cnt]
+    if not candidates:
+        return spark.createDataFrame([], "gram string, n_occ long")
+    return (
+        df.select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        .filter(F.col("gram").isin(candidates))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= F.lit(float(total_n) * threshold_frac))
+    )

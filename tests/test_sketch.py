@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from prometheus_parquet_server_spark.pipeline import (
     approx_length_quantiles,
     approx_vocab_size,
+    heavy_hitter_grams,
 )
 from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
@@ -74,3 +75,69 @@ def test_sketch_validation_errors(spark):
         approx_length_quantiles(docs, accuracy=0)
     with pytest.raises(ValueError):
         approx_length_quantiles(docs, probabilities=(1.5,))
+
+
+def _exact_hh(spark, df, n, frac):
+    from prometheus_parquet_server_spark.pipeline.sketch import _gram_array
+
+    grams = df.select(F.explode(_gram_array("text", n)).alias("gram"))
+    total = grams.count()
+    return {
+        (r["gram"], r["n_occ"])
+        for r in grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= F.lit(float(total) * frac))
+        .collect()
+    }
+
+
+def test_heavy_hitters_exact_vs_unbounded_groupby(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["gram"], r["n_occ"])
+        for r in heavy_hitter_grams(docs, n=2, threshold_frac=0.001).collect()
+    }
+    want = _exact_hh(spark, docs, 2, 0.001)
+    assert got == want and len(want) > 100
+
+
+def test_heavy_hitters_tight_capacity_still_exact(spark):
+    # a skewed stream with capacity at the theoretical floor (1/f + 1):
+    # the MG merge guarantee, not slack, must carry recall. 20 heavy
+    # words at ~4% each (well above f=2%), 400 distinct light words,
+    # shuffled deterministically across 8 partitions.
+    import random
+
+    rng = random.Random(7)
+    words = [f"hot{i}" for i in range(20)] * 40 + [f"cold{i}" for i in range(400)]
+    rng.shuffle(words)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::16])) for i in range(16)],
+        "doc_id long, text string",
+    ).repartition(8)
+    frac = 0.02
+    floor_cap = int(1.0 / frac) + 1
+    got = {
+        (r["gram"], r["n_occ"])
+        for r in heavy_hitter_grams(
+            docs, n=1, threshold_frac=frac, capacity=floor_cap
+        ).collect()
+    }
+    want = _exact_hh(spark, docs, 1, frac)
+    assert got == want and len(want) == 20
+    # capacity BELOW the floor can lose true heavy hitters — reject it
+    with pytest.raises(ValueError):
+        heavy_hitter_grams(docs, threshold_frac=frac, capacity=floor_cap - 1)
+    with pytest.raises(ValueError):
+        heavy_hitter_grams(docs, threshold_frac=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitter_grams(docs, n=0)
+
+
+def test_heavy_hitters_empty_and_null_text(spark):
+    empty = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = heavy_hitter_grams(empty, n=2, threshold_frac=0.1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["gram", "n_occ"]
