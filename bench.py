@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "events_rollup",
     "tfidf_topk",
     "pipeline_chunks",
+    # round-7 additions (same extend-don't-replace caveat)
+    "dedup_jaccard",
+    "sketch_heavy_hitters",
 ]
 
 
