@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from prometheus_parquet_server_spark.pipeline.text import fingerprint, tokens_col
+from prometheus_parquet_server_spark.pipeline.text import fingerprint, ngrams_col, tokens_col
 
 
 def _capped_id_groups(
@@ -81,24 +81,16 @@ def _salted_md5(token: Column, salt: int) -> Column:
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingles, built as a zip_with chain over shifted views
-    of the token array (one allocation per doc per shift, vs transform+
-    slice's fresh n-array per position — measured 7× on the sf0.1 scan;
-    entries past the end go NULL via concat's null propagation and the
-    final slice drops them, bit-identical to the positional form)."""
+    """Word n-gram shingles (window construction in :func:`text.ngrams_col`).
+    A document shorter than ``n`` tokens contributes ONE whole-text
+    shingle — short near-dups should still collide (contamination's
+    :func:`split.word_ngram_hashes` makes the opposite call)."""
     toks = tokens_col(text)
     if n == 1:
         return F.array_distinct(toks)
-    acc = toks
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, k + 1, F.size(toks)),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     return F.array_distinct(
         F.when(
-            F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
+            F.size(toks) >= n, ngrams_col(toks, n)
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
@@ -302,24 +294,9 @@ def cross_doc_ngrams(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    from prometheus_parquet_server_spark.pipeline.text import tokens_col
-
-    # zip_with-chained grams (see _shingles): one shifted view per
-    # gram position instead of a fresh n-element slice per gram
-    toks = tokens_col(F.col(text_col))
-    acc = toks
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, k + 1, F.size(toks)),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    gram_arr = F.when(
-        F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<string>"))
     grams = df.select(
         F.col(id_col).alias("_doc"),
-        F.explode(gram_arr).alias("_gram"),
+        F.explode(ngrams_col(tokens_col(F.col(text_col)), n)).alias("_gram"),
     ).select("_doc", F.md5("_gram").alias("gram_hash"))
     return (
         grams.groupBy("gram_hash")

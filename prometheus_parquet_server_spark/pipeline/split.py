@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from prometheus_parquet_server_spark.pipeline.text import tokens_col
+from prometheus_parquet_server_spark.pipeline.text import ngrams_col, tokens_col
 
 #: bucket space for split assignment — weights resolve to integer bands
 SPLIT_BUCKETS = 10_000
@@ -77,22 +77,16 @@ def word_ngram_hashes(text: Column, n: int = 8) -> Column:
     tokens, space-joined). Documents with fewer than ``n`` tokens yield an
     empty set.
 
-    Deliberately NOT shared with dedup._shingles despite the similar
-    windowing: dedup treats a short document as one whole-text shingle
-    (short near-dups should still collide), while contamination must NOT
-    flag a document on a partial gram — here short docs contribute
-    nothing. The md5 is the cross-engine gram identity for the oracle.
+    The window itself comes from the shared :func:`text.ngrams_col`
+    (whose empty-below-n behavior is exactly the call contamination
+    needs: a document must NOT be flagged on a partial gram, so short
+    docs contribute nothing — dedup._shingles layers the OPPOSITE
+    short-doc semantics, one whole-text shingle, on the same window).
+    The md5 is the cross-engine gram identity for the oracle.
     """
-    toks = tokens_col(text)
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(
+        F.transform(ngrams_col(tokens_col(text), n), lambda g: F.md5(g))
+    )
 
 
 def pack_assignments(

@@ -27,6 +27,37 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
 
 
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token array; a row with fewer
+    than ``n`` tokens yields an empty array (callers layer their own
+    short-document semantics on top — dedup substitutes a whole-text
+    shingle, contamination keeps the empty set).
+
+    THE single place n-gram windows are constructed (dedup shingles,
+    cross-doc grams, heavy hitters, contamination hashes all route here):
+    a zip_with chain over shifted views of the token array — n−1 array
+    allocations per ROW, where the positional ``transform(sequence, i ->
+    slice(toks, i, n))`` form allocates a fresh n-element array per GRAM
+    (measured 7× slower on the sf0.1 documents scan). Entries where a
+    shifted view runs out turn NULL through concat's null propagation and
+    the final slice drops them — bit-identical to the positional form.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return toks
+    acc = toks
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(
+        F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(text: Column, bpe: bool = False) -> Column:
     """Token count: whitespace (default) or BPE-ish regex pieces."""
     if bpe:
