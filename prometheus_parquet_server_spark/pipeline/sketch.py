@@ -132,6 +132,13 @@ def heavy_hitter_grams(
        produce — which is precisely how the DuckDB oracle replays it.
 
     Returns ``(gram, n_occ)``; no approximate column leaks out.
+
+    Honest crossover (scripts/stress_heavy_hitters.py, 9.9 M distinct
+    grams): on a single node the exact GROUP BY twin wins the wall clock
+    (its in-memory shuffle is cheap; the MG pass pays Arrow transfer of
+    the gram stream into Python). Use the exact twin while cardinality
+    fits a shuffle — this path is for when it doesn't: its gram-shaped
+    shuffle volume is zero regardless of cardinality.
     """
     if not (0 < threshold_frac < 1):
         raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
