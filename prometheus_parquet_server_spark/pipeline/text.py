@@ -45,7 +45,9 @@ def ngrams_col(toks: Column, n: int) -> Column:
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n == 1:
-        return toks
+        # a NULL token array (NULL text) still honors the empty-array
+        # contract — the n>=2 arm converts NULL to [] through its when()
+        return F.coalesce(toks, F.array().cast("array<string>"))
     acc = toks
     for k in range(1, n):
         acc = F.zip_with(

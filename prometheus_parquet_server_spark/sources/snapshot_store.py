@@ -314,6 +314,14 @@ def _write_data_files(
         )
         .collect()
     )
+    if not stats:
+        # the FLAT layout writes one schema-bearing empty part file for an
+        # empty batch, so `listed` was non-empty — but zero stat groups
+        # means zero rows: same no-op commit, and the tx dir must not be
+        # left orphaned (frequent empty streaming micro-batches would
+        # accumulate unreferenced dirs until vacuum)
+        fs.delete(tx)
+        return []
     n_bad = sum(r["n_bad"] for r in stats)
     if n_bad:
         fs.delete(tx)  # nothing references the tx dir yet — take it back

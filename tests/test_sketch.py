@@ -141,3 +141,26 @@ def test_heavy_hitters_empty_and_null_text(spark):
     out = heavy_hitter_grams(empty, n=2, threshold_frac=0.1)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["gram", "n_occ"]
+
+
+def test_ngrams_col_null_contract_every_n(spark):
+    # the documented contract: fewer than n tokens -> EMPTY array, never
+    # NULL — including NULL text at n=1 (the n>=2 arm converts through
+    # its when(); the n=1 arm must coalesce)
+    from prometheus_parquet_server_spark.pipeline.text import ngrams_col, tokens_col
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "a b c")], "i long, text string"
+    )
+    for n in (1, 2, 3):
+        rows = df.select(
+            "i", ngrams_col(tokens_col(F.col("text")), n).alias("g")
+        ).collect()
+        by_i = {r["i"]: r["g"] for r in rows}
+        assert all(g is not None for g in by_i.values()), (n, by_i)
+        assert by_i[1] == [] and by_i[2] == []
+        assert by_i[4] == (
+            ["a", "b", "c"] if n == 1 else ["a b", "b c"] if n == 2 else ["a b c"]
+        )
+    with pytest.raises(ValueError):
+        ngrams_col(tokens_col(F.col("text")), 0)

@@ -795,13 +795,28 @@ def test_time_chunked_layout_prunes_ts_slices(spark, tmp_path):
     got2 = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
     assert got2 == want
 
-    # an EMPTY append to a chunked store must commit as a no-op file set:
-    # partitionBy on an empty frame writes zero data files (only _SUCCESS),
-    # so the stats scan has nothing to read — the write path must not
-    # crash trying to infer a schema from it
-    v_empty = snapshot_write(spark, chunked, mk(spark, []))
+    # an EMPTY append must commit as a no-op file set on BOTH layouts:
+    # chunked partitionBy writes zero data files (only _SUCCESS), so the
+    # stats scan has nothing to read; flat writes one schema-bearing
+    # empty file that yields zero stat groups. Neither may crash, and
+    # neither may leave an orphaned tx dir behind (empty streaming
+    # micro-batches would accumulate them until vacuum).
+    def tx_dirs(store):
+        fs = _StoreFS(spark, store)
+        data = f"{store}/data"
+        if not fs.exists(data):
+            return set()
+        return {
+            str(s.getPath().getName()) for s in fs.fs.listStatus(fs.jpath(data))
+        }
+
+    for store in (chunked, flat):
+        before = tx_dirs(store)
+        v_empty = snapshot_write(spark, store, mk(spark, []))
+        assert v_empty is not None
+        assert tx_dirs(store) == before, store
     got3 = sorted(map(key, snapshot_read(spark, chunked, **slice_kw).collect()))
-    assert got3 == want and v_empty is not None
+    assert got3 == want
 
     with pytest.raises(ValueError):
         snapshot_write(spark, f"file://{tmp_path}/bad", mk(spark, rows), time_chunk_s=0.0)
