@@ -99,6 +99,7 @@ def rollup_ingest(
     ts_col: str = "ts",
     value_col: str = "value",
     name_col: str = "event_type",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Continuous-aggregate maintenance: fold a NEW raw batch into the
     persisted finest-level partials WITHOUT rescanning history — the
@@ -162,6 +163,9 @@ def rollup_ingest(
         partials,
         _combine,
         properties={"rollup_width_s": float(width_s)},
+        # (app_id, batch_version) → idempotent redelivery: a batch whose
+        # version is already recorded in the manifest folds exactly once
+        txn=txn,
     )
 
 

@@ -577,6 +577,7 @@ def snapshot_merge(
     updates: DataFrame,
     combine,
     properties: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Generalized read-modify-write commit — the primitive behind
     incremental materialized aggregates (operators/rollup.py
@@ -602,6 +603,17 @@ def snapshot_merge(
     the parent manifest's recorded value raises — the immutability hook
     rollup stores use to pin their ingest width. Read back via
     :func:`snapshot_properties`.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT per writer —
+    the public Delta-Lake txnAppId/txnVersion pattern: the manifest
+    property ``txn_<app_id>`` records the highest version committed by
+    that writer, and a merge whose ``version`` is ≤ the recorded value
+    returns the current tip WITHOUT folding (the batch already landed;
+    this is the redelivery dedupe a ``foreachBatch`` sink needs when a
+    fold commits but the streaming offsets don't). Unlike ``properties``
+    keys, the txn marker is deliberately monotonic — it bypasses the
+    conflict check and rides the SAME atomic manifest as the folded data,
+    so there is no window where the data is applied but the marker isn't.
 
     A commit race raises :class:`ConcurrentWriteError` (blind rebase could
     lose the racer's contribution to the combined rows). An empty update
@@ -631,6 +643,17 @@ def snapshot_merge(
             return v
         parent, parent_m = _resolve_tip(fs, path)
         parent_props = (parent_m or {}).get("properties") or {}
+        txn_key = None
+        if txn is not None:
+            app_id, txn_version = txn
+            if not app_id or "\n" in str(app_id):
+                raise ValueError(f"txn app_id must be a non-empty line, got {app_id!r}")
+            txn_key = f"txn_{app_id}"
+            recorded = parent_props.get(txn_key)
+            if recorded is not None and int(txn_version) <= int(recorded):
+                if parent is None:  # unreachable: recorded implies a manifest
+                    raise FileNotFoundError(path)
+                return parent  # this batch already folded — redelivery no-op
         if properties:
             conflicts = {
                 k: (parent_props[k], v)
@@ -643,6 +666,8 @@ def snapshot_merge(
                     f"recorded values (recorded, supplied): {conflicts}"
                 )
         merged_props = {**parent_props, **(properties or {})}
+        if txn_key is not None:
+            merged_props[txn_key] = int(txn[1])
         base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [f for f in base_files if _name_overlaps(f, names)]
         kept = [f for f in base_files if f not in touched]

@@ -108,17 +108,23 @@ def stream_rollup_ingest(
     persisted rollup-partial snapshot store via ``foreachBatch`` →
     :func:`operators.rollup.rollup_ingest` — the standard Structured
     Streaming pattern for sinks with their own transactional protocol.
-    Exactly-once here comes from the COMBINATION: the snapshot commit is
-    atomic (a crashed fold before its manifest publish is invisible, the
-    restarted batch re-folds), and the fold itself is deterministic, so
-    the only at-least-once hazard is a batch that COMMITTED but whose
-    streaming offset didn't — redelivery would double-count; production
-    deployments record the batch id in the manifest to dedupe (noted,
-    not implemented — the availableNow parity test drains once).
-    Returns the started query (caller awaits termination)."""
+    Exactly-once comes from the COMBINATION: the snapshot commit is atomic
+    (a crashed fold before its manifest publish is invisible, the
+    restarted batch re-folds), the fold is deterministic, and the
+    remaining at-least-once hazard — a batch that COMMITTED but whose
+    streaming offsets didn't, which foreachBatch then REDELIVERS — is
+    closed by the ``txn=(app_id, batch_id)`` marker riding the same
+    manifest as the folded data (snapshot_merge skips any batch id ≤ the
+    recorded one; the Delta txnAppId/txnVersion pattern). One writer per
+    app_id/checkpoint, which is Structured Streaming's model anyway — a
+    concurrent same-app writer loses the manifest CAS and errors rather
+    than double-folding. Returns the started query (caller awaits
+    termination)."""
     from prometheus_parquet_server_spark.operators.rollup import rollup_ingest
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+    app_id = "stream_rollup_ingest"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         rollup_ingest(
@@ -129,6 +135,7 @@ def stream_rollup_ingest(
             ts_col=ts_col,
             value_col=value_col,
             name_col=name_col,
+            txn=(app_id, int(batch_id)),
         )
 
     return (

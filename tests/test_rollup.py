@@ -232,3 +232,50 @@ def test_rollup_store_full_lifecycle_stays_exact(spark, tmp_path):
         for r in direct.collect()
     )
     assert got == want
+
+
+def test_rollup_ingest_txn_redelivery_is_idempotent(spark, tmp_path):
+    """The foreachBatch redelivery hazard: a batch whose fold COMMITTED but
+    whose streaming offsets didn't is delivered again. With txn=(app, id)
+    the marker rides the same manifest as the fold, so the replay is a
+    version-preserving no-op; without it the same replay double-counts."""
+    import pytest
+    from prometheus_parquet_server_spark.operators.rollup import (
+        rollup_ingest,
+        rollup_read,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_version,
+    )
+
+    rows = [("click", 10.0 + 7.0 * i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_type string, ts double, value double")
+    b0 = df.filter(F.col("ts") < 150.0)
+    b1 = df.filter(F.col("ts") >= 150.0)
+    store = f"file://{tmp_path}/txn"
+
+    v0 = rollup_ingest(spark, store, b0, txn=("app", 0))
+    after_first = sorted(tuple(r) for r in rollup_read(spark, store).collect())
+    # exact redelivery of batch 0: same version, same rows, marker intact
+    assert rollup_ingest(spark, store, b0, txn=("app", 0)) == v0
+    assert sorted(tuple(r) for r in rollup_read(spark, store).collect()) == after_first
+    assert snapshot_properties(spark, store)["txn_app"] == 0
+
+    v1 = rollup_ingest(spark, store, b1, txn=("app", 1))
+    assert v1 > v0 and snapshot_properties(spark, store)["txn_app"] == 1
+    after_second = sorted(tuple(r) for r in rollup_read(spark, store).collect())
+    # stale redelivery of batch 0 AFTER batch 1 landed: still a no-op
+    assert rollup_ingest(spark, store, b0, txn=("app", 0)) == v1
+    assert sorted(tuple(r) for r in rollup_read(spark, store).collect()) == after_second
+
+    # a DIFFERENT writer's ids are tracked independently (its version 0
+    # must not be confused with app's) — and the fold really applies
+    v2 = rollup_ingest(spark, store, b0, txn=("other", 0))
+    assert v2 > v1 and snapshot_properties(spark, store)["txn_other"] == 0
+    doubled = sorted(tuple(r) for r in rollup_read(spark, store).collect())
+    assert doubled != after_second  # b0 folded twice on purpose this time
+
+    with pytest.raises(ValueError):
+        rollup_ingest(spark, store, b1, txn=("", 5))
+    assert snapshot_version(spark, store) == v2

@@ -665,6 +665,26 @@ def test_stream_rollup_ingest_matches_batch(spark, tmp_path):
     got, want = snap(store_s), snap(store_b)
     assert got == want and len(got) > 0
 
+    # the redelivery-dedupe marker rode the last fold's manifest: replay
+    # of the final micro-batch (the exact foreachBatch redelivery shape)
+    # must be a version-preserving no-op
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+    )
+
+    props = snapshot_properties(spark, store_s)
+    last_id = props["txn_stream_rollup_ingest"]
+    assert last_id >= 2
+    v_before = snapshot_version(spark, store_s)
+    rollup_ingest(
+        spark,
+        store_s,
+        base_cols(static).limit(5),
+        txn=("stream_rollup_ingest", last_id),
+    )
+    assert snapshot_version(spark, store_s) == v_before
+    assert snap(store_s) == want
+
 
 def test_interval_join_batch_semantics(spark):
     """Range inclusivity on the numeric (batch-convenience) branch:
