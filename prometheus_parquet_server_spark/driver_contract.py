@@ -1639,8 +1639,11 @@ sh AS (
     FROM toks
 )
 SELECT p.id_a, p.id_b,
-       CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
-            THEN len(list_intersect(x.s, y.s)) / len(list_distinct(list_concat(x.s, y.s)))
+       -- s is list_distinct on both sides, so |A∪B| = |A|+|B|-|A∩B| exactly
+       -- (mirrors the Spark side's union-by-arithmetic; values identical)
+       CASE WHEN len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) > 0
+            THEN len(list_intersect(x.s, y.s))
+                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
             ELSE 0.0 END AS jaccard
 FROM pairs p
 JOIN sh x ON x.doc_id = p.id_a

@@ -249,7 +249,12 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs by word-shingle Jaccard similarity.
 
     ``pairs``: (id_a, id_b). One broadcast-friendly join per side; the
-    set arithmetic stays JVM-side (array_intersect / array_union).
+    set arithmetic stays JVM-side. ``_shingles`` arrays are distinct, so
+    ``|A∪B| = |A| + |B| - |A∩B|`` exactly — computing the union size by
+    arithmetic instead of ``array_union`` skips materializing a merged
+    array per pair (the verify stage evaluates this once per CANDIDATE,
+    and a boilerplate-heavy corpus produces millions of candidates per
+    LSH bucket cap window, so per-pair allocations are the hot loop).
     """
     sh = df.select(
         F.col(id_col).alias("_id"), _shingles(F.col(text_col), shingle_n).alias("_sh")
@@ -257,12 +262,17 @@ def ngram_jaccard_pairs(
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb")
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size(F.array_union("_sha", "_shb"))
-    return joined.select(
+    staged = joined.select(
         "id_a",
         "id_b",
-        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        F.size(F.array_intersect("_sha", "_shb")).alias("_inter"),
+        (F.size("_sha") + F.size("_shb")).alias("_tot"),
+    )
+    union = F.col("_tot") - F.col("_inter")
+    return staged.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
 
 
