@@ -1651,6 +1651,60 @@ JOIN sh y ON y.doc_id = p.id_b
 """
 
 
+_DEDUP_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch exact dedup over the snapshot store
+    (pipeline/dedup_store.dedup_ingest): the documents table is ingested
+    as THREE sequential batches (batch = doc_id % 3, in order), each
+    batch anti-joined against the persisted fingerprint store and its
+    survivors committed. Result = the final store content — which must
+    equal a ONE-SHOT first-occurrence dedup of the whole corpus ordered
+    by (batch, doc_id); the oracle replays that ordering with a window.
+
+    Scale shape: the seen-store never shuffles or broadcasts — membership
+    is store-scan (name column only) LEFT SEMI broadcast(batch keys),
+    then batch LEFT ANTI broadcast(intersection); within-batch winners
+    via one min_by hash aggregate; commits are snapshot_merge first-wins
+    folds (idempotent, txn-markable). See pipeline/dedup_store.py.
+    """
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.dedup_store import dedup_ingest
+    from prometheus_parquet_server_spark.sources.snapshot_store import snapshot_read
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _DEDUP_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='dedup_store_')}/seen"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for b in range(3):
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            dedup_ingest(spark, store, batch).unpersist()
+        _DEDUP_STORE_CACHE[key] = store
+    return snapshot_read(spark, store).select(
+        F.col("name").alias("fp"), "doc_id"
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           doc_id % 3 AS b
+    FROM documents
+    WHERE text IS NOT NULL
+),
+ranked AS (
+    SELECT fp, doc_id,
+           row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+    FROM fp
+)
+SELECT fp, doc_id FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", simhash(F.col("text"), bits=8).alias("simhash"))
@@ -3665,6 +3719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_date_parts": q_promql_date_parts,
     "promql_idelta": q_promql_idelta,
     "promql_time_arith": q_promql_time_arith,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -3761,4 +3816,5 @@ ORACLES: dict[str, str] = {
     "pipeline_curriculum": SQL_PIPELINE_CURRICULUM,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

@@ -1,0 +1,199 @@
+"""Cross-batch exact deduplication backed by the snapshot store.
+
+The batch dedup family (pipeline/dedup.py) answers "which documents in
+THIS corpus are duplicates"; ``dropDuplicatesWithinWatermark``
+(streaming/dedup.py) suppresses copies arriving within a bounded time
+horizon. A continuously-fed training corpus needs the third shape:
+**exact first-occurrence dedup against ALL history** — a new crawl batch
+must be checked against every fingerprint ever ingested, not just the
+watermark window, and the seen-set must survive restarts. The natural
+home for that seen-set is the repo's own table format
+(sources/snapshot_store.py): fingerprints are committed as ``name`` keys,
+so they ride the store's atomic CAS manifests, txn-marker redelivery
+dedupe, compaction and time travel for free.
+
+Scale shape (the part that matters at 100 TB):
+
+- the seen-store scan is **one pass over a single 32-byte column**
+  (``name``), column-pruned at the parquet reader — document text never
+  lives in the store;
+- membership is resolved with TWO broadcast joins and ZERO shuffles of
+  the store: ``store LEFT SEMI broadcast(batch-keys)`` streams the store
+  once and emits only the (≤ batch-sized) intersection, then
+  ``batch LEFT ANTI broadcast(intersection)`` filters the batch
+  map-side. The obvious one-join spelling — ``batch LEFT ANTI store`` —
+  would have to broadcast or shuffle the STORE (the big side); this
+  two-join spelling never moves it;
+- within-batch first-wins is a ``min_by`` hash aggregate (map-side
+  partial combine), not a per-key window sort — a batch containing 10⁸
+  copies of one boilerplate page reduces in parallel instead of sorting
+  one executor's world;
+- the commit is :func:`snapshot_merge` with a first-wins combine, so
+  re-ingesting any batch is a no-op at the ROW level even without txn
+  markers, and ``txn=(app_id, batch_id)`` additionally makes redelivered
+  ``foreachBatch`` micro-batches skip the fold entirely (the Delta
+  txnAppId/txnVersion pattern);
+- a Bloom/cuckoo filter sidecar per manifest would cut the per-batch
+  store scan to near-zero and is the documented next step if the seen-set
+  scan ever dominates (md5 keys are uniform, so min/max name-range
+  pruning cannot help a random batch).
+
+Reference parity: the reference engine has no dedup surface at all
+(SURVEY.md §2.7) — this module is part of the training-data pipeline
+extension the brief asks for, composing fingerprint identity
+(pipeline/text.py fingerprint, shared with dedup_exact_fp and the
+streaming dedup so all three agree on what "same document" means) with
+the store's commit protocol.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from prometheus_parquet_server_spark.pipeline.text import fingerprint
+
+__all__ = ["dedup_ingest", "stream_dedup_ingest"]
+
+
+def _first_wins(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
+    """snapshot_merge combine: keep every existing row (bystanders AND
+    prior owners), admit only update rows whose fingerprint is unseen.
+    Idempotent: replaying a committed batch adds nothing."""
+    if existing is None:
+        return updates
+    return existing.unionByName(
+        updates.join(existing.select("name"), "name", "left_anti")
+    )
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    txn: tuple[str, int] | None = None,
+    on_survivors: Callable[[DataFrame], None] | None = None,
+) -> DataFrame:
+    """Ingest ``batch`` against the fingerprint store at ``store_path``:
+    returns the batch's NEW documents (first occurrence of each content
+    fingerprint, within-batch ties broken by smallest ``id_col``) and
+    commits their fingerprints so later batches see them. Rows with NULL
+    ``text_col`` have no content identity and are dropped (the store
+    rejects NULL names by contract).
+
+    The returned frame carries the batch's original columns (winners
+    only). The store rows are ``(name=fingerprint, ts=0.0, doc_id)`` —
+    ``ts`` is the snapshot store's required clustering key, pinned to a
+    constant because fingerprint identity has no meaningful event time;
+    files therefore cluster purely on the md5 ``name`` axis.
+
+    ``on_survivors`` (optional) is called with the survivor frame AFTER
+    it is computed but BEFORE the fingerprints commit — the hook a
+    streaming sink needs for at-least-once emission: a crash between the
+    emit and the commit replays the batch with the same survivors; a
+    crash after the commit replays it as zero survivors. The store is
+    exactly-once either way (first-wins combine + optional txn marker).
+    """
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    if "_fp" in batch.columns:
+        raise ValueError("dedup_ingest: batch already has a _fp column")
+    keyed = batch.withColumn("_fp", fingerprint(F.col(text_col))).filter(
+        F.col("_fp").isNotNull()
+    )
+    # within-batch first-wins: min_by keeps the whole winner row in ONE
+    # skew-proof hash aggregate (no per-key sort, no second join)
+    payload = [c for c in batch.columns]
+    batch_first = (
+        keyed.groupBy("_fp")
+        .agg(F.min_by(F.struct(*payload), F.col(id_col)).alias("_row"))
+        .select("_fp", "_row.*")
+    )
+
+    if snapshot_version(spark, store_path) is not None:
+        # store scan is name-column-only; both joins broadcast the small side
+        seen = snapshot_read(spark, store_path).select(F.col("name").alias("_fp"))
+        present = seen.join(
+            F.broadcast(batch_first.select("_fp")), "_fp", "left_semi"
+        )
+        new_docs = batch_first.join(F.broadcast(present), "_fp", "left_anti")
+    else:
+        new_docs = batch_first
+    # cached: the emit hook, the commit, and the caller all reuse it (the
+    # caller may unpersist once done; recompute stays version-pinned
+    # because snapshot_read resolved the manifest eagerly above)
+    new_docs = new_docs.cache()
+
+    out = new_docs.drop("_fp")
+    if on_survivors is not None:
+        on_survivors(out)
+
+    commit_rows = new_docs.select(
+        F.col("_fp").alias("name"), F.lit(0.0).alias("ts"), F.col(id_col).alias("doc_id")
+    )
+    # an all-duplicates batch commits nothing (snapshot_merge refuses empty
+    # updates); its redelivery is harmless — recomputed survivors are empty
+    # again and the row-level first-wins combine would add nothing anyway
+    if not commit_rows.isEmpty():
+        snapshot_merge(spark, store_path, commit_rows, _first_wins, txn=txn)
+    return out
+
+
+def stream_dedup_ingest(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming wrapper: each micro-batch's survivors are appended to
+    ``output_path`` (parquet) and their fingerprints committed with
+    ``txn=(app_id, batch_id)``. Emission happens BEFORE the commit (the
+    ``on_survivors`` hook), so the output is at-least-once — a crash
+    between emit and commit replays the batch and re-appends the same
+    survivors — while the STORE stays exactly-once; downstream readers
+    needing exactly-once files dedupe the output by fingerprint, or read
+    the store, which is always clean. A batch id ≤ the store's recorded
+    txn marker is skipped wholesale (committed batch whose streaming
+    offsets were lost: its survivors were already emitted pre-commit)."""
+    app_id = "stream_dedup_ingest"
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from prometheus_parquet_server_spark.sources.snapshot_store import (
+            snapshot_properties,
+            snapshot_version,
+        )
+
+        if snapshot_version(spark, store_path) is not None:
+            recorded = snapshot_properties(spark, store_path).get(f"txn_{app_id}")
+            if recorded is not None and int(batch_id) <= int(recorded):
+                return
+        survivors = dedup_ingest(
+            spark,
+            store_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            txn=(app_id, int(batch_id)),
+            on_survivors=lambda df: df.write.mode("append").parquet(output_path),
+        )
+        survivors.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .start()
+    )
