@@ -1666,8 +1666,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the seen-store never shuffles or broadcasts — membership
     is store-scan (name column only) LEFT SEMI broadcast(batch keys),
     then batch LEFT ANTI broadcast(intersection); within-batch winners
-    via one min_by hash aggregate; commits are snapshot_merge first-wins
-    folds (idempotent, txn-markable). See pipeline/dedup_store.py.
+    via one min_by hash aggregate; commits are PURE APPENDS (first-wins
+    never modifies an existing row, so new fingerprints land as new
+    files and history carries over by manifest reference — O(new) commit
+    cost at any store size). See pipeline/dedup_store.py.
     """
     import tempfile
 

@@ -9,8 +9,8 @@ must be checked against every fingerprint ever ingested, not just the
 watermark window, and the seen-set must survive restarts. The natural
 home for that seen-set is the repo's own table format
 (sources/snapshot_store.py): fingerprints are committed as ``name`` keys,
-so they ride the store's atomic CAS manifests, txn-marker redelivery
-dedupe, compaction and time travel for free.
+so they ride the store's atomic CAS manifests, compaction and time travel
+for free.
 
 Scale shape (the part that matters at 100 TB):
 
@@ -22,17 +22,28 @@ Scale shape (the part that matters at 100 TB):
   once and emits only the (≤ batch-sized) intersection, then
   ``batch LEFT ANTI broadcast(intersection)`` filters the batch
   map-side. The obvious one-join spelling — ``batch LEFT ANTI store`` —
-  would have to broadcast or shuffle the STORE (the big side); this
-  two-join spelling never moves it;
+  must shuffle (or broadcast) the STORE side; on local[32] that shuffle
+  is cheap enough to win at tens of millions of keys
+  (scripts/stress_dedup_store.py records both honestly), but it moves
+  the ENTIRE seen-set over the network per batch, which is the cost
+  that explodes at a billion keys on a real cluster — the broadcast
+  shape's store-side Exchange count is 0 by construction;
 - within-batch first-wins is a ``min_by`` hash aggregate (map-side
   partial combine), not a per-key window sort — a batch containing 10⁸
   copies of one boilerplate page reduces in parallel instead of sorting
   one executor's world;
-- the commit is :func:`snapshot_merge` with a first-wins combine, so
-  re-ingesting any batch is a no-op at the ROW level even without txn
-  markers, and ``txn=(app_id, batch_id)`` additionally makes redelivered
-  ``foreachBatch`` micro-batches skip the fold entirely (the Delta
-  txnAppId/txnVersion pattern);
+- the commit is a pure **append**: first-wins never modifies an existing
+  row, so new fingerprints land as new files via ``snapshot_write`` and
+  old files carry over by manifest reference. (A ``snapshot_merge`` fold
+  was measured and rejected: merge rewrites every name-range-intersecting
+  file, and uniform md5 keys intersect EVERYTHING — each batch rewrote
+  the whole store, 30.9 s at 20 M keys and unbounded at scale. The
+  append commit is O(new fingerprints) regardless of store size.);
+- replay safety needs no txn marker: a redelivered batch recomputes its
+  survivors against a store that already contains them, gets an empty
+  frame, emits nothing and appends nothing. Single writer per store
+  (Structured Streaming's model); concurrent writers could both admit
+  the same fingerprint — the same caveat the merge path had;
 - a Bloom/cuckoo filter sidecar per manifest would cut the per-batch
   store scan to near-zero and is the documented next step if the seen-set
   scan ever dominates (md5 keys are uniform, so min/max name-range
@@ -59,30 +70,18 @@ from prometheus_parquet_server_spark.pipeline.text import fingerprint
 __all__ = ["dedup_ingest", "stream_dedup_ingest"]
 
 
-def _first_wins(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
-    """snapshot_merge combine: keep every existing row (bystanders AND
-    prior owners), admit only update rows whose fingerprint is unseen.
-    Idempotent: replaying a committed batch adds nothing."""
-    if existing is None:
-        return updates
-    return existing.unionByName(
-        updates.join(existing.select("name"), "name", "left_anti")
-    )
-
-
 def dedup_ingest(
     spark: SparkSession,
     store_path: str,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    txn: tuple[str, int] | None = None,
     on_survivors: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Ingest ``batch`` against the fingerprint store at ``store_path``:
     returns the batch's NEW documents (first occurrence of each content
     fingerprint, within-batch ties broken by smallest ``id_col``) and
-    commits their fingerprints so later batches see them. Rows with NULL
+    appends their fingerprints so later batches see them. Rows with NULL
     ``text_col`` have no content identity and are dropped (the store
     rejects NULL names by contract).
 
@@ -96,13 +95,14 @@ def dedup_ingest(
     it is computed but BEFORE the fingerprints commit — the hook a
     streaming sink needs for at-least-once emission: a crash between the
     emit and the commit replays the batch with the same survivors; a
-    crash after the commit replays it as zero survivors. The store is
-    exactly-once either way (first-wins combine + optional txn marker).
+    crash after the commit replays it as zero survivors (the recomputed
+    anti-join filters everything). The store is exactly-once either way
+    under the single-writer model.
     """
     from prometheus_parquet_server_spark.sources.snapshot_store import (
-        snapshot_merge,
         snapshot_read,
         snapshot_version,
+        snapshot_write,
     )
 
     if "_fp" in batch.columns:
@@ -140,11 +140,11 @@ def dedup_ingest(
     commit_rows = new_docs.select(
         F.col("_fp").alias("name"), F.lit(0.0).alias("ts"), F.col(id_col).alias("doc_id")
     )
-    # an all-duplicates batch commits nothing (snapshot_merge refuses empty
-    # updates); its redelivery is harmless — recomputed survivors are empty
-    # again and the row-level first-wins combine would add nothing anyway
+    # pure append: first-wins never touches an existing row, so the commit
+    # cost is O(new fingerprints) — never a rewrite of intersecting files.
+    # An all-duplicates batch commits nothing at all.
     if not commit_rows.isEmpty():
-        snapshot_merge(spark, store_path, commit_rows, _first_wins, txn=txn)
+        snapshot_write(spark, store_path, commit_rows, mode="append")
     return out
 
 
@@ -157,36 +157,24 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch's survivors are appended to
-    ``output_path`` (parquet) and their fingerprints committed with
-    ``txn=(app_id, batch_id)``. Emission happens BEFORE the commit (the
-    ``on_survivors`` hook), so the output is at-least-once — a crash
-    between emit and commit replays the batch and re-appends the same
-    survivors — while the STORE stays exactly-once; downstream readers
-    needing exactly-once files dedupe the output by fingerprint, or read
-    the store, which is always clean. A batch id ≤ the store's recorded
-    txn marker is skipped wholesale (committed batch whose streaming
-    offsets were lost: its survivors were already emitted pre-commit)."""
-    app_id = "stream_dedup_ingest"
+    ``output_path`` (parquet) and their fingerprints committed. Emission
+    happens BEFORE the commit (the ``on_survivors`` hook), so the output
+    is at-least-once — a crash between emit and commit replays the batch
+    and re-appends the same survivors — while the STORE stays
+    exactly-once; a batch redelivered AFTER its commit recomputes empty
+    survivors, so it emits nothing and appends nothing. Downstream
+    readers needing exactly-once files dedupe the output by fingerprint,
+    or read the store, which is always clean."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from prometheus_parquet_server_spark.sources.snapshot_store import (
-            snapshot_properties,
-            snapshot_version,
-        )
-
-        if snapshot_version(spark, store_path) is not None:
-            recorded = snapshot_properties(spark, store_path).get(f"txn_{app_id}")
-            if recorded is not None and int(batch_id) <= int(recorded):
-                return
         survivors = dedup_ingest(
             spark,
             store_path,
             batch_df,
             text_col=text_col,
             id_col=id_col,
-            txn=(app_id, int(batch_id)),
             on_survivors=lambda df: df.write.mode("append").parquet(output_path),
         )
         survivors.unpersist()

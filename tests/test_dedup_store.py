@@ -4,7 +4,7 @@ Contract under test: N sequential ``dedup_ingest`` batches produce exactly
 the first-occurrence survivors a ONE-SHOT dedup of the concatenated corpus
 would (ordered by batch, then id), the seen-store equals the union of the
 emitted survivors' fingerprints, replays are no-ops, and the streaming
-wrapper drains a corpus with per-batch txn markers.
+wrapper drains a corpus batch-by-batch with pure-append commits.
 """
 
 from __future__ import annotations
@@ -19,7 +19,6 @@ from prometheus_parquet_server_spark.pipeline.dedup_store import (
 from prometheus_parquet_server_spark.pipeline.text import fingerprint
 from prometheus_parquet_server_spark.sources.snapshot_store import (
     snapshot_read,
-    snapshot_properties,
     snapshot_version,
 )
 
@@ -76,17 +75,33 @@ def test_replayed_batch_emits_nothing_and_commits_nothing(spark, tmp_path):
     assert snapshot_version(spark, store) == v1
 
 
-def test_txn_marker_skips_fold_but_rows_idempotent_anyway(spark, tmp_path):
+def test_commits_are_pure_appends_never_rewrites(spark, tmp_path):
+    """The scale contract snapshot_merge could not give: every ingest's
+    manifest carries ALL prior data files BY REFERENCE (no file of the
+    previous manifest disappears or is rewritten) and adds only new
+    files — commit cost O(new fingerprints) regardless of store size."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _read_manifest,
+        _resolve_tip,
+    )
+
     store = f"file://{tmp_path}/seen"
-    b1 = docs(spark, [(1, "one"), (2, "two")])
-    b2 = docs(spark, [(3, "two"), (4, "three")])
-    dedup_ingest(spark, store, b1, txn=("app", 0))
-    dedup_ingest(spark, store, b2, txn=("app", 1))
-    assert snapshot_properties(spark, store)["txn_app"] == 1
-    # redelivery of b2 under the same txn: survivors recompute empty (store
-    # already has both fps), so no merge is attempted; store unchanged
+    dedup_ingest(spark, store, docs(spark, [(1, "one"), (2, "two")]))
+    fs = _StoreFS(spark, store)
+    v1, m1 = _resolve_tip(fs, store)
+    files_v1 = {f["path"] for f in m1["files"]}
+
+    dedup_ingest(spark, store, docs(spark, [(3, "two"), (4, "three")]))
+    v2, m2 = _resolve_tip(fs, store)
+    files_v2 = {f["path"] for f in m2["files"]}
+    assert v2 > v1
+    assert files_v1 <= files_v2, "append rewrote or dropped a prior file"
+    assert len(files_v2) > len(files_v1)
+
+    # redelivery: survivors recompute empty, nothing commits
     v = snapshot_version(spark, store)
-    out = dedup_ingest(spark, store, b2, txn=("app", 1))
+    out = dedup_ingest(spark, store, docs(spark, [(3, "two"), (4, "three")]))
     assert out.count() == 0
     assert snapshot_version(spark, store) == v
 
@@ -163,8 +178,5 @@ def test_stream_dedup_ingest_drains_and_marks_batches(spark, tmp_path):
     survivors = spark.read.parquet(out_dir)
     ids = sorted(r["doc_id"] for r in survivors.collect())
     assert ids == [1, 2, 4]
-    # per-batch txn markers recorded (two non-empty batches → marker ≥ 1)
-    props = snapshot_properties(spark, store)
-    assert int(props["txn_stream_dedup_ingest"]) >= 1
     # store equals emitted fingerprint set
     assert snapshot_read(spark, store).count() == 3
