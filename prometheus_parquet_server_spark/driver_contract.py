@@ -2177,6 +2177,73 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_CENTROIDS = 8
+_SEMDEDUP_TAU = 0.3
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (pipeline/similarity.semantic_dedup):
+    k-means cells (iterations=0 → centroids = lowest-id vectors, fully
+    SQL-replayable), within-cell pairwise cosine, drop any doc with an
+    above-τ smaller-id neighbor in its cell. τ=0.3 because the synthetic
+    embeddings are near-orthogonal random vectors (same reasoning as
+    dedup_embedding's 0.35) — the oracle replays cells, pairs and the
+    greedy keep-lowest-id policy exactly.
+
+    Scale shape: assignment = one Arrow matmul pass (no shuffle); pairing
+    shuffles on cell, quadratic only within a cell (n_centroids is the
+    scaling knob; max_cell caps boilerplate cells like max_bucket)."""
+    from prometheus_parquet_server_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb,
+        threshold=_SEMDEDUP_TAU,
+        n_centroids=_SEMDEDUP_CENTROIDS,
+        kmeans_iterations=0,
+        dim=_ND_DIM,
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           embedding::DOUBLE[] AS cvec
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_SEMDEDUP_CENTROIDS})
+),
+sims AS (
+    -- ROUND(sim, 9) mirrors the engine's centroid kernel (ivf_topk contract)
+    SELECT e.vec_id, c.cid,
+           ROUND(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+                THEN list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)))
+                ELSE 0 END, 9) AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+    SELECT vec_id, cid AS cell FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+),
+pairs AS (
+    SELECT ca.vec_id AS id_a,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS s
+    FROM cells ca
+    JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id > cb.vec_id
+    JOIN embeddings a ON a.vec_id = ca.vec_id
+    JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+dups AS (SELECT DISTINCT id_a FROM pairs WHERE s >= {_SEMDEDUP_TAU})
+SELECT c.vec_id, c.cell, (d.id_a IS NULL) AS kept
+FROM cells c LEFT JOIN dups d ON d.id_a = c.vec_id
+"""
+
+
 SQL_IVF_TOPK = f"""
 WITH cent AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -3722,6 +3789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_idelta": q_promql_idelta,
     "promql_time_arith": q_promql_time_arith,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLES: dict[str, str] = {
@@ -3819,4 +3887,5 @@ ORACLES: dict[str, str] = {
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
 }

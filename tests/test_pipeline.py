@@ -719,3 +719,50 @@ def test_hash_embed_composes_with_cosine_topk(spark):
 
     with _pytest.raises(ValueError, match="dim"):
         hash_embed(docs, dim=0)
+
+
+def test_semantic_dedup_drops_in_cell_near_dups_keeps_lowest_id(spark):
+    """SemDeDup policy: a planted group of (near-)identical vectors lands
+    in one cell; only the lowest id survives. An orthogonal vector in a
+    different cell is untouched. iterations=0 → centroids are the lowest-
+    id vectors, so the planted geometry is fully deterministic."""
+    from prometheus_parquet_server_spark.pipeline.similarity import semantic_dedup
+
+    dim = 4
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]  # cos with e1 ≈ 0.99995
+    rows = [(0, e1), (1, e2), (2, near), (3, near), (4, [0.0, 0.99, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.95, n_centroids=2, kmeans_iterations=0, dim=dim
+    )
+    got = {r["vec_id"]: (r["cell"], r["kept"]) for r in out.collect()}
+    assert len(got) == 5
+    # e1-cell: 0 kept; 2 and 3 are dup of 0 (and of each other) → dropped
+    assert got[0][1] is True
+    assert got[2][1] is False and got[3][1] is False
+    assert got[2][0] == got[0][0] == got[3][0]
+    # e2-cell: 1 kept; 4 has cos≈0.995 with 1 → dropped at τ=0.95
+    assert got[1][1] is True and got[4][1] is False
+    assert got[4][0] == got[1][0]
+
+
+def test_semantic_dedup_max_cell_excludes_big_cells_from_pairing(spark):
+    from prometheus_parquet_server_spark.pipeline.similarity import semantic_dedup
+
+    # 6 identical vectors → one cell of 6; with max_cell=4 the cell is
+    # never paired, so ALL are conservatively kept
+    rows = [(i, [1.0, 0.0]) for i in range(6)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.9, n_centroids=2, kmeans_iterations=0, dim=2, max_cell=4
+    )
+    kept = {r["vec_id"] for r in out.collect() if r["kept"]}
+    assert kept == {0, 1, 2, 3, 4, 5, 10}
+    # without the cap, only the lowest id of the big cell survives
+    out2 = semantic_dedup(
+        df, threshold=0.9, n_centroids=2, kmeans_iterations=0, dim=2
+    )
+    kept2 = {r["vec_id"] for r in out2.collect() if r["kept"]}
+    assert kept2 == {0, 10}
