@@ -2227,16 +2227,26 @@ cells AS (
     SELECT vec_id, cid AS cell FROM sims
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
 ),
+normed AS (
+    -- unit vectors once per row, mirroring the engine's unit_vector hot
+    -- loop (zero vectors -> all-zero nv there, NULL here: both sides land
+    -- on "not a duplicate", the only observable outcome)
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+                THEN list_transform(
+                    embedding::DOUBLE[],
+                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                ELSE NULL
+           END AS nv
+    FROM embeddings
+),
 pairs AS (
     SELECT ca.vec_id AS id_a,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS s
+           ROUND(list_dot_product(a.nv, b.nv), 6) AS s
     FROM cells ca
     JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id > cb.vec_id
-    JOIN embeddings a ON a.vec_id = ca.vec_id
-    JOIN embeddings b ON b.vec_id = cb.vec_id
+    JOIN normed a ON a.vec_id = ca.vec_id
+    JOIN normed b ON b.vec_id = cb.vec_id
 ),
 dups AS (SELECT DISTINCT id_a FROM pairs WHERE s >= {_SEMDEDUP_TAU})
 SELECT c.vec_id, c.cell, (d.id_a IS NULL) AS kept

@@ -111,12 +111,16 @@ def dedup_ingest(
         F.col("_fp").isNotNull()
     )
     # within-batch first-wins: min_by keeps the whole winner row in ONE
-    # skew-proof hash aggregate (no per-key sort, no second join)
+    # skew-proof hash aggregate (no per-key sort, no second join). Cached:
+    # its subtree feeds BOTH membership joins (the broadcast key frame and
+    # the anti-join left side), and column pruning makes the two exchanges
+    # non-identical so ReuseExchange cannot dedupe them.
     payload = [c for c in batch.columns]
     batch_first = (
         keyed.groupBy("_fp")
         .agg(F.min_by(F.struct(*payload), F.col(id_col)).alias("_row"))
         .select("_fp", "_row.*")
+        .cache()
     )
 
     if snapshot_version(spark, store_path) is not None:
@@ -128,23 +132,30 @@ def dedup_ingest(
         new_docs = batch_first.join(F.broadcast(present), "_fp", "left_anti")
     else:
         new_docs = batch_first
-    # cached: the emit hook, the commit, and the caller all reuse it (the
-    # caller may unpersist once done; recompute stays version-pinned
-    # because snapshot_read resolved the manifest eagerly above)
-    new_docs = new_docs.cache()
-
-    out = new_docs.drop("_fp")
+    # the RETURNED frame is the cached one, so a caller's .unpersist()
+    # actually releases it (caching an internal frame and returning a
+    # projection would leak: CacheManager matches by plan identity).
+    # Recompute after the caller unpersists stays version-pinned because
+    # snapshot_read resolved the manifest file list eagerly above.
+    out = new_docs.drop("_fp").cache()
     if on_survivors is not None:
         on_survivors(out)
 
-    commit_rows = new_docs.select(
-        F.col("_fp").alias("name"), F.lit(0.0).alias("ts"), F.col(id_col).alias("doc_id")
+    # fingerprints recompute from the cached survivors (a cheap md5 per
+    # NEW doc) so the commit rides `out`'s cache, not the join plan
+    commit_rows = out.select(
+        fingerprint(F.col(text_col)).alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("doc_id"),
     )
     # pure append: first-wins never touches an existing row, so the commit
     # cost is O(new fingerprints) — never a rewrite of intersecting files.
     # An all-duplicates batch commits nothing at all.
     if not commit_rows.isEmpty():
         snapshot_write(spark, store_path, commit_rows, mode="append")
+    else:
+        out.count()  # populate out's cache fully before dropping batch_first
+    batch_first.unpersist()
     return out
 
 

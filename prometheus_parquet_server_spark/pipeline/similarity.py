@@ -725,7 +725,12 @@ def semantic_dedup(
     )
     assigned = corpus.withColumn(
         "cell", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]
-    )
+    ).withColumn("_nv", unit_vector(F.col(vec_col)))
+    # assigned is referenced three times (both pair sides + the kept-flag
+    # join): localCheckpoint materializes the Arrow assignment pass ONCE
+    # and truncates lineage; blocks free when the frame is GC'd — no
+    # caller-side unpersist contract needed
+    assigned = assigned.localCheckpoint(eager=True)
     pairable = assigned
     if max_cell is not None:
         w = Window.partitionBy("cell")
@@ -734,13 +739,16 @@ def semantic_dedup(
             .filter(F.col("_cn") <= max_cell)
             .drop("_cn")
         )
+    # vectors were L2-normalized ONCE per row above, so the quadratic
+    # in-cell loop is a single dot-product fold per pair (the unit_vector
+    # hot-loop contract; zero vectors normalize to all-zeros → dot 0 < τ)
     a = pairable.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
+        F.col(id_col).alias("_ida"), F.col("_nv").alias("_va"), "cell"
     )
     b = pairable.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cell"
+        F.col(id_col).alias("_idb"), F.col("_nv").alias("_vb"), "cell"
     )
-    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
     dups = (
         a.join(b, "cell")
         .filter(F.col("_ida") > F.col("_idb"))

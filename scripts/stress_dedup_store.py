@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark import get_spark
 from prometheus_parquet_server_spark.pipeline.dedup_store import dedup_ingest
+from prometheus_parquet_server_spark.pipeline.text import fingerprint
 from prometheus_parquet_server_spark.sources.snapshot_store import (
     snapshot_read,
     snapshot_write,
@@ -73,10 +74,10 @@ def main() -> None:
     batch = batch.cache()
     batch.count()
 
-    # membership-only, implemented shape (the two broadcast joins, no commit)
-    keyed = batch.withColumn(
-        "_fp", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")))
-    )
+    # membership-only, implemented shape (the two broadcast joins, no
+    # commit) — keys via the REAL fingerprint() so the stress can never
+    # drift from what dedup_ingest actually stores
+    keyed = batch.withColumn("_fp", fingerprint(F.col("text")))
     seen_pre = snapshot_read(spark, store).select(F.col("name").alias("_fp"))
     present = seen_pre.join(F.broadcast(keyed.select("_fp")), "_fp", "left_semi")
     member_impl = keyed.join(F.broadcast(present), "_fp", "left_anti")
@@ -104,9 +105,9 @@ def main() -> None:
     n_new = out.count()
     t_impl = time.time() - t0
 
-    seen = snapshot_read(spark, store).select(
-        F.col("name").alias("_fp")
-    )
+    # post-ingest invariant: the store grew by exactly the new fingerprints
+    n_store = snapshot_read(spark, store).count()
+    assert n_store == n_seen + (n_batch - half), (n_store, n_seen, n_batch)
     print(
         json.dumps(
             {

@@ -129,12 +129,6 @@ def test_membership_joins_broadcast_and_store_scan_is_name_only(spark, tmp_path)
     store = f"file://{tmp_path}/seen"
     dedup_ingest(spark, store, docs(spark, [(1, "a"), (2, "b")]))
 
-    from prometheus_parquet_server_spark.sources.snapshot_store import (
-        snapshot_merge,
-        snapshot_read,
-        snapshot_version,
-    )
-
     b2 = docs(spark, [(3, "a"), (4, "c")])
     out = dedup_ingest(spark, store, b2)
     assert {r["doc_id"] for r in out.collect()} == {4}
