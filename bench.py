@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     # round-7 additions (same extend-don't-replace caveat)
     "dedup_jaccard",
     "sketch_heavy_hitters",
+    "dedup_semantic",
 ]
 
 
