@@ -486,6 +486,13 @@ def kmeans_centroids(
     (spherical k-means — cosine assignment needs unit centroids, and k rows
     is a legitimate collect boundary). Empty cells keep their previous
     centroid.
+
+    "Deterministic" is made literal with the house exact-aggregation
+    pattern: per-dimension means sum in DECIMAL(38,18) (order-free —
+    a float ``avg`` varies in its last ulps with shuffle placement, and
+    a boundary vector could then flip cells run-to-run). Non-finite
+    embedding components would cast to decimal NULL and silently skew a
+    mean, so they are rejected loudly instead.
     """
     import math
 
@@ -497,19 +504,30 @@ def kmeans_centroids(
     for _ in range(max(0, iterations)):
         nearest = centroid_cells_udf(centroids, 1)
         assigned = corpus.withColumn("cell", nearest(F.col(vec_col))[0])
+        sums = []
+        for i in range(dim):
+            c = F.col(vec_col)[i].cast("double")
+            dec = c.cast("decimal(38,18)")
+            # non-finite (and out-of-range) doubles cast to decimal NULL;
+            # count them so dirty input fails instead of skewing the mean
+            sums.append(F.sum(dec).alias(f"c{i}"))
+            sums.append(
+                F.count(F.when(c.isNotNull() & dec.isNull(), 1)).alias(f"bad{i}")
+            )
         rows = (
             assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(F.count(F.lit(1)).alias("_n"), *sums)
             .collect()
         )
+        if any(r[f"bad{i}"] for r in rows for i in range(dim)):
+            raise ValueError(
+                "kmeans_centroids: non-finite embedding component — clean "
+                "the corpus before clustering"
+            )
         new = {}
         for r in rows:
-            mean = [r[f"c{i}"] for i in range(dim)]
+            # exact decimal sum / count → float mean (one rounding, at the end)
+            mean = [float(r[f"c{i}"] or 0) / r["_n"] for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in mean))
             new[r["cell"]] = [x / norm for x in mean] if norm > 0 else mean
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]
