@@ -2254,6 +2254,43 @@ FROM cells c LEFT JOIN dups d ON d.id_a = c.vec_id
 """
 
 
+_IVF_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF search (pipeline/ann_store): the index is BUILT once
+    into a snapshot store — cells as the name axis, centroids as pruned
+    `_centroid` data rows — and searched through manifest-level file
+    pruning (only probed cells' files open). Same params as ivf_topk and
+    the SAME oracle SQL: the store round-trip must be invisible in the
+    hash, proving build→prune→search is semantics-preserving."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.ann_store import (
+        ivf_build,
+        ivf_search,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _IVF_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='ivf_store_')}/index"
+        ivf_build(
+            spark,
+            store,
+            emb,
+            n_centroids=_IVF_CENTROIDS,
+            kmeans_iterations=0,
+            dim=_ND_DIM,
+        )
+        _IVF_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_search(spark, store, probes, k=_IVF_K, n_probe=_IVF_NPROBE)
+
+
 SQL_IVF_TOPK = f"""
 WITH cent AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -3800,6 +3837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_time_arith": q_promql_time_arith,
     "dedup_incremental": q_dedup_incremental,
     "dedup_semantic": q_dedup_semantic,
+    "ivf_store_topk": q_ivf_store_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3898,4 +3936,5 @@ ORACLES: dict[str, str] = {
     "emb_knn_label": SQL_EMB_KNN_LABEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
+    "ivf_store_topk": SQL_IVF_TOPK,
 }

@@ -1,0 +1,161 @@
+"""Persisted IVF index on the snapshot store: build once, search many.
+
+:func:`pipeline.similarity.ivf_topk` recomputes centroids and cell
+assignments on every call — right for one-shot queries, wasteful for the
+production shape where one corpus serves many probe batches. This module
+persists the index in the repo's own table format
+(sources/snapshot_store.py) so the two flagship subsystems compose:
+
+- **cells are the ``name`` axis**: every corpus vector is written under
+  ``name = "cell=NNNN"``, and ``_write_data_files`` range-clusters files
+  by name — so the per-file min/max name ranges in the manifest make
+  "read only the probed cells" a DRIVER-SIDE file-pruning decision, the
+  same machinery that prunes metric selectors (snapshot_select). A probe
+  batch touching ``n_probe`` of ``n_centroids`` cells plans a scan over
+  roughly that fraction of the index files — before any footer opens;
+- **centroids are data, not metadata**: k rows under the reserved name
+  ``_centroid`` (sorts apart from the cells, prunes to its own file
+  neighborhood). Keeping them in the data plane means rebuild is a plain
+  ``snapshot_write(mode="overwrite")``, time travel serves "search
+  yesterday's index" for free, and nothing oversized rides the manifest;
+- the index inherits the store's whole lifecycle: atomic CAS commits,
+  compaction, vacuum, version/as-of reads.
+
+Determinism: build with ``kmeans_iterations=0`` is fully replayable
+(centroids = lowest-id vectors — the ivf_topk graded contract); Lloyd
+rounds are order-insensitive too since kmeans_centroids sums in decimal.
+
+Reference parity: the reference has no vector surface (SURVEY.md §2.7);
+this is the training-pipeline extension's ANN path made index-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.similarity import (
+    centroid_cells_udf,
+    cosine_similarity_col,
+    kmeans_centroids,
+)
+
+__all__ = ["ivf_build", "ivf_search"]
+
+#: reserved name for centroid rows — never a legal cell name
+CENTROID_NAME = "_centroid"
+
+
+def _cell_name(cell_col):
+    return F.format_string("cell=%04d", cell_col)
+
+
+def ivf_build(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    kmeans_iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Build (or REBUILD — overwrite commit) the IVF index for ``corpus``
+    at ``store_path``. Returns the committed snapshot version.
+
+    Store rows: ``(name, ts=0.0, vec_id, embedding)`` where name is
+    ``cell=NNNN`` for corpus vectors and ``_centroid`` for the k centroid
+    rows (vec_id = centroid id). One Arrow matmul pass assigns cells; the
+    write range-clusters by name so each cell's vectors land in
+    name-contiguous files with tight manifest ranges.
+    """
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    if n_centroids > 9999:
+        raise ValueError("ivf_build: cell names are %04d — n_centroids ≤ 9999")
+    centroids = kmeans_centroids(
+        corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
+    )
+    assigned = corpus.select(
+        _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]).alias(
+            "name"
+        ),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cent_rows = spark.createDataFrame(
+        [(CENTROID_NAME, 0.0, i, c) for i, c in enumerate(centroids)],
+        "name string, ts double, vec_id long, embedding array<double>",
+    )
+    return snapshot_write(
+        spark, store_path, assigned.unionByName(cent_rows), mode="overwrite"
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    store_path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    version: int | None = None,
+) -> DataFrame:
+    """Search the persisted index: centroids load from their pruned
+    ``_centroid`` slice (k tiny rows), each probe explodes to its
+    ``n_probe`` best cells, and the corpus scan is manifest-pruned to the
+    UNION of probed cells — unprobed cells' files never open. Scoring and
+    ranking match :func:`pipeline.similarity.ivf_topk` exactly
+    (ROUND(cosine, 6), ties by neighbor id). ``version`` searches an
+    older index snapshot (time travel).
+    """
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    cent_rows = (
+        snapshot_read(spark, store_path, version=version, names=[CENTROID_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        raise FileNotFoundError(f"no IVF index (no {CENTROID_NAME} rows) at {store_path}")
+    centroids = [list(r["embedding"]) for r in cent_rows]
+
+    p = (
+        probes.withColumn(
+            "_cell",
+            F.explode(centroid_cells_udf(centroids, n_probe)(F.col(probe_vec_col))),
+        )
+        .withColumn("name", _cell_name(F.col("_cell")))
+        .drop("_cell")
+    )
+    # the probed-cell union is ≤ n_centroids values — a legal driver round
+    # trip that buys manifest-level file pruning on the big side
+    probed = sorted(
+        r["name"] for r in p.select("name").distinct().collect()
+    )
+    corpus = snapshot_read(
+        spark, store_path, version=version, names=probed
+    ).select("name", F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    sim = cosine_similarity_col(F.col(probe_vec_col), F.col("embedding"))
+    scored = (
+        corpus.join(F.broadcast(p), "name")
+        .filter(F.col(probe_id_col) != F.col("neighbor_id"))
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -1,0 +1,128 @@
+"""Persisted IVF index on the snapshot store (pipeline/ann_store).
+
+Contracts: search-through-the-store returns EXACTLY what the direct
+ivf_topk computation returns (same params, same rounding, same ties); the
+probe path opens only the probed cells' files (manifest pruning does the
+work); rebuild is an overwrite commit and time travel serves the old
+index.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from prometheus_parquet_server_spark.pipeline.ann_store import (
+    CENTROID_NAME,
+    ivf_build,
+    ivf_search,
+)
+from prometheus_parquet_server_spark.pipeline.similarity import ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _probes(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def test_store_search_equals_direct_ivf(spark, tmp_path):
+    emb = _emb(spark)
+    store = f"file://{tmp_path}/index"
+    ivf_build(spark, store, emb, n_centroids=8, kmeans_iterations=0, dim=64)
+    got = ivf_search(spark, store, _probes(emb), k=5, n_probe=3)
+    want = ivf_topk(
+        emb, _probes(emb), k=5, n_centroids=8, n_probe=3,
+        kmeans_iterations=0, dim=64,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 15
+
+
+def test_search_prunes_to_probed_cells(spark, tmp_path):
+    """The corpus scan's file list (manifest names-pruning) must be a
+    strict subset of the index files when n_probe < n_centroids."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _name_overlaps,
+        _resolve_tip,
+    )
+
+    emb = _emb(spark)
+    store = f"file://{tmp_path}/index"
+    # at test scale AQE coalesces the range shuffle to ONE file and there
+    # is nothing to prune; disable coalescing for the build so the layout
+    # has the many name-clustered files a real corpus produces
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        ivf_build(spark, store, emb, n_centroids=8, kmeans_iterations=0, dim=64)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    fs = _StoreFS(spark, store)
+    _, m = _resolve_tip(fs, store)
+    files = m["files"]
+    assert len(files) > 2, "need several files for pruning to mean anything"
+
+    one = _probes(emb).limit(1)
+    out = ivf_search(spark, store, one, k=5, n_probe=1)
+    assert out.count() == 5
+    # recompute the pruning decision the search made: 1 probe × 1 cell
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        centroid_cells_udf,
+    )
+
+    cents = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id").limit(8).collect()
+    )
+    centroids = [list(r["embedding"]) for r in cents]
+    cell = one.withColumn(
+        "c", centroid_cells_udf(centroids, 1)(F.col("probe_vec"))[0]
+    ).collect()[0]["c"]
+    probed = [f"cell={cell:04d}"]
+    touched = [f for f in files if _name_overlaps(f, probed)]
+    assert 0 < len(touched) < len(files)
+
+
+def test_rebuild_overwrites_and_time_travel_serves_old_index(spark, tmp_path):
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    emb = _emb(spark)
+    store = f"file://{tmp_path}/index"
+    v1 = ivf_build(spark, store, emb, n_centroids=4, kmeans_iterations=0, dim=64)
+    r1 = sorted(map(tuple, ivf_search(spark, store, _probes(emb), k=3).collect()))
+
+    v2 = ivf_build(spark, store, emb, n_centroids=8, kmeans_iterations=0, dim=64)
+    assert v2 > v1
+    # tip index has 8 centroids; the v1 snapshot still has 4
+    assert (
+        snapshot_read(spark, store, names=[CENTROID_NAME])
+        .filter(F.col("name") == CENTROID_NAME).count() == 8
+    )
+    assert (
+        snapshot_read(spark, store, version=v1, names=[CENTROID_NAME])
+        .filter(F.col("name") == CENTROID_NAME).count() == 4
+    )
+    # time-travel search reproduces the v1 results exactly
+    r1_again = sorted(
+        map(tuple, ivf_search(spark, store, _probes(emb), k=3, version=v1).collect())
+    )
+    assert r1_again == r1
+
+
+def test_search_without_index_raises(spark, tmp_path):
+    import pytest
+
+    emb = _emb(spark)
+    store = f"file://{tmp_path}/empty"
+    with pytest.raises(FileNotFoundError):
+        ivf_search(spark, store, _probes(emb))
