@@ -166,6 +166,7 @@ def stream_dedup_ingest(
     output_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = 64,
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch's survivors are appended to
     ``output_path`` (parquet) and their fingerprints committed. Emission
@@ -175,7 +176,15 @@ def stream_dedup_ingest(
     exactly-once; a batch redelivered AFTER its commit recomputes empty
     survivors, so it emits nothing and appends nothing. Downstream
     readers needing exactly-once files dedupe the output by fingerprint,
-    or read the store, which is always clean."""
+    or read the store, which is always clean.
+
+    ``compact_every``: the flip side of pure-append commits is one small
+    file per batch — after 10⁵ micro-batches the membership scan is
+    10⁵ footer opens. Every ``compact_every``-th batch therefore runs
+    :func:`snapshot_compact` (size-aware: rewrites only the small-file
+    debt, never the whole store; identical rows, time travel unaffected)
+    so the file count stays ~O(store bytes / target file size) instead of
+    O(batches). None disables (caller owns maintenance)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -189,6 +198,12 @@ def stream_dedup_ingest(
             on_survivors=lambda df: df.write.mode("append").parquet(output_path),
         )
         survivors.unpersist()
+        if compact_every is not None and (int(batch_id) + 1) % compact_every == 0:
+            from prometheus_parquet_server_spark.sources.snapshot_store import (
+                snapshot_compact,
+            )
+
+            snapshot_compact(spark, store_path)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)

@@ -174,3 +174,40 @@ def test_stream_dedup_ingest_drains_and_marks_batches(spark, tmp_path):
     assert ids == [1, 2, 4]
     # store equals emitted fingerprint set
     assert snapshot_read(spark, store).count() == 3
+
+
+def test_stream_compaction_preserves_membership(spark, tmp_path):
+    """compact_every=1 compacts after every batch; membership semantics
+    must be unchanged (the compacted store still filters dups) and the
+    file count must not grow one-per-batch."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _resolve_tip,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([[(1, "x"), (2, "y")], [(3, "x"), (4, "z")], [(5, "z"), (6, "q")]]):
+        docs(spark, rows).coalesce(1).write.parquet(f"file://{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"file://{src}/*")
+    )
+    store = f"file://{tmp_path}/seen"
+    q = stream_dedup_ingest(
+        stream, spark, store, f"file://{tmp_path}/clean", compact_every=1
+    )
+    q.awaitTermination(120)
+
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"file://{tmp_path}/clean").collect()
+    )
+    assert ids == [1, 2, 4, 6]
+    assert snapshot_read(spark, store).count() == 4
+    fs = _StoreFS(spark, store)
+    _, m = _resolve_tip(fs, store)
+    # 3 appended batches would be ≥3 files un-compacted; compaction folds
+    # the small-file debt into one
+    assert len(m["files"]) == 1
