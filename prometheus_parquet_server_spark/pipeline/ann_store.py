@@ -115,8 +115,16 @@ def ivf_search(
     """
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_read,
+        snapshot_version,
     )
 
+    # pin ONE version for both reads: a rebuild committing between the
+    # centroid load and the corpus scan would otherwise mix indexes
+    # (v1 centroids addressing v2's differently-clustered cells)
+    if version is None:
+        version = snapshot_version(spark, store_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {store_path}")
     cent_rows = (
         snapshot_read(spark, store_path, version=version, names=[CENTROID_NAME])
         .orderBy("vec_id")
@@ -134,6 +142,10 @@ def ivf_search(
         .withColumn("name", _cell_name(F.col("_cell")))
         .drop("_cell")
     )
+    # evaluated twice (the distinct-cells collect and the broadcast join
+    # side): localCheckpoint runs the probe plan + Arrow assignment ONCE;
+    # blocks free when the frame is GC'd
+    p = p.localCheckpoint(eager=True)
     # the probed-cell union is ≤ n_centroids values — a legal driver round
     # trip that buys manifest-level file pruning on the big side
     probed = sorted(

@@ -508,11 +508,13 @@ def kmeans_centroids(
         for i in range(dim):
             c = F.col(vec_col)[i].cast("double")
             dec = c.cast("decimal(38,18)")
-            # non-finite (and out-of-range) doubles cast to decimal NULL;
-            # count them so dirty input fails instead of skewing the mean
+            # a NULL component (ragged/short array, NULL vector) or a
+            # non-finite double (decimal NULL under ANSI-off) would be
+            # silently skipped by SUM while _n counts the row — a mean
+            # quietly shrunk toward 0; count BOTH shapes and fail loudly
             sums.append(F.sum(dec).alias(f"c{i}"))
             sums.append(
-                F.count(F.when(c.isNotNull() & dec.isNull(), 1)).alias(f"bad{i}")
+                F.count(F.when(c.isNull() | dec.isNull(), 1)).alias(f"bad{i}")
             )
         rows = (
             assigned.groupBy("cell")
@@ -521,13 +523,15 @@ def kmeans_centroids(
         )
         if any(r[f"bad{i}"] for r in rows for i in range(dim)):
             raise ValueError(
-                "kmeans_centroids: non-finite embedding component — clean "
-                "the corpus before clustering"
+                "kmeans_centroids: NULL, missing (array shorter than dim) "
+                "or non-finite embedding component — clean the corpus "
+                "before clustering"
             )
         new = {}
         for r in rows:
-            # exact decimal sum / count → float mean (one rounding, at the end)
-            mean = [float(r[f"c{i}"] or 0) / r["_n"] for i in range(dim)]
+            # exact decimal sum / count → float mean (one rounding at the
+            # end; sums are non-NULL — the bad-component guard raised first)
+            mean = [float(r[f"c{i}"]) / r["_n"] for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in mean))
             new[r["cell"]] = [x / norm for x in mean] if norm > 0 else mean
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]

@@ -233,6 +233,7 @@ def _write_data_files(
     path: str,
     df: DataFrame,
     time_chunk_s: float | None = None,
+    num_partitions: int | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable name-clustered data files under a fresh
     tx dir and return their manifest entries (per-file row count, size,
@@ -263,6 +264,7 @@ def _write_data_files(
         staged = staged.withColumn(
             "_tc", F.floor(F.col("ts") / F.lit(float(time_chunk_s)))
         )
+    range_args = ([num_partitions] if num_partitions is not None else []) + range_key
     writer = (
         # RANGE partitioning, not hash-on-name: files stay name-contiguous
         # (tight min/max name ranges → effective manifest pruning) while a
@@ -272,7 +274,9 @@ def _write_data_files(
         # Frames without a labels column (e.g. rollup partial stores,
         # which carry only the canonical name/ts keys) cluster on name
         # alone — ts inside the range key keeps hot names splittable.
-        staged.repartitionByRange(*range_key)
+        # num_partitions (compaction) overrides AQE's advisory sizing so
+        # outputs can GRADUATE past a caller's size threshold
+        staged.repartitionByRange(*range_args)
         .sortWithinPartitions(*range_key)
         .drop("_sk")
         .write.mode("overwrite")
@@ -740,9 +744,18 @@ def snapshot_compact(
         return None
     kept = [f for f in base if f not in small]
     df = spark.read.parquet(*[f["path"] for f in small])
+    # aim the rewrite at ~target-sized OUTPUT files: without an explicit
+    # partition count, AQE's ~64 MB advisory keeps every output below a
+    # 128 MB target forever, so each later compaction re-reads the same
+    # bytes as "still small" — the quadratic-I/O failure mode. ceil(total
+    # small bytes / target) partitions lets merged files graduate past
+    # the threshold and carry over by reference next time.
+    small_bytes = sum(f.get("n_bytes", 0) for f in small)
+    n_out = max(1, -(-small_bytes // target_file_bytes)) if small_bytes else 1
     # a time-chunked store keeps its layout through compaction
     new_files = _write_data_files(
-        spark, path, df, time_chunk_s=_inherited_chunk(parent_m)
+        spark, path, df, time_chunk_s=_inherited_chunk(parent_m),
+        num_partitions=n_out,
     )
     target = _target_version(fs, path, parent)
     if target is None:
