@@ -40,7 +40,7 @@ from prometheus_parquet_server_spark.pipeline.similarity import (
     kmeans_centroids,
 )
 
-__all__ = ["ivf_build", "ivf_search"]
+__all__ = ["ivf_append", "ivf_build", "ivf_search"]
 
 #: reserved name for centroid rows — never a legal cell name
 CENTROID_NAME = "_centroid"
@@ -171,3 +171,45 @@ def ivf_search(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_append(
+    spark: SparkSession,
+    store_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally index ``new_vectors``: assign cells with the
+    EXISTING centroids (one Arrow matmul pass) and append — history
+    carries over by manifest reference, commit cost O(new vectors). The
+    standard IVF maintenance trade (what Faiss ``add`` does): centroids
+    drift as the corpus grows, so recall slowly degrades until the next
+    :func:`ivf_build` rebuild — which is an atomic overwrite commit, so
+    searchers never see a half-built index. Returns the new version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    version = snapshot_version(spark, store_path)
+    if version is None:
+        raise FileNotFoundError(f"no IVF index at {store_path} — ivf_build first")
+    cent_rows = (
+        snapshot_read(spark, store_path, version=version, names=[CENTROID_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        raise FileNotFoundError(f"no {CENTROID_NAME} rows at {store_path}")
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    assigned = new_vectors.select(
+        _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]).alias(
+            "name"
+        ),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    )
+    return snapshot_write(spark, store_path, assigned, mode="append")

@@ -126,3 +126,44 @@ def test_search_without_index_raises(spark, tmp_path):
     store = f"file://{tmp_path}/empty"
     with pytest.raises(FileNotFoundError):
         ivf_search(spark, store, _probes(emb))
+
+
+def test_ivf_append_searches_like_a_rebuild_with_same_centroids(spark, tmp_path):
+    """Appended vectors are searchable immediately; results equal a
+    direct ivf_topk over the FULL corpus using the ORIGINAL centroids —
+    base ids stay below the new ids, so iterations=0 centroid init is
+    identical and the only difference is the store round-trip."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    store = f"file://{tmp_path}/index"
+    from prometheus_parquet_server_spark.pipeline.ann_store import ivf_append
+
+    v1 = ivf_build(spark, store, base, n_centroids=8, kmeans_iterations=0, dim=64)
+    v2 = ivf_append(spark, store, extra)
+    assert v2 > v1
+
+    got = sorted(
+        map(tuple, ivf_search(spark, store, _probes(emb), k=5, n_probe=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb, _probes(emb), k=5, n_centroids=8, n_probe=3,
+                kmeans_iterations=0, dim=64,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # time travel: the pre-append index still answers without the extras
+    pre = ivf_search(spark, store, _probes(emb), k=5, n_probe=3, version=v1)
+    assert all(r["neighbor_id"] < 400 for r in pre.collect())
+
+
+def test_ivf_append_without_index_raises(spark, tmp_path):
+    import pytest
+    from prometheus_parquet_server_spark.pipeline.ann_store import ivf_append
+
+    with pytest.raises(FileNotFoundError):
+        ivf_append(spark, f"file://{tmp_path}/none", _emb(spark))
