@@ -40,7 +40,7 @@ from prometheus_parquet_server_spark.pipeline.similarity import (
     kmeans_centroids,
 )
 
-__all__ = ["ivf_append", "ivf_build", "ivf_search"]
+__all__ = ["ivf_append", "ivf_build", "ivf_search", "stream_ivf_ingest"]
 
 #: reserved name for centroid rows — never a legal cell name
 CENTROID_NAME = "_centroid"
@@ -179,6 +179,7 @@ def ivf_append(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Incrementally index ``new_vectors``: assign cells with the
     EXISTING centroids (one Arrow matmul pass) and append — history
@@ -186,7 +187,10 @@ def ivf_append(
     standard IVF maintenance trade (what Faiss ``add`` does): centroids
     drift as the corpus grows, so recall slowly degrades until the next
     :func:`ivf_build` rebuild — which is an atomic overwrite commit, so
-    searchers never see a half-built index. Returns the new version."""
+    searchers never see a half-built index. ``txn=(app_id, batch_id)``
+    makes the append idempotent per writer (snapshot_write's marker) —
+    without it a redelivered foreachBatch micro-batch would DUPLICATE its
+    vectors in the index. Returns the new version."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_read,
         snapshot_version,
@@ -212,4 +216,40 @@ def ivf_append(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    return snapshot_write(spark, store_path, assigned, mode="append")
+    return snapshot_write(spark, store_path, assigned, mode="append", txn=txn)
+
+
+def stream_ivf_ingest(
+    vec_stream,
+    spark: SparkSession,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming vector ingest: each micro-batch appends to the persisted
+    index via :func:`ivf_append` with ``txn=(app_id, batch_id)`` — a
+    committed-but-unacknowledged batch replays as a version-preserving
+    no-op instead of duplicating its vectors (the marker rides the same
+    atomic manifest as the data). Requires an existing index
+    (:func:`ivf_build` first); one writer per checkpoint, Structured
+    Streaming's model. Returns the started query."""
+    app_id = "stream_ivf_ingest"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_append(
+            spark,
+            store_path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .start()
+    )

@@ -390,6 +390,7 @@ def snapshot_write(
     df: DataFrame,
     mode: str = "append",
     time_chunk_s: float | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds its files to
     the current file set (and survives commit races by rebasing onto the
@@ -401,15 +402,38 @@ def snapshot_write(
     :func:`_write_data_files`) and pins the width as the store property
     ``time_chunk_s`` so later appends keep the layout without restating
     it; pass it explicitly to change the width (layout is physical, not
-    semantic — mixed widths degrade pruning, never correctness)."""
+    semantic — mixed widths degrade pruning, never correctness).
+
+    ``txn=(app_id, version)`` makes an APPEND idempotent per writer — the
+    same Delta txnAppId/txnVersion pattern :func:`snapshot_merge` carries:
+    the manifest property ``txn_<app_id>`` records the highest version
+    committed by that writer, an append whose version is ≤ the recorded
+    value returns the current tip WITHOUT writing (the foreachBatch
+    redelivery dedupe for append-shaped sinks, e.g. streaming vector
+    ingest where replayed rows would otherwise duplicate), and the marker
+    rides the same atomic manifest as the data. Overwrite + txn raises —
+    an overwrite replaces history, so "already committed" has no meaning
+    for it."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    txn_key = None
+    if txn is not None:
+        if mode != "append":
+            raise ValueError("snapshot_write: txn markers are append-only")
+        app_id, txn_version = txn
+        if not app_id or "\n" in str(app_id):
+            raise ValueError(f"txn app_id must be a non-empty line, got {app_id!r}")
+        txn_key = f"txn_{app_id}"
     fs = _StoreFS(spark, path)
     # one tip resolve serves both layout inheritance and the commit's
     # expected-parent check — appends run per streaming micro-batch, so
     # a second directory listing + manifest read per call is real driver
     # I/O, not noise
     expected, expected_m = _resolve_tip(fs, path)
+    if txn_key is not None and expected_m is not None:
+        recorded = ((expected_m.get("properties") or {})).get(txn_key)
+        if recorded is not None and int(txn[1]) <= int(recorded):
+            return expected  # already committed — redelivery no-op, no write
     if time_chunk_s is None and mode == "append":
         time_chunk_s = _inherited_chunk(expected_m)
     new_files = _write_data_files(spark, path, df, time_chunk_s=time_chunk_s)
@@ -447,6 +471,15 @@ def snapshot_write(
             manifest.setdefault("properties", {})["time_chunk_s"] = float(
                 time_chunk_s
             )
+        if txn_key is not None:
+            # re-check against THIS parent: a rebase may have landed a newer
+            # marker (same-writer redelivery racing itself); ≤ means the
+            # batch already committed and the prepared files are orphans
+            # the next vacuum sweeps
+            recorded = (manifest.get("properties") or {}).get(txn_key)
+            if recorded is not None and int(txn[1]) <= int(recorded):
+                return parent
+            manifest.setdefault("properties", {})[txn_key] = int(txn[1])
         if _try_commit(fs, path, manifest):
             return manifest["version"]
     raise ConcurrentWriteError(

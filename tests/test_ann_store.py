@@ -167,3 +167,85 @@ def test_ivf_append_without_index_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         ivf_append(spark, f"file://{tmp_path}/none", _emb(spark))
+
+
+def test_snapshot_write_txn_makes_append_idempotent(spark, tmp_path):
+    """snapshot_write's new append txn marker: same (app, version) twice
+    → second call writes NOTHING (version unchanged, no duplicate rows);
+    a later version advances; overwrite + txn raises."""
+    import pytest
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    store = f"file://{tmp_path}/s"
+    df1 = spark.createDataFrame(
+        [("a", 1.0, 1.0)], "name string, ts double, value double"
+    )
+    v1 = snapshot_write(spark, store, df1, mode="append", txn=("w", 0))
+    assert snapshot_properties(spark, store)["txn_w"] == 0
+    # redelivery: same marker → no-op, same version, no duplicate rows
+    assert snapshot_write(spark, store, df1, mode="append", txn=("w", 0)) == v1
+    assert snapshot_version(spark, store) == v1
+    assert snapshot_read(spark, store).count() == 1
+    # next batch advances
+    v2 = snapshot_write(spark, store, df1, mode="append", txn=("w", 1))
+    assert v2 > v1 and snapshot_read(spark, store).count() == 2
+    # stale replay after the advance is still a no-op
+    assert snapshot_write(spark, store, df1, mode="append", txn=("w", 0)) == v2
+    assert snapshot_read(spark, store).count() == 2
+    with pytest.raises(ValueError):
+        snapshot_write(spark, store, df1, mode="overwrite", txn=("w", 9))
+
+
+def test_stream_ivf_ingest_appends_without_duplicates(spark, tmp_path):
+    from prometheus_parquet_server_spark.pipeline.ann_store import (
+        ivf_append,
+        stream_ivf_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    store = f"file://{tmp_path}/index"
+    ivf_build(spark, store, base, n_centroids=4, kmeans_iterations=0, dim=64)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).coalesce(
+        1
+    ).write.parquet(f"file://{src}/b0")
+    emb.filter(F.col("vec_id") >= 450).coalesce(1).write.parquet(
+        f"file://{src}/b1"
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"file://{src}/*")
+    )
+    q = stream_ivf_ingest(stream, spark, store)
+    q.awaitTermination(120)
+
+    total = (
+        snapshot_read(spark, store)
+        .filter(F.col("name") != CENTROID_NAME)
+        .count()
+    )
+    assert total == emb.count()
+    # replaying a committed batch id is a version-preserving no-op
+    v = ivf_append(
+        spark,
+        store,
+        emb.filter(F.col("vec_id") >= 450),
+        txn=("stream_ivf_ingest", 0),
+    )
+    assert (
+        snapshot_read(spark, store).filter(F.col("name") != CENTROID_NAME).count()
+        == total
+    )
