@@ -77,6 +77,7 @@ def dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_survivors: Callable[[DataFrame], None] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Ingest ``batch`` against the fingerprint store at ``store_path``:
     returns the batch's NEW documents (first occurrence of each content
@@ -152,7 +153,10 @@ def dedup_ingest(
     # cost is O(new fingerprints) — never a rewrite of intersecting files.
     # An all-duplicates batch commits nothing at all.
     if not commit_rows.isEmpty():
-        snapshot_write(spark, store_path, commit_rows, mode="append")
+        # txn (optional) rides snapshot_write's append marker — belt and
+        # braces on top of recompute-empty replay safety, and it lets a
+        # streaming caller skip redelivered batches without the store scan
+        snapshot_write(spark, store_path, commit_rows, mode="append", txn=txn)
     else:
         out.count()  # populate out's cache fully before dropping batch_first
     batch_first.unpersist()
@@ -174,9 +178,11 @@ def stream_dedup_ingest(
     is at-least-once — a crash between emit and commit replays the batch
     and re-appends the same survivors — while the STORE stays
     exactly-once; a batch redelivered AFTER its commit recomputes empty
-    survivors, so it emits nothing and appends nothing. Downstream
-    readers needing exactly-once files dedupe the output by fingerprint,
-    or read the store, which is always clean.
+    survivors, so it emits nothing and appends nothing — and the
+    ``txn=(app_id, batch_id)`` marker on the commit lets the wrapper skip
+    such a batch WITHOUT even the membership scan. Downstream readers
+    needing exactly-once files dedupe the output by fingerprint, or read
+    the store, which is always clean.
 
     ``compact_every``: the flip side of pure-append commits is one small
     file per batch — after 10⁵ micro-batches the membership scan is
@@ -186,9 +192,20 @@ def stream_dedup_ingest(
     so the file count stays ~O(store bytes / target file size) instead of
     O(batches). None disables (caller owns maintenance)."""
 
+    app_id = "stream_dedup_ingest"
+
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from prometheus_parquet_server_spark.sources.snapshot_store import (
+            snapshot_properties,
+            snapshot_version,
+        )
+
+        if snapshot_version(spark, store_path) is not None:
+            recorded = snapshot_properties(spark, store_path).get(f"txn_{app_id}")
+            if recorded is not None and int(batch_id) <= int(recorded):
+                return  # committed batch replayed: skip even the store scan
         survivors = dedup_ingest(
             spark,
             store_path,
@@ -196,6 +213,7 @@ def stream_dedup_ingest(
             text_col=text_col,
             id_col=id_col,
             on_survivors=lambda df: df.write.mode("append").parquet(output_path),
+            txn=(app_id, int(batch_id)),
         )
         survivors.unpersist()
         if compact_every is not None and (int(batch_id) + 1) % compact_every == 0:
