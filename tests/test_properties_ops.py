@@ -153,3 +153,49 @@ def test_chunked_slot_ops_equal_uniform(spark, samples, chunk_deci, offset):
         return irate_to_grid(frame, g, over_range=120.0, **kw)
 
     assert snap(irate, chunk_s=cs) == snap(irate)
+
+
+_doc_texts = st.lists(
+    st.sampled_from(["alpha beta", "Alpha  BETA!", "gamma", "delta?", "Delta", "x"]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_doc_texts, n_batches=st.integers(1, 3))
+def test_dedup_ingest_batches_equal_first_occurrence(spark, texts, n_batches):
+    """For ANY corpus and ANY batch split, sequential dedup_ingest emits
+    exactly the first-occurrence winners (batch order, then id) a pure-
+    Python reference computes, and the store holds one fingerprint per
+    distinct normalized text."""
+    import re
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.dedup_store import dedup_ingest
+
+    docs = list(enumerate(texts))  # ids 0..n-1 in arrival order
+    batches = [docs[i::n_batches] for i in range(n_batches)]
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    # reference: first occurrence by (batch index, doc_id)
+    expect = {}
+    for b, batch in enumerate(batches):
+        for i, t in sorted(batch):
+            expect.setdefault(norm(t), (b, i))
+    want = sorted(i for _, i in expect.values())
+
+    store = f"file://{tempfile.mkdtemp(prefix='prop_seen_')}/s"
+    got = []
+    for batch in batches:
+        if not batch:
+            continue
+        df = spark.createDataFrame(
+            [(i, t) for i, t in batch], "doc_id long, text string"
+        )
+        out = dedup_ingest(spark, store, df)
+        got.extend(r["doc_id"] for r in out.collect())
+        out.unpersist()
+    assert sorted(got) == want
