@@ -171,6 +171,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     compact_every: int | None = 64,
+    vacuum_keep_last: int | None = None,
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch's survivors are appended to
     ``output_path`` (parquet) and their fingerprints committed. Emission
@@ -190,7 +191,14 @@ def stream_dedup_ingest(
     :func:`snapshot_compact` (size-aware: rewrites only the small-file
     debt, never the whole store; identical rows, time travel unaffected)
     so the file count stays ~O(store bytes / target file size) instead of
-    O(batches). None disables (caller owns maintenance)."""
+    O(batches). None disables (caller owns maintenance).
+
+    ``vacuum_keep_last``: compaction leaves superseded files on disk for
+    time travel — a forever-stream also needs reclamation, so when set,
+    each compaction is followed by :func:`snapshot_vacuum(keep_last=N)`
+    (age-guarded: only files older than the in-flight window delete, so
+    a concurrent staged-but-uncommitted writer is never broken). None
+    (default) keeps full history — the conservative choice."""
 
     app_id = "stream_dedup_ingest"
 
@@ -219,9 +227,12 @@ def stream_dedup_ingest(
         if compact_every is not None and (int(batch_id) + 1) % compact_every == 0:
             from prometheus_parquet_server_spark.sources.snapshot_store import (
                 snapshot_compact,
+                snapshot_vacuum,
             )
 
             snapshot_compact(spark, store_path)
+            if vacuum_keep_last is not None:
+                snapshot_vacuum(spark, store_path, keep_last=vacuum_keep_last)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)

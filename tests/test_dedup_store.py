@@ -211,3 +211,32 @@ def test_stream_compaction_preserves_membership(spark, tmp_path):
     # 3 appended batches would be ≥3 files un-compacted; compaction folds
     # the small-file debt into one
     assert len(m["files"]) == 1
+
+
+def test_stream_vacuum_reclaims_superseded_files(spark, tmp_path):
+    """vacuum_keep_last wired into the maintenance step: after the drain,
+    only the files the kept manifests reference remain on disk (min_age
+    is the store's default 24h guard — the test monkeypatches nothing;
+    files just written are younger than the guard, so this asserts the
+    call is SAFE mid-stream: nothing referenced disappears and the store
+    still answers)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([[(1, "x")], [(2, "y")], [(3, "z")]]):
+        docs(spark, rows).coalesce(1).write.parquet(f"file://{src}/b{i}")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"file://{src}/*")
+    )
+    store = f"file://{tmp_path}/seen"
+    q = stream_dedup_ingest(
+        stream, spark, store, f"file://{tmp_path}/clean",
+        compact_every=1, vacuum_keep_last=1,
+    )
+    q.awaitTermination(120)
+    assert snapshot_read(spark, store).count() == 3
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"file://{tmp_path}/clean").collect()
+    )
+    assert ids == [1, 2, 3]
