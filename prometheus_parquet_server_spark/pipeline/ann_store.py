@@ -90,8 +90,28 @@ def ivf_build(
         [(CENTROID_NAME, 0.0, i, c) for i, c in enumerate(centroids)],
         "name string, ts double, vec_id long, embedding array<double>",
     )
+    # a rebuild resets history (overwrite) but must NOT reset redelivery
+    # protection: carry the txn_* markers forward, or a committed-but-
+    # unacknowledged streaming batch replayed after the rebuild would
+    # find no marker and duplicate its vectors
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_version,
+    )
+
+    carried = None
+    if snapshot_version(spark, store_path) is not None:
+        carried = {
+            k: v
+            for k, v in snapshot_properties(spark, store_path).items()
+            if k.startswith("txn_")
+        } or None
     return snapshot_write(
-        spark, store_path, assigned.unionByName(cent_rows), mode="overwrite"
+        spark,
+        store_path,
+        assigned.unionByName(cent_rows),
+        mode="overwrite",
+        properties=carried,
     )
 
 
@@ -190,7 +210,12 @@ def ivf_append(
     searchers never see a half-built index. ``txn=(app_id, batch_id)``
     makes the append idempotent per writer (snapshot_write's marker) —
     without it a redelivered foreachBatch micro-batch would DUPLICATE its
-    vectors in the index. Returns the new version."""
+    vectors in the index. The commit is CAS-pinned to the version the
+    centroids were read at (``require_parent``): if a rebuild lands in
+    between, the append raises ``ConcurrentWriteError`` instead of
+    committing rows clustered under stale centroids — cells the new
+    index would never probe. Retry by calling again (re-reads the new
+    centroids). Returns the new version."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_read,
         snapshot_version,
@@ -216,7 +241,14 @@ def ivf_append(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
     )
-    return snapshot_write(spark, store_path, assigned, mode="append", txn=txn)
+    return snapshot_write(
+        spark,
+        store_path,
+        assigned,
+        mode="append",
+        txn=txn,
+        require_parent=version,
+    )
 
 
 def stream_ivf_ingest(
@@ -225,15 +257,21 @@ def stream_ivf_ingest(
     store_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    app_id: str = "stream_ivf_ingest",
 ):
     """Streaming vector ingest: each micro-batch appends to the persisted
     index via :func:`ivf_append` with ``txn=(app_id, batch_id)`` — a
     committed-but-unacknowledged batch replays as a version-preserving
     no-op instead of duplicating its vectors (the marker rides the same
-    atomic manifest as the data). Requires an existing index
-    (:func:`ivf_build` first); one writer per checkpoint, Structured
-    Streaming's model. Returns the started query."""
-    app_id = "stream_ivf_ingest"
+    atomic manifest as the data, and a rebuild carries it forward).
+    Requires an existing index (:func:`ivf_build` first); one writer per
+    checkpoint, Structured Streaming's model. Returns the started query.
+
+    **The marker is tied to ONE checkpoint lineage** (the Delta
+    txnAppId contract): batch ids restart at 0 when the checkpoint is
+    reset, so a reset against a store that remembers higher ids would
+    silently skip genuinely new batches — pass a NEW ``app_id`` whenever
+    you reset or relocate the checkpoint."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

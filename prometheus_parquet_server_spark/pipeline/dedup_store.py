@@ -179,11 +179,14 @@ def stream_dedup_ingest(
     is at-least-once — a crash between emit and commit replays the batch
     and re-appends the same survivors — while the STORE stays
     exactly-once; a batch redelivered AFTER its commit recomputes empty
-    survivors, so it emits nothing and appends nothing — and the
-    ``txn=(app_id, batch_id)`` marker on the commit lets the wrapper skip
-    such a batch WITHOUT even the membership scan. Downstream readers
-    needing exactly-once files dedupe the output by fingerprint, or read
-    the store, which is always clean.
+    survivors, so it emits nothing and appends nothing. Replay safety
+    here is deliberately CONTENT-BASED, not marker-based: a txn marker is
+    only valid within one checkpoint lineage (reset the checkpoint and
+    batch ids restart at 0 below the recorded marker — a marker check
+    would then silently DROP genuinely new batches), while the
+    recompute-empty anti-join is correct under any lineage. Downstream
+    readers needing exactly-once files dedupe the output by fingerprint,
+    or read the store, which is always clean.
 
     ``compact_every``: the flip side of pure-append commits is one small
     file per batch — after 10⁵ micro-batches the membership scan is
@@ -200,20 +203,9 @@ def stream_dedup_ingest(
     a concurrent staged-but-uncommitted writer is never broken). None
     (default) keeps full history — the conservative choice."""
 
-    app_id = "stream_dedup_ingest"
-
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from prometheus_parquet_server_spark.sources.snapshot_store import (
-            snapshot_properties,
-            snapshot_version,
-        )
-
-        if snapshot_version(spark, store_path) is not None:
-            recorded = snapshot_properties(spark, store_path).get(f"txn_{app_id}")
-            if recorded is not None and int(batch_id) <= int(recorded):
-                return  # committed batch replayed: skip even the store scan
         survivors = dedup_ingest(
             spark,
             store_path,
@@ -221,7 +213,6 @@ def stream_dedup_ingest(
             text_col=text_col,
             id_col=id_col,
             on_survivors=lambda df: df.write.mode("append").parquet(output_path),
-            txn=(app_id, int(batch_id)),
         )
         survivors.unpersist()
         if compact_every is not None and (int(batch_id) + 1) % compact_every == 0:

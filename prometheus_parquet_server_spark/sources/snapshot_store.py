@@ -391,6 +391,8 @@ def snapshot_write(
     mode: str = "append",
     time_chunk_s: float | None = None,
     txn: tuple[str, int] | None = None,
+    properties: dict | None = None,
+    require_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds its files to
     the current file set (and survives commit races by rebasing onto the
@@ -413,10 +415,28 @@ def snapshot_write(
     ingest where replayed rows would otherwise duplicate), and the marker
     rides the same atomic manifest as the data. Overwrite + txn raises —
     an overwrite replaces history, so "already committed" has no meaning
-    for it."""
+    for it. The marker is only meaningful within ONE writer lineage
+    (e.g. one streaming checkpoint): resetting the checkpoint restarts
+    batch ids at 0 against a store that remembers higher ones — callers
+    MUST change the app_id when they reset the lineage.
+
+    ``properties``: extra manifest properties for this commit. On append
+    they merge over the inherited set and a CONFLICTING re-declaration
+    raises (the snapshot_merge rule); on overwrite they become the fresh
+    store's property set — the hook a rebuild uses to carry txn markers
+    forward across the history reset.
+
+    ``require_parent`` (append only): CAS the append against an expected
+    parent version — if the tip moved, raise :class:`ConcurrentWriteError`
+    instead of rebasing. For appends whose CONTENT depends on what they
+    read from the store (e.g. vectors clustered under the tip's
+    centroids), a blind rebase would commit rows that are silently wrong
+    against the new tip."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     txn_key = None
+    if require_parent is not None and mode != "append":
+        raise ValueError("snapshot_write: require_parent is append-only")
     if txn is not None:
         if mode != "append":
             raise ValueError("snapshot_write: txn markers are append-only")
@@ -446,6 +466,10 @@ def snapshot_write(
             raise ConcurrentWriteError(
                 f"overwrite prepared against v{expected} but tip moved to v{parent}"
             )
+        if require_parent is not None and parent != require_parent:
+            raise ConcurrentWriteError(
+                f"append required parent v{require_parent} but tip is v{parent}"
+            )
         base: list[dict] = []
         if mode == "append" and parent is not None:
             if parent_m is None:
@@ -467,6 +491,19 @@ def snapshot_write(
             _props = (parent_m or _read_manifest(fs, path, parent)).get("properties")
             if _props:
                 manifest["properties"] = dict(_props)
+        if properties:
+            inherited = manifest.get("properties") or {}
+            conflicts = {
+                k: (inherited[k], v)
+                for k, v in properties.items()
+                if k in inherited and inherited[k] != v
+            }
+            if mode == "append" and conflicts:
+                raise ValueError(
+                    f"snapshot_write: properties conflict with the store's "
+                    f"recorded values (recorded, supplied): {conflicts}"
+                )
+            manifest["properties"] = {**inherited, **properties}
         if time_chunk_s is not None:
             manifest.setdefault("properties", {})["time_chunk_s"] = float(
                 time_chunk_s

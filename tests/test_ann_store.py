@@ -238,14 +238,76 @@ def test_stream_ivf_ingest_appends_without_duplicates(spark, tmp_path):
         .count()
     )
     assert total == emb.count()
-    # replaying a committed batch id is a version-preserving no-op
+    # replaying a committed batch id is a VERSION-PRESERVING no-op
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    before = snapshot_version(spark, store)
     v = ivf_append(
         spark,
         store,
         emb.filter(F.col("vec_id") >= 450),
         txn=("stream_ivf_ingest", 0),
     )
+    assert v == before == snapshot_version(spark, store)
     assert (
         snapshot_read(spark, store).filter(F.col("name") != CENTROID_NAME).count()
         == total
     )
+
+
+def test_rebuild_carries_txn_markers_and_stale_append_raises(spark, tmp_path):
+    """Two marker-lifetime contracts: (1) an ivf_build rebuild must carry
+    txn_* markers forward across the overwrite, so a committed batch
+    redelivered after the rebuild is still a no-op; (2) an append whose
+    centroids were read at a version the tip has moved past must raise,
+    never commit stale-clustered rows."""
+    import pytest
+
+    from prometheus_parquet_server_spark.pipeline.ann_store import ivf_append
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        ConcurrentWriteError,
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    store = f"file://{tmp_path}/index"
+    ivf_build(spark, store, base, n_centroids=4, kmeans_iterations=0, dim=64)
+    ivf_append(spark, store, extra, txn=("w", 7))
+    assert snapshot_properties(spark, store)["txn_w"] == 7
+
+    # rebuild (overwrite) — the marker must survive
+    ivf_build(spark, store, emb, n_centroids=4, kmeans_iterations=0, dim=64)
+    assert snapshot_properties(spark, store)["txn_w"] == 7
+    total = snapshot_read(spark, store).filter(F.col("name") != CENTROID_NAME).count()
+    # redelivery after the rebuild: still a no-op
+    v = ivf_append(spark, store, extra, txn=("w", 7))
+    assert v == snapshot_version(spark, store)
+    assert (
+        snapshot_read(spark, store).filter(F.col("name") != CENTROID_NAME).count()
+        == total
+    )
+
+    # stale-centroid CAS: simulate an append prepared against an old tip
+    old = snapshot_version(spark, store)
+    snapshot_write(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("cell=0000", 0.0, 9999, [0.0] * 64)],
+            "name string, ts double, vec_id long, embedding array<double>",
+        ),
+        mode="append",
+    )
+    df = spark.createDataFrame(
+        [("cell=0000", 0.0, 10000, [0.0] * 64)],
+        "name string, ts double, vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ConcurrentWriteError):
+        snapshot_write(spark, store, df, mode="append", require_parent=old)

@@ -240,3 +240,25 @@ def test_stream_vacuum_reclaims_superseded_files(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"file://{tmp_path}/clean").collect()
     )
     assert ids == [1, 2, 3]
+    # exercise the DELETION path the in-flight guard blocked above:
+    # min_age_s=0 (no writer active now) must reclaim every superseded
+    # data file while the tip keeps answering
+    import pathlib
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _resolve_tip,
+        snapshot_vacuum,
+    )
+
+    deleted = snapshot_vacuum(spark, store, keep_last=1, min_age_s=0)
+    assert deleted, "compaction left superseded files; vacuum must reclaim them"
+    fs = _StoreFS(spark, store)
+    _, m = _resolve_tip(fs, store)
+    live = {pathlib.Path(f["path"].replace("file:", "")).name for f in m["files"]}
+    on_disk = {
+        p.name
+        for p in pathlib.Path(str(store).replace("file://", "")).rglob("*.parquet")
+    }
+    assert live <= on_disk and on_disk == live, (live, on_disk)
+    assert snapshot_read(spark, store).count() == 3
