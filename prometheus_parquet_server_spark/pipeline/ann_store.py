@@ -38,6 +38,7 @@ from prometheus_parquet_server_spark.pipeline.similarity import (
     centroid_cells_udf,
     cosine_similarity_col,
     kmeans_centroids,
+    quantize_embeddings,
 )
 
 __all__ = ["ivf_append", "ivf_build", "ivf_search", "stream_ivf_ingest"]
@@ -59,15 +60,27 @@ def ivf_build(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> int:
     """Build (or REBUILD — overwrite commit) the IVF index for ``corpus``
     at ``store_path``. Returns the committed snapshot version.
 
-    Store rows: ``(name, ts=0.0, vec_id, embedding)`` where name is
-    ``cell=NNNN`` for corpus vectors and ``_centroid`` for the k centroid
-    rows (vec_id = centroid id). One Arrow matmul pass assigns cells; the
-    write range-clusters by name so each cell's vectors land in
-    name-contiguous files with tight manifest ranges.
+    Store rows: ``(name, ts=0.0, vec_id, embedding, qvec, scale)`` where
+    name is ``cell=NNNN`` for corpus vectors and ``_centroid`` for the k
+    centroid rows (vec_id = centroid id). One Arrow matmul pass assigns
+    cells; the write range-clusters by name so each cell's vectors land
+    in name-contiguous files with tight manifest ranges.
+
+    ``quantize=True`` stores the corpus as per-vector symmetric int8
+    (``pipeline.similarity.quantize_embeddings``): the dominant probe-
+    path scan shrinks ~4× and — cosine being scale-invariant — search
+    runs DIRECTLY on the quantized arrays, no dequantization. Centroids
+    stay float64 (assignment precision), so the row schema carries
+    nullable (embedding | qvec+scale) arms; the mode is pinned as the
+    manifest property ``ivf_quantized`` and inherited by appends. The
+    price is quantization noise in the ranking — gated by a measured
+    recall floor in tests/test_ann_store.py, the ANN-recall-gate house
+    pattern.
     """
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_write,
@@ -78,17 +91,33 @@ def ivf_build(
     centroids = kmeans_centroids(
         corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
     )
-    assigned = corpus.select(
-        _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]).alias(
-            "name"
-        ),
-        F.lit(0.0).alias("ts"),
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
-    )
+    cell = _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
+    if quantize:
+        q = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+        keyed = corpus.select(F.col(id_col), cell.alias("name")).join(q, id_col)
+        assigned = keyed.select(
+            "name",
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            "qvec",
+            "scale",
+        )
+    else:
+        assigned = corpus.select(
+            cell.alias("name"),
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.lit(None).cast("array<tinyint>").alias("qvec"),
+            F.lit(None).cast("float").alias("scale"),
+        )
     cent_rows = spark.createDataFrame(
-        [(CENTROID_NAME, 0.0, i, c) for i, c in enumerate(centroids)],
-        "name string, ts double, vec_id long, embedding array<double>",
+        [(CENTROID_NAME, 0.0, i, c, None, None) for i, c in enumerate(centroids)],
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "qvec array<tinyint>, scale float",
     )
     # a rebuild resets history (overwrite) but must NOT reset redelivery
     # protection: carry the txn_* markers forward, or a committed-but-
@@ -99,13 +128,14 @@ def ivf_build(
         snapshot_version,
     )
 
-    carried = None
+    carried = {}
     if snapshot_version(spark, store_path) is not None:
         carried = {
             k: v
             for k, v in snapshot_properties(spark, store_path).items()
             if k.startswith("txn_")
-        } or None
+        }
+    carried["ivf_quantized"] = bool(quantize)
     return snapshot_write(
         spark,
         store_path,
@@ -171,11 +201,27 @@ def ivf_search(
     probed = sorted(
         r["name"] for r in p.select("name").distinct().collect()
     )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+    )
+
+    quantized = bool(
+        (
+            (_read_manifest(_StoreFS(spark, store_path), store_path, version) or {})
+            .get("properties")
+            or {}
+        ).get("ivf_quantized")
+    )
+    vec_arm = "qvec" if quantized else "embedding"
     corpus = snapshot_read(
         spark, store_path, version=version, names=probed
-    ).select("name", F.col("vec_id").alias("neighbor_id"), "embedding")
+    ).select("name", F.col("vec_id").alias("neighbor_id"), F.col(vec_arm).alias("_corp"))
 
-    sim = cosine_similarity_col(F.col(probe_vec_col), F.col("embedding"))
+    # cosine is scale-invariant, so a quantized corpus compares directly
+    # against FLOAT probes: cos(a, q_b) = cos(a, b/s_b) = cos(a, b) up to
+    # int8 rounding noise (recall-gated in tests)
+    sim = cosine_similarity_col(F.col(probe_vec_col), F.col("_corp"))
     scored = (
         corpus.join(F.broadcast(p), "name")
         .filter(F.col(probe_id_col) != F.col("neighbor_id"))
@@ -233,14 +279,34 @@ def ivf_append(
     if not cent_rows:
         raise FileNotFoundError(f"no {CENTROID_NAME} rows at {store_path}")
     centroids = [list(r["embedding"]) for r in cent_rows]
-    assigned = new_vectors.select(
-        _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]).alias(
-            "name"
-        ),
-        F.lit(0.0).alias("ts"),
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
     )
+
+    quantized = bool(snapshot_properties(spark, store_path).get("ivf_quantized"))
+    cell = _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
+    if quantized:
+        q = quantize_embeddings(new_vectors, id_col=id_col, vec_col=vec_col)
+        keyed = new_vectors.select(F.col(id_col), cell.alias("name")).join(q, id_col)
+        assigned = keyed.select(
+            "name",
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            "qvec",
+            "scale",
+        )
+    else:
+        assigned = new_vectors.select(
+            cell.alias("name"),
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.lit(None).cast("array<tinyint>").alias("qvec"),
+            F.lit(None).cast("float").alias("scale"),
+        )
     return snapshot_write(
         spark,
         store_path,

@@ -311,3 +311,58 @@ def test_rebuild_carries_txn_markers_and_stale_append_raises(spark, tmp_path):
     )
     with pytest.raises(ConcurrentWriteError):
         snapshot_write(spark, store, df, mode="append", require_parent=old)
+
+
+def test_quantized_index_recall_and_size(spark, tmp_path):
+    """Quantized-store gate (the ANN-recall-gate house pattern): recall@5
+    of the int8 index vs the float index must be ≥ 0.9 on sf0.001
+    embeddings (measured, not assumed), appends inherit the quantized
+    mode via the manifest property, and the quantized cell files are
+    materially smaller than the float ones."""
+    from prometheus_parquet_server_spark.pipeline.ann_store import ivf_append
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _resolve_tip,
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    fstore = f"file://{tmp_path}/fi"
+    qstore = f"file://{tmp_path}/qi"
+    ivf_build(spark, fstore, emb, n_centroids=8, kmeans_iterations=0, dim=64)
+    ivf_build(
+        spark, qstore, base, n_centroids=8, kmeans_iterations=0, dim=64,
+        quantize=True,
+    )
+    assert snapshot_properties(spark, qstore)["ivf_quantized"] is True
+    # append inherits the quantized mode
+    ivf_append(spark, qstore, extra)
+    q = snapshot_read(spark, qstore).filter(F.col("name") != CENTROID_NAME)
+    assert q.count() == emb.count()
+    assert q.filter(F.col("qvec").isNull()).count() == 0
+
+    probes = _probes(emb)
+    f_res = ivf_search(spark, fstore, probes, k=5, n_probe=3).collect()
+    q_res = ivf_search(spark, qstore, probes, k=5, n_probe=3).collect()
+    f_top = {}
+    for r in f_res:
+        f_top.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in q_res:
+        total += 1
+        hits += r["neighbor_id"] in f_top.get(r["probe_id"], set())
+    recall = hits / total
+    assert recall >= 0.9, f"quantized recall@5 = {recall}"
+
+    # 4x storage claim: compare per-row data bytes of cell files
+    def data_bytes(store):
+        fs = _StoreFS(spark, store)
+        _, m = _resolve_tip(fs, store)
+        return sum(f["n_bytes"] for f in m["files"])
+
+    assert data_bytes(qstore) < 0.5 * data_bytes(fstore), (
+        data_bytes(qstore), data_bytes(fstore),
+    )
