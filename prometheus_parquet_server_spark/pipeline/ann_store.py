@@ -38,7 +38,6 @@ from prometheus_parquet_server_spark.pipeline.similarity import (
     centroid_cells_udf,
     cosine_similarity_col,
     kmeans_centroids,
-    quantize_embeddings,
 )
 
 __all__ = ["ivf_append", "ivf_build", "ivf_search", "stream_ivf_ingest"]
@@ -49,6 +48,59 @@ CENTROID_NAME = "_centroid"
 
 def _cell_name(cell_col):
     return F.format_string("cell=%04d", cell_col)
+
+
+
+
+def _assign_rows(
+    df: DataFrame,
+    centroids: list[list[float]],
+    quantized: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Store-row projection shared by build and append: cell name via one
+    Arrow pass, then either the float arm or the int8 arm. Everything is
+    per-row expressions — NO self-join, so duplicate ids stay row-for-row
+    (a join on id would cross-pair duplicates and inflate the index).
+    The int8 arm is the same per-vector symmetric math as
+    ``pipeline.similarity.quantize_embeddings`` (scale = max|x|/127,
+    q = round(x/scale)) inlined for the projection shape — keep the two
+    in sync."""
+    cell = _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
+    if not quantized:
+        return df.select(
+            cell.alias("name"),
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.lit(None).cast("array<tinyint>").alias("qvec"),
+            F.lit(None).cast("float").alias("scale"),
+        )
+    scale = F.expr(
+        f"aggregate({vec_col}, cast(0 as double),"
+        f" (a, v) -> greatest(a, abs(cast(v as double)))) / 127.0"
+    )
+    staged = df.select(
+        cell.alias("name"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        scale.alias("_scale"),
+    )
+    return staged.select(
+        "name",
+        F.lit(0.0).alias("ts"),
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.expr(
+            "case when _scale > 0 then"
+            " transform(_v, v -> cast(round(cast(v as double) / _scale) as tinyint))"
+            " else transform(_v, v -> cast(0 as tinyint)) end"
+        ).alias("qvec"),
+        F.col("_scale").cast("float").alias("scale"),
+    )
 
 
 def ivf_build(
@@ -91,29 +143,7 @@ def ivf_build(
     centroids = kmeans_centroids(
         corpus, n_centroids, kmeans_iterations, dim, id_col, vec_col
     )
-    cell = _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
-    if quantize:
-        q = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
-        keyed = corpus.select(F.col(id_col), cell.alias("name")).join(q, id_col)
-        assigned = keyed.select(
-            "name",
-            F.lit(0.0).alias("ts"),
-            F.col(id_col).alias("vec_id"),
-            F.lit(None).cast("array<double>").alias("embedding"),
-            "qvec",
-            "scale",
-        )
-    else:
-        assigned = corpus.select(
-            cell.alias("name"),
-            F.lit(0.0).alias("ts"),
-            F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-            F.lit(None).cast("array<tinyint>").alias("qvec"),
-            F.lit(None).cast("float").alias("scale"),
-        )
+    assigned = _assign_rows(corpus, centroids, quantize, id_col, vec_col)
     cent_rows = spark.createDataFrame(
         [(CENTROID_NAME, 0.0, i, c, None, None) for i, c in enumerate(centroids)],
         "name string, ts double, vec_id long, embedding array<double>, "
@@ -202,16 +232,11 @@ def ivf_search(
         r["name"] for r in p.select("name").distinct().collect()
     )
     from prometheus_parquet_server_spark.sources.snapshot_store import (
-        _read_manifest,
-        _StoreFS,
+        snapshot_properties,
     )
 
     quantized = bool(
-        (
-            (_read_manifest(_StoreFS(spark, store_path), store_path, version) or {})
-            .get("properties")
-            or {}
-        ).get("ivf_quantized")
+        snapshot_properties(spark, store_path, version=version).get("ivf_quantized")
     )
     vec_arm = "qvec" if quantized else "embedding"
     corpus = snapshot_read(
@@ -283,30 +308,13 @@ def ivf_append(
         snapshot_properties,
     )
 
-    quantized = bool(snapshot_properties(spark, store_path).get("ivf_quantized"))
-    cell = _cell_name(centroid_cells_udf(centroids, 1)(F.col(vec_col))[0])
-    if quantized:
-        q = quantize_embeddings(new_vectors, id_col=id_col, vec_col=vec_col)
-        keyed = new_vectors.select(F.col(id_col), cell.alias("name")).join(q, id_col)
-        assigned = keyed.select(
-            "name",
-            F.lit(0.0).alias("ts"),
-            F.col(id_col).alias("vec_id"),
-            F.lit(None).cast("array<double>").alias("embedding"),
-            "qvec",
-            "scale",
-        )
-    else:
-        assigned = new_vectors.select(
-            cell.alias("name"),
-            F.lit(0.0).alias("ts"),
-            F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-            F.lit(None).cast("array<tinyint>").alias("qvec"),
-            F.lit(None).cast("float").alias("scale"),
-        )
+    # properties read at the SAME pinned version as the centroids (the
+    # one-version-pin rule): a rebuild racing in between must not make
+    # this append build the wrong arm against the old centroids
+    quantized = bool(
+        snapshot_properties(spark, store_path, version=version).get("ivf_quantized")
+    )
+    assigned = _assign_rows(new_vectors, centroids, quantized, id_col, vec_col)
     return snapshot_write(
         spark,
         store_path,

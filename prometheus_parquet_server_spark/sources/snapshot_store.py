@@ -778,13 +778,20 @@ def snapshot_merge(
         updates.unpersist()
 
 
-def snapshot_properties(spark: SparkSession, path: str) -> dict:
-    """The tip manifest's recorded ``properties`` dict ({} when none) —
-    small caller-defined facts that travel with the store (e.g. a rollup
-    store's ingest width). Inherited commit-to-commit by
-    :func:`snapshot_merge`, which rejects conflicting re-declarations."""
+def snapshot_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The recorded ``properties`` dict ({} when none) of the tip
+    manifest — or of ``version``, for callers that pinned one and must
+    not mix reads across a concurrent commit — small caller-defined
+    facts that travel with the store (e.g. a rollup store's ingest
+    width). Inherited commit-to-commit by :func:`snapshot_merge`, which
+    rejects conflicting re-declarations."""
     fs = _StoreFS(spark, path)
-    _, m = _resolve_tip(fs, path)
+    if version is None:
+        _, m = _resolve_tip(fs, path)
+    else:
+        m = _read_manifest(fs, path, version)
     return (m or {}).get("properties") or {}
 
 

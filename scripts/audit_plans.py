@@ -11,10 +11,14 @@ at the given sf_dir and flag physical plans containing
 - ``CartesianProduct`` — an unbounded all-pairs join;
 - ``BroadcastNestedLoopJoin`` — usually a missing equi-condition. Some
   queries legitimately cross-join a ONE-ROW side (PromQL scalar fixup,
-  corpus-stats broadcast-back): those are allowed via the explicit
-  allowlist below, every entry of which documents why.
+  corpus-stats broadcast-back): those carry an EXPECTED OCCURRENCE
+  COUNT in the allowlist below (each entry documents why) — a SECOND
+  nested loop appearing in an allowlisted query still fails, and an
+  entry whose pattern disappeared flags as stale instead of lingering
+  to mask a reintroduction.
 
-Exit 1 when an un-allowlisted hit appears. Usage:
+A query that fails to BUILD raises — an unbuildable registry entry is
+an audit failure, never a silent skip. Usage:
 ``python scripts/audit_plans.py [sf_dir] [name ...]``
 """
 
@@ -28,27 +32,29 @@ sys.path.insert(0, ".")
 from prometheus_parquet_server_spark import get_spark
 from prometheus_parquet_server_spark.driver_contract import QUERIES
 
-#: query -> patterns allowed there, each with a reason. Every entry is a
-#: deliberately non-equi join whose BUILD side is one row or probe-sized
-#: — the broadcast nested loop is the intended plan, not a missing key.
-ALLOW: dict[str, dict[str, str]] = {
+#: query -> pattern -> (expected occurrence count, reason). Every entry
+#: is a deliberately non-equi join whose BUILD side is one row or
+#: probe-sized — the broadcast nested loop is the intended plan, not a
+#: missing key. Counts are exact: one more occurrence fails, zero flags
+#: the entry as stale.
+ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "tfidf_topk": {
-        "BroadcastNestedLoopJoin": "corpus-N (one row) broadcast back to every doc"
+        "BroadcastNestedLoopJoin": (1, "corpus-N (one row) broadcast back")
     },
     "text_perplexity": {
-        "BroadcastNestedLoopJoin": "corpus-level cutpoint row broadcast back"
+        "BroadcastNestedLoopJoin": (1, "corpus-level cutpoint row broadcast back")
     },
     "pipeline_curriculum": {
-        "BroadcastNestedLoopJoin": "percentile cutpoints (one row) broadcast back"
+        "BroadcastNestedLoopJoin": (1, "percentile cutpoints (one row) broadcast back")
     },
     "promql_at_modifier": {
-        "BroadcastNestedLoopJoin": "@-pinned scalar instant cross-joined onto the grid"
+        "BroadcastNestedLoopJoin": (1, "@-pinned scalar instant onto the grid")
     },
     "emb_cosine_topk": {
-        "BroadcastNestedLoopJoin": "exact baseline: probes x corpus scored by design"
+        "BroadcastNestedLoopJoin": (1, "exact baseline: probes x corpus by design")
     },
     "emb_knn_label": {
-        "BroadcastNestedLoopJoin": "kNN probes x corpus, same exact-baseline shape"
+        "BroadcastNestedLoopJoin": (1, "kNN probes x corpus, exact-baseline shape")
     },
 }
 
@@ -66,18 +72,18 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:  # streaming-only entries can't be planned here
-            print(f"SKIP {name}: {type(e).__name__}", file=sys.stderr)
-            continue
+        # no exception guard: an unbuildable registry query IS the bug
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         checked += 1
-        hits = [
-            p
-            for p in PATTERNS
-            if p in plan and p not in ALLOW.get(name, {})
-        ]
+        hits = []
+        for pat in PATTERNS:
+            n = plan.count(pat)
+            expected = ALLOW.get(name, {}).get(pat, (0, ""))[0]
+            if n > expected:
+                hits.append(f"{pat} x{n} (allowed {expected})")
+            elif n < expected:
+                hits.append(f"STALE-ALLOWLIST {pat}: expected {expected}, found {n}")
         if hits:
             flagged[name] = hits
     print(json.dumps({"checked": checked, "flagged": flagged}))

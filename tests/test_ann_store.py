@@ -332,7 +332,11 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
     extra = emb.filter(F.col("vec_id") >= 400)
     fstore = f"file://{tmp_path}/fi"
     qstore = f"file://{tmp_path}/qi"
-    ivf_build(spark, fstore, emb, n_centroids=8, kmeans_iterations=0, dim=64)
+    # both stores built IDENTICALLY (base build + append of extra) so the
+    # centroids, cells and probe sets match exactly — the ONLY variable
+    # between f_res and q_res is int8 quantization noise
+    ivf_build(spark, fstore, base, n_centroids=8, kmeans_iterations=0, dim=64)
+    ivf_append(spark, fstore, extra)
     ivf_build(
         spark, qstore, base, n_centroids=8, kmeans_iterations=0, dim=64,
         quantize=True,
@@ -366,3 +370,20 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
     assert data_bytes(qstore) < 0.5 * data_bytes(fstore), (
         data_bytes(qstore), data_bytes(fstore),
     )
+
+
+def test_quantized_build_keeps_duplicate_ids_row_for_row(spark, tmp_path):
+    """Regression: the quantized arm must NOT join the corpus on id — two
+    rows sharing vec_id=7 stay two rows (a join would cross-pair them
+    into four, with cells from one row and qvecs from the other)."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    rows = [(7, [1.0] * 64), (7, [-1.0] * 64), (8, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = f"file://{tmp_path}/dupq"
+    ivf_build(spark, store, df, n_centroids=2, kmeans_iterations=0, dim=64, quantize=True)
+    data = snapshot_read(spark, store).filter(F.col("name") != CENTROID_NAME)
+    assert data.count() == 3
+    assert data.filter(F.col("vec_id") == 7).count() == 2
