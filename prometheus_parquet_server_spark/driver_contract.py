@@ -1707,6 +1707,58 @@ SELECT fp, doc_id FROM ranked WHERE rn = 1
 """
 
 
+def q_pipeline_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (pipeline/scrub.strip_markup): the documents table
+    is plain prose, so the query wraps each doc in deterministic HTML —
+    tags, a script element with a code body, a comment, single- and
+    double-encoded entities — and strips it back. The oracle replays the
+    SAME construction and the SAME regexp chain (Java-and-RE2 dialect;
+    DuckDB needs the explicit g option where Spark replaces globally by
+    default). done = clean round-trip: prose survives, markup/script
+    bodies do not, &amp;lt; decodes exactly one level."""
+    from prometheus_parquet_server_spark.pipeline.scrub import strip_markup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit(HTML_WRAP_HEAD),
+        F.col("text"),
+        F.lit(HTML_WRAP_TAIL),
+    )
+    return docs.select(
+        "doc_id", strip_markup(html).alias("clean")
+    )
+
+
+HTML_WRAP_HEAD = (
+    '<html><head><style>p{color:red}</style></head><body><p class="x">'
+)
+HTML_WRAP_TAIL = (
+    '</p><script type="text/js">var x = 1 < 2;</script>'
+    "<!-- note --><div>tail &amp; &lt;b&gt; &amp;lt;kept&amp;gt; &#39;q&#39;</div></body></html>"
+)
+
+SQL_PIPELINE_STRIP_MARKUP = r"""
+WITH wrapped AS (
+    SELECT doc_id,
+           '<html><head><style>p{color:red}</style></head><body><p class="x">'
+           || text ||
+           '</p><script type="text/js">var x = 1 < 2;</script>'
+           || '<!-- note --><div>tail &amp; &lt;b&gt; &amp;lt;kept&amp;gt; &#39;q&#39;</div></body></html>'
+           AS h
+    FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS h FROM wrapped),
+s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(h, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS h FROM s3),
+e0 AS (SELECT doc_id, replace(replace(replace(replace(h, '&#32;', ' '), '&#39;', ''''), '&#34;', '"'), '&#38;', '&') AS h FROM s4),
+e1 AS (SELECT doc_id, replace(replace(replace(replace(replace(h, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&nbsp;', ' ') AS h FROM e0),
+e2 AS (SELECT doc_id, replace(h, '&amp;', '&') AS h FROM e1)
+SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+FROM e2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", simhash(F.col("text"), bits=8).alias("simhash"))
@@ -3838,6 +3890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_semantic": q_dedup_semantic,
     "ivf_store_topk": q_ivf_store_topk,
+    "pipeline_strip_markup": q_pipeline_strip_markup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3937,4 +3990,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
+    "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
 }

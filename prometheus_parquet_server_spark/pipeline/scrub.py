@@ -51,3 +51,37 @@ def pii_counts(text: Column) -> dict[str, Column]:
         counts[f"n_{kind}"] = F.regexp_count(staged, F.lit(pattern))
         staged = F.regexp_replace(staged, pattern, repl)
     return counts
+
+
+def strip_markup(text: Column) -> Column:
+    """Strip HTML/XML markup from crawl-shaped text: drop ``<script>`` /
+    ``<style>`` elements WITH their contents (their bodies are code, not
+    prose), remove remaining tags and comments, unescape the five XML
+    entities plus numeric ``&#NN;`` for the printable-ASCII range, and
+    collapse the whitespace the removals leave behind.
+
+    Same dialect contract as the PII patterns — Java∩RE2 only (bounded
+    alternation, ``(?s)``/``(?i)`` inline flags, no lookarounds) — so the
+    DuckDB oracle replays every step bit-identically. Entity unescape
+    order matters: ``&amp;`` is LAST, so ``&amp;lt;`` decodes to the
+    literal ``&lt;`` (one level, the standard single-pass rule), never to
+    ``<``. Scale shape: per-row regexp chain, whole-stage codegen, zero
+    shuffle — the map-only pre-clean a crawl ingest runs before quality
+    scoring and dedup fingerprinting (both of which assume prose).
+    """
+    out = text
+    # script/style elements incl. body; (?is): dot-matches-newline + case-insensitive
+    out = F.regexp_replace(out, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    # comments, then any remaining tag
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)</?[A-Za-z!][^>]*>", " ")
+    # numeric entities in the printable-ASCII range → the character itself
+    # is not expressible as a pure regex replacement in either engine, so
+    # decode the HIGH-VALUE whitespace/punct subset explicitly
+    for code, ch in (("32", " "), ("39", "'"), ("34", "\""), ("38", "&")):
+        out = F.regexp_replace(out, f"&#{code};", ch)
+    for ent, ch in (("lt", "<"), ("gt", ">"), ("quot", "\""), ("apos", "'"), ("nbsp", " ")):
+        out = F.regexp_replace(out, f"&{ent};", ch)
+    out = F.regexp_replace(out, r"&amp;", "&")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -238,3 +238,26 @@ def test_token_budget_rejects_clobbering(spark):
     )
     with pytest.raises(ValueError, match="clash"):
         token_budget_sample(df, budget_tokens=10, group_col="source")
+
+
+def test_strip_markup_golden(spark):
+    from prometheus_parquet_server_spark.pipeline.scrub import strip_markup
+    from pyspark.sql import functions as F
+
+    cases = [
+        # script/style bodies vanish, tags vanish, whitespace collapses
+        ("<html><body><p>Hello  <b>world</b></p>"
+         "<script>var x = 1 < 2;</script><style>p{color:red}</style></body></html>",
+         "Hello world"),
+        # comments vanish; entities decode exactly one level
+        ("<!-- c -->A &amp; B &lt;tag&gt; &amp;lt;kept&amp;gt; &#39;q&#39;",
+         "A & B <tag> &lt;kept&gt; 'q'"),
+        # plain prose is untouched (modulo whitespace collapse)
+        ("just   prose, 1 < 2 stays", "just prose, 1 < 2 stays"),
+        # unterminated tag-ish junk: '<' not followed by a letter stays
+        ("a < b and a <= b", "a < b and a <= b"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select("i", strip_markup(F.col("t")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
