@@ -1,0 +1,228 @@
+"""Python Data Source over the snapshot store (sources/pyds.py).
+
+Batch: format("pps_snapshot") must equal snapshot_read (same manifest,
+same pruning rules), with pushed name/ts filters pruning files at the
+MANIFEST level and time travel via the version option.
+
+Streaming: the version tail must deliver exactly the appended rows,
+recover from a checkpoint (offset = manifest version), skip
+data-preserving maintenance (compact), and fail loudly on row-rewriting
+commits unless ignore_changes=true.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.sources.pyds import (
+    SnapshotBatchReader,
+    _extract_bounds,
+    register_snapshot_source,
+)
+from prometheus_parquet_server_spark.sources.snapshot_store import (
+    snapshot_compact,
+    snapshot_read,
+    snapshot_upsert,
+    snapshot_write,
+)
+
+SCHEMA = "name string, labels map<string,string>, ts double, value double"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(n, name, t0=0.0):
+    return [
+        (name, {"i": str(k)}, t0 + float(k), float(k) * 0.5) for k in range(n)
+    ]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    """Three append commits, one metric per commit — several
+    name-clustered files in the manifest, so pruning has real targets."""
+    root = f"file://{tmp_path}/store"
+    for i, nm in enumerate(["cpu", "mem", "net"]):
+        snapshot_write(
+            spark,
+            root,
+            _mk(spark, _rows(40, nm, t0=100.0 * i)),
+            mode="overwrite" if i == 0 else "append",
+        )
+    register_snapshot_source(spark)
+    return root
+
+
+def _collected(df):
+    return sorted(
+        (r["name"], tuple(sorted(r["labels"].items())), r["ts"], r["value"])
+        for r in df.collect()
+    )
+
+
+def test_batch_read_equals_snapshot_read(spark, store):
+    via_ds = spark.read.format("pps_snapshot").load(store)
+    via_native = snapshot_read(spark, store)
+    assert via_ds.schema == via_native.schema
+    assert _collected(via_ds) == _collected(via_native)
+
+
+def test_batch_filters_apply_exactly(spark, store):
+    out = (
+        spark.read.format("pps_snapshot")
+        .load(store)
+        .filter((F.col("name") == "mem") & (F.col("ts") >= 120.0))
+    )
+    exp = snapshot_read(spark, store).filter(
+        (F.col("name") == "mem") & (F.col("ts") >= 120.0)
+    )
+    assert _collected(out) == _collected(exp)
+    assert out.count() == 20
+
+
+def test_time_travel_version_option(spark, store):
+    v1 = (
+        spark.read.format("pps_snapshot")
+        .option("version", 1)
+        .load(store)
+    )
+    names = {r["name"] for r in v1.select("name").distinct().collect()}
+    assert names == {"cpu"}
+    assert v1.count() == 40
+
+
+def test_extract_bounds():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        LessThanOrEqual,
+    )
+
+    names, lo, hi = _extract_bounds(
+        [
+            EqualTo(("name",), "cpu"),
+            GreaterThan(("ts",), 5.0),
+            LessThanOrEqual(("ts",), 9.0),
+            IsNotNull(("value",)),  # ignored
+        ]
+    )
+    assert names == ["cpu"] and lo == 5.0 and hi == 9.0
+    # In ∩ EqualTo intersect; contradictions collapse to []
+    names, _, _ = _extract_bounds(
+        [In(("name",), ("a", "b")), EqualTo(("name",), "b")]
+    )
+    assert names == ["b"]
+    names, _, _ = _extract_bounds(
+        [In(("name",), ("a",)), EqualTo(("name",), "b")]
+    )
+    assert names == []
+
+
+def test_manifest_pruning_narrows_partitions(spark, store):
+    from pyspark.sql.datasource import EqualTo
+
+    path = store
+    schema = snapshot_read(spark, path).schema
+    rd = SnapshotBatchReader(schema, {"path": path})
+    total = len(rd.partitions())
+    assert total >= 3  # one commit per metric → at least one file each
+    rd2 = SnapshotBatchReader(schema, {"path": path})
+    leftover = list(rd2.pushFilters([EqualTo(("name",), "mem")]))
+    assert len(leftover) == 1  # everything yielded back for re-apply
+    pruned = len(rd2.partitions())
+    assert 0 < pruned < total
+
+
+def _drain(spark, store, ckpt, out, **opts):
+    """availableNow drain into a parquet sink (the memory sink cannot
+    recover from a checkpoint). Returns the CUMULATIVE sink contents —
+    delta assertions compare totals across drains."""
+    reader = spark.readStream.format("pps_snapshot")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import glob
+
+    local_out = out.replace("file://", "")
+    if not glob.glob(f"{local_out}/*.parquet"):
+        return spark.createDataFrame([], SCHEMA)  # zero-row drain
+    return spark.read.parquet(out)
+
+
+def test_stream_tail_and_checkpoint_recovery(spark, store, tmp_path):
+    ckpt, out = f"{tmp_path}/ckpt", f"file://{tmp_path}/out"
+    got = _drain(spark, store, ckpt, out)
+    assert got.count() == 120  # full history replayed as the first pass
+    # new append lands; a RESTARTED stream delivers ONLY the delta
+    snapshot_write(spark, store, _mk(spark, _rows(7, "disk", t0=999.0)))
+    got2 = _drain(spark, store, ckpt, out)
+    assert got2.count() == 127  # 120 + 7, no re-delivery
+    assert got2.filter(F.col("name") == "disk").count() == 7
+
+
+def test_stream_skips_compaction(spark, store, tmp_path):
+    ckpt, out = f"{tmp_path}/ckpt", f"file://{tmp_path}/out"
+    assert _drain(spark, store, ckpt, out).count() == 120
+    assert snapshot_compact(spark, store, target_file_bytes=2**30) is not None
+    got = _drain(spark, store, ckpt, out)
+    assert got.count() == 120  # compaction rewrote, added nothing
+
+
+def test_stream_rejects_rewrites_unless_opted_in(spark, store, tmp_path):
+    c1, o1 = f"{tmp_path}/c1", f"file://{tmp_path}/o1"
+    assert _drain(spark, store, c1, o1).count() == 120
+    snapshot_upsert(
+        spark, store, _mk(spark, [("cpu", {"i": "0"}, 0.0, 123.0)])
+    )
+    with pytest.raises(Exception, match="row-rewriting"):
+        _drain(spark, store, c1, o1)
+    # 'latest' tails only commits made AFTER the stream starts
+    got = _drain(
+        spark,
+        store,
+        f"{tmp_path}/c2",
+        f"file://{tmp_path}/o2",
+        starting_version="latest",
+    )
+    assert got.count() == 0
+    # fresh stream with ignore_changes delivers the rewritten files whole
+    got_ic = _drain(
+        spark,
+        store,
+        f"{tmp_path}/c3",
+        f"file://{tmp_path}/o3",
+        ignore_changes="true",
+    )
+    # full replay: appends + the upsert's rewritten cpu files (re-delivery
+    # of the rewritten rows rides on top of the 3×40 appended ones)
+    assert got_ic.count() >= 120
+    assert (
+        got_ic.filter((F.col("name") == "cpu") & (F.col("value") == 123.0))
+        .count()
+        >= 1
+    )
+
+
+def test_starting_version_int(spark, store, tmp_path):
+    got = _drain(
+        spark,
+        store,
+        f"{tmp_path}/ckpt",
+        f"file://{tmp_path}/out",
+        starting_version="3",
+    )
+    assert {r["name"] for r in got.select("name").distinct().collect()} == {
+        "net"
+    }
+    assert got.count() == 40
