@@ -302,6 +302,40 @@ def q_snapshot_select_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_ds_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f1 through the Python Data Source (sources/pyds.py): the same
+    snapshot-store fixture read via spark.read.format('pps_snapshot')
+    instead of snapshot_select. Catalyst pushes the name-equality filter
+    into the DS planner (manifest-stat file pruning, typed pushFilters),
+    re-applies every predicate row-level, and the matcher semantics ride
+    the ordinary select_series operator on the returned frame.
+    Hash-matching f1's oracle proves the DS batch path — Arrow-batch
+    reads through Python workers, driver-side manifest pruning — is
+    semantics-preserving under the gate, not just under pytest."""
+    from prometheus_parquet_server_spark.labels import LabelMatcher
+    from prometheus_parquet_server_spark.operators.select import select_series
+    from prometheus_parquet_server_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    store = _snapshot_store_for(spark, sf_dir)
+    register_snapshot_source(spark)
+    m = spark.read.format("pps_snapshot").load(store)
+    out = select_series(
+        m,
+        [
+            LabelMatcher("__name__", "=", "click"),
+            LabelMatcher("user_id", "=~", "^1"),
+            LabelMatcher("user_id", "!=", "13"),
+        ],
+    )
+    return out.select(
+        F.col("labels").getItem("user_id").alias("user_id"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_f3_name_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/M4: name-equality selection (partition-pruned path)."""
     m = _metrics_flat(spark, sf_dir)
@@ -3854,6 +3888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_capped": q_dedup_clusters_capped,
     "t3_resample_chunked": q_t3_resample_chunked,
     "snapshot_select_f1": q_snapshot_select_f1,
+    "snapshot_ds_f1": q_snapshot_ds_f1,
     "p2_irate_chunked": q_p2_irate_chunked,
     "rollup_incremental": q_rollup_incremental,
     "text_hash_embed": q_text_hash_embed,
@@ -3966,6 +4001,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
     "t3_resample_chunked": SQL_T3,
     "snapshot_select_f1": SQL_F1,
+    "snapshot_ds_f1": SQL_F1,
     "p2_irate_chunked": SQL_P2,
     "rollup_incremental": SQL_EVENTS_ROLLUP,
     "text_hash_embed": SQL_TEXT_HASH_EMBED,
