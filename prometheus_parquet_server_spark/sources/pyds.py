@@ -11,6 +11,9 @@ own ``snapshot_read`` entry points:
     register_snapshot_source(spark)
     df = spark.read.format("pps_snapshot").load(store_path)
     live = spark.readStream.format("pps_snapshot").load(store_path)
+    df.write.format("pps_snapshot").mode("append").save(store_path)
+    stream.writeStream.format("pps_snapshot").option(
+        "txn_app_id", "my-sink").start(store_path)
 
 Batch read
     * ``version`` option time-travels exactly like ``snapshot_read``.
@@ -49,6 +52,28 @@ Streaming read (the version tail)
     after a crash re-plans the identical batch (exactly-once with an
     idempotent sink, e.g. ``snapshot_write(txn=...)``).
 
+Write (batch and streaming)
+    ``df.write.format("pps_snapshot")`` commits one atomic manifest per
+    job: executor tasks stream their Arrow batches into one parquet
+    file each (stats measured on the same pass that writes the bytes;
+    NULL/NaN keys fail the task so nothing commits), and the driver
+    publishes append/overwrite manifests through the same protocol as
+    ``snapshot_write`` — O_CREAT|O_EXCL atomic create, junk-slot
+    skipping, append rebase on a moved tip — so Python-committed and
+    JVM-committed versions interleave safely on one store. The
+    streaming sink appends one commit per micro-batch; option
+    ``txn_app_id`` rides the store's Delta-style txn marker keyed by
+    the batch id, making redelivered batches no-ops (exactly-once
+    output). Local/file: stores only — the JVM ``snapshot_write``
+    covers Hadoop filesystems. Cross-ENGINE concurrent writers keep the
+    store's documented local-FS replace-rename caveat (see
+    ``snapshot_store._try_commit``): the Python side's O_EXCL create is
+    atomic, but a JVM writer's POSIX rename can still replace a
+    just-published same-version manifest inside the microsecond
+    exists→rename window — the same residual window two JVM writers
+    have. Single-application use (one driver issuing commits in
+    sequence, the normal shape) never enters the window.
+
 Scale notes: planning reads only the JSON manifests (driver-side,
 O(files) smallness); executors touch exactly the surviving parquet
 files and stream them as Arrow batches. The Python worker hop costs
@@ -68,9 +93,13 @@ import json
 import os
 from typing import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -79,6 +108,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -359,6 +389,267 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
 
 # ---------------------------------------------------------------------------
+# Write path. Executors stream their Arrow batches straight into one
+# parquet file each under a fresh tx dir (no shuffle, no JVM hop back);
+# the driver's commit() assembles the per-file stats the tasks measured
+# into a manifest and publishes it with the SAME protocol as
+# snapshot_store._try_commit, so Python-written and JVM-written commits
+# interleave safely on one store. Layout note: the Python writer keeps
+# whatever partitioning the upstream plan produced — callers wanting the
+# store's name-clustered pruning layout should repartitionByRange("name",
+# "ts") first; stats stay exact either way, pruning just gets wider
+# per-file ranges.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str | None
+    n_rows: int
+    n_bytes: int
+    min_name: str | None
+    max_name: str | None
+    min_ts: float | None
+    max_ts: float | None
+
+
+def _write_task(iterator, tx_uri: str, columns: list[str]) -> _FileCommit:
+    """One executor task → at most one parquet file + its exact stats.
+    NULL name / NULL-or-NaN ts rows fail the TASK (so the job aborts and
+    nothing commits) — the same dirty-batch rejection snapshot_write
+    enforces, measured on the same pass that writes the bytes."""
+    import math
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = f"{tx_uri}/part-{_uuid.uuid4().hex}.parquet"
+    lp = _local_path(path)
+    if lp is None:
+        raise NotImplementedError(
+            "pps_snapshot write supports local/file: stores (the JVM-side "
+            "snapshot_write covers Hadoop filesystems)"
+        )
+    writer = None
+    n_rows = 0
+    min_name = max_name = None
+    min_ts, max_ts = math.inf, -math.inf
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(os.path.dirname(lp), exist_ok=True)
+                writer = pq.ParquetWriter(lp, batch.schema)
+            names = batch.column(columns.index("name"))
+            ts = batch.column(columns.index("ts"))
+            nan_ts = (
+                pa.types.is_floating(ts.type)
+                and pc.any(pc.is_nan(ts)).as_py()
+            )
+            if names.null_count or ts.null_count or nan_ts:
+                raise ValueError(
+                    "pps_snapshot write rejected: NULL name, NULL ts, or "
+                    "NaN ts — the canonical model requires non-null "
+                    "finite keys; clean the batch before committing"
+                )
+            writer.write_batch(batch)
+            n_rows += batch.num_rows
+            lo, hi = pc.min(names).as_py(), pc.max(names).as_py()
+            min_name = lo if min_name is None else min(min_name, lo)
+            max_name = hi if max_name is None else max(max_name, hi)
+            min_ts = min(min_ts, pc.min(ts).as_py())
+            max_ts = max(max_ts, pc.max(ts).as_py())
+    except Exception:
+        if writer is not None:
+            writer.close()
+            os.unlink(lp)
+        raise
+    if writer is None:  # empty task — no file, no manifest entry
+        return _FileCommit(None, 0, 0, None, None, None, None)
+    writer.close()
+    return _FileCommit(
+        path, n_rows, os.path.getsize(lp), min_name, max_name, min_ts, max_ts
+    )
+
+
+def _manifest_fs_path(root: str, version: int) -> str:
+    return f"{root}/{_SNAP_DIR}/v{version:010d}.json"
+
+
+def _publish_manifest(
+    root: str,
+    operation: str,
+    schema_json: dict,
+    new_files: list[dict],
+    extra_props: dict | None,
+) -> int:
+    """Spark-free twin of snapshot_store's commit loop, safe to run from
+    the Python DS driver worker. Local stores get a strictly ATOMIC
+    create via O_CREAT|O_EXCL — no replace-rename race at all; a crash
+    mid-write leaves a torn file that readers and the JVM writer's
+    _target_version already skip as a junk slot. Appends rebase onto a
+    moved tip (an append's file list is valid against any parent);
+    overwrite raises on a race, like snapshot_write."""
+    import uuid as _uuid
+
+    writer_nonce = _uuid.uuid4().hex
+    first_parent = None
+    for attempt in range(10):
+        parent, parent_m = _resolve_tip(root)
+        if attempt == 0:
+            first_parent = parent
+        if operation == "overwrite" and parent != first_parent:
+            raise RuntimeError(
+                f"overwrite prepared against v{first_parent} but tip "
+                f"moved to v{parent}"
+            )
+        base, props = [], {}
+        if operation == "append" and parent_m is not None:
+            base = parent_m["files"]
+            props = dict(parent_m.get("properties") or {})
+        if extra_props:
+            props.update(extra_props)
+        target = (parent or 0) + 1
+        while os.path.exists(_local_path(_manifest_fs_path(root, target))):
+            try:
+                _read_manifest(root, target)
+            except Exception:
+                target += 1  # junk slot (torn write) — skip it
+                continue
+            target = None  # readable slot above parent: tip moved
+            break
+        if target is None:
+            continue  # re-resolve and (for append) rebase
+        manifest = {
+            "version": target,
+            "parent": parent,
+            "operation": operation,
+            "schema": schema_json,
+            "files": base + new_files,
+            "_writer": writer_nonce,
+        }
+        if props:
+            manifest["properties"] = props
+        mp = _local_path(_manifest_fs_path(root, target))
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        try:
+            fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the slot to a racer — retry on the new tip
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(json.dumps(manifest).encode("utf-8"))
+        return target
+    raise RuntimeError(f"lost 10 straight commit races on {root}")
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        import uuid as _uuid
+
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("pps_snapshot: a store path is required")
+        if _local_path(self._root) is None:
+            raise NotImplementedError(
+                "pps_snapshot write supports local/file: stores"
+            )
+        cols = [f.name for f in schema.fields]
+        for required in ("name", "ts"):
+            if required not in cols:
+                raise ValueError(
+                    f"pps_snapshot write: frame must carry the store's "
+                    f"canonical '{required}' column, got {cols}"
+                )
+        self._columns = cols
+        self._schema_json = json.loads(schema.json())
+        self._overwrite = overwrite
+        self._tx = f"{self._root}/data/tx_{_uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        return _write_task(iterator, self._tx, self._columns)
+
+    def _entries(self, messages) -> list[dict]:
+        return [
+            {
+                "path": m.path,
+                "n_rows": m.n_rows,
+                "n_bytes": m.n_bytes,
+                "min_name": m.min_name,
+                "max_name": m.max_name,
+                "min_ts": m.min_ts,
+                "max_ts": m.max_ts,
+            }
+            for m in messages
+            if m is not None and m.path is not None
+        ]
+
+    def _commit(self, new_files: list[dict], txn: tuple[str, int] | None):
+        extra_props = None
+        if txn is not None:
+            # pre-publish marker check suffices here: markers are
+            # lineage-scoped and Spark serializes a stream's micro-batch
+            # commits, so the same key is never raced (the JVM writer's
+            # per-rebase re-check guards its multi-writer append path)
+            key = f"txn_{txn[0]}"
+            _, parent_m = _resolve_tip(self._root)
+            recorded = ((parent_m or {}).get("properties") or {}).get(key)
+            if recorded is not None and int(txn[1]) <= int(recorded):
+                self._drop(new_files)  # redelivered micro-batch: no-op
+                return
+            extra_props = {key: int(txn[1])}
+        _publish_manifest(
+            self._root,
+            "overwrite" if self._overwrite else "append",
+            self._schema_json,
+            new_files,
+            extra_props,
+        )
+
+    def commit(self, messages):
+        self._commit(self._entries(messages), txn=None)
+
+    def _drop(self, files: list[dict]) -> None:
+        for f in files:
+            lp = _local_path(f["path"])
+            if lp and os.path.exists(lp):
+                os.unlink(lp)
+
+    def abort(self, messages):
+        self._drop(self._entries(messages))
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink without foreachBatch glue: every micro-batch is one
+    atomic append commit. With option ``txn_app_id`` the commit carries
+    the store's Delta-style txn marker keyed by the micro-batch id, so a
+    replayed (committed-but-unacknowledged) batch lands as a no-op —
+    exactly-once output on top of Spark's at-least-once redelivery.
+    The marker is lineage-scoped: reset the checkpoint, change the id."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pps_snapshot streaming sink is append-only (outputMode "
+                "'append'); use batch mode('overwrite') for rebuilds"
+            )
+        self._delegate = SnapshotBatchWriter(schema, options, False)
+        self._app_id = options.get("txn_app_id")
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int):
+        txn = (self._app_id, batchId) if self._app_id else None
+        self._delegate._commit(self._delegate._entries(messages), txn=txn)
+
+    def abort(self, messages, batchId: int):
+        self._delegate.abort(messages)
+
+
+# ---------------------------------------------------------------------------
 # DataSource
 # ---------------------------------------------------------------------------
 
@@ -400,6 +691,14 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(schema, self.options, overwrite)
 
 
 def register_snapshot_source(spark) -> None:

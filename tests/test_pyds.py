@@ -226,3 +226,99 @@ def test_starting_version_int(spark, store, tmp_path):
         "net"
     }
     assert got.count() == 40
+
+
+# ---------------------------------------------------------------------------
+# Write path
+# ---------------------------------------------------------------------------
+
+
+def test_write_batch_append_reads_back_native(spark, store, tmp_path):
+    df = _mk(spark, _rows(13, "gpu", t0=500.0))
+    df.write.format("pps_snapshot").mode("append").save(store)
+    back = snapshot_read(spark, store)
+    assert back.count() == 133
+    assert back.filter(F.col("name") == "gpu").count() == 13
+    # the committed manifest carries exact per-file stats for pruning
+    pruned = snapshot_read(spark, store, names=["gpu"])
+    assert _collected(pruned) == _collected(
+        back.filter(F.col("name") == "gpu")
+    )
+
+
+def test_write_overwrite_replaces(spark, store):
+    df = _mk(spark, _rows(5, "only", t0=0.0))
+    df.write.format("pps_snapshot").mode("overwrite").save(store)
+    back = snapshot_read(spark, store)
+    assert back.count() == 5
+    assert {r["name"] for r in back.select("name").distinct().collect()} == {
+        "only"
+    }
+
+
+def test_write_new_store_and_jvm_interleave(spark, tmp_path):
+    root = f"file://{tmp_path}/fresh"
+    register_snapshot_source(spark)
+    _mk(spark, _rows(4, "a")).write.format("pps_snapshot").mode(
+        "append"
+    ).save(root)
+    # JVM-side append lands on the Python-committed tip…
+    snapshot_write(spark, root, _mk(spark, _rows(4, "b")))
+    # …and a Python append lands on the JVM tip
+    _mk(spark, _rows(4, "c")).write.format("pps_snapshot").mode(
+        "append"
+    ).save(root)
+    back = snapshot_read(spark, root)
+    assert back.count() == 12
+    assert {
+        r["name"] for r in back.select("name").distinct().collect()
+    } == {"a", "b", "c"}
+
+
+def test_write_rejects_null_keys(spark, tmp_path):
+    root = f"file://{tmp_path}/dirty"
+    register_snapshot_source(spark)
+    bad = spark.createDataFrame(
+        [(None, {"i": "0"}, 1.0, 2.0)], SCHEMA
+    )
+    with pytest.raises(Exception, match="NULL name"):
+        bad.write.format("pps_snapshot").mode("append").save(root)
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/dirty/_snapshots")
+
+
+def test_write_requires_canonical_columns(spark, tmp_path):
+    root = f"file://{tmp_path}/nocanon"
+    register_snapshot_source(spark)
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(Exception, match="canonical"):
+        df.write.format("pps_snapshot").mode("append").save(root)
+
+
+def test_stream_writer_appends_and_dedupes_replay(spark, store, tmp_path):
+    """availableNow drain through the DS sink: rows land as append
+    commits, and a re-drain from a RESET checkpoint with the same
+    txn_app_id is deduped by the marker (batch ids replay from 0)."""
+    src = f"{tmp_path}/src"
+    _mk(spark, _rows(9, "streamed", t0=777.0)).write.parquet(src)
+    before = snapshot_read(spark, store).count()
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.format("pps_snapshot")
+            .option("checkpointLocation", f"{tmp_path}/{ckpt}")
+            .option("txn_app_id", "pyds-test-sink")
+            .trigger(availableNow=True)
+            .start(store)
+        )
+        q.awaitTermination(120)
+
+    drain("ck1")
+    mid = snapshot_read(spark, store)
+    assert mid.count() == before + 9
+    # a fresh checkpoint replays batch 0 — the txn marker makes it a no-op
+    drain("ck2")
+    assert snapshot_read(spark, store).count() == before + 9
