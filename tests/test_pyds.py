@@ -322,3 +322,57 @@ def test_stream_writer_appends_and_dedupes_replay(spark, store, tmp_path):
     # a fresh checkpoint replays batch 0 — the txn marker makes it a no-op
     drain("ck2")
     assert snapshot_read(spark, store).count() == before + 9
+
+
+def test_change_feed_drives_dedup_store(spark, tmp_path):
+    """End-to-end CDC composition: a corpus lands in a snapshot store in
+    three commits; the pps_snapshot CHANGE FEED streams the deltas into
+    the cross-batch dedup sink (pipeline/dedup_store.py). The result
+    must equal a one-shot first-occurrence dedup of the full corpus —
+    the round-7 storage features composing end to end."""
+    from prometheus_parquet_server_spark.pipeline.dedup_store import (
+        stream_dedup_ingest,
+    )
+
+    corpus = f"file://{tmp_path}/corpus"
+    texts = [
+        (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),
+        (4, "epsilon"), (5, "gamma delta"), (6, "zeta eta"),
+        (7, "alpha beta"), (8, "theta iota"), (9, "epsilon"),
+    ]
+
+    def docs(rows):
+        # ride the store's canonical axes: name=str(doc_id), ts=doc_id
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).select(
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("doc_id").cast("double").alias("ts"),
+            "doc_id",
+            "text",
+        )
+
+    register_snapshot_source(spark)
+    for i, chunk in enumerate([texts[:3], texts[3:6], texts[6:]]):
+        docs(chunk).write.format("pps_snapshot").mode(
+            "overwrite" if i == 0 else "append"
+        ).save(corpus)
+
+    feed = (
+        spark.readStream.format("pps_snapshot")
+        .load(corpus)
+        .select("doc_id", "text")
+    )
+    q = stream_dedup_ingest(
+        feed, spark, f"file://{tmp_path}/seen", f"file://{tmp_path}/out"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"file://{tmp_path}/out").collect()
+    )
+    exp = sorted(
+        (min(i for i, t2 in texts if t2 == t), t)
+        for t in {t for _, t in texts}
+    )
+    assert got == exp
