@@ -1741,6 +1741,36 @@ SELECT fp, doc_id FROM ranked WHERE rn = 1
 """
 
 
+def q_pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order + shard assignment
+    (pipeline/shuffle.py): every document gets the md5 order key that
+    defines its global shuffle position and an md5-derived shard in
+    [0,8). Both are pure per-row expressions replayed exactly by the
+    oracle — the hash gate pins the key↔id assignment, which IS the
+    order (global_shuffle sorts by exactly this key; the sort itself is
+    a range-partitioned exchange with no serial stage). Seed changes
+    reorder everything; same seed is bit-stable across runs/engines."""
+    from prometheus_parquet_server_spark.pipeline.shuffle import (
+        global_shuffle,
+        shard_assign,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_assign(
+        global_shuffle(docs, seed=7), n_shards=8, seed=7
+    )
+    return out.select("doc_id", "shuffle_key", "shard")
+
+
+SQL_PIPELINE_SHUFFLE = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key,
+       CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                 AS UBIGINT) % 8 AS BIGINT) AS shard
+FROM documents
+"""
+
+
 def q_pipeline_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markup stripping (pipeline/scrub.strip_markup): the documents table
     is plain prose, so the query wraps each doc in deterministic HTML —
@@ -3926,6 +3956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "ivf_store_topk": q_ivf_store_topk,
     "pipeline_strip_markup": q_pipeline_strip_markup,
+    "pipeline_shuffle": q_pipeline_shuffle,
 }
 
 ORACLES: dict[str, str] = {
@@ -4027,4 +4058,5 @@ ORACLES: dict[str, str] = {
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
+    "pipeline_shuffle": SQL_PIPELINE_SHUFFLE,
 }

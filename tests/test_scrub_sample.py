@@ -261,3 +261,56 @@ def test_strip_markup_golden(spark):
     got = {r["i"]: r["c"] for r in df.select("i", strip_markup(F.col("t")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle / shard assignment (pipeline/shuffle.py)
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_deterministic_and_total(spark):
+    from prometheus_parquet_server_spark.pipeline.shuffle import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    ).repartition(7)
+    a = [r["doc_id"] for r in global_shuffle(df, seed=3).collect()]
+    b = [r["doc_id"] for r in global_shuffle(df.repartition(3), seed=3).collect()]
+    assert a == b  # same seed: bit-stable across partitionings and runs
+    assert sorted(a) == list(range(500))  # a permutation, nothing lost
+    c = [r["doc_id"] for r in global_shuffle(df, seed=4).collect()]
+    assert a != c  # different seed: different order
+
+
+def test_global_shuffle_plan_is_range_partitioned(spark):
+    from prometheus_parquet_server_spark.pipeline.shuffle import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    plan = global_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+    # total sort compiles to a range exchange (parallel), never a
+    # single-partition sort
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+
+
+def test_shard_assign_balanced_and_in_range(spark):
+    from prometheus_parquet_server_spark.pipeline.shuffle import shard_assign
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    counts = {
+        r["shard"]: r["n"]
+        for r in shard_assign(df, n_shards=8, seed=1)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(counts) == set(range(8))  # every shard hit, all in range
+    assert max(counts.values()) < 2 * min(counts.values())  # binomial-flat
+    with pytest.raises(ValueError, match="positive"):
+        shard_assign(df, n_shards=0)
