@@ -46,6 +46,16 @@ Streaming read (the version tail)
       after the stream starts; an integer N replays from version N
       (inclusive). Default replays the full history from v1, so the
       first micro-batch carries the initial table content.
+    * ``max_files_per_trigger`` option (the Delta pattern): cap how
+      many data files a micro-batch delivers, so a long-running stream
+      ingests bursts of commits in bounded batches (a version always
+      admits whole — the cap bounds batches, it never splits a commit).
+      Caveat: the FIRST batch after a (re)start is uncapped — Spark
+      asks for the latest offset before the source can learn the
+      committed offset, and a capped guess could land below it, which
+      would re-plan processed versions (the JVM ReadLimit API that
+      solves this isn't exposed to Python sources). Pacing engages
+      from the second trigger on.
 
     Offsets checkpoint as ``{"version": N}``; ``partitions(start,
     end)`` is a pure function of the immutable manifests, so recovery
@@ -324,18 +334,45 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignore_changes", "false")
         ).lower() in ("true", "1", "yes")
+        # admission control (the Delta maxFilesPerTrigger pattern): cap
+        # how many data files one micro-batch may deliver, so a stream
+        # that falls behind a big store catches up in bounded batches
+        # instead of one giant replay. 0/absent = unbounded.
+        self._max_files = int(options.get("max_files_per_trigger", 0) or 0)
+        self._cursor: int | None = None  # last batch-end version we planned
 
     def initialOffset(self) -> dict:
         if self._starting is None:
             return {"version": 0}  # replay from v1: first batch = table
         if str(self._starting).lower() == "latest":
-            tip, _ = _resolve_tip(self._root)
-            return {"version": tip or 0}
+            return {"version": _resolve_tip(self._root)[0] or 0}
         return {"version": max(0, int(self._starting) - 1)}
 
     def latestOffset(self) -> dict:
-        tip, _ = _resolve_tip(self._root)
-        return {"version": tip or 0}
+        tip = _resolve_tip(self._root)[0] or 0
+        if not self._max_files or self._cursor is None:
+            # Unbounded — or the FIRST trigger after (re)start. Spark asks
+            # for the latest offset before the source ever learns the
+            # committed offset (initialOffset comes later, and only on
+            # fresh queries), so a capped first answer could fall BELOW
+            # the checkpointed offset; offsets compare by equality only,
+            # and a below-committed answer re-plans already-processed
+            # versions. The safe floor is the tip: the first batch
+            # carries the backlog uncapped, pacing engages from the
+            # second trigger on. (The JVM admission-control API that
+            # solves this — ReadLimit — is not exposed to Python
+            # sources.)
+            self._cursor = tip
+            return {"version": tip}
+        v, files = self._cursor, 0
+        while v < tip:
+            step = len(self._delta_files(v + 1))
+            if files and files + step > self._max_files:
+                break  # budget hit — but always admit >=1 version
+            files += step
+            v += 1
+        self._cursor = v
+        return {"version": v}
 
     def _delta_files(self, v: int) -> list[str]:
         """Paths ADDED by version v, per the module contract above."""
@@ -371,6 +408,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return [f["path"] for f in m["files"] if f["path"] not in seen]
 
     def partitions(self, start: dict, end: dict):
+        # a planned batch end is a floor for pacing — never pace below it
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
         paths: list[str] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             paths.extend(self._delta_files(v))
@@ -382,7 +423,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
         yield from _read_file(partition.path, self._columns)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the sink checkpoint; nothing to release
+        # offsets live in the sink checkpoint; track the committed end so
+        # pacing after a restart resumes from truth, not from the tip
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
     def stop(self) -> None:
         pass

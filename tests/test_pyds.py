@@ -376,3 +376,60 @@ def test_change_feed_drives_dedup_store(spark, tmp_path):
         for t in {t for _, t in texts}
     )
     assert got == exp
+
+
+def test_stream_pacing_protocol(spark, store, tmp_path):
+    """max_files_per_trigger, driven at the reader-protocol level (the
+    call order Spark actually uses: latestOffset BEFORE initialOffset).
+    First answer = tip (uncapped backlog — the documented floor that can
+    never fall below a committed offset); after that, one version per
+    trigger with a 1-file budget, never going backward, always admitting
+    a whole version even when it exceeds the budget."""
+    from prometheus_parquet_server_spark.sources.pyds import (
+        SnapshotStreamReader,
+    )
+
+    schema = snapshot_read(spark, store).schema
+    rd = SnapshotStreamReader(
+        schema, {"path": store, "max_files_per_trigger": "1"}
+    )
+    assert rd.latestOffset() == {"version": 3}  # first trigger: tip
+    rd.commit({"version": 3})
+    # three more appends land (each >=1 file; "wide" carries several)
+    snapshot_write(spark, store, _mk(spark, _rows(5, "d", t0=1000.0)))
+    snapshot_write(
+        spark,
+        store,
+        _mk(
+            spark,
+            _rows(20, "w1", t0=2000.0) + _rows(20, "w2", t0=3000.0),
+        ),
+    )
+    snapshot_write(spark, store, _mk(spark, _rows(5, "e", t0=4000.0)))
+    offs = [rd.latestOffset()["version"] for _ in range(4)]
+    # paced: one version per trigger (v5 has >1 file but still admits
+    # whole), then parked at the tip
+    assert offs == [4, 5, 6, 6]
+    # a re-plan of an old batch never drags the cursor backward
+    list(rd.partitions({"version": 1}, {"version": 2}))
+    assert rd.latestOffset()["version"] == 6
+
+
+def test_stream_unpaced_first_batch_availableNow(spark, store, tmp_path):
+    """availableNow resolves its target from the first latestOffset call,
+    which is uncapped by design — the drain still delivers everything,
+    in one batch (pacing is a running-stream feature)."""
+    batches = []
+    q = (
+        spark.readStream.format("pps_snapshot")
+        .option("max_files_per_trigger", 1)
+        .load(store)
+        .writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.count())
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sum(batches) == 120
