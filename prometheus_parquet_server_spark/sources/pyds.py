@@ -261,19 +261,37 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _read_file(path: str, columns: list[str]) -> Iterator:
+def _read_file(path: str, schema: StructType) -> Iterator:
     """Stream one parquet file as Arrow batches with columns in Spark's
-    schema order (the DS contract matches by position)."""
+    schema order (the DS contract matches by position). A column the
+    file predates (additive schema evolution via merge_schema) is
+    null-filled at the recorded type, matching the JVM reader's pinned
+    scan."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    columns = [f.name for f in schema.fields]
     lp = _local_path(path)
     if lp is not None:
-        table = pq.read_table(lp, columns=columns)
+        have = set(pq.read_schema(lp).names)
+        table = pq.read_table(lp, columns=[c for c in columns if c in have])
     else:
         from pyarrow import fs as pafs
 
         afs, p = pafs.FileSystem.from_uri(path)
-        table = pq.read_table(p, columns=columns, filesystem=afs)
+        have = set(pq.read_schema(p, filesystem=afs).names)
+        table = pq.read_table(
+            p, columns=[c for c in columns if c in have], filesystem=afs
+        )
+    target = to_arrow_schema(schema)
+    for c in columns:
+        if c not in have:
+            table = table.append_column(
+                target.field(c),
+                pa.nulls(table.num_rows, type=target.field(c).type),
+            )
     yield from table.select(columns).to_batches()
 
 
@@ -284,7 +302,7 @@ def _read_file(path: str, columns: list[str]) -> Iterator:
 
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
-        self._columns = [f.name for f in schema.fields]
+        self._schema = schema
         self._root = options.get("path")
         if not self._root:
             raise ValueError("pps_snapshot: a store path is required")
@@ -316,7 +334,7 @@ class SnapshotBatchReader(DataSourceReader):
     def read(self, partition):
         if not partition.path:
             return
-        yield from _read_file(partition.path, self._columns)
+        yield from _read_file(partition.path, self._schema)
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +344,7 @@ class SnapshotBatchReader(DataSourceReader):
 
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
-        self._columns = [f.name for f in schema.fields]
+        self._schema = schema
         self._root = options.get("path")
         if not self._root:
             raise ValueError("pps_snapshot: a store path is required")
@@ -420,7 +438,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if not partition.path:
             return
-        yield from _read_file(partition.path, self._columns)
+        yield from _read_file(partition.path, self._schema)
 
     def commit(self, end: dict) -> None:
         # offsets live in the sink checkpoint; track the committed end so
@@ -610,6 +628,35 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 )
         self._columns = cols
         self._schema_json = json.loads(schema.json())
+        if not overwrite:
+            # append schema gate (the JVM snapshot_write twin): a
+            # type-conflicting append would commit and then fail every
+            # read of the store. The Python writer is strict-only —
+            # additive evolution goes through snapshot_write(
+            # merge_schema=True). On a match, the RECORDED schema stays
+            # the manifest's canonical field order.
+            _, tip_m = _resolve_tip(self._root)
+            recorded = (tip_m or {}).get("schema")
+            if recorded is not None:
+                rec = StructType.fromJson(recorded)
+                rec_types = {f.name: f.dataType for f in rec.fields}
+                new_types = {f.name: f.dataType for f in schema.fields}
+                conflicts = {
+                    n: (str(rec_types[n]), str(t))
+                    for n, t in new_types.items()
+                    if n in rec_types and rec_types[n] != t
+                }
+                if conflicts or set(rec_types) != set(new_types):
+                    raise ValueError(
+                        f"pps_snapshot append rejected: schema differs "
+                        f"from the store's recorded schema (type "
+                        f"conflicts={conflicts}, "
+                        f"added={sorted(set(new_types) - set(rec_types))}, "
+                        f"missing={sorted(set(rec_types) - set(new_types))}"
+                        f"); the Python writer is strict — evolve "
+                        f"additively via snapshot_write(merge_schema=True)"
+                    )
+                self._schema_json = recorded
         self._overwrite = overwrite
         self._tx = f"{self._root}/data/tx_{_uuid.uuid4().hex[:12]}"
 

@@ -196,6 +196,59 @@ def _schema_json(df: DataFrame) -> dict:
     return json.loads(df.schema.json())
 
 
+def _validated_append_schema(
+    recorded: dict | None, df: DataFrame, merge_schema: bool
+) -> dict:
+    """The manifest schema an APPEND must record, after validating the
+    incoming frame against the store's recorded schema. Without this
+    gate a type-conflicting append COMMITS and then every read of the
+    store fails on the parquet type mismatch — one dirty batch wedges
+    the table permanently (the schema sibling of the NULL-key write
+    rejection).
+
+    - a column present on both sides must have the SAME type (nullability
+      and metadata are not load-bearing and are ignored);
+    - strict mode (default) additionally requires the same column SET —
+      no new, no missing;
+    - ``merge_schema`` (the public Delta mergeSchema pattern) allows NEW
+      columns (recorded schema becomes the union; old files null-fill at
+      read) and MISSING ones (the new files null-fill instead), but a
+      type conflict stays fatal in both modes."""
+    from pyspark.sql import types as T
+
+    if recorded is None:
+        return _schema_json(df)  # pre-schema store: adopt the frame's
+    rec = T.StructType.fromJson(recorded)
+    rec_types = {f.name: f.dataType for f in rec.fields}
+    new_types = {f.name: f.dataType for f in df.schema.fields}
+    conflicts = {
+        n: (str(rec_types[n]), str(t))
+        for n, t in new_types.items()
+        if n in rec_types and rec_types[n] != t
+    }
+    if conflicts:
+        raise ValueError(
+            f"snapshot append rejected: column type conflict with the "
+            f"store's recorded schema (recorded, batch): {conflicts} — a "
+            f"committed conflict would fail every later read"
+        )
+    added = [n for n in new_types if n not in rec_types]
+    missing = [n for n in rec_types if n not in new_types]
+    if not merge_schema and (added or missing):
+        raise ValueError(
+            f"snapshot append rejected: column set differs from the "
+            f"store's recorded schema (added={added}, missing={missing}); "
+            f"pass merge_schema=True to evolve the schema additively"
+        )
+    if added:
+        merged = T.StructType(
+            list(rec.fields)
+            + [f for f in df.schema.fields if f.name in set(added)]
+        )
+        return json.loads(merged.json())
+    return recorded  # the store's field order stays canonical
+
+
 def snapshot_version(spark: SparkSession, path: str) -> int | None:
     """Highest readable committed version, or None for an uninitialized
     store."""
@@ -393,12 +446,22 @@ def snapshot_write(
     txn: tuple[str, int] | None = None,
     properties: dict | None = None,
     require_parent: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds its files to
     the current file set (and survives commit races by rebasing onto the
     new tip — an append's file list is valid against any parent);
     ``mode='overwrite'`` replaces the file set entirely (a race raises
     :class:`ConcurrentWriteError`). Returns the committed version.
+
+    Appends are schema-validated against the store's recorded schema
+    BEFORE any data file is written (see
+    :func:`_validated_append_schema`): same-name columns must type-match
+    in every mode; the column set must match exactly unless
+    ``merge_schema=True``, which admits additive evolution (new columns
+    join the recorded schema, old files null-fill; missing columns
+    null-fill the new files) — type conflicts stay fatal because a
+    committed conflict fails every later read of the store.
 
     ``time_chunk_s`` opts the new files into the time-chunked layout (see
     :func:`_write_data_files`) and pins the width as the store property
@@ -456,8 +519,15 @@ def snapshot_write(
             return expected  # already committed — redelivery no-op, no write
     if time_chunk_s is None and mode == "append":
         time_chunk_s = _inherited_chunk(expected_m)
+    if mode == "append":
+        # validate BEFORE writing data files — a rejected batch must not
+        # leave a tx dir for vacuum to sweep
+        schema = _validated_append_schema(
+            (expected_m or {}).get("schema"), df, merge_schema
+        )
+    else:
+        schema = _schema_json(df)
     new_files = _write_data_files(spark, path, df, time_chunk_s=time_chunk_s)
-    schema = _schema_json(df)
     for attempt in range(_MAX_COMMIT_RETRIES):
         parent, parent_m = (
             (expected, expected_m) if attempt == 0 else _resolve_tip(fs, path)
@@ -475,6 +545,12 @@ def snapshot_write(
             if parent_m is None:
                 parent_m = _read_manifest(fs, path, parent)
             base = parent_m["files"]
+            if attempt > 0:
+                # a rebase lands on a DIFFERENT parent — its schema may
+                # have evolved since the pre-write validation
+                schema = _validated_append_schema(
+                    parent_m.get("schema"), df, merge_schema
+                )
         target = _target_version(fs, path, parent)
         if target is None:
             continue  # tip moved between resolve and target — rebase
@@ -562,7 +638,17 @@ def snapshot_read(
         raise FileNotFoundError(
             f"snapshot v{version} of {path} is empty and predates recorded schemas"
         )
-    df = spark.read.parquet(*[f["path"] for f in files])
+    reader = spark.read
+    if m.get("schema") is not None:
+        # pin the scan to the manifest-recorded schema: with merge_schema
+        # evolution the files are heterogeneous, and letting Spark infer
+        # from a sampled footer makes the visible column set depend on
+        # WHICH file it sampled — the recorded schema is the store's
+        # truth, and files missing a column null-fill deterministically
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(m["schema"]))
+    df = reader.parquet(*[f["path"] for f in files])
     if names is not None:
         df = df.filter(F.col("name").isin(names))
     if ts_range is not None:
@@ -820,7 +906,14 @@ def snapshot_compact(
     if len(small) < min_files_to_compact:
         return None
     kept = [f for f in base if f not in small]
-    df = spark.read.parquet(*[f["path"] for f in small])
+    _reader = spark.read
+    if parent_m.get("schema") is not None:
+        # schema-evolved stores hold heterogeneous files — pin the rewrite
+        # to the recorded schema so compaction output is homogeneous
+        from pyspark.sql import types as T
+
+        _reader = _reader.schema(T.StructType.fromJson(parent_m["schema"]))
+    df = _reader.parquet(*[f["path"] for f in small])
     # aim the rewrite at ~target-sized OUTPUT files: without an explicit
     # partition count, AQE's ~64 MB advisory keeps every output below a
     # 128 MB target forever, so each later compaction re-reads the same

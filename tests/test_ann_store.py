@@ -300,14 +300,16 @@ def test_rebuild_carries_txn_markers_and_stale_append_raises(spark, tmp_path):
         spark,
         store,
         spark.createDataFrame(
-            [("cell=0000", 0.0, 9999, [0.0] * 64)],
-            "name string, ts double, vec_id long, embedding array<double>",
+            [("cell=0000", 0.0, 9999, [0.0] * 64, None, None)],
+            "name string, ts double, vec_id long, embedding array<double>, "
+            "qvec array<tinyint>, scale float",
         ),
         mode="append",
     )
     df = spark.createDataFrame(
-        [("cell=0000", 0.0, 10000, [0.0] * 64)],
-        "name string, ts double, vec_id long, embedding array<double>",
+        [("cell=0000", 0.0, 10000, [0.0] * 64, None, None)],
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "qvec array<tinyint>, scale float",
     )
     with pytest.raises(ConcurrentWriteError):
         snapshot_write(spark, store, df, mode="append", require_parent=old)

@@ -433,3 +433,33 @@ def test_stream_unpaced_first_batch_availableNow(spark, store, tmp_path):
     )
     q.awaitTermination(180)
     assert sum(batches) == 120
+
+
+def test_ds_write_append_schema_gate(spark, store, tmp_path):
+    """The Python writer rejects appends whose schema differs from the
+    store's recorded schema (strict; evolution goes through the JVM
+    writer), and the DS reader null-fills files that predate an
+    additively-evolved column."""
+    bad = spark.createDataFrame(
+        [("m", {"x": "1"}, 1.0, "oops")],
+        "name string, labels map<string,string>, ts double, value string",
+    )
+    with pytest.raises(Exception, match="strict"):
+        bad.write.format("pps_snapshot").mode("append").save(store)
+    # JVM-side additive evolution; DS read must null-fill old files
+    wider = spark.createDataFrame(
+        [("zz", {"x": "w"}, 9999.0, 1.0, 42)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "extra int",
+    )
+    snapshot_write(spark, store, wider, merge_schema=True)
+    out = spark.read.format("pps_snapshot").load(store)
+    assert out.columns == ["name", "labels", "ts", "value", "extra"]
+    rows = {r["name"]: r["extra"] for r in out.collect()}
+    assert rows["zz"] == 42 and rows["cpu"] is None
+    # and the DS view equals the JVM view on the evolved store
+    assert _collected_plus(out) == _collected_plus(snapshot_read(spark, store))
+
+
+def _collected_plus(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())

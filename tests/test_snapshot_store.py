@@ -820,3 +820,95 @@ def test_time_chunked_layout_prunes_ts_slices(spark, tmp_path):
 
     with pytest.raises(ValueError):
         snapshot_write(spark, f"file://{tmp_path}/bad", mk(spark, rows), time_chunk_s=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Append schema gate + additive evolution (merge_schema)
+# ---------------------------------------------------------------------------
+
+
+def test_append_type_conflict_rejected_store_stays_readable(spark, tmp_path):
+    """A type-conflicting append must be REJECTED before any data file is
+    written — committed, it would fail every later read of the store."""
+    root = f"file://{tmp_path}/s"
+    base = spark.createDataFrame(
+        [("m", {"x": "1"}, 1.0, 2.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    snapshot_write(spark, root, base, mode="overwrite")
+    bad = spark.createDataFrame(
+        [("m", {"x": "2"}, 3.0, "oops")],
+        "name string, labels map<string,string>, ts double, value string",
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        snapshot_write(spark, root, bad)
+    out = snapshot_read(spark, root)  # still readable, still v1
+    assert out.count() == 1
+    import os
+
+    assert not os.listdir(f"{tmp_path}/s/data") == []  # no orphan tx dirs
+    assert snapshot_version(spark, root) == 1
+
+
+def test_append_column_set_mismatch_strict_vs_merge(spark, tmp_path):
+    root = f"file://{tmp_path}/s"
+    base = spark.createDataFrame(
+        [("m", {"x": "1"}, 1.0, 2.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    snapshot_write(spark, root, base, mode="overwrite")
+    wider = spark.createDataFrame(
+        [(9, "m", {"x": "2"}, 3.0, 4.0)],
+        "extra bigint, name string, labels map<string,string>, "
+        "ts double, value double",
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        snapshot_write(spark, root, wider)  # strict: rejected
+    v = snapshot_write(spark, root, wider, merge_schema=True)
+    assert v == 2
+    out = snapshot_read(spark, root)
+    # recorded field order stays canonical: base fields first, new last
+    assert out.columns == ["name", "labels", "ts", "value", "extra"]
+    rows = {r["ts"]: r["extra"] for r in out.collect()}
+    assert rows == {1.0: None, 3.0: 9}  # old file null-fills
+    # reads are DETERMINISTIC (schema pinned from the manifest, never
+    # sampled from a footer): repeated reads agree
+    assert snapshot_read(spark, root).columns == out.columns
+    # a narrower append (missing a column) also needs merge_schema and
+    # null-fills the new file
+    snapshot_write(
+        spark,
+        root,
+        spark.createDataFrame(
+            [("m", {"x": "3"}, 5.0, 6.0)],
+            "name string, labels map<string,string>, ts double, value double",
+        ),
+        merge_schema=True,
+    )
+    rows = {r["ts"]: r["extra"] for r in snapshot_read(spark, root).collect()}
+    assert rows[5.0] is None
+
+
+def test_compaction_of_evolved_store_is_lossless(spark, tmp_path):
+    root = f"file://{tmp_path}/s"
+    base = spark.createDataFrame(
+        [("m", {"x": str(k)}, float(k), 2.0) for k in range(5)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    snapshot_write(spark, root, base, mode="overwrite")
+    wider = spark.createDataFrame(
+        [("m", {"x": "w"}, 100.0, 4.0, 7)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "extra int",
+    )
+    snapshot_write(spark, root, wider, merge_schema=True)
+    before = sorted(
+        (r["ts"], r["value"], r["extra"])
+        for r in snapshot_read(spark, root).collect()
+    )
+    assert snapshot_compact(spark, root, target_file_bytes=2**30) is not None
+    after = sorted(
+        (r["ts"], r["value"], r["extra"])
+        for r in snapshot_read(spark, root).collect()
+    )
+    assert before == after
