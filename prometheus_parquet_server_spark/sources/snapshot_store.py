@@ -429,6 +429,20 @@ def _ts_overlaps(f: dict, lo: float, hi: float) -> bool:
     return not (mx < lo or mn > hi)
 
 
+def _pinned_reader(spark: SparkSession, parent_m: dict | None):
+    """A reader pinned to the manifest-recorded schema when one exists —
+    every maintenance rewrite (upsert, merge, compact, expire) must read
+    base files through it, or a schema-evolved store's heterogeneous
+    files make the rewrite depend on which footer Spark sampled (and a
+    file predating a merged column would DROP that column from the
+    rewritten rows)."""
+    if parent_m is not None and parent_m.get("schema") is not None:
+        from pyspark.sql import types as T
+
+        return spark.read.schema(T.StructType.fromJson(parent_m["schema"]))
+    return spark.read
+
+
 def _inherited_chunk(parent_m: dict | None) -> float | None:
     """The store's pinned ``time_chunk_s`` layout property, if any — every
     maintenance rewrite (upsert, merge, compact, expire) must re-apply it
@@ -684,11 +698,17 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [f for f in base_files if _name_overlaps(f, names)]
         kept = [f for f in base_files if f not in touched]
+        # strict schema check (the append gate's upsert twin): updates
+        # that dropped a store column would silently erase it from every
+        # rewritten row of the touched files
+        _validated_append_schema(
+            (parent_m or {}).get("schema"), updates, merge_schema=False
+        )
         merged = updates.withColumn("_prio", F.lit(0))
         if touched:
-            existing = spark.read.parquet(*[f["path"] for f in touched]).withColumn(
-                "_prio", F.lit(1)
-            )
+            existing = _pinned_reader(spark, parent_m).parquet(
+                *[f["path"] for f in touched]
+            ).withColumn("_prio", F.lit(1))
             merged = merged.unionByName(existing.select(*merged.columns))
         merged = merged.withColumn("_sk", series_key_str())
         w = Window.partitionBy("_sk", "ts").orderBy("_prio", F.col("value").desc())
@@ -832,9 +852,17 @@ def snapshot_merge(
         touched = [f for f in base_files if _name_overlaps(f, names)]
         kept = [f for f in base_files if f not in touched]
         existing = (
-            spark.read.parquet(*[f["path"] for f in touched]) if touched else None
+            _pinned_reader(spark, parent_m).parquet(*[f["path"] for f in touched])
+            if touched
+            else None
         )
         out = combine(existing, updates)
+        # the combined frame replaces the touched files — a schema drift
+        # here (combine dropped or retyped a column) is the same
+        # wedge/erasure hazard the append gate closes
+        _validated_append_schema(
+            (parent_m or {}).get("schema"), out, merge_schema=False
+        )
         new_files = _write_data_files(
             spark, path, out, time_chunk_s=_inherited_chunk(parent_m)
         )
@@ -1041,9 +1069,9 @@ def snapshot_expire(
     new_files: list[dict] = []
     schema = parent_m.get("schema")
     if straddle:
-        survivors = spark.read.parquet(*[f["path"] for f in straddle]).filter(
-            F.col("ts") >= min_ts
-        )
+        survivors = _pinned_reader(spark, parent_m).parquet(
+            *[f["path"] for f in straddle]
+        ).filter(F.col("ts") >= min_ts)
         schema = schema or _schema_json(survivors)
         new_files = _write_data_files(
             spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)

@@ -912,3 +912,46 @@ def test_compaction_of_evolved_store_is_lossless(spark, tmp_path):
         for r in snapshot_read(spark, root).collect()
     )
     assert before == after
+
+
+def test_maintenance_on_evolved_store_preserves_columns(spark, tmp_path):
+    """Upsert and expire on a schema-evolved store must read base files
+    through the PINNED recorded schema: an upsert whose updates dropped
+    the evolved column is rejected (it would erase the column from every
+    rewritten row), and an expire's straddle rewrite keeps the column."""
+    root = f"file://{tmp_path}/s"
+    base = spark.createDataFrame(
+        [("m", {"x": str(k)}, float(k), 2.0) for k in range(4)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    snapshot_write(spark, root, base, mode="overwrite")
+    wider = spark.createDataFrame(
+        [("m", {"x": "w"}, 10.0, 4.0, 7)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "extra int",
+    )
+    snapshot_write(spark, root, wider, merge_schema=True)
+    narrow_updates = spark.createDataFrame(
+        [("m", {"x": "0"}, 0.0, 99.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    with pytest.raises(ValueError, match="missing"):
+        snapshot_upsert(spark, root, narrow_updates)
+    full_updates = spark.createDataFrame(
+        [("m", {"x": "0"}, 0.0, 99.0, None)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "extra int",
+    )
+    snapshot_upsert(spark, root, full_updates)
+    rows = {r["ts"]: (r["value"], r["extra"]) for r in snapshot_read(spark, root).collect()}
+    assert rows[0.0] == (99.0, None) and rows[10.0] == (4.0, 7)
+    # expire below ts=2: the straddle rewrite must keep the evolved column
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_expire,
+    )
+
+    snapshot_expire(spark, root, min_ts=2.0)
+    out = snapshot_read(spark, root)
+    assert out.columns == ["name", "labels", "ts", "value", "extra"]
+    rows = {r["ts"]: r["extra"] for r in out.collect()}
+    assert 0.0 not in rows and rows[10.0] == 7
