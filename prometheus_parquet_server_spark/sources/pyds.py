@@ -16,7 +16,10 @@ own ``snapshot_read`` entry points:
         "txn_app_id", "my-sink").start(store_path)
 
 Batch read
-    * ``version`` option time-travels exactly like ``snapshot_read``.
+    * ``version`` option time-travels exactly like ``snapshot_read``;
+      ``timestamp_as_of`` (epoch seconds) resolves the version as of a
+      wall-clock instant, the ``snapshot_as_of`` rule. Mutually
+      exclusive.
     * ``pushFilters`` receives Catalyst's typed filters; equality / IN
       on ``name`` and range comparisons on ``ts`` drive MANIFEST-level
       file pruning (min/max stats recorded at commit time — no footer
@@ -192,6 +195,42 @@ def _resolve_tip(root: str) -> tuple[int | None, dict | None]:
     return None, None
 
 
+def _resolve_batch_manifest(options) -> dict:
+    """The manifest a batch read plans against: ``version`` (exact),
+    ``timestamp_as_of`` (epoch seconds — the snapshot_as_of rule: highest
+    readable version committed at or before the instant; pre-commit-time
+    manifests count as infinitely old), or the tip. The two time-travel
+    options are mutually exclusive."""
+    root = options.get("path")
+    if not root:
+        raise ValueError("pps_snapshot: a store path is required")
+    v = options.get("version")
+    ts = options.get("timestamp_as_of")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "pps_snapshot: version and timestamp_as_of are mutually "
+            "exclusive time-travel options"
+        )
+    if v is not None:
+        return _read_manifest(root, int(v))
+    if ts is not None:
+        ts = float(ts)
+        for cand in reversed(_list_versions(root)):
+            try:
+                m = _read_manifest(root, cand)
+            except Exception:
+                continue
+            if m.get("committed_at", float("-inf")) <= ts:
+                return m
+        raise FileNotFoundError(
+            f"no snapshot of {root} existed at epoch {ts}"
+        )
+    _, m = _resolve_tip(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return m
+
+
 # Overlap predicates mirror snapshot_store._name_overlaps/_ts_overlaps:
 # null stats always intersect (read-and-filter beats a wedged plan).
 
@@ -303,11 +342,9 @@ def _read_file(path: str, schema: StructType) -> Iterator:
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._root = options.get("path")
-        if not self._root:
+        self._options = dict(options)
+        if not options.get("path"):
             raise ValueError("pps_snapshot: a store path is required")
-        v = options.get("version")
-        self._version = int(v) if v is not None else None
         self._names = None
         self._ts_lo, self._ts_hi = float("-inf"), float("inf")
 
@@ -317,14 +354,7 @@ class SnapshotBatchReader(DataSourceReader):
         yield from filters
 
     def partitions(self):
-        if self._version is None:
-            _, m = _resolve_tip(self._root)
-            if m is None:
-                raise FileNotFoundError(
-                    f"no committed snapshot under {self._root}"
-                )
-        else:
-            m = _read_manifest(self._root, self._version)
+        m = _resolve_batch_manifest(self._options)
         files = _prune(m["files"], self._names, self._ts_lo, self._ts_hi)
         # Spark requires ≥1 partition; an empty store/prune reads nothing
         return [_FilePartition(f["path"]) for f in files] or [
@@ -754,16 +784,7 @@ class SnapshotDataSource(DataSource):
         return "pps_snapshot"
 
     def schema(self) -> StructType:
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("pps_snapshot: a store path is required")
-        v = self.options.get("version")
-        if v is not None:
-            m = _read_manifest(root, int(v))
-        else:
-            _, m = _resolve_tip(root)
-            if m is None:
-                raise FileNotFoundError(f"no committed snapshot under {root}")
+        m = _resolve_batch_manifest(self.options)
         if m.get("schema") is not None:
             return StructType.fromJson(m["schema"])
         # pre-schema manifest (external tooling): borrow a footer
@@ -775,7 +796,8 @@ class SnapshotDataSource(DataSource):
             lp = _local_path(m["files"][0]["path"])
             return from_arrow_schema(pq.read_schema(lp))
         raise FileNotFoundError(
-            f"snapshot of {root} is empty and predates recorded schemas"
+            f"snapshot of {self.options.get('path')} is empty and "
+            f"predates recorded schemas"
         )
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:

@@ -463,3 +463,32 @@ def test_ds_write_append_schema_gate(spark, store, tmp_path):
 
 def _collected_plus(df):
     return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_timestamp_as_of_time_travel(spark, store):
+    """timestamp_as_of resolves the highest version committed at or
+    before the instant (the snapshot_as_of rule), and excludes version
+    with timestamps before the first commit."""
+    import json
+
+    local = store.replace("file://", "")
+    commits = {}
+    for v in (1, 2, 3):
+        with open(f"{local}/_snapshots/v{v:010d}.json") as fh:
+            commits[v] = json.load(fh)["committed_at"]
+    mid = (commits[2] + commits[3]) / 2
+    out = (
+        spark.read.format("pps_snapshot")
+        .option("timestamp_as_of", mid)
+        .load(store)
+    )
+    names = {r["name"] for r in out.select("name").distinct().collect()}
+    assert names == {"cpu", "mem"}  # v2's world: net not yet committed
+    with pytest.raises(Exception, match="existed at epoch"):
+        spark.read.format("pps_snapshot").option(
+            "timestamp_as_of", commits[1] - 10.0
+        ).load(store).collect()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        spark.read.format("pps_snapshot").option("version", 1).option(
+            "timestamp_as_of", mid
+        ).load(store).collect()
