@@ -388,6 +388,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # instead of one giant replay. 0/absent = unbounded.
         self._max_files = int(options.get("max_files_per_trigger", 0) or 0)
         self._cursor: int | None = None  # last batch-end version we planned
+        self._delta_cache: dict[int, list[str]] = {}  # manifests immutable
 
     def initialOffset(self) -> dict:
         if self._starting is None:
@@ -423,13 +424,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"version": v}
 
     def _delta_files(self, v: int) -> list[str]:
-        """Paths ADDED by version v, per the module contract above."""
+        """Paths ADDED by version v, per the module contract above.
+        Manifests are immutable, so results memoize per version — the
+        pacing walk in latestOffset and the batch plan in partitions
+        would otherwise re-parse the same file lists every trigger."""
+        cached = self._delta_cache.get(v)
+        if cached is not None:
+            return cached
         try:
             m = _read_manifest(self._root, v)
-        except Exception:
-            return []  # junk slot (torn legacy write) — never readable
+        except FileNotFoundError as e:
+            # a MISSING manifest is vacuumed history under a lagging
+            # stream — silent skip here would be silent data loss
+            raise RuntimeError(
+                f"pps_snapshot stream: manifest v{v} no longer exists "
+                f"(vacuumed under a lagging stream?) — cannot stream the "
+                f"gap; reprocess the store as a batch"
+            ) from e
+        except (ValueError, KeyError):
+            # torn junk slot (unparseable bytes) — never readable, and
+            # writers numbered past it; nothing was committed at v
+            self._delta_cache[v] = []
+            return []
         op = m.get("operation", "append")
         if op in ("compact", "expire"):
+            self._delta_cache[v] = []
             return []  # rewrites/removes existing rows; nothing new
         initial = op == "overwrite" and m.get("parent") is None
         if op != "append" and not initial and not self._ignore_changes:
@@ -443,7 +462,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
         parent = m.get("parent")
         if parent is None:
-            return [f["path"] for f in m["files"]]
+            delta = [f["path"] for f in m["files"]]
+            self._delta_cache[v] = delta
+            return delta
         try:
             pm = _read_manifest(self._root, parent)
         except Exception as e:
@@ -453,7 +474,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"cannot compute the added-file delta"
             ) from e
         seen = {f["path"] for f in pm["files"]}
-        return [f["path"] for f in m["files"] if f["path"] not in seen]
+        delta = [f["path"] for f in m["files"] if f["path"] not in seen]
+        self._delta_cache[v] = delta
+        return delta
 
     def partitions(self, start: dict, end: dict):
         # a planned batch end is a floor for pacing — never pace below it
@@ -603,6 +626,29 @@ def _publish_manifest(
         if operation == "append" and parent_m is not None:
             base = parent_m["files"]
             props = dict(parent_m.get("properties") or {})
+            recorded = parent_m.get("schema")
+            if recorded is not None and recorded != schema_json:
+                # the tip's schema moved under us (a racing
+                # merge_schema-evolving writer): recording our stale
+                # schema would make the evolved column vanish from every
+                # pinned read. Adopt the parent's schema when our columns
+                # type-match a subset of it; raise otherwise — the Python
+                # writer is strict, like its construction-time gate.
+                rec_f = {
+                    f["name"]: f["type"] for f in recorded["fields"]
+                }
+                own_f = {
+                    f["name"]: f["type"] for f in schema_json["fields"]
+                }
+                if any(
+                    rec_f.get(n, t) != t for n, t in own_f.items()
+                ) or not set(own_f) <= set(rec_f):
+                    raise RuntimeError(
+                        "pps_snapshot append: the store's schema changed "
+                        "incompatibly during the write — re-run against "
+                        "the new tip"
+                    )
+                schema_json = recorded
         if extra_props:
             props.update(extra_props)
         target = (parent or 0) + 1
@@ -616,6 +662,8 @@ def _publish_manifest(
             break
         if target is None:
             continue  # re-resolve and (for append) rebase
+        import time as _time
+
         manifest = {
             "version": target,
             "parent": parent,
@@ -623,6 +671,10 @@ def _publish_manifest(
             "schema": schema_json,
             "files": base + new_files,
             "_writer": writer_nonce,
+            # the wall-clock commit stamp snapshot_as_of/timestamp_as_of
+            # resolve against — omitting it would make Python-committed
+            # versions "infinitely old" to time travel
+            "committed_at": _time.time(),
         }
         if props:
             manifest["properties"] = props
@@ -793,8 +845,14 @@ class SnapshotDataSource(DataSource):
 
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            lp = _local_path(m["files"][0]["path"])
-            return from_arrow_schema(pq.read_schema(lp))
+            path0 = m["files"][0]["path"]
+            lp = _local_path(path0)
+            if lp is not None:
+                return from_arrow_schema(pq.read_schema(lp))
+            from pyarrow import fs as pafs
+
+            afs, p = pafs.FileSystem.from_uri(path0)
+            return from_arrow_schema(pq.read_schema(p, filesystem=afs))
         raise FileNotFoundError(
             f"snapshot of {self.options.get('path')} is empty and "
             f"predates recorded schemas"

@@ -697,7 +697,11 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         parent, parent_m = _resolve_tip(fs, path)
         base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [f for f in base_files if _name_overlaps(f, names)]
-        kept = [f for f in base_files if f not in touched]
+        # set-of-paths membership: list `in` is O(files x touched) full-dict
+        # comparisons on the driver — quadratic at the ~1e5-file stores the
+        # manifest design targets
+        _tp = {f["path"] for f in touched}
+        kept = [f for f in base_files if f["path"] not in _tp]
         # strict schema check (the append gate's upsert twin): updates
         # that dropped a store column would silently erase it from every
         # rewritten row of the touched files
@@ -850,7 +854,11 @@ def snapshot_merge(
             merged_props[txn_key] = int(txn[1])
         base_files: list[dict] = parent_m["files"] if parent_m else []
         touched = [f for f in base_files if _name_overlaps(f, names)]
-        kept = [f for f in base_files if f not in touched]
+        # set-of-paths membership: list `in` is O(files x touched) full-dict
+        # comparisons on the driver — quadratic at the ~1e5-file stores the
+        # manifest design targets
+        _tp = {f["path"] for f in touched}
+        kept = [f for f in base_files if f["path"] not in _tp]
         existing = (
             _pinned_reader(spark, parent_m).parquet(*[f["path"] for f in touched])
             if touched
@@ -933,7 +941,8 @@ def snapshot_compact(
     small = [f for f in base if f.get("n_bytes", 0) < target_file_bytes]
     if len(small) < min_files_to_compact:
         return None
-    kept = [f for f in base if f not in small]
+    _sp = {f["path"] for f in small}  # paths are unique manifest keys
+    kept = [f for f in base if f["path"] not in _sp]
     _reader = spark.read
     if parent_m.get("schema") is not None:
         # schema-evolved stores hold heterogeneous files — pin the rewrite
@@ -1053,10 +1062,11 @@ def snapshot_expire(
     dead = [
         f for f in base if f.get("max_ts") is not None and f["max_ts"] < min_ts
     ]
+    _dp = {f["path"] for f in dead}
     straddle = [
         f
         for f in base
-        if f not in dead
+        if f["path"] not in _dp
         and (
             f.get("min_ts") is None
             or f.get("max_ts") is None
@@ -1065,7 +1075,8 @@ def snapshot_expire(
     ]
     if not dead and not straddle:
         return None
-    kept = [f for f in base if f not in dead and f not in straddle]
+    _gone = _dp | {f["path"] for f in straddle}
+    kept = [f for f in base if f["path"] not in _gone]
     new_files: list[dict] = []
     schema = parent_m.get("schema")
     if straddle:

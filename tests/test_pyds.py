@@ -492,3 +492,33 @@ def test_timestamp_as_of_time_travel(spark, store):
         spark.read.format("pps_snapshot").option("version", 1).option(
             "timestamp_as_of", mid
         ).load(store).collect()
+
+
+def test_python_commits_carry_wall_clock(spark, tmp_path):
+    """Python-committed manifests must stamp committed_at, or wall-clock
+    time travel treats them as infinitely old and silently returns
+    future data for past instants."""
+    import json, time
+
+    root = f"file://{tmp_path}/s"
+    register_snapshot_source(spark)
+    before = time.time()
+    _mk(spark, _rows(3, "a")).write.format("pps_snapshot").mode(
+        "append"
+    ).save(root)
+    m = json.load(open(f"{tmp_path}/s/_snapshots/v0000000001.json"))
+    assert before <= m["committed_at"] <= time.time()
+    with pytest.raises(Exception, match="existed at epoch"):
+        spark.read.format("pps_snapshot").option(
+            "timestamp_as_of", before - 60.0
+        ).load(root).collect()
+
+
+def test_stream_raises_on_vacuumed_gap(spark, store, tmp_path):
+    """A manifest deleted under a lagging stream must raise, never be
+    silently skipped — a swallowed FileNotFoundError is data loss."""
+    import os
+
+    os.unlink(store.replace("file://", "") + "/_snapshots/v0000000002.json")
+    with pytest.raises(Exception, match="no longer exists|unreadable"):
+        _drain(spark, store, f"{tmp_path}/ckpt", f"file://{tmp_path}/out")
