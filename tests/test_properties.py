@@ -80,3 +80,101 @@ def test_midnight_offset(spark):
 
     shifted = _time.localtime(off + 1000.0)
     assert (shifted.tm_hour, shifted.tm_min, shifted.tm_sec) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source planning functions (sources/pyds.py) — pure, so they
+# property-test without a SparkSession
+# ---------------------------------------------------------------------------
+
+_stat_names = st.one_of(st.none(), st.text("abcde", min_size=1, max_size=3))
+_stat_ts = st.one_of(st.none(), st.floats(-100, 100, allow_nan=False))
+
+
+@st.composite
+def _file_entry(draw):
+    a, b = draw(_stat_names), draw(_stat_names)
+    lo, hi = draw(_stat_ts), draw(_stat_ts)
+    if a is not None and b is not None and a > b:
+        a, b = b, a
+    if lo is not None and hi is not None and lo > hi:
+        lo, hi = hi, lo
+    return {
+        "path": draw(st.text("xyz/", min_size=1, max_size=8)),
+        "min_name": a,
+        "max_name": b,
+        "min_ts": lo,
+        "max_ts": hi,
+    }
+
+
+@given(
+    files=st.lists(_file_entry(), max_size=12),
+    names=st.one_of(
+        st.none(), st.lists(st.text("abcde", min_size=1, max_size=3), max_size=4)
+    ),
+    lo=st.floats(-120, 120, allow_nan=False),
+    hi=st.floats(-120, 120, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_pyds_prune_is_conservative(files, names, lo, hi):
+    """Pruning must NEVER drop a file that could hold a matching row:
+    any file whose recorded ranges intersect the predicate (null stats =
+    unknown = intersecting) survives. Spark re-applies the row filter,
+    so over-keeping is always safe; under-keeping never is."""
+    from prometheus_parquet_server_spark.sources.pyds import _prune
+
+    if lo > hi:
+        lo, hi = hi, lo
+    kept = {id(f) for f in _prune(files, names, lo, hi)}
+    for f in files:
+        name_could_match = (
+            names is None
+            or f["min_name"] is None
+            or f["max_name"] is None
+            or any(f["min_name"] <= n <= f["max_name"] for n in names)
+        )
+        ts_could_match = (
+            f["min_ts"] is None
+            or f["max_ts"] is None
+            or not (f["max_ts"] < lo or f["min_ts"] > hi)
+        )
+        if name_could_match and ts_could_match:
+            assert id(f) in kept
+
+
+@given(
+    eqs=st.lists(st.sampled_from(["a", "b", "c"]), max_size=3),
+    ins=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+        max_size=2,
+    ),
+    gts=st.lists(st.floats(-50, 50, allow_nan=False), max_size=2),
+    lts=st.lists(st.floats(-50, 50, allow_nan=False), max_size=2),
+)
+@settings(max_examples=300, deadline=None)
+def test_pyds_extract_bounds_conjunction(eqs, ins, gts, lts):
+    """The extracted (names, ts_lo, ts_hi) must be exactly the
+    conjunction of the pushed predicates: a value satisfies all filters
+    iff it falls inside the extracted bounds."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThan
+
+    from prometheus_parquet_server_spark.sources.pyds import _extract_bounds
+
+    filters = (
+        [EqualTo(("name",), v) for v in eqs]
+        + [In(("name",), tuple(vs)) for vs in ins]
+        + [GreaterThan(("ts",), v) for v in gts]
+        + [LessThan(("ts",), v) for v in lts]
+    )
+    names, lo, hi = _extract_bounds(filters)
+    for cand in ["a", "b", "c", "zz"]:
+        sat = all(cand == v for v in eqs) and all(cand in vs for vs in ins)
+        in_bounds = names is None or cand in names
+        assert sat == in_bounds, (cand, names, eqs, ins)
+    # ts bounds: conjunction of strict > and < relaxed to >= / <= —
+    # conservative (a superset), never narrower than the true region
+    if gts:
+        assert lo == max(gts)
+    if lts:
+        assert hi == min(lts)
