@@ -1741,6 +1741,64 @@ SELECT fp, doc_id FROM ranked WHERE rn = 1
 """
 
 
+def q_snapshot_cdc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed under the oracle gate: the documents table lands
+    in a snapshot store as three append commits, a pps_snapshot
+    readStream drains the version tail (availableNow) into a parquet
+    sink, and the result must hash-match the ORIGINAL table — proving
+    the feed delivers every appended row exactly once (no loss at
+    commit boundaries, no re-delivery across micro-batches). Offsets
+    checkpoint as manifest versions; the drain is a real streaming
+    query, not a batch read in disguise."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    register_snapshot_source(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.col("doc_id").cast("double").alias("ts"),
+        "doc_id",
+        "text",
+    )
+    work = tempfile.mkdtemp(prefix="cdc_oracle_")
+    store = f"file://{work}/store"
+    n = docs.count()
+    cuts = [n // 3, 2 * n // 3]
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        chunk = docs
+        if lo is not None:
+            chunk = chunk.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("doc_id") < hi)
+        snapshot_write(
+            spark, store, chunk, mode="overwrite" if i == 0 else "append"
+        )
+    out = f"file://{work}/out"
+    q = (
+        spark.readStream.format("pps_snapshot")
+        .load(store)
+        .select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+SQL_SNAPSHOT_CDC_DOCS = "SELECT doc_id, text FROM documents"
+
+
 def q_pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training order + shard assignment
     (pipeline/shuffle.py): every document gets the md5 order key that
@@ -3957,6 +4015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_store_topk": q_ivf_store_topk,
     "pipeline_strip_markup": q_pipeline_strip_markup,
     "pipeline_shuffle": q_pipeline_shuffle,
+    "snapshot_cdc_docs": q_snapshot_cdc_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4059,4 +4118,5 @@ ORACLES: dict[str, str] = {
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
     "pipeline_shuffle": SQL_PIPELINE_SHUFFLE,
+    "snapshot_cdc_docs": SQL_SNAPSHOT_CDC_DOCS,
 }
