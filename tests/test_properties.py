@@ -178,3 +178,86 @@ def test_pyds_extract_bounds_conjunction(eqs, ins, gts, lts):
         assert lo == max(gts)
     if lts:
         assert hi == min(lts)
+
+
+@given(
+    commits=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "compact"]),
+            st.integers(0, 3),  # files added by this commit
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(0, 4),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pyds_pacing_delivers_every_file_exactly_once(
+    tmp_path_factory, commits, budget, data
+):
+    """Model-based check of the change-feed offset protocol, driving the
+    reader exactly as Spark does (latestOffset → partitions → commit,
+    with the tip advancing between arbitrary trigger boundaries): the
+    offsets are monotone, and the union of all planned batches delivers
+    every appended file EXACTLY once — under any commit mix (appends of
+    0..3 files, compactions) and any max_files_per_trigger budget."""
+    import json as _json
+    import os as _os
+
+    from prometheus_parquet_server_spark.sources.pyds import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path_factory.mktemp("paced_store"))
+    _os.makedirs(f"{root}/_snapshots")
+    all_files: list[str] = []
+    file_sets: list[list[dict]] = [[]]
+    for v, (op, n_add) in enumerate(commits, start=1):
+        if op == "append":
+            new = [
+                {"path": f"{root}/data/f{v}_{k}.parquet"}
+                for k in range(n_add)
+            ]
+            files = file_sets[-1] + new
+            all_files.extend(f["path"] for f in new)
+        else:  # compact: rewrites the current set into one file
+            files = [{"path": f"{root}/data/c{v}.parquet"}]
+        file_sets.append(files)
+        with open(f"{root}/_snapshots/v{v:010d}.json", "w") as fh:
+            _json.dump(
+                {
+                    "version": v,
+                    "parent": v - 1 if v > 1 else None,
+                    "operation": op,
+                    "schema": None,
+                    "files": files,
+                    "committed_at": float(v),
+                },
+                fh,
+            )
+
+    from pyspark.sql.types import StructType
+
+    rd = SnapshotStreamReader(
+        StructType([]),
+        {"path": root, "max_files_per_trigger": str(budget)},
+    )
+    delivered: list[str] = []
+    offsets = [rd.initialOffset()["version"]]
+    # drive triggers until caught up (cap iterations well above worst case)
+    for _ in range(len(commits) * 3 + 3):
+        end = rd.latestOffset()["version"]
+        assert end >= offsets[-1]  # monotone, never backward
+        if end != offsets[-1]:
+            parts = rd.partitions(
+                {"version": offsets[-1]}, {"version": end}
+            )
+            delivered.extend(p.path for p in parts if p.path)
+            rd.commit({"version": end})
+            offsets.append(end)
+        if end == len(commits):
+            break
+    assert offsets[-1] == len(commits)  # caught up
+    assert sorted(delivered) == sorted(all_files)
+    assert len(set(delivered)) == len(delivered)  # exactly once
