@@ -478,6 +478,30 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
         existing_dirs = {n: p for p, n in _partition_dirs(fs)}
         touched_existing = [n for n in names if n in existing_dirs]
 
+        if existing_dirs:
+            # schema gate (the snapshot store's rule, here against the
+            # live store's read schema): without it, unionByName COERCES
+            # a type-conflicting update — value double + value string
+            # silently retypes the whole rewritten partition to string,
+            # and an added/missing column either breaks the union or
+            # splits the store into heterogeneous partitions that later
+            # full reads resolve nondeterministically
+            import json as _json
+
+            from prometheus_parquet_server_spark.sources.snapshot_store import (
+                _validated_append_schema,
+            )
+
+            recorded = _json.loads(read_store(spark, path).schema.json())
+            for fld in recorded["fields"]:
+                # the partition axis reads back through Hive partition-type
+                # inference (an all-numeric name= set comes back as int);
+                # the canonical model says names are strings — pin it so
+                # the gate compares the real contract, not the inference
+                if fld["name"] == "name":
+                    fld["type"] = "string"
+            _validated_append_schema(recorded, updates, merge_schema=False)
+
         merged = updates.withColumn("_prio", F.lit(0))
         if touched_existing:
             existing = (

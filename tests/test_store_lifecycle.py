@@ -334,3 +334,47 @@ def test_upsert_store_rejects_null_names(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="NULL metric names"):
         upsert_store(spark, store, bad)
+
+
+def test_upsert_rejects_schema_drift(spark, tmp_path):
+    """A type-conflicting upsert must be rejected: unionByName would
+    otherwise COERCE — value double + value string silently retypes the
+    whole rewritten partition to string. Added/missing columns are
+    rejected too (they would split the store into heterogeneous
+    partitions)."""
+    import pytest
+    from prometheus_parquet_server_spark.sources.store import (
+        read_store,
+        upsert_store,
+        write_store,
+    )
+
+    root = f"file://{tmp_path}/st"
+    base = spark.createDataFrame(
+        [("m", {"x": "1"}, 1.0, 2.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    write_store(base, root)
+    bad_type = spark.createDataFrame(
+        [("m", {"x": "2"}, 3.0, "oops")],
+        "name string, labels map<string,string>, ts double, value string",
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        upsert_store(spark, root, bad_type)
+    bad_set = spark.createDataFrame(
+        [("m", {"x": "2"}, 3.0, 4.0, 9)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "extra int",
+    )
+    with pytest.raises(ValueError, match="column set"):
+        upsert_store(spark, root, bad_set)
+    out = read_store(spark, root)  # untouched, still double
+    assert dict(out.dtypes)["value"] == "double"
+    assert out.count() == 1
+    # a clean upsert still works
+    good = spark.createDataFrame(
+        [("m", {"x": "2"}, 3.0, 4.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    assert upsert_store(spark, root, good) == ["m"]
+    assert read_store(spark, root).count() == 2
