@@ -1792,7 +1792,11 @@ def q_snapshot_cdc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # a timed-out drain must fail loudly, not hand the
+        raise TimeoutError(  # oracle a partially-written sink
+            "snapshot_cdc_docs: change-feed drain did not finish in 300 s"
+        )
     return spark.read.parquet(out)
 
 

@@ -197,7 +197,10 @@ def _schema_json(df: DataFrame) -> dict:
 
 
 def _validated_append_schema(
-    recorded: dict | None, df: DataFrame, merge_schema: bool
+    recorded: dict | None,
+    df: DataFrame,
+    merge_schema: bool,
+    evolution_hint: str = "pass merge_schema=True to evolve the schema additively",
 ) -> dict:
     """The manifest schema an APPEND must record, after validating the
     incoming frame against the store's recorded schema. Without this
@@ -219,10 +222,17 @@ def _validated_append_schema(
     if recorded is None:
         return _schema_json(df)  # pre-schema store: adopt the frame's
     rec = T.StructType.fromJson(recorded)
-    rec_types = {f.name: f.dataType for f in rec.fields}
-    new_types = {f.name: f.dataType for f in df.schema.fields}
+    # simpleString compares the TYPE SHAPE and drops nullability at every
+    # nesting level (StructField.nullable, array containsNull, map
+    # valueContainsNull) — a map<string,string> built from non-null
+    # literals must not conflict with the same map read back from
+    # parquet, where the value side is nullable
+    rec_types = {f.name: f.dataType.simpleString() for f in rec.fields}
+    new_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
     conflicts = {
-        n: (str(rec_types[n]), str(t))
+        n: (rec_types[n], t)
         for n, t in new_types.items()
         if n in rec_types and rec_types[n] != t
     }
@@ -238,7 +248,7 @@ def _validated_append_schema(
         raise ValueError(
             f"snapshot append rejected: column set differs from the "
             f"store's recorded schema (added={added}, missing={missing}); "
-            f"pass merge_schema=True to evolve the schema additively"
+            f"{evolution_hint}"
         )
     if added:
         merged = T.StructType(

@@ -486,13 +486,12 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
             # and an added/missing column either breaks the union or
             # splits the store into heterogeneous partitions that later
             # full reads resolve nondeterministically
-            import json as _json
-
             from prometheus_parquet_server_spark.sources.snapshot_store import (
                 _validated_append_schema,
             )
 
-            recorded = _json.loads(read_store(spark, path).schema.json())
+            store_df = read_store(spark, path)  # ONE partition discovery
+            recorded = store_df.schema.jsonValue()
             for fld in recorded["fields"]:
                 # the partition axis reads back through Hive partition-type
                 # inference (an all-numeric name= set comes back as int);
@@ -500,15 +499,26 @@ def upsert_store(spark: SparkSession, path: str, updates: DataFrame) -> list[str
                 # the gate compares the real contract, not the inference
                 if fld["name"] == "name":
                     fld["type"] = "string"
-            _validated_append_schema(recorded, updates, merge_schema=False)
+            _validated_append_schema(
+                recorded,
+                updates,
+                merge_schema=False,
+                evolution_hint=(
+                    "the swap store has no recorded schema to pin "
+                    "evolved reads, so it does not support schema "
+                    "evolution — migrate to the snapshot store "
+                    "(snapshot_write(merge_schema=True)) or rewrite via "
+                    "write_store"
+                ),
+            )
+        else:
+            store_df = None
 
         merged = updates.withColumn("_prio", F.lit(0))
         if touched_existing:
-            existing = (
-                read_store(spark, path)
-                .filter(F.col("name").isin(touched_existing))
-                .withColumn("_prio", F.lit(1))
-            )
+            existing = store_df.filter(
+                F.col("name").isin(touched_existing)
+            ).withColumn("_prio", F.lit(1))
             merged = merged.unionByName(existing.select(*merged.columns))
         merged = merged.withColumn("_sk", series_key_str())
         w = Window.partitionBy("_sk", "ts").orderBy("_prio", F.col("value").desc())

@@ -61,8 +61,11 @@ def main() -> int:
         .option("max_files_per_trigger", 2)
         .load(store)
         .writeStream.foreachBatch(
+            # ONE aggregate pass per micro-batch (count + checksum), not
+            # two actions re-reading the batch's files
             lambda df, bid: seen.append(
-                (int(bid), df.count(), df.agg(F.sum("row_id")).first()[0])
+                (int(bid),)
+                + tuple(df.agg(F.count("*"), F.sum("row_id")).first())
             )
         )
         .option("checkpointLocation", f"{work}/ckpt")
@@ -70,6 +73,8 @@ def main() -> int:
         .start()
     )
     while not seen:
+        if q.exception() is not None or not q.isActive:
+            raise RuntimeError(f"stream died before first batch: {q.exception()}")
         time.sleep(0.2)  # first (uncapped) trigger has taken v1
     t_first = time.time() - t0
 
@@ -81,14 +86,15 @@ def main() -> int:
     n_expected_rows = n_commits * rows
     deadline = time.time() + 600
     while time.time() < deadline and sum(n for _, n, _ in seen) < n_expected_rows:
+        if q.exception() is not None or not q.isActive:
+            raise RuntimeError(f"stream died mid-drain: {q.exception()}")
         time.sleep(0.5)
     q.stop()
     t_drain = time.time() - t0 + t_first
 
     total_rows = sum(n for _, n, _ in seen)
     total_sum = sum(s or 0 for _, _, s in seen)
-    n_expected = n_commits * rows
-    expected_sum = n_expected * (n_expected - 1) // 2
+    expected_sum = n_expected_rows * (n_expected_rows - 1) // 2
     print(
         json.dumps(
             {
@@ -97,12 +103,12 @@ def main() -> int:
                 "ingest_s": round(t_ingest, 1),
                 "drain_s": round(t_drain, 1),
                 "micro_batches": len(seen),
-                "rows_exact": total_rows == n_expected,
+                "rows_exact": total_rows == n_expected_rows,
                 "sum_exact": total_sum == expected_sum,
             }
         )
     )
-    return 0 if total_rows == n_expected and total_sum == expected_sum else 1
+    return 0 if total_rows == n_expected_rows and total_sum == expected_sum else 1
 
 
 if __name__ == "__main__":

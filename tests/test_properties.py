@@ -190,20 +190,27 @@ def test_pyds_extract_bounds_conjunction(eqs, ins, gts, lts):
         max_size=12,
     ),
     budget=st.integers(0, 4),
-    data=st.data(),
+    # how many commits land between consecutive triggers (cycled)
+    arrivals=st.lists(st.integers(1, 4), min_size=1, max_size=5),
 )
 @settings(max_examples=60, deadline=None)
 def test_pyds_pacing_delivers_every_file_exactly_once(
-    tmp_path_factory, commits, budget, data
+    tmp_path_factory, commits, budget, arrivals
 ):
     """Model-based check of the change-feed offset protocol, driving the
-    reader exactly as Spark does (latestOffset → partitions → commit,
-    with the tip advancing between arbitrary trigger boundaries): the
-    offsets are monotone, and the union of all planned batches delivers
-    every appended file EXACTLY once — under any commit mix (appends of
-    0..3 files, compactions) and any max_files_per_trigger budget."""
+    reader exactly as Spark does (latestOffset → partitions → commit)
+    while the tip ADVANCES between triggers — commits are written
+    incrementally, so the paced walk, the admit-at-least-one-version
+    rule, and the budget boundary all actually execute (an all-upfront
+    store would take the uncapped first-trigger branch once and prove
+    nothing). Invariants: offsets are monotone; the union of all planned
+    batches delivers every appended file EXACTLY once, under any commit
+    mix, pacing budget, and arrival pattern."""
+    import itertools
     import json as _json
     import os as _os
+
+    from pyspark.sql.types import StructType
 
     from prometheus_parquet_server_spark.sources.pyds import (
         SnapshotStreamReader,
@@ -213,7 +220,8 @@ def test_pyds_pacing_delivers_every_file_exactly_once(
     _os.makedirs(f"{root}/_snapshots")
     all_files: list[str] = []
     file_sets: list[list[dict]] = [[]]
-    for v, (op, n_add) in enumerate(commits, start=1):
+
+    def write_commit(v: int, op: str, n_add: int) -> None:
         if op == "append":
             new = [
                 {"path": f"{root}/data/f{v}_{k}.parquet"}
@@ -237,27 +245,31 @@ def test_pyds_pacing_delivers_every_file_exactly_once(
                 fh,
             )
 
-    from pyspark.sql.types import StructType
-
     rd = SnapshotStreamReader(
         StructType([]),
         {"path": root, "max_files_per_trigger": str(budget)},
     )
     delivered: list[str] = []
-    offsets = [rd.initialOffset()["version"]]
-    # drive triggers until caught up (cap iterations well above worst case)
-    for _ in range(len(commits) * 3 + 3):
+    last = rd.initialOffset()["version"]
+    assert last == 0
+    pending = list(enumerate(commits, start=1))
+    arrival = itertools.cycle(arrivals)
+    # drive triggers until every commit is written AND consumed; cap
+    # iterations far above the worst case (budget 1 file per trigger)
+    for _ in range(len(commits) * (max(c[1] for c in commits) + 2) + 8):
+        for _ in range(next(arrival)):  # the tip advances mid-stream
+            if pending:
+                v, (op, n_add) = pending.pop(0)
+                write_commit(v, op, n_add)
         end = rd.latestOffset()["version"]
-        assert end >= offsets[-1]  # monotone, never backward
-        if end != offsets[-1]:
-            parts = rd.partitions(
-                {"version": offsets[-1]}, {"version": end}
-            )
+        assert end >= last  # monotone, never backward
+        if end != last:
+            parts = rd.partitions({"version": last}, {"version": end})
             delivered.extend(p.path for p in parts if p.path)
             rd.commit({"version": end})
-            offsets.append(end)
-        if end == len(commits):
+            last = end
+        if not pending and end == len(commits):
             break
-    assert offsets[-1] == len(commits)  # caught up
+    assert last == len(commits)  # caught up
     assert sorted(delivered) == sorted(all_files)
     assert len(set(delivered)) == len(delivered)  # exactly once

@@ -378,3 +378,29 @@ def test_upsert_rejects_schema_drift(spark, tmp_path):
     )
     assert upsert_store(spark, root, good) == ["m"]
     assert read_store(spark, root).count() == 2
+
+
+def test_upsert_gate_ignores_nested_nullability(spark, tmp_path):
+    """labels built with F.create_map over literals carry
+    valueContainsNull=False; the store's read-back map is nullable-valued.
+    The gate compares type SHAPE (simpleString), so this must pass."""
+    from prometheus_parquet_server_spark.sources.store import (
+        read_store,
+        upsert_store,
+        write_store,
+    )
+
+    root = f"file://{tmp_path}/st"
+    base = spark.createDataFrame(
+        [("m", {"x": "1"}, 1.0, 2.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    write_store(base, root)
+    updates = spark.range(1).select(
+        F.lit("m").alias("name"),
+        F.create_map(F.lit("x"), F.lit("2")).alias("labels"),
+        F.lit(3.0).alias("ts"),
+        F.lit(4.0).alias("value"),
+    )
+    assert upsert_store(spark, root, updates) == ["m"]
+    assert read_store(spark, root).count() == 2
