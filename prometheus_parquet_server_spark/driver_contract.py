@@ -1741,6 +1741,112 @@ SELECT fp, doc_id FROM ranked WHERE rn = 1
 """
 
 
+def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (pipeline/lines.py, the
+    RefinedWeb/C4 cleanup): every document gets a deterministic shared
+    banner plus one unique line appended, then lines occurring in ≥3
+    distinct docs are stripped corpus-wide. The oracle replays the
+    construction and the md5 frequency/strip arithmetic; hash-matching
+    proves the explode → count-distinct → broadcast-strip pipeline
+    byte-identical. Scale shape: only 32-byte line hashes shuffle, the
+    frequent-line set broadcasts, text never moves."""
+    from prometheus_parquet_server_spark.pipeline.lines import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = strip_boilerplate_lines(docs, min_docs=3)
+    return out.select("doc_id", "clean_text")
+
+
+SQL_PIPELINE_LINE_DEDUP = """
+WITH d AS (
+    SELECT doc_id,
+           text || chr(10) || 'ACCEPT ALL COOKIES' || chr(10) ||
+           'SITE NAV | HOME | ABOUT' || chr(10) || 'unique-' ||
+           CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               list_transform(string_split(text, chr(10)), s -> trim(s)),
+               s -> s <> ''))) AS line
+    FROM d
+),
+freq AS (
+    SELECT md5(line) AS h FROM lines
+    GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 3
+),
+bad AS (SELECT coalesce(list(h), []) AS bh FROM freq),
+docl AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(string_split(text, chr(10)), s -> trim(s)),
+               s -> s <> '') AS ls
+    FROM d
+)
+SELECT docl.doc_id,
+       array_to_string(
+           list_filter(docl.ls, s -> NOT list_contains(bad.bh, md5(s))),
+           chr(10)) AS clean_text
+FROM docl, bad
+"""
+
+
+def q_text_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-flag battery (pipeline/lines.rule_flags): six
+    boolean curation flags per document from exact token/line/character
+    arithmetic — rule filters are auditable, and the oracle replays
+    every threshold, so the flags are engine-independent facts about
+    each document. Pure Column expressions: zero shuffle."""
+    from prometheus_parquet_server_spark.pipeline.lines import rule_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = rule_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]
+    )
+
+
+SQL_TEXT_RULE_FLAGS = """
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                       s -> s <> '') AS ls
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(ls) AS n_line,
+           (length(text) - length(regexp_replace(text, '#', '', 'g')))
+             + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+             + (length(text) - length(regexp_replace(text, '…', '', 'g'))) AS n_sym,
+           len(list_filter(ls, s -> regexp_matches(s, '^[-*•‣▪]'))) AS n_bullet,
+           len(list_filter(ls, s -> regexp_matches(s, '(\\.\\.\\.|…)$'))) AS n_ell,
+           len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+    FROM base
+)
+SELECT doc_id,
+       n_tok < 5 AS flag_too_short,
+       n_tok > 100000 AS flag_too_long,
+       CASE WHEN n_tok > 0 THEN n_sym / n_tok > 0.1 ELSE TRUE END AS flag_symbol_heavy,
+       CASE WHEN n_line > 0 THEN CAST(n_bullet AS DOUBLE) / n_line > 0.9 ELSE FALSE END AS flag_bullet_heavy,
+       CASE WHEN n_line > 0 THEN CAST(n_ell AS DOUBLE) / n_line > 0.3 ELSE FALSE END AS flag_ellipsis_heavy,
+       CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / n_tok < 0.8 ELSE TRUE END AS flag_low_alpha
+FROM m
+"""
+
+
 def q_snapshot_cdc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed under the oracle gate: the documents table lands
     in a snapshot store as three append commits, a pps_snapshot
@@ -4020,6 +4126,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_strip_markup": q_pipeline_strip_markup,
     "pipeline_shuffle": q_pipeline_shuffle,
     "snapshot_cdc_docs": q_snapshot_cdc_docs,
+    "pipeline_line_dedup": q_pipeline_line_dedup,
+    "text_rule_flags": q_text_rule_flags,
 }
 
 ORACLES: dict[str, str] = {
@@ -4123,4 +4231,6 @@ ORACLES: dict[str, str] = {
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
     "pipeline_shuffle": SQL_PIPELINE_SHUFFLE,
     "snapshot_cdc_docs": SQL_SNAPSHOT_CDC_DOCS,
+    "pipeline_line_dedup": SQL_PIPELINE_LINE_DEDUP,
+    "text_rule_flags": SQL_TEXT_RULE_FLAGS,
 }

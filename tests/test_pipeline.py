@@ -766,3 +766,83 @@ def test_semantic_dedup_max_cell_excludes_big_cells_from_pairing(spark):
     )
     kept2 = {r["vec_id"] for r in out2.collect() if r["kept"]}
     assert kept2 == {0, 10}
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup + rule flags (pipeline/lines.py)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_boilerplate_lines(spark):
+    from prometheus_parquet_server_spark.pipeline.lines import (
+        frequent_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real content one\nACCEPT COOKIES\nmore text"),
+            (2, "other words\nACCEPT COOKIES"),
+            (3, "ACCEPT COOKIES\nthird body"),
+            (4, "no banner here\n\n  \njust prose"),
+        ],
+        "doc_id long, text string",
+    )
+    freq = frequent_lines(docs, min_docs=3).collect()
+    assert len(freq) == 1 and freq[0]["n_docs"] == 3
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == "real content one\nmore text"
+    assert out[2] == "other words"
+    assert out[3] == "third body"
+    assert out[4] == "no banner here\njust prose"  # empties dropped, rest kept
+    # a line repeated WITHIN one doc doesn't fake corpus boilerplate
+    intra = spark.createDataFrame(
+        [(1, "dup\ndup\ndup"), (2, "x")], "doc_id long, text string"
+    )
+    assert frequent_lines(intra, min_docs=2).count() == 0
+    # no boilerplate at all → texts survive (modulo trim/empty-drop)
+    assert (
+        strip_boilerplate_lines(intra, min_docs=2)
+        .filter(F.col("doc_id") == 1)
+        .first()["clean_text"]
+        == "dup\ndup\ndup"
+    )
+
+
+def test_rule_flags_golden(spark):
+    from prometheus_parquet_server_spark.pipeline.lines import rule_flags
+
+    cases = [
+        (1, "short"),  # 1 token → too_short, low_alpha False (has letters)
+        (2, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (3, "wait...\nhm…\nok"),  # 2/3 ellipsis lines > 0.3
+        (4, "1 2 3 4 5 6 7 8 9 10"),  # numeric → low_alpha
+        (5, "plain healthy prose with many normal readable words here ok"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    flags = rule_flags(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["flag_too_short"] and not rows[1]["flag_low_alpha"]
+    assert rows[2]["flag_bullet_heavy"]
+    assert rows[3]["flag_ellipsis_heavy"]
+    assert rows[4]["flag_low_alpha"]
+    r5 = rows[5]
+    assert not any(
+        r5[k]
+        for k in (
+            "flag_too_short",
+            "flag_too_long",
+            "flag_symbol_heavy",
+            "flag_bullet_heavy",
+            "flag_ellipsis_heavy",
+            "flag_low_alpha",
+        )
+    )
