@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "sketch_heavy_hitters",
     "dedup_semantic",
+    "pipeline_line_dedup",
+    "text_rule_flags",
+    "pipeline_shuffle",
 ]
 
 
