@@ -2770,6 +2770,64 @@ FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span coverage per document (dedup.repeated_span_fraction):
+    docs get a shared 12-token boilerplate paragraph appended so the
+    8-gram repeated set is non-trivial on the synthetic corpus; the
+    oracle replays grams, the ≥min_docs set, and the exact position
+    counts. repeated_frac is an exact int ratio — hash-safe unrounded."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        repeated_span_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " this content is provided as is without warranty of any"
+                " kind either expressed or implied"
+            ),
+        ).alias("text"),
+    )
+    return repeated_span_fraction(docs, n=8, min_docs=2)
+
+
+SQL_TEXT_REPEATED_SPANS = r"""
+WITH d AS (
+    SELECT doc_id,
+           text || ' this content is provided as is without warranty of'
+                || ' any kind either expressed or implied' AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS t
+    FROM d
+),
+grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS g(i)
+),
+rep AS (
+    SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+reps AS (
+    SELECT doc_id, COUNT(*) AS n_repeated
+    FROM grams WHERE h IN (SELECT h FROM rep) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+       CASE WHEN coalesce(t.n_grams, 0) > 0
+            THEN CAST(coalesce(r.n_repeated, 0) AS DOUBLE) / t.n_grams
+            ELSE 0.0 END AS repeated_frac
+FROM d LEFT JOIN totals t USING (doc_id) LEFT JOIN reps r USING (doc_id)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -4128,6 +4186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_cdc_docs": q_snapshot_cdc_docs,
     "pipeline_line_dedup": q_pipeline_line_dedup,
     "text_rule_flags": q_text_rule_flags,
+    "text_repeated_spans": q_text_repeated_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -4233,4 +4292,5 @@ ORACLES: dict[str, str] = {
     "snapshot_cdc_docs": SQL_SNAPSHOT_CDC_DOCS,
     "pipeline_line_dedup": SQL_PIPELINE_LINE_DEDUP,
     "text_rule_flags": SQL_TEXT_RULE_FLAGS,
+    "text_repeated_spans": SQL_TEXT_REPEATED_SPANS,
 }

@@ -316,3 +316,67 @@ def cross_doc_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def repeated_span_fraction(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated-span coverage: the fraction of a document's
+    token ``n``-gram POSITIONS whose gram also appears in at least
+    ``min_docs`` distinct documents — the document-level consequence of
+    :func:`cross_doc_ngrams` (its detection output becomes "how much of
+    THIS doc is corpus boilerplate", the number a curation pass drops
+    on). Returns ``(id, n_grams, n_repeated, repeated_frac)``; documents
+    with fewer than ``n`` tokens have zero grams and frac 0.0.
+
+    Scale shape: the gram stream is (doc, 32-byte md5) rows — text never
+    shuffles. One hash aggregate finds the repeated grams, one LEFT SEMI
+    join (equi on the hash) marks each occurrence, two map-side-combinable
+    counts per doc. ``repeated_frac`` is an exact int ratio — hash-safe
+    unrounded.
+    """
+    from prometheus_parquet_server_spark.pipeline.text import (
+        ngrams_col,
+        tokens_col,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(ngrams_col(tokens_col(F.col(text_col)), n)).alias("_gram"),
+    ).select("_doc", F.md5("_gram").alias("_h"))
+    repeated = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct("_doc").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    totals = grams.groupBy("_doc").agg(F.count("*").alias("n_grams"))
+    rep_counts = (
+        grams.join(repeated, "_h", "left_semi")
+        .groupBy("_doc")
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    out = (
+        df.select(F.col(id_col).alias("_doc"))
+        .join(totals, "_doc", "left")
+        .join(rep_counts, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        )
+    )
+    return out.withColumn(
+        "repeated_frac",
+        F.when(
+            F.col("n_grams") > 0, F.col("n_repeated") / F.col("n_grams")
+        ).otherwise(F.lit(0.0)),
+    )

@@ -846,3 +846,31 @@ def test_rule_flags_golden(spark):
             "flag_low_alpha",
         )
     )
+
+
+def test_repeated_span_fraction(spark):
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        repeated_span_fraction,
+    )
+
+    shared = "a b c d"  # the 4-gram every doc shares
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one two three"),
+            (2, f"other words here {shared}"),
+            (3, "entirely different body of text"),
+            (4, "tiny"),  # < n tokens → zero grams, frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+        for r in repeated_span_fraction(docs, n=4, min_docs=2).collect()
+    }
+    # doc 1: 8 toks → 5 grams, 1 repeated; doc 2: 7 toks → 4 grams, 1 rep
+    assert out[1] == (5, 1, 1 / 5)
+    assert out[2] == (4, 1, 1 / 4)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+    with pytest.raises(ValueError, match=">= 1"):
+        repeated_span_fraction(docs, n=0)
