@@ -2828,6 +2828,73 @@ FROM d LEFT JOIN totals t USING (doc_id) LEFT JOIN reps r USING (doc_id)
 """
 
 
+def q_text_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (dedup.remove_repeated_spans): the same
+    shared-paragraph construction as text_repeated_spans, but the graded
+    output is the cleaned token stream itself — every position covered
+    by a corpus-repeated 8-gram excised, survivors space-joined. The
+    oracle replays coverage RELATIONALLY (NOT EXISTS over start
+    positions) while the engine merges hit spans into intervals first;
+    hash-matching proves the interval-merge fold computes exactly
+    positional coverage."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " this content is provided as is without warranty of any"
+                " kind either expressed or implied"
+            ),
+        ).alias("text"),
+    )
+    return remove_repeated_spans(docs, n=8, min_docs=2)
+
+
+SQL_TEXT_REMOVE_SPANS = r"""
+WITH d AS (
+    SELECT doc_id,
+           text || ' this content is provided as is without warranty of'
+                || ' any kind either expressed or implied' AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS t
+    FROM d
+),
+grams AS (
+    SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS g(i)
+),
+rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+starts AS (SELECT doc_id, i FROM grams WHERE h IN (SELECT h FROM rep)),
+tokpos AS (
+    SELECT doc_id, i, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+    SELECT tp.doc_id, tp.i, tp.tok
+    FROM tokpos tp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM starts s
+        WHERE s.doc_id = tp.doc_id AND s.i <= tp.i AND tp.i < s.i + 8
+    )
+)
+SELECT d.doc_id,
+       coalesce(k.ct, '') AS clean_text
+FROM d
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL mapInPandas Arrow path; oracle checks byte length and
     md5 digest of the payload."""
@@ -4187,6 +4254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_line_dedup": q_pipeline_line_dedup,
     "text_rule_flags": q_text_rule_flags,
     "text_repeated_spans": q_text_repeated_spans,
+    "text_remove_spans": q_text_remove_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -4293,4 +4361,5 @@ ORACLES: dict[str, str] = {
     "pipeline_line_dedup": SQL_PIPELINE_LINE_DEDUP,
     "text_rule_flags": SQL_TEXT_RULE_FLAGS,
     "text_repeated_spans": SQL_TEXT_REPEATED_SPANS,
+    "text_remove_spans": SQL_TEXT_REMOVE_SPANS,
 }

@@ -380,3 +380,105 @@ def repeated_span_fraction(
             F.col("n_grams") > 0, F.col("n_repeated") / F.col("n_grams")
         ).otherwise(F.lit(0.0)),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (the published
+    train-data playbook: cut spans repeated across documents instead of
+    dropping whole docs): every token position covered by an ``n``-gram
+    that appears in ≥ ``min_docs`` distinct documents is deleted, and
+    the surviving tokens re-join with single spaces. The output is the
+    dedup-normalized view — lowercased, whitespace-collapsed — i.e. the
+    same token stream every other dedup operator keys on, not the
+    original byte text.
+
+    Scale shape: gram stream = (doc, pos, md5) rows (text never
+    shuffles); repeated set by one hash agg; per-doc hit positions come
+    back through a LEFT SEMI + collect_list bounded by the doc's OWN
+    gram count. Coverage testing merges hit spans into maximal
+    INTERVALS first (one linear fold) — a fully-boilerplate document
+    collapses to one interval, so the per-token containment test is
+    O(tokens × merged-intervals), never O(tokens × hits). Docs shorter
+    than ``n`` tokens have no grams and pass through unchanged.
+    """
+    from prometheus_parquet_server_spark.pipeline.text import (
+        ngrams_col,
+        tokens_col,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    toks_df = df.select(
+        F.col(id_col).alias("_doc"),
+        tokens_col(F.col(text_col)).alias("_t"),
+    )
+    grams = toks_df.select(
+        "_doc",
+        F.posexplode(ngrams_col(F.col("_t"), n)).alias("_pos", "_gram"),
+    ).select("_doc", "_pos", F.md5("_gram").alias("_h"))
+    repeated = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct("_doc").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    hits = (
+        grams.join(repeated, "_h", "left_semi")
+        .groupBy("_doc")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+    covered_hi = F.lit(n - 1)
+    merged = F.aggregate(
+        F.col("_starts"),
+        F.expr("cast(array() as array<struct<lo:int,hi:int>>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(
+                            F.element_at(acc, -1)["hi"], s + covered_hi
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.alias("lo"), (s + covered_hi).alias("hi")
+                    )
+                ),
+            )
+        ),
+    )
+    joined = toks_df.join(hits, "_doc", "left").select(
+        "_doc",
+        "_t",
+        F.coalesce(
+            merged, F.expr("cast(array() as array<struct<lo:int,hi:int>>)")
+        ).alias("_iv"),
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, i: ~F.exists(
+            F.col("_iv"), lambda v: (v["lo"] <= i) & (i <= v["hi"])
+        ),
+    )
+    return joined.select(
+        F.col("_doc").alias(id_col),
+        F.array_join(kept, " ").alias(out_col),
+    )

@@ -874,3 +874,35 @@ def test_repeated_span_fraction(spark):
     assert out[4] == (0, 0, 0.0)
     with pytest.raises(ValueError, match=">= 1"):
         repeated_span_fraction(docs, n=0)
+
+
+def test_remove_repeated_spans(spark):
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        remove_repeated_spans,
+    )
+
+    boiler = "q w e r"  # the shared 4-gram to excise
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"{boiler} start of doc two"),
+            (3, f"ending with it {boiler}"),
+            (4, "none of that here at all"),
+            (5, "tiny"),  # < n tokens → unchanged (normalized)
+            (6, f"{boiler} {boiler} doubled"),  # overlapping coverage
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_repeated_spans(docs, n=4, min_docs=3).collect()
+    }
+    assert out[1] == "alpha beta gamma delta"
+    assert out[2] == "start of doc two"
+    assert out[3] == "ending with it"
+    assert out[4] == "none of that here at all"
+    assert out[5] == "tiny"
+    assert out[6] == "doubled"
+    # overlapping-span coverage: doc 6's repeated grams include the
+    # straddling windows ('r q w e' etc. never repeat, but 'q w e r' at
+    # positions 0 and 4 both hit, and the merge keeps deletion contiguous)
