@@ -1744,12 +1744,14 @@ SELECT fp, doc_id FROM ranked WHERE rn = 1
 def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate dedup (pipeline/lines.py, the
     RefinedWeb/C4 cleanup): every document gets a deterministic shared
-    banner plus one unique line appended, then lines occurring in ≥3
-    distinct docs are stripped corpus-wide. The oracle replays the
-    construction and the md5 frequency/strip arithmetic; hash-matching
-    proves the explode → count-distinct → broadcast-strip pipeline
-    byte-identical. Scale shape: only 32-byte line hashes shuffle, the
-    frequent-line set broadcasts, text never moves."""
+    banner plus one unique line appended, then lines whose
+    whitespace-normalized form occurs in ≥3 distinct docs are stripped
+    corpus-wide — original bytes (indentation, blank lines) of the
+    surviving lines pass through untouched. The oracle replays the
+    construction, the normalization, and the md5 frequency/strip
+    arithmetic. Scale shape: only 32-byte hashes shuffle for the
+    frequency aggregate; membership is a LEFT ANTI equi-join, never a
+    collected array."""
     from prometheus_parquet_server_spark.pipeline.lines import (
         strip_boilerplate_lines,
     )
@@ -1766,7 +1768,7 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean_text")
 
 
-SQL_PIPELINE_LINE_DEDUP = """
+SQL_PIPELINE_LINE_DEDUP = r"""
 WITH d AS (
     SELECT doc_id,
            text || chr(10) || 'ACCEPT ALL COOKIES' || chr(10) ||
@@ -1774,30 +1776,27 @@ WITH d AS (
            CAST(doc_id AS VARCHAR) AS text
     FROM documents
 ),
+split AS (
+    SELECT doc_id, string_split_regex(text, '?
+') AS arr FROM d
+),
 lines AS (
-    SELECT doc_id,
-           unnest(list_distinct(list_filter(
-               list_transform(string_split(text, chr(10)), s -> trim(s)),
-               s -> s <> ''))) AS line
-    FROM d
+    SELECT doc_id, i, arr[i] AS line,
+           md5(regexp_replace(arr[i], '^\s+|\s+$', '', 'g')) AS h,
+           regexp_replace(arr[i], '^\s+|\s+$', '', 'g') AS norm
+    FROM split, UNNEST(generate_series(1, len(arr))) AS g(i)
 ),
 freq AS (
-    SELECT md5(line) AS h FROM lines
-    GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 3
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM lines WHERE norm <> '')
+    GROUP BY h HAVING COUNT(*) >= 3
 ),
-bad AS (SELECT coalesce(list(h), []) AS bh FROM freq),
-docl AS (
-    SELECT doc_id,
-           list_filter(
-               list_transform(string_split(text, chr(10)), s -> trim(s)),
-               s -> s <> '') AS ls
-    FROM d
+kept AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text
+    FROM lines WHERE h NOT IN (SELECT h FROM freq)
+    GROUP BY doc_id
 )
-SELECT docl.doc_id,
-       array_to_string(
-           list_filter(docl.ls, s -> NOT list_contains(bad.bh, md5(s))),
-           chr(10)) AS clean_text
-FROM docl, bad
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+FROM d LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -1816,12 +1815,14 @@ def q_text_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEXT_RULE_FLAGS = """
+SQL_TEXT_RULE_FLAGS = r"""
 WITH base AS (
     SELECT doc_id, text,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-           list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
-                       s -> s <> '') AS ls
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+           list_filter(
+               list_transform(string_split_regex(text, '\r?\n'),
+                              s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+               s -> s <> '') AS ls
     FROM documents
 ),
 m AS (
@@ -1829,16 +1830,16 @@ m AS (
            len(toks) AS n_tok,
            len(ls) AS n_line,
            (length(text) - length(regexp_replace(text, '#', '', 'g')))
-             + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+             + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
              + (length(text) - length(regexp_replace(text, '…', '', 'g'))) AS n_sym,
            len(list_filter(ls, s -> regexp_matches(s, '^[-*•‣▪]'))) AS n_bullet,
-           len(list_filter(ls, s -> regexp_matches(s, '(\\.\\.\\.|…)$'))) AS n_ell,
-           len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+           len(list_filter(ls, s -> regexp_matches(s, '(\.\.\.|…)$'))) AS n_ell,
+           len(list_filter(toks, t -> regexp_matches(t, '\p{L}'))) AS n_alpha
     FROM base
 )
 SELECT doc_id,
-       n_tok < 5 AS flag_too_short,
-       n_tok > 100000 AS flag_too_long,
+       coalesce(n_tok < 5, TRUE) AS flag_too_short,
+       coalesce(n_tok > 100000, FALSE) AS flag_too_long,
        CASE WHEN n_tok > 0 THEN n_sym / n_tok > 0.1 ELSE TRUE END AS flag_symbol_heavy,
        CASE WHEN n_line > 0 THEN CAST(n_bullet AS DOUBLE) / n_line > 0.9 ELSE FALSE END AS flag_bullet_heavy,
        CASE WHEN n_line > 0 THEN CAST(n_ell AS DOUBLE) / n_line > 0.3 ELSE FALSE END AS flag_ellipsis_heavy,

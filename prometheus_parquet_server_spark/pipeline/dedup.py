@@ -149,10 +149,20 @@ def _banded(
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    return df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
+    # stage the signature as its OWN column: minhash_bands references it
+    # once per band, and HOF trees are interpreted without subexpression
+    # elimination — inlining would re-tokenize and re-shingle every row
+    # bands x num_perm times (the measured winnowing blowup class,
+    # text.winnowing_fingerprint_rows)
+    staged = df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
         F.col(id_col),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band_key"),
+        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("_sig"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            minhash_bands(F.col("_sig"), bands, rows_per_band)
+        ).alias("band_key"),
     )
 
 
@@ -225,8 +235,11 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
     ``bits`` ≤ 32 (one hex digit per bit from the 32-hex-char md5).
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (one md5 hex digit per bit), got {bits}")
     toks = tokens_col(text)
     hashed = F.transform(toks, lambda t: F.md5(t))
+
     def _voter(pos):
         return lambda acc, h: acc + F.when(
             F.substring(h, pos + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
@@ -276,6 +289,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def _gram_stream(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The shared (doc, pos, gram-hash) stream every exact-substring
+    operator consumes — ONE definition so cross_doc_ngrams,
+    repeated_span_fraction and remove_repeated_spans can never drift.
+    ``pos`` is the 0-based token index the gram starts at; text leaves
+    the scan stage only as 32-byte md5 hashes."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(ngrams_col(tokens_col(F.col(text_col)), n)).alias(
+            "_pos", "_gram"
+        ),
+    ).select("_doc", "_pos", F.md5("_gram").alias("_h"))
+
+
 def cross_doc_ngrams(
     df: DataFrame,
     n: int = 8,
@@ -300,14 +331,11 @@ def cross_doc_ngrams(
     whitespace tokens, empties removed), so results line up with
     token_stats/vocab_topk and the DuckDB oracle replays it exactly.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    grams = df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(ngrams_col(tokens_col(F.col(text_col)), n)).alias("_gram"),
-    ).select("_doc", F.md5("_gram").alias("gram_hash"))
+    grams = _gram_stream(df, n, text_col, id_col).withColumnRenamed(
+        "_h", "gram_hash"
+    )
     return (
         grams.groupBy("gram_hash")
         .agg(
@@ -333,41 +361,39 @@ def repeated_span_fraction(
     on). Returns ``(id, n_grams, n_repeated, repeated_frac)``; documents
     with fewer than ``n`` tokens have zero grams and frac 0.0.
 
-    Scale shape: the gram stream is (doc, 32-byte md5) rows — text never
-    shuffles. One hash aggregate finds the repeated grams, one LEFT SEMI
-    join (equi on the hash) marks each occurrence, two map-side-combinable
-    counts per doc. ``repeated_frac`` is an exact int ratio — hash-safe
+    Scale shape: ONE pass over the gram stream (text never shuffles —
+    only 32-byte hashes): per-(doc, gram) occurrence counts in one hash
+    aggregate, the ≥min_docs test as a count window over the hash key
+    (each (doc, h) row is one distinct doc, so the window count IS the
+    distinct-doc count), then one per-doc roll-up. No branch re-reads
+    the corpus. ``repeated_frac`` is an exact int ratio — hash-safe
     unrounded.
     """
-    from prometheus_parquet_server_spark.pipeline.text import (
-        ngrams_col,
-        tokens_col,
-    )
+    from pyspark.sql import Window
 
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    grams = df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(ngrams_col(tokens_col(F.col(text_col)), n)).alias("_gram"),
-    ).select("_doc", F.md5("_gram").alias("_h"))
-    repeated = (
-        grams.groupBy("_h")
-        .agg(F.count_distinct("_doc").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+    gd = (
+        _gram_stream(df, n, text_col, id_col)
+        .groupBy("_doc", "_h")
+        .agg(F.count("*").alias("_occ"))
     )
-    totals = grams.groupBy("_doc").agg(F.count("*").alias("n_grams"))
-    rep_counts = (
-        grams.join(repeated, "_h", "left_semi")
+    w = Window.partitionBy("_h")
+    per_doc = (
+        gd.withColumn("_nd", F.count("*").over(w))
         .groupBy("_doc")
-        .agg(F.count("*").alias("n_repeated"))
+        .agg(
+            F.sum("_occ").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_nd") >= min_docs, F.col("_occ")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_repeated"),
+        )
     )
     out = (
         df.select(F.col(id_col).alias("_doc"))
-        .join(totals, "_doc", "left")
-        .join(rep_counts, "_doc", "left")
+        .join(per_doc, "_doc", "left")
         .select(
             F.col("_doc").alias(id_col),
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
@@ -399,86 +425,64 @@ def remove_repeated_spans(
     same token stream every other dedup operator keys on, not the
     original byte text.
 
-    Scale shape: gram stream = (doc, pos, md5) rows (text never
-    shuffles); repeated set by one hash agg; per-doc hit positions come
-    back through a LEFT SEMI + collect_list bounded by the doc's OWN
-    gram count. Coverage testing merges hit spans into maximal
-    INTERVALS first (one linear fold) — a fully-boilerplate document
-    collapses to one interval, so the per-token containment test is
-    O(tokens × merged-intervals), never O(tokens × hits). Docs shorter
-    than ``n`` tokens have no grams and pass through unchanged.
+    Scale shape: fully RELATIONAL coverage (the same algebra the DuckDB
+    oracle runs) — the gram stream shuffles as (doc, pos, 32-byte hash)
+    rows, the ≥min_docs test is a distinct-doc window over the hash key
+    (dense_rank max — no second corpus scan), covered token positions
+    explode from hit spans, and surviving tokens re-aggregate in
+    position order. Every stage is linear in its input; there is no
+    per-row fold whose accumulator grows with the number of hit spans,
+    so a mail-merge document with thousands of disjoint repeated spans
+    costs the same per token as a clean one. Docs shorter than ``n``
+    tokens have no grams and pass through (normalized) unchanged.
     """
-    from prometheus_parquet_server_spark.pipeline.text import (
-        ngrams_col,
-        tokens_col,
-    )
+    from pyspark.sql import Window
 
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     toks_df = df.select(
         F.col(id_col).alias("_doc"),
         tokens_col(F.col(text_col)).alias("_t"),
     )
-    grams = toks_df.select(
-        "_doc",
-        F.posexplode(ngrams_col(F.col("_t"), n)).alias("_pos", "_gram"),
-    ).select("_doc", "_pos", F.md5("_gram").alias("_h"))
-    repeated = (
-        grams.groupBy("_h")
-        .agg(F.count_distinct("_doc").alias("_nd"))
+    grams = _gram_stream(df, n, text_col, id_col)
+    # distinct docs per hash without re-reading the corpus: dense_rank
+    # over docs within a hash, its max broadcast back by the same window
+    wh = Window.partitionBy("_h").orderBy("_doc")
+    nd = F.max(F.dense_rank().over(wh)).over(Window.partitionBy("_h"))
+    covered = (
+        grams.withColumn("_nd", nd)
         .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+        .select(
+            "_doc",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_i"),
+        )
+        .distinct()
     )
-    hits = (
-        grams.join(repeated, "_h", "left_semi")
+    tokpos = toks_df.select(
+        "_doc", F.posexplode("_t").alias("_i", "_tok")
+    )
+    kept = (
+        tokpos.join(covered, ["_doc", "_i"], "left_anti")
         .groupBy("_doc")
-        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
-    )
-    covered_hi = F.lit(n - 1)
-    merged = F.aggregate(
-        F.col("_starts"),
-        F.expr("cast(array() as array<struct<lo:int,hi:int>>)"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (s <= F.element_at(acc, -1)["hi"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["lo"].alias("lo"),
-                        F.greatest(
-                            F.element_at(acc, -1)["hi"], s + covered_hi
-                        ).alias("hi"),
-                    )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_i", "_tok"))
+                    ),
+                    lambda st: st["_tok"],
                 ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        s.alias("lo"), (s + covered_hi).alias("hi")
-                    )
-                ),
-            )
-        ),
+                " ",
+            ).alias(out_col)
+        )
     )
-    joined = toks_df.join(hits, "_doc", "left").select(
-        "_doc",
-        "_t",
-        F.coalesce(
-            merged, F.expr("cast(array() as array<struct<lo:int,hi:int>>)")
-        ).alias("_iv"),
-    )
-    kept = F.filter(
-        F.col("_t"),
-        lambda tok, i: ~F.exists(
-            F.col("_iv"), lambda v: (v["lo"] <= i) & (i <= v["hi"])
-        ),
-    )
-    return joined.select(
-        F.col("_doc").alias(id_col),
-        F.array_join(kept, " ").alias(out_col),
+    return (
+        df.select(F.col(id_col).alias("_doc"))
+        .join(kept, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
     )

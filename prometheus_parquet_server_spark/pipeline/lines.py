@@ -13,11 +13,12 @@ Two published pre-training cleanup steps the document-level pipeline
   reproducible and auditable, which corpus curation needs more than
   cleverness.
 
-Scale shape: line dedup is one explode → one hash aggregate on
-md5(line) (the 32-byte hash shuffles, the line text never does) →
-one broadcast-back join of the SMALL frequent-line set; stripping is
-then a per-row filter over each doc's lines. Rule flags are pure
-Column expressions (zero shuffle, whole-stage codegen).
+Scale shape: line dedup explodes to (doc, pos, line) rows once; the
+frequency aggregate moves only md5 hashes of whitespace-normalized
+lines, membership is a LEFT ANTI equi-join (broadcast when the
+boilerplate set is small, shuffle when it isn't — never a single
+collected array), and survivors re-aggregate in position order. Rule
+flags are pure Column expressions (zero shuffle, whole-stage codegen).
 
 All arithmetic is engine-replayable (md5, exact int ratios), so both
 operators grade under the DuckDB oracle (``pipeline_line_dedup``,
@@ -32,10 +33,19 @@ from pyspark.sql import functions as F
 from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
 
+def _norm_line(s: Column) -> Column:
+    """Whitespace-normalize one line: strip LEADING/TRAILING whitespace of
+    every kind (F.trim strips only ASCII spaces — a CRLF corpus would
+    otherwise hash 'BANNER\r' differently from 'BANNER' and boilerplate
+    would never reach min_docs)."""
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
 def _lines_col(text: Column) -> Column:
-    """Non-empty, whitespace-trimmed lines of a document."""
+    """Non-empty, whitespace-normalized lines of a document (split on
+    LF or CRLF)."""
     return F.filter(
-        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        F.transform(F.split(text, "\r?\n"), _norm_line),
         lambda s: s != "",
     )
 
@@ -72,31 +82,49 @@ def strip_boilerplate_lines(
     id_col: str = "doc_id",
     out_col: str = "clean_text",
 ) -> DataFrame:
-    """Remove corpus-boilerplate lines from every document: lines found
-    in ≥ ``min_docs`` distinct docs are dropped, the rest re-join with
-    a newline. The frequent-line set is tiny relative to the corpus
-    (bounded by distinct boilerplate, not by rows), so it broadcasts;
-    the document text itself never shuffles."""
-    freq = frequent_lines(df, min_docs, text_col, id_col)
-    bad = freq.agg(
-        F.coalesce(
-            F.collect_set("line_hash"), F.array().cast("array<string>")
-        ).alias("_bad")
+    """Remove corpus-boilerplate lines from every document: a line whose
+    WHITESPACE-NORMALIZED form occurs in ≥ ``min_docs`` distinct docs is
+    dropped; everything else — including blank lines and original
+    indentation — passes through byte-identical, so paragraph structure
+    survives (matching happens on the normalized form, output keeps the
+    original line). Scale shape: lines explode to (doc, pos, line) rows
+    once, the frequency aggregate moves only md5 hashes, membership is a
+    LEFT ANTI equi-join on the hash (broadcast when the boilerplate set
+    is small, shuffle when it isn't — never a single collected array),
+    and survivors re-join in position order."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
+            "_i", "_line"
+        ),
+    ).withColumn("_h", F.md5(_norm_line(F.col("_line"))))
+    freq = (
+        lines.filter(_norm_line(F.col("_line")) != "")
+        .select("_doc", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
     )
-    return (
-        df.crossJoin(F.broadcast(bad))
-        .withColumn(
-            out_col,
+    kept = (
+        lines.join(freq, "_h", "left_anti")
+        .groupBy("_doc")
+        .agg(
             F.array_join(
-                F.filter(
-                    _lines_col(F.col(text_col)),
-                    lambda s: ~F.array_contains(F.col("_bad"), F.md5(s)),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_line"))),
+                    lambda st: st["_line"],
                 ),
                 "\n",
-            ),
+            ).alias(out_col)
         )
-        .drop("_bad")
     )
+    return df.join(
+        kept.withColumnRenamed("_doc", id_col), id_col, "left"
+    ).withColumn(out_col, F.coalesce(out_col, F.lit("")))
 
 
 def rule_flags(text: Column) -> dict[str, Column]:
@@ -129,10 +157,14 @@ def rule_flags(text: Column) -> dict[str, Column]:
         F.filter(lines, lambda s: s.rlike("^[-*•‣▪]"))
     )
     n_ell = F.size(F.filter(lines, lambda s: s.rlike("(\\.\\.\\.|…)$")))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # \\p{L} (any Unicode letter, supported by both Java regex and RE2):
+    # ASCII [a-z] would flag every non-Latin-script document as low-alpha
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("\\p{L}")))
     return {
-        "flag_too_short": n_tok < 5,
-        "flag_too_long": n_tok > 100_000,
+        # NULL text → NULL n_tok; the emptiest document must FLAG as too
+        # short, not slip a NULL past a boolean filter
+        "flag_too_short": F.coalesce(n_tok < 5, F.lit(True)),
+        "flag_too_long": F.coalesce(n_tok > 100_000, F.lit(False)),
         "flag_symbol_heavy": F.when(
             n_tok > 0, n_sym / n_tok > 0.1
         ).otherwise(F.lit(True)),

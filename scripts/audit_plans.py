@@ -56,9 +56,6 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "emb_knn_label": {
         "BroadcastNestedLoopJoin": (1, "kNN probes x corpus, exact-baseline shape")
     },
-    "pipeline_line_dedup": {
-        "BroadcastNestedLoopJoin": (1, "frequent-line set (one aggregated row) broadcast back")
-    },
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")

@@ -797,19 +797,35 @@ def test_strip_boilerplate_lines(spark):
     assert out[1] == "real content one\nmore text"
     assert out[2] == "other words"
     assert out[3] == "third body"
-    assert out[4] == "no banner here\njust prose"  # empties dropped, rest kept
+    # untouched docs round-trip BYTE-IDENTICAL: blank lines and
+    # indentation survive; only matched boilerplate lines are removed
+    assert out[4] == "no banner here\n\n  \njust prose"
     # a line repeated WITHIN one doc doesn't fake corpus boilerplate
     intra = spark.createDataFrame(
         [(1, "dup\ndup\ndup"), (2, "x")], "doc_id long, text string"
     )
     assert frequent_lines(intra, min_docs=2).count() == 0
-    # no boilerplate at all → texts survive (modulo trim/empty-drop)
     assert (
         strip_boilerplate_lines(intra, min_docs=2)
         .filter(F.col("doc_id") == 1)
         .first()["clean_text"]
         == "dup\ndup\ndup"
     )
+    # CRLF and trailing-whitespace variants normalize to ONE line
+    # identity for matching, but surviving lines keep their bytes
+    crlf = spark.createDataFrame(
+        [
+            (1, "BANNER\r\nkeep a"),
+            (2, "BANNER \nkeep b"),
+            (3, "\tBANNER\nkeep c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(crlf, min_docs=3).collect()
+    }
+    assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
 
 
 def test_rule_flags_golden(spark):
@@ -906,3 +922,14 @@ def test_remove_repeated_spans(spark):
     # overlapping-span coverage: doc 6's repeated grams include the
     # straddling windows ('r q w e' etc. never repeat, but 'q w e r' at
     # positions 0 and 4 both hit, and the merge keeps deletion contiguous)
+
+
+def test_simhash_bits_validated(spark):
+    from prometheus_parquet_server_spark.pipeline.dedup import simhash
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    assert len(df.select(simhash(F.col("text"), bits=32)).first()[0]) == 32
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        simhash(F.col("text"), bits=64)
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        simhash(F.col("text"), bits=0)
