@@ -149,16 +149,29 @@ def _banded(
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
-    # stage the signature as its OWN column: minhash_bands references it
-    # once per band, and HOF trees are interpreted without subexpression
-    # elimination — inlining would re-tokenize and re-shingle every row
-    # bands x num_perm times (the measured winnowing blowup class,
-    # text.winnowing_fingerprint_rows)
-    staged = df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("_sig"),
+    # stage the SHINGLE ARRAY, then the signature, as their own columns
+    # across selects: HOF trees are interpreted without subexpression
+    # elimination, so the inline form re-tokenizes and re-shingles every
+    # row num_perm x bands times (the measured winnowing blowup class,
+    # text.winnowing_fingerprint_rows; multi-referenced non-trivial
+    # aliases survive CollapseProject)
+    s1 = df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-    return staged.select(
+    def _hasher(salt):
+        # a dedicated one-arg factory: a default-arg lambda would have
+        # TWO parameters, which pyspark's transform interprets as the
+        # (element, index) form — the index would silently replace the salt
+        return lambda t: _salted_md5(t, salt)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _hasher(p)))
+            for p in range(num_perm)
+        ]
+    )
+    s2 = s1.select(F.col(id_col), sig.alias("_sig"))
+    return s2.select(
         F.col(id_col),
         F.explode(
             minhash_bands(F.col("_sig"), bands, rows_per_band)

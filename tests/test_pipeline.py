@@ -933,3 +933,34 @@ def test_simhash_bits_validated(spark):
         simhash(F.col("text"), bits=64)
     with pytest.raises(ValueError, match=r"\[1, 32\]"):
         simhash(F.col("text"), bits=0)
+
+
+def test_banding_stages_shingles_once(spark):
+    """The LSH banding preamble must materialize the shingle tree ONCE
+    per row: the inline form re-evaluates it num_perm x bands times in
+    interpreted HOFs (the measured winnowing blowup class; fixing it cut
+    wide-shape banding 19.9s -> 6.2s at sf0.1). Pinned by counting
+    tokenizer splits in the physical plan — and the staged form must be
+    row-identical to the Column-API composition."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        _banded,
+        minhash_bands,
+        minhash_signature,
+        tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    )
+    staged = _banded(docs, "text", "doc_id", 16, 4, 2)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") <= 12  # inline form embeds it ~16x7 times
+    api = docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(
+            minhash_bands(minhash_signature(F.col("text"), 16, 2), 4, 4)
+        ).alias("band_key"),
+    )
+    assert staged.exceptAll(api).count() == 0
+    assert api.exceptAll(staged).count() == 0
