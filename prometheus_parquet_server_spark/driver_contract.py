@@ -1777,7 +1777,8 @@ WITH d AS (
     FROM documents
 ),
 split AS (
-    SELECT doc_id, string_split_regex(text, '?
+    SELECT doc_id, string_split_regex(text, '
+?
 ') AS arr FROM d
 ),
 lines AS (
@@ -1845,6 +1846,115 @@ SELECT doc_id,
        CASE WHEN n_line > 0 THEN CAST(n_ell AS DOUBLE) / n_line > 0.3 ELSE FALSE END AS flag_ellipsis_heavy,
        CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / n_tok < 0.8 ELSE TRUE END AS flag_low_alpha
 FROM m
+"""
+
+
+def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v3 — the continuation's curation operators composed as
+    ONE declarative plan, the modern crawl-cleanup shape: corpus-wide
+    LINE boilerplate stripped (banner lines injected deterministically
+    so the stage bites) → rule-flag gate (too-short / low-alpha docs
+    dropped, judged on the CLEANED text) → exact dedup on the clean-text
+    md5 (lowest id survives) → deterministic training order + shard
+    assignment. Every stage is individually oracle-verified
+    (pipeline_line_dedup, text_rule_flags, dedup_exact_fp,
+    pipeline_shuffle); this entry proves they compose under one hash
+    gate. Text shuffles once (the line explode/re-aggregate); every
+    later stage moves hashes, flags, and ids only."""
+    from prometheus_parquet_server_spark.pipeline.lines import (
+        rule_flags,
+        strip_boilerplate_lines,
+    )
+    from prometheus_parquet_server_spark.pipeline.shuffle import (
+        global_shuffle,
+        shard_assign,
+    )
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    flags = rule_flags(F.col("text"))
+    gated = (
+        cleaned.withColumn("_short", flags["flag_too_short"])
+        .withColumn("_lowa", flags["flag_low_alpha"])
+        .filter(~F.col("_short") & ~F.col("_lowa"))
+        .select(
+            "doc_id",
+            "text",
+            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+            F.md5("text").alias("_fp"),
+        )
+    )
+    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(survivors, ["_fp", "doc_id"]).select(
+        "doc_id", "n_tokens"
+    )
+    return shard_assign(global_shuffle(kept, seed=7), n_shards=8, seed=7)
+
+
+SQL_PIPELINE_PREPARE_V3 = r"""
+WITH d AS (
+    SELECT doc_id,
+           text || chr(10) || 'ACCEPT ALL COOKIES' || chr(10) ||
+           'SITE NAV | HOME | ABOUT' || chr(10) || 'unique-' ||
+           CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+split AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS arr FROM d),
+lines AS (
+    SELECT doc_id, i, arr[i] AS line,
+           md5(regexp_replace(arr[i], '^\s+|\s+$', '', 'g')) AS h,
+           regexp_replace(arr[i], '^\s+|\s+$', '', 'g') AS norm
+    FROM split, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+freq AS (
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM lines WHERE norm <> '')
+    GROUP BY h HAVING COUNT(*) >= 3
+),
+cleaned AS (
+    SELECT d.doc_id, coalesce(k.ct, '') AS text
+    FROM d LEFT JOIN (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ct
+        FROM lines WHERE h NOT IN (SELECT h FROM freq) GROUP BY doc_id
+    ) k USING (doc_id)
+),
+gated AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> ''),
+                           t -> regexp_matches(t, '\p{L}'))) AS n_alpha,
+           md5(text) AS fp
+    FROM cleaned
+),
+passed AS (
+    SELECT * FROM gated
+    WHERE NOT coalesce(n_tokens < 5, TRUE)
+      AND NOT (CASE WHEN n_tokens > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_tokens < 0.8
+                    ELSE TRUE END)
+),
+kept AS (
+    SELECT p.doc_id, p.n_tokens
+    FROM passed p
+    JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM passed GROUP BY fp) s
+      ON p.fp = s.fp AND p.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens,
+       md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key,
+       CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                 AS UBIGINT) % 8 AS BIGINT) AS shard
+FROM kept
 """
 
 
@@ -4256,6 +4366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_rule_flags": q_text_rule_flags,
     "text_repeated_spans": q_text_repeated_spans,
     "text_remove_spans": q_text_remove_spans,
+    "pipeline_prepare_v3": q_pipeline_prepare_v3,
 }
 
 ORACLES: dict[str, str] = {
@@ -4363,4 +4474,5 @@ ORACLES: dict[str, str] = {
     "text_rule_flags": SQL_TEXT_RULE_FLAGS,
     "text_repeated_spans": SQL_TEXT_REPEATED_SPANS,
     "text_remove_spans": SQL_TEXT_REMOVE_SPANS,
+    "pipeline_prepare_v3": SQL_PIPELINE_PREPARE_V3,
 }
