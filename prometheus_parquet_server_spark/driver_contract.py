@@ -1777,9 +1777,7 @@ WITH d AS (
     FROM documents
 ),
 split AS (
-    SELECT doc_id, string_split_regex(text, '
-?
-') AS arr FROM d
+    SELECT doc_id, string_split_regex(text, '\r?\n') AS arr FROM d
 ),
 lines AS (
     SELECT doc_id, i, arr[i] AS line,
@@ -2145,12 +2143,17 @@ _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 SQL_TEXT_QUALITY = f"""
 WITH feats AS (
     SELECT doc_id,
+           -- NULL text scores as empty (mirrors quality_features)
+           coalesce(text, '') AS text
+    FROM documents
+), feats2 AS (
+    SELECT doc_id,
            len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
            length(text) AS n_char,
            length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
            len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
                x -> list_contains({_STOP_LIST_SQL}, x))) AS n_stop
-    FROM documents
+    FROM feats
 )
 SELECT doc_id,
        CAST(n_tok AS INT) AS n_tokens,
@@ -2160,7 +2163,7 @@ SELECT doc_id,
              + (1.0 - CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END) * 0.3
              + LEAST(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0, 1.0) * 0.3,
              6) AS quality_score
-FROM feats
+FROM feats2
 """
 
 
@@ -2278,8 +2281,8 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_TOKEN_COUNT = """
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS INT) AS n_ws,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+       CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
 FROM documents
 """
 

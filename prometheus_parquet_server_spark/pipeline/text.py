@@ -61,7 +61,10 @@ def ngrams_col(toks: Column, n: int) -> Column:
 
 
 def token_count(text: Column, bpe: bool = False) -> Column:
-    """Token count: whitespace (default) or BPE-ish regex pieces."""
+    """Token count: whitespace (default) or BPE-ish regex pieces. NULL
+    text counts 0 (Spark's legacy size(NULL) is -1, which would leak a
+    negative count into token budgets and length gates)."""
+    text = F.coalesce(text, F.lit(""))
     if bpe:
         return F.size(F.regexp_extract_all(F.lower(text), F.lit(PIECE_PATTERN), 0))
     return F.size(tokens_col(text))
@@ -72,7 +75,11 @@ def quality_features(text: Column) -> dict[str, Column]:
 
     The score is an arbitrary-but-fixed linear blend; what matters is that
     it is deterministic and cheap (one pass of codegen'd expressions).
+    NULL text scores as EMPTY text — without the coalesce, size(NULL
+    tokens) is -1 under Spark's legacy default and the -1 leaks into
+    n_tokens and the score.
     """
+    text = F.coalesce(text, F.lit(""))
     toks = tokens_col(text)
     n_tok = F.size(toks)
     n_char = F.length(text)
