@@ -1602,10 +1602,18 @@ FROM documents
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-token docs (empty/NULL/whitespace text) are DROPPED, matching
+    both the _banded preamble's rule and the oracle's unnest-based
+    replay: their MinHash is undefined, and emitting one would pair
+    every empty doc with every other in one constant bucket."""
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = minhash_signature(F.col("text"), num_perm=4, shingle_n=1)
     band = minhash_bands(sig, bands=1, rows_per_band=4)[0]
-    return docs.select("doc_id", band.alias("band_key"))
+    return docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id", band.alias("band_key")
+    )
 
 
 SQL_DEDUP_MINHASH = """
@@ -2101,8 +2109,15 @@ FROM e2
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-token docs are dropped (the dedup_minhash rule: an all-zero
+    fingerprint would bucket every empty/NULL doc together, and the
+    oracle's per-token GROUP BY replay never emits rows for them)."""
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", simhash(F.col("text"), bits=8).alias("simhash"))
+    return docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id", simhash(F.col("text"), bits=8).alias("simhash")
+    )
 
 
 _SIMHASH_BITS_SQL = " || ".join(
@@ -3336,7 +3351,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_REPETITION = """
 WITH toks AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           -- NULL text behaves as empty (mirrors repetition_metrics)
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS t
     FROM documents
 ),
 words AS (

@@ -156,7 +156,9 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F  # noqa: F811 — local for clarity
 
-    toks = tokens_col(F.col(text_col))
+    # NULL text behaves as empty: size(NULL)=-1 under Spark's legacy
+    # default would leak a negative n_words, and max_run would go NULL
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col), toks.alias("_t"))
     t = F.col("_t")
     n = F.size(t)

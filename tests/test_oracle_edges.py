@@ -50,6 +50,16 @@ EDGE_QUERIES = [
     "text_hash_embed",
     "text_winnowing",
     "dedup_shared_ngrams",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_jaccard",
+    "pipeline_capped_sample",
+    "pipeline_stratified",
+    "vocab_topk",
+    "tfidf_topk",
+    "pipeline_chunks",
+    "text_repetition",
+    "pipeline_split",
 ]
 
 
