@@ -114,3 +114,73 @@ def test_edge_corpus_parity(spark, edge_dir, duck, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
+
+
+# ---------------------------------------------------------------------------
+# Events-table rows over an adversarial events fixture
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(s):
+    return _T0 + _dt.timedelta(seconds=s)
+
+
+EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, _ts(0), 1, "click", 1.0, "{}"),
+    (2, _ts(0), 1, "click", 2.0, "{}"),      # duplicate (user, ts)
+    (3, _ts(10), 1, "purchase", 5.0, None),  # NULL props
+    (4, _ts(20), None, "click", 3.0, "{}"),  # NULL user
+    (5, _ts(30), 2, "view", None, "{}"),     # NULL value
+    (6, _ts(40), 2, "click", -1.5, "{}"),    # negative value
+    (7, _ts(4000), 2, "click", 7.0, "{}"),   # big session gap
+    (8, _ts(4001), 3, "purchase", 0.0, "{}"),
+    (9, _ts(4001), 3, "purchase", 0.0, "{}"),  # exact duplicate row
+]
+
+EDGE_EVENT_QUERIES = [
+    "events_asof_join",
+    "events_sessionize",
+    "events_rollup",
+    "events_range_join",
+    "events_props_json",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_ev")
+    ev = spark.createDataFrame(
+        EDGE_EVENTS,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_events(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_parity(spark, edge_events_dir, duck_events, name):
+    sdf = QUERIES[name](spark, edge_events_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_events.execute(ORACLES[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
