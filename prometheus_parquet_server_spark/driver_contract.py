@@ -2416,11 +2416,13 @@ WITH probes AS (
 ),
 scored AS (
     SELECT p.probe_id, e.vec_id AS neighbor_id,
-           ROUND(
+           -- zero-norm inputs score 0 (the engine's documented contract),
+           -- not NULL: DuckDB's x/0 division yields NULL here
+           ROUND(coalesce(
              list_dot_product(p.probe_vec::DOUBLE[], e.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
-             6) AS cosine
+             0.0), 6) AS cosine
     FROM probes p CROSS JOIN embeddings e
     WHERE e.vec_id <> p.probe_id
 )
@@ -2545,11 +2547,11 @@ probes_b AS (
 ),
 scored AS (
     SELECT p.probe_id, c.vec_id AS neighbor_id,
-           ROUND(
+           ROUND(coalesce(
              list_dot_product(p.probe_vec::DOUBLE[], c.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
               * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
-             6) AS cosine
+             0.0), 6) AS cosine
     FROM corpus_b c JOIN probes_b p
       ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
 )
@@ -3144,11 +3146,13 @@ WITH probes AS (
 ),
 scored AS (
     SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
-           ROUND(
+           -- zero-norm inputs score 0 (the engine's documented contract),
+           -- not NULL: DuckDB's x/0 division yields NULL here
+           ROUND(coalesce(
              list_dot_product(p.probe_vec::DOUBLE[], e.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))
               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
-             6) AS cosine
+             0.0), 6) AS cosine
     FROM probes p CROSS JOIN embeddings e
     WHERE e.vec_id <> p.probe_id
 ),

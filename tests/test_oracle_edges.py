@@ -184,3 +184,58 @@ def test_edge_events_parity(spark, edge_events_dir, duck_events, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-table rows over an adversarial embeddings fixture
+# ---------------------------------------------------------------------------
+
+_D = 64  # the graded ANN geometry pins dim-64 planes (_ND_DIM)
+
+
+def _vec(seed):
+    return [float((seed * 31 + j) % 7 - 3) for j in range(_D)]
+
+
+EDGE_EMBEDDINGS = (
+    [(1, [0.0] * _D, 0)]                      # zero vector (undefined cosine)
+    + [(2, _vec(5), 1), (3, _vec(5), 1)]      # exact duplicate vectors
+    + [(4, [1e30] * _D, 0)]                   # huge magnitudes
+    + [(5, [1e-30] * _D, 1)]                  # tiny magnitudes
+    + [(i, _vec(i), i % 2) for i in range(6, 40)]
+)
+
+EDGE_EMB_QUERIES = ["emb_cosine_topk", "dedup_embedding"]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_emb")
+    emb = spark.createDataFrame(
+        EDGE_EMBEDDINGS, "vec_id bigint, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_emb(edge_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_edge_embeddings_parity(spark, edge_emb_dir, duck_emb, name):
+    sdf = QUERIES[name](spark, edge_emb_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_emb.execute(ORACLES[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
