@@ -108,7 +108,13 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.select(
             F.col("event_type").alias("name"),
-            F.col("user_id").cast("string").alias("user_id"),
+            # Prometheus has no NULL label values: a missing label IS the
+            # empty string (the absent-label matcher semantics). Without
+            # the coalesce the engine carries a NULL-user series that the
+            # oracle's equi-joins silently drop.
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias(
+                "user_id"
+            ),
             (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
             "value",
         )
@@ -173,7 +179,7 @@ def _round6_exact(col) -> Column:
 _METRICS_CTE = """
 metrics AS (
     SELECT event_type AS name,
-           CAST(user_id AS VARCHAR) AS user_id,
+           coalesce(CAST(user_id AS VARCHAR), '') AS user_id,
            epoch_us(ts) / 1000000.0 AS ts,
            MAX(value) AS value
     FROM events

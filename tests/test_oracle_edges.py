@@ -148,6 +148,16 @@ EDGE_EVENT_QUERIES = [
     "events_rollup",
     "events_range_join",
     "events_props_json",
+    # the PromQL metrics stack derives its canonical table from events
+    "f1_selector",
+    "f3_name_index",
+    "t3_resample",
+    "p1_rate",
+    "p2_irate",
+    "a1_sum_by",
+    "promql_sum_rate",
+    "m2_metric_names",
+    "m3_series_count",
 ]
 
 
