@@ -249,3 +249,99 @@ def test_edge_embeddings_parity(spark, edge_emb_dir, duck_emb, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
+
+
+# ---------------------------------------------------------------------------
+# TPC-H rows over adversarial relational fixtures (NULL join keys,
+# orphan foreign keys, NULL measures, duplicate keys)
+# ---------------------------------------------------------------------------
+
+EDGE_TPCH = {
+    "region": (
+        [(0, "AMERICA"), (1, "ASIA"), (2, None)],
+        "r_regionkey bigint, r_name string",
+    ),
+    "nation": (
+        [(0, "US", 0), (1, "JP", 1), (2, "XX", None), (3, None, 0)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ),
+    "customer": (
+        [
+            (1, "alice", 0, 10.0, "BUILDING"),
+            (2, "bob", 1, -5.0, "AUTOMOBILE"),
+            (3, "carol", None, 0.0, None),     # NULL nation + segment
+            (4, "dave", 99, 1.0, "BUILDING"),  # orphan nation key
+        ],
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    ),
+    "supplier": (
+        [(1, "s1", 0, 1.0), (2, "s2", None, 2.0)],
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+    ),
+    "part": (
+        [(1, "widget", "B1", "SMALL", 1, 9.99), (2, None, "B2", None, 2, 0.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ),
+    "orders": (
+        [
+            (10, 1, "O", 100.0, _ts(0), "1-URGENT"),
+            (11, 2, "F", 200.0, _ts(86400), "2-HIGH"),
+            (12, None, "O", 50.0, _ts(2 * 86400), "3-MEDIUM"),  # NULL cust
+            (13, 99, "F", None, _ts(3 * 86400), "4-LOW"),  # orphan + NULL price
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ),
+    "lineitem": (
+        [
+            (10, 1, 1, 1, 2.0, 100.0, 0.1, 0.05, "N", "O", _ts(0)),
+            (10, 2, 2, 2, 1.0, 50.0, 0.0, 0.0, "R", "F", _ts(3600)),
+            (11, 1, 1, 1, None, 75.0, 0.2, 0.1, "A", "F", _ts(86400)),  # NULL qty
+            (12, 2, 2, 1, 3.0, None, 0.1, 0.0, "N", "O", _ts(2 * 86400)),  # NULL price
+            (99, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts(0)),  # orphan order
+            (13, None, None, 1, 4.0, 40.0, 0.5, 0.2, "R", "F", _ts(3 * 86400)),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ),
+}
+
+EDGE_TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5ish"]
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_tpch")
+    for t, (rows, schema) in EDGE_TPCH.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_tpch(edge_tpch_dir):
+    con = duckdb.connect()
+    for t in EDGE_TPCH:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_tpch_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_TPCH_QUERIES)
+def test_edge_tpch_parity(spark, edge_tpch_dir, duck_tpch, name):
+    sdf = QUERIES[name](spark, edge_tpch_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_tpch.execute(ORACLES[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
