@@ -119,7 +119,12 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("name", "user_id", "ts")
-        .agg(F.max("value").alias("value"))
+        # the canonical model's S8 rule (sources/ingest.py): a sample with
+        # no numeric value is NaN, not NULL — an all-NULL instant must
+        # still exist as a (NaN) sample on BOTH engines
+        .agg(
+            F.coalesce(F.max("value"), F.lit(float("nan"))).alias("value")
+        )
         .cache()
     )
     _METRICS_CACHE[cache_key] = out
@@ -181,7 +186,7 @@ metrics AS (
     SELECT event_type AS name,
            coalesce(CAST(user_id AS VARCHAR), '') AS user_id,
            epoch_us(ts) / 1000000.0 AS ts,
-           MAX(value) AS value
+           coalesce(MAX(value), CAST('NaN' AS DOUBLE)) AS value
     FROM events
     GROUP BY 1, 2, 3
 )"""
@@ -707,16 +712,18 @@ WHERE w.total > 0
 def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
+    from prometheus_parquet_server_spark.operators.aggregate import exact_sum
+
     return (
         rs.groupBy("name", "ts")
-        # bare order-insensitive decimal sum (the _dec finite-value
-        # contract: interp output of this table is finite, and a NaN
-        # would mismatch the oracle PERSISTENTLY, not flakily). The
-        # guarded exact_sum costs ~2 extra aggregate buffers fused into
-        # the resample stage — measured +0.7 s at sf0.1 for zero
-        # additional determinism on this data; the operator-level paths
-        # (a2/a4, run_query(exact_agg=)) keep the full guard
-        .agg(F.round(F.sum(_dec("value")), 6).cast("double").alias("value"))
+        # guarded exact_sum, not the bare decimal-cast sum this row used
+        # to run: the adversarial gate showed the bare form silently
+        # turns an all-NaN series into NULL (the decimal cast nulls NaN
+        # and SUM skips it) — PromQL semantics require NaN to POISON the
+        # group. Costs ~2 extra fused aggregate buffers (+0.7 s at
+        # sf0.1), bought back as correctness on dirty corpora where the
+        # ingest NULL→NaN rule guarantees NaN samples exist.
+        .agg(_round6_exact(exact_sum("value")).alias("value"))
     )
 
 
@@ -790,12 +797,32 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
+    from prometheus_parquet_server_spark.operators.aggregate import exact_sum
+
     return rs.groupBy("ts").agg(
-        F.round(F.sum(_dec("value")), 6).cast("double").alias("value")
+        # exact_sum, not a bare decimal-cast sum: a NaN grid value must
+        # poison the group (float fallback), not silently drop out
+        _round6_exact(exact_sum("value")).alias("value")
     )
 
 
-SQL_A2 = SQL_A1  # sum without (user_id) over {name,user_id} series ≡ sum by name
+# SQL_A2 is assigned below (guarded SQL_A1): sum without (user_id) ≡ sum by name
+
+
+
+def _sql_exact_sum(expr: str, digits: int) -> str:
+    """DuckDB twin of operators.aggregate.exact_sum, NON-FINITE GUARD
+    included: a NaN/Inf in the group falls back to the float sum (whose
+    non-finite outcome is order-insensitive), everything else sums in
+    exact DECIMAL(38,9). The per-row CASE inside the decimal arm matters:
+    DuckDB errors casting NaN to DECIMAL (Spark's ANSI-off cast nulls),
+    and an aggregate's unused CASE arm is still evaluated."""
+    bad = f"bool_or(isnan({expr}) OR NOT isfinite({expr}))"
+    clean = f"CAST(CASE WHEN isnan({expr}) OR NOT isfinite({expr}) THEN NULL ELSE {expr} END AS DECIMAL(38, 9))"
+    return (
+        f"CASE WHEN {bad} THEN ROUND(SUM({expr}), {digits}) "
+        f"ELSE CAST(ROUND(SUM({clean}), {digits}) AS DOUBLE) END"
+    )
 
 _A1_FINAL = (
     "SELECT name, gts AS ts,\n"
@@ -803,11 +830,25 @@ _A1_FINAL = (
     "FROM interp GROUP BY name, gts"
 )
 
+_A1_FINAL_GUARDED = (
+    "SELECT name, gts AS ts,\n"
+    f"       CAST({_sql_exact_sum('value', 6)} AS DOUBLE) AS value\n"
+    "FROM interp GROUP BY name, gts"
+)
+SQL_A1 = SQL_A1.replace(_A1_FINAL, _A1_FINAL_GUARDED)
+SQL_A2 = SQL_A1
+
 SQL_A4 = SQL_A1.replace(
-    _A1_FINAL,
-    """SELECT name, gts AS ts,
-       -- mirrors aggregate.exact_avg: exact decimal sum → double → / count
-       CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(value) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_value,
+    _A1_FINAL_GUARDED,
+    f"""SELECT name, gts AS ts,
+       -- mirrors aggregate.exact_avg: exact_sum / count (float fallback
+       -- for non-finite groups — NaN poisons the mean on both engines)
+       CAST(CASE WHEN bool_or(isnan(value) OR NOT isfinite(value))
+                 THEN ROUND(SUM(value) / COUNT(value), 6)
+                 -- the else-arm aggregate evaluates even in skipped
+                 -- groups: its cast must be NaN-guarded per row too
+                 ELSE ROUND(CAST(CAST(SUM(CAST(CASE WHEN isnan(value) OR NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(value) AS DECIMAL(38, 9)), 6)
+            END AS DOUBLE) AS avg_value,
        ROUND(MIN(value), 6) AS min_value,
        ROUND(MAX(value), 6) AS max_value,
        CAST(COUNT(value) AS BIGINT) AS n_series
@@ -815,9 +856,9 @@ FROM interp GROUP BY name, gts""",
 )
 
 SQL_A3 = SQL_A1.replace(
-    _A1_FINAL,
+    _A1_FINAL_GUARDED,
     "SELECT gts AS ts,\n"
-    "       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value\n"
+    f"       CAST({_sql_exact_sum('value', 6)} AS DOUBLE) AS value\n"
     "FROM interp GROUP BY gts",
 )
 

@@ -158,6 +158,21 @@ EDGE_EVENT_QUERIES = [
     "promql_sum_rate",
     "m2_metric_names",
     "m3_series_count",
+    "p2_irate",
+    "p3_histogram_quantile",
+    "hq_sum_rate",
+    "a2_sum_without",
+    "a3_sum_bare",
+    "a4_multi_agg",
+    "promql_binop",
+    "promql_topk",
+    "promql_quantile",
+    "promql_over_time",
+    "promql_cmp_filter",
+    "promql_count_values",
+    "t5_offset",
+    "promql_increase",
+    "promql_changes",
 ]
 
 
