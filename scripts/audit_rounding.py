@@ -106,6 +106,12 @@ def _strip_rounds(sql: str) -> tuple[str, set[int]]:
                 continue
             if re.search(r"\bDECIMAL\b", expr, re.IGNORECASE):
                 continue  # exact order-free sum — not in the flake class
+            if "bool_or(isnan" in sql[max(0, start - 240) : start].lower():
+                # the guarded exact-sum pattern's FLOAT FALLBACK arm: it
+                # only executes when the group holds a non-finite value,
+                # and ROUND(NaN/Inf) is order-insensitive by construction
+                # — not in the flake class either
+                continue
             digits.add(k)
             sql = sql[:start] + "(" + expr + ")" + sql[end:]
             changed = True
