@@ -63,6 +63,25 @@ EDGE_QUERIES = [
 ]
 
 
+def _write_single_parquet(df, path):
+    """Write a Spark frame as ONE parquet FILE (the driver's testdata
+    layout — a file named <table>.parquet, not a directory): the
+    streaming source's pathGlobFilter matches leaf file names, so a
+    directory-shaped fixture would stream nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pandas(df.toPandas())
+    # pandas hands back ns timestamps, which the engine session reads as
+    # LONG (nanosAsLong) — the driver's testdata is timestamp[us]
+    for i, f in enumerate(t.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            t = t.set_column(
+                i, f.name, t.column(i).cast(pa.timestamp("us"))
+            )
+    pq.write_table(t, path)
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -89,7 +108,7 @@ def edge_dir(spark, tmp_path_factory):
         EDGE_ROWS,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
-    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    _write_single_parquet(docs, f"{d}/documents.parquet")
     return str(d)
 
 
@@ -98,7 +117,7 @@ def duck(edge_dir):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+        f"read_parquet('{edge_dir}/documents.parquet')"
     )
     return con
 
@@ -173,6 +192,13 @@ EDGE_EVENT_QUERIES = [
     "t5_offset",
     "promql_increase",
     "promql_changes",
+    # hot-key chunked twins: carry-in seeds under adversarial data must
+    # match their uniform twins' shared oracles bit-for-bit
+    "events_asof_chunked",
+    "events_sessionize_chunked",
+    "t3_resample_chunked",
+    "p2_irate_chunked",
+    "streaming_event_counts",
 ]
 
 
@@ -184,7 +210,7 @@ def edge_events_dir(spark, tmp_path_factory):
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    _write_single_parquet(ev, f"{d}/events.parquet")
     return str(d)
 
 
@@ -193,7 +219,7 @@ def duck_events(edge_events_dir):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+        f"read_parquet('{edge_events_dir}/events.parquet')"
     )
     return con
 
@@ -239,7 +265,7 @@ def edge_emb_dir(spark, tmp_path_factory):
     emb = spark.createDataFrame(
         EDGE_EMBEDDINGS, "vec_id bigint, embedding array<float>, label int"
     )
-    emb.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    _write_single_parquet(emb, f"{d}/embeddings.parquet")
     return str(d)
 
 
@@ -248,7 +274,7 @@ def duck_emb(edge_emb_dir):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{edge_emb_dir}/embeddings.parquet/*.parquet')"
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet')"
     )
     return con
 
@@ -332,9 +358,9 @@ EDGE_TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5ish"]
 def edge_tpch_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_tpch")
     for t, (rows, schema) in EDGE_TPCH.items():
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{d}/{t}.parquet")
+        _write_single_parquet(
+            spark.createDataFrame(rows, schema), f"{d}/{t}.parquet"
+        )
     return str(d)
 
 
@@ -344,7 +370,7 @@ def duck_tpch(edge_tpch_dir):
     for t in EDGE_TPCH:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{edge_tpch_dir}/{t}.parquet/*.parquet')"
+            f"read_parquet('{edge_tpch_dir}/{t}.parquet')"
         )
     return con
 
