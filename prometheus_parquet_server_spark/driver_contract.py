@@ -3264,7 +3264,7 @@ def q_pipeline_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PIPELINE_PACKING = """
 WITH toks AS (
     SELECT doc_id,
-           len(list_filter(string_split_regex(lower(text), '\\s+'),
+           len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
                            x -> x <> '')) AS n_tokens,
            CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
                 AS BIGINT) % 10000 % 8 AS pack_bucket
@@ -4006,7 +4006,7 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PIPELINE_TOKEN_BUDGET = """
 WITH toks AS (
     SELECT doc_id, source,
-           len(list_filter(string_split_regex(lower(text), '\\s+'),
+           len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
                            x -> x <> '')) AS n_tokens,
            md5(CAST(doc_id AS VARCHAR) || ':42') AS k
     FROM documents

@@ -23,8 +23,13 @@ STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens, lowercased, empties removed."""
-    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+    """Whitespace tokens, lowercased, empties removed. NULL text
+    tokenizes as EMPTY ([] — so size() is 0, not the legacy -1, and no
+    consumer needs its own NULL guard)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
+        lambda t: t != "",
+    )
 
 
 def ngrams_col(toks: Column, n: int) -> Column:

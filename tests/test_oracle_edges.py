@@ -60,6 +60,17 @@ EDGE_QUERIES = [
     "pipeline_chunks",
     "text_repetition",
     "pipeline_split",
+    "pipeline_contamination",
+    "pipeline_packing",
+    "pipeline_token_budget",
+    "corpus_stats",
+    "text_perplexity",
+    "dedup_survivors",
+    "dedup_clusters",
+    "dedup_shared_ngrams",
+    "pipeline_pii_scrub",
+    "pipeline_strip_markup",
+    "pipeline_curriculum",
 ]
 
 
@@ -109,6 +120,13 @@ def edge_dir(spark, tmp_path_factory):
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     _write_single_parquet(docs, f"{d}/documents.parquet")
+    # dedup_survivors/clusters join quality scores against embeddings
+    emb = spark.createDataFrame(
+        [(i, [float((i * 31 + j) % 7 - 3) for j in range(64)], i % 2)
+         for i, _t, _l, _s, _n in EDGE_ROWS],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    _write_single_parquet(emb, f"{d}/embeddings.parquet")
     return str(d)
 
 
@@ -118,6 +136,10 @@ def duck(edge_dir):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/embeddings.parquet')"
     )
     return con
 
@@ -199,6 +221,19 @@ EDGE_EVENT_QUERIES = [
     "t3_resample_chunked",
     "p2_irate_chunked",
     "streaming_event_counts",
+    "promql_holt_winters",
+    "promql_deriv",
+    "promql_mad_ot",
+    "promql_last_over_time",
+    "promql_quantile_ot",
+    "promql_present_ot",
+    "promql_group",
+    "promql_date_parts",
+    "promql_idelta",
+    "promql_time_arith",
+    "promql_set_unless",
+    "promql_at_modifier",
+    "promql_count_values",
 ]
 
 
