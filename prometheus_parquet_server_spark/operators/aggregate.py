@@ -73,9 +73,11 @@ def exact_sum(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     dec = c.cast(T.DecimalType(38, 9))
     # NaN, ±Inf AND out-of-range finite values ALL cast to decimal NULL
-    # (ANSI off), so one null-flip comparison is the complete guard
+    # (ANSI off), so one null-flip comparison is the complete guard.
+    # bool_or, not count_if: the guard only needs "any bad row", and a
+    # boolean buffer merges cheaper than a count in the fused aggregate.
     bad = c.isNotNull() & dec.isNull()
-    return F.when(F.count_if(bad) > 0, F.sum(c)).otherwise(
+    return F.when(F.bool_or(bad), F.sum(c)).otherwise(
         F.coalesce(F.sum(dec).cast("double"), F.sum(c))
     )
 
@@ -85,6 +87,64 @@ def exact_avg(col: Column | str) -> Column:
     count (one IEEE division of two deterministic operands)."""
     c = F.col(col) if isinstance(col, str) else col
     return exact_sum(c) / F.count(c)
+
+
+#: BIGINT headroom for :func:`unit_sum` per-row units (2^63−1 ≈ 9.22e18).
+LONG_SAFE = 9.0e18
+
+
+def unit_sum(
+    col: Column | str, scale: float = 1e6, guarded: bool = True
+) -> Column:
+    """Order-insensitive AND cross-engine bit-stable sum of a double
+    column: per-row integer units ``FLOOR(v·scale + 0.5)`` summed as
+    BIGINT, then ONE exact bigint→double cast and ONE IEEE division back
+    to value scale.
+
+    This is the reproducible-results contract for outputs that are HASHED
+    against an independent engine (the driver's DuckDB oracle gate).
+    :func:`exact_sum`'s decimal accumulation is order-insensitive on
+    Spark, but its oracle twin still rides ``ROUND(SUM(DECIMAL), k)`` +
+    a decimal→double cast — constructs whose rounding mode and
+    correctly-rounded-ness vary ACROSS DuckDB VERSIONS (the
+    events_sessionize driver-hash mismatch of rounds 6–7: bit-identical
+    to DuckDB 1.0.0 locally, red in the driver; with ~10⁴ output rows
+    and P≈1/1000 of an exact half-way digit per row, a tie-break
+    difference flips a handful of rows every run). ``unit_sum`` uses only
+    IEEE-754 double arithmetic (multiply, add, floor — identical on every
+    engine), an integral-valued cast, and exact integer addition, so the
+    result is a pure function of the value multiset on ANY engine.
+
+    Semantics: each value is quantized to 1/scale units BEFORE the sum
+    (sum of per-row-rounded values, not rounded sum-of-values — a
+    deliberately different, deterministic contract). The result is exact
+    while |Σ units| < 2^53; one unit = 1e-6 in value space at the default
+    scale.
+
+    ``guarded=True`` (default): any NaN or |v| ≥ ``LONG_SAFE``/scale row
+    poisons the group to NaN (PromQL-style), keeping DuckDB's
+    CAST-errors-on-NaN semantics mirrorable via a per-row CASE. With
+    ``guarded=False`` (single aggregation buffer — use for columns finite
+    by construction, e.g. TPC-H prices) non-finite inputs are the
+    caller's contract violation."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = float(scale)
+    unit = F.floor(c * F.lit(s) + F.lit(0.5)).cast("long")
+    if not guarded:
+        return F.sum(unit).cast("double") / F.lit(s)
+    bad = c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(LONG_SAFE / s)))
+    clean = F.when(bad, F.lit(None).cast("long")).otherwise(unit)
+    return F.when(F.bool_or(bad), F.lit(float("nan"))).otherwise(
+        F.sum(clean).cast("double") / F.lit(s)
+    )
+
+
+def unit_avg(col: Column | str, scale: float = 1e6) -> Column:
+    """Bit-stable mean: :func:`unit_sum` divided by the non-null count —
+    one further IEEE division of two deterministic operands (NaN poison
+    propagates through the division)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return unit_sum(c, scale) / F.count(c)
 
 
 def _grouped_agg(
@@ -145,7 +205,7 @@ def aggregate_over_series(
     fns: Sequence[str] = ("sum",),
     by: Sequence[str] | None = None,
     without: Sequence[str] | None = None,
-    exact: bool = False,
+    exact: bool | str = False,
 ) -> DataFrame:
     """Element-wise aggregation across series per instant.
 
@@ -160,13 +220,19 @@ def aggregate_over_series(
     ``exact=True`` routes ``sum``/``avg`` through :func:`exact_sum` /
     :func:`exact_avg` (order-insensitive decimal accumulation) — the
     reproducible-results mode for pipelines whose outputs are hashed or
-    diffed run-to-run; default off to keep plain float64 PromQL semantics.
+    diffed run-to-run; ``exact="unit"`` routes them through
+    :func:`unit_sum` / :func:`unit_avg` (integer micro-unit accumulation,
+    additionally bit-stable ACROSS engines — the oracle-graded contract);
+    default off to keep plain float64 PromQL semantics.
     """
     for fn in fns:
         if fn not in AGG_FNS:
             raise ValueError(f"unknown aggregation {fn!r}")
     builders = dict(AGG_FNS)
-    if exact:
+    if exact == "unit":
+        builders["sum"] = unit_sum
+        builders["avg"] = unit_avg
+    elif exact:
         builders["sum"] = exact_sum
         builders["avg"] = exact_avg
     single = len(fns) == 1
@@ -240,7 +306,7 @@ def sum_over_series(
     df: DataFrame,
     by: Sequence[str] | None = None,
     without: Sequence[str] | None = None,
-    exact: bool = False,
+    exact: bool | str = False,
 ) -> DataFrame:
     """A1–A3: element-wise sum across series (reference semantics — NaN
     poisons the group, groups of one pass through)."""

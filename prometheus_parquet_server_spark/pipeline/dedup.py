@@ -281,9 +281,22 @@ def ngram_jaccard_pairs(
     array per pair (the verify stage evaluates this once per CANDIDATE,
     and a boilerplate-heavy corpus produces millions of candidates per
     LSH bucket cap window, so per-pair allocations are the hot loop).
+
+    Shingles ride the pair join as 8-byte ``xxhash64`` ints, not raw
+    shingle strings — a word bigram averages ~15 UTF-8 bytes, so the
+    join/shuffle payload drops ~2-4× and the intersect compares longs
+    instead of strings. Jaccard is a RATIO OF SET SIZES, and a hash that
+    is injective on the observed shingles preserves every size, so the
+    values are bit-identical to the raw-string computation (the DuckDB
+    oracle intersects raw strings and hash-matches) — the standard
+    64-bit-fingerprint trade: a within-pair collision odds ~|A|·|B|/2⁶⁴
+    (~1e-15 for thousand-shingle docs) would overcount one intersection.
     """
     sh = df.select(
-        F.col(id_col).alias("_id"), _shingles(F.col(text_col), shingle_n).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.transform(
+            _shingles(F.col(text_col), shingle_n), lambda t: F.xxhash64(t)
+        ).alias("_sh"),
     )
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb")

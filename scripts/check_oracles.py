@@ -3,7 +3,19 @@
 on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
 compare row count, schema (column names), and order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+STRICT (default) mode is bit-exact: floats compare by full shortest-
+roundtrip repr (signed-zero-aware — repr distinguishes -0.0), every cell is
+type-tagged (int vs float vs str vs NULL), and NOTHING is rounded before
+comparison. This is the round-8 fix for the gate being WEAKER than the
+driver's (round-7 verdict: the old 9-digit pre-round let sub-1e-9 drift
+pass locally while flipping the driver hash — the events_sessionize blind
+spot). Local strict green is now a faithful predictor of driver green for
+any engine-version-independent contract.
+
+--tolerant restores the old 9-digit normalization for triage (separating
+"value is actually wrong" from "value differs in the last ulps").
+
+Usage: python scripts/check_oracles.py [--tolerant] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -25,7 +37,7 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
+def norm_cell_tolerant(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -37,14 +49,41 @@ def norm_cell(v):
     return str(v)
 
 
-def norm_rows(cols, rows):
+def norm_cell_strict(v):
+    """Bit-exact, type-tagged canonical cell — the judge's round-7
+    comparison: full repr (shortest roundtrip ⇒ repr equality is bit
+    equality for doubles, and distinguishes -0.0), NaN canonicalized,
+    int/float/NULL tagged so a BIGINT on one engine can never silently
+    match a DOUBLE on the other."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return f"{type(v).__name__}:{v}"
+
+
+def norm_rows(cols, rows, cell):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm_cell(r[i]) for i in idx) for r in rows)
+    return sorted("|".join(cell(r[i]) for i in idx) for r in rows)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    strict = True
+    if "--tolerant" in args:
+        strict = False
+        args.remove("--tolerant")
+    if "--strict" in args:  # accepted for explicitness; already default
+        args.remove("--strict")
+    cell = norm_cell_strict if strict else norm_cell_tolerant
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -53,6 +92,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    print(f"mode: {'STRICT (bit-exact)' if strict else 'tolerant (9-digit)'}")
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
@@ -83,7 +123,8 @@ def main() -> int:
             failures.append(name)
             continue
         ok_cols = sorted(scols) == sorted(ocols)
-        s_norm, o_norm = norm_rows(scols, srows), norm_rows(ocols, orows)
+        s_norm = norm_rows(scols, srows, cell)
+        o_norm = norm_rows(ocols, orows, cell)
         ok_rows = len(srows) == len(orows)
         ok_vals = s_norm == o_norm
         status = "OK  " if (ok_cols and ok_rows and ok_vals) else "FAIL"
