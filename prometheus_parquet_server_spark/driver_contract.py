@@ -1938,18 +1938,15 @@ FROM m
 """
 
 
-def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capstone v3 — the continuation's curation operators composed as
-    ONE declarative plan, the modern crawl-cleanup shape: corpus-wide
-    LINE boilerplate stripped (banner lines injected deterministically
-    so the stage bites) → rule-flag gate (too-short / low-alpha docs
-    dropped, judged on the CLEANED text) → exact dedup on the clean-text
-    md5 (lowest id survives) → deterministic training order + shard
-    assignment. Every stage is individually oracle-verified
-    (pipeline_line_dedup, text_rule_flags, dedup_exact_fp,
-    pipeline_shuffle); this entry proves they compose under one hash
-    gate. Text shuffles once (the line explode/re-aggregate); every
-    later stage moves hashes, flags, and ids only."""
+def prepare_v3_pipeline(docs: DataFrame) -> DataFrame:
+    """The capstone curation composition as a reusable plan over any
+    (doc_id, text) frame — factored out of the graded wrapper so the
+    1M-doc stress harness (scripts/stress_prepare.py) certifies the SAME
+    composition the oracle gate grades. Stages: corpus-wide LINE
+    boilerplate strip → rule-flag gate on the CLEANED text → exact dedup
+    on the clean-text md5 (lowest id survives) → deterministic training
+    order + shard assignment. Text shuffles once (the line explode/
+    re-aggregate); every later stage moves hashes, flags, and ids only."""
     from prometheus_parquet_server_spark.pipeline.lines import (
         rule_flags,
         strip_boilerplate_lines,
@@ -1960,14 +1957,6 @@ def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
-    )
     cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -1988,6 +1977,24 @@ def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens"
     )
     return shard_assign(global_shuffle(kept, seed=7), n_shards=8, seed=7)
+
+
+def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded wrapper: :func:`prepare_v3_pipeline` over the documents
+    table with banner lines injected deterministically so the
+    boilerplate stage bites. Every stage is individually oracle-verified
+    (pipeline_line_dedup, text_rule_flags, dedup_exact_fp,
+    pipeline_shuffle); this entry proves they compose under one hash
+    gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return prepare_v3_pipeline(docs)
 
 
 SQL_PIPELINE_PREPARE_V3 = r"""

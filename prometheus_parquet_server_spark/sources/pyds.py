@@ -147,14 +147,65 @@ def _local_path(uri: str) -> str | None:
     return None
 
 
+class CommitBackend:
+    """Object-store commit primitive for the Python DS manifest layer.
+
+    A snapshot commit is one atomic "create this manifest slot unless it
+    already exists". Locally that is ``O_CREAT|O_EXCL``; object stores
+    need a CONDITIONAL PUT — S3 ``If-None-Match: *`` (a racing put gets
+    HTTP 412), GCS ``ifGenerationMatch=0`` (412), ABS ``If-None-Match: *``
+    (409/412). Register an implementation per scheme with
+    :func:`register_commit_backend` and the whole manifest protocol
+    (list → read → exclusive-create with rebase-on-loss) runs against
+    that store; everything above the primitive is backend-agnostic.
+
+    ``create_exclusive`` MUST be atomic create-if-absent: return True on
+    the win, False when the key already exists (the 412/409 outcome) —
+    never overwrite. ``list_names``/``read_bytes`` are plain listing and
+    GET (reads may also ride pyarrow.fs; the backend overrides them so a
+    fake or SDK-native store works end-to-end)."""
+
+    def list_names(self, dir_uri: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def read_bytes(self, uri: str) -> bytes:  # pragma: no cover
+        raise NotImplementedError
+
+    def create_exclusive(self, uri: str, payload: bytes) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+#: scheme → CommitBackend; consulted before pyarrow.fs for every
+#: manifest operation, making conditional-put object-store commits a
+#: registration away (boto3's put_object(..., IfNoneMatch="*") wrapped
+#: in a 3-method class) without touching the protocol above it
+_COMMIT_BACKENDS: dict[str, CommitBackend] = {}
+
+
+def register_commit_backend(scheme: str, backend: CommitBackend) -> None:
+    """Install the manifest commit primitive for ``scheme`` (e.g. "s3").
+    Local ``file:``/bare paths never consult the registry — their O_EXCL
+    behavior is unchanged."""
+    _COMMIT_BACKENDS[scheme] = backend
+
+
+def _backend_for(uri: str) -> CommitBackend | None:
+    if "://" not in uri:
+        return None
+    return _COMMIT_BACKENDS.get(uri.split("://", 1)[0])
+
+
 def _list_versions(root: str) -> list[int]:
     snap = f"{root}/{_SNAP_DIR}"
     lp = _local_path(snap)
+    be = _backend_for(snap)
     if lp is not None:
         try:
             names = os.listdir(lp)
         except FileNotFoundError:
             return []
+    elif be is not None:
+        names = be.list_names(snap)
     else:
         from pyarrow import fs as pafs
 
@@ -177,11 +228,43 @@ def _read_manifest(root: str, version: int) -> dict:
     if lp is not None:
         with open(lp, "rb") as fh:
             return json.loads(fh.read().decode("utf-8"))
+    be = _backend_for(path)
+    if be is not None:
+        return json.loads(be.read_bytes(path).decode("utf-8"))
     from pyarrow import fs as pafs
 
     afs, p = pafs.FileSystem.from_uri(path)
     with afs.open_input_stream(p) as stream:
         return json.loads(stream.read().decode("utf-8"))
+
+
+def _create_manifest_exclusive(path: str, payload: bytes) -> bool:
+    """The commit primitive: atomically create ``path`` with ``payload``
+    unless the slot is already taken. True = won the slot; False = a
+    racer holds it (caller re-resolves the tip and retries). Local stores
+    use O_CREAT|O_EXCL; other schemes require a registered
+    :class:`CommitBackend` (conditional put) — plain pyarrow.fs has no
+    atomic create-if-absent, so committing through it would reintroduce
+    the replace-rename race the local path was built to avoid."""
+    lp = _local_path(path)
+    if lp is not None:
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return True
+    be = _backend_for(path)
+    if be is None:
+        raise NotImplementedError(
+            f"pps_snapshot commit to {path.split('://', 1)[0]}:// needs an "
+            f"atomic create-if-absent; register a CommitBackend "
+            f"(register_commit_backend) wrapping the store's conditional "
+            f"put (S3 If-None-Match:*, GCS ifGenerationMatch=0)"
+        )
+    return be.create_exclusive(path, payload)
 
 
 def _resolve_tip(root: str) -> tuple[int | None, dict | None]:
@@ -595,6 +678,25 @@ def _manifest_fs_path(root: str, version: int) -> str:
     return f"{root}/{_SNAP_DIR}/v{version:010d}.json"
 
 
+def _slot_taken(root: str, version: int) -> bool:
+    """True when the manifest slot exists at all (readable OR torn)."""
+    path = _manifest_fs_path(root, version)
+    lp = _local_path(path)
+    if lp is not None:
+        return os.path.exists(lp)
+    be = _backend_for(path)
+    if be is not None:
+        try:
+            be.read_bytes(path)
+            return True
+        except Exception:
+            return False
+    from pyarrow import fs as pafs
+
+    afs, p = pafs.FileSystem.from_uri(path)
+    return afs.get_file_info(p).type != pafs.FileType.NotFound
+
+
 def _publish_manifest(
     root: str,
     operation: str,
@@ -628,31 +730,39 @@ def _publish_manifest(
             props = dict(parent_m.get("properties") or {})
             recorded = parent_m.get("schema")
             if recorded is not None and recorded != schema_json:
-                # the tip's schema moved under us (a racing
-                # merge_schema-evolving writer): recording our stale
-                # schema would make the evolved column vanish from every
-                # pinned read. Adopt the parent's schema when our columns
-                # type-match a subset of it; raise otherwise — the Python
-                # writer is strict, like its construction-time gate.
+                # two legitimate ways to disagree with the tip's schema:
+                # (a) WE are the evolving writer (merge_schema append —
+                # ours is a type-matching superset): keep ours, the
+                # union, so the new column is recorded; (b) the tip
+                # evolved under us and ours is a type-matching SUBSET:
+                # adopt the parent's, else the evolved column would
+                # vanish from every pinned read. Anything else (type
+                # conflict, or both sides adding different columns in a
+                # race) raises — re-run against the new tip.
                 rec_f = {
                     f["name"]: f["type"] for f in recorded["fields"]
                 }
                 own_f = {
                     f["name"]: f["type"] for f in schema_json["fields"]
                 }
-                if any(
-                    rec_f.get(n, t) != t for n, t in own_f.items()
-                ) or not set(own_f) <= set(rec_f):
+                conflict = any(
+                    rec_f[n] != t for n, t in own_f.items() if n in rec_f
+                )
+                if conflict or (
+                    not set(own_f) <= set(rec_f)
+                    and not set(rec_f) <= set(own_f)
+                ):
                     raise RuntimeError(
                         "pps_snapshot append: the store's schema changed "
                         "incompatibly during the write — re-run against "
                         "the new tip"
                     )
-                schema_json = recorded
+                if set(own_f) <= set(rec_f):
+                    schema_json = recorded
         if extra_props:
             props.update(extra_props)
         target = (parent or 0) + 1
-        while os.path.exists(_local_path(_manifest_fs_path(root, target))):
+        while _slot_taken(root, target):
             try:
                 _read_manifest(root, target)
             except Exception:
@@ -678,14 +788,11 @@ def _publish_manifest(
         }
         if props:
             manifest["properties"] = props
-        mp = _local_path(_manifest_fs_path(root, target))
-        os.makedirs(os.path.dirname(mp), exist_ok=True)
-        try:
-            fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not _create_manifest_exclusive(
+            _manifest_fs_path(root, target),
+            json.dumps(manifest).encode("utf-8"),
+        ):
             continue  # lost the slot to a racer — retry on the new tip
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(json.dumps(manifest).encode("utf-8"))
         return target
     raise RuntimeError(f"lost 10 straight commit races on {root}")
 
@@ -711,34 +818,64 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._columns = cols
         self._schema_json = json.loads(schema.json())
         if not overwrite:
-            # append schema gate (the JVM snapshot_write twin): a
-            # type-conflicting append would commit and then fail every
-            # read of the store. The Python writer is strict-only —
-            # additive evolution goes through snapshot_write(
-            # merge_schema=True). On a match, the RECORDED schema stays
-            # the manifest's canonical field order.
+            # append schema gate (the JVM _validated_append_schema twin):
+            # a type-conflicting append would commit and then fail every
+            # read of the store. Default is strict (same column set);
+            # option merge_schema=true admits ADDITIVE evolution like
+            # snapshot_write(merge_schema=True): new columns join the
+            # recorded schema (old files null-fill at read — _read_file
+            # already does), missing columns null-fill the new files, and
+            # type conflicts stay fatal in both modes. On a plain match
+            # the RECORDED schema stays the manifest's canonical order.
+            merge = str(options.get("merge_schema", "")).lower() in (
+                "true",
+                "1",
+            )
             _, tip_m = _resolve_tip(self._root)
             recorded = (tip_m or {}).get("schema")
             if recorded is not None:
                 rec = StructType.fromJson(recorded)
-                rec_types = {f.name: f.dataType for f in rec.fields}
-                new_types = {f.name: f.dataType for f in schema.fields}
+                # simpleString drops nullability at every nesting level,
+                # like the JVM gate — a map built from non-null literals
+                # must not conflict with its parquet-read twin
+                rec_types = {
+                    f.name: f.dataType.simpleString() for f in rec.fields
+                }
+                new_types = {
+                    f.name: f.dataType.simpleString() for f in schema.fields
+                }
                 conflicts = {
-                    n: (str(rec_types[n]), str(t))
+                    n: (rec_types[n], t)
                     for n, t in new_types.items()
                     if n in rec_types and rec_types[n] != t
                 }
-                if conflicts or set(rec_types) != set(new_types):
+                added = sorted(set(new_types) - set(rec_types))
+                missing = sorted(set(rec_types) - set(new_types))
+                if conflicts:
                     raise ValueError(
-                        f"pps_snapshot append rejected: schema differs "
-                        f"from the store's recorded schema (type "
-                        f"conflicts={conflicts}, "
-                        f"added={sorted(set(new_types) - set(rec_types))}, "
-                        f"missing={sorted(set(rec_types) - set(new_types))}"
-                        f"); the Python writer is strict — evolve "
-                        f"additively via snapshot_write(merge_schema=True)"
+                        f"pps_snapshot append rejected: column type "
+                        f"conflict with the store's recorded schema "
+                        f"(recorded, batch): {conflicts} — fatal in "
+                        f"strict and merge_schema modes alike (a "
+                        f"committed conflict fails every later read)"
                     )
-                self._schema_json = recorded
+                if not merge and (added or missing):
+                    raise ValueError(
+                        f"pps_snapshot append rejected: column set "
+                        f"differs from the store's recorded schema "
+                        f"(added={added}, missing={missing}); the "
+                        f"Python writer is strict by default — pass "
+                        f".option('merge_schema', 'true') (or evolve "
+                        f"via snapshot_write(merge_schema=True))"
+                    )
+                if added:
+                    merged = StructType(
+                        list(rec.fields)
+                        + [f for f in schema.fields if f.name in set(added)]
+                    )
+                    self._schema_json = json.loads(merged.json())
+                else:
+                    self._schema_json = recorded
         self._overwrite = overwrite
         self._tx = f"{self._root}/data/tx_{_uuid.uuid4().hex[:12]}"
 

@@ -189,6 +189,12 @@ def sessionize_batch(
         src = events.withColumn(
             "_chunk", F.floor(F.col(ts_col) / F.lit(float(chunk_s)))
         )
+    # orderBy(ts) alone is deterministic for every DOWNSTREAM value even
+    # though tied rows order arbitrarily: a tie means lag-gap 0 for all
+    # but the first tied row, so no tie can raise a _new flag, and the
+    # per-(user, session) aggregates are functions of the row SET, not
+    # the order. A secondary key would pin the internal lag order but
+    # change nothing observable — documented instead of paid for.
     w = Window.partitionBy(*part).orderBy(ts_col)
     flagged = src.select(
         *part,

@@ -465,6 +465,147 @@ def _collected_plus(df):
     return sorted(tuple(str(v) for v in r) for r in df.collect())
 
 
+def test_ds_write_merge_schema_evolution(spark, store):
+    """Python-DS append with option merge_schema=true evolves the store
+    additively (the snapshot_write(merge_schema=True) twin): the new
+    column joins the recorded schema, files that predate it null-fill via
+    BOTH the DS reader and the JVM snapshot_read, a later strict append
+    of the ORIGINAL column set still works (missing columns null-fill the
+    new files… rejected in strict, admitted under merge), and a type
+    conflict stays fatal even with the option set."""
+    wider = spark.createDataFrame(
+        [("py_ev", {"x": "m"}, 7777.0, 2.5, "hello")],
+        "name string, labels map<string,string>, ts double, value double, "
+        "note string",
+    )
+    # strict rejection of the same frame first — the default is unchanged
+    with pytest.raises(Exception, match="strict"):
+        wider.write.format("pps_snapshot").mode("append").save(store)
+    wider.write.format("pps_snapshot").mode("append").option(
+        "merge_schema", "true"
+    ).save(store)
+    ds = spark.read.format("pps_snapshot").load(store)
+    assert ds.columns == ["name", "labels", "ts", "value", "note"]
+    rows = {r["name"]: r["note"] for r in ds.collect()}
+    assert rows["py_ev"] == "hello" and rows["cpu"] is None
+    # the JVM view agrees cell-for-cell on the evolved store
+    assert _collected_plus(ds) == _collected_plus(snapshot_read(spark, store))
+    # a narrower (original-set) batch: strict rejects, merge null-fills
+    narrow = spark.createDataFrame(
+        [("py_n", {"x": "n"}, 8888.0, 1.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    with pytest.raises(Exception, match="strict"):
+        narrow.write.format("pps_snapshot").mode("append").save(store)
+    narrow.write.format("pps_snapshot").mode("append").option(
+        "merge_schema", "true"
+    ).save(store)
+    out = spark.read.format("pps_snapshot").load(store)
+    got = {r["name"]: r["note"] for r in out.collect()}
+    assert got["py_n"] is None and got["py_ev"] == "hello"
+    # type conflicts stay fatal in merge mode
+    clash = spark.createDataFrame(
+        [("x", {"x": "c"}, 1.0, 2.0, 3)],
+        "name string, labels map<string,string>, ts double, value double, "
+        "note int",
+    )
+    with pytest.raises(Exception, match="conflict"):
+        clash.write.format("pps_snapshot").mode("append").option(
+            "merge_schema", "true"
+        ).save(store)
+
+
+def test_object_store_commit_backend_single_winner():
+    """The manifest commit primitive behind a registered CommitBackend
+    (the S3 If-None-Match / GCS generation-match seam): a fake in-memory
+    object store with compare-and-swap create proves (a) a second create
+    on a taken slot LOSES (returns False, never overwrites), and (b) N
+    genuinely racing appends all commit — each to a distinct version,
+    losers rebasing onto the moved tip — with the final tip's file list
+    carrying every append exactly once. Local file: stores never consult
+    the registry (behavior unchanged, covered by the other tests)."""
+    import threading
+
+    from prometheus_parquet_server_spark.sources.pyds import (
+        CommitBackend,
+        _create_manifest_exclusive,
+        _publish_manifest,
+        _read_manifest,
+        register_commit_backend,
+    )
+
+    class MemStore(CommitBackend):
+        def __init__(self):
+            self._objects: dict[str, bytes] = {}
+            self._lock = threading.Lock()
+
+        def list_names(self, dir_uri):
+            prefix = dir_uri.rstrip("/") + "/"
+            with self._lock:
+                return [
+                    k[len(prefix):]
+                    for k in self._objects
+                    if k.startswith(prefix) and "/" not in k[len(prefix):]
+                ]
+
+        def read_bytes(self, uri):
+            with self._lock:
+                if uri not in self._objects:
+                    raise FileNotFoundError(uri)
+                return self._objects[uri]
+
+        def create_exclusive(self, uri, payload):
+            # the conditional put: atomic create-if-absent, 412 → False
+            with self._lock:
+                if uri in self._objects:
+                    return False
+                self._objects[uri] = payload
+                return True
+
+    register_commit_backend("memcas", MemStore())
+    # fresh store object per test id to avoid cross-test state
+    root = "memcas://bucket/store"
+    schema_json = {"type": "struct", "fields": []}
+
+    # (a) direct double-create on one slot: exactly one winner
+    from prometheus_parquet_server_spark.sources.pyds import _manifest_fs_path
+
+    slot = _manifest_fs_path(root + "_slot", 1)
+    assert _create_manifest_exclusive(slot, b"{}") is True
+    assert _create_manifest_exclusive(slot, b"{}") is False
+
+    # (b) 8 racing appends: all commit, distinct versions, union file list
+    results, errors = [], []
+
+    def publish(i):
+        try:
+            v = _publish_manifest(
+                root,
+                "append",
+                schema_json,
+                [{"path": f"memcas://bucket/store/data/f{i}.parquet",
+                  "n_rows": 1, "n_bytes": 1, "min_name": "a",
+                  "max_name": "a", "min_ts": 0.0, "max_ts": 1.0}],
+                None,
+            )
+            results.append(v)
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results) == list(range(1, 9))
+    tip = _read_manifest(root, 8)
+    committed = sorted(f["path"] for f in tip["files"])
+    assert committed == sorted(
+        f"memcas://bucket/store/data/f{i}.parquet" for i in range(8)
+    )
+
+
 def test_timestamp_as_of_time_travel(spark, store):
     """timestamp_as_of resolves the highest version committed at or
     before the instant (the snapshot_as_of rule), and excludes version
