@@ -54,9 +54,18 @@ def synth_docs(spark, n: int):
     return base.select("doc_id", text.alias("text"))
 
 
-def exchange_count(df) -> int:
+def exchange_count(df) -> tuple[int, int]:
+    """(exchange nodes, exchange nodes whose row carries text) in the
+    final adaptive plan — counted on Exchange NODE lines only (substring
+    counting double-counts ReusedExchange references)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange ") + plan.count("Exchange\n")
+    nodes = [
+        l
+        for l in plan.splitlines()
+        if l.strip().lstrip("+-: *(0123456789)").startswith("Exchange")
+    ]
+    text = [l for l in nodes if "text" in l or "line#" in l]
+    return len(nodes), len(text)
 
 
 def main() -> None:
@@ -69,10 +78,15 @@ def main() -> None:
         result = prepare_v3_pipeline(docs)
         result.write.mode("overwrite").format("noop").save()
         wall = round(time.time() - t0, 2)
-        ex = exchange_count(result)
+        ex, ex_text = exchange_count(result)
         kept = result.count()
-        out[n] = {"wall_s": wall, "exchanges": ex, "kept": kept}
-        print(f"n={n}: wall={wall}s exchanges={ex} kept={kept}", flush=True)
+        out[n] = {"wall_s": wall, "exchanges": ex,
+                  "text_exchanges": ex_text, "kept": kept}
+        print(
+            f"n={n}: wall={wall}s exchanges={ex} "
+            f"(text-carrying {ex_text}) kept={kept}",
+            flush=True,
+        )
     if len(out) >= 2:
         ks = sorted(out)
         ratio = out[ks[-1]]["wall_s"] / max(out[ks[0]]["wall_s"], 1e-9)
