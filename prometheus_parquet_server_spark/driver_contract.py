@@ -1051,17 +1051,23 @@ def q_promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-vector window aggregation: 'sum_over_time(click{}[30m])' —
     raw samples in each closed window [t − r, t], slot-explode plan."""
     metrics = _metrics_canonical(spark, sf_dir)
-    out = run_query(spark, metrics, "sum_over_time(click{}[30m])", GRID)
+    # exact_agg="unit": the window sum rides the bit-stable integer-unit
+    # contract (the last order-dependent float SUM in a graded row —
+    # audit-clean at this SF, but clean-by-measurement is weaker than
+    # clean-by-construction)
+    out = run_query(
+        spark, metrics, "sum_over_time(click{}[30m])", GRID, exact_agg="unit"
+    )
     return out.select(
         F.col("labels").getItem("user_id").alias("user_id"),
         "ts",
-        F.round("value", 6).alias("value"),
+        F.col("value").alias("value"),
     )
 
 
 SQL_PROMQL_OVER_TIME = f"""
 WITH {_METRICS_CTE}, {_GRID_CTE}
-SELECT s.user_id, g.gts AS ts, ROUND(SUM(s.value), 6) AS value
+SELECT s.user_id, g.gts AS ts, {_sql_unit_sum('s.value', 1e6)} AS value
 FROM grid g
 JOIN metrics s ON s.name = 'click'
   AND s.ts >= g.gts - {_d(RATE_RANGE)} AND s.ts <= g.gts
@@ -1608,8 +1614,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # unguarded cent-unit sum — bit-stable and order-insensitive
+            # (the float SUM here was the last order-dependent TPC-H row)
+            unit_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                100.0,
+                guarded=False,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -1617,9 +1627,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q3 = """
+SQL_TPCH_Q3 = f"""
 SELECT l_orderkey, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_sql_unit_sum('l_extendedprice * (1 - l_discount)', 100.0, guarded=False)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -111,6 +111,7 @@ def over_time_to_grid(
     series_cols: Sequence[str] | None = None,
     offset: float = 0.0,
     phi: float | None = None,
+    unit_scale: float | None = None,
 ) -> DataFrame:
     """Aggregate raw samples per series over each grid window.
 
@@ -132,6 +133,14 @@ def over_time_to_grid(
         # quantile_over_time(φ, v[r]): linear interpolation between order
         # statistics — exact percentile, same math as quantile_cont
         agg = F.percentile(F.col("value"), F.lit(float(phi))).alias("value")
+    elif fn == "sum" and unit_scale is not None:
+        # reproducible-results mode (see aggregate.unit_sum): the window
+        # sum rides integer micro-units, so it is order-insensitive AND
+        # bit-stable across engines — the graded-oracle contract; plain
+        # float sum otherwise (PromQL semantics, fastest)
+        from prometheus_parquet_server_spark.operators.aggregate import unit_sum
+
+        agg = unit_sum("value", unit_scale).alias("value")
     else:
         agg = OVER_TIME_FNS[fn]().alias("value")
     out = exploded.groupBy(*key_cols, "_slot").agg(agg)

@@ -393,6 +393,10 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 node.name[: -len("_over_time")],
                 over_range=float(arg.over_range),
                 offset=float(arg.offset or 0),
+                # sum_over_time inherits the session's reproducibility
+                # contract: "unit" rides integer micro-units (bit-stable
+                # across engines), like the cross-series aggregates
+                unit_scale=1e6 if ctx.exact_agg == "unit" else None,
             )
         )
 
