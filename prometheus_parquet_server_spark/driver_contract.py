@@ -1726,6 +1726,70 @@ FROM mins
 """
 
 
+_MINHASH_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup candidates under the oracle gate: documents
+    arrive as THREE disjoint batches (doc_id mod 3), each ingested into a
+    persisted banded-signature store (pipeline/minhash_store.py — bands
+    append-only, history never re-signatured, probe = store × broadcast
+    batch bands). The one-shot view over the store is then hash-matched
+    against the SAME DuckDB mins/bands replay that certifies the one-shot
+    LSH row — proving N incremental ingests surface exactly the candidate
+    pair set of the union corpus."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.minhash_store import (
+        minhash_ingest,
+        minhash_store_pairs,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _MINHASH_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='minhash_inc_')}/store"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for band in range(3):
+            # coalesce: a NULL doc_id would satisfy NO band and silently
+            # vanish while the oracle's replay sees its text — band 0 is
+            # the residual home (the rollup_incremental rule)
+            minhash_ingest(
+                spark,
+                store,
+                docs.filter(
+                    F.coalesce(F.pmod(F.col("doc_id"), F.lit(3)), F.lit(0))
+                    == band
+                ),
+                num_perm=4,
+                bands=1,
+                shingle_n=1,
+            ).unpersist()
+        _MINHASH_STORE_CACHE[key] = store
+    return minhash_store_pairs(spark, store)
+
+
+SQL_DEDUP_MINHASH_INCREMENTAL = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+    FROM documents
+),
+mins AS (
+    SELECT doc_id,
+           MIN(md5(tok || '#0')) AS m0, MIN(md5(tok || '#1')) AS m1,
+           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3
+    FROM toks GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+    FROM mins
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: MinHash-LSH candidate pairs refined by
     word-bigram shingle Jaccard — the full two-stage dedup pipeline
@@ -4483,6 +4547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_idelta": q_promql_idelta,
     "promql_time_arith": q_promql_time_arith,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_semantic": q_dedup_semantic,
     "ivf_store_topk": q_ivf_store_topk,
     "pipeline_strip_markup": q_pipeline_strip_markup,
@@ -4591,6 +4656,7 @@ ORACLES: dict[str, str] = {
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "emb_knn_label": SQL_EMB_KNN_LABEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_minhash_incremental": SQL_DEDUP_MINHASH_INCREMENTAL,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,

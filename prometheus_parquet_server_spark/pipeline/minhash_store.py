@@ -1,0 +1,217 @@
+"""Cross-batch NEAR-duplicate candidate detection backed by the snapshot
+store — the MinHash twin of :mod:`pipeline.dedup_store`.
+
+The batch LSH family (pipeline/dedup.py) answers "which documents in THIS
+corpus are near-duplicates"; the exact seen-store answers "has this exact
+content ever been ingested". A continuously-fed training corpus needs the
+near-dup version of the latter: a new crawl batch must surface candidate
+near-matches against EVERY document ever ingested — without rescanning or
+re-signaturing history. The persisted index is the banded MinHash
+signature set, committed as snapshot-store rows ``(name=band_key,
+ts=0.0, doc_id)``; identical to the exact store's shape, so it inherits
+atomic CAS manifests, compaction, vacuum and time travel for free.
+
+Scale shape (the 100 TB contract):
+
+- history is never re-signatured: each batch computes its OWN bands
+  (per-row expressions, no shuffle) and the store scan reads TWO narrow
+  columns (band_key, doc_id) — document text never enters the store;
+- the probe is ``store JOIN broadcast(batch-bands)`` on the band key:
+  the store streams ONCE map-side (zero store-side shuffle) and only
+  band-colliding rows survive the join — the same broadcast shape the
+  exact store measured as the at-scale winner;
+- the commit is a pure APPEND of the batch's bands (O(batch), never a
+  rewrite of intersecting files), so N ingests cost N·O(batch)
+  regardless of store size;
+- ``max_bucket`` drops boilerplate band buckets BEFORE any pair
+  materializes, same cap and rationale as ``lsh_candidate_pairs``;
+- the signature GEOMETRY (num_perm, bands, shingle_n) is pinned as store
+  properties on first ingest and validated on every later one — mixing
+  geometries would silently make historical bands incomparable with new
+  ones (band keys hash the band index + slice, so cross-geometry pairs
+  simply never collide: a silent recall hole, not an error).
+
+Equivalence contract (oracle-graded): the UNION of candidate pairs
+returned by N incremental ingests over disjoint batches equals the
+one-shot ``lsh_candidate_pairs`` of the union corpus — every pair is
+surfaced exactly when its LATER member arrives (both-in-batch pairs
+included via the batch's self-collisions). Proven by the
+``dedup_minhash_incremental`` oracle row against the same DuckDB
+mins/bands replay that certifies the one-shot row, and by pytest on
+random splits.
+
+Reference parity: the reference has no dedup surface (SURVEY.md §2.7);
+this module extends the training-data pipeline family the brief asks
+for, composing pipeline/dedup.py's banding (shared ``_banded`` preamble
+— the two can never drift) with the store's commit protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["minhash_ingest", "minhash_store_pairs"]
+
+_GEOMETRY_PROPS = ("minhash_num_perm", "minhash_bands", "minhash_shingle_n")
+
+
+def _check_geometry(
+    spark: SparkSession, store_path: str, num_perm: int, bands: int, shingle_n: int
+) -> dict:
+    """Validate this ingest's geometry against the store's pinned one.
+    Returns the property dict to commit (first ingest pins it)."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_version,
+    )
+
+    want = {
+        "minhash_num_perm": float(num_perm),
+        "minhash_bands": float(bands),
+        "minhash_shingle_n": float(shingle_n),
+    }
+    if snapshot_version(spark, store_path) is None:
+        return want
+    props = snapshot_properties(spark, store_path)
+    for k in _GEOMETRY_PROPS:
+        have = props.get(k)
+        if have is not None and float(have) != want[k]:
+            raise ValueError(
+                f"minhash store {store_path} was built with {k}={have}; "
+                f"this ingest passed {want[k]} — cross-geometry bands "
+                f"never collide, so mixing them silently loses recall. "
+                f"Rebuild the store or match the pinned geometry."
+            )
+    return want
+
+
+def minhash_ingest(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Ingest ``batch`` against the banded-signature store: returns the
+    distinct candidate near-dup pairs ``(id_a < id_b)`` in which at least
+    one member belongs to the batch (history×batch collisions AND
+    batch-internal collisions), then appends the batch's bands so later
+    batches see them.
+
+    ``max_bucket`` caps the POST-UNION bucket size (stored + batch rows
+    per band key) before the pair join — the boilerplate guard; None =
+    exact, the oracle-parity setting. Zero-token docs are dropped (no
+    defined MinHash — the `_banded` rule). ``txn=(app_id, version)``
+    makes the band append idempotent per writer lineage; candidate
+    RETURN is recompute-stable either way (a redelivered batch returns
+    the same pairs — the store already holding its bands only adds
+    self-pairs, which the ``id_a < id_b`` filter removes).
+    """
+    from prometheus_parquet_server_spark.pipeline.dedup import _banded
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    props = _check_geometry(spark, store_path, num_perm, bands, shingle_n)
+    banded = (
+        _banded(batch, text_col, id_col, num_perm, bands, shingle_n)
+        .select(F.col("band_key"), F.col(id_col).alias("_id"))
+        .cache()
+    )
+
+    if snapshot_version(spark, store_path) is not None:
+        stored = snapshot_read(spark, store_path).select(
+            F.col("name").alias("band_key"), F.col("doc_id").alias("_id")
+        )
+        # history bands + the batch's own bands: one frame, so a single
+        # band-key join surfaces history×batch AND batch×batch pairs
+        universe = stored.unionByName(banded)
+    else:
+        universe = banded
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        from pyspark.sql import Window
+
+        universe = (
+            universe.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("band_key"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    # store streams map-side against the broadcast batch bands: candidate
+    # pairs exist only where a batch doc collides, so the probe side is
+    # the batch — history never shuffles
+    right = F.broadcast(banded.select("band_key", F.col("_id").alias("_idb")))
+    pairs = (
+        universe.join(right, "band_key")
+        .select(
+            F.least("_id", "_idb").alias("id_a"),
+            F.greatest("_id", "_idb").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    out = pairs.cache()
+    out.count()  # materialize before the append changes what "stored" means
+
+    commit_rows = banded.select(
+        F.col("band_key").alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col("_id").alias("doc_id"),
+    )
+    if not commit_rows.isEmpty():
+        snapshot_write(
+            spark,
+            store_path,
+            commit_rows,
+            mode="append",
+            txn=txn,
+            properties=props,
+        )
+    banded.unpersist()
+    return out
+
+
+def minhash_store_pairs(
+    spark: SparkSession, store_path: str, max_bucket: int | None = None
+) -> DataFrame:
+    """All candidate pairs in the store (the one-shot view over
+    everything ingested so far): distinct ``(id_a < id_b)`` sharing any
+    band, with the same ``max_bucket`` boilerplate cap as the batch path.
+    Equals ``lsh_candidate_pairs`` over the union corpus — the claim the
+    incremental oracle row grades."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import snapshot_read
+
+    bands = snapshot_read(spark, store_path).select(
+        F.col("name").alias("band_key"), F.col("doc_id").alias("_id")
+    )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        from pyspark.sql import Window
+
+        bands = (
+            bands.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("band_key"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = bands.select("band_key", F.col("_id").alias("id_a"))
+    b = bands.select("band_key", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,101 @@
+"""Incremental banded-MinHash signature store (pipeline/minhash_store.py):
+N disjoint ingests must surface exactly the one-shot candidate pair set,
+geometry is pinned, and redelivery is stable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.dedup import lsh_candidate_pairs
+from prometheus_parquet_server_spark.pipeline.minhash_store import (
+    minhash_ingest,
+    minhash_store_pairs,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+GEO = dict(num_perm=4, bands=2, shingle_n=1)
+
+
+def _docs(spark, n=60, dup_every=5):
+    """Synthetic docs with deliberate near/exact duplicates."""
+    rows = []
+    for i in range(n):
+        base = i // dup_every if i % dup_every == 0 else i
+        words = [f"w{(base * 7 + k) % 23}" for k in range(8)]
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _pairs(df):
+    return sorted((r.id_a, r.id_b) for r in df.collect())
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    docs = _docs(spark)
+    store = f"file://{tmp_path}/mh"
+    returned = []
+    for band in range(3):
+        out = minhash_ingest(
+            spark, store, docs.filter(F.pmod("doc_id", F.lit(3)) == band), **GEO
+        )
+        returned.extend(_pairs(out))
+        out.unpersist()
+    one_shot = _pairs(lsh_candidate_pairs(docs, **GEO))
+    # the store's one-shot view equals batch LSH over the union corpus
+    assert _pairs(minhash_store_pairs(spark, store)) == one_shot
+    # and the UNION of per-ingest returns covers every pair exactly
+    # (each pair surfaces when its later member arrives)
+    assert sorted(set(returned)) == one_shot
+
+
+def test_per_ingest_return_covers_history_and_batch(spark, tmp_path):
+    docs = _docs(spark, n=20, dup_every=2)
+    store = f"file://{tmp_path}/mh"
+    first = docs.filter(F.col("doc_id") < 10)
+    second = docs.filter(F.col("doc_id") >= 10)
+    p1 = _pairs(minhash_ingest(spark, store, first, **GEO))
+    p2 = _pairs(minhash_ingest(spark, store, second, **GEO))
+    one_shot = set(_pairs(lsh_candidate_pairs(docs, **GEO)))
+    # ingest 1: only batch-internal pairs; ingest 2: its internal pairs
+    # PLUS every cross pair against history
+    assert set(p1) == {p for p in one_shot if p[0] < 10 and p[1] < 10}
+    assert set(p1) | set(p2) == one_shot
+    cross = {p for p in one_shot if p[0] < 10 <= p[1]}
+    assert cross <= set(p2)
+
+
+def test_geometry_pinned(spark, tmp_path):
+    docs = _docs(spark, n=10)
+    store = f"file://{tmp_path}/mh"
+    minhash_ingest(spark, store, docs, **GEO).unpersist()
+    with pytest.raises(ValueError, match="geometry|minhash_"):
+        minhash_ingest(spark, store, docs, num_perm=8, bands=2, shingle_n=1)
+
+
+def test_redelivery_is_stable(spark, tmp_path):
+    """A redelivered batch returns the SAME pairs (its own bands already
+    in the store add only self-pairs, removed by id_a < id_b), and with a
+    txn marker the band append is skipped so the store does not bloat."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    docs = _docs(spark, n=20, dup_every=2)
+    store = f"file://{tmp_path}/mh"
+    p1 = _pairs(minhash_ingest(spark, store, docs, txn=("app", 1), **GEO))
+    n_rows = snapshot_read(spark, store).count()
+    p2 = _pairs(minhash_ingest(spark, store, docs, txn=("app", 1), **GEO))
+    assert p1 == p2
+    assert snapshot_read(spark, store).count() == n_rows
+
+
+def test_empty_and_zero_token_docs_dropped(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None), (4, "a b c")],
+        "doc_id bigint, text string",
+    )
+    store = f"file://{tmp_path}/mh"
+    out = minhash_ingest(spark, store, docs, **GEO)
+    assert _pairs(out) == [(1, 4)]
