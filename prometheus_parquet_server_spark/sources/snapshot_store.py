@@ -910,6 +910,103 @@ def snapshot_merge(
         updates.unpersist()
 
 
+def snapshot_stats(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    names: list[str] | None = None,
+    ts_range: tuple[float, float] | None = None,
+) -> dict:
+    """Metadata-query fast path: exact ``{n_rows, n_files, n_bytes,
+    min_name, max_name, min_ts, max_ts}`` for a (possibly filtered)
+    snapshot, answered from MANIFEST ARITHMETIC wherever possible.
+
+    A file is CONTAINED when every row it can hold satisfies the
+    predicate (ts: ``lo <= min_ts and max_ts <= hi``; names: the file is
+    single-name — ``min_name == max_name`` — and that name is selected;
+    no-predicate: always). Contained files contribute their recorded
+    ``n_rows``/ranges without being opened; only BOUNDARY files (ranges
+    intersect the predicate but are not contained, or null stats) are
+    scanned with the residual row filter. So an UNFILTERED stats query
+    opens ZERO data files at any store size — the answer to "how many
+    rows / what time span does this 100 TB table cover" is O(manifest) —
+    and a filtered one opens only the predicate's edge. This is the
+    library-level stand-in for DSv2 aggregate pushdown, which the Python
+    DataSource API does not expose (no SupportsPushDownAggregates
+    equivalent — documented upstream limitation); the JVM v1 path does
+    not engage footer-stat aggregates either (measured, round-7 ledger).
+
+    ``n_bytes``/``n_files`` count every predicate-INTERSECTING file (the
+    I/O a real scan would plan), not just contained ones."""
+    fs = _StoreFS(spark, path)
+    if version is None:
+        version, m = _resolve_tip(fs, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    else:
+        m = _read_manifest(fs, path, version)
+    files = m["files"]
+    if names is not None:
+        files = [f for f in files if _name_overlaps(f, names)]
+    if ts_range is not None:
+        lo, hi = ts_range
+        files = [f for f in files if _ts_overlaps(f, lo, hi)]
+
+    def _contained(f: dict) -> bool:
+        if names is not None:
+            if f.get("min_name") is None or f["min_name"] != f.get("max_name"):
+                return False
+            if f["min_name"] not in names:
+                return False
+        if ts_range is not None:
+            mn, mx = f.get("min_ts"), f.get("max_ts")
+            if mn is None or mx is None or not (lo <= mn and mx <= hi):
+                return False
+        return True
+
+    inside = [f for f in files if _contained(f)]
+    boundary = [f for f in files if not _contained(f)]
+
+    n_rows = sum(f["n_rows"] for f in inside)
+    mins_n = [f["min_name"] for f in inside if f.get("min_name") is not None]
+    maxs_n = [f["max_name"] for f in inside if f.get("max_name") is not None]
+    mins_t = [f["min_ts"] for f in inside if f.get("min_ts") is not None]
+    maxs_t = [f["max_ts"] for f in inside if f.get("max_ts") is not None]
+
+    if boundary:
+        df = _pinned_reader(spark, m).parquet(*[f["path"] for f in boundary])
+        if names is not None:
+            df = df.filter(F.col("name").isin(list(names)))
+        if ts_range is not None:
+            df = df.filter(F.col("ts").between(lo, hi))
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("name").alias("mn_n"),
+            F.max("name").alias("mx_n"),
+            F.min("ts").alias("mn_t"),
+            F.max("ts").alias("mx_t"),
+        ).first()
+        n_rows += row["n"]
+        if row["mn_n"] is not None:
+            mins_n.append(row["mn_n"])
+            maxs_n.append(row["mx_n"])
+        if row["mn_t"] is not None:
+            mins_t.append(row["mn_t"])
+            maxs_t.append(row["mx_t"])
+
+    return {
+        "version": version,
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "n_bytes": sum(f.get("n_bytes", 0) for f in files),
+        "n_files_scanned": len(boundary),
+        "min_name": min(mins_n) if mins_n else None,
+        "max_name": max(maxs_n) if maxs_n else None,
+        "min_ts": min(mins_t) if mins_t else None,
+        "max_ts": max(maxs_t) if maxs_t else None,
+    }
+
+
 def snapshot_properties(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict:

@@ -955,3 +955,54 @@ def test_maintenance_on_evolved_store_preserves_columns(spark, tmp_path):
     assert out.columns == ["name", "labels", "ts", "value", "extra"]
     rows = {r["ts"]: r["extra"] for r in out.collect()}
     assert 0.0 not in rows and rows[10.0] == 7
+
+
+def test_snapshot_stats_manifest_fast_path(spark, tmp_path):
+    """snapshot_stats answers exactly from manifest arithmetic: the
+    unfiltered query opens ZERO data files (proven by deleting them),
+    filtered queries match brute-force aggregates and scan only the
+    predicate's boundary files."""
+    import glob
+    import os
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_stats,
+    )
+
+    store = f"file://{tmp_path}/snapstats"
+    for i, nm in enumerate(["aa", "bb", "cc"]):
+        rows = [(nm, {}, 100.0 * i + j, float(j)) for j in range(5)]
+        snapshot_write(
+            spark, store, mk(spark, rows),
+            mode="overwrite" if i == 0 else "append",
+        )
+    full = snapshot_read(spark, store).agg(
+        F.count(F.lit(1)), F.min("name"), F.max("name"), F.min("ts"), F.max("ts")
+    ).first()
+
+    # filtered: names (single-name files -> contained, zero scans)
+    st = snapshot_stats(spark, store, names=["bb"])
+    assert (st["n_rows"], st["n_files_scanned"]) == (5, 0)
+    assert (st["min_name"], st["max_name"]) == ("bb", "bb")
+    assert (st["min_ts"], st["max_ts"]) == (100.0, 104.0)
+
+    # filtered: ts_range crossing a file boundary -> boundary scan, exact
+    st = snapshot_stats(spark, store, ts_range=(2.0, 101.0))
+    brute = (
+        snapshot_read(spark, store)
+        .filter(F.col("ts").between(2.0, 101.0))
+        .agg(F.count(F.lit(1)), F.min("ts"), F.max("ts"))
+        .first()
+    )
+    assert st["n_rows"] == brute[0] == 5
+    assert (st["min_ts"], st["max_ts"]) == (brute[1], brute[2])
+    assert st["n_files_scanned"] >= 1
+
+    # unfiltered: manifest-only — delete every data file and it still answers
+    for f in glob.glob(f"{tmp_path}/snapstats/data/**/*.parquet", recursive=True):
+        os.unlink(f)
+    st = snapshot_stats(spark, store)
+    assert (st["n_rows"], st["n_files"], st["n_files_scanned"]) == (15, 3, 0)
+    assert (st["min_name"], st["max_name"]) == (full[1], full[2])
+    assert (st["min_ts"], st["max_ts"]) == (full[3], full[4])
+    assert st["n_rows"] == full[0]
