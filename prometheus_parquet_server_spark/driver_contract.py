@@ -4066,6 +4066,57 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_snapshot_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-stats fast path under the oracle gate: the events table is
+    committed to a snapshot store once per session, then snapshot_stats
+    answers (count, name range, ts range) for two selected event types —
+    manifest arithmetic for contained files, residual-filtered scan only
+    for predicate-boundary files (sources/snapshot_store.py snapshot_stats;
+    the exactness contract is what the DuckDB twin grades)."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_stats,
+        snapshot_write,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _STATS_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='stats_ev_')}/store"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        snapshot_write(
+            spark,
+            store,
+            ev.select(
+                F.col("event_type").alias("name"),
+                (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+                "value",
+            ),
+            mode="overwrite",
+        )
+        _STATS_STORE_CACHE[key] = store
+    st = snapshot_stats(spark, store, names=["click", "view"])
+    return spark.createDataFrame(
+        [(st["n_rows"], st["min_name"], st["max_name"], st["min_ts"], st["max_ts"])],
+        "n_rows long, min_name string, max_name string, min_ts double, max_ts double",
+    )
+
+
+SQL_SNAPSHOT_STATS_EVENTS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(event_type) AS min_name,
+       MAX(event_type) AS max_name,
+       MIN(epoch_us(ts) / 1000000.0) AS min_ts,
+       MAX(epoch_us(ts) / 1000000.0) AS max_ts
+FROM events
+WHERE event_type IN ('click', 'view')
+"""
+
+
 SQL_EVENTS_ROLLUP = """
 WITH base AS (
     SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
@@ -4515,6 +4566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_ds_f1": q_snapshot_ds_f1,
     "p2_irate_chunked": q_p2_irate_chunked,
     "rollup_incremental": q_rollup_incremental,
+    "snapshot_stats_events": q_snapshot_stats_events,
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
@@ -4657,6 +4709,7 @@ ORACLES: dict[str, str] = {
     "emb_knn_label": SQL_EMB_KNN_LABEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_minhash_incremental": SQL_DEDUP_MINHASH_INCREMENTAL,
+    "snapshot_stats_events": SQL_SNAPSHOT_STATS_EVENTS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
