@@ -53,6 +53,7 @@ EDGE_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_jaccard",
+    "dedup_minhash_incremental",
     "pipeline_capped_sample",
     "pipeline_stratified",
     "vocab_topk",
@@ -221,6 +222,7 @@ EDGE_EVENT_QUERIES = [
     "t3_resample_chunked",
     "p2_irate_chunked",
     "streaming_event_counts",
+    "snapshot_stats_events",
     "promql_holt_winters",
     "promql_deriv",
     "promql_mad_ot",
