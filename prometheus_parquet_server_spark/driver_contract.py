@@ -150,37 +150,6 @@ def _d(x: float) -> str:
     return f"CAST({float(x)!r} AS DOUBLE)"
 
 
-def _dec(col) -> Column:
-    """Per-row DECIMAL(38,9) cast feeding an order-insensitive exact sum
-    (the round-7 anti-flake contract: float SUM order varies with shuffle
-    placement, and a sum riding a 6-dp rounding boundary flips its graded
-    hash run-to-run — seen on events_sessionize in round 6, and flagged on
-    a1/a2/a3/promql_sum_rate/tpch_q1/events_rollup by
-    scripts/audit_rounding.py). Oracles mirror with
-    SUM(CAST(x AS DECIMAL(38,9))); per-row cast parity between Spark and
-    DuckDB is empirically exact on this data.
-
-    Bare-cast contract: callers using _dec directly (the TPC-H rows, whose
-    price/quantity columns are finite by construction — and whose DuckDB
-    oracle would ERROR loudly on CAST(NaN AS DECIMAL)) must guarantee
-    finite in-range values; NaN/Inf casts to decimal NULL and would be
-    silently skipped by SUM. Data that can be dirty goes through
-    aggregate.exact_sum (guarded float fallback) instead."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(38,9)")
-
-
-def _round6_exact(col) -> Column:
-    """Round an exact-decimal-sum-carried-as-double at 6 dp IN DECIMAL
-    SPACE: a ≤15-significant-digit decimal round-trips through double
-    exactly, so re-casting recovers the decimal sum and the HALF_UP decimal
-    round can never disagree with the oracle's ROUND(SUM(DECIMAL), 6).
-    Non-finite values (decimal cast would null them) pass through."""
-    c = F.col(col) if isinstance(col, str) else col
-    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
-    return F.when(nonfinite, c).otherwise(
-        F.round(c.cast("decimal(38,9)"), 6).cast("double")
-    )
 
 
 def _sql_unit_sum(expr: str, scale: float = 1e6, guarded: bool = True) -> str:
@@ -838,19 +807,6 @@ def q_a3_sum_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _sql_exact_sum(expr: str, digits: int) -> str:
-    """DuckDB twin of operators.aggregate.exact_sum, NON-FINITE GUARD
-    included: a NaN/Inf in the group falls back to the float sum (whose
-    non-finite outcome is order-insensitive), everything else sums in
-    exact DECIMAL(38,9). The per-row CASE inside the decimal arm matters:
-    DuckDB errors casting NaN to DECIMAL (Spark's ANSI-off cast nulls),
-    and an aggregate's unused CASE arm is still evaluated."""
-    bad = f"bool_or(isnan({expr}) OR NOT isfinite({expr}))"
-    clean = f"CAST(CASE WHEN isnan({expr}) OR NOT isfinite({expr}) THEN NULL ELSE {expr} END AS DECIMAL(38, 9))"
-    return (
-        f"CASE WHEN {bad} THEN ROUND(SUM({expr}), {digits}) "
-        f"ELSE CAST(ROUND(SUM({clean}), {digits}) AS DOUBLE) END"
-    )
 
 _A1_FINAL = (
     "SELECT name, gts AS ts,\n"
