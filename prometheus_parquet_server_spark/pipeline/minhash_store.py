@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["minhash_ingest", "minhash_store_pairs"]
+__all__ = ["minhash_ingest", "minhash_store_pairs", "stream_minhash_ingest"]
 
 _GEOMETRY_PROPS = ("minhash_num_perm", "minhash_bands", "minhash_shingle_n")
 
@@ -186,6 +186,75 @@ def minhash_ingest(
         )
     banded.unpersist()
     return out
+
+
+def stream_minhash_ingest(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+    compact_every: int | None = 64,
+    vacuum_keep_last: int | None = None,
+):
+    """Streaming wrapper (the stream_dedup_ingest twin): each micro-batch's
+    candidate pairs append to ``output_path`` (parquet) and its bands
+    commit to the store. Pair emission is at-least-once by the SAME
+    argument as the exact store — a replayed batch recomputes the SAME
+    pair set (its bands being already stored only adds self-pairs, which
+    the ``id_a < id_b`` filter removes), so duplicates in the output are
+    exact row duplicates a downstream ``distinct()`` collapses. The band
+    append deliberately carries NO txn marker — the exact store's rule: a
+    marker is only valid within one checkpoint lineage, and after a
+    checkpoint reset it would silently SKIP appends for genuinely new
+    batches (a recall hole). A replayed batch instead re-appends its band
+    rows; duplicate (band_key, doc_id) rows cost bytes, never
+    correctness — every pair query ends in ``distinct()``, and
+    compaction can fold them away.
+
+    ``compact_every`` / ``vacuum_keep_last``: same maintenance cadence
+    contract as stream_dedup_ingest (pure-append stores accrete one file
+    per batch; size-aware compaction bounds the file count, optional
+    age-guarded vacuum reclaims superseded files)."""
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = minhash_ingest(
+            spark,
+            store_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        )
+        pairs.write.mode("append").parquet(output_path)
+        pairs.unpersist()
+        if compact_every is not None and (int(batch_id) + 1) % compact_every == 0:
+            from prometheus_parquet_server_spark.sources.snapshot_store import (
+                snapshot_compact,
+                snapshot_vacuum,
+            )
+
+            snapshot_compact(spark, store_path)
+            if vacuum_keep_last is not None:
+                snapshot_vacuum(spark, store_path, keep_last=vacuum_keep_last)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .start()
+    )
 
 
 def minhash_store_pairs(

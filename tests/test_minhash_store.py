@@ -99,3 +99,31 @@ def test_empty_and_zero_token_docs_dropped(spark, tmp_path):
     store = f"file://{tmp_path}/mh"
     out = minhash_ingest(spark, store, docs, **GEO)
     assert _pairs(out) == [(1, 4)]
+
+
+def test_stream_ingest_drains_to_one_shot(spark, tmp_path):
+    """availableNow drain through stream_minhash_ingest: the distinct()
+    of the emitted pair stream equals one-shot batch LSH over the corpus."""
+    from prometheus_parquet_server_spark.pipeline.minhash_store import (
+        stream_minhash_ingest,
+    )
+
+    docs = _docs(spark, n=40, dup_every=4)
+    src = f"{tmp_path}/src"
+    docs.repartition(4).write.parquet(src)  # several files -> several batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = f"file://{tmp_path}/mh"
+    out = f"{tmp_path}/pairs"
+    q = stream_minhash_ingest(
+        stream, spark, store, out, compact_every=None, **GEO
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).distinct().collect()
+    )
+    assert got == _pairs(lsh_candidate_pairs(docs, **GEO))
