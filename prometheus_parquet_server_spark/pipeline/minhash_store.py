@@ -57,7 +57,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["minhash_ingest", "minhash_store_pairs", "stream_minhash_ingest"]
+__all__ = [
+    "minhash_dedup_bands",
+    "minhash_ingest",
+    "minhash_store_pairs",
+    "stream_minhash_ingest",
+]
 
 _GEOMETRY_PROPS = ("minhash_num_perm", "minhash_bands", "minhash_shingle_n")
 
@@ -214,8 +219,10 @@ def stream_minhash_ingest(
     checkpoint reset it would silently SKIP appends for genuinely new
     batches (a recall hole). A replayed batch instead re-appends its band
     rows; duplicate (band_key, doc_id) rows cost bytes, never
-    correctness — every pair query ends in ``distinct()``, and
-    compaction can fold them away.
+    correctness — every pair query ends in ``distinct()``. (Note:
+    ``snapshot_compact`` merges small FILES but keeps rows verbatim —
+    reclaiming duplicate rows is :func:`minhash_dedup_bands`, an explicit
+    maintenance rewrite.)
 
     ``compact_every`` / ``vacuum_keep_last``: same maintenance cadence
     contract as stream_dedup_ingest (pure-append stores accrete one file
@@ -254,6 +261,26 @@ def stream_minhash_ingest(
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
         .start()
+    )
+
+
+def minhash_dedup_bands(spark: SparkSession, store_path: str) -> int:
+    """Maintenance rewrite: collapse duplicate (band_key, doc_id) rows a
+    replayed streaming batch left behind (see stream_minhash_ingest).
+    One distinct() pass committed as an overwrite that CARRIES the
+    store's pinned properties (geometry stays enforced); returns the new
+    version. Time travel to pre-rewrite versions still sees the
+    duplicates — this reclaims forward-looking bytes, not history."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    props = snapshot_properties(spark, store_path)
+    deduped = snapshot_read(spark, store_path).distinct()
+    return snapshot_write(
+        spark, store_path, deduped, mode="overwrite", properties=props
     )
 
 

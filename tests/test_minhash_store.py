@@ -127,3 +127,30 @@ def test_stream_ingest_drains_to_one_shot(spark, tmp_path):
         for r in spark.read.parquet(out).distinct().collect()
     )
     assert got == _pairs(lsh_candidate_pairs(docs, **GEO))
+
+
+def test_dedup_bands_maintenance(spark, tmp_path):
+    """Replayed-append duplicates collapse under minhash_dedup_bands; the
+    pinned geometry survives the rewrite and pairs are unchanged."""
+    from prometheus_parquet_server_spark.pipeline.minhash_store import (
+        minhash_dedup_bands,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    docs = _docs(spark, n=20, dup_every=2)
+    store = f"file://{tmp_path}/mh"
+    minhash_ingest(spark, store, docs, **GEO).unpersist()
+    minhash_ingest(spark, store, docs, **GEO).unpersist()  # replay, no txn
+    n_dup = snapshot_read(spark, store).count()
+    before = _pairs(minhash_store_pairs(spark, store))
+    minhash_dedup_bands(spark, store)
+    assert snapshot_read(spark, store).count() == n_dup // 2
+    assert _pairs(minhash_store_pairs(spark, store)) == before
+    # geometry still pinned post-rewrite
+    props = snapshot_properties(spark, store)
+    assert float(props["minhash_num_perm"]) == GEO["num_perm"]
+    with pytest.raises(ValueError, match="geometry|minhash_"):
+        minhash_ingest(spark, store, docs, num_perm=8, bands=2, shingle_n=1)
