@@ -70,6 +70,11 @@ MATH_FNS = {
     "sinh": F.sinh,
     "cosh": F.cosh,
     "tanh": F.tanh,
+    # inverse hyperbolics (PromQL ≥ 2.31): Go math = IEEE = Spark's JVM
+    # twins — acosh(x<1) → NaN, atanh(±1) → ±Inf, atanh(|x|>1) → NaN
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
     "rad": lambda c: F.radians(c),
     "deg": lambda c: F.degrees(c),
 }

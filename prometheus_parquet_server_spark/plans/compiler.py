@@ -530,6 +530,14 @@ def _eval_func(node: FuncNode, ctx: _Ctx, state: State) -> State:
                 "asin": _dom(_math.asin), "acos": _dom(_math.acos),
                 "atan": _math.atan, "sinh": _math.sinh, "cosh": _math.cosh,
                 "tanh": _math.tanh, "rad": _math.radians, "deg": _math.degrees,
+                # inverse hyperbolics: IEEE edges (math.atanh raises on
+                # |x|>=1, but atanh(±1) is ±Inf in Go/IEEE, NaN beyond)
+                "asinh": _math.asinh, "acosh": _dom(_math.acosh),
+                "atanh": lambda x: (
+                    float("inf") if x == 1.0
+                    else float("-inf") if x == -1.0
+                    else _dom(_math.atanh)(x)
+                ),
             }
             return ScalarResult(float(fns[node.name](arg.value)))
         if isinstance(arg, GridScalar):

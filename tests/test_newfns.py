@@ -85,6 +85,17 @@ def test_trig_and_pi(spark):
     assert math.isnan(v)  # domain error → NaN, not an exception
     k, v = run_instant_query(spark, df, "tanh(0)", at=0.0)
     assert v == 0.0
+    # inverse hyperbolics: golden values + IEEE edge semantics
+    k, v = run_instant_query(spark, df, "asinh(0)", at=0.0)
+    assert v == 0.0
+    k, v = run_instant_query(spark, df, "acosh(1)", at=0.0)
+    assert v == 0.0
+    k, v = run_instant_query(spark, df, "acosh(0.5)", at=0.0)
+    assert math.isnan(v)  # domain error → NaN
+    k, v = run_instant_query(spark, df, "atanh(1)", at=0.0)
+    assert v == float("inf")
+    k, v = run_instant_query(spark, df, "asinh(1)", at=0.0)
+    assert abs(v - math.asinh(1.0)) == 0.0
 
 
 def test_absent_over_time(spark):
