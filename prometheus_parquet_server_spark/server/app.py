@@ -293,6 +293,39 @@ class MetricsHTTPServer:
         out.sort(key=lambda m: sorted(m.items()))
         return 200, {"status": "success", "data": out}
 
+    def handle_buildinfo(self) -> tuple[int, dict]:
+        """/api/v1/status/buildinfo — the first call Grafana makes when a
+        Prometheus data source is configured (beyond the reference's
+        route table; without it some clients refuse the connection)."""
+        return 200, {
+            "status": "success",
+            "data": {
+                "version": "2.45.0",
+                "revision": "prometheus-parquet-server-spark",
+                "branch": "main",
+                "buildUser": "",
+                "buildDate": "",
+                "goVersion": "",
+            },
+        }
+
+    def handle_metadata(self) -> tuple[int, dict]:
+        """/api/v1/metadata — metric metadata per name. The canonical
+        store does not retain ingest-time metric typing, so every metric
+        reports type "unknown" (valid per the API contract; Prometheus
+        itself serves "unknown" for untyped series)."""
+        names = [
+            r["value"]
+            for r in label_values(self.collection, "__name__").collect()
+        ]
+        return 200, {
+            "status": "success",
+            "data": {
+                n: [{"type": "unknown", "help": "", "unit": ""}]
+                for n in sorted(names)
+            },
+        }
+
     def handle_root(self) -> tuple[int, dict]:
         return 200, {"series": series_count(self.collection)}
 
@@ -351,6 +384,18 @@ class MetricsHTTPServer:
                 elif path.startswith("/api/v1/label/") and path.endswith("/values"):
                     label = unquote(path[len("/api/v1/label/") : -len("/values")])
                     self._send(*outer.handle_label_values(label))
+                elif path == "/api/v1/status/buildinfo":
+                    self._send(*outer.handle_buildinfo())
+                elif path == "/api/v1/metadata":
+                    self._send(*outer.handle_metadata())
+                elif path in ("/-/healthy", "/-/ready"):
+                    # Prometheus serves these as text/plain
+                    body = b"OK"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif path == "/favicon.ico":
                     self.send_response(204)
                     self.end_headers()

@@ -166,6 +166,20 @@ def test_server_routes(server):
     st, body = _get(f"{server}/api/v1/label/__name__/values")
     assert body["data"] == ["click", "error", "purchase", "signup", "view"]
 
+    st, body = _get(f"{server}/api/v1/status/buildinfo")
+    assert st == 200 and body["data"]["version"].startswith("2.")
+
+    st, body = _get(f"{server}/api/v1/metadata")
+    assert st == 200 and set(body["data"]) == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    assert body["data"]["click"][0]["type"] == "unknown"
+
+    import urllib.request as _rq
+    with _rq.urlopen(f"{server}/-/healthy") as resp:
+        assert resp.status == 200 and resp.read() == b"OK"
+        assert resp.headers["Content-Type"].startswith("text/plain")
+
     q = urllib.parse.quote('rate(click{user_id="1"}[5m])')
     st, body = _get(
         f"{server}/api/v1/query_range?query={q}&start=1704067200&end=1704070200&step=15s"
