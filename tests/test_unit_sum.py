@@ -110,3 +110,35 @@ def test_quantization_contract(spark):
     out = _spark_sum(spark, rows)
     assert out["a"] == 0.0  # each row floors to 0 units before the sum
     _same(out, _duck_sum(rows))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vals = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.just(float("nan")),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vals=_vals, parts=st.integers(1, 8), groups=st.integers(1, 3))
+def test_property_engine_oracle_bit_parity(spark, vals, parts, groups):
+    """For ANY mix of finite values, NaNs and NULLs, any group split and
+    any partitioning, the Spark unit_sum and the DuckDB _sql_unit_sum
+    twin produce bit-identical per-group results."""
+    rows = [(f"g{i % groups}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(parts)
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(unit_sum("v").alias("s")).collect()
+    }
+    _same(got, _duck_sum(rows))
