@@ -85,10 +85,15 @@ class MetricsHTTPServer:
         response_cache_size: int = 128,
         aligned_store_grids: int = 4,
         aligned_pad_steps: int = 256,
+        metric_types: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.collection = collection
         self.port = port
+        #: ingest-time Prometheus metadata types (ingest.metric_type_map
+        #: via ingest_zip(types_out=...)); names absent here serve
+        #: "unknown" — never a guessed type
+        self.metric_types = dict(metric_types or {})
         self.time_offset = time_offset  # --shift_to_midnight equivalent
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -311,9 +316,11 @@ class MetricsHTTPServer:
 
     def handle_metadata(self) -> tuple[int, dict]:
         """/api/v1/metadata — metric metadata per name. The canonical
-        store does not retain ingest-time metric typing, so every metric
-        reports type "unknown" (valid per the API contract; Prometheus
-        itself serves "unknown" for untyped series)."""
+        canonical frame does not carry typing, so types come from the
+        ``metric_types`` map the caller captured at ingest
+        (ingest_zip(types_out=...) → histogram families report
+        "histogram"); anything unmapped serves "unknown" — valid per the
+        API contract, and never a guessed type."""
         names = [
             r["value"]
             for r in label_values(self.collection, "__name__").collect()
@@ -321,7 +328,13 @@ class MetricsHTTPServer:
         return 200, {
             "status": "success",
             "data": {
-                n: [{"type": "unknown", "help": "", "unit": ""}]
+                n: [
+                    {
+                        "type": self.metric_types.get(n, "unknown"),
+                        "help": "",
+                        "unit": "",
+                    }
+                ]
                 for n in sorted(names)
             },
         }

@@ -88,6 +88,27 @@ def _qcol(name: str) -> Column:
     return F.col(f"`{name}`")
 
 
+def metric_type_map(schema, base_name: str) -> dict[str, str]:
+    """Prometheus metadata type per canonical metric name a wide table
+    yields (the serving-side complement of S3 classification): every name
+    from the HISTOGRAM arm (the ``_bucket``/``_count``/``_sum`` family)
+    reports ``"histogram"``; SINGLE/MULTI names report ``"unknown"`` —
+    the Le-regex classification knows bucket structure, never
+    counter-vs-gauge semantics, and claiming a type the data cannot prove
+    would mislead clients (Prometheus itself serves "unknown" for
+    untyped series). Feeds MetricsHTTPServer(metric_types=...) so
+    /api/v1/metadata reflects ingest-time typing."""
+    classification = classify_columns(schema)
+    t = (
+        "histogram"
+        if classification.metric_type == MetricType.HISTOGRAM
+        else "unknown"
+    )
+    return {
+        name: t for name, _le, _src in _series_plan(base_name, classification)
+    }
+
+
 def wide_to_long(
     df: DataFrame,
     base_name: str,

@@ -44,11 +44,17 @@ def ingest_zip(
     zip_path: str | Path,
     mapping: dict[str, dict[str, str]] | None = None,
     scratch_dir: str | None = None,
+    types_out: dict[str, str] | None = None,
 ) -> DataFrame:
     """Ingest every ``*.parquet`` member of the zip into one canonical long
     DataFrame. ``mapping`` (from retag.read_mapping) gates members: a member
     whose directory prefix is unmapped is SKIPPED (metricstore.rs:82-84);
     ``mapping=None`` ingests everything with no fixed labels.
+    ``types_out`` (optional dict, mutated in place) collects the
+    ingest-time Prometheus metadata type per canonical metric name
+    (ingest.metric_type_map) — hand it to
+    MetricsHTTPServer(metric_types=...) so /api/v1/metadata reports
+    histograms as histograms.
     """
     scratch = Path(scratch_dir or tempfile.mkdtemp(prefix="pps_zip_"))
     frames: list[DataFrame] = []
@@ -63,6 +69,14 @@ def ingest_zip(
             try:
                 extracted = zf.extract(member, scratch)
                 wide = spark.read.parquet(str(extracted))
+                if types_out is not None:
+                    from prometheus_parquet_server_spark.sources.ingest import (
+                        metric_type_map,
+                    )
+
+                    types_out.update(
+                        metric_type_map(wide.schema, metric_base_name(member))
+                    )
                 frames.append(wide_to_long(wide, metric_base_name(member), fixed))
             except Exception as exc:  # per-file failure is non-fatal
                 log.warning("skipping %s: %s", member, exc)

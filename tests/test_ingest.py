@@ -439,3 +439,21 @@ def test_upsert_dedupes_duplicate_updates_deterministically(spark, tmp_path):
     upsert_store(spark, store, mk([("m", {}, 1.0, 21.0), ("m", {}, 1.0, 22.0)]))
     rows = read_store(spark, store).collect()
     assert [(r["ts"], r["value"]) for r in rows] == [(1.0, 22.0)]
+
+
+def test_metric_type_map_serving_types(spark):
+    """ingest.metric_type_map: the histogram family reports "histogram"
+    for every derived name; scalar tables report "unknown" (the Le-regex
+    knows bucket structure, never counter-vs-gauge)."""
+    from prometheus_parquet_server_spark.sources.ingest import metric_type_map
+
+    hdf = spark.createDataFrame(histo_pdf(with_inf=True))
+    tm = metric_type_map(hdf.schema, "m_duration")
+    assert tm == {
+        "m_duration_bucket": "histogram",
+        "m_duration_sum": "histogram",
+        "m_duration_max": "histogram",
+        "m_duration_count": "histogram",
+    }
+    sdf = spark.createDataFrame([(1.0, 2.0)], "time double, value double")
+    assert metric_type_map(sdf.schema, "m_plain") == {"m_plain": "unknown"}
