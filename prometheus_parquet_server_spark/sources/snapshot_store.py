@@ -1215,6 +1215,110 @@ def snapshot_expire(
     return manifest["version"]
 
 
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    names: list[str] | None = None,
+    ts_range: tuple[float, float] | None = None,
+) -> int | None:
+    """Predicate DELETE (the Delta ``DELETE WHERE`` verb): drop every row
+    with ``name ∈ names`` (when given) AND ``ts ∈ [lo, hi]`` (when
+    given), by the same manifest arithmetic :func:`snapshot_expire`
+    uses for retention — files the stats PROVE fully-matching drop
+    without any data scan, files the stats prove disjoint carry over by
+    reference, and only predicate-STRADDLING files are read and
+    rewritten with the negated row filter (null-stat legacy entries land
+    on the rewrite side, the safe one). At 100 TB a targeted delete
+    ("remove this leaked metric", "redact one day of one source")
+    touches O(matching files), not O(store).
+
+    At least one predicate is required: an unbounded delete is an
+    overwrite-with-empty and must be said explicitly. Time travel to
+    pre-delete versions still serves the rows (deletes make new
+    manifests, never mutate files); ``snapshot_vacuum`` reclaims the
+    superseded bytes. Returns the committed version, or None when
+    nothing matched."""
+    if names is None and ts_range is None:
+        raise ValueError(
+            "snapshot_delete needs names and/or ts_range — an unbounded "
+            "delete is snapshot_write(mode='overwrite') of an empty "
+            "frame; say that explicitly"
+        )
+    fs = _StoreFS(spark, path)
+    parent, parent_m = _resolve_tip(fs, path)
+    if parent is None:
+        return None
+    lo, hi = ts_range if ts_range is not None else (None, None)
+
+    def _overlaps(f: dict) -> bool:
+        if names is not None and not _name_overlaps(f, names):
+            return False
+        if ts_range is not None and not _ts_overlaps(f, lo, hi):
+            return False
+        return True
+
+    def _contained(f: dict) -> bool:
+        # every row the file CAN hold matches the predicate (the
+        # snapshot_stats containment rule): provable only for
+        # single-name files under a names predicate and stat-covered
+        # ts ranges
+        if names is not None:
+            if f.get("min_name") is None or f["min_name"] != f.get("max_name"):
+                return False
+            if f["min_name"] not in names:
+                return False
+        if ts_range is not None:
+            mn, mx = f.get("min_ts"), f.get("max_ts")
+            if mn is None or mx is None or not (lo <= mn and mx <= hi):
+                return False
+        return True
+
+    base = parent_m["files"]
+    dead = [f for f in base if _overlaps(f) and _contained(f)]
+    _dp = {f["path"] for f in dead}
+    straddle = [
+        f for f in base if f["path"] not in _dp and _overlaps(f)
+    ]
+    if not dead and not straddle:
+        return None
+    _gone = _dp | {f["path"] for f in straddle}
+    kept = [f for f in base if f["path"] not in _gone]
+    new_files: list[dict] = []
+    schema = parent_m.get("schema")
+    if straddle:
+        pred = F.lit(True)
+        if names is not None:
+            pred = pred & F.col("name").isin(list(names))
+        if ts_range is not None:
+            pred = pred & F.col("ts").between(lo, hi)
+        survivors = _pinned_reader(spark, parent_m).parquet(
+            *[f["path"] for f in straddle]
+        ).filter(~pred)
+        schema = schema or _schema_json(survivors)
+        new_files = _write_data_files(
+            spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)
+        )
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"delete prepared against v{parent} but the tip moved"
+        )
+    manifest = {
+        "version": target,
+        "parent": parent,
+        "operation": "delete",
+        "schema": schema,
+        "files": kept + new_files,
+    }
+    if parent_m.get("properties"):
+        manifest["properties"] = parent_m["properties"]
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"delete prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
 def snapshot_vacuum(
     spark: SparkSession,
     path: str,

@@ -1006,3 +1006,73 @@ def test_snapshot_stats_manifest_fast_path(spark, tmp_path):
     assert (st["min_name"], st["max_name"]) == (full[1], full[2])
     assert (st["min_ts"], st["max_ts"]) == (full[3], full[4])
     assert st["n_rows"] == full[0]
+
+
+def test_snapshot_delete_predicate(spark, tmp_path):
+    """Predicate DELETE: name-contained files drop by manifest arithmetic
+    alone (proven with the data file's bytes removed), straddling ts
+    ranges rewrite with the negated filter, disjoint files carry by
+    reference, time travel still serves pre-delete rows, and an
+    unbounded delete refuses."""
+    import glob
+    import os
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_delete,
+    )
+
+    store = f"file://{tmp_path}/snapdel"
+    for i, nm in enumerate(["aa", "bb", "cc"]):
+        rows = [(nm, {}, 100.0 * i + j, float(j)) for j in range(5)]
+        snapshot_write(
+            spark, store, mk(spark, rows),
+            mode="overwrite" if i == 0 else "append",
+        )
+    with pytest.raises(ValueError, match="unbounded|explicit"):
+        snapshot_delete(spark, store)
+
+    # name delete with time travel intact
+    v = snapshot_delete(spark, store, names=["bb"])
+    assert v is not None
+    got = sorted(
+        r["name"]
+        for r in snapshot_read(spark, store).select("name").distinct().collect()
+    )
+    assert got == ["aa", "cc"]
+    old_v = snapshot_read(spark, store, version=3)
+    assert old_v.filter(F.col("name") == "bb").count() == 5  # history intact
+
+    # ts-range delete straddling cc's file: rewrite filtered, exact rows
+    assert snapshot_delete(spark, store, ts_range=(201.0, 202.0)) is not None
+    rows = sorted(
+        (r["name"], r["ts"]) for r in snapshot_read(spark, store).collect()
+    )
+    assert [(n, t) for n, t in rows if n == "cc"] == [
+        ("cc", 200.0), ("cc", 203.0), ("cc", 204.0)
+    ]
+    assert snapshot_delete(spark, store, names=["zz"]) is None
+    hist = {r["operation"] for r in snapshot_history(spark, store).collect()}
+    assert "delete" in hist
+
+    # zero-scan proof on a fresh store: remove the contained file's BYTES
+    # first — the delete must still commit (manifest arithmetic only)
+    store2 = f"file://{tmp_path}/snapdel2"
+    for i, nm in enumerate(["dd", "ee"]):
+        rows = [(nm, {}, 10.0 * i + j, float(j)) for j in range(3)]
+        snapshot_write(
+            spark, store2, mk(spark, rows),
+            mode="overwrite" if i == 0 else "append",
+        )
+    ee_files = [
+        p
+        for p in glob.glob(f"{tmp_path}/snapdel2/data/**/*.parquet", recursive=True)
+        if spark.read.parquet(p).filter(F.col("name") != "ee").count() == 0
+    ]
+    assert ee_files, "fixture must produce an ee-only file"
+    for p in ee_files:
+        os.unlink(p)
+    assert snapshot_delete(spark, store2, names=["ee"]) is not None
+    assert sorted(
+        r["name"]
+        for r in snapshot_read(spark, store2).select("name").distinct().collect()
+    ) == ["dd"]
