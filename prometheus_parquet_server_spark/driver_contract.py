@@ -4073,6 +4073,67 @@ WHERE event_type IN ('click', 'view')
 """
 
 
+_DELETE_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+#: fixed absolute epoch slice deleted by the graded delete row (Jan 2024,
+#: inside every SF's events span) — literals shared with the oracle
+_DELETE_TS_LO, _DELETE_TS_HI = 1704100000.0, 1704200000.0
+
+
+def q_snapshot_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE under the oracle gate: the events table committed
+    to a snapshot store, then two deletes — a whole metric by name and a
+    fixed ts slice (sources/snapshot_store.py snapshot_delete: contained
+    files drop by manifest arithmetic, straddlers rewrite with the
+    negated filter) — and the surviving per-name counts and unit-sums
+    hash-match DuckDB filtering the raw table with the same predicates."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _DELETE_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='delete_ev_')}/store"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        snapshot_write(
+            spark,
+            store,
+            ev.select(
+                F.col("event_type").alias("name"),
+                (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+                "value",
+            ),
+            mode="overwrite",
+        )
+        snapshot_delete(spark, store, names=["error"])
+        snapshot_delete(spark, store, ts_range=(_DELETE_TS_LO, _DELETE_TS_HI))
+        _DELETE_STORE_CACHE[key] = store
+    return (
+        snapshot_read(spark, store)
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            unit_sum("value").alias("sum_v"),
+        )
+    )
+
+
+SQL_SNAPSHOT_DELETE_EVENTS = f"""
+SELECT event_type AS name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {{sum_v}} AS sum_v
+FROM events
+WHERE event_type <> 'error'
+  AND NOT (epoch_us(ts) / 1000000.0 BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r})
+GROUP BY event_type
+""".replace("{sum_v}", _sql_unit_sum("value", 1e6))
+
+
 SQL_EVENTS_ROLLUP = """
 WITH base AS (
     SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
@@ -4523,6 +4584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_irate_chunked": q_p2_irate_chunked,
     "rollup_incremental": q_rollup_incremental,
     "snapshot_stats_events": q_snapshot_stats_events,
+    "snapshot_delete_events": q_snapshot_delete_events,
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
@@ -4666,6 +4728,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_minhash_incremental": SQL_DEDUP_MINHASH_INCREMENTAL,
     "snapshot_stats_events": SQL_SNAPSHOT_STATS_EVENTS,
+    "snapshot_delete_events": SQL_SNAPSHOT_DELETE_EVENTS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,
