@@ -223,6 +223,7 @@ EDGE_EVENT_QUERIES = [
     "p2_irate_chunked",
     "streaming_event_counts",
     "snapshot_stats_events",
+    "snapshot_delete_events",
     "promql_holt_winters",
     "promql_deriv",
     "promql_mad_ot",
