@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "pipeline_line_dedup",
     "text_rule_flags",
     "pipeline_shuffle",
+    # round-8 additions (same extend-don't-replace caveat)
+    "bm25_topk",
 ]
 
 

@@ -3824,6 +3824,90 @@ QUALIFY rank <= 3
 """
 
 
+_BM25_QUERIES = {
+    "q_perf": ["hash", "join", "fast"],
+    "q_stream": ["stream", "window", "watermark"],
+}
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-10 documents per query for two fixed
+    term queries (k1=1.2, b=0.75, Lucene smoothed idf; ties → doc_id).
+    Exploded tokens are filtered to query terms before the first
+    aggregate; df/corpus-stat frames broadcast; two-stage salted top-k.
+    One query term ('watermark') is absent from the corpus — df rows for
+    it simply never exist, exercising the missing-term path."""
+    from prometheus_parquet_server_spark.pipeline.stats import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+def _sql_bm25_topk(queries: dict[str, list[str]], k: int = 10) -> str:
+    """DuckDB twin of bm25_topk at k1=1.2, b=0.75: same tokenizer as the
+    engine (lowercase, whitespace split, empties removed, NULL text → 0
+    tokens), same Lucene idf, per-(query, doc) score through the
+    unguarded integer-unit sum contract (_sql_unit_sum)."""
+    qrows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in sorted({w.lower() for w in terms})
+    )
+    terms_in = ", ".join(
+        f"'{t}'"
+        for t in sorted({w.lower() for ts in queries.values() for w in ts})
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        x -> x <> '') AS toks
+    FROM documents WHERE doc_id IS NOT NULL
+),
+corpus AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM docs
+),
+rows_f AS (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, token, COUNT(*) AS tf
+    FROM rows_f WHERE token IN ({terms_in})
+    GROUP BY doc_id, dl, token
+),
+docfreq AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+q(query_id, token) AS (VALUES {qrows}),
+contribs AS (
+    SELECT q.query_id, tf.doc_id,
+           LN({_d(1.0)} + (corpus.n - docfreq.df + {_d(0.5)})
+                          / (docfreq.df + {_d(0.5)}))
+           * (tf.tf * {_d(2.2)})
+           / (tf.tf + {_d(1.2)} * ({_d(1.0)} - {_d(0.75)}
+              + {_d(0.75)} * tf.dl / corpus.avgdl)) AS contrib
+    FROM tf JOIN docfreq USING (token)
+            CROSS JOIN corpus
+            JOIN q USING (token)
+),
+scored AS (
+    SELECT query_id, doc_id,
+           {_sql_unit_sum('contrib', 1e6, guarded=False)} AS score
+    FROM contribs GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25_topk(_BM25_QUERIES, k=10)
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join over events: every view within the one-hour
     window after an error by the same user — an equi-join on
@@ -4598,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_contamination": q_pipeline_contamination,
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
+    "bm25_topk": q_bm25_topk,
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -4715,6 +4800,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,

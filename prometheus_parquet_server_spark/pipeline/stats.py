@@ -105,6 +105,117 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents per query, scored
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with the
+    Robertson/Lucene smoothed ``idf = ln(1 + (N−df+0.5)/(df+0.5))``;
+    ties → ``doc_id`` asc. Output ``(query_id, doc_id, score, rank)``.
+
+    Scale shape: document length ``dl = size(tokens)`` is a per-row
+    projection that rides the exploded (doc, token) stream, which is
+    filtered to the union of query terms BEFORE its first aggregate —
+    every shuffle after the scan carries only rows matching some query
+    term, so corpus size bounds the scan and query size bounds everything
+    else; no doc-keyed join exists anywhere in the plan. Document
+    frequencies, the query-term table, and the 1-row (N, avgdl) frame
+    come back as broadcasts; per-(query, doc) scores are one hash
+    aggregate. Top-k is TWO-STAGE: a partial top-k per (query,
+    hash-salt bucket) window, then the final top-k over the surviving
+    ``salt_buckets × k`` rows per query — no single partition ever sorts
+    a query's full candidate list (with a handful of queries, a plain
+    per-query window would funnel the whole corpus through
+    len(queries) partitions).
+
+    Scores ride the integer-unit sum contract (:func:`...aggregate.unit_sum`,
+    unguarded — contributions are finite by construction: ``idf ≤
+    ln(1+2N)``, ``tf``-term < ``k1+1``) so the per-query sum over matched
+    terms is order-insensitive and cross-engine bit-stable; the per-term
+    contribution itself is pure IEEE double arithmetic identical on any
+    engine up to libm ``ln`` (same exposure as the graded tfidf row;
+    audited by scripts/audit_rounding.py).
+    """
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.operators.aggregate import unit_sum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qterms = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted({w.lower() for w in terms})
+    ]
+    if not qterms:
+        raise ValueError("every query has an empty term list")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qterms, ["query_id", "token"])
+    all_terms = sorted({t for _, t in qterms})
+
+    valid = df.filter(F.col(id_col).isNotNull())
+    docs = valid.select(
+        F.col(id_col).alias("_doc"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    lengths = docs.select("_doc", F.size("_toks").alias("dl"))
+    corpus = lengths.agg(
+        F.count("*").alias("_N"),
+        # exact BIGINT sum / exact int→double casts / one IEEE division —
+        # bit-stable avgdl on any engine
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    # dl rides the exploded rows (functionally dependent on _doc, so it
+    # joins the grouping key for free) — NO doc-keyed length join exists
+    # anywhere in the plan
+    rows = docs.select(
+        "_doc",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("token"),
+    ).filter(F.col("token").isin(all_terms))
+    tf = rows.groupBy("_doc", "dl", "token").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+
+    scored = (
+        tf.join(F.broadcast(docfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(qdf), "token")
+        .groupBy("query_id", "_doc")
+        .agg(unit_sum(contrib, 1e6, guarded=False).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col("_doc").asc()]
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.hash("_doc"), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = scored.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("_doc").alias(id_col), "score", "rank")
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_col: str = "source",

@@ -41,6 +41,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "tfidf_topk": {
         "BroadcastNestedLoopJoin": (1, "corpus-N (one row) broadcast back")
     },
+    "bm25_topk": {
+        "BroadcastNestedLoopJoin": (1, "corpus (N, avgdl) one-row broadcast back")
+    },
     "text_perplexity": {
         "BroadcastNestedLoopJoin": (1, "corpus-level cutpoint row broadcast back")
     },

@@ -144,3 +144,73 @@ def test_curriculum_approx_bands_nearly_identically(spark):
     same = joined.filter(F.col("stage") == F.col("stage_a")).count()
     assert total > 0
     assert same / total >= 0.99, f"only {same}/{total} rows band identically"
+
+
+def test_bm25_topk_golden(spark):
+    """Hand-computed BM25 on a 3-doc corpus: idf ordering, length
+    normalization, tie-break, missing-term and NULL-text handling."""
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.stats import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common other longer doc with many extra tokens here"),
+            (3, "common"),
+            (4, None),  # NULL text: 0 tokens, counted in N/avgdl, never matches
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(
+        df, {"q": ["rare", "common", "ghost"]}, k=10, salt_buckets=4
+    ).collect()
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in rows}
+    # NULL-text doc matches nothing
+    assert set(got) == {1, 2, 3}
+
+    # independent reference computation (floats, then the unit contract)
+    N, avgdl = 4, (3 + 9 + 1 + 0) / 4.0
+    k1, b = 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+
+    def contrib(dfreq, tf, dl):
+        u = idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(u * 1e6 + 0.5)
+
+    exp = {
+        1: (contrib(1, 1, 3) + contrib(3, 2, 3)) / 1e6,  # rare + common
+        2: contrib(3, 1, 9) / 1e6,
+        3: contrib(3, 1, 1) / 1e6,
+    }
+    for d in exp:
+        assert got[d][1] == exp[d], (d, got[d], exp[d])
+    # doc 1 carries the rare term -> top; doc 3 (short) beats doc 2 (long)
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    assert order == [1, 3, 2]
+
+
+def test_bm25_topk_tiebreak_and_k(spark):
+    from prometheus_parquet_server_spark.pipeline.stats import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(5)], "doc_id long, text string"
+    )
+    rows = bm25_topk(df, {"q": ["same"]}, k=3, salt_buckets=2).collect()
+    # identical scores -> doc_id asc tie-break, k rows exactly
+    assert [(r["doc_id"], r["rank"]) for r in
+            sorted(rows, key=lambda r: r["rank"])] == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_bm25_topk_validates(spark):
+    from prometheus_parquet_server_spark.pipeline.stats import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, {}, k=1)
+    with pytest.raises(ValueError):
+        bm25_topk(df, {"q": ["a"]}, k=0)
+    with pytest.raises(ValueError):
+        bm25_topk(df, {"q": []})
