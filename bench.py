@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "pipeline_shuffle",
     # round-8 additions (same extend-don't-replace caveat)
     "bm25_topk",
+    "pipeline_mixture",
 ]
 
 

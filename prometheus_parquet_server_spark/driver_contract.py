@@ -4296,6 +4296,78 @@ GROUP BY source
 """
 
 
+_MIXTURE_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0, "src4": 1.0}
+
+
+def q_pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mixture materialization: a budget of 2× the
+    corpus token mass allocated 8:4:2:1:1 across sources; over-weighted
+    sources emit multiple epochs (upsampling — src0 gets half the budget
+    against ~1/5 of the mass, ≈5 epochs), under-weighted ones a partial
+    epoch 0 (downsampling). The relative budget keeps the row meaningful
+    at ANY corpus size (the adversarial edge gate replays it on a
+    13-doc fixture)."""
+    from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("t")
+    ).first()["t"]
+    mixed = mixture_sample(docs, _MIXTURE_WEIGHTS, total_budget_tokens=2 * total)
+    return mixed.select("doc_id", "source", "epoch", "n_tokens", "target_tokens")
+
+
+SQL_PIPELINE_MIXTURE = """
+WITH docs AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+    FROM documents
+),
+w(source, wt) AS (VALUES ('src0', CAST(8.0 AS DOUBLE)), ('src1', CAST(4.0 AS DOUBLE)),
+                         ('src2', CAST(2.0 AS DOUBLE)), ('src3', CAST(1.0 AS DOUBLE)),
+                         ('src4', CAST(1.0 AS DOUBLE))),
+staged AS (SELECT d.*, w.wt FROM docs d JOIN w USING (source)),
+avail AS (SELECT source, wt, SUM(n_tokens) AS avail FROM staged GROUP BY source, wt),
+-- ONE quantized float op (FLOOR of IEEE multiply/divide — identical on
+-- any engine); all arithmetic below is exact integer (// and %)
+total AS (SELECT 2 * SUM(n_tokens) AS budget FROM docs),
+plan AS (
+    SELECT source,
+           CAST(FLOOR(CAST(total.budget AS DOUBLE) * wt / CAST(16.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS target,
+           avail
+    FROM avail CROSS JOIN total WHERE avail > 0
+),
+plan2 AS (
+    -- // widens to HUGEINT in DuckDB; the division is exact so the cast
+    -- back to BIGINT is lossless (engine twin: Spark integer `div`)
+    SELECT source, target, CAST(target // avail AS BIGINT) AS n_full,
+           target % avail AS rem
+    FROM plan WHERE target > 0
+),
+full_rows AS (
+    SELECT s.doc_id, s.source, CAST(unnest(range(p.n_full)) AS INT) AS epoch,
+           s.n_tokens, p.target AS target_tokens
+    FROM staged s JOIN plan2 p USING (source)
+),
+cum AS (
+    SELECT s.*, SUM(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.k, s.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_t
+    FROM staged s
+),
+partial_rows AS (
+    SELECT c.doc_id, c.source, CAST(p.n_full AS INT) AS epoch, c.n_tokens,
+           p.target AS target_tokens
+    FROM cum c JOIN plan2 p USING (source)
+    WHERE p.rem > 0 AND c.cum_t - c.n_tokens < p.rem
+)
+SELECT * FROM full_rows UNION ALL SELECT * FROM partial_rows
+"""
+
+
 def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram LM perplexity scoring, self-fitted on the corpus
     (CCNet-style quality filter without an external model): per-doc
@@ -4683,6 +4755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
+    "pipeline_mixture": q_pipeline_mixture,
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -4801,6 +4874,7 @@ ORACLES: dict[str, str] = {
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
+    "pipeline_mixture": SQL_PIPELINE_MIXTURE,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,

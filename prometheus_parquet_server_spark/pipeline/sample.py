@@ -108,6 +108,123 @@ def token_budget_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    max_epochs: int = 100,
+) -> DataFrame:
+    """Training-mixture materialization: allocate ``total_budget_tokens``
+    across sources proportionally to ``weights`` and emit each source's
+    documents REPEATED for as many epochs as its allocation requires —
+    upsampling (weight above natural share ⇒ ``epoch`` 0..e) and
+    downsampling (below ⇒ partial epoch 0 only) in one pass, the
+    LLaMA/DoReMi-style mixture step after dedup/quality filtering.
+
+    Per source: target ``T = floor(total·w/Σw + 0.5)`` (ONE float
+    multiply/divide quantized immediately — all arithmetic after is exact
+    integer, so every engine replays the same plan), available tokens
+    ``A = Σ n_tokens``; ``floor(T/A)`` full epochs plus a partial epoch
+    of the md5-shuffle-ordered prefix reaching ``T mod A`` tokens (the
+    boundary document is kept, same contract as
+    :func:`token_budget_sample`; a zero remainder keeps none). Sources
+    absent from ``weights`` get weight 0 (dropped); sources with no
+    token mass emit nothing. Output adds ``epoch``, ``n_tokens``,
+    ``target_tokens``.
+
+    Scale shape: per-source availability is a tiny broadcast agg;
+    full-epoch replication is a map-side ``explode(sequence(...))``; the
+    one sort is the per-source partial-epoch running-sum window —
+    :func:`token_budget_sample`'s price, paid once for the partial copy
+    only. ``max_epochs`` bounds the replication fan-out: a mixture
+    demanding more repetition than that is almost certainly mis-specified
+    and RAISES rather than silently exploding output volume.
+    """
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    if total_budget_tokens < 1:
+        raise ValueError(
+            f"total_budget_tokens must be >= 1, got {total_budget_tokens}"
+        )
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    clash = {"epoch", "n_tokens", "target_tokens"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns clash with mixture_sample outputs: {sorted(clash)}"
+        )
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(weights.items())],
+        f"{group_col} string, _w double",
+    )
+    staged = df.withColumn(
+        "n_tokens", F.size(tokens_col(F.col(text_col)))
+    ).join(F.broadcast(wdf), group_col)
+    avail = staged.groupBy(group_col, "_w").agg(
+        F.sum("n_tokens").alias("_avail")
+    )
+    # ONE quantized float op; everything downstream is exact integers
+    target = F.floor(
+        F.lit(float(total_budget_tokens)) * F.col("_w") / F.lit(wsum) + F.lit(0.5)
+    ).cast("long")
+    plan = avail.select(
+        group_col,
+        target.alias("_target"),
+        F.col("_avail"),
+    ).filter((F.col("_avail") > 0) & (F.col("_target") > 0))
+    plan = plan.select(
+        group_col,
+        "_target",
+        # exact integer division (Spark `div` ≡ DuckDB `//`) — a double
+        # division + cast would round vs truncate differently per engine
+        F.expr("_target div _avail").alias("_full"),
+        (F.col("_target") % F.col("_avail")).alias("_rem"),
+    )
+    over = plan.filter(F.col("_full") >= max_epochs).select(group_col).collect()
+    if over:
+        bad = sorted(r[0] for r in over)
+        raise ValueError(
+            f"mixture demands >= {max_epochs} full epochs for {bad} — "
+            f"raise max_epochs explicitly if this replication is intended"
+        )
+
+    src = staged.join(F.broadcast(plan), group_col)
+    full = src.filter(F.col("_full") > 0).withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), (F.col("_full") - 1).cast("int"))),
+    )
+    key = _shuffle_key(id_col, seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        src.filter(F.col("_rem") > 0)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") - F.col("n_tokens") < F.col("_rem"))
+        .withColumn("epoch", F.col("_full").cast("int"))
+        .drop("_cum")
+    )
+    out_cols = [
+        c for c in df.columns if c not in ("n_tokens",)
+    ] + ["epoch", "n_tokens"]
+    return (
+        full.unionByName(partial)
+        .withColumn("target_tokens", F.col("_target"))
+        .select(*out_cols, "target_tokens")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

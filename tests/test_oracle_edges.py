@@ -31,6 +31,9 @@ EDGE_ROWS = [
     (10, "x" * 50 + " yy zz qq ww ee", "en", "src1", 65),
     (11, "- bullet one\n- bullet two\n- bullet three", "en", "src2", 40),
     (12, "trailing ellipsis line...\nanother one…\nplain", "en", "src0", 44),
+    # carries the graded BM25 query terms through dirty framing (CRLF,
+    # repeated terms, mixed case) so bm25_topk scores real matches here
+    (13, "HASH join\r\nhash FAST stream\r\nwindow window join", "en", "src1", 48),
 ]
 
 # rows whose Spark and DuckDB sides must agree on the edge corpus; each
@@ -58,12 +61,14 @@ EDGE_QUERIES = [
     "pipeline_stratified",
     "vocab_topk",
     "tfidf_topk",
+    "bm25_topk",
     "pipeline_chunks",
     "text_repetition",
     "pipeline_split",
     "pipeline_contamination",
     "pipeline_packing",
     "pipeline_token_budget",
+    "pipeline_mixture",
     "corpus_stats",
     "text_perplexity",
     "dedup_survivors",

@@ -314,3 +314,76 @@ def test_shard_assign_balanced_and_in_range(spark):
     assert max(counts.values()) < 2 * min(counts.values())  # binomial-flat
     with pytest.raises(ValueError, match="positive"):
         shard_assign(df, n_shards=0)
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        # a: 4 docs x 2 tokens = 8 tokens; b: 2 docs x 3 tokens = 6 tokens
+        rows = [(i, "t t", "a") for i in range(4)] + [
+            (10, "x y z", "b"),
+            (11, "p q r", "b"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_upsample_epochs_and_partial(self, spark):
+        from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+        docs = self._docs(spark)
+        # total 20, weights 3:1 -> a target 15, b target 5
+        out = mixture_sample(docs, {"a": 3.0, "b": 1.0}, 20).collect()
+        a = [r for r in out if r["source"] == "a"]
+        b = [r for r in out if r["source"] == "b"]
+        # a: avail 8 -> 1 full epoch (4 docs) + partial reaching rem=7
+        # (md5 order; boundary doc kept -> all 4 docs again since
+        # cum-n < 7 holds for docs at cum 2,4,6,8)
+        assert sorted(r["epoch"] for r in a) == [0, 0, 0, 0, 1, 1, 1, 1]
+        assert all(r["target_tokens"] == 15 for r in a)
+        # b: avail 6 -> 0 full epochs, partial rem=5 -> both docs
+        # (cum-n = 0 and 3, both < 5), epoch 0
+        assert sorted(r["epoch"] for r in b) == [0, 0]
+        assert all(r["target_tokens"] == 5 for r in b)
+
+    def test_exact_epoch_boundary_no_partial(self, spark):
+        from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+        docs = self._docs(spark)
+        # a only: target = avail*2 exactly -> 2 full epochs, rem 0 -> no partial
+        out = mixture_sample(docs, {"a": 1.0}, 16).collect()
+        assert sorted(r["epoch"] for r in out) == [0] * 4 + [1] * 4
+
+    def test_unweighted_source_dropped_and_zero_avail(self, spark):
+        from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+        docs = self._docs(spark).union(
+            spark.createDataFrame(
+                [(20, None, "c"), (21, "", "c")],
+                "doc_id long, text string, source string",
+            )
+        )
+        # b unweighted -> dropped; c weighted but zero token mass -> nothing
+        out = mixture_sample(docs, {"a": 1.0, "c": 5.0}, 8).collect()
+        assert {r["source"] for r in out} == {"a"}
+
+    def test_max_epochs_guard(self, spark):
+        import pytest as _pytest
+
+        from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError, match="full epochs"):
+            mixture_sample(docs, {"a": 1.0}, 10_000, max_epochs=100)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError):
+            mixture_sample(docs, {}, 10)
+        with _pytest.raises(ValueError):
+            mixture_sample(docs, {"a": -1.0}, 10)
+        with _pytest.raises(ValueError):
+            mixture_sample(docs, {"a": 1.0}, 0)
+        with _pytest.raises(ValueError):
+            mixture_sample(docs.withColumn("epoch", docs.doc_id), {"a": 1.0}, 10)
