@@ -3755,6 +3755,42 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier distillation end-to-end (the CCNet quality-filter
+    shape): the char-bigram LM perplexity teacher labels the corpus
+    (1 = at-or-below-median ppl — balanced by construction; the Gopher
+    rule flags trip nothing on the clean corpus, so rule_label would be
+    single-class here), hash_embed provides fixed-dim features, and a
+    logistic regression student is trained in-cluster (full-batch GD,
+    per-partition Arrow gradient partials — pipeline/classifier.py) then
+    scores every document. Not SQL-expressible (iterative optimizer) →
+    rows-only check, like emb_pca; the update rule is numpy-parity-pinned
+    by tests/test_classifier.py."""
+    from prometheus_parquet_server_spark.pipeline.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from prometheus_parquet_server_spark.pipeline.lm_score import perplexity_scores
+    from prometheus_parquet_server_spark.pipeline.similarity import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ppl = perplexity_scores(docs).select(
+        "doc_id", F.col("avg_neg_logp").alias("_ppl")
+    )
+    cut = ppl.agg(F.expr("percentile(_ppl, 0.5)").alias("_cut"))
+    labels = ppl.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("_ppl") <= F.col("_cut")).cast("double").alias("label")
+    )
+    feats = hash_embed(docs, dim=64).join(labels, "doc_id")
+    w, _hist = train_quality_classifier(
+        feats, feat_col="embedding", dim=64, iters=15, lr=2.0
+    )
+    scored = score_quality(feats, w, feat_col="embedding")
+    return scored.select(
+        "doc_id", "label", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
 def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking: 16-token windows with 4-token overlap over the
     documents table (small window so the synthetic corpus's ~25-token
@@ -4760,6 +4796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
+    "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
     "pipeline_prepare_v2": q_pipeline_prepare_v2,

@@ -47,6 +47,14 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "text_perplexity": {
         "BroadcastNestedLoopJoin": (1, "corpus-level cutpoint row broadcast back")
     },
+    "quality_classifier": {
+        "BroadcastNestedLoopJoin": (
+            3,
+            "one-row broadcasts: perplexity teacher's corpus stats (2, its "
+            "own allowlisted shape scored twice: label + final score pass) "
+            "+ the median-cut row",
+        )
+    },
     "pipeline_curriculum": {
         "BroadcastNestedLoopJoin": (1, "percentile cutpoints (one row) broadcast back")
     },
