@@ -150,15 +150,23 @@ def minhash_ingest(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
-        from pyspark.sql import Window
-
-        universe = (
-            universe.withColumn(
-                "_bsz", F.count("*").over(Window.partitionBy("band_key"))
-            )
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        # oversized-key detection via groupBy (map-side-combined — the
+        # shuffle carries per-partition (key, count) partials, not rows)
+        # + broadcast ANTI join, NOT a count().over(window): the window
+        # form would shuffle the ENTIRE stored band history by band_key
+        # on every ingest — the one universe shuffle this store design
+        # exists to avoid (in dedup.lsh_candidate_pairs the window rides
+        # a shuffle its pair join needs anyway; here the pair join
+        # broadcasts the batch, so the store otherwise never moves).
+        # Oversized keys are ≤ rows/max_bucket by construction —
+        # broadcastable at any store size that fits a filesystem.
+        oversized = (
+            universe.groupBy("band_key")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band_key")
         )
+        universe = universe.join(F.broadcast(oversized), "band_key", "left_anti")
     # store streams map-side against the broadcast batch bands: candidate
     # pairs exist only where a batch doc collides, so the probe side is
     # the batch — history never shuffles

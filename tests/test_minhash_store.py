@@ -154,3 +154,52 @@ def test_dedup_bands_maintenance(spark, tmp_path):
     assert float(props["minhash_num_perm"]) == GEO["num_perm"]
     with pytest.raises(ValueError, match="geometry|minhash_"):
         minhash_ingest(spark, store, docs, num_perm=8, bands=2, shingle_n=1)
+
+
+def test_max_bucket_caps_boilerplate_without_store_shuffle(spark, tmp_path):
+    """A boilerplate band bucket (many identical docs) is dropped by
+    max_bucket BEFORE the pair join — across ingests (stored + batch
+    rows count toward the cap) — and the capped probe plan still has no
+    store-side Exchange (the cap uses a groupBy-count + broadcast
+    anti-join, not a window over the universe)."""
+    from prometheus_parquet_server_spark.pipeline.minhash_store import (
+        minhash_ingest,
+    )
+
+    store = f"file://{tmp_path}/mh"
+    boiler = [(i, "accept all cookies now") for i in range(4)]
+    uniq = [(100 + i, f"unique body {i} text piece") for i in range(3)]
+    b1 = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    p1 = minhash_ingest(
+        spark, store, b1, num_perm=4, bands=1, shingle_n=2, max_bucket=3
+    )
+    got1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+    # the 4-doc boilerplate bucket exceeds the cap -> no pairs from it
+    assert got1 == set()
+
+    # second ingest: one more boilerplate copy; cap counts stored+batch
+    b2 = spark.createDataFrame(
+        [(200, "accept all cookies now"), (201, "unique body 1 text piece")],
+        "doc_id long, text string",
+    )
+    p2 = minhash_ingest(
+        spark, store, b2, num_perm=4, bands=1, shingle_n=2, max_bucket=3
+    )
+    got2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert (101, 201) in got2  # the unique near-dup still surfaces
+    assert all(not (a in (0, 1, 2, 3, 200) and b in (0, 1, 2, 3, 200))
+               for a, b in got2)  # capped bucket emits nothing
+
+    # exact parity: uncapped run on a fresh store DOES return the
+    # boilerplate pairs (the cap is the only difference)
+    store2 = f"file://{tmp_path}/mh2"
+    p3 = minhash_ingest(spark, store2, b1, num_perm=4, bands=1, shingle_n=2)
+    assert {(r["id_a"], r["id_b"]) for r in p3.collect()} >= {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }
+
+    # plan shape: no Exchange on the stored-parquet side of the capped
+    # probe (the only sort/shuffle inputs are the tiny count agg and the
+    # batch-side broadcast)
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
