@@ -199,3 +199,82 @@ def test_dedup_ingest_batches_equal_first_occurrence(spark, texts, n_batches):
         got.extend(r["doc_id"] for r in out.collect())
         out.unpersist()
     assert sorted(got) == want
+
+
+_mix_docs = st.lists(
+    st.tuples(
+        st.integers(0, 999),                      # doc id (deduped below)
+        st.integers(0, 6),                        # token count
+        st.sampled_from(["a", "b", "c"]),         # source
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+_mix_weights = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.floats(0.1, 8.0, allow_nan=False),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_mix_docs, weights=_mix_weights, budget=st.integers(1, 300))
+def test_mixture_sample_matches_python_model(spark, docs, weights, budget):
+    """mixture_sample vs a transparent reference: identical (doc, epoch)
+    multiset for ANY corpus/weights/budget — epochs, remainder prefix,
+    boundary-doc rule, zero-mass and unweighted-source drops."""
+    import hashlib
+    import math as _math
+
+    from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+    rows = [(i, " ".join(["t"] * n), s) for i, n, s in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # pure-Python model of the documented contract
+    wsum = sum(weights.values())
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, n, s in docs:
+        if s in weights:
+            by_src.setdefault(s, []).append((i, n))
+    expected: set[tuple[int, int]] = set()
+    guard_trips = False
+    for s, items in by_src.items():
+        avail = sum(n for _, n in items)
+        target = _math.floor(float(budget) * weights[s] / wsum + 0.5)
+        if avail == 0 or target == 0:
+            continue
+        full, rem = target // avail, target % avail
+        if full >= 100:
+            guard_trips = True
+            continue
+        for i, _n in items:
+            for e in range(full):
+                expected.add((i, e))
+        if rem > 0:
+            order = sorted(
+                items,
+                key=lambda t: (
+                    hashlib.md5(f"{t[0]}:42".encode()).hexdigest(),
+                    t[0],
+                ),
+            )
+            cum = 0
+            for i, n in order:
+                if cum < rem:
+                    expected.add((i, full))
+                cum += n
+
+    if guard_trips:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="full epochs"):
+            mixture_sample(df, weights, budget).collect()
+        return
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in mixture_sample(df, weights, budget).collect()
+    }
+    assert got == expected
