@@ -278,3 +278,58 @@ def test_mixture_sample_matches_python_model(spark, docs, weights, budget):
         for r in mixture_sample(df, weights, budget).collect()
     }
     assert got == expected
+
+
+_bm25_docs = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.lists(st.sampled_from(["q1", "q2", "zz", "ww"]), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_bm25_docs, k=st.integers(1, 5))
+def test_bm25_matches_python_model(spark, docs, k):
+    """bm25_topk vs a transparent reference for ANY tiny corpus: idf,
+    length norm, integer-unit score quantization, tie-break, top-k cut."""
+    import math as _math
+
+    from prometheus_parquet_server_spark.pipeline.stats import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    query = {"q": ["q1", "q2", "ghost"]}
+
+    N = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / N
+    k1, b = 1.2, 0.75
+    dfreq = {
+        t: sum(1 for _, toks in docs if t in toks) for t in ("q1", "q2")
+    }
+    scores = {}
+    for i, toks in docs:
+        dl = len(toks)
+        units = 0
+        for t in ("q1", "q2"):
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = _math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            units += _math.floor(c * 1e6 + 0.5)
+        if units or any(t in toks for t in ("q1", "q2")):
+            scores[i] = units / 1e6
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    expected = {
+        (i, s, r + 1) for r, (i, s) in enumerate(ranked)
+    }
+
+    got = {
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(df, query, k=k, salt_buckets=3).collect()
+    }
+    assert got == expected
