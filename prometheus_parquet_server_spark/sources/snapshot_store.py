@@ -352,6 +352,15 @@ def _write_data_files(
         # concrete files, so the column never resurfaces.
         writer = writer.partitionBy("_tc")
     writer.parquet(tx)
+    return _tx_manifest_entries(spark, path, tx)
+
+
+def _tx_manifest_entries(spark: SparkSession, path: str, tx: str) -> list[dict]:
+    """Shared post-write half of :func:`_write_data_files`: list the tx
+    dir, compute per-file manifest stats with ONE narrow aggregate,
+    reject dirty keys wholesale, return the manifest entries. Every
+    rewrite flavor (append/overwrite staging, compaction, z-order) funnels
+    here so the stats/NULL-key contract cannot drift between them."""
     fs = _StoreFS(spark, path)
     listed = fs.parquet_files(tx)
     if not listed:
@@ -1088,6 +1097,104 @@ def snapshot_compact(
     if not _try_commit(fs, path, manifest):
         raise ConcurrentWriteError(
             f"compact prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
+def snapshot_zorder(
+    spark: SparkSession,
+    path: str,
+    bits: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """OPTIMIZE ZORDER over (name, ts): rewrite the tip's data files
+    clustered on the interleaved-bit rank of BOTH keys, so manifest
+    min/max pruning is effective for name-only, ts-only AND combined
+    predicates at once — the multi-dimensional answer to the layout
+    trade the writer makes (name-major files have near-full-span ts
+    ranges; time-chunked files trade name tightness inside a chunk).
+    The Delta/Iceberg OPTIMIZE ZORDER analog, expressed Spark-first.
+
+    Per-key ranks come from Spark's own distributed range partitioner
+    (``repartitionByRange(2^bits, key)`` + ``spark_partition_id()`` —
+    sampled quantile buckets, no driver-side value collection, works for
+    strings and doubles alike); the z-value interleaves the two
+    ``bits``-wide bucket ids, and the rewrite range-partitions on it.
+    Three shuffles of the store — an explicit maintenance operation, same
+    cost class as a full compaction.
+
+    Content is identical (same rows, new layout); time travel keeps
+    serving old versions until vacuum. Stores with a time-chunk layout
+    property refuse (their directory chunking IS a clustering contract;
+    z-ordering would silently break the chunk-per-file ts-tightness
+    invariant). Returns the new version, or None on an empty store.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    fs = _StoreFS(spark, path)
+    parent, parent_m = _resolve_tip(fs, path)
+    if parent is None:
+        return None
+    if _inherited_chunk(parent_m) is not None:
+        raise ValueError(
+            "snapshot_zorder refuses a time-chunked store: the chunk "
+            "layout is a clustering contract of its own (rebuild the "
+            "store without time_chunk_s to z-order it)"
+        )
+    if not parent_m["files"]:
+        return None
+    reader = spark.read
+    if parent_m.get("schema") is not None:
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(parent_m["schema"]))
+    df = reader.parquet(*[f["path"] for f in parent_m["files"]])
+
+    b = 1 << bits
+    # rank buckets via the range partitioner: partition ids are ordered by
+    # range, so spark_partition_id() IS the per-key quantile bucket
+    staged = df.repartitionByRange(b, "name").withColumn(
+        "_zb_n", F.spark_partition_id().cast("long")
+    )
+    staged = staged.repartitionByRange(b, "ts").withColumn(
+        "_zb_t", F.spark_partition_id().cast("long")
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("_zb_n", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright("_zb_t", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    total_bytes = sum(f.get("n_bytes", 0) for f in parent_m["files"])
+    n_out = max(1, -(-total_bytes // target_file_bytes)) if total_bytes else 1
+    tx = f"{path}/data/tx_{uuid.uuid4().hex[:12]}"
+    (
+        staged.withColumn("_z", z)
+        .repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z", "name", "ts")
+        .drop("_zb_n", "_zb_t", "_z")
+        .write.mode("overwrite")
+        .parquet(tx)
+    )
+    new_files = _tx_manifest_entries(spark, path, tx)
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"zorder prepared against v{parent} but the tip moved"
+        )
+    manifest = {
+        "version": target,
+        "parent": parent,
+        "operation": "zorder",
+        "schema": parent_m.get("schema") or _schema_json(df),
+        "files": new_files,
+    }
+    if parent_m.get("properties"):
+        manifest["properties"] = parent_m["properties"]
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"zorder prepared against v{parent} but the tip moved"
         )
     return manifest["version"]
 

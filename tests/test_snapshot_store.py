@@ -1076,3 +1076,84 @@ def test_snapshot_delete_predicate(spark, tmp_path):
         r["name"]
         for r in snapshot_read(spark, store2).select("name").distinct().collect()
     ) == ["dd"]
+
+
+def test_zorder_content_pruning_and_history(spark, tmp_path):
+    """Z-order rewrite: identical content, BOTH-dimension manifest
+    pruning becomes effective (a name-major layout cannot prune on ts),
+    time travel still serves the pre-rewrite layout, chunked stores
+    refuse."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+        _name_overlaps,
+        _ts_overlaps,
+        snapshot_zorder,
+    )
+
+    store = f"file://{tmp_path}/zsnap"
+    # 32 names x 64 ts arriving as 8 name-batched commits — the
+    # name-major layout: every file covers few names but the full ts span
+    rows = [
+        (f"m{n:02d}", {}, float(t), float(n * 64 + t))
+        for n in range(32)
+        for t in range(64)
+    ]
+    for g in range(8):
+        batch = [r for r in rows if int(r[0][1:]) // 4 == g]
+        snapshot_write(
+            spark, store, mk(spark, batch),
+            mode="overwrite" if g == 0 else "append",
+        )
+    fs = _StoreFS(spark, store)
+    v1 = snapshot_version(spark, store)
+    before = _read_manifest(fs, store, v1)["files"]
+    assert len(before) > 4  # pruning needs something to prune
+
+    def pruned(files, names=None, ts=None):
+        out = files
+        if names is not None:
+            out = [f for f in out if _name_overlaps(f, names)]
+        if ts is not None:
+            out = [f for f in out if _ts_overlaps(f, *ts)]
+        return len(out)
+
+    # name-major baseline: ts predicate prunes nothing
+    assert pruned(before, ts=(10.0, 12.0)) == len(before)
+
+    v2 = snapshot_zorder(spark, store, bits=4, target_file_bytes=2_000)
+    assert v2 == v1 + 1
+    after = _read_manifest(fs, store, v2)["files"]
+    assert len(after) > 4
+
+    # content identical
+    a = sorted(
+        (r["name"], r["ts"], r["value"])
+        for r in snapshot_read(spark, store).collect()
+    )
+    assert a == sorted((f"m{n:02d}", float(t), float(n * 64 + t))
+                       for n in range(32) for t in range(64))
+
+    # z-layout: a ts slice now prunes files, and a combined predicate
+    # prunes to a small fraction
+    assert pruned(after, ts=(10.0, 12.0)) < len(after)
+    combined = pruned(after, names=["m03"], ts=(10.0, 12.0))
+    assert combined < len(after) / 2
+    # pruned reads stay exact
+    assert snapshot_read(
+        spark, store, names=["m03"], ts_range=(10.0, 12.0)
+    ).count() == 3
+
+    # time travel: v1 still serves the old layout
+    assert snapshot_read(spark, store, version=v1).count() == 32 * 64
+
+    # chunked stores refuse
+    chunked = f"file://{tmp_path}/chunked"
+    snapshot_write(
+        spark, chunked, mk(spark, rows[:64]), mode="overwrite",
+        time_chunk_s=16.0,
+    )
+    with pytest.raises(ValueError, match="time-chunked"):
+        snapshot_zorder(spark, chunked)
+    # empty path: no tip -> None
+    assert snapshot_zorder(spark, f"file://{tmp_path}/nothing") is None
