@@ -1215,6 +1215,49 @@ def snapshot_as_of(spark: SparkSession, path: str, ts: float) -> int | None:
     return None
 
 
+def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE: make an old version the new tip as a FORWARD commit (the
+    Delta ``RESTORE TO VERSION`` verb) — pure manifest arithmetic: the
+    new manifest references ``version``'s file list (plus its schema and
+    properties); no data file is read, written, or deleted, so restore is
+    O(1) regardless of store size and the rolled-back-over history stays
+    time-travelable until vacuum. Raises if ``version`` is unreadable
+    (never committed, or its files already vacuumed — restoring it would
+    publish a tip that cannot be scanned)."""
+    fs = _StoreFS(spark, path)
+    parent, _parent_m = _resolve_tip(fs, path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    if version == parent:
+        return parent  # restoring the tip is a no-op, not a new commit
+    if not _readable(fs, path, version):
+        raise ValueError(
+            f"cannot restore v{version}: not committed, or its data files "
+            f"were vacuumed (an unreadable tip would wedge every reader)"
+        )
+    m = _read_manifest(fs, path, version)
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"restore prepared against v{parent} but the tip moved"
+        )
+    manifest = {
+        "version": target,
+        "parent": parent,
+        "operation": "restore",
+        "restored_version": version,
+        "schema": m.get("schema"),
+        "files": m["files"],
+    }
+    if m.get("properties"):
+        manifest["properties"] = m["properties"]
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"restore prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
 def snapshot_select(
     spark: SparkSession,
     path: str,

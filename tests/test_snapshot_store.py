@@ -1157,3 +1157,46 @@ def test_zorder_content_pruning_and_history(spark, tmp_path):
         snapshot_zorder(spark, chunked)
     # empty path: no tip -> None
     assert snapshot_zorder(spark, f"file://{tmp_path}/nothing") is None
+
+
+def test_restore_rolls_back_as_forward_commit(spark, tmp_path):
+    """RESTORE: old version becomes the tip via manifest arithmetic only —
+    content equals the restored version, rolled-over history stays
+    travelable, appends continue from the restored state, and vacuumed /
+    unknown versions refuse."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_restore,
+    )
+
+    store = f"file://{tmp_path}/rsnap"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+    snapshot_write(spark, store, mk(spark, [("c", {}, 3.0, 3.0)]))
+
+    v4 = snapshot_restore(spark, store, 1)
+    assert v4 == 4
+    got = sorted(r["name"] for r in snapshot_read(spark, store).collect())
+    assert got == ["a"]  # tip content == v1
+    # rolled-back-over versions still serve
+    assert snapshot_read(spark, store, version=3).count() == 3
+    # history records the verb
+    ops = {r["version"]: r["operation"]
+           for r in snapshot_history(spark, store).collect()}
+    assert ops[4] == "restore"
+
+    # appends continue from the restored state
+    snapshot_write(spark, store, mk(spark, [("d", {}, 4.0, 4.0)]))
+    assert sorted(r["name"] for r in snapshot_read(spark, store).collect()) == ["a", "d"]
+
+    # restoring the tip is a no-op (no new commit)
+    assert snapshot_restore(spark, store, 5) == 5
+    assert snapshot_version(spark, store) == 5
+
+    # unknown version refuses
+    with pytest.raises(ValueError, match="cannot restore"):
+        snapshot_restore(spark, store, 99)
+
+    # vacuumed version refuses (its manifest is reclaimed)
+    snapshot_vacuum(spark, store, keep_last=1, min_age_s=0.0)
+    with pytest.raises(ValueError, match="cannot restore"):
+        snapshot_restore(spark, store, 2)
