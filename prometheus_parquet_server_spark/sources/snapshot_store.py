@@ -1215,6 +1215,60 @@ def snapshot_as_of(spark: SparkSession, path: str, ts: float) -> int | None:
     return None
 
 
+def snapshot_clone(
+    spark: SparkSession,
+    source: str,
+    dest: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create a new store at ``dest`` whose v1 manifest
+    references the SOURCE's data files by absolute path — a zero-copy
+    table fork (the Delta ``CREATE TABLE ... SHALLOW CLONE`` verb) for
+    sandboxing experiments against production data. O(manifest), no data
+    read or written.
+
+    Divergence is safe by construction: writes to the clone stage files
+    under the CLONE's own ``data/`` dir; the clone's vacuum lists only
+    that dir, so it can never delete source files, and a clone compaction
+    gradually materializes source-referenced content into clone-owned
+    files. The one cross-store hazard is the source's own vacuum — it
+    cannot see clone manifests, so reclaiming source history can orphan a
+    clone still referencing it (Delta's documented shallow-clone caveat);
+    clone from a version you retain, or compact the clone to detach it.
+
+    ``version`` clones a historical snapshot (defaults to the tip).
+    ``dest`` must not already hold a committed store. Returns the clone's
+    version (always 1)."""
+    sfs = _StoreFS(spark, source)
+    if version is None:
+        version, m = _resolve_tip(sfs, source)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {source}")
+    else:
+        m = _read_manifest(sfs, source, version)
+    dfs = _StoreFS(spark, dest)
+    if _resolve_tip(dfs, dest)[0] is not None:
+        raise ValueError(
+            f"snapshot_clone refuses: {dest} already holds a committed "
+            f"store (cloning over it would orphan its history)"
+        )
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "operation": "clone",
+        "cloned_from": {"path": source, "version": version},
+        "schema": m.get("schema"),
+        "files": m["files"],
+    }
+    if m.get("properties"):
+        manifest["properties"] = m["properties"]
+    if not _try_commit(dfs, dest, manifest):
+        raise ConcurrentWriteError(
+            f"clone of {source} v{version} lost the v1 commit race at {dest}"
+        )
+    return 1
+
+
 def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE: make an old version the new tip as a FORWARD commit (the
     Delta ``RESTORE TO VERSION`` verb) — pure manifest arithmetic: the

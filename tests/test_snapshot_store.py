@@ -1200,3 +1200,56 @@ def test_restore_rolls_back_as_forward_commit(spark, tmp_path):
     snapshot_vacuum(spark, store, keep_last=1, min_age_s=0.0)
     with pytest.raises(ValueError, match="cannot restore"):
         snapshot_restore(spark, store, 2)
+
+
+def test_shallow_clone_zero_copy_divergence_and_vacuum_safety(spark, tmp_path):
+    """SHALLOW CLONE: zero-copy fork of a (possibly historical) version;
+    clone writes diverge without touching the source; the clone's vacuum
+    never deletes source files; compaction materializes the clone away
+    from source references; cloning onto an existing store refuses."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _read_manifest,
+        _StoreFS,
+        snapshot_clone,
+        snapshot_compact,
+    )
+
+    src = f"file://{tmp_path}/src"
+    snapshot_write(spark, src, mk(spark, [("a", {}, float(t), 1.0) for t in range(4)]),
+                   mode="overwrite")
+    snapshot_write(spark, src, mk(spark, [("b", {}, 1.0, 2.0)]))
+
+    dst = f"file://{tmp_path}/dst"
+    assert snapshot_clone(spark, src, dst) == 1
+    # zero-copy: the clone references the SOURCE's files
+    dfs = _StoreFS(spark, dst)
+    cm = _read_manifest(dfs, dst, 1)
+    assert all(f"{tmp_path}/src/" in f["path"] for f in cm["files"])
+    assert sorted(r["name"] for r in snapshot_read(spark, dst).collect()) == [
+        "a", "a", "a", "a", "b"]
+
+    # divergence: clone append is invisible to the source
+    snapshot_write(spark, dst, mk(spark, [("c", {}, 9.0, 3.0)]))
+    assert snapshot_read(spark, dst).count() == 6
+    assert snapshot_read(spark, src).count() == 5
+
+    # the clone's vacuum reclaims nothing it doesn't own — source intact
+    snapshot_vacuum(spark, dst, keep_last=1, min_age_s=0.0)
+    assert snapshot_read(spark, src).count() == 5
+    assert snapshot_read(spark, dst).count() == 6
+
+    # compaction detaches: all clone files become clone-owned
+    v = snapshot_compact(spark, dst, target_file_bytes=10**9)
+    assert v is not None
+    after = _read_manifest(dfs, dst, v)
+    assert all(f"{tmp_path}/dst/" in f["path"] for f in after["files"])
+    assert snapshot_read(spark, dst).count() == 6
+
+    # historical clone: version 1 of the source (before 'b')
+    dst2 = f"file://{tmp_path}/dst2"
+    snapshot_clone(spark, src, dst2, version=1)
+    assert sorted(set(r["name"] for r in snapshot_read(spark, dst2).collect())) == ["a"]
+
+    # refuse cloning over a committed store
+    with pytest.raises(ValueError, match="refuses"):
+        snapshot_clone(spark, src, dst)
