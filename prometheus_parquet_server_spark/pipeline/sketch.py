@@ -98,6 +98,39 @@ def _gram_array(text_col: str, n: int):
     return ngrams_col(tokens_col(F.col(text_col)), n)
 
 
+def mg_fold(counters: dict[str, int], pairs, cap: int) -> None:
+    """Weighted Misra-Gries ingest: fold ``(item, weight)`` pairs into the
+    capacity-``cap`` ``counters`` summary IN PLACE. Every decrement round
+    subtracts ``m`` from all ``|counters|`` entries AND from the incoming
+    weight (the implicit cap+1th counter), destroying ≤ m·(cap+1) mass;
+    total destroyed mass ≤ N, so any item's stored count satisfies
+    ``c − N/(cap+1) ≤ ĉ ≤ c`` [Misra & Gries 1982; Agarwal et al.,
+    "Mergeable Summaries", PODS 2012]. Shared by the batch sketch
+    (:func:`heavy_hitter_grams`) and the streaming stateful operator
+    (streaming/heavy.py) so the two cannot drift."""
+    for g, w in pairs:
+        c = counters.get(g)
+        if c is not None:
+            counters[g] = c + int(w)
+            continue
+        w = int(w)
+        while w > 0:
+            if len(counters) < cap:
+                counters[g] = w
+                break
+            m = min(w, min(counters.values()))
+            dead = []
+            for k in counters:
+                c2 = counters[k] - m
+                if c2 == 0:
+                    dead.append(k)
+                else:
+                    counters[k] = c2
+            for k in dead:
+                del counters[k]
+            w -= m
+
+
 def heavy_hitter_grams(
     df: DataFrame,
     n: int = 2,
@@ -157,14 +190,10 @@ def heavy_hitter_grams(
     cap = capacity
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # WEIGHTED Misra-Gries: each Arrow batch is pre-counted with a
-        # vectorized value_counts, and the sketch ingests (gram, weight)
-        # pairs — Python-loop work drops from per-occurrence to
-        # per-unique-per-batch. The merge bound is unchanged: every
-        # decrement round subtracts m from all |counters| entries AND from
-        # the incoming weight (the implicit k+1th counter), destroying
-        # ≤ m·(cap+1) mass, and total destroyed mass ≤ N — so any item's
-        # stored count still satisfies c − N/(cap+1) ≤ ĉ ≤ c.
+        # WEIGHTED Misra-Gries via the shared mg_fold kernel: each Arrow
+        # batch is pre-counted with a vectorized value_counts, and the
+        # sketch ingests (gram, weight) pairs — Python-loop work drops
+        # from per-occurrence to per-unique-per-batch.
         import numpy as np
 
         counters: dict[str, int] = {}
@@ -175,27 +204,7 @@ def heavy_hitter_grams(
                 continue
             flat = np.concatenate(arrs)
             total += len(flat)
-            for g, w in pd.Series(flat).value_counts(sort=False).items():
-                c = counters.get(g)
-                if c is not None:
-                    counters[g] = c + int(w)
-                    continue
-                w = int(w)
-                while w > 0:
-                    if len(counters) < cap:
-                        counters[g] = w
-                        break
-                    m = min(w, min(counters.values()))
-                    dead = []
-                    for k in counters:
-                        c2 = counters[k] - m
-                        if c2 == 0:
-                            dead.append(k)
-                        else:
-                            counters[k] = c2
-                    for k in dead:
-                        del counters[k]
-                    w -= m
+            mg_fold(counters, pd.Series(flat).value_counts(sort=False).items(), cap)
         out = list(counters.items())
         out.append((None, total))  # per-partition stream length rides along
         yield pd.DataFrame(out, columns=["gram", "cnt"])

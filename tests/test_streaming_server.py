@@ -836,3 +836,79 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     rows = {(r["user_id"], r["vv"]) for r in out.collect()}
     assert (1, 2.0) in rows          # matched pair
     assert (2, None) in rows         # unmatched left flushed with NULLs
+
+
+def test_stream_heavy_hitters_state_folds_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries: three micro-batches fold into per-shard
+    state; with capacity above shard cardinality the final estimates are
+    EXACT gram counts (MG degenerates to exact counting), and with a tiny
+    capacity the per-shard MG bound holds and no true heavy hitter is
+    missing."""
+    from prometheus_parquet_server_spark.pipeline.sketch import _gram_array
+    from prometheus_parquet_server_spark.streaming.heavy import (
+        stream_heavy_hitter_grams,
+    )
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{tmp_path}/docs_split"
+    for band in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == band).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    static = spark.read.parquet(src)
+    assert static.count() == docs.count()
+
+    # ground truth: exact bigram counts + each gram's shard
+    truth = {
+        (r["shard"], r["gram"]): r["n"]
+        for r in static.select(F.explode(_gram_array("text", 2)).alias("gram"))
+        .groupBy(F.pmod(F.xxhash64("gram"), F.lit(8)).cast("int").alias("shard"),
+                 "gram")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shard_totals = {}
+    for (s, _g), n in truth.items():
+        shard_totals[s] = shard_totals.get(s, 0) + n
+
+    def drain(capacity):
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = run_available_now(
+            stream_heavy_hitter_grams(stream, n=2, capacity=capacity, shards=8),
+            spark, output_mode="update",
+        ).collect()
+        # keep each shard's LAST emission (max running shard_total)
+        final = {}
+        by_shard_max = {}
+        for r in out:
+            by_shard_max[r["shard"]] = max(
+                by_shard_max.get(r["shard"], 0), r["shard_total"]
+            )
+        for r in out:
+            if r["shard_total"] == by_shard_max[r["shard"]]:
+                final[(r["shard"], r["gram"])] = r["est"]
+        return final, by_shard_max
+
+    # capacity >> per-shard cardinality: exact
+    big, totals_big = drain(capacity=100_000)
+    assert big == truth
+    assert totals_big == shard_totals  # every occurrence counted once
+
+    # tiny capacity: upper bound est <= true, lower bound for survivors,
+    # and every gram above the shard slack line survives
+    small, totals_small = drain(capacity=16)
+    assert totals_small == shard_totals
+    for (s, g), est in small.items():
+        true = truth[(s, g)]
+        assert est <= true
+        assert est >= true - shard_totals[s] / (16 + 1)
+    for (s, g), true in truth.items():
+        if true > shard_totals[s] / (16 + 1):
+            assert (s, g) in small, (s, g, true)
