@@ -27,14 +27,21 @@ from prometheus_parquet_server_spark.pipeline.scrub import (
 )
 from prometheus_parquet_server_spark.pipeline.sample import (
     capped_sample,
+    mixture_sample,
     stratified_sample,
     token_budget_sample,
 )
 from prometheus_parquet_server_spark.pipeline.stats import (
+    bm25_topk,
     corpus_stats,
     tfidf_topk,
     token_stats,
     vocab_topk,
+)
+from prometheus_parquet_server_spark.pipeline.classifier import (
+    rule_label,
+    score_quality,
+    train_quality_classifier,
 )
 from prometheus_parquet_server_spark.pipeline.pca import (
     embedding_pca,
@@ -61,6 +68,7 @@ from prometheus_parquet_server_spark.pipeline.sketch import (
     approx_vocab_size,
     approx_length_quantiles,
     heavy_hitter_grams,
+    mg_fold,
 )
 from prometheus_parquet_server_spark.pipeline.similarity import (
     cosine_similarity_col,
@@ -69,6 +77,12 @@ from prometheus_parquet_server_spark.pipeline.similarity import (
 )
 
 __all__ = [
+    "mixture_sample",
+    "bm25_topk",
+    "rule_label",
+    "score_quality",
+    "train_quality_classifier",
+    "mg_fold",
     "tokens_col",
     "token_count",
     "quality_features",

@@ -11,6 +11,9 @@ from prometheus_parquet_server_spark.streaming.ingest import (
 from prometheus_parquet_server_spark.streaming.joins import (
     stream_interval_join,
 )
+from prometheus_parquet_server_spark.streaming.heavy import (
+    stream_heavy_hitter_grams,
+)
 
 __all__ = [
     "stream_events_as_metrics",
@@ -20,4 +23,5 @@ __all__ = [
     "sessionize",
     "sessionize_batch",
     "stream_interval_join",
+    "stream_heavy_hitter_grams",
 ]
