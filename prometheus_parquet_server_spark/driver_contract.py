@@ -2009,6 +2009,191 @@ def prepare_v3_pipeline(docs: DataFrame) -> DataFrame:
     return shard_assign(global_shuffle(kept, seed=7), n_shards=8, seed=7)
 
 
+def prepare_v4_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_factor: float = 2.0,
+) -> DataFrame:
+    """The v3 curation composition extended with the MIXTURE stage: line
+    boilerplate strip → rule gate → exact dedup → weighted mixture
+    materialization (upsampling epochs / partial downsampling,
+    pipeline/sample.py mixture_sample; budget = ``budget_factor`` × the
+    CURATED corpus token mass, so the row grades at any sf) →
+    deterministic training order + shard over (doc_id, epoch). Text
+    shuffles once (the line explode); mixture/shuffle stages move ids,
+    counts and epochs only. The curated frame is evaluated twice (once
+    for the budget aggregate, once in the main plan) — the price of a
+    data-dependent budget; both evaluations are deterministic."""
+    from prometheus_parquet_server_spark.pipeline.lines import (
+        rule_flags,
+        strip_boilerplate_lines,
+    )
+    from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+    from prometheus_parquet_server_spark.pipeline.shuffle import (
+        global_shuffle,
+        shard_assign,
+    )
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
+        "doc_id", "source", F.col("clean_text").alias("text")
+    )
+    flags = rule_flags(F.col("text"))
+    gated = (
+        cleaned.withColumn("_short", flags["flag_too_short"])
+        .withColumn("_lowa", flags["flag_low_alpha"])
+        .filter(~F.col("_short") & ~F.col("_lowa"))
+        .select("doc_id", "source", "text", F.md5("text").alias("_fp"))
+    )
+    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(survivors, ["_fp", "doc_id"]).select(
+        "doc_id", "source", "text"
+    )
+    total = kept.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("t")
+    ).first()["t"]
+    if not total:
+        raise ValueError("prepare_v4: curation produced an empty corpus")
+    mixed = mixture_sample(
+        kept, weights, total_budget_tokens=int(budget_factor * total)
+    )
+    keyed = mixed.withColumn(
+        "_mid",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    out = shard_assign(
+        global_shuffle(keyed, id_col="_mid", seed=7),
+        n_shards=8,
+        id_col="_mid",
+        seed=7,
+    )
+    return out.select(
+        "doc_id", "source", "epoch", "n_tokens", "target_tokens",
+        "shuffle_key", "shard",
+    )
+
+
+def q_pipeline_prepare_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded wrapper for the v4 capstone: banner lines injected so the
+    boilerplate stage bites (the v3 fixture), 8:4:2:1:1 source weights,
+    budget 2× the curated token mass — upsampling AND downsampling both
+    exercised. Proves curation + mixture + ordering compose under one
+    hash gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return prepare_v4_pipeline(docs, _MIXTURE_WEIGHTS)
+
+
+SQL_PIPELINE_PREPARE_V4 = r"""
+WITH d AS (
+    SELECT doc_id, source,
+           text || chr(10) || 'ACCEPT ALL COOKIES' || chr(10) ||
+           'SITE NAV | HOME | ABOUT' || chr(10) || 'unique-' ||
+           CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+split AS (SELECT doc_id, source, string_split_regex(text, '\r?\n') AS arr FROM d),
+lines AS (
+    SELECT doc_id, i, arr[i] AS line,
+           md5(regexp_replace(arr[i], '^\s+|\s+$', '', 'g')) AS h,
+           regexp_replace(arr[i], '^\s+|\s+$', '', 'g') AS norm
+    FROM split, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+freq AS (
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM lines WHERE norm <> '')
+    GROUP BY h HAVING COUNT(*) >= 3
+),
+cleaned AS (
+    SELECT d.doc_id, d.source, coalesce(k.ct, '') AS text
+    FROM d LEFT JOIN (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ct
+        FROM lines WHERE h NOT IN (SELECT h FROM freq) GROUP BY doc_id
+    ) k USING (doc_id)
+),
+gated AS (
+    SELECT doc_id, source, text,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> ''),
+                           t -> regexp_matches(t, '\p{L}'))) AS n_alpha,
+           md5(text) AS fp
+    FROM cleaned
+),
+passed AS (
+    SELECT * FROM gated
+    WHERE NOT coalesce(n_tokens < 5, TRUE)
+      AND NOT (CASE WHEN n_tokens > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_tokens < 0.8
+                    ELSE TRUE END)
+),
+kept AS (
+    SELECT p.doc_id, p.source, p.n_tokens,
+           md5(CAST(p.doc_id AS VARCHAR) || ':42') AS k
+    FROM passed p
+    JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM passed GROUP BY fp) s
+      ON p.fp = s.fp AND p.doc_id = s.doc_id
+),
+w(source, wt) AS (VALUES ('src0', CAST(8.0 AS DOUBLE)), ('src1', CAST(4.0 AS DOUBLE)),
+                         ('src2', CAST(2.0 AS DOUBLE)), ('src3', CAST(1.0 AS DOUBLE)),
+                         ('src4', CAST(1.0 AS DOUBLE))),
+staged AS (SELECT kept.*, w.wt FROM kept JOIN w USING (source)),
+total AS (
+    -- budget = FLOOR(2.0 x curated token mass): the Spark wrapper computes
+    -- int(budget_factor * total) in exact integer space for factor 2
+    SELECT CAST(2 * SUM(n_tokens) AS BIGINT) AS budget FROM kept
+),
+avail AS (SELECT source, wt, SUM(n_tokens) AS avail FROM staged GROUP BY source, wt),
+plan AS (
+    SELECT source,
+           CAST(FLOOR(CAST(total.budget AS DOUBLE) * wt / CAST(16.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS target,
+           avail
+    FROM avail CROSS JOIN total WHERE avail > 0
+),
+plan2 AS (
+    SELECT source, target, CAST(target // avail AS BIGINT) AS n_full,
+           target % avail AS rem
+    FROM plan WHERE target > 0
+),
+full_rows AS (
+    SELECT s.doc_id, s.source, CAST(unnest(range(p.n_full)) AS INT) AS epoch,
+           s.n_tokens, p.target AS target_tokens
+    FROM staged s JOIN plan2 p USING (source)
+),
+cum AS (
+    SELECT s.*, SUM(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.k, s.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_t
+    FROM staged s
+),
+partial_rows AS (
+    SELECT c.doc_id, c.source, CAST(p.n_full AS INT) AS epoch, c.n_tokens,
+           p.target AS target_tokens
+    FROM cum c JOIN plan2 p USING (source)
+    WHERE p.rem > 0 AND c.cum_t - c.n_tokens < p.rem
+),
+mixed AS (
+    SELECT * FROM full_rows UNION ALL SELECT * FROM partial_rows
+)
+SELECT doc_id, source, epoch, n_tokens, target_tokens,
+       md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) || ':7')
+           AS shuffle_key,
+       CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                 CAST(epoch AS VARCHAR) || ':7'), 1, 15))
+                 AS UBIGINT) % 8 AS BIGINT) AS shard
+FROM mixed
+"""
+
+
 def q_pipeline_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded wrapper: :func:`prepare_v3_pipeline` over the documents
     table with banner lines injected deterministically so the
@@ -4823,6 +5008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repeated_spans": q_text_repeated_spans,
     "text_remove_spans": q_text_remove_spans,
     "pipeline_prepare_v3": q_pipeline_prepare_v3,
+    "pipeline_prepare_v4": q_pipeline_prepare_v4,
 }
 
 ORACLES: dict[str, str] = {
@@ -4936,4 +5122,5 @@ ORACLES: dict[str, str] = {
     "text_repeated_spans": SQL_TEXT_REPEATED_SPANS,
     "text_remove_spans": SQL_TEXT_REMOVE_SPANS,
     "pipeline_prepare_v3": SQL_PIPELINE_PREPARE_V3,
+    "pipeline_prepare_v4": SQL_PIPELINE_PREPARE_V4,
 }

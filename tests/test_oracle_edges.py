@@ -46,6 +46,7 @@ EDGE_QUERIES = [
     "text_remove_spans",
     "pipeline_shuffle",
     "pipeline_prepare_v3",
+    "pipeline_prepare_v4",
     "dedup_exact_fp",
     "text_quality",
     "text_langid",
