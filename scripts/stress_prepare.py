@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark import get_spark
-from prometheus_parquet_server_spark.driver_contract import prepare_v3_pipeline
+from prometheus_parquet_server_spark.driver_contract import (
+    _MIXTURE_WEIGHTS,
+    prepare_v3_pipeline,
+    prepare_v4_pipeline,
+)
 
 
 def synth_docs(spark, n: int):
@@ -51,7 +55,11 @@ def synth_docs(spark, n: int):
             F.lit("\n(c) 2024 example corp all rights reserved"),
         )
     )
-    return base.select("doc_id", text.alias("text"))
+    return base.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+        text.alias("text"),
+    )
 
 
 def exchange_count(df) -> tuple[int, int]:
@@ -69,13 +77,19 @@ def exchange_count(df) -> tuple[int, int]:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = [a for a in sys.argv[1:] if a != "--v4"]
+    v4 = "--v4" in sys.argv
+    sizes = [int(a) for a in args] or [100_000, 1_000_000]
     spark = get_spark("stress-prepare")
     out = {}
     for n in sizes:
         docs = synth_docs(spark, n)
         t0 = time.time()
-        result = prepare_v3_pipeline(docs)
+        result = (
+            prepare_v4_pipeline(docs, _MIXTURE_WEIGHTS)
+            if v4
+            else prepare_v3_pipeline(docs)
+        )
         result.write.mode("overwrite").format("noop").save()
         wall = round(time.time() - t0, 2)
         ex, ex_text = exchange_count(result)
