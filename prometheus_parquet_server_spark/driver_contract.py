@@ -3986,6 +3986,29 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training end-to-end: learn 30 BPE merges from the
+    corpus word-frequency table (one corpus scan + 30 vocab-sized jobs —
+    pipeline/bpe.py), then encode every document with the learned vocab.
+    Output (doc_id, n_bpe_tokens, n_ws_tokens) — exact integers, fully
+    deterministic. Not SQL-expressible (iterative merge fixpoint) →
+    rows-only check like emb_pca; merge-list parity with a pure-Python
+    reference is pinned by tests/test_bpe.py."""
+    from prometheus_parquet_server_spark.pipeline.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=30)
+    enc = bpe_encode(docs, merges)
+    ws = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_ws_tokens")
+    )
+    return enc.select("doc_id", "n_bpe_tokens").join(ws, "doc_id")
+
+
 def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking: 16-token windows with 4-token overlap over the
     documents table (small window so the synthetic corpus's ~25-token
@@ -4992,6 +5015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
+    "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
     "streaming_dedup_survivors": q_streaming_dedup_survivors,
     "pipeline_token_budget": q_pipeline_token_budget,
     "pipeline_prepare_v2": q_pipeline_prepare_v2,

@@ -38,6 +38,10 @@ from prometheus_parquet_server_spark.pipeline.stats import (
     token_stats,
     vocab_topk,
 )
+from prometheus_parquet_server_spark.pipeline.bpe import (
+    bpe_encode,
+    train_bpe,
+)
 from prometheus_parquet_server_spark.pipeline.classifier import (
     rule_label,
     score_quality,
@@ -83,6 +87,8 @@ __all__ = [
     "score_quality",
     "train_quality_classifier",
     "mg_fold",
+    "train_bpe",
+    "bpe_encode",
     "tokens_col",
     "token_count",
     "quality_features",
