@@ -138,3 +138,35 @@ def test_rule_label_never_null(spark):
     assert got[1] == 1
     assert got[2] == 0 and got[3] == 0 and got[4] == 0
     assert all(v is not None for v in got.values())
+
+
+def test_streaming_scoring_matches_batch(spark, tmp_path):
+    """score_quality is a pure Arrow projection, so it applies to a
+    structured stream unchanged — a drained stream of the feature frame
+    scores bit-identically to the batch pass (model serving on live
+    ingest needs no second code path)."""
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    X, y = _planted(n=80)
+    rows = [(i, X[i].tolist(), float(y[i])) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    w, _ = train_quality_classifier(df, dim=DIM, iters=10, lr=1.0)
+
+    src = f"{tmp_path}/feat"
+    df.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        r["id"]: r["quality_score"]
+        for r in run_available_now(
+            score_quality(stream, w), spark, output_mode="append"
+        ).collect()
+    }
+    want = {r["id"]: r["quality_score"] for r in score_quality(static, w).collect()}
+    assert got == want  # bit-identical, every row scored exactly once
