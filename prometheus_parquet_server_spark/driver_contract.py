@@ -3986,6 +3986,52 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with quarantine, hash-gated by round-trip: the
+    documents table is written as distributed JSONL, three corrupt lines
+    are injected, and read_jsonl must return EXACTLY the original rows
+    (the oracle reads the parquet directly) plus n_corrupt=3 — proving
+    the parse is lossless for every text the corpus contains (CRLF,
+    unicode, NULL text on the edge fixture) and that dirty lines land in
+    quarantine instead of poisoning rows or failing the job."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    path = f"file://{work}/docs"
+    write_jsonl(docs, path)
+    with open(f"{work}/docs/zz_corrupt.json", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "unterminated\n')
+        fh.write("not json at all\n")
+        fh.write('{"doc_id": "not-a-number", "n_chars": []}\n')
+    good, bad = read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    n_bad = bad.count()
+    return good.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(int(n_bad)).alias("n_corrupt"),
+    )
+
+
+SQL_JSONL_INGEST = """
+SELECT doc_id, length(text) AS text_len, lang, source, n_chars,
+       CAST(3 AS BIGINT) AS n_corrupt
+FROM documents
+"""
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training end-to-end: learn 30 BPE merges from the
     corpus word-frequency table (one corpus scan + 30 vocab-sized jobs —
@@ -5010,6 +5056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
     "pipeline_mixture": q_pipeline_mixture,
+    "jsonl_ingest": q_jsonl_ingest,
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -5132,6 +5179,7 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
     "pipeline_mixture": SQL_PIPELINE_MIXTURE,
+    "jsonl_ingest": SQL_JSONL_INGEST,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,

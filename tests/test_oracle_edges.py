@@ -70,6 +70,7 @@ EDGE_QUERIES = [
     "pipeline_packing",
     "pipeline_token_budget",
     "pipeline_mixture",
+    "jsonl_ingest",
     "corpus_stats",
     "text_perplexity",
     "dedup_survivors",
