@@ -3986,6 +3986,96 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exploration under the hash gate: hash-embed documents,
+    Voronoi-assign to the 8 lowest-id centroids (kmeans_iterations=0 —
+    the SQL-replayable degenerate, same trick as dedup_semantic), and
+    label every cluster with its 5 most distinctive tokens by
+    cluster-level tf-idf (c-TF-IDF, clusters as documents)."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        cluster_topics,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cluster_topics(
+        docs, n_clusters=8, k_terms=5, kmeans_iterations=0, dim=64
+    )
+
+
+SQL_CLUSTER_TOPICS = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+           CASE WHEN substr(md5(token), 9, 1) IN ('8','9','a','b','c','d','e','f')
+                THEN -1.0 ELSE 1.0 END AS s
+    FROM toks
+),
+agg AS (
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS w
+    FROM feat GROUP BY doc_id, bucket
+),
+norms AS (
+    SELECT doc_id, sqrt(SUM(CAST(w * w AS DOUBLE))) AS nrm
+    FROM agg GROUP BY doc_id
+),
+ids AS (SELECT doc_id FROM documents),
+dense AS (
+    SELECT ids.doc_id, r.i AS b,
+           CASE WHEN n.nrm > 0
+                THEN coalesce(CAST(a.w AS DOUBLE), 0.0) / n.nrm
+                ELSE 0.0 END AS x
+    FROM ids CROSS JOIN range(64) r(i)
+    LEFT JOIN agg a ON a.doc_id = ids.doc_id AND a.bucket = r.i
+    LEFT JOIN norms n ON n.doc_id = ids.doc_id
+),
+vecs AS (SELECT doc_id, array_agg(x ORDER BY b) AS v FROM dense GROUP BY doc_id),
+cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS cid, v AS cv
+    FROM (SELECT doc_id, v FROM vecs ORDER BY doc_id LIMIT 8)
+),
+sims AS (
+    -- ROUND(sim, 9) mirrors centroid_cells_udf's pre-rank rounding
+    SELECT d.doc_id, c.cid,
+           ROUND(CASE WHEN sqrt(list_dot_product(d.v, d.v))
+                         * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                 THEN list_dot_product(d.v, c.cv)
+                      / (sqrt(list_dot_product(d.v, d.v))
+                         * sqrt(list_dot_product(c.cv, c.cv)))
+                 ELSE 0 END, 9) AS sim
+    FROM vecs d CROSS JOIN cent c
+),
+cells AS (
+    SELECT doc_id, cid AS cell FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cid) = 1
+),
+tfc AS (
+    SELECT c.cell, t.token, COUNT(*) AS tf
+    FROM toks t JOIN cells c USING (doc_id)
+    GROUP BY c.cell, t.token
+),
+cdf AS (SELECT token, COUNT(*) AS cdf FROM tfc GROUP BY token),
+nc AS (SELECT COUNT(DISTINCT cell) AS c FROM cells),
+sizes AS (SELECT cell, COUNT(DISTINCT doc_id) AS n_docs FROM cells GROUP BY cell),
+scored AS (
+    SELECT tfc.cell, tfc.token,
+           ROUND(tfc.tf * (LN((nc.c + 1) * 1.0 / (cdf.cdf + 1)) + 1), 6) AS score
+    FROM tfc JOIN cdf USING (token) CROSS JOIN nc
+)
+SELECT s.cell, z.n_docs,
+       ROW_NUMBER() OVER (PARTITION BY s.cell
+           ORDER BY s.score DESC, s.token) AS rank,
+       s.token, s.score
+FROM scored s JOIN sizes z USING (cell)
+QUALIFY rank <= 5
+"""
+
+
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion with quarantine, hash-gated by round-trip: the
     documents table is written as distributed JSONL, three corrupt lines
@@ -5057,6 +5147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "pipeline_mixture": q_pipeline_mixture,
     "jsonl_ingest": q_jsonl_ingest,
+    "cluster_topics": q_cluster_topics,
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -5180,6 +5271,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "pipeline_mixture": SQL_PIPELINE_MIXTURE,
     "jsonl_ingest": SQL_JSONL_INGEST,
+    "cluster_topics": SQL_CLUSTER_TOPICS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,

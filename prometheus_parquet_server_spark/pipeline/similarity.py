@@ -709,6 +709,81 @@ def brute_force_topk_quantized(
     )
 
 
+def cluster_topics(
+    docs: DataFrame,
+    n_clusters: int = 8,
+    k_terms: int = 5,
+    kmeans_iterations: int = 2,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus exploration: cluster documents by their hash embeddings
+    (spherical k-means — the semantic_dedup machinery) and label each
+    cluster with its ``k_terms`` most DISTINCTIVE tokens by cluster-level
+    tf-idf (clusters as documents — the c-TF-IDF idea from the public
+    BERTopic method). Output ``(cell, n_docs, rank, token, score)``.
+
+    Scale shape: embedding + assignment are per-row Arrow kernels (no
+    shuffle); the topic scoring is ONE explode + (cell, token) hash agg —
+    the tfidf_topk plan with cells as the document axis, so the cluster
+    count (not the corpus) bounds everything after the scan. The per-cell
+    ranking window sorts each cell's distinct-token list (vocab-bounded).
+
+    ``kmeans_iterations=0`` degenerates to lowest-id-centroid Voronoi
+    assignment — the SQL-replayable setting the oracle grades, same trick
+    as dedup_semantic.
+    """
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if k_terms < 1:
+        raise ValueError(f"k_terms must be >= 1, got {k_terms}")
+    emb = hash_embed(docs, text_col=text_col, id_col=id_col, dim=dim)
+    cents = kmeans_centroids(
+        emb, n_clusters, kmeans_iterations, dim, id_col=id_col,
+        vec_col="embedding",
+    )
+    nearest = centroid_cells_udf(cents, 1)
+    # localCheckpoint (the semantic_dedup rule): the assignment has THREE
+    # consumers (token rows, sizes, cell count) — materializing it once
+    # avoids re-running the embed+assign kernels per consumer AND keeps
+    # the pandas UDF out of plan contexts that require interpreted eval
+    cells = emb.select(
+        id_col, nearest(F.col("embedding"))[0].alias("cell")
+    ).localCheckpoint()
+    rows = docs.join(cells, id_col).select(
+        "cell", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = rows.groupBy("cell", "token").agg(F.count("*").alias("tf"))
+    cdf = tf.groupBy("token").agg(F.count("*").alias("_cdf"))
+    sizes = cells.groupBy("cell").agg(F.countDistinct(id_col).alias("n_docs"))
+    n_cells = cells.agg(F.countDistinct("cell").alias("_C"))
+    scored = (
+        tf.join(F.broadcast(cdf), "token")
+        .crossJoin(F.broadcast(n_cells))
+        .select(
+            "cell",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_C") + 1) / (F.col("_cdf") + 1)) + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_terms)
+        .join(F.broadcast(sizes), "cell")
+        .select("cell", "n_docs", "rank", "token", "score")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -44,6 +44,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "bm25_topk": {
         "BroadcastNestedLoopJoin": (1, "corpus (N, avgdl) one-row broadcast back")
     },
+    "cluster_topics": {
+        "BroadcastNestedLoopJoin": (1, "cell-count (one row) broadcast back")
+    },
     "text_perplexity": {
         "BroadcastNestedLoopJoin": (1, "corpus-level cutpoint row broadcast back")
     },

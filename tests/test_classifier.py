@@ -170,3 +170,39 @@ def test_streaming_scoring_matches_batch(spark, tmp_path):
     }
     want = {r["id"]: r["quality_score"] for r in score_quality(static, w).collect()}
     assert got == want  # bit-identical, every row scored exactly once
+
+
+def test_cluster_topics_shape_and_determinism(spark):
+    """Planted two-topic corpus: with enough centroids and iterations,
+    each topic's distinctive vocabulary labels its own cluster; output is
+    stable across runs (deterministic seeding + exact aggregation)."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        cluster_topics,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "apple banana fruit juice sweet " + f"f{i % 3}"))
+    for i in range(30, 60):
+        rows.append((i, "engine piston torque diesel motor " + f"m{i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = cluster_topics(df, n_clusters=2, k_terms=3, kmeans_iterations=2)
+    rows1 = sorted(map(tuple, out1.collect()))
+    rows2 = sorted(map(tuple, cluster_topics(
+        df, n_clusters=2, k_terms=3, kmeans_iterations=2).collect()))
+    assert rows1 == rows2  # deterministic end-to-end
+    by_cell = {}
+    for cell, n_docs, rank, token, score in rows1:
+        by_cell.setdefault(cell, []).append(token)
+        assert n_docs == 30
+    assert len(by_cell) == 2
+    vocab_a = {"apple", "banana", "fruit", "juice", "sweet"}
+    vocab_b = {"engine", "piston", "torque", "diesel", "motor"}
+    tops = [set(v) for v in by_cell.values()]
+    assert any(t <= vocab_a for t in tops) and any(t <= vocab_b for t in tops)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cluster_topics(df, n_clusters=0)
+    with _pytest.raises(ValueError):
+        cluster_topics(df, k_terms=0)

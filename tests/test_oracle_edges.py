@@ -71,6 +71,7 @@ EDGE_QUERIES = [
     "pipeline_token_budget",
     "pipeline_mixture",
     "jsonl_ingest",
+    "cluster_topics",
     "corpus_stats",
     "text_perplexity",
     "dedup_survivors",
