@@ -100,7 +100,14 @@ class _Lexer:
         if not m:
             raise PromQLError(f"expected duration at {self.text[self.pos:self.pos+10]!r}")
         self.pos = m.end()
-        return parse_duration(m.group())
+        try:
+            return parse_duration(m.group())
+        except ValueError as e:
+            # the lexing regex is looser than the semantic parser (e.g.
+            # '0a' matches the token shape but is no duration) — malformed
+            # input must surface as a QUERY error, never a raw ValueError
+            # (found by tests/test_parser_fuzz.py)
+            raise PromQLError(str(e)) from e
 
 
 _ESCAPES = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r"}
