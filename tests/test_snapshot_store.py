@@ -1253,3 +1253,44 @@ def test_shallow_clone_zero_copy_divergence_and_vacuum_safety(spark, tmp_path):
     # refuse cloning over a committed store
     with pytest.raises(ValueError, match="refuses"):
         snapshot_clone(spark, src, dst)
+
+
+def test_maintenance_verbs_race_raise_not_overwrite(spark, tmp_path, monkeypatch):
+    """zorder / restore / compact must RAISE when the tip moves between
+    prepare and commit — never silently drop the interleaved commit.
+    The race is injected by advancing the tip inside _target_version
+    resolution (the same window the cross-process test exercises)."""
+    import prometheus_parquet_server_spark.sources.snapshot_store as ss
+
+    store = f"file://{tmp_path}/race"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+
+    real_target = ss._target_version
+    racing = {"armed": False}
+
+    def racing_target(fs, root, parent):
+        if racing["armed"]:
+            # another writer lands an append between prepare and commit;
+            # disarm first — the inner write resolves its own target
+            racing["armed"] = False
+            ss.snapshot_write(
+                spark, store, mk(spark, [("z", {}, 9.0, 9.0)]), mode="append"
+            )
+        return real_target(fs, root, parent)
+
+    for verb, call in [
+        ("zorder", lambda: ss.snapshot_zorder(spark, store, bits=2)),
+        ("restore", lambda: ss.snapshot_restore(spark, store, 1)),
+        ("compact", lambda: ss.snapshot_compact(
+            spark, store, target_file_bytes=10**9)),
+    ]:
+        monkeypatch.setattr(ss, "_target_version", racing_target)
+        racing["armed"] = True
+        try:
+            with pytest.raises(ConcurrentWriteError):
+                call()
+        finally:
+            monkeypatch.setattr(ss, "_target_version", real_target)
+        # the interleaved append survived; the store still reads
+        assert snapshot_read(spark, store).count() >= 3, verb
