@@ -105,11 +105,72 @@ def _read_manifest(fs: _StoreFS, root: str, version: int) -> dict:
         stream.close()
 
 
+_TIP_HINT = ".tip_hint"  # dot-prefixed: invisible to version listing
+
+
+def _write_tip_hint(fs: _StoreFS, root: str, version: int) -> None:
+    """Best-effort advisory tip pointer (the Delta `_last_checkpoint`
+    idea): written AFTER a successful commit, read by :func:`_resolve_tip`
+    to start probing at the hinted version instead of listing the whole
+    manifest directory. Purely an optimization — a missing, stale, or
+    corrupt hint falls back to the listing path, and a hint is only ever
+    written for a version whose manifest has already published, so
+    probing forward from it cannot skip the true tip (commit numbering is
+    contiguous above any published version). Failures are swallowed: the
+    hint must never fail a commit that already succeeded."""
+    try:
+        stream = fs.fs.create(fs.jpath(f"{root}/{_SNAP_DIR}/{_TIP_HINT}"), True)
+        try:
+            stream.write(bytearray(str(version).encode("ascii")))
+        finally:
+            stream.close()
+    except Exception:
+        pass
+
+
+def _read_tip_hint(fs: _StoreFS, root: str) -> int | None:
+    try:
+        stream = fs.fs.open(fs.jpath(f"{root}/{_SNAP_DIR}/{_TIP_HINT}"))
+        try:
+            data = bytes(
+                fs._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        v = int(data.decode("ascii").strip())
+        return v if v >= 1 else None
+    except Exception:
+        return None
+
+
 def _resolve_tip(fs: _StoreFS, root: str) -> tuple[int | None, dict | None]:
     """(version, manifest) of the highest READABLE snapshot — a torn or
     corrupt version file (possible only from pre-temp+rename writers or
     external tampering) is skipped, not fatal, so one bad file can never
-    wedge every read and write of the store."""
+    wedge every read and write of the store.
+
+    Fast path: the advisory :data:`_TIP_HINT` gives a published version to
+    probe FORWARD from (O(1 + commits-since-hint) exists-checks instead of
+    listing a manifest directory that can hold deep retained history).
+    Probing is sound because version numbers are contiguous above any
+    published manifest (_target_version takes the smallest free slot).
+    The walk back down from the probe top skips unreadable junk; if it
+    reaches below the hinted floor — or the hint is missing / stale /
+    corrupt / pointing at a vacuumed manifest — resolution falls back to
+    the exhaustive listing, so the hint can never change WHAT resolves,
+    only how fast."""
+    hint = _read_tip_hint(fs, root)
+    if hint is not None and fs.exists(_manifest_path(root, hint)):
+        top = hint
+        while fs.exists(_manifest_path(root, top + 1)):
+            top += 1
+        for v in range(top, hint - 1, -1):
+            try:
+                return v, _read_manifest(fs, root, v)
+            except Exception:
+                continue
+        # every manifest from top down to the hinted floor is unreadable —
+        # resolve exhaustively below it
     for v in reversed(_list_versions(fs, root)):
         try:
             return v, _read_manifest(fs, root, v)
@@ -189,7 +250,10 @@ def _try_commit(fs: _StoreFS, root: str, manifest: dict) -> bool:
                 f"commit v{manifest['version']} published but unverifiable "
                 f"({e}) — inspect the store before retrying"
             ) from e
-        return back.get("_writer") == manifest["_writer"]
+        won = back.get("_writer") == manifest["_writer"]
+        if won:
+            _write_tip_hint(fs, root, manifest["version"])
+        return won
 
 
 def _schema_json(df: DataFrame) -> dict:

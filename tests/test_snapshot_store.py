@@ -1294,3 +1294,53 @@ def test_maintenance_verbs_race_raise_not_overwrite(spark, tmp_path, monkeypatch
             monkeypatch.setattr(ss, "_target_version", real_target)
         # the interleaved append survived; the store still reads
         assert snapshot_read(spark, store).count() >= 3, verb
+
+
+def test_tip_hint_fast_path_and_fallbacks(spark, tmp_path, monkeypatch):
+    """The advisory tip hint makes resolution listing-free on the happy
+    path (proven by poisoning _list_versions) and can never change WHAT
+    resolves: stale, corrupt, and missing hints all fall back."""
+    import prometheus_parquet_server_spark.sources.snapshot_store as ss
+
+    store = f"file://{tmp_path}/hint"
+    snapshot_write(spark, store, mk(spark, [("a", {}, 1.0, 1.0)]), mode="overwrite")
+    snapshot_write(spark, store, mk(spark, [("b", {}, 2.0, 2.0)]))
+    fs = ss._StoreFS(spark, store)
+
+    # hint written by the commits and pointing at the tip
+    assert ss._read_tip_hint(fs, store) == 2
+
+    # happy path never lists the manifest dir
+    def boom(*a, **kw):
+        raise AssertionError("listing reached on the hinted fast path")
+
+    monkeypatch.setattr(ss, "_list_versions", boom)
+    v, m = ss._resolve_tip(fs, store)
+    assert (v, m["version"]) == (2, 2)
+    monkeypatch.undo()
+
+    # stale hint: points at v1; probing forward still finds v2
+    ss._write_tip_hint(fs, store, 1)
+    monkeypatch.setattr(ss, "_list_versions", boom)
+    assert ss._resolve_tip(fs, store)[0] == 2
+    monkeypatch.undo()
+
+    # corrupt hint falls back to listing (and still resolves)
+    stream = fs.fs.create(fs.jpath(f"{store}/{ss._SNAP_DIR}/{ss._TIP_HINT}"), True)
+    stream.write(bytearray(b"not-a-number"))
+    stream.close()
+    assert ss._resolve_tip(fs, store)[0] == 2
+
+    # missing hint (legacy store) falls back
+    fs.delete(f"{store}/{ss._SNAP_DIR}/{ss._TIP_HINT}")
+    assert ss._resolve_tip(fs, store)[0] == 2
+
+    # hint ahead of a deleted tip manifest (external tampering) falls back
+    ss._write_tip_hint(fs, store, 7)
+    assert ss._resolve_tip(fs, store)[0] == 2
+
+    # vacuum keeps resolution working with the hint in place
+    ss._write_tip_hint(fs, store, 2)
+    snapshot_vacuum(spark, store, keep_last=1, min_age_s=0.0)
+    assert ss._resolve_tip(fs, store)[0] == 2
+    assert snapshot_read(spark, store).count() == 2
