@@ -1968,6 +1968,41 @@ FROM m
 """
 
 
+def _curated(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """THE shared curation prefix of the v3/v4 capstones (one definition —
+    a threshold or flag change cannot silently diverge the two graded
+    compositions or their oracles): corpus-wide line boilerplate strip →
+    rule-flag gate (too-short, low-alpha) on the CLEANED text → exact
+    dedup on the clean-text md5 (lowest id survives). Returns
+    (doc_id, *extra_cols, text, n_tokens)."""
+    from prometheus_parquet_server_spark.pipeline.lines import (
+        rule_flags,
+        strip_boilerplate_lines,
+    )
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
+        "doc_id", *extra_cols, F.col("clean_text").alias("text")
+    )
+    flags = rule_flags(F.col("text"))
+    gated = (
+        cleaned.withColumn("_short", flags["flag_too_short"])
+        .withColumn("_lowa", flags["flag_low_alpha"])
+        .filter(~F.col("_short") & ~F.col("_lowa"))
+        .select(
+            "doc_id",
+            *extra_cols,
+            "text",
+            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+            F.md5("text").alias("_fp"),
+        )
+    )
+    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(survivors, ["_fp", "doc_id"]).select(
+        "doc_id", *extra_cols, "text", "n_tokens"
+    )
+
+
 def prepare_v3_pipeline(docs: DataFrame) -> DataFrame:
     """The capstone curation composition as a reusable plan over any
     (doc_id, text) frame — factored out of the graded wrapper so the
@@ -1977,35 +2012,12 @@ def prepare_v3_pipeline(docs: DataFrame) -> DataFrame:
     on the clean-text md5 (lowest id survives) → deterministic training
     order + shard assignment. Text shuffles once (the line explode/
     re-aggregate); every later stage moves hashes, flags, and ids only."""
-    from prometheus_parquet_server_spark.pipeline.lines import (
-        rule_flags,
-        strip_boilerplate_lines,
-    )
     from prometheus_parquet_server_spark.pipeline.shuffle import (
         global_shuffle,
         shard_assign,
     )
-    from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
-    cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    flags = rule_flags(F.col("text"))
-    gated = (
-        cleaned.withColumn("_short", flags["flag_too_short"])
-        .withColumn("_lowa", flags["flag_low_alpha"])
-        .filter(~F.col("_short") & ~F.col("_lowa"))
-        .select(
-            "doc_id",
-            "text",
-            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-            F.md5("text").alias("_fp"),
-        )
-    )
-    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = gated.join(survivors, ["_fp", "doc_id"]).select(
-        "doc_id", "n_tokens"
-    )
+    kept = _curated(docs).select("doc_id", "n_tokens")
     return shard_assign(global_shuffle(kept, seed=7), n_shards=8, seed=7)
 
 
@@ -2026,28 +2038,12 @@ def prepare_v4_pipeline(
     consumers then read the materialized corpus instead of re-deriving
     the curation (measured at 1M docs: 44 exchanges → 4, wall 53 → 22 s,
     flat across 100k→1M)."""
-    from prometheus_parquet_server_spark.pipeline.lines import (
-        rule_flags,
-        strip_boilerplate_lines,
-    )
     from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
     from prometheus_parquet_server_spark.pipeline.shuffle import (
         global_shuffle,
         shard_assign,
     )
-    from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
-    cleaned = strip_boilerplate_lines(docs, min_docs=3).select(
-        "doc_id", "source", F.col("clean_text").alias("text")
-    )
-    flags = rule_flags(F.col("text"))
-    gated = (
-        cleaned.withColumn("_short", flags["flag_too_short"])
-        .withColumn("_lowa", flags["flag_low_alpha"])
-        .filter(~F.col("_short") & ~F.col("_lowa"))
-        .select("doc_id", "source", "text", F.md5("text").alias("_fp"))
-    )
-    survivors = gated.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     # localCheckpoint: the curated corpus is a REAL stage boundary — the
     # budget aggregate needs it eagerly anyway, and without it the
     # mixture's three consumers (avail agg, full epochs, partial window)
@@ -2055,17 +2051,17 @@ def prepare_v4_pipeline(
     # exchanges at 1M docs vs 10 for v3; checkpointing collapses the
     # final plan to the mixture/order stages over a materialized scan)
     kept = (
-        gated.join(survivors, ["_fp", "doc_id"])
-        .select("doc_id", "source", "text")
+        _curated(docs, extra_cols=("source",))
+        .select("doc_id", "source", "text", "n_tokens")
         .localCheckpoint()
     )
-    total = kept.select(
-        F.sum(F.size(tokens_col(F.col("text")))).alias("t")
-    ).first()["t"]
+    total = kept.select(F.sum("n_tokens").alias("t")).first()["t"]
     if not total:
         raise ValueError("prepare_v4: curation produced an empty corpus")
     mixed = mixture_sample(
-        kept, weights, total_budget_tokens=int(budget_factor * total)
+        kept.drop("n_tokens"),  # mixture_sample derives its own n_tokens
+        weights,
+        total_budget_tokens=int(budget_factor * total),
     )
     keyed = mixed.withColumn(
         "_mid",
@@ -4238,14 +4234,18 @@ def _sql_bm25_topk(queries: dict[str, list[str]], k: int = 10) -> str:
     engine (lowercase, whitespace split, empties removed, NULL text → 0
     tokens), same Lucene idf, per-(query, doc) score through the
     unguarded integer-unit sum contract (_sql_unit_sum)."""
+    def q(s: str) -> str:
+        # SQL string-literal escape: a term/id containing a quote must
+        # not break (or hijack) the generated oracle (review finding)
+        return "'" + s.replace("'", "''") + "'"
+
     qrows = ", ".join(
-        f"('{qid}', '{t}')"
+        f"({q(qid)}, {q(t)})"
         for qid, terms in sorted(queries.items())
         for t in sorted({w.lower() for w in terms})
     )
     terms_in = ", ".join(
-        f"'{t}'"
-        for t in sorted({w.lower() for ts in queries.values() for w in ts})
+        q(t) for t in sorted({w.lower() for ts in queries.values() for w in ts})
     )
     return f"""
 WITH docs AS (

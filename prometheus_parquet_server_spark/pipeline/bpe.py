@@ -37,13 +37,13 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_WORD = "</w>"  # end-of-word marker, the Sennrich convention
 
 
-def _word_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n) over the corpus — the ONE corpus-sized job."""
     from prometheus_parquet_server_spark.pipeline.text import tokens_col
 
@@ -72,7 +72,6 @@ def train_bpe(
     df: DataFrame,
     num_merges: int = 50,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_pair_count: int = 2,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
@@ -85,7 +84,7 @@ def train_bpe(
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
 
-    words = _word_counts(df, text_col, id_col).withColumn(
+    words = _word_counts(df, text_col).withColumn(
         "syms",
         F.concat(
             F.split(F.col("word"), ""),  # per-character array
@@ -202,7 +201,10 @@ def bpe_encode(
     staged = df.select(
         F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks")
     )
-    enc = staged.mapInPandas(_enc, schema=f"_id long, {out_col} array<string>")
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    enc = staged.mapInPandas(
+        _enc, schema=f"_id {id_ddl}, {out_col} array<string>"
+    )
     return enc.select(
         F.col("_id").alias(id_col),
         out_col,

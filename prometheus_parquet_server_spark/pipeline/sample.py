@@ -176,26 +176,38 @@ def mixture_sample(
     target = F.floor(
         F.lit(float(total_budget_tokens)) * F.col("_w") / F.lit(wsum) + F.lit(0.5)
     ).cast("long")
-    plan = avail.select(
-        group_col,
-        target.alias("_target"),
-        F.col("_avail"),
-    ).filter((F.col("_avail") > 0) & (F.col("_target") > 0))
-    plan = plan.select(
-        group_col,
-        "_target",
-        # exact integer division (Spark `div` ≡ DuckDB `//`) — a double
-        # division + cast would round vs truncate differently per engine
-        F.expr("_target div _avail").alias("_full"),
-        (F.col("_target") % F.col("_avail")).alias("_rem"),
+    plan_rows = (
+        avail.select(
+            group_col,
+            target.alias("_target"),
+            F.col("_avail"),
+        )
+        .filter((F.col("_avail") > 0) & (F.col("_target") > 0))
+        .select(
+            group_col,
+            "_target",
+            # exact integer division (Spark `div` ≡ DuckDB `//`) — a double
+            # division + cast would round vs truncate differently per engine
+            F.expr("_target div _avail").alias("_full"),
+            (F.col("_target") % F.col("_avail")).alias("_rem"),
+        )
+        # ONE driver materialization of the per-source plan (≤ one row per
+        # source): the guard validates it AND the broadcast join reuses the
+        # collected rows — without this the guard's action and the output
+        # action would each recompute the staged→avail corpus aggregation
+        # (review finding: a full extra tokenize+scan per call)
+        .collect()
     )
-    over = plan.filter(F.col("_full") >= max_epochs).select(group_col).collect()
+    over = sorted(r[group_col] for r in plan_rows if r["_full"] >= max_epochs)
     if over:
-        bad = sorted(r[0] for r in over)
         raise ValueError(
-            f"mixture demands >= {max_epochs} full epochs for {bad} — "
+            f"mixture demands >= {max_epochs} full epochs for {over} — "
             f"raise max_epochs explicitly if this replication is intended"
         )
+    plan = spark.createDataFrame(
+        [(r[group_col], r["_target"], r["_full"], r["_rem"]) for r in plan_rows],
+        f"{group_col} string, _target long, _full long, _rem long",
+    )
 
     src = staged.join(F.broadcast(plan), group_col)
     full = src.filter(F.col("_full") > 0).withColumn(

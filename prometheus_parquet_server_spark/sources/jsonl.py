@@ -3,16 +3,23 @@ arrival format of crawled / vendor-delivered text corpora (one JSON doc
 per line, dirty lines interleaved), as a first-class source next to the
 reference's zip ingest.
 
-Spark-first: the built-in JSON reader in PERMISSIVE mode with
-``columnNameOfCorruptRecord`` does the parse, so malformed lines become
-rows carrying their raw text instead of failing the job (FAILFAST is one
-option away for pipelines that prefer to stop). The split into
-(good, quarantine) is two filters over one scan — no Python in the
-parse path, full predicate/column pushdown on the good side.
+Spark-first, with one deliberate deviation: quarantine mode parses via a
+TEXT scan + ``from_json`` rather than the native JSON reader. The native
+reader's corrupt-record column carries a hard restriction — ANY query
+that prunes down to only the corrupt column raises
+UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, and that includes
+the innocent ``good.count()`` (count prunes every output column, leaving
+just the corrupt-IS-NULL filter). ``from_json`` is an ordinary
+expression with no such restriction; for line-delimited JSON the two
+parse identically, and Catalyst still prunes the parsed struct to the
+referenced fields. The split into (good, quarantine) is two filters over
+one text scan — no Python anywhere.
 
 A quarantined line keeps its byte-exact raw text so it can be re-parsed
 after a schema fix — the Delta "badRecordsPath" idea expressed as a
-DataFrame instead of a side directory.
+DataFrame instead of a side directory. ``mode='failfast'`` uses the
+native reader's FAILFAST (first malformed line raises; the quarantine
+frame is empty by construction).
 """
 
 from __future__ import annotations
@@ -34,14 +41,13 @@ def read_jsonl(
     ``schema`` (inference over a dirty corpus is nondeterministic —
     callers must say what they expect). Returns ``(good, quarantine)``:
 
-    - ``good``: rows parsed to the schema, corrupt column dropped;
+    - ``good``: rows parsed to the schema;
     - ``quarantine``: one row per malformed line, ``(CORRUPT_COL raw
       text)`` — re-parseable later.
 
-    ``mode='failfast'`` raises on the first malformed line instead
-    (quarantine frame is empty by construction). A row whose JSON parses
-    but where every schema field is NULL is treated as corrupt only if
-    the parser flagged it (Spark's PERMISSIVE contract).
+    ``mode='failfast'`` raises on the first malformed line instead (the
+    quarantine frame is empty by construction). Whitespace-only lines are
+    skipped, matching the native JSON reader.
     """
     if mode not in ("quarantine", "failfast"):
         raise ValueError(f"mode must be quarantine|failfast, got {mode}")
@@ -49,29 +55,31 @@ def read_jsonl(
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in [f.name for f in schema.fields]:
         raise ValueError(f"schema must not define {CORRUPT_COL}")
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
-    reader = (
-        spark.read.schema(full)
-        .option("mode", "FAILFAST" if mode == "failfast" else "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    bad_schema = T.StructType([T.StructField(CORRUPT_COL, T.StringType())])
+    if mode == "failfast":
+        good = (
+            spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+        )
+        return good, spark.createDataFrame([], bad_schema)
+    # a fresh StructType — StructType.add MUTATES the receiver, which
+    # would corrupt the caller's schema object (found in review)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    df = reader.json(path)
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    # the quarantine frame cannot come from the same scan: Spark refuses
-    # queries referencing ONLY the corrupt column of a JSON source
-    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
-    # documented cache() workaround leaks a persisted frame from a
-    # library call). Instead the quarantine is a TEXT scan + from_json
-    # probe — byte-exact raw lines, same line-splitting rules, blank
-    # lines skipped exactly as the JSON reader skips them.
     raw = spark.read.text(path).filter(F.trim("value") != "")
-    probe = F.from_json(
+    parsed = F.from_json(
         F.col("value"),
         full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
+    staged = raw.select(parsed.alias("_r"))
+    good = (
+        staged.filter(F.col("_r")[CORRUPT_COL].isNull())
+        .select("_r.*")
+        .drop(CORRUPT_COL)
+    )
     bad = raw.filter(
-        probe.getField(CORRUPT_COL).isNotNull()
+        parsed.getField(CORRUPT_COL).isNotNull()
     ).select(F.col("value").alias(CORRUPT_COL))
     return good, bad
 

@@ -1633,8 +1633,17 @@ def snapshot_vacuum(
     for v in kept_versions:
         live_norm.update(norm(f["path"]) for f in _read_manifest(fs, path, v)["files"])
     deleted: list[str] = []
+    # delete only BELOW the kept floor — never a slot BETWEEN kept
+    # versions (only unreadable junk can sit there): deleting it would
+    # punch a gap into the contiguous slot sequence that the tip-hint
+    # probe-forward in _resolve_tip relies on, letting a stale hint stop
+    # at the gap and resolve a pre-gap version as the tip (review
+    # finding: stale reads AND a forked commit parented before the real
+    # tip). Retained junk slots are invisible to readers and writers
+    # skip them deterministically.
+    floor = min(kept_versions, default=versions[-1] + 1)
     for v in versions:
-        if v not in kept_versions and v < max(kept_versions, default=versions[-1] + 1):
+        if v < floor:
             fs.delete(_manifest_path(path, v))
             deleted.append(_manifest_path(path, v))
     cutoff_ms = (time.time() - min_age_s) * 1000.0

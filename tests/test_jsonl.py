@@ -45,8 +45,28 @@ def test_failfast_raises(spark, tmp_path):
     with open(f"{tmp_path}/ff/zz_bad.json", "w") as fh:
         fh.write("broken\n")
     good, bad = read_jsonl(spark, path, SCHEMA, mode="failfast")
+    assert bad.count() == 0  # empty BY CONSTRUCTION in failfast mode
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         good.collect()
+
+
+def test_schema_object_not_mutated(spark, tmp_path):
+    """StructType.add mutates its receiver — read_jsonl must not corrupt
+    the caller's schema object (review-found; a second call with the same
+    object used to raise)."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, "x", 1)], SCHEMA)
+    p1, p2 = f"file://{tmp_path}/a", f"file://{tmp_path}/b"
+    write_jsonl(df, p1)
+    write_jsonl(df, p2)
+    schema = T.StructType.fromDDL(SCHEMA)
+    n_before = len(schema.fields)
+    good1, _ = read_jsonl(spark, p1, schema)
+    assert len(schema.fields) == n_before
+    assert [f.name for f in good1.schema.fields] == ["doc_id", "text", "n"]
+    good2, _ = read_jsonl(spark, p2, schema)  # same object, second call
+    assert good2.count() == 1
 
 
 def test_validation(spark, tmp_path):

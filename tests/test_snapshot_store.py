@@ -1344,3 +1344,39 @@ def test_tip_hint_fast_path_and_fallbacks(spark, tmp_path, monkeypatch):
     snapshot_vacuum(spark, store, keep_last=1, min_age_s=0.0)
     assert ss._resolve_tip(fs, store)[0] == 2
     assert snapshot_read(spark, store).count() == 2
+
+
+def test_vacuum_never_gaps_slots_between_kept_versions(spark, tmp_path):
+    """Review-found hazard: a torn junk manifest BETWEEN two kept
+    versions must survive vacuum — deleting it would punch a gap into the
+    contiguous slot sequence, and a stale tip hint probing forward would
+    stop at the gap, resolving a pre-gap tip (stale reads + a forked
+    commit). After vacuum, a hint stale at the junk's predecessor must
+    still resolve the true tip."""
+    import prometheus_parquet_server_spark.sources.snapshot_store as ss
+
+    store = f"file://{tmp_path}/gap"
+    for i in range(3):
+        snapshot_write(
+            spark, store, mk(spark, [(chr(97 + i), {}, float(i), 1.0)]),
+            mode="overwrite" if i == 0 else "append",
+        )  # v1, v2, v3
+    fs = ss._StoreFS(spark, store)
+    # torn junk at v4 (raw write, no temp+rename), then a real v5 commit
+    stream = fs.fs.create(fs.jpath(ss._manifest_path(store, 4)), True)
+    stream.write(bytearray(b"{torn"))
+    stream.close()
+    v5 = snapshot_write(spark, store, mk(spark, [("e", {}, 5.0, 1.0)]))
+    assert v5 == 5
+
+    snapshot_vacuum(spark, store, keep_last=2, min_age_s=0.0)
+    # kept = {3, 5}; junk v4 must survive; v1/v2 go
+    assert fs.exists(ss._manifest_path(store, 4))
+    assert not fs.exists(ss._manifest_path(store, 1))
+    assert not fs.exists(ss._manifest_path(store, 2))
+
+    # stale hint at v3: probe-forward must cross the junk slot to v5
+    ss._write_tip_hint(fs, store, 3)
+    assert ss._resolve_tip(fs, store)[0] == 5
+    # and a writer parented at the resolved tip lands at 6, not a fork
+    assert snapshot_write(spark, store, mk(spark, [("f", {}, 6.0, 1.0)])) == 6
