@@ -4355,7 +4355,9 @@ def _events_sessions(spark: SparkSession, sf_dir: str, chunk_s: float | None) ->
         "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
     )
     # unit_scale: bit-stable integer-unit sum contract (see
-    # _sql_unit_sum) — the rounds-6/7 driver-hash fix
+    # _sql_unit_sum) — the CANDIDATE fix for the rounds-6/7/8 driver-hash
+    # mismatch (bit-exact against the local oracle; still red in the r8
+    # driver run — see events_sessionize_int, the discriminating twin)
     return sessionize_batch(base, gap_s=1800.0, chunk_s=chunk_s, unit_scale=1e6)
 
 

@@ -117,8 +117,18 @@ def minhash_ingest(
 
     ``max_bucket`` caps the POST-UNION bucket size (stored + batch rows
     per band key) before the pair join — the boilerplate guard; None =
-    exact, the oracle-parity setting. Zero-token docs are dropped (no
-    defined MinHash — the `_banded` rule). ``txn=(app_id, version)``
+    exact, the oracle-parity setting. **Capped mode voids the
+    incremental ≡ one-shot equivalence contract**: the cap is evaluated
+    against the bucket AS OF each ingest, so a pair suppressed at ingest
+    N is never re-surfaced even if the final one-shot
+    ``lsh_candidate_pairs`` view would keep it (a bucket can only grow
+    past the cap, never shrink back under it — suppression is
+    monotone-forward but evaluated early). A ``UserWarning`` is emitted
+    so a caller chasing oracle parity cannot trip this silently; for an
+    exact capped view over the FINAL corpus run one-shot
+    ``lsh_candidate_pairs(max_bucket=...)`` instead. Zero-token docs are
+    dropped (no defined MinHash — the `_banded` rule). ``txn=(app_id,
+    version)``
     makes the band append idempotent per writer lineage; candidate
     RETURN is recompute-stable either way (a redelivered batch returns
     the same pairs — the store already holding its bands only adds
@@ -150,6 +160,17 @@ def minhash_ingest(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        import warnings
+
+        warnings.warn(
+            "minhash_ingest(max_bucket=...) evaluates the cap per-ingest, "
+            "which voids the incremental == one-shot equivalence contract "
+            "(a pair suppressed now is never re-surfaced); use "
+            "lsh_candidate_pairs(max_bucket=...) over the final corpus for "
+            "an exact capped view",
+            UserWarning,
+            stacklevel=2,
+        )
         # oversized-key detection via groupBy (map-side-combined — the
         # shuffle carries per-partition (key, count) partials, not rows)
         # + broadcast ANTI join, NOT a count().over(window): the window

@@ -155,10 +155,17 @@ def mixture_sample(
     wsum = float(sum(weights.values()))
     if wsum <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
-    clash = {"epoch", "n_tokens", "target_tokens"} & set(df.columns)
+    # outputs AND internal working columns: an input already carrying one
+    # (e.g. _w) would make the weight/plan joins ambiguous or silently wrong
+    reserved = {
+        "epoch", "n_tokens", "target_tokens",
+        "_w", "_avail", "_target", "_full", "_rem", "_cum",
+    }
+    clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
-            f"input columns clash with mixture_sample outputs: {sorted(clash)}"
+            f"input columns clash with mixture_sample outputs/internals: "
+            f"{sorted(clash)}"
         )
 
     spark = df.sparkSession

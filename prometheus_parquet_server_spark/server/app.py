@@ -320,24 +320,33 @@ class MetricsHTTPServer:
         ``metric_types`` map the caller captured at ingest
         (ingest_zip(types_out=...) → histogram families report
         "histogram"); anything unmapped serves "unknown" — valid per the
-        API contract, and never a guessed type."""
-        names = [
-            r["value"]
-            for r in label_values(self.collection, "__name__").collect()
-        ]
-        return 200, {
-            "status": "success",
-            "data": {
-                n: [
-                    {
-                        "type": self.metric_types.get(n, "unknown"),
-                        "help": "",
-                        "unit": "",
-                    }
-                ]
-                for n in sorted(names)
-            },
-        }
+        API contract, and never a guessed type.
+
+        Rides the response cache: the name list only changes at ingest
+        (the store is immutable once built, SURVEY §1.1), and Grafana
+        polls this endpoint on every dashboard refresh — without the
+        cache each poll was a distributed label_values job."""
+
+        def compute() -> tuple[int, dict]:
+            names = [
+                r["value"]
+                for r in label_values(self.collection, "__name__").collect()
+            ]
+            return 200, {
+                "status": "success",
+                "data": {
+                    n: [
+                        {
+                            "type": self.metric_types.get(n, "unknown"),
+                            "help": "",
+                            "unit": "",
+                        }
+                    ]
+                    for n in sorted(names)
+                },
+            }
+
+        return self._cached_response(("metadata",), compute)
 
     def handle_root(self) -> tuple[int, dict]:
         return 200, {"series": series_count(self.collection)}

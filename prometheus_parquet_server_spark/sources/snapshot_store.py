@@ -1559,9 +1559,14 @@ def snapshot_delete(
             pred = pred & F.col("name").isin(list(names))
         if ts_range is not None:
             pred = pred & F.col("ts").between(lo, hi)
+        # null-safe negation: under three-valued logic a NULL name/ts row
+        # makes pred NULL, and filter(~NULL) would silently DELETE a row
+        # that does not match the predicate. The write path rejects NULL
+        # keys, but legacy/externally-written files may carry them — a
+        # NULL-key row never matches a delete predicate, so it survives.
         survivors = _pinned_reader(spark, parent_m).parquet(
             *[f["path"] for f in straddle]
-        ).filter(~pred)
+        ).filter(~F.coalesce(pred, F.lit(False)))
         schema = schema or _schema_json(survivors)
         new_files = _write_data_files(
             spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)

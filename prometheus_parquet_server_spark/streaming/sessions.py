@@ -169,7 +169,9 @@ def sessionize_batch(
     ``FLOOR(v·scale + 0.5)`` summed as BIGINT, rescaled to double by one
     exact cast + one IEEE division — no decimal rounding mode or
     decimal→double cast anywhere, so the graded hash is reproducible on
-    ANY oracle engine version (the rounds-6/7 driver-hash fix; a NaN/huge
+    ANY oracle engine version (the CANDIDATE fix for the rounds-6/7/8
+    driver-hash mismatch — bit-exact locally, unconfirmed by a green
+    driver run; a NaN/huge
     row still poisons its session to NaN). Default ``None`` keeps the
     decimal-exact 6-dp contract below.
     """

@@ -166,13 +166,22 @@ def test_max_bucket_caps_boilerplate_without_store_shuffle(spark, tmp_path):
         minhash_ingest,
     )
 
+    import warnings
+
     store = f"file://{tmp_path}/mh"
     boiler = [(i, "accept all cookies now") for i in range(4)]
     uniq = [(100 + i, f"unique body {i} text piece") for i in range(3)]
     b1 = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
-    p1 = minhash_ingest(
-        spark, store, b1, num_perm=4, bands=1, shingle_n=2, max_bucket=3
-    )
+    # capped ingest mode voids the one-shot equivalence contract and must
+    # say so loudly (per-ingest cap evaluation is monotone-forward)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p1 = minhash_ingest(
+            spark, store, b1, num_perm=4, bands=1, shingle_n=2, max_bucket=3
+        )
+    assert any(
+        "equivalence contract" in str(w.message) for w in caught
+    ), "capped ingest must warn that it voids the one-shot equivalence"
     got1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
     # the 4-doc boilerplate bucket exceeds the cap -> no pairs from it
     assert got1 == set()

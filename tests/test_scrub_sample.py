@@ -240,6 +240,18 @@ def test_token_budget_rejects_clobbering(spark):
         token_budget_sample(df, budget_tokens=10, group_col="source")
 
 
+def test_mixture_rejects_internal_column_clash(spark):
+    """The clash guard covers working columns too, not just outputs —
+    an input `_w` would otherwise make the weight join ambiguous."""
+    from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b", "g", 0.5)], "doc_id long, text string, source string, _w double"
+    )
+    with pytest.raises(ValueError, match="clash.*_w"):
+        mixture_sample(df, weights={"g": 1.0}, total_budget_tokens=10)
+
+
 def test_strip_markup_golden(spark):
     from prometheus_parquet_server_spark.pipeline.scrub import strip_markup
     from pyspark.sql import functions as F
