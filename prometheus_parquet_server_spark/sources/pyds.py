@@ -195,6 +195,100 @@ def _backend_for(uri: str) -> CommitBackend | None:
     return _COMMIT_BACKENDS.get(uri.split("://", 1)[0])
 
 
+class S3CommitBackend(CommitBackend):
+    """SDK-native S3 binding of the commit primitive: the manifest slot
+    is claimed with a conditional PUT (``If-None-Match: *``) — S3 answers
+    HTTP 412 ``PreconditionFailed`` when the key already exists, which is
+    exactly the "lost the race, rebase" outcome the protocol expects.
+
+    The client is INJECTED (``boto3.client("s3")`` in production, a moto
+    or stub twin in tests) so the real request/response shape — the
+    ``IfNoneMatch="*"`` parameter, the 412 error code, paginated
+    ``list_objects_v2`` — is exercised without network access::
+
+        register_commit_backend("s3", S3CommitBackend(boto3.client("s3")))
+
+    AWS returns 409 ``ConditionalRequestConflict`` when ANOTHER
+    conditional write to the same key is still in flight; per the S3
+    documentation that outcome is retryable (the winner is not decided
+    yet), so the put is retried a bounded number of times before raising.
+    Only 412 maps to False — never overwrite, never swallow other errors.
+    """
+
+    def __init__(self, client, max_conflict_retries: int = 8):
+        self._client = client
+        self._max_conflict_retries = int(max_conflict_retries)
+
+    @staticmethod
+    def _split(uri: str) -> tuple[str, str]:
+        rest = uri.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"S3 URI needs bucket and key: {uri!r}")
+        return bucket, key
+
+    @staticmethod
+    def _error(e: Exception) -> tuple[str, int]:
+        """(error code, HTTP status) from a botocore-shaped ClientError —
+        duck-typed so no hard boto3 import is needed at module load."""
+        resp = getattr(e, "response", None)
+        if not isinstance(resp, dict):
+            return "", 0
+        code = str(resp.get("Error", {}).get("Code", ""))
+        status = int(resp.get("ResponseMetadata", {}).get("HTTPStatusCode", 0))
+        return code, status
+
+    def list_names(self, dir_uri: str) -> list[str]:
+        bucket, prefix = self._split(dir_uri.rstrip("/"))
+        prefix = prefix + "/"
+        names: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._client.list_objects_v2(**kw)
+            names.extend(
+                o["Key"][len(prefix):]
+                for o in resp.get("Contents", [])
+                if o["Key"] != prefix
+            )
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def read_bytes(self, uri: str) -> bytes:
+        bucket, key = self._split(uri)
+        try:
+            return self._client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except Exception as e:
+            code, status = self._error(e)
+            if code in ("NoSuchKey", "404") or status == 404:
+                raise FileNotFoundError(uri) from e
+            raise
+
+    def create_exclusive(self, uri: str, payload: bytes) -> bool:
+        bucket, key = self._split(uri)
+        for _ in range(self._max_conflict_retries + 1):
+            try:
+                self._client.put_object(
+                    Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*"
+                )
+                return True
+            except Exception as e:
+                code, status = self._error(e)
+                if code == "PreconditionFailed" or status == 412:
+                    return False  # slot taken — the loser rebases
+                if code == "ConditionalRequestConflict" or status == 409:
+                    continue  # concurrent conditional write in flight: retry
+                raise
+        raise RuntimeError(
+            f"S3 conditional put on {uri} still answering 409 "
+            f"ConditionalRequestConflict after {self._max_conflict_retries} "
+            f"retries — another writer's conditional write never resolved"
+        )
+
+
 def _list_versions(root: str) -> list[int]:
     snap = f"{root}/{_SNAP_DIR}"
     lp = _local_path(snap)
