@@ -4995,6 +4995,41 @@ GROUP BY 1
 # Structured Streaming
 # ---------------------------------------------------------------------------
 
+def q_stream_heavy_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL availableNow drain of the streaming heavy-hitter operator
+    (streaming/heavy.py stream_heavy_hitter_grams — sharded weighted
+    Misra-Gries state on applyInPandasWithState) followed by the exact
+    verify pass (finalize_heavy_grams): the drained candidates are
+    counted exactly over the finite corpus, so the result equals the
+    graded batch twin (sketch_heavy_hitters) and the SAME DuckDB oracle
+    grades it — the streaming_interval_join pattern (VERDICT r8 Next #7).
+    """
+    from prometheus_parquet_server_spark.streaming import (
+        run_available_now,
+        stream_heavy_hitter_grams,
+    )
+    from prometheus_parquet_server_spark.streaming.heavy import (
+        finalize_heavy_grams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    cap = int(2.0 / 0.001) + 1  # the batch operator's default capacity
+    summaries = run_available_now(
+        stream_heavy_hitter_grams(stream, n=2, capacity=cap, shards=8),
+        spark,
+        output_mode="update",
+    )
+    return finalize_heavy_grams(
+        docs, summaries, n=2, threshold_frac=0.001, capacity=cap
+    )
+
+
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest of the events table (availableNow) →
     watermarked per-day, per-type counts via the streaming engine →
@@ -5226,6 +5261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "stream_heavy_grams": q_stream_heavy_grams,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
@@ -5340,6 +5376,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
+    "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

@@ -111,3 +111,61 @@ def stream_heavy_hitter_grams(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def finalize_heavy_grams(
+    docs: DataFrame,
+    summaries: DataFrame,
+    n: int = 2,
+    threshold_frac: float = 0.001,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pass-2 exact verify for a DRAINED stream of summary emissions —
+    the streaming twin of ``heavy_hitter_grams``'s second pass, so a
+    finite availableNow drain ends in exactly the batch operator's
+    output (``(gram, n_occ)`` for every gram with ``n_occ >=
+    threshold_frac`` of all gram occurrences).
+
+    ``summaries`` is the collected update-mode output of
+    :func:`stream_heavy_hitter_grams`: per shard, the emission with the
+    max ``shard_total`` is the final state (totals are strictly
+    increasing per emitting trigger). Candidate pruning uses the
+    per-shard MG bound — a true heavy hitter's estimate is at least
+    ``f·N − shard_total/(capacity+1)`` (kept with ``>=``, the
+    recall-safe side of the boundary) — then one exact count over the
+    finite corpus applies the true threshold, killing false positives.
+    The collect is bounded by shards × capacity rows (the same
+    deliberately-small driver materialization as the batch pass)."""
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.pipeline.sketch import _gram_array
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "gram string, n_occ long")
+    w = Window.partitionBy("shard")
+    final = summaries.withColumn(
+        "_mx", F.max("shard_total").over(w)
+    ).filter(F.col("shard_total") == F.col("_mx"))
+    rows = final.select("shard", "gram", "est", "shard_total").collect()
+    shard_totals: dict[int, int] = {}
+    for r in rows:
+        shard_totals[r["shard"]] = r["shard_total"]
+    total_n = sum(shard_totals.values())
+    if total_n == 0:
+        return empty
+    cut = float(total_n) * threshold_frac
+    candidates = [
+        r["gram"]
+        for r in rows
+        if r["est"] >= cut - r["shard_total"] / (capacity + 1)
+    ]
+    if not candidates:
+        return empty
+    return (
+        docs.select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        .filter(F.col("gram").isin(candidates))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= F.lit(cut))
+    )
