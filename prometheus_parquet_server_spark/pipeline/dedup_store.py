@@ -44,10 +44,17 @@ Scale shape (the part that matters at 100 TB):
   frame, emits nothing and appends nothing. Single writer per store
   (Structured Streaming's model); concurrent writers could both admit
   the same fingerprint — the same caveat the merge path had;
-- a Bloom/cuckoo filter sidecar per manifest would cut the per-batch
-  store scan to near-zero and is the documented next step if the seen-set
-  scan ever dominates (md5 keys are uniform, so min/max name-range
-  pruning cannot help a random batch).
+- per-file Bloom sidecars were MEASURED AND RETIRED (round 9,
+  scripts/stress_bloom_sidecar.py; numbers in EXPLAIN.md §31): at 20 M
+  stored keys / 256 files and a 200 k mostly-new batch, every file holds
+  at least one true batch key — an IDEAL (fpp=0) filter prunes 0/256
+  files, and a real bloom does strictly worse (each of the ~190 k new
+  keys probes every file's filter at the fpp, so P(prune) ≈ e^(−fpp·B)
+  ≈ 0 for any practical fpp). Blooms only start pruning when batches
+  shrink below ~1/fpp keys (~700 at fpp=1e-3) — not this operator's
+  crawl-batch regime, and the measured membership wall at 20 M keys is
+  already 2.1 s. Min/max name-range pruning cannot help either (uniform
+  md5 keys intersect every range).
 
 Reference parity: the reference engine has no dedup surface at all
 (SURVEY.md §2.7) — this module is part of the training-data pipeline
