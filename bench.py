@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # round-8 additions (same extend-don't-replace caveat)
     "bm25_topk",
     "pipeline_mixture",
+    # round-9 additions (same caveat)
+    "events_sessionize_int",
 ]
 
 

@@ -4995,6 +4995,72 @@ GROUP BY 1
 # Structured Streaming
 # ---------------------------------------------------------------------------
 
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (pipeline/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram log-likelihood-ratio weights against a
+    deterministic target slice (doc_id % 17 == 3, the held-out-slice
+    convention of pipeline_contamination), top-50 by weight. Output is
+    ALL-INTEGER (BIGINT micro-unit scores) — the post-sessionize graded
+    contract."""
+    from prometheus_parquet_server_spark.pipeline.dsir import dsir_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    return dsir_topk(docs, target, k=50, m=4096)
+
+
+SQL_DSIR_TOPK = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(t) AS gram FROM toks
+    UNION ALL
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM toks
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+    FROM grams
+),
+praw AS (SELECT b, COUNT(*) AS cp FROM bucketed GROUP BY b),
+ptgt AS (SELECT b, COUNT(*) AS cq FROM bucketed WHERE doc_id % 17 = 3 GROUP BY b),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM bucketed) AS np,
+           (SELECT COUNT(*) FROM bucketed WHERE doc_id % 17 = 3) AS nq
+),
+tbl AS (
+    SELECT r.range AS b,
+           CAST(FLOOR((
+               ln(CAST(coalesce(q.cq, 0) + 1 AS DOUBLE))
+               - ln(CAST(t.nq + 4096 AS DOUBLE))
+               - ln(CAST(coalesce(p.cp, 0) + 1 AS DOUBLE))
+               + ln(CAST(t.np + 4096 AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS unit
+    FROM range(4096) r
+    LEFT JOIN praw p ON p.b = r.range
+    LEFT JOIN ptgt q ON q.b = r.range
+    CROSS JOIN tot t
+),
+scored AS (
+    SELECT d.doc_id, CAST(SUM(tb.unit) AS BIGINT) AS score_u
+    FROM bucketed d JOIN tbl tb ON tb.b = d.b
+    GROUP BY d.doc_id
+)
+SELECT doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 50
+"""
+
+
 def q_stream_heavy_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL availableNow drain of the streaming heavy-hitter operator
     (streaming/heavy.py stream_heavy_hitter_grams — sharded weighted
@@ -5262,6 +5328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_approx": q_corpus_stats_approx,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stream_heavy_grams": q_stream_heavy_grams,
+    "dsir_topk": q_dsir_topk,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
@@ -5377,6 +5444,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
+    "dsir_topk": SQL_DSIR_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

@@ -44,6 +44,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "bm25_topk": {
         "BroadcastNestedLoopJoin": (1, "corpus (N, avgdl) one-row broadcast back")
     },
+    "dsir_topk": {
+        "BroadcastNestedLoopJoin": (
+            2,
+            "one-row broadcasts: (Np x Nq) totals cross (two 1-row aggs) "
+            "+ totals back onto the m-row log-ratio table",
+        )
+    },
     "cluster_topics": {
         "BroadcastNestedLoopJoin": (1, "cell-count (one row) broadcast back")
     },

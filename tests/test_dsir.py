@@ -1,0 +1,142 @@
+"""DSIR importance resampling (pipeline/dsir.py) — contract tests: the
+log-ratio table is exact integer output of the published smoothed
+estimator, scoring is an exact integer bag-of-features sum, selection is
+deterministic, and degenerate inputs behave."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.dsir import (
+    dsir_logratio_table,
+    dsir_score,
+    dsir_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_logratio_table_matches_reference_model(spark):
+    """Hand-check the estimator on a 2-doc corpus: units equal
+    floor((ln(cq+1) - ln(Nq+m) - ln(cp+1) + ln(Np+m))*1e6 + 0.5) computed
+    in pure Python over exact per-bucket gram counts."""
+    m = 16
+    raw = _docs(spark, [(1, "aa bb aa"), (2, "cc dd")])
+    target = _docs(spark, [(1, "aa bb aa")])
+    tbl = {r["b"]: r["unit"] for r in
+           dsir_logratio_table(raw, target, m=m).collect()}
+    assert len(tbl) == m  # every bucket has a row, smoothed
+
+    def bucket(g):
+        import hashlib
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    cp, cq = {}, {}
+    for did, txt in [(1, "aa bb aa"), (2, "cc dd")]:
+        for g in grams(txt):
+            b = bucket(g)
+            cp[b] = cp.get(b, 0) + 1
+            if did == 1:
+                cq[b] = cq.get(b, 0) + 1
+    np_, nq = sum(cp.values()), sum(cq.values())
+    for b in range(m):
+        lam = (math.log(cq.get(b, 0) + 1) - math.log(nq + m)
+               - math.log(cp.get(b, 0) + 1) + math.log(np_ + m))
+        assert tbl[b] == math.floor(lam * 1e6 + 0.5), b
+
+
+def test_score_is_exact_gram_occurrence_sum(spark):
+    """A doc's score is the sum of its gram buckets' units with
+    multiplicity; empty/NULL-text docs emit no row."""
+    m = 8
+    raw = _docs(spark, [(1, "x y x"), (2, ""), (3, None)])
+    target = _docs(spark, [(1, "x y x")])
+    tbl = dsir_logratio_table(raw, target, m=m)
+    units = {r["b"]: r["unit"] for r in tbl.collect()}
+    got = {r["doc_id"]: r["score_u"] for r in
+           dsir_score(raw, tbl, m=m).collect()}
+    assert set(got) == {1}  # empty and NULL text: no feature vector
+
+    def bucket(g):
+        import hashlib
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    grams = ["x", "y", "x", "x y", "y x"]
+    assert got[1] == sum(units[bucket(g)] for g in grams)
+
+
+def test_topk_matches_reference_ranking_and_is_deterministic(spark):
+    """Selection order equals the pure-Python reference model's ranking
+    (score desc, doc_id asc — equal-text docs are true score ties broken
+    by id); rank is a dense 1..k prefix; rerun is byte-identical.
+    NOTE the estimator is a bag-of-features likelihood ratio: a doc
+    REPEATING grams that are popular in raw but rare in target scores
+    LOWER than a short mixed doc — the hand-intuition 'shares words with
+    target ⇒ ranks first' is wrong, so the expectation is computed, not
+    guessed."""
+    corpus = [
+        (1, "alpha beta alpha beta"),
+        (2, "alpha beta alpha beta"),   # score-tie with doc 1
+        (3, "gamma delta epsilon zeta"),
+        (4, "alpha beta gamma"),
+    ]
+    tgt_text = "alpha beta alpha"
+    m = 4096
+
+    def bucket(g):
+        import hashlib
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    cp, cq = {}, {}
+    for _, txt in corpus:
+        for g in grams(txt):
+            cp[bucket(g)] = cp.get(bucket(g), 0) + 1
+    for g in grams(tgt_text):
+        cq[bucket(g)] = cq.get(bucket(g), 0) + 1
+    np_, nq = sum(cp.values()), sum(cq.values())
+
+    def unit(b):
+        lam = (math.log(cq.get(b, 0) + 1) - math.log(nq + m)
+               - math.log(cp.get(b, 0) + 1) + math.log(np_ + m))
+        return math.floor(lam * 1e6 + 0.5)
+
+    expect = sorted(
+        ((did, sum(unit(bucket(g)) for g in grams(txt)))
+         for did, txt in corpus),
+        key=lambda r: (-r[1], r[0]),
+    )[:3]
+
+    raw = _docs(spark, corpus)
+    target = _docs(spark, [(9, tgt_text)])
+    out1 = sorted(
+        [(r["doc_id"], r["score_u"], r["rank"])
+         for r in dsir_topk(raw, target, k=3).collect()],
+        key=lambda r: r[2],
+    )
+    assert [(d, s) for d, s, _ in out1] == expect
+    assert [r[2] for r in out1] == [1, 2, 3]
+    scores = {d: s for d, s, _ in out1}
+    if 1 in scores and 2 in scores:
+        assert scores[1] == scores[2]  # identical text ⇒ exact score tie
+    out2 = sorted(
+        [(r["doc_id"], r["score_u"], r["rank"])
+         for r in dsir_topk(raw, target, k=3).collect()],
+        key=lambda r: r[2],
+    )
+    assert out1 == out2
+
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_topk(raw, target, k=0)
+    with pytest.raises(ValueError, match="m must be"):
+        dsir_logratio_table(raw, target, m=0)
