@@ -4376,6 +4376,23 @@ def q_events_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_sessions(spark, sf_dir, chunk_s=7200.0)
 
 
+def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's own session_window aggregation (JVM dynamic-gap merge,
+    streaming/sessions.py sessionize_batch_native) against the SAME
+    DuckDB oracle as the gaps-and-islands graded row — the merge-rule
+    (+1µs) and bound (end − gap) translations are exact at the engine's
+    integer-µs resolution, so the two operators are result-identical."""
+    from prometheus_parquet_server_spark.streaming.sessions import (
+        sessionize_batch_native,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id", (epoch_micros(ev) / F.lit(1e6)).alias("ts_s"), "value"
+    )
+    return sessionize_batch_native(base, gap_s=1800.0, unit_scale=1e6)
+
+
 def q_events_sessionize_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discriminating twin of the thrice-red graded row (VERDICT r8 Next
     #1): the SAME sessions — membership computed by the identical
@@ -5300,6 +5317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_deriv": q_promql_deriv,
     "events_asof_chunked": q_events_asof_chunked,
     "events_sessionize_chunked": q_events_sessionize_chunked,
+    "events_sessionize_native": q_events_sessionize_native,
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters_capped": q_dedup_clusters_capped,
     "t3_resample_chunked": q_t3_resample_chunked,
@@ -5429,6 +5447,7 @@ ORACLES: dict[str, str] = {
     "events_asof_chunked": SQL_EVENTS_ASOF_JOIN,
     "events_sessionize_chunked": SQL_EVENTS_SESSIONIZE,
     "events_sessionize_int": SQL_EVENTS_SESSIONIZE_INT,
+    "events_sessionize_native": SQL_EVENTS_SESSIONIZE,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "dedup_clusters_capped": SQL_DEDUP_CLUSTERS_CAPPED,
     "t3_resample_chunked": SQL_T3,

@@ -166,6 +166,92 @@ def _session_flags(src, part, ts_col, keep_cols, gap_s):
     )
 
 
+def _sum_value_agg(value_col: str, unit_scale: float | None):
+    """The session ``sum_value`` aggregate under either determinism
+    contract — ONE definition shared by the gaps-and-islands operator and
+    the native session_window twin so the two cannot drift. With
+    ``unit_scale``: the guarded integer-unit sum. Without: the
+    decimal-exact 6-dp sum with NaN/overflow poison fallback (see
+    sessionize_batch's inline rationale)."""
+    from pyspark.sql import functions as F
+
+    _vc = F.col(value_col)
+    if unit_scale is not None:
+        from prometheus_parquet_server_spark.operators.aggregate import unit_sum
+
+        return unit_sum(_vc, float(unit_scale))
+    _dec = _vc.cast(T.DecimalType(38, 9))
+    _bad = _vc.isNotNull() & _dec.isNull()
+    return (
+        F.when(F.count_if(_bad) > 0, F.round(F.sum(_vc), 6))
+        .otherwise(
+            F.coalesce(
+                F.round(F.sum(_dec), 6).cast("double"),
+                F.round(F.sum(_vc), 6),
+            )
+        )
+    )
+
+
+def sessionize_batch_native(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    value_col: str = "value",
+    unit_scale: float | None = None,
+) -> DataFrame:
+    """The SPARK-NATIVE twin of :func:`sessionize_batch`: Spark's own
+    ``session_window`` dynamic-gap aggregation (JVM-side, one hash
+    aggregate with in-partition window merging — no lag/running-sum
+    window pair). Result-identical to the gaps-and-islands operator
+    (pinned by tests), with one boundary translation: the native
+    window's ``end`` is ``last_event + gap``, so the emitted
+    ``session_end`` subtracts the gap back to the last event's
+    timestamp. The merge rules already coincide — Spark merges ADJACENT
+    session windows (an event exactly ``gap`` after the previous one
+    extends the session, verified by the gap-boundary test), which is
+    precisely the operator's ``diff <= gap`` rule.
+
+    ``ts_col`` is double epoch-seconds (the engine convention); the
+    µs round-trip is exact because every such double came from integer
+    microseconds (see events_sessionize_int's monotonicity note).
+
+    Why keep both: the gaps-and-islands form gives ``session_seq`` for
+    free on its single window pass, composes with the ``chunk_s``
+    hot-key hatch, and grades the bit-stable contracts; the native form
+    is the idiomatic one-liner whose merge runs inside Tungsten and is
+    the natural choice when only session bounds/aggregates are needed.
+    EXPLAIN.md §32 records the measured comparison."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    gap_us = int(round(gap_s * 1e6))
+    tcol = F.timestamp_micros(
+        F.round(F.col(ts_col) * F.lit(1e6)).cast("long")
+    )
+    grouped = events.groupBy(
+        user_col,
+        F.session_window(tcol, f"{gap_us} microseconds").alias("_w"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        _sum_value_agg(value_col, unit_scale).alias("sum_value"),
+    )
+    seq_w = Window.partitionBy(user_col).orderBy(F.col("_w.start"))
+    return grouped.select(
+        user_col,
+        F.row_number().over(seq_w).alias("session_seq"),
+        (F.unix_micros("_w.start") / F.lit(1e6)).alias("session_start"),
+        ((F.unix_micros("_w.end") - F.lit(gap_us)) / F.lit(1e6)).alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
 def sessionize_batch_int(
     events: DataFrame,
     gap_s: float = 1800.0,

@@ -498,6 +498,55 @@ def test_sessionize_batch_int_twin_parity(spark):
         sessionize_batch_int(df, gap_s=0)
 
 
+def test_sessionize_batch_native_parity_and_gap_boundary(spark):
+    """The Spark-native session_window twin is result-identical to the
+    gaps-and-islands operator, INCLUDING the exact-boundary case the
+    +1µs merge-rule translation exists for: two events exactly gap_s
+    apart must land in ONE session under both (the operator's rule is
+    diff <= gap; native windows alone would split them)."""
+    from prometheus_parquet_server_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_batch_native,
+    )
+
+    rows = [
+        (1, 0.0, 1.0),
+        (1, 1800.0, 2.0),       # exactly gap apart — SAME session (<=)
+        (1, 3600.000001, 3.0),  # 1 µs past the gap — NEW session
+        (2, 10.5, 4.0),
+        (2, 5000.25, float("nan")),  # NaN poisons its session both ways
+        (2, 5100.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s double, value double")
+
+    def key(out):
+        import math
+        return sorted(
+            (
+                r["user_id"], r["session_seq"],
+                round(r["session_start"], 6), round(r["session_end"], 6),
+                r["n_events"],
+                "nan" if (r["sum_value"] is not None
+                          and math.isnan(r["sum_value"])) else r["sum_value"],
+            )
+            for r in out.collect()
+        )
+
+    for scale in (None, 1e6):
+        a = key(sessionize_batch(df, gap_s=1800.0, unit_scale=scale))
+        b = key(sessionize_batch_native(df, gap_s=1800.0, unit_scale=scale))
+        assert a == b, (scale, a, b)
+    # boundary semantics pinned explicitly
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in sessionize_batch_native(df, gap_s=1800.0).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1, (2, 2): 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize_batch_native(df, gap_s=0)
+
+
 def test_sessionize_batch_matches_streaming_closed_sessions(spark):
     """The streaming operator's closed sessions must be exactly the batch
     sessions minus each user's open tail."""
