@@ -2903,6 +2903,69 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (pipeline/pq.py — Jégou et al.
+    2011): m=8 subspaces × 16 codewords over the 64-dim embeddings,
+    iterations=0 codebook (the oracle-replayable init, the ivf_topk
+    convention), ADC distances as exact BIGINT micro-unit sums —
+    all-integer graded output."""
+    from prometheus_parquet_server_spark.pipeline.pq import pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codebook = pq_train(emb, m=8, k=16, iterations=0, dim=_ND_DIM)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, probes, codebook, k=_IVF_K)
+
+
+SQL_PQ_TOPK = f"""
+WITH cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           embedding::DOUBLE[] AS cvec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT CAST(range AS INT) AS s FROM range(8)),
+cw AS (
+    SELECT su.s, c.cid, c.cvec[su.s * 8 + 1 : su.s * 8 + 8] AS w
+    FROM cent c CROSS JOIN subs su
+),
+esub AS (
+    SELECT e.vec_id, su.s,
+           (e.embedding::DOUBLE[])[su.s * 8 + 1 : su.s * 8 + 8] AS sub
+    FROM embeddings e CROSS JOIN subs su
+),
+assign AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT es.vec_id, es.s, w.cid,
+               -- the |x|^2 - 2 x.c + |c|^2 expansion, 9-dp assignment grid
+               ROUND(list_dot_product(es.sub, es.sub)
+                     - 2 * list_dot_product(es.sub, w.w)
+                     + list_dot_product(w.w, w.w), 9) AS d
+        FROM esub es JOIN cw w ON w.s = es.s
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+),
+tbl AS (
+    SELECT ps.vec_id AS probe_id, w.s, w.cid,
+           CAST(FLOOR((list_dot_product(ps.sub, ps.sub)
+                       - 2 * list_dot_product(ps.sub, w.w)
+                       + list_dot_product(w.w, w.w)) * 1000000.0 + 0.5)
+                AS BIGINT) AS u
+    FROM esub ps JOIN cw w ON w.s = ps.s
+    WHERE ps.vec_id < 5
+),
+scored AS (
+    SELECT t.probe_id, a.vec_id AS neighbor_id, CAST(SUM(t.u) AS BIGINT) AS dist_u
+    FROM assign a JOIN tbl t ON t.s = a.s AND t.cid = a.cid
+    WHERE a.vec_id <> t.probe_id
+    GROUP BY t.probe_id, a.vec_id
+)
+SELECT probe_id, neighbor_id, dist_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY dist_u, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_IVF_K}
+"""
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.3
 
@@ -5347,6 +5410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stream_heavy_grams": q_stream_heavy_grams,
     "dsir_topk": q_dsir_topk,
+    "pq_topk": q_pq_topk,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
@@ -5464,6 +5528,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
+    "pq_topk": SQL_PQ_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

@@ -1,0 +1,261 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Published method (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 2011 — public knowledge): split
+each ``dim``-vector into ``m`` subvectors, train a ``k``-codeword
+Euclidean codebook per subspace, store each vector as ``m`` small codes
+(m bytes at k=256 — a 32× compression of a float64[64] embedding), and
+answer queries by Asymmetric Distance Computation: one (m × k) lookup
+table per probe, each candidate scored by ``m`` table lookups instead
+of a ``dim``-wide dot product. The memory path that keeps a billion
+vectors searchable per executor; composes with the IVF cell pruning in
+similarity.py (IVF-PQ is exactly these two stacked).
+
+The reference engine has no vector surface at all (SURVEY.md §2.7);
+this extends the repo's ANN family (brute / LSH / IVF / int8) with the
+compressed-domain tier.
+
+Determinism/grading contract (the house rules):
+
+- codebook init = subvectors of the ``k`` lowest-id corpus vectors
+  (TakeOrdered — reproducible, and the oracle can replay iterations=0
+  exactly, the kmeans_centroids/cluster_topics convention);
+- Lloyd means are exact DECIMAL sums (order-free) normalized once;
+- code assignment ranks on squared L2 ROUNDED TO 9 DP with ties to the
+  lowest code id (the centroid-kernel convention — cross-engine ulp
+  drift cannot flip an assignment off the 1e-9 grid);
+- ADC distances are per-subspace terms quantized to BIGINT micro-units
+  and summed as exact integers (the unit-sum contract), so the graded
+  output is integer-exact given the codes.
+
+Scale shape: training touches the corpus once per iteration (one
+mapInPandas assignment + one (m·k)-bounded hash aggregate of decimal
+partials); encoding is one Arrow pass, zero shuffle; ADC search
+broadcasts the probes' lookup tables and scans codes map-side, with the
+salted two-stage top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_topk"]
+
+
+def _check_geometry(dim: int, m: int, k: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim: dim={dim}, m={m}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return dim // m
+
+
+def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 from each row of x to each row of c, via the
+    dot-product expansion (|x|² − 2x·c + |c|²) — the same decomposition
+    the DuckDB oracle evaluates with list_dot_product, so the two agree
+    far below the 1e-9 assignment grid."""
+    return (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+
+
+def _assign_codes_udf(codebook: list[list[list[float]]], sub_dim: int):
+    """Arrow kernel: embedding → array<int> of m codes (argmin squared L2
+    per subspace, 9-dp rounded, ties to the lowest code id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        out = np.empty((len(mat), len(cmats)), dtype=np.int64)
+        for s, cm in enumerate(cmats):
+            sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
+            d = np.round(_sq_dists(sub, cm), 9)
+            out[:, s] = np.argmin(d, axis=1)  # first occurrence = lowest id
+        return pd.Series([[int(c) for c in row] for row in out])
+
+    return _codes
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the per-subspace Euclidean codebooks: ``codebook[s][j]`` is
+    the j-th codeword of subspace s (a list of ``dim/m`` floats).
+    ``iterations=0`` returns the deterministic init (the oracle-replayable
+    state); each Lloyd round is one corpus pass — an Arrow assignment plus
+    a single (m·k)-row-bounded decimal-mean aggregate over the exploded
+    (subspace, code) keys. Empty cells keep their previous codeword."""
+    sub_dim = _check_geometry(dim, m, k)
+    init = [
+        list(r[vec_col])
+        for r in corpus.orderBy(F.col(id_col).asc()).limit(k).collect()
+    ]
+    if len(init) < k:
+        raise ValueError(f"corpus has {len(init)} vectors; k={k} codewords need k")
+    codebook = [
+        [v[s * sub_dim : (s + 1) * sub_dim] for v in init] for s in range(m)
+    ]
+
+    for _ in range(max(0, iterations)):
+        codes = corpus.withColumn(
+            "_codes", _assign_codes_udf(codebook, sub_dim)(F.col(vec_col))
+        )
+        # explode to (subspace, code, subvector) and take exact decimal
+        # means — ONE shuffle of m·k × sub_dim decimal partials per round
+        sub_rows = codes.select(
+            F.posexplode("_codes").alias("_s", "_c"),
+            F.col(vec_col).alias("_v"),
+        ).select(
+            "_s",
+            "_c",
+            *[
+                F.element_at(
+                    "_v", (F.col("_s") * sub_dim + i + 1).cast("int")
+                ).cast("double").alias(f"x{i}")
+                for i in range(sub_dim)
+            ],
+        )
+        aggs = []
+        for i in range(sub_dim):
+            c = F.col(f"x{i}")
+            dec = c.cast("decimal(38,18)")
+            aggs.append(F.sum(dec).alias(f"c{i}"))
+            aggs.append(F.count(F.when(c.isNull() | dec.isNull(), 1)).alias(f"b{i}"))
+        rows = sub_rows.groupBy("_s", "_c").agg(F.count(F.lit(1)).alias("_n"), *aggs).collect()
+        if any(r[f"b{i}"] for r in rows for i in range(sub_dim)):
+            raise ValueError(
+                "pq_train: NULL, short-array or non-finite embedding "
+                "component — clean the corpus before training"
+            )
+        new: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            new[(r["_s"], r["_c"])] = [
+                float(r[f"c{i}"]) / r["_n"] for i in range(sub_dim)
+            ]
+        codebook = [
+            [new.get((s, j), codebook[s][j]) for j in range(k)] for s in range(m)
+        ]
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress: ``(id_col, code array<int> of length m)`` — one Arrow
+    pass, zero shuffle. The codes column is the store format (m bytes per
+    vector at k ≤ 256 when persisted as tinyint)."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    return corpus.select(
+        F.col(id_col),
+        _assign_codes_udf(codebook, sub_dim)(F.col(vec_col)).alias("code"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Asymmetric Distance Computation search: for each probe, the ``k``
+    nearest corpus vectors by PQ-approximated squared L2 (ties →
+    neighbor id asc; the probe itself excluded when ids collide).
+
+    Per probe a (m × k_codes) table of per-subspace squared distances is
+    quantized to BIGINT micro-units; each candidate's distance is the
+    EXACT integer sum of its m table entries (order-free, the unit-sum
+    contract), so output ``dist_u`` is all-integer. Probes and tables
+    broadcast inside the Arrow kernel closure; the corpus codes stream
+    map-side; top-k is the salted two-stage pattern.
+
+    Returns ``(probe_id, neighbor_id, dist_u, rank)``."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    probe_ids = [r[id_col] for r in probe_rows]
+    # per-probe (m × k_codes) unit tables: floor(d·scale + 0.5) as int64
+    tables = []
+    for r in probe_rows:
+        pv = np.asarray(r[vec_col], dtype=np.float64)
+        t = np.stack(
+            [
+                _sq_dists(pv[s * sub_dim : (s + 1) * sub_dim][None, :], cmats[s])[0]
+                for s in range(m)
+            ]
+        )
+        tables.append(np.floor(t * float(unit_scale) + 0.5).astype(np.int64))
+
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+
+    out_schema = "probe_id long, neighbor_id long, dist_u long"
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            code_mat = np.array([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for pid, tab in zip(probe_ids, tables):
+                # gather: dist_u[i] = Σ_s tab[s, code[i, s]] — exact int64
+                d = tab[np.arange(m)[None, :], code_mat].sum(axis=1)
+                keep = ids != pid  # self-match excluded
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "neighbor_id": ids[keep],
+                            "dist_u": d[keep],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(_adc, out_schema)
+    order = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
+    w_part = Window.partitionBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = scored.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "dist_u", "rank")
+    )

@@ -1,0 +1,145 @@
+"""Product quantization (pipeline/pq.py): training parity with a pure
+numpy Lloyd reference, encode/ADC exactness, geometry guards, and a
+recall sanity floor."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark.pipeline.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+DIM, M, K = 8, 4, 3
+SUB = DIM // M
+
+
+def _vecs(n, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, DIM).round(3)  # short decimals: exact doubles
+
+
+def _frame(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _ref_train(mat, iterations):
+    """Transparent Lloyd reference with the module's exact conventions:
+    init = subvectors of the K lowest-id rows, assignment by 9-dp-rounded
+    squared L2 with ties to the lowest code, means exact (here: numpy
+    float64 over exact short-decimal inputs — no rounding ambiguity)."""
+    cb = [[list(mat[j, s * SUB:(s + 1) * SUB]) for j in range(K)]
+          for s in range(M)]
+    for _ in range(iterations):
+        new = []
+        for s in range(M):
+            sub = mat[:, s * SUB:(s + 1) * SUB]
+            c = np.asarray(cb[s])
+            d = np.round(
+                (sub * sub).sum(1)[:, None] - 2 * sub @ c.T
+                + (c * c).sum(1)[None, :], 9)
+            code = np.argmin(d, axis=1)
+            row = []
+            for j in range(K):
+                pts = sub[code == j]
+                row.append(list(pts.mean(0)) if len(pts) else cb[s][j])
+            new.append(row)
+        cb = new
+    return cb
+
+
+def test_train_matches_numpy_reference(spark):
+    mat = _vecs(20)
+    df = _frame(spark, mat)
+    for iters in (0, 2):
+        got = pq_train(df, m=M, k=K, iterations=iters, dim=DIM)
+        want = _ref_train(mat, iters)
+        for s in range(M):
+            for j in range(K):
+                assert got[s][j] == pytest.approx(want[s][j], abs=1e-12), (
+                    iters, s, j)
+
+
+def test_encode_and_adc_exact(spark):
+    """Codes equal the reference assignment; ADC dist_u equals the exact
+    integer sum of the quantized per-subspace table entries; self-match
+    excluded; rank dense and deterministically tie-broken."""
+    mat = _vecs(12, seed=3)
+    df = _frame(spark, mat)
+    cb = pq_train(df, m=M, k=K, iterations=1, dim=DIM)
+    codes = {r["vec_id"]: list(r["code"]) for r in pq_encode(df, cb).collect()}
+
+    cmats = [np.asarray(c) for c in cb]
+    want_codes = {}
+    for i, v in enumerate(mat):
+        cs = []
+        for s in range(M):
+            sub = v[s * SUB:(s + 1) * SUB]
+            d = np.round(
+                (sub @ sub) - 2 * cmats[s] @ sub + (cmats[s] ** 2).sum(1), 9)
+            cs.append(int(np.argmin(d)))
+        want_codes[i] = cs
+    assert codes == want_codes
+
+    probes = df.filter(F.col("vec_id") < 2)
+    out = pq_topk(df, probes, cb, k=5)
+    rows = [(r["probe_id"], r["neighbor_id"], r["dist_u"], r["rank"])
+            for r in out.collect()]
+    assert len(rows) == 10
+    by_probe = {}
+    for pid, nid, du, rk in rows:
+        assert nid != pid
+        by_probe.setdefault(pid, []).append((rk, nid, du))
+    for pid, lst in by_probe.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3, 4, 5]
+        # dist_u equals the exact table-gather sum
+        pv = mat[pid]
+        tabs = []
+        for s in range(M):
+            sub = pv[s * SUB:(s + 1) * SUB]
+            t = (sub @ sub) - 2 * cmats[s] @ sub + (cmats[s] ** 2).sum(1)
+            tabs.append(np.floor(t * 1e6 + 0.5).astype(np.int64))
+        for _, nid, du in lst:
+            want = sum(int(tabs[s][want_codes[nid][s]]) for s in range(M))
+            assert du == want
+        # monotone non-decreasing distance with rank
+        dus = [du for _, _, du in lst]
+        assert dus == sorted(dus)
+
+
+def test_pq_recall_sanity(spark):
+    """Separable clusters: each probe's PQ top-1 lands in its own cluster
+    (compression must not destroy coarse geometry)."""
+    rng = np.random.RandomState(0)
+    centers = np.eye(4).repeat(2, axis=1) * 10.0  # 4 well-separated centers
+    mat = np.vstack([
+        centers[i % 4] + rng.rand(DIM) * 0.1 for i in range(24)
+    ]).round(3)
+    df = _frame(spark, mat)
+    cb = pq_train(df, m=M, k=4, iterations=2, dim=DIM)
+    probes = df.filter(F.col("vec_id") < 4)
+    top1 = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in pq_topk(df, probes, cb, k=1).collect()
+    }
+    for pid, nid in top1.items():
+        assert nid % 4 == pid % 4, (pid, nid)
+
+
+def test_pq_guards(spark):
+    df = _frame(spark, _vecs(6))
+    with pytest.raises(ValueError, match="m must divide"):
+        pq_train(df, m=3, k=2, dim=DIM)
+    with pytest.raises(ValueError, match="need k"):
+        pq_train(df, m=M, k=64, dim=DIM)
+    cb = pq_train(df, m=M, k=2, iterations=0, dim=DIM)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_topk(df, df.limit(1), cb, k=0)
+    with pytest.raises(ValueError, match="probes is empty"):
+        pq_topk(df, df.filter(F.col("vec_id") < 0), cb, k=1)
