@@ -1,6 +1,8 @@
 from prometheus_parquet_server_spark.streaming.sessions import (
     sessionize,
     sessionize_batch,
+    sessionize_batch_native,
+    stream_sessionize_native,
 )
 from prometheus_parquet_server_spark.streaming.ingest import (
     stream_events_as_metrics,
@@ -22,6 +24,8 @@ __all__ = [
     "run_available_now",
     "sessionize",
     "sessionize_batch",
+    "sessionize_batch_native",
+    "stream_sessionize_native",
     "stream_interval_join",
     "stream_heavy_hitter_grams",
 ]

@@ -635,6 +635,66 @@ def test_chunked_sessionize_matches_unchunked(spark):
         sessionize_batch(ev, gap_s=60.0, chunk_s=60.0)
 
 
+def test_stream_sessionize_native_closed_sessions_match_batch(spark, tmp_path):
+    """The built-in session_window streaming aggregation (all-JVM state)
+    emits, in append mode, exactly the sessions the watermark has closed —
+    and their boundaries/aggregates equal sessionize_batch on the same
+    rows (the same parity contract as the custom operator's timeout
+    path). Same two-file fixture shape as the timeout test: a late event
+    drives the watermark past user 1's sessions."""
+    from prometheus_parquet_server_spark.streaming.ingest import run_available_now
+    from prometheus_parquet_server_spark.streaming.sessions import (
+        sessionize_batch,
+        stream_sessionize_native,
+    )
+
+    src = f"{tmp_path}/sessnat_src"
+    schema = "user_id long, ts_s double, value double"
+    spark.createDataFrame(
+        [(1, 1000.0, 1.0), (1, 1100.0, 2.0), (1, 6000.0, 3.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame([(2, 501000.0, 9.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = stream.withColumn("event_time", F.timestamp_seconds(F.col("ts_s")))
+    out = run_available_now(
+        stream_sessionize_native(ev, gap_s=1800.0, watermark="10 seconds"),
+        spark,
+        output_mode="append",
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in out.collect()
+    )
+    # watermark ends at 501000-10: user 1's two sessions are closed and
+    # MUST have been emitted; user 2's own session is not yet closed
+    want_user1 = [(1, 1000.0, 1100.0, 2, 3.0), (1, 6000.0, 6000.0, 1, 3.0)]
+    assert [g for g in got if g[0] == 1] == want_user1
+    assert not [g for g in got if g[0] == 2]
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in sessionize_batch(
+            static.filter(F.col("user_id") == 1), gap_s=1800.0
+        ).collect()
+    )
+    assert batch == want_user1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_sessionize_native(ev, gap_s=0)
+
+
 def test_sessionize_event_time_timeout_flushes_idle(spark, tmp_path):
     """With an event-time watermark, an idle user's open session must be
     FLUSHED by GroupStateTimeout once the watermark passes last+gap — and
