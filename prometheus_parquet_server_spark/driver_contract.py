@@ -2966,6 +2966,109 @@ QUALIFY rank <= {_IVF_K}
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (pipeline/pq.py ivfpq_topk): L2 coarse cells (8, probe 2) +
+    residual PQ codes (m=8 × 8 codewords), both quantizers at
+    iterations=0 so the oracle replays the full pipeline — cell
+    assignment, residual encoding, probe tables — exactly; ADC distances
+    as exact BIGINT unit sums (all-integer output)."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, probes, k=_IVF_K, n_cells=8, n_probe=2, m=8, k_codes=8,
+        coarse_iterations=0, pq_iterations=0, dim=_ND_DIM,
+    )
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Squared-L2 dot expansion — the same decomposition the engine's
+    numpy kernel computes, so the two agree far below the 1e-9 grid."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+SQL_IVFPQ_TOPK = f"""
+WITH cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           embedding::DOUBLE[] AS cvec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+cellassign AS (
+    SELECT vec_id, cid AS cell, cvec FROM (
+        SELECT e.vec_id, c.cid, c.cvec,
+               ROUND({_sql_l2('e.embedding::DOUBLE[]', 'c.cvec')}, 9) AS d
+        FROM embeddings e CROSS JOIN cent c
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+res AS (
+    SELECT e.vec_id, a.cell,
+           list_transform(range(64),
+               i -> (e.embedding::DOUBLE[])[i + 1] - a.cvec[i + 1]) AS r
+    FROM embeddings e JOIN cellassign a USING (vec_id)
+),
+subs AS (SELECT CAST(range AS INT) AS s FROM range(8)),
+rsub AS (
+    SELECT r.vec_id, r.cell, su.s, r.r[su.s * 8 + 1 : su.s * 8 + 8] AS rs
+    FROM res r CROSS JOIN subs su
+),
+rw AS (
+    -- residual codebook at iterations=0: residual subvectors of the 8
+    -- lowest-id vectors, j ordered by vec_id (the pq_train init rule)
+    SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                   AS INT) AS j, rs AS w
+    FROM rsub
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+codes AS (
+    SELECT vec_id, cell, s, j FROM (
+        SELECT r.vec_id, r.cell, r.s, w.j,
+               ROUND({_sql_l2('r.rs', 'w.w')}, 9) AS d
+        FROM rsub r JOIN rw w ON w.s = r.s
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1
+),
+pcells AS (
+    SELECT vec_id AS probe_id, cid AS cell, cvec FROM (
+        SELECT e.vec_id, c.cid, c.cvec,
+               ROUND({_sql_l2('e.embedding::DOUBLE[]', 'c.cvec')}, 9) AS d
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) <= 2
+),
+pres AS (
+    SELECT p.probe_id, p.cell,
+           list_transform(range(64),
+               i -> (e.embedding::DOUBLE[])[i + 1] - p.cvec[i + 1]) AS r
+    FROM pcells p JOIN embeddings e ON e.vec_id = p.probe_id
+),
+prsub AS (
+    SELECT pr.probe_id, pr.cell, su.s,
+           pr.r[su.s * 8 + 1 : su.s * 8 + 8] AS rs
+    FROM pres pr CROSS JOIN subs su
+),
+ptab AS (
+    SELECT pr.probe_id, pr.cell, pr.s, w.j,
+           CAST(FLOOR({_sql_l2('pr.rs', 'w.w')} * 1000000.0 + 0.5)
+                AS BIGINT) AS u
+    FROM prsub pr JOIN rw w ON w.s = pr.s
+),
+scored AS (
+    SELECT t.probe_id, c.vec_id AS neighbor_id, CAST(SUM(t.u) AS BIGINT) AS dist_u
+    FROM codes c
+    JOIN ptab t ON t.cell = c.cell AND t.s = c.s AND t.j = c.j
+    WHERE c.vec_id <> t.probe_id
+    GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, dist_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY dist_u, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_IVF_K}
+"""
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.3
 
@@ -5411,6 +5514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_grams": q_stream_heavy_grams,
     "dsir_topk": q_dsir_topk,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
@@ -5529,6 +5633,7 @@ ORACLES: dict[str, str] = {
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
     "pq_topk": SQL_PQ_TOPK,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -259,3 +259,170 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "dist_u", "rank")
     )
+
+
+def _cells_and_residuals_udf(coarse: list[list[float]]):
+    """Arrow kernel: embedding → struct(cell int, resid array<double>) —
+    nearest coarse centroid by 9-dp-rounded squared L2 (ties → lowest
+    cell id) and the residual x − c_cell, in one pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(coarse, dtype=np.float64)
+
+    @pandas_udf("struct<cell: int, resid: array<double>>")
+    def _cr(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "resid": []})
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        d = np.round(_sq_dists(mat, cmat), 9)
+        cells = np.argmin(d, axis=1)
+        resid = mat - cmat[cells]
+        return pd.DataFrame(
+            {
+                "cell": cells.astype(np.int32),
+                "resid": [[float(x) for x in row] for row in resid],
+            }
+        )
+
+    return _cr
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k_codes: int = 8,
+    coarse_iterations: int = 0,
+    pq_iterations: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """IVF-PQ: the two scale levers stacked, exactly as published
+    [Jégou et al. 2011 §IV] — an L2 coarse quantizer prunes the corpus to
+    ``n_probe`` of ``n_cells`` Voronoi cells per probe, and within cells
+    candidates are scored by ADC over RESIDUAL codes (``PQ(x − c_cell)``
+    — residual energy is far below raw energy, so the same code budget
+    quantizes much finer). This is the canonical billion-vector serving
+    shape: memory per vector is ``m`` code bytes + a cell id, and a query
+    touches ``n_probe/n_cells`` of the corpus with table lookups only.
+
+    Determinism: the coarse quantizer is :func:`pq_train` with ``m=1``
+    (one subspace = whole vector — the same decimal-exact Lloyd);
+    residual codebooks come from :func:`pq_train` on the residual frame;
+    assignments rank on the 9-dp grid; ADC terms are BIGINT micro-units
+    summed exactly. ``*_iterations=0`` is the oracle-replayable setting.
+
+    Returns ``(probe_id, neighbor_id, dist_u, rank)`` (all-integer
+    distances; ties → neighbor id; self-matches excluded)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (1 <= n_probe <= n_cells):
+        raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
+    coarse = pq_train(
+        corpus, m=1, k=n_cells, iterations=coarse_iterations, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )[0]
+    cmat = np.asarray(coarse, dtype=np.float64)
+
+    cr = corpus.select(
+        F.col(id_col),
+        _cells_and_residuals_udf(coarse)(F.col(vec_col)).alias("_cr"),
+    ).select(id_col, F.col("_cr.cell").alias("cell"), F.col("_cr.resid").alias("resid"))
+    # cached: the residual frame feeds two passes (codebook training and
+    # encoding); callers materialize the returned top-k, after which the
+    # cache is droppable via spark catalog cleanup
+    cr = cr.cache()
+    codebook = pq_train(
+        cr, m=m, k=k_codes, iterations=pq_iterations, dim=dim,
+        id_col=id_col, vec_col="resid",
+    )
+    sub_dim = dim // m
+    codes = cr.select(
+        F.col(id_col),
+        "cell",
+        _assign_codes_udf(codebook, sub_dim)(F.col("resid")).alias("code"),
+    )
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    # per (probe, probed cell): the residual-query ADC unit table
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    probed_cells: dict[int, list[int]] = {}
+    for r in probe_rows:
+        pid = r[id_col]
+        pv = np.asarray(r[vec_col], dtype=np.float64)
+        d = np.round(_sq_dists(pv[None, :], cmat)[0], 9)
+        order = np.argsort(d, kind="stable")[:n_probe]
+        probed_cells[pid] = [int(c) for c in order]
+        for c in probed_cells[pid]:
+            qr = pv - cmat[c]
+            t = np.stack(
+                [
+                    _sq_dists(
+                        qr[s * sub_dim : (s + 1) * sub_dim][None, :],
+                        cmats[s],
+                    )[0]
+                    for s in range(m)
+                ]
+            )
+            tables[(pid, c)] = np.floor(
+                t * float(unit_scale) + 0.5
+            ).astype(np.int64)
+
+    out_schema = "probe_id long, neighbor_id long, dist_u long"
+    midx = np.arange(m)
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            code_mat = np.array(
+                [np.asarray(c, dtype=np.int64) for c in pdf["code"]]
+            )
+            frames = []
+            for pid, pcells in probed_cells.items():
+                for c in pcells:
+                    mask = (cells == c) & (ids != pid)
+                    if not mask.any():
+                        continue
+                    tab = tables[(pid, c)]
+                    d = tab[midx[None, :], code_mat[mask]].sum(axis=1)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "probe_id": pid,
+                                "neighbor_id": ids[mask],
+                                "dist_u": d,
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(_adc, out_schema)
+    order_by = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
+    w_part = Window.partitionBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
+    ).orderBy(*order_by)
+    partial = scored.withColumn(
+        "_pr", F.row_number().over(w_part)
+    ).filter(F.col("_pr") <= k)
+    w_final = Window.partitionBy("probe_id").orderBy(*order_by)
+    out = (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "dist_u", "rank")
+    )
+    return out

@@ -143,3 +143,69 @@ def test_pq_guards(spark):
         pq_topk(df, df.limit(1), cb, k=0)
     with pytest.raises(ValueError, match="probes is empty"):
         pq_topk(df, df.filter(F.col("vec_id") < 0), cb, k=1)
+
+
+def test_ivfpq_matches_numpy_reference(spark):
+    """Full IVF-PQ pipeline vs a transparent numpy replay (iterations=0
+    both levels): cell assignment, residual codes, probed cells, table
+    quantization, exact integer distances, ranking."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_topk
+
+    mat = _vecs(16, seed=11)
+    df = _frame(spark, mat)
+    n_cells, n_probe, m, kc, k = 3, 2, M, 2, 4
+    got = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["dist_u"])
+        for r in ivfpq_topk(
+            df, df.filter(F.col("vec_id") < 2), k=k, n_cells=n_cells,
+            n_probe=n_probe, m=m, k_codes=kc, dim=DIM,
+        ).collect()
+    }
+
+    # --- numpy replay with the module's exact conventions ---
+    coarse = mat[:n_cells].copy()          # init = lowest-id vectors
+
+    def assign(x, c):
+        d = np.round(
+            (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :], 9)
+        return np.argmin(d, axis=1)
+
+    cells = assign(mat, coarse)
+    resid = mat - coarse[cells]
+    cw = [resid[:kc, s * SUB:(s + 1) * SUB].copy() for s in range(m)]
+    codes = np.stack(
+        [assign(resid[:, s * SUB:(s + 1) * SUB], cw[s]) for s in range(m)],
+        axis=1,
+    )
+    want = {}
+    for pid in (0, 1):
+        pv = mat[pid]
+        d = np.round(
+            (pv @ pv) - 2 * coarse @ pv + (coarse ** 2).sum(1), 9)
+        pcells = list(np.argsort(d, kind="stable")[:n_probe])
+        cand = []
+        for c in pcells:
+            qr = pv - coarse[c]
+            tabs = []
+            for s in range(m):
+                sub = qr[s * SUB:(s + 1) * SUB]
+                t = (sub @ sub) - 2 * cw[s] @ sub + (cw[s] ** 2).sum(1)
+                tabs.append(np.floor(t * 1e6 + 0.5).astype(np.int64))
+            for i in range(len(mat)):
+                if cells[i] == c and i != pid:
+                    du = sum(int(tabs[s][codes[i, s]]) for s in range(m))
+                    cand.append((du, i))
+        cand.sort()
+        for rk, (du, i) in enumerate(cand[:k], start=1):
+            want[(pid, rk)] = (i, du)
+    assert got == want
+
+
+def test_ivfpq_guards(spark):
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_topk
+
+    df = _frame(spark, _vecs(8))
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk(df, df.limit(1), n_cells=4, n_probe=5, m=M, k_codes=2, dim=DIM)
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk(df, df.limit(1), k=0, n_cells=4, n_probe=2, m=M, k_codes=2, dim=DIM)
