@@ -2081,6 +2081,78 @@ def prepare_v4_pipeline(
     )
 
 
+def prepare_v5_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_factor: float = 2.0,
+    m: int = 4096,
+) -> DataFrame:
+    """The v4 composition extended with DSIR DATA SELECTION between
+    curation and mixture: curated corpus → hashed-n-gram importance
+    scores against the deterministic target slice (doc_id % 17 == 3 of
+    the CURATED corpus) → keep the top half by score (exact global rank
+    via :func:`pipeline.shuffle.total_order_rank` — range-partitioned
+    offsets, NOT a single-partition global window) → weighted mixture →
+    deterministic order + shard. Every stage is individually
+    oracle-verified (pipeline_prepare_v4's stages + dsir_topk); this row
+    proves the round-9 selection family composes under the same hash
+    gate. Text shuffles once (the curation line explode); DSIR moves
+    bucket ids and scores, selection moves (id, rank) pairs, mixture
+    moves ids/counts/epochs."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_logratio_table,
+        dsir_score,
+    )
+    from prometheus_parquet_server_spark.pipeline.sample import mixture_sample
+    from prometheus_parquet_server_spark.pipeline.shuffle import (
+        global_shuffle,
+        shard_assign,
+        total_order_rank,
+    )
+
+    kept = (
+        _curated(docs, extra_cols=("source",))
+        .select("doc_id", "source", "text", "n_tokens")
+        .localCheckpoint()
+    )
+    target = kept.filter(F.col("doc_id") % 17 == 3)
+    table = dsir_logratio_table(kept, target, m=m)
+    scored = dsir_score(kept, table, m=m)
+    ranked = total_order_rank(
+        scored, [F.col("score_u").desc(), F.col("doc_id").asc()]
+    )
+    # ranked is checkpointed inside total_order_rank, so the count and
+    # the selection filter both read materialized (id, score, rank) rows
+    n = ranked.agg(F.max("rank").alias("n")).first()["n"]
+    if not n:
+        raise ValueError("prepare_v5: DSIR scoring produced no rows")
+    sel = kept.join(ranked.filter(F.col("rank") <= (n + 1) // 2), "doc_id")
+    total = sel.select(F.sum("n_tokens").alias("t")).first()["t"]
+    if not total:
+        raise ValueError("prepare_v5: selection produced an empty corpus")
+    mixed = mixture_sample(
+        sel.select("doc_id", "source", "text"),
+        weights,
+        total_budget_tokens=int(budget_factor * total),
+    )
+    keyed = mixed.withColumn(
+        "_mid",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    out = shard_assign(
+        global_shuffle(keyed, id_col="_mid", seed=7),
+        n_shards=8,
+        id_col="_mid",
+        seed=7,
+    )
+    return out.select(
+        "doc_id", "source", "epoch", "n_tokens", "target_tokens",
+        "shuffle_key", "shard",
+    )
+
+
 def q_pipeline_prepare_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded wrapper for the v4 capstone: banner lines injected so the
     boilerplate stage bites (the v3 fixture), 8:4:2:1:1 source weights,
@@ -2158,6 +2230,176 @@ total AS (
     -- int(budget_factor * total) in exact integer space for factor 2
     SELECT CAST(2 * SUM(n_tokens) AS BIGINT) AS budget FROM kept
 ),
+avail AS (SELECT source, wt, SUM(n_tokens) AS avail FROM staged GROUP BY source, wt),
+plan AS (
+    SELECT source,
+           CAST(FLOOR(CAST(total.budget AS DOUBLE) * wt / CAST(16.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS target,
+           avail
+    FROM avail CROSS JOIN total WHERE avail > 0
+),
+plan2 AS (
+    SELECT source, target, CAST(target // avail AS BIGINT) AS n_full,
+           target % avail AS rem
+    FROM plan WHERE target > 0
+),
+full_rows AS (
+    SELECT s.doc_id, s.source, CAST(unnest(range(p.n_full)) AS INT) AS epoch,
+           s.n_tokens, p.target AS target_tokens
+    FROM staged s JOIN plan2 p USING (source)
+),
+cum AS (
+    SELECT s.*, SUM(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.k, s.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_t
+    FROM staged s
+),
+partial_rows AS (
+    SELECT c.doc_id, c.source, CAST(p.n_full AS INT) AS epoch, c.n_tokens,
+           p.target AS target_tokens
+    FROM cum c JOIN plan2 p USING (source)
+    WHERE p.rem > 0 AND c.cum_t - c.n_tokens < p.rem
+),
+mixed AS (
+    SELECT * FROM full_rows UNION ALL SELECT * FROM partial_rows
+)
+SELECT doc_id, source, epoch, n_tokens, target_tokens,
+       md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) || ':7')
+           AS shuffle_key,
+       CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                 CAST(epoch AS VARCHAR) || ':7'), 1, 15))
+                 AS UBIGINT) % 8 AS BIGINT) AS shard
+FROM mixed
+"""
+
+
+def q_pipeline_prepare_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded wrapper for the v5 capstone (curation + DSIR top-half
+    selection + mixture + order): same banner-injected fixture and
+    8:4:2:1:1 weights as v4; budget 2x the SELECTED token mass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\nACCEPT ALL COOKIES\nSITE NAV | HOME | ABOUT\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return prepare_v5_pipeline(docs, _MIXTURE_WEIGHTS)
+
+
+SQL_PIPELINE_PREPARE_V5 = r"""
+WITH d AS (
+    SELECT doc_id, source,
+           text || chr(10) || 'ACCEPT ALL COOKIES' || chr(10) ||
+           'SITE NAV | HOME | ABOUT' || chr(10) || 'unique-' ||
+           CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+split AS (SELECT doc_id, source, string_split_regex(text, '\r?\n') AS arr FROM d),
+lines AS (
+    SELECT doc_id, i, arr[i] AS line,
+           md5(regexp_replace(arr[i], '^\s+|\s+$', '', 'g')) AS h,
+           regexp_replace(arr[i], '^\s+|\s+$', '', 'g') AS norm
+    FROM split, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+freq AS (
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM lines WHERE norm <> '')
+    GROUP BY h HAVING COUNT(*) >= 3
+),
+cleaned AS (
+    SELECT d.doc_id, d.source, coalesce(k.ct, '') AS text
+    FROM d LEFT JOIN (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ct
+        FROM lines WHERE h NOT IN (SELECT h FROM freq) GROUP BY doc_id
+    ) k USING (doc_id)
+),
+gated AS (
+    SELECT doc_id, source, text,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> ''),
+                           t -> regexp_matches(t, '\p{L}'))) AS n_alpha,
+           md5(text) AS fp
+    FROM cleaned
+),
+passed AS (
+    SELECT * FROM gated
+    WHERE NOT coalesce(n_tokens < 5, TRUE)
+      AND NOT (CASE WHEN n_tokens > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_tokens < 0.8
+                    ELSE TRUE END)
+),
+kept AS (
+    SELECT p.doc_id, p.source, p.text, p.n_tokens
+    FROM passed p
+    JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM passed GROUP BY fp) s
+      ON p.fp = s.fp AND p.doc_id = s.doc_id
+),
+-- DSIR selection over the CURATED corpus (target slice doc_id % 17 = 3)
+toks5 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS t
+    FROM kept
+),
+grams5 AS (
+    SELECT doc_id, unnest(t) AS gram FROM toks5
+    UNION ALL
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM toks5
+),
+buck5 AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+    FROM grams5
+),
+praw5 AS (SELECT b, COUNT(*) AS cp FROM buck5 GROUP BY b),
+ptgt5 AS (SELECT b, COUNT(*) AS cq FROM buck5 WHERE doc_id % 17 = 3 GROUP BY b),
+tot5 AS (
+    SELECT (SELECT COUNT(*) FROM buck5) AS np,
+           (SELECT COUNT(*) FROM buck5 WHERE doc_id % 17 = 3) AS nq
+),
+tbl5 AS (
+    SELECT r.range AS b,
+           CAST(FLOOR((
+               ln(CAST(coalesce(q.cq, 0) + 1 AS DOUBLE))
+               - ln(CAST(t.nq + 4096 AS DOUBLE))
+               - ln(CAST(coalesce(p.cp, 0) + 1 AS DOUBLE))
+               + ln(CAST(t.np + 4096 AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS unit
+    FROM range(4096) r
+    LEFT JOIN praw5 p ON p.b = r.range
+    LEFT JOIN ptgt5 q ON q.b = r.range
+    CROSS JOIN tot5 t
+),
+score5 AS (
+    SELECT bu.doc_id, CAST(SUM(tb.unit) AS BIGINT) AS score_u
+    FROM buck5 bu JOIN tbl5 tb ON tb.b = bu.b
+    GROUP BY bu.doc_id
+),
+cnt5 AS (SELECT COUNT(*) AS n FROM score5),
+sel AS (
+    SELECT k.doc_id, k.source, k.text, k.n_tokens,
+           md5(CAST(k.doc_id AS VARCHAR) || ':42') AS k
+    FROM kept k
+    JOIN (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rn
+        FROM score5
+    ) r USING (doc_id)
+    CROSS JOIN cnt5
+    WHERE r.rn <= (cnt5.n + 1) // 2
+),
+w(source, wt) AS (VALUES ('src0', CAST(8.0 AS DOUBLE)), ('src1', CAST(4.0 AS DOUBLE)),
+                         ('src2', CAST(2.0 AS DOUBLE)), ('src3', CAST(1.0 AS DOUBLE)),
+                         ('src4', CAST(1.0 AS DOUBLE))),
+staged AS (SELECT sel.*, w.wt FROM sel JOIN w USING (source)),
+total AS (SELECT CAST(2 * SUM(n_tokens) AS BIGINT) AS budget FROM sel),
 avail AS (SELECT source, wt, SUM(n_tokens) AS avail FROM staged GROUP BY source, wt),
 plan AS (
     SELECT source,
@@ -5515,6 +5757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topk": q_dsir_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
     "bpe_tokenize": q_bpe_tokenize,  # no oracle: iterative merge fixpoint (rows-only)
@@ -5665,4 +5908,5 @@ ORACLES: dict[str, str] = {
     "text_remove_spans": SQL_TEXT_REMOVE_SPANS,
     "pipeline_prepare_v3": SQL_PIPELINE_PREPARE_V3,
     "pipeline_prepare_v4": SQL_PIPELINE_PREPARE_V4,
+    "pipeline_prepare_v5": SQL_PIPELINE_PREPARE_V5,
 }

@@ -73,3 +73,61 @@ def shard_assign(
         F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
         % F.lit(int(n_shards)),
     )
+
+
+def total_order_rank(
+    df,
+    order_cols,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+):
+    """Exact global 1-based rank under a TOTAL order, computed the
+    scale-right way: range-repartition on the order columns (sampled
+    boundaries — every stage parallel), per-partition counts collected
+    (≤ n_partitions rows, the legitimate driver materialization), then
+    global rank = broadcast partition offset + local row_number. The
+    single-partition ``Window.orderBy()`` global window this replaces is
+    the classic scale killer — it funnels the entire frame through one
+    task.
+
+    ``order_cols`` must define a TOTAL order (include a unique id as the
+    final key — ties across a range boundary would otherwise make ranks
+    partition-dependent). The range-partitioned frame is
+    ``localCheckpoint``ed: boundary sampling is NOT deterministic across
+    evaluations, and the offsets collected from one evaluation must
+    describe the same partitioning the final plan reads — eager
+    materialization pins it (a cache could be evicted or unpersisted
+    under the consumer and silently re-sample).
+
+    Returns ``df`` with ``rank_col`` added. The rank itself is fully
+    deterministic — it depends only on the total order, not on where
+    the sampled boundaries landed.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    r = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (row["_pid"], row["count"])
+        for row in r.groupBy("_pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        r.withColumn("_lr", F.row_number().over(w))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )

@@ -399,3 +399,29 @@ class TestMixtureSample:
             mixture_sample(docs, {"a": 1.0}, 0)
         with _pytest.raises(ValueError):
             mixture_sample(docs.withColumn("epoch", docs.doc_id), {"a": 1.0}, 10)
+
+
+def test_total_order_rank_exact_and_partition_independent(spark):
+    """total_order_rank equals a driver-side sorted enumeration, for any
+    partition count (offsets must compose correctly across range
+    partitions), and never funnels through a single-partition global
+    window."""
+    from prometheus_parquet_server_spark.pipeline.shuffle import total_order_rank
+
+    rows = [(i, float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    want = {
+        i: rk
+        for rk, (i, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0])), start=1
+        )
+    }
+    for parts in (1, 4, 32):
+        got = {
+            r["id"]: r["rank"]
+            for r in total_order_rank(
+                df, [F.col("score").desc(), F.col("id").asc()],
+                n_partitions=parts,
+            ).collect()
+        }
+        assert got == want, parts
