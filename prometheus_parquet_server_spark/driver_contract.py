@@ -4787,9 +4787,11 @@ def q_events_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's own session_window aggregation (JVM dynamic-gap merge,
     streaming/sessions.py sessionize_batch_native) against the SAME
-    DuckDB oracle as the gaps-and-islands graded row — the merge-rule
-    (+1µs) and bound (end − gap) translations are exact at the engine's
-    integer-µs resolution, so the two operators are result-identical."""
+    DuckDB oracle as the gaps-and-islands graded row — the native merge
+    rule is already the operator's ``diff <= gap`` (Spark merges ADJACENT
+    windows; pinned by the exact-boundary test) and the bound translation
+    (``end − gap`` → last event) is exact at integer-µs resolution, so
+    the two operators are result-identical."""
     from prometheus_parquet_server_spark.streaming.sessions import (
         sessionize_batch_native,
     )

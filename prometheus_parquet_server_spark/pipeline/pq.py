@@ -336,10 +336,13 @@ def ivfpq_topk(
         F.col(id_col),
         _cells_and_residuals_udf(coarse)(F.col(vec_col)).alias("_cr"),
     ).select(id_col, F.col("_cr.cell").alias("cell"), F.col("_cr.resid").alias("resid"))
-    # cached: the residual frame feeds two passes (codebook training and
-    # encoding); callers materialize the returned top-k, after which the
-    # cache is droppable via spark catalog cleanup
-    cr = cr.cache()
+    # localCheckpoint, not cache(): the residual frame feeds two passes
+    # (codebook training + encoding), and a cache entry would sit in the
+    # CacheManager forever — this function has no safe point to unpersist
+    # (the returned lazy plan still reads it). The checkpointed RDD is
+    # instead released by the ContextCleaner once the caller drops the
+    # result, so repeated calls in a long-lived session stay bounded.
+    cr = cr.localCheckpoint()
     codebook = pq_train(
         cr, m=m, k=k_codes, iterations=pq_iterations, dim=dim,
         id_col=id_col, vec_col="resid",

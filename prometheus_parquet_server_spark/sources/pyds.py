@@ -256,6 +256,14 @@ class S3CommitBackend(CommitBackend):
             if not resp.get("IsTruncated"):
                 return names
             token = resp.get("NextContinuationToken")
+            if not token:
+                # a truncated page MUST carry a continuation token; a
+                # non-conformant gateway that omits it would otherwise
+                # re-request the first page forever
+                raise RuntimeError(
+                    f"S3 listing of {dir_uri} reported IsTruncated without "
+                    f"a NextContinuationToken — non-conformant S3 endpoint"
+                )
 
     def read_bytes(self, uri: str) -> bytes:
         bucket, key = self._split(uri)
@@ -268,8 +276,10 @@ class S3CommitBackend(CommitBackend):
             raise
 
     def create_exclusive(self, uri: str, payload: bytes) -> bool:
+        import time
+
         bucket, key = self._split(uri)
-        for _ in range(self._max_conflict_retries + 1):
+        for attempt in range(self._max_conflict_retries + 1):
             try:
                 self._client.put_object(
                     Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*"
@@ -280,7 +290,13 @@ class S3CommitBackend(CommitBackend):
                 if code == "PreconditionFailed" or status == 412:
                     return False  # slot taken — the loser rebases
                 if code == "ConditionalRequestConflict" or status == 409:
-                    continue  # concurrent conditional write in flight: retry
+                    # a COMPETING conditional write is still in flight —
+                    # back off so the retry lands after it resolves to a
+                    # win (our next attempt gets 412) or a loss (we win);
+                    # immediate retries would all land inside the same
+                    # in-flight window and exhaust the budget for nothing
+                    time.sleep(min(0.05 * (2 ** attempt), 2.0))
+                    continue
                 raise
         raise RuntimeError(
             f"S3 conditional put on {uri} still answering 409 "

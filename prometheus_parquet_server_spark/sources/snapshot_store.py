@@ -486,6 +486,15 @@ def _tx_manifest_entries(spark: SparkSession, path: str, tx: str) -> list[dict]:
             "max_name": r["max_name"],
             "min_ts": r["min_ts"],
             "max_ts": r["max_ts"],
+            # attestation the NULL-key rejection above just earned: every
+            # row in this file has non-null finite keys, so min/max stats
+            # DESCRIBE EVERY ROW. snapshot_delete's zero-scan contained
+            # drop requires it — min/max are null-blind, so a foreign
+            # file (external tooling, pre-guard manifests) could hide
+            # NULL-key rows inside a "fully contained" range; entries
+            # without the flag route to the scan-and-rewrite path where
+            # the null-safe filter decides row by row.
+            "null_free": True,
         }
         for r in stats
     ]
@@ -1542,7 +1551,15 @@ def snapshot_delete(
         return True
 
     base = parent_m["files"]
-    dead = [f for f in base if _overlaps(f) and _contained(f)]
+    # zero-scan drop ONLY for files attested null-key-free at write time:
+    # min/max stats ignore NULLs, so a foreign file whose range is fully
+    # contained could still hold NULL-key rows — rows the delete predicate
+    # can never match. Unattested files fall through to the straddle
+    # rewrite, where the null-safe negated filter keeps them row by row.
+    dead = [
+        f for f in base
+        if f.get("null_free") and _overlaps(f) and _contained(f)
+    ]
     _dp = {f["path"] for f in dead}
     straddle = [
         f for f in base if f["path"] not in _dp and _overlaps(f)
@@ -1562,15 +1579,32 @@ def snapshot_delete(
         # null-safe negation: under three-valued logic a NULL name/ts row
         # makes pred NULL, and filter(~NULL) would silently DELETE a row
         # that does not match the predicate. The write path rejects NULL
-        # keys, but legacy/externally-written files may carry them — a
-        # NULL-key row never matches a delete predicate, so it survives.
+        # keys, but a foreign (externally-written) file may carry them —
+        # a NULL-key row never matches a delete predicate, so it reaches
+        # the survivor rewrite, whose commit gate then REFUSES (the store
+        # invariant: NULL keys never commit). The re-raise below turns
+        # that write-side message into the actionable delete-side one:
+        # the store is out of contract and must be repaired first, which
+        # beats both silently deleting the row (the pre-fix behavior) and
+        # silently committing an invalid store.
         survivors = _pinned_reader(spark, parent_m).parquet(
             *[f["path"] for f in straddle]
         ).filter(~F.coalesce(pred, F.lit(False)))
         schema = schema or _schema_json(survivors)
-        new_files = _write_data_files(
-            spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)
-        )
+        try:
+            new_files = _write_data_files(
+                spark, path, survivors, time_chunk_s=_inherited_chunk(parent_m)
+            )
+        except ValueError as e:
+            if "NULL name" not in str(e):
+                raise
+            raise ValueError(
+                f"snapshot_delete refused: a rewritten file under {path} "
+                f"holds NULL/NaN-key row(s) the delete predicate cannot "
+                f"match — the store violates the non-null key contract "
+                f"(foreign/legacy data file); repair or drop that file "
+                f"before deleting. Original: {e}"
+            ) from e
     target = _target_version(fs, path, parent)
     if target is None:
         raise ConcurrentWriteError(

@@ -376,18 +376,17 @@ def sessionize_batch(
     # NaN/Inf/overflow all cast to decimal NULL — one comparison suffices
     _bad = _vc.isNotNull() & _dec.isNull()
     if unit_scale is not None:
-        from prometheus_parquet_server_spark.operators.aggregate import (
-            LONG_SAFE,
-            unit_sum,
-        )
+        from prometheus_parquet_server_spark.operators.aggregate import LONG_SAFE
 
         _s = float(unit_scale)
         if chunk_s is None:
+            # the SHARED aggregate definition (also the native twin's) —
+            # _sum_value_agg(value_col, unit_scale) IS unit_sum here
             return flagged.groupBy(user_col, "session_seq").agg(
                 F.min(ts_col).alias("session_start"),
                 F.max(ts_col).alias("session_end"),
                 F.count("*").alias("n_events"),
-                unit_sum(_vc, _s).alias("sum_value"),
+                _sum_value_agg(value_col, unit_scale).alias("sum_value"),
             )
         # local sessions carry the raw BIGINT unit sum + poison flag —
         # exact integer partials fold associatively across the merge, so
@@ -431,18 +430,12 @@ def sessionize_batch(
             ).alias("sum_value"),
         )
     if chunk_s is None:
+        # the SHARED decimal-exact aggregate (also the native twin's)
         return flagged.groupBy(user_col, "session_seq").agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.when(F.count_if(_bad) > 0, F.round(F.sum(_vc), 6))
-            .otherwise(
-                F.coalesce(
-                    F.round(F.sum(_dec), 6).cast("double"),
-                    F.round(F.sum(_vc), 6),
-                )
-            )
-            .alias("sum_value"),
+            _sum_value_agg(value_col, None).alias("sum_value"),
         )
     # local sessions carry the RAW decimal sum — rounding happens exactly
     # once, after the merge, same 6-dp contract as the unchunked path —

@@ -1008,6 +1008,76 @@ def test_snapshot_stats_manifest_fast_path(spark, tmp_path):
     assert st["n_rows"] == full[0]
 
 
+def test_snapshot_delete_foreign_file_null_keys_survive(spark, tmp_path):
+    """The zero-scan contained drop requires the writer's null-free
+    attestation: a FOREIGN file (hand-registered manifest entry, no
+    `null_free` flag) whose min/max range is fully covered by the delete
+    predicate may still hide NULL-key rows — min/max stats are
+    null-blind. Such a file must route through the scan-and-rewrite
+    path, where the null-safe negated filter KEEPS the NULL-key row the
+    predicate can never match — and the store's no-NULL-keys commit gate
+    then refuses the rewrite, so the delete RAISES with an actionable
+    message and the store is left untouched (vs the pre-fix behavior:
+    zero-scan drop silently deleting the NULL row). Also pins that
+    writer-produced entries DO carry the attestation (the zero-scan path
+    stays live for them — proven separately by
+    test_snapshot_delete_predicate's bytes-removed check)."""
+    import glob
+    import json
+    import os
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_delete,
+    )
+
+    store_dir = f"{tmp_path}/snapforeign"
+    store = f"file://{store_dir}"
+    snapshot_write(
+        spark, store, mk(spark, [("zz", {}, 9.0, 1.0)]), mode="overwrite"
+    )
+    with open(f"{store_dir}/_snapshots/v{1:010d}.json") as fh:
+        m1 = json.load(fh)
+    assert all(f.get("null_free") for f in m1["files"])  # writer attests
+
+    # foreign file: an 'a' row AND a NULL-name row, written OUTSIDE the
+    # store writer (which would reject the NULL key), then registered by
+    # a hand-crafted manifest entry with correct-but-null-blind stats
+    foreign_dir = f"{store_dir}/data/tx_foreign"
+    mk(spark, [("a", {}, 1.0, 1.0), (None, {}, 2.0, 2.0)]).coalesce(
+        1
+    ).write.parquet(foreign_dir)
+    [fpath] = glob.glob(f"{foreign_dir}/*.parquet")
+    entry = {
+        "path": f"file://{fpath}",
+        "n_rows": 2,
+        "n_bytes": os.path.getsize(fpath),
+        "min_name": "a",
+        "max_name": "a",
+        "min_ts": 1.0,
+        "max_ts": 2.0,
+        # no null_free: this is what external tooling would produce
+    }
+    m2 = dict(m1)
+    m2.update(
+        version=2, parent=1, operation="append", files=m1["files"] + [entry]
+    )
+    with open(f"{store_dir}/_snapshots/v{2:010d}.json", "x") as fh:
+        json.dump(m2, fh)
+
+    # delete everything named 'a': range fully contains the foreign file,
+    # but without the attestation it routes to the scan-and-rewrite path,
+    # the null-safe filter keeps the NULL row, and the commit gate refuses
+    with pytest.raises(ValueError, match="snapshot_delete refused.*NULL"):
+        snapshot_delete(spark, store, names=["a"])
+    # nothing committed: tip unchanged, every row (incl. NULL-key) intact
+    assert snapshot_version(spark, store) == 2
+    rows = sorted(
+        ((r["name"], r["ts"]) for r in snapshot_read(spark, store).collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    assert rows == [(None, 2.0), ("a", 1.0), ("zz", 9.0)]
+
+
 def test_snapshot_delete_predicate(spark, tmp_path):
     """Predicate DELETE: name-contained files drop by manifest arithmetic
     alone (proven with the data file's bytes removed), straddling ts

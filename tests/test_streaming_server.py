@@ -500,10 +500,13 @@ def test_sessionize_batch_int_twin_parity(spark):
 
 def test_sessionize_batch_native_parity_and_gap_boundary(spark):
     """The Spark-native session_window twin is result-identical to the
-    gaps-and-islands operator, INCLUDING the exact-boundary case the
-    +1µs merge-rule translation exists for: two events exactly gap_s
-    apart must land in ONE session under both (the operator's rule is
-    diff <= gap; native windows alone would split them)."""
+    gaps-and-islands operator, INCLUDING the exact boundary: two events
+    exactly gap_s apart land in ONE session under both — Spark merges
+    ADJACENT session windows, i.e. its native rule is already the
+    operator's diff <= gap. (This test caught the first implementation's
+    +1µs gap widening, which assumed strict-overlap merging and
+    over-merged events 1 µs PAST the gap; there is no translation in the
+    code and none must be 'restored'.)"""
     from prometheus_parquet_server_spark.streaming.sessions import (
         sessionize_batch,
         sessionize_batch_native,
