@@ -5099,6 +5099,75 @@ GROUP BY event_type
 """.replace("{sum_v}", _sql_unit_sum("value", 1e6))
 
 
+_UPDATE_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_snapshot_update_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE under the oracle gate (the round-9 DML verb,
+    sources/snapshot_store.py snapshot_update): the events table
+    committed to a snapshot store, then ``SET value = value * 2 + 1``
+    for the 'click' rows inside a fixed ts slice — disjoint files carry
+    by reference, intersecting files rewrite with one CASE projection —
+    and the per-name counts/unit-sums hash-match DuckDB applying the
+    same CASE to the raw table."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+        snapshot_update,
+        snapshot_write,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _UPDATE_STORE_CACHE.get(key)
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='update_ev_')}/store"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        snapshot_write(
+            spark,
+            store,
+            ev.select(
+                F.col("event_type").alias("name"),
+                (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
+                "value",
+            ),
+            mode="overwrite",
+        )
+        snapshot_update(
+            spark,
+            store,
+            {"value": "value * 2 + 1"},
+            names=["click"],
+            ts_range=(_DELETE_TS_LO, _DELETE_TS_HI),
+        )
+        _UPDATE_STORE_CACHE[key] = store
+    return (
+        snapshot_read(spark, store)
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            unit_sum("value").alias("sum_v"),
+        )
+    )
+
+
+SQL_SNAPSHOT_UPDATE_EVENTS = f"""
+WITH base AS (
+    SELECT event_type AS name,
+           CASE WHEN event_type = 'click'
+                 AND epoch_us(ts) / 1000000.0
+                     BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r}
+                THEN value * 2 + 1 ELSE value END AS value
+    FROM events
+)
+SELECT name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {{sum_v}} AS sum_v
+FROM base
+GROUP BY name
+""".replace("{sum_v}", _sql_unit_sum("value", 1e6))
+
+
 SQL_EVENTS_ROLLUP = """
 WITH base AS (
     SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
@@ -5736,6 +5805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_irate_chunked": q_p2_irate_chunked,
     "rollup_incremental": q_rollup_incremental,
     "snapshot_delete_events": q_snapshot_delete_events,
+    "snapshot_update_events": q_snapshot_update_events,
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
@@ -5899,6 +5969,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_incremental": SQL_DEDUP_MINHASH_INCREMENTAL,
     "snapshot_stats_events": SQL_SNAPSHOT_STATS_EVENTS,
     "snapshot_delete_events": SQL_SNAPSHOT_DELETE_EVENTS,
+    "snapshot_update_events": SQL_SNAPSHOT_UPDATE_EVENTS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,

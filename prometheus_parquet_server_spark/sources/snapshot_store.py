@@ -1626,6 +1626,115 @@ def snapshot_delete(
     return manifest["version"]
 
 
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, str],
+    names: list[str] | None = None,
+    ts_range: tuple[float, float] | None = None,
+) -> int | None:
+    """Predicate UPDATE (the Delta ``UPDATE ... SET`` verb), completing
+    the DML trio next to :func:`snapshot_delete` and the upsert/merge
+    verbs: for every row matching ``name ∈ names`` (when given) AND
+    ``ts ∈ [lo, hi]`` (when given), apply each ``assignments`` entry
+    ``column -> SQL expression`` (evaluated per row with the full row in
+    scope, e.g. ``{"value": "value * 2"}``); all other rows pass through
+    byte-identical.
+
+    Scale shape mirrors snapshot_delete's rewrite half: files the
+    manifest stats prove DISJOINT from the predicate carry over by
+    reference (a targeted update touches O(matching files), not
+    O(store)); every predicate-intersecting file is read once and
+    rewritten with one CASE projection. There is no zero-scan arm — an
+    update must materialize new bytes for matching rows by definition.
+    The predicate is evaluated null-safely (a NULL-key row in a foreign
+    file never matches, and if one reaches a rewrite the no-NULL-keys
+    commit gate refuses, as in snapshot_delete). Rewrites go through
+    :func:`_write_data_files`, so stats/clustering/chunking are
+    recomputed — assignments may legally touch ``name``/``ts`` and the
+    manifest stays truthful; assignments that produce NULL/NaN keys are
+    refused by the same gate.
+
+    At least one predicate is required (an unbounded update is a
+    rewrite of the whole store — say it as read-transform-overwrite).
+    Time travel still serves pre-update rows; vacuum reclaims superseded
+    bytes. Returns the committed version, or None when no file
+    intersects the predicate. Raises :class:`ConcurrentWriteError` if
+    the tip moves between resolve and commit (rewrites cannot be rebased
+    blindly)."""
+    if not assignments:
+        raise ValueError("snapshot_update needs at least one assignment")
+    if names is None and ts_range is None:
+        raise ValueError(
+            "snapshot_update needs names and/or ts_range — an unbounded "
+            "update is a read-transform-overwrite; say that explicitly"
+        )
+    fs = _StoreFS(spark, path)
+    parent, parent_m = _resolve_tip(fs, path)
+    if parent is None:
+        return None
+    lo, hi = ts_range if ts_range is not None else (None, None)
+    schema_cols = [f["name"] for f in (parent_m.get("schema") or {}).get("fields", [])]
+    for col in assignments:
+        if schema_cols and col not in schema_cols:
+            raise ValueError(
+                f"snapshot_update: column {col!r} is not in the store "
+                f"schema {schema_cols} — UPDATE cannot add columns (use "
+                f"merge_schema append for evolution)"
+            )
+
+    def _overlaps(f: dict) -> bool:
+        if names is not None and not _name_overlaps(f, names):
+            return False
+        if ts_range is not None and not _ts_overlaps(f, lo, hi):
+            return False
+        return True
+
+    base = parent_m["files"]
+    touched = [f for f in base if _overlaps(f)]
+    if not touched:
+        return None
+    kept = [f for f in base if f["path"] not in {t["path"] for t in touched}]
+
+    pred = F.lit(True)
+    if names is not None:
+        pred = pred & F.col("name").isin(list(names))
+    if ts_range is not None:
+        pred = pred & F.col("ts").between(lo, hi)
+    pred = F.coalesce(pred, F.lit(False))
+    src = _pinned_reader(spark, parent_m).parquet(*[f["path"] for f in touched])
+    out_cols = [
+        F.when(pred, F.expr(expr)).otherwise(F.col(c)).alias(c)
+        if (expr := assignments.get(c)) is not None
+        else F.col(c)
+        for c in src.columns
+    ]
+    rewritten = src.select(*out_cols)
+    schema = parent_m.get("schema") or _schema_json(rewritten)
+    new_files = _write_data_files(
+        spark, path, rewritten, time_chunk_s=_inherited_chunk(parent_m)
+    )
+    target = _target_version(fs, path, parent)
+    if target is None:
+        raise ConcurrentWriteError(
+            f"update prepared against v{parent} but the tip moved"
+        )
+    manifest = {
+        "version": target,
+        "parent": parent,
+        "operation": "update",
+        "schema": schema,
+        "files": kept + new_files,
+    }
+    if parent_m.get("properties"):
+        manifest["properties"] = parent_m["properties"]
+    if not _try_commit(fs, path, manifest):
+        raise ConcurrentWriteError(
+            f"update prepared against v{parent} but the tip moved"
+        )
+    return manifest["version"]
+
+
 def snapshot_vacuum(
     spark: SparkSession,
     path: str,

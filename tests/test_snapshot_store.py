@@ -1008,6 +1008,73 @@ def test_snapshot_stats_manifest_fast_path(spark, tmp_path):
     assert st["n_rows"] == full[0]
 
 
+def test_snapshot_update_predicate(spark, tmp_path):
+    """Predicate UPDATE: matching rows transform, everything else is
+    byte-identical; disjoint files carry BY REFERENCE (same manifest
+    path objects — no rewrite); time travel serves pre-update values;
+    guards: unbounded update, empty/unknown-column assignments, and an
+    assignment that NULLs a key are all refused (the last by the
+    no-NULL-keys commit gate, store left untouched)."""
+    import json
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_update,
+    )
+
+    store_dir = f"{tmp_path}/snapupd"
+    store = f"file://{store_dir}"
+    for i, nm in enumerate(["aa", "bb"]):
+        rows = [(nm, {}, 100.0 * i + j, float(j)) for j in range(4)]
+        snapshot_write(
+            spark, store, mk(spark, rows),
+            mode="overwrite" if i == 0 else "append",
+        )
+    with open(f"{store_dir}/_snapshots/v{2:010d}.json") as fh:
+        files_before = {f["path"] for f in json.load(fh)["files"]}
+
+    v = snapshot_update(
+        spark, store, {"value": "value + 100"}, names=["bb"],
+        ts_range=(100.0, 101.0),
+    )
+    assert v == 3
+    got = sorted(
+        (r["name"], r["ts"], r["value"])
+        for r in snapshot_read(spark, store).collect()
+    )
+    assert got == [
+        ("aa", 0.0, 0.0), ("aa", 1.0, 1.0), ("aa", 2.0, 2.0), ("aa", 3.0, 3.0),
+        ("bb", 100.0, 100.0), ("bb", 101.0, 101.0),
+        ("bb", 102.0, 2.0), ("bb", 103.0, 3.0),
+    ]
+    # the aa file never matched: carried by reference, not rewritten
+    with open(f"{store_dir}/_snapshots/v{3:010d}.json") as fh:
+        m3 = json.load(fh)
+    assert m3["operation"] == "update"
+    carried = {f["path"] for f in m3["files"]} & files_before
+    assert carried, "disjoint file must carry by reference"
+    # time travel: pre-update values intact
+    old = snapshot_read(spark, store, version=2)
+    assert old.filter(
+        (F.col("name") == "bb") & (F.col("ts") == 100.0)
+    ).first()["value"] == 0.0
+
+    # no file intersects → no-op None
+    assert snapshot_update(spark, store, {"value": "0.0"}, names=["zz"]) is None
+    with pytest.raises(ValueError, match="unbounded|explicit"):
+        snapshot_update(spark, store, {"value": "0.0"})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        snapshot_update(spark, store, {}, names=["bb"])
+    with pytest.raises(ValueError, match="not in the store schema"):
+        snapshot_update(spark, store, {"nope": "1"}, names=["bb"])
+    # assignment that NULLs a key: the commit gate refuses, store untouched
+    with pytest.raises(ValueError, match="NULL name"):
+        snapshot_update(
+            spark, store, {"name": "CAST(NULL AS STRING)"}, names=["bb"]
+        )
+    assert snapshot_version(spark, store) == 3
+    assert snapshot_read(spark, store).count() == 8
+
+
 def test_snapshot_delete_foreign_file_null_keys_survive(spark, tmp_path):
     """The zero-scan contained drop requires the writer's null-free
     attestation: a FOREIGN file (hand-registered manifest entry, no
