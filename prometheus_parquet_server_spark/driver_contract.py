@@ -5557,6 +5557,41 @@ QUALIFY rank <= 50
 """
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's Gumbel-top-k SAMPLING mode (pipeline/dsir.py dsir_sample):
+    weighted sample without replacement via deterministic md5-uniform →
+    Gumbel noise quantized to BIGINT micro-units, selection key =
+    score_u + gumbel_u in exact integer arithmetic — all-integer graded
+    output, same target slice as dsir_topk."""
+    from prometheus_parquet_server_spark.pipeline.dsir import dsir_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    return dsir_sample(docs, target, k=50, m=4096, seed=42)
+
+
+#: shares SQL_DSIR_TOPK's CTE stack verbatim (split at its final SELECT),
+#: then keys each scored doc with the quantized Gumbel perturbation:
+#: U = (first-13-hex-digits-of-md5(id ':' seed) + 1) / (2^52 + 2)
+SQL_DSIR_SAMPLE = SQL_DSIR_TOPK.rsplit("SELECT doc_id, score_u,", 1)[0].rstrip() + """,
+keyed AS (
+    SELECT doc_id, score_u,
+           CAST(FLOOR(
+               -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                        1, 13))::UBIGINT + 1)
+                       / 4503599627370498.0))
+               * 1000000.0 + 0.5) AS BIGINT) AS gumbel_u
+    FROM scored
+)
+SELECT doc_id, score_u, gumbel_u,
+       CAST(score_u + gumbel_u AS BIGINT) AS key_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_u + gumbel_u DESC, doc_id)
+            AS INT) AS rank
+FROM keyed
+QUALIFY rank <= 50
+"""
+
+
 def q_stream_heavy_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL availableNow drain of the streaming heavy-hitter operator
     (streaming/heavy.py stream_heavy_hitter_grams — sharded weighted
@@ -5827,6 +5862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stream_heavy_grams": q_stream_heavy_grams,
     "dsir_topk": q_dsir_topk,
+    "dsir_sample": q_dsir_sample,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
@@ -5947,6 +5983,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
+    "dsir_sample": SQL_DSIR_SAMPLE,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

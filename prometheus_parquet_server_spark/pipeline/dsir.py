@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.pipeline.text import ngrams_col, tokens_col
 
-__all__ = ["dsir_logratio_table", "dsir_score", "dsir_topk"]
+__all__ = ["dsir_logratio_table", "dsir_score", "dsir_topk", "dsir_sample"]
 
 
 def _gram_buckets(text: Column, m: int) -> Column:
@@ -181,4 +181,76 @@ def dsir_topk(
         partial.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select(id_col, "score_u", "rank")
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    m: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """DSIR's SAMPLING mode: draw ``k`` documents without replacement
+    with probability ∝ importance weight, via the Gumbel-top-k trick
+    (key_i = log w_i + G_i with G_i = −ln(−ln U_i); the top-k keys are a
+    weighted sample without replacement — the construction the paper
+    uses). Deterministic and engine-replayable: U_i comes from the house
+    md5 key (the first 13 hex digits as a 52-bit integer, +1 over 2⁵²+2
+    so U ∈ (0,1) exactly representable), and the Gumbel noise is
+    quantized to BIGINT micro-units so the selection key is
+    ``score_u + gumbel_u`` — exact integer addition, ties → id. Same
+    scale shape as :func:`dsir_topk`; output ``(id_col, score_u,
+    gumbel_u, key_u, rank)``, all integers."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    table = dsir_logratio_table(
+        raw, target, m=m, text_col=text_col, unit_scale=unit_scale
+    )
+    scored = dsir_score(raw, table, m=m, text_col=text_col, id_col=id_col)
+    # U = (md5_52bits + 1) / (2^52 + 2): exact integer → exact double,
+    # strictly inside (0, 1) so both ln's are finite
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**52 + 2))
+    gumbel_u = F.floor(
+        -F.log(-F.log(u)) * F.lit(float(unit_scale)) + F.lit(0.5)
+    ).cast("long")
+    keyed = scored.select(
+        id_col,
+        "score_u",
+        gumbel_u.alias("gumbel_u"),
+        (F.col("score_u") + gumbel_u).alias("key_u"),
+    )
+    order = [F.col("key_u").desc(), F.col(id_col).asc()]
+    w_part = Window.partitionBy(
+        F.pmod(F.hash(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = keyed.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = Window.orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score_u", "gumbel_u", "key_u", "rank")
     )

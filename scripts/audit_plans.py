@@ -51,6 +51,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "+ totals back onto the m-row log-ratio table",
         )
     },
+    "dsir_sample": {
+        "BroadcastNestedLoopJoin": (
+            2,
+            "same shape as dsir_topk (shared table/score stages); the "
+            "Gumbel keying adds per-row expressions only",
+        )
+    },
     "cluster_topics": {
         "BroadcastNestedLoopJoin": (1, "cell-count (one row) broadcast back")
     },

@@ -140,3 +140,29 @@ def test_topk_matches_reference_ranking_and_is_deterministic(spark):
         dsir_topk(raw, target, k=0)
     with pytest.raises(ValueError, match="m must be"):
         dsir_logratio_table(raw, target, m=0)
+
+
+def test_dsir_sample_gumbel_exact_and_seeded(spark):
+    """Gumbel keys match the pure-Python replay exactly (md5-uniform →
+    quantized micro-units), the draw is without replacement (k distinct
+    docs), deterministic per seed, and seed-sensitive."""
+    import hashlib
+
+    corpus = [(i, f"w{i} common text body") for i in range(30)]
+    raw = _docs(spark, corpus)
+    target = _docs(spark, [(99, "common text")])
+    from prometheus_parquet_server_spark.pipeline.dsir import dsir_sample
+
+    out = dsir_sample(raw, target, k=10, m=64, seed=42).collect()
+    assert len(out) == 10
+    assert len({r["doc_id"] for r in out}) == 10  # without replacement
+    for r in out:
+        u = (int(hashlib.md5(f"{r['doc_id']}:42".encode())
+                 .hexdigest()[:13], 16) + 1) / float(2**52 + 2)
+        want = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+        assert r["gumbel_u"] == want
+        assert r["key_u"] == r["score_u"] + r["gumbel_u"]
+    again = dsir_sample(raw, target, k=10, m=64, seed=42).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = dsir_sample(raw, target, k=10, m=64, seed=7).collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
