@@ -233,12 +233,25 @@ class MetricsHTTPServer:
         return self._cached_response(("range", query, start, end, step), compute)
 
     def handle_labels(self) -> tuple[int, dict]:
-        names = [r["label"] for r in all_label_names(self.collection).collect()]
-        return 200, {"status": "success", "data": names}
+        # cached for the same reason as /metadata: the store is immutable
+        # post-ingest and Grafana's variable editor polls these endpoints
+        def compute() -> tuple[int, dict]:
+            names = [
+                r["label"] for r in all_label_names(self.collection).collect()
+            ]
+            return 200, {"status": "success", "data": names}
+
+        return self._cached_response(("labels",), compute)
 
     def handle_label_values(self, label: str) -> tuple[int, dict]:
-        vals = [r["value"] for r in label_values(self.collection, label).collect()]
-        return 200, {"status": "success", "data": sorted(vals)}
+        def compute() -> tuple[int, dict]:
+            vals = [
+                r["value"]
+                for r in label_values(self.collection, label).collect()
+            ]
+            return 200, {"status": "success", "data": sorted(vals)}
+
+        return self._cached_response(("label_values", label), compute)
 
     def handle_instant_query(self, params: dict[str, str]) -> tuple[int, dict]:
         """Real instant evaluation (the reference's endpoint is a dummy that
