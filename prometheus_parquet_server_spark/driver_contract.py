@@ -4706,6 +4706,159 @@ QUALIFY rank <= {k}
 SQL_BM25_TOPK = _sql_bm25_topk(_BM25_QUERIES, k=10)
 
 
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (pipeline/stats.py hybrid_topk): BM25 and
+    hash-embedding cosine rankings fused by Reciprocal Rank Fusion
+    [Cormack et al. 2009] — top-20 candidates per side, RRF units
+    floor(1e6/(60+rank)+0.5) summed exactly, fused top-10. All-integer
+    score output; the oracle replays all three stages in one query."""
+    from prometheus_parquet_server_spark.pipeline.stats import hybrid_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hybrid_topk(docs, _BM25_QUERIES, k=10, candidates=20)
+
+
+def _sql_hybrid_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
+    idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
+    cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
+    and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
+    sum — query weight literals computed by the SAME
+    _query_hash_weights the engine broadcasts."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        _query_hash_weights,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    qrows = ", ".join(
+        f"({q(qid)}, {q(t)})"
+        for qid, terms in sorted(queries.items())
+        for t in sorted({w.lower() for w in terms})
+    )
+    terms_in = ", ".join(
+        q(t) for t in sorted({w.lower() for ts in queries.values() for w in ts})
+    )
+    qwrows = ", ".join(
+        f"({q(qid)}, {b}, {w})"
+        for qid, terms in sorted(queries.items())
+        for b, w in _query_hash_weights(
+            sorted({t.lower() for t in terms}), dim
+        )
+    )
+    rrf_unit = (
+        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        x -> x <> '') AS toks
+    FROM documents WHERE doc_id IS NOT NULL
+),
+corpus AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM docs
+),
+rows_f AS (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, token, COUNT(*) AS tf
+    FROM rows_f WHERE token IN ({terms_in})
+    GROUP BY doc_id, dl, token
+),
+docfreq AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+q(query_id, token) AS (VALUES {qrows}),
+contribs AS (
+    SELECT q.query_id, tf.doc_id,
+           LN({_d(1.0)} + (corpus.n - docfreq.df + {_d(0.5)})
+                          / (docfreq.df + {_d(0.5)}))
+           * (tf.tf * {_d(2.2)})
+           / (tf.tf + {_d(1.2)} * ({_d(1.0)} - {_d(0.75)}
+              + {_d(0.75)} * tf.dl / corpus.avgdl)) AS contrib
+    FROM tf JOIN docfreq USING (token)
+            CROSS JOIN corpus
+            JOIN q USING (token)
+),
+lex_scored AS (
+    SELECT query_id, doc_id,
+           {_sql_unit_sum('contrib', 1e6, guarded=False)} AS score
+    FROM contribs GROUP BY query_id, doc_id
+),
+lex AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+    FROM lex_scored
+    QUALIFY rank <= {candidates}
+),
+htoks AS (
+    SELECT doc_id, unnest(toks) AS tok FROM docs
+),
+hfeat AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {dim} AS BIGINT)
+               AS bucket,
+           CASE WHEN substr(md5(tok), 9, 1) IN ('8','9','a','b','c','d','e','f')
+                THEN -1 ELSE 1 END AS s
+    FROM htoks
+),
+dweights AS (
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS w
+    FROM hfeat GROUP BY doc_id, bucket HAVING SUM(s) <> 0
+),
+dnorm AS (
+    SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM dweights GROUP BY doc_id
+),
+qw(query_id, bucket, qweight) AS (VALUES {qwrows}),
+qnorm AS (
+    SELECT query_id, CAST(SUM(qweight * qweight) AS BIGINT) AS qn2
+    FROM qw GROUP BY query_id
+),
+dots AS (
+    SELECT qw.query_id, d.doc_id, CAST(SUM(d.w * qw.qweight) AS BIGINT) AS dot
+    FROM dweights d JOIN qw ON qw.bucket = d.bucket
+    GROUP BY qw.query_id, d.doc_id
+),
+dense AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND(dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 9)
+                   DESC, doc_id) AS rank
+    FROM dots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
+    QUALIFY rank <= {candidates}
+),
+unioned AS (
+    SELECT query_id, doc_id, {rrf_unit} AS u FROM lex
+    UNION ALL
+    SELECT query_id, doc_id, {rrf_unit} AS u FROM dense
+),
+fused AS (
+    SELECT query_id, doc_id, CAST(SUM(u) AS BIGINT) AS score_u
+    FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
+SQL_HYBRID_TOPK = _sql_hybrid_topk(_BM25_QUERIES, k=10, candidates=20)
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join over events: every view within the one-hour
     window after an error by the same user — an equi-join on
@@ -5863,6 +6016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_grams": q_stream_heavy_grams,
     "dsir_topk": q_dsir_topk,
     "dsir_sample": q_dsir_sample,
+    "hybrid_topk": q_hybrid_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
@@ -5984,6 +6138,7 @@ ORACLES: dict[str, str] = {
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,

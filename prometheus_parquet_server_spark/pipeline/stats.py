@@ -237,3 +237,182 @@ def corpus_stats(
         F.round(F.expr(f"percentile({length_col}, 0.9)"), 6).alias("p90_chars"),
         F.max(length_col).alias("max_chars"),
     )
+
+
+def _query_hash_weights(terms: list[str], dim: int) -> list[tuple[int, int]]:
+    """Pure-Python hash-embed of a query's term list — IDENTICAL md5
+    bucket/sign math to :func:`similarity.hash_embed` (and its DuckDB
+    oracle), computed driver-side so both engines receive the same tiny
+    literal weight rows. Returns sorted (bucket, weight) with zero
+    weights dropped."""
+    import hashlib
+
+    acc: dict[int, int] = {}
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:8], 16) % dim
+        s = -1 if h[8] in "89abcdef" else 1
+        acc[b] = acc.get(b, 0) + s
+    return sorted((b, w) for b, w in acc.items() if w != 0)
+
+
+def hash_cosine_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Dense-side retrieval over feature-hashed embeddings: each query's
+    term list hash-embeds to a ``dim``-bucket signed-count vector
+    (driver-side, tiny), documents embed via
+    :func:`similarity.hash_embed`'s integer long form, and candidates
+    rank by cosine. CANDIDATES are the documents sharing at least one
+    nonzero bucket with the query (retrieval semantics — a
+    no-overlap document has cosine exactly 0 and is not returned), so
+    the only join is bucket-equi against a broadcast of the query
+    weights. Dot products and squared norms are EXACT integers (signed
+    counts); ranking applies ROUND(cosine, 9) with ties → ``id_col``
+    (the ANN-family convention). Returns ``(query_id, id_col, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.pipeline.similarity import hash_embed
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = df.sparkSession
+    qrows = [
+        (qid, b, w)
+        for qid, terms in sorted(queries.items())
+        for b, w in _query_hash_weights(sorted({t.lower() for t in terms}), dim)
+    ]
+    if not qrows:
+        raise ValueError("every query hash-embeds to the zero vector")
+    qdf = spark.createDataFrame(qrows, "query_id string, bucket long, qw long")
+    qnorm = qdf.groupBy("query_id").agg(F.sum(F.col("qw") * F.col("qw")).alias("_qn2"))
+
+    long = (
+        hash_embed(df, text_col=text_col, id_col=id_col, dim=dim, normalize=False)
+        .select(id_col, F.posexplode("embedding").alias("bucket", "_w"))
+        .select(id_col, "bucket", F.col("_w").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    norms = long.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("_n2"))
+    dots = (
+        long.join(F.broadcast(qdf), "bucket")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("_dot"))
+    )
+    cos = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("_dot")
+                / (F.sqrt(F.col("_n2").cast("double"))
+                   * F.sqrt(F.col("_qn2").cast("double"))),
+                9,
+            ).alias("_cos"),
+        )
+    )
+    order = [F.col("_cos").desc(), F.col(id_col).asc()]
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.hash(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = cos.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    top_k: int = 10,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Reciprocal Rank Fusion [Cormack, Clarke & Büttcher, SIGIR 2009]:
+    fuse N per-query rankings by ``score(d) = Σ_r 1/(k_const +
+    rank_r(d))`` over the union of candidates (a document absent from a
+    ranking simply contributes nothing — the published convention). Each
+    reciprocal is quantized ONCE to BIGINT micro-units (a pure function
+    of the integer rank), so fused scores are exact integer sums —
+    order-free and engine-replayable. Output ``(group_col, id_col,
+    score_u, rank)``, ties → ``id_col``."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k_const < 1:
+        raise ValueError(f"k_const must be >= 1, got {k_const}")
+    unit = F.floor(
+        F.lit(float(unit_scale)) / (F.lit(k_const) + F.col(rank_col)) + F.lit(0.5)
+    ).cast("long")
+    sides = [
+        r.select(group_col, id_col, unit.alias("_u")) for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), sides)
+        .groupBy(group_col, id_col)
+        .agg(F.sum("_u").alias("score_u"))
+    )
+    order = [F.col("score_u").desc(), F.col(id_col).asc()]
+    w_part = Window.partitionBy(
+        group_col, F.pmod(F.hash(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = fused.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= top_k
+    )
+    w_final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= top_k)
+        .select(group_col, id_col, "score_u", "rank")
+    )
+
+
+def hybrid_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 and hash-embedding cosine rankings
+    fused by RRF — the standard two-tower-free hybrid (sparse ⊕ dense)
+    used to mine training data. Each side contributes its top
+    ``candidates``; RRF keeps the agreement structure and the fused
+    top-``k`` emerges with exact integer scores. All three stages are
+    individually oracle-replayable, so the composition grades bit-exact.
+    """
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = hash_cosine_topk(
+        df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
+    )
+    return rrf_fuse(
+        [lex.select("query_id", id_col, "rank"), dense],
+        k_const=k_const,
+        top_k=k,
+        id_col=id_col,
+    )

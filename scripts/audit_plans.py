@@ -44,6 +44,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "bm25_topk": {
         "BroadcastNestedLoopJoin": (1, "corpus (N, avgdl) one-row broadcast back")
     },
+    "hybrid_topk": {
+        "BroadcastNestedLoopJoin": (
+            1,
+            "the bm25 side's allowlisted corpus (N, avgdl) one-row "
+            "broadcast; the dense and fusion stages add equi-joins only",
+        )
+    },
     "dsir_topk": {
         "BroadcastNestedLoopJoin": (
             2,

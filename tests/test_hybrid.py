@@ -1,0 +1,112 @@
+"""Hybrid retrieval (pipeline/stats.py): hash-embed cosine side, RRF
+fusion against a transparent pure-Python model, and the composed
+hybrid_topk contract."""
+
+import hashlib
+import math
+
+import pytest
+
+from prometheus_parquet_server_spark.pipeline.stats import (
+    _query_hash_weights,
+    hash_cosine_topk,
+    hybrid_topk,
+    rrf_fuse,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_query_hash_weights_matches_hash_embed_convention():
+    """The driver-side query embedding uses the exact hash_embed md5
+    math (bucket = first 8 hex digits mod dim, sign from digit 9)."""
+    for t in ("hash", "join", "watermark"):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:8], 16) % 64
+        s = -1 if h[8] in "89abcdef" else 1
+        assert _query_hash_weights([t], 64) == [(b, s)]
+    # cancelling signs drop the bucket
+    one = _query_hash_weights(["hash"], 1)
+    assert one in ([], [(0, -2)], [(0, 2)]) or abs(one[0][1]) <= 2
+
+
+def test_hash_cosine_topk_candidates_and_ranking(spark):
+    """Candidates = docs sharing >=1 nonzero bucket; cosine computed
+    from exact integer dot/norms; ranking 9-dp rounded, ties -> id."""
+    docs = _docs(spark, [
+        (1, "hash join"),        # shares both query buckets
+        (2, "hash"),             # shares one
+        (3, "unrelated words"),  # no overlap -> not a candidate (maybe)
+    ])
+    out = hash_cosine_topk(docs, {"q": ["hash", "join"]}, k=5, dim=64)
+    rows = {r["doc_id"]: r["rank"] for r in out.collect()}
+    # replay in pure python
+    def vec(tokens, dim=64):
+        acc = {}
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            acc[b] = acc.get(b, 0) + (-1 if h[8] in "89abcdef" else 1)
+        return {b: w for b, w in acc.items() if w != 0}
+
+    qv = vec(["hash", "join"])
+    want = []
+    for did, txt in [(1, "hash join"), (2, "hash"), (3, "unrelated words")]:
+        dv = vec(txt.split())
+        dot = sum(w * qv.get(b, 0) for b, w in dv.items())
+        if not any(b in qv for b in dv):
+            continue  # no shared bucket: not a candidate
+        n2 = sum(w * w for w in dv.values())
+        qn2 = sum(w * w for w in qv.values())
+        cos = round(dot / (math.sqrt(n2) * math.sqrt(qn2)), 9)
+        want.append((did, cos))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert rows == {did: i + 1 for i, (did, _) in enumerate(want)}
+
+
+def test_rrf_fuse_matches_model_and_handles_one_sided_docs(spark):
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {
+        r["doc_id"]: (r["score_u"], r["rank"])
+        for r in rrf_fuse([a, b], k_const=60, top_k=4).collect()
+    }
+
+    def u(rank):
+        return math.floor(1e6 / (60 + rank) + 0.5)
+
+    want_scores = {1: u(1), 2: u(2) + u(1), 3: u(3), 4: u(2)}
+    ranked = sorted(want_scores.items(), key=lambda r: (-r[1], r[0]))
+    assert out == {
+        d: (s, i + 1) for i, (d, s) in enumerate(ranked)
+    }
+    with pytest.raises(ValueError, match="rankings"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k_const"):
+        rrf_fuse([a], k_const=0)
+
+
+def test_hybrid_topk_composes(spark):
+    """A doc strong on BOTH sides outranks docs strong on one; output is
+    a dense 1..k prefix per query with integer scores."""
+    docs = _docs(spark, [
+        (1, "hash join fast hash join"),   # lexical + dense
+        (2, "hash hash hash hash hash"),   # lexical-heavy single term
+        (3, "totally different content"),
+        (4, "join fast"),
+    ])
+    out = hybrid_topk(docs, {"qa": ["hash", "join", "fast"]}, k=3, candidates=4)
+    rows = sorted(
+        (r["rank"], r["doc_id"], r["score_u"]) for r in out.collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert rows[0][1] == 1          # both-sides doc wins
+    assert all(isinstance(r[2], int) for r in rows)
