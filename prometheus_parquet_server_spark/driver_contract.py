@@ -3311,6 +3311,36 @@ QUALIFY rank <= {_IVF_K}
 """
 
 
+_IVFPQ_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index (pipeline/pq.py ivfpq_build/
+    ivfpq_search — codes + quantizers in the snapshot store, probed
+    cells pruned at the manifest) under the SAME oracle as the one-shot
+    ivfpq_topk: the store round-trip is hash-invisible (the
+    ivf_store_topk pattern)."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _IVFPQ_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='ivfpq_idx_')}/idx"
+        ivfpq_build(
+            spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
+            coarse_iterations=0, pq_iterations=0, dim=_ND_DIM,
+        )
+        _IVFPQ_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(spark, store, probes, k=_IVF_K, n_probe=2)
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.3
 
@@ -6019,6 +6049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_topk": q_hybrid_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_store_topk": q_ivfpq_store_topk,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
@@ -6141,6 +6172,7 @@ ORACLES: dict[str, str] = {
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_store_topk": SQL_IVFPQ_TOPK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

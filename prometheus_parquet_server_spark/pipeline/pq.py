@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -330,7 +330,6 @@ def ivfpq_topk(
         corpus, m=1, k=n_cells, iterations=coarse_iterations, dim=dim,
         id_col=id_col, vec_col=vec_col,
     )[0]
-    cmat = np.asarray(coarse, dtype=np.float64)
 
     cr = corpus.select(
         F.col(id_col),
@@ -354,11 +353,30 @@ def ivfpq_topk(
         _assign_codes_udf(codebook, sub_dim)(F.col("resid")).alias("code"),
     )
 
-    probe_rows = probes.select(id_col, vec_col).collect()
-    if not probe_rows:
-        raise ValueError("probes is empty")
+    return _ivfpq_rank(
+        codes, probes, coarse, codebook, k=k, n_probe=n_probe,
+        unit_scale=unit_scale, salt_buckets=salt_buckets,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _probe_cell_tables(
+    probe_rows,
+    coarse: list[list[float]],
+    codebook: list[list[list[float]]],
+    n_probe: int,
+    unit_scale: float,
+    id_col: str,
+    vec_col: str,
+):
+    """Per probe: the ``n_probe`` nearest coarse cells (9-dp grid, stable
+    ties) and, per probed cell, the residual-query (m × k_codes) ADC
+    table quantized to BIGINT micro-units. Shared by the one-shot
+    operator and the persisted-index search so probing cannot drift."""
+    cmat = np.asarray(coarse, dtype=np.float64)
     cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
-    # per (probe, probed cell): the residual-query ADC unit table
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
     tables: dict[tuple[int, int], np.ndarray] = {}
     probed_cells: dict[int, list[int]] = {}
     for r in probe_rows:
@@ -381,7 +399,33 @@ def ivfpq_topk(
             tables[(pid, c)] = np.floor(
                 t * float(unit_scale) + 0.5
             ).astype(np.int64)
+    return probed_cells, tables
 
+
+def _ivfpq_rank(
+    codes: DataFrame,
+    probes: DataFrame,
+    coarse: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int,
+    n_probe: int,
+    unit_scale: float,
+    salt_buckets: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared ADC ranking half of IVF-PQ: probe tables broadcast in
+    the kernel closure, (id, cell, code) rows scanned map-side, exact
+    integer distances, salted two-stage top-k."""
+    from pyspark.sql import Window
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    m = len(codebook)
+    probed_cells, tables = _probe_cell_tables(
+        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
+    )
     out_schema = "probe_id long, neighbor_id long, dist_u long"
     midx = np.arange(m)
 
@@ -423,9 +467,189 @@ def ivfpq_topk(
         "_pr", F.row_number().over(w_part)
     ).filter(F.col("_pr") <= k)
     w_final = Window.partitionBy("probe_id").orderBy(*order_by)
-    out = (
+    return (
         partial.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "dist_u", "rank")
     )
-    return out
+
+
+#: reserved names in the persisted index — never legal cell names
+COARSE_NAME = "_coarse"
+CODEBOOK_NAME = "_codebook"
+
+
+def ivfpq_build(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_probe_default: int = 2,
+    m: int = 8,
+    k_codes: int = 8,
+    coarse_iterations: int = 0,
+    pq_iterations: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist the IVF-PQ index in the snapshot store (the ann_store
+    pattern — cells are the ``name`` axis, quantizers are data rows):
+
+    - corpus rows ``(name="cell=NNNN", ts=0.0, vec_id, embedding=NULL,
+      code)`` — the per-vector payload is ONLY the m small codes (the
+      raw embedding column is deliberately not stored; at k_codes ≤ 256
+      that is m bytes + a cell id per vector, the compressed-at-rest
+      serving shape);
+    - coarse centroids under the reserved name ``_coarse`` (vec_id =
+      cell id, full embedding) and residual codewords under
+      ``_codebook`` (vec_id = subspace·k_codes + code id, the sub_dim
+      codeword as the embedding column);
+    - geometry pinned as manifest properties (``pq_m``, ``pq_k``,
+      ``pq_cells``, ``pq_dim``) — a search with mismatched expectations
+      reads the pinned values instead of guessing.
+
+    ``_write_data_files`` range-clusters by name, so a search probing
+    ``n_probe`` cells prunes the scan at the MANIFEST to roughly that
+    fraction of the index files. Rebuild = overwrite commit; time travel
+    searches an old index. Returns the committed version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    if n_cells > 9999:
+        raise ValueError("ivfpq_build: cell names are %04d — n_cells <= 9999")
+    coarse = pq_train(
+        corpus, m=1, k=n_cells, iterations=coarse_iterations, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )[0]
+    cr = corpus.select(
+        F.col(id_col),
+        _cells_and_residuals_udf(coarse)(F.col(vec_col)).alias("_cr"),
+    ).select(
+        id_col, F.col("_cr.cell").alias("cell"), F.col("_cr.resid").alias("resid")
+    ).localCheckpoint()
+    codebook = pq_train(
+        cr, m=m, k=k_codes, iterations=pq_iterations, dim=dim,
+        id_col=id_col, vec_col="resid",
+    )
+    sub_dim = dim // m
+    rows = cr.select(
+        F.format_string("cell=%04d", F.col("cell")).alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        _assign_codes_udf(codebook, sub_dim)(F.col("resid")).alias("code"),
+    )
+    schema = (
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "code array<int>"
+    )
+    cent = spark.createDataFrame(
+        [(COARSE_NAME, 0.0, i, [float(x) for x in c], None)
+         for i, c in enumerate(coarse)],
+        schema,
+    )
+    cw = spark.createDataFrame(
+        [
+            (CODEBOOK_NAME, 0.0, s * k_codes + j, [float(x) for x in w], None)
+            for s, sub in enumerate(codebook)
+            for j, w in enumerate(sub)
+        ],
+        schema,
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows.unionByName(cent).unionByName(cw),
+        mode="overwrite",
+        properties={
+            "pq_m": m, "pq_k": k_codes, "pq_cells": n_cells,
+            "pq_dim": dim, "pq_n_probe_default": n_probe_default,
+        },
+    )
+
+
+def ivfpq_search(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int | None = None,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Search the persisted IVF-PQ index: quantizers load from their
+    pruned reserved-name slices (tiny), probe tables compute driver-side
+    via the SAME ``_probe_cell_tables`` as the one-shot operator, and
+    the code scan is manifest-pruned to the union of probed cells —
+    unprobed cells' files never open. Result-identical to
+    :func:`ivfpq_topk` on the same corpus/geometry (pinned by test and
+    by the shared oracle row). ``version`` time-travels to an older
+    index."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # pin ONE version for every read (quantizers + codes): a rebuild
+    # committing mid-search must not mix index generations
+    if version is None:
+        version = snapshot_version(spark, store_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {store_path}")
+    props = snapshot_properties(spark, store_path, version=version)
+    m, k_codes = int(props["pq_m"]), int(props["pq_k"])
+    n_cells = int(props["pq_cells"])
+    if n_probe is None:
+        n_probe = int(props.get("pq_n_probe_default", 1))
+    if not (1 <= n_probe <= n_cells):
+        raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
+
+    cent_rows = (
+        snapshot_read(spark, store_path, version=version, names=[COARSE_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        raise FileNotFoundError(
+            f"no IVF-PQ index (no {COARSE_NAME} rows) at {store_path}"
+        )
+    coarse = [list(r["embedding"]) for r in cent_rows]
+    cw_rows = (
+        snapshot_read(spark, store_path, version=version, names=[CODEBOOK_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebook = [
+        [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
+        for s in range(m)
+    ]
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    probed_cells, _ = _probe_cell_tables(
+        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
+    )
+    probed_names = sorted(
+        {f"cell={c:04d}" for cells in probed_cells.values() for c in cells}
+    )
+    codes = snapshot_read(
+        spark, store_path, version=version, names=probed_names
+    ).select(
+        F.col("vec_id").alias(id_col),
+        F.regexp_extract("name", r"cell=(\d+)", 1).cast("int").alias("cell"),
+        "code",
+    )
+    return _ivfpq_rank(
+        codes, probes, coarse, codebook, k=k, n_probe=n_probe,
+        unit_scale=unit_scale, salt_buckets=salt_buckets,
+        id_col=id_col, vec_col=vec_col,
+    )
