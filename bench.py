@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "pipeline_mixture",
     # round-9 additions (same caveat)
     "events_sessionize_int",
+    "dsir_topk",
+    "hybrid_topk",
 ]
 
 
