@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search", "ivfpq_append"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -652,4 +652,81 @@ def ivfpq_search(
         codes, probes, coarse, codebook, k=k, n_probe=n_probe,
         unit_scale=unit_scale, salt_buckets=salt_buckets,
         id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_append(
+    spark,
+    store_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incrementally index ``new_vectors`` into the persisted IVF-PQ
+    index: assign coarse cells and residual codes with the FROZEN
+    quantizers (read at one pinned version), append — history carries by
+    manifest reference, commit cost O(new vectors). The standard trade
+    (Faiss ``add``): quantizers drift as the corpus grows until the next
+    :func:`ivfpq_build` rebuild (an atomic overwrite — searchers never
+    see a half-built index). ``txn=(app_id, batch_id)`` makes the append
+    idempotent per writer lineage; the commit is CAS-pinned
+    (``require_parent``) to the version the quantizers were read at, so
+    a racing rebuild raises ``ConcurrentWriteError`` instead of
+    committing codes encoded against a dead codebook. Returns the new
+    version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    version = snapshot_version(spark, store_path)
+    if version is None:
+        raise FileNotFoundError(
+            f"no IVF-PQ index at {store_path} — ivfpq_build first"
+        )
+    props = snapshot_properties(spark, store_path, version=version)
+    m, k_codes = int(props["pq_m"]), int(props["pq_k"])
+    cent_rows = (
+        snapshot_read(spark, store_path, version=version, names=[COARSE_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        raise FileNotFoundError(f"no {COARSE_NAME} rows at {store_path}")
+    coarse = [list(r["embedding"]) for r in cent_rows]
+    cw_rows = (
+        snapshot_read(spark, store_path, version=version, names=[CODEBOOK_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebook = [
+        [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
+        for s in range(m)
+    ]
+    sub_dim = len(codebook[0][0])
+    rows = (
+        new_vectors.select(
+            F.col(id_col),
+            _cells_and_residuals_udf(coarse)(F.col(vec_col)).alias("_cr"),
+        )
+        .select(
+            F.format_string("cell=%04d", F.col("_cr.cell")).alias("name"),
+            F.lit(0.0).alias("ts"),
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            _assign_codes_udf(codebook, sub_dim)(F.col("_cr.resid")).alias(
+                "code"
+            ),
+        )
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows,
+        mode="append",
+        txn=txn,
+        require_parent=version,
     )

@@ -280,3 +280,74 @@ def test_ivfpq_store_build_search_parity_and_pruning(spark, tmp_path):
         ivfpq_search(spark, store, probes, k=5, n_probe=99)
     with pytest.raises(FileNotFoundError):
         ivfpq_search(spark, f"file://{tmp_path}/nope", probes, k=5)
+
+
+def test_ivfpq_append_incremental_equals_one_shot(spark, tmp_path):
+    """Appends with frozen quantizers: (build on batch 1) + (append
+    batch 2) searches IDENTICALLY to encoding both batches against the
+    SAME quantizers in one shot (build trains on batch 1's lowest-id
+    init either way, so the quantizers agree); the append is a pure
+    manifest append (history files carried by reference), txn
+    redelivery is a no-op, and a racing rebuild makes a stale append
+    raise instead of committing dead-codebook codes."""
+    import json
+    from glob import glob
+
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        ConcurrentWriteError,
+    )
+
+    mat = _vecs(30, seed=9)
+    b1 = _frame(spark, mat[:20])
+    b2 = spark.createDataFrame(
+        [(20 + i, [float(x) for x in row]) for i, row in enumerate(mat[20:])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = b1.filter(F.col("vec_id") < 2)
+    store = f"file://{tmp_path}/pqappend"
+    v1 = ivfpq_build(spark, store, b1, n_cells=3, n_probe_default=2,
+                     m=M, k_codes=2, dim=DIM)
+    with open(f"{tmp_path}/pqappend/_snapshots/v{v1:010d}.json") as fh:
+        files_v1 = {f["path"] for f in json.load(fh)["files"]}
+    v2 = ivfpq_append(spark, store, b2, txn=("app", 1))
+    assert v2 == v1 + 1
+    with open(f"{tmp_path}/pqappend/_snapshots/v{v2:010d}.json") as fh:
+        files_v2 = {f["path"] for f in json.load(fh)["files"]}
+    assert files_v1 <= files_v2  # pure append: history carried by reference
+
+    # one-shot twin: build on the UNION — same init (b1's lowest ids) ⇒
+    # identical quantizers ⇒ identical search results
+    store2 = f"file://{tmp_path}/pqoneshot"
+    ivfpq_build(spark, store2, b1.unionByName(b2), n_cells=3,
+                n_probe_default=2, m=M, k_codes=2, dim=DIM)
+    a = sorted(tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect())
+    b = sorted(tuple(r) for r in ivfpq_search(spark, store2, probes, k=5).collect())
+    assert a == b
+
+    # txn redelivery: same (app, 1) is a version-preserving no-op
+    assert ivfpq_append(spark, store, b2, txn=("app", 1)) == v2
+
+    # racing rebuild: a stale append must raise, not commit dead codes
+    from prometheus_parquet_server_spark.sources import snapshot_store as ss
+
+    real_write = ss.snapshot_write
+
+    def racing_write(spark_, path, df_, **kw):
+        if kw.get("mode") == "append" and kw.get("require_parent") is not None:
+            # a rebuild lands between the quantizer read and the commit
+            ivfpq_build(spark, store, b1, n_cells=2, n_probe_default=1,
+                        m=M, k_codes=2, dim=DIM)
+            ss.snapshot_write = real_write  # restore before the real call
+        return real_write(spark_, path, df_, **kw)
+
+    ss.snapshot_write = racing_write
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            ivfpq_append(spark, store, b2, txn=("app", 2))
+    finally:
+        ss.snapshot_write = real_write
