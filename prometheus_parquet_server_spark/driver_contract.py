@@ -2342,7 +2342,7 @@ toks5 AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                        x -> x <> '') AS t
-    FROM kept
+    FROM kept WHERE doc_id IS NOT NULL
 ),
 grams5 AS (
     SELECT doc_id, unnest(t) AS gram FROM toks5

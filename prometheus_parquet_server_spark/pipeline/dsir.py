@@ -128,8 +128,11 @@ def dsir_score(
     broadcast table's units over the document's gram occurrences
     (duplicates count — it is a bag of features). Documents with zero
     grams (empty/NULL text) have no defined feature vector and emit no
-    row. Returns ``(id_col, score_u)``."""
-    occ = df.select(
+    row; NULL-id documents are dropped (the tfidf_topk rule — a NULL id
+    cannot be selected, and the seeded Gumbel key's md5 would otherwise
+    diverge from the SQL twin, whose ``||`` propagates NULL while
+    Spark's concat_ws skips it). Returns ``(id_col, score_u)``."""
+    occ = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.explode(_gram_buckets(F.col(text_col), m)).alias("b"),
     )

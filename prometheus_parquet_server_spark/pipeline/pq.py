@@ -353,10 +353,15 @@ def ivfpq_topk(
         _assign_codes_udf(codebook, sub_dim)(F.col("resid")).alias("code"),
     )
 
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    probed_cells, tables = _probe_cell_tables(
+        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
+    )
     return _ivfpq_rank(
-        codes, probes, coarse, codebook, k=k, n_probe=n_probe,
-        unit_scale=unit_scale, salt_buckets=salt_buckets,
-        id_col=id_col, vec_col=vec_col,
+        codes, probed_cells, tables, m=m, k=k,
+        salt_buckets=salt_buckets, id_col=id_col,
     )
 
 
@@ -404,28 +409,21 @@ def _probe_cell_tables(
 
 def _ivfpq_rank(
     codes: DataFrame,
-    probes: DataFrame,
-    coarse: list[list[float]],
-    codebook: list[list[list[float]]],
+    probed_cells: dict,
+    tables: dict,
+    m: int,
     k: int,
-    n_probe: int,
-    unit_scale: float,
     salt_buckets: int,
     id_col: str,
-    vec_col: str,
 ) -> DataFrame:
-    """The shared ADC ranking half of IVF-PQ: probe tables broadcast in
-    the kernel closure, (id, cell, code) rows scanned map-side, exact
-    integer distances, salted two-stage top-k."""
+    """The shared ADC ranking half of IVF-PQ: PRECOMPUTED probe tables
+    (one collect, done by the caller — ivfpq_search prunes the code scan
+    with the same probe set it ranks, so a non-deterministic probes plan
+    cannot drift between the two) broadcast in the kernel closure,
+    (id, cell, code) rows scanned map-side, exact integer distances,
+    salted two-stage top-k."""
     from pyspark.sql import Window
 
-    probe_rows = probes.select(id_col, vec_col).collect()
-    if not probe_rows:
-        raise ValueError("probes is empty")
-    m = len(codebook)
-    probed_cells, tables = _probe_cell_tables(
-        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
-    )
     out_schema = "probe_id long, neighbor_id long, dist_u long"
     midx = np.arange(m)
 
@@ -558,15 +556,32 @@ def ivfpq_build(
         ],
         schema,
     )
+    # a rebuild resets history (overwrite) but must NOT reset redelivery
+    # protection: carry txn_* markers forward (the ivf_build rule) or a
+    # committed-but-unacknowledged streaming ivfpq_append replayed after
+    # the rebuild would find no marker and index its batch twice
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_version,
+    )
+
+    carried = {}
+    if snapshot_version(spark, store_path) is not None:
+        carried = {
+            kk: v
+            for kk, v in snapshot_properties(spark, store_path).items()
+            if kk.startswith("txn_")
+        }
+    carried.update(
+        pq_m=m, pq_k=k_codes, pq_cells=n_cells,
+        pq_dim=dim, pq_n_probe_default=n_probe_default,
+    )
     return snapshot_write(
         spark,
         store_path,
         rows.unionByName(cent).unionByName(cw),
         mode="overwrite",
-        properties={
-            "pq_m": m, "pq_k": k_codes, "pq_cells": n_cells,
-            "pq_dim": dim, "pq_n_probe_default": n_probe_default,
-        },
+        properties=carried,
     )
 
 
@@ -612,6 +627,45 @@ def ivfpq_search(
     if not (1 <= n_probe <= n_cells):
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
 
+    coarse, codebook = _load_quantizers(spark, store_path, version, m, k_codes)
+
+    # probes collect ONCE: the same collected rows drive cell pruning AND
+    # ranking (a non-deterministic probes plan re-collected would prune
+    # for one probe set and rank another — silent truncation)
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    probed_cells, tables = _probe_cell_tables(
+        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
+    )
+    probed_names = sorted(
+        {f"cell={c:04d}" for cells in probed_cells.values() for c in cells}
+    )
+    codes = snapshot_read(
+        spark, store_path, version=version, names=probed_names
+    ).select(
+        F.col("vec_id").alias(id_col),
+        F.regexp_extract("name", r"cell=(\d+)", 1).cast("int").alias("cell"),
+        "code",
+    )
+    return _ivfpq_rank(
+        codes, probed_cells, tables, m=m, k=k,
+        salt_buckets=salt_buckets, id_col=id_col,
+    )
+
+
+def _load_quantizers(
+    spark, store_path: str, version: int, m: int, k_codes: int
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Version-pinned load of the persisted quantizers (shared by search
+    and append so the reconstruction cannot drift): coarse centroids from
+    the ``_coarse`` slice, residual codewords from ``_codebook`` with the
+    ``vec_id = s·k_codes + j`` layout validated against the pinned
+    geometry before any positional indexing."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
     cent_rows = (
         snapshot_read(spark, store_path, version=version, names=[COARSE_NAME])
         .orderBy("vec_id")
@@ -627,32 +681,17 @@ def ivfpq_search(
         .orderBy("vec_id")
         .collect()
     )
+    if len(cw_rows) != m * k_codes:
+        raise ValueError(
+            f"IVF-PQ index at {store_path} v{version} holds {len(cw_rows)} "
+            f"codeword rows; pinned geometry pq_m={m} × pq_k={k_codes} "
+            f"requires {m * k_codes} — truncated or foreign store"
+        )
     codebook = [
         [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
         for s in range(m)
     ]
-
-    probe_rows = probes.select(id_col, vec_col).collect()
-    if not probe_rows:
-        raise ValueError("probes is empty")
-    probed_cells, _ = _probe_cell_tables(
-        probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
-    )
-    probed_names = sorted(
-        {f"cell={c:04d}" for cells in probed_cells.values() for c in cells}
-    )
-    codes = snapshot_read(
-        spark, store_path, version=version, names=probed_names
-    ).select(
-        F.col("vec_id").alias(id_col),
-        F.regexp_extract("name", r"cell=(\d+)", 1).cast("int").alias("cell"),
-        "code",
-    )
-    return _ivfpq_rank(
-        codes, probes, coarse, codebook, k=k, n_probe=n_probe,
-        unit_scale=unit_scale, salt_buckets=salt_buckets,
-        id_col=id_col, vec_col=vec_col,
-    )
+    return coarse, codebook
 
 
 def ivfpq_append(
@@ -689,23 +728,7 @@ def ivfpq_append(
         )
     props = snapshot_properties(spark, store_path, version=version)
     m, k_codes = int(props["pq_m"]), int(props["pq_k"])
-    cent_rows = (
-        snapshot_read(spark, store_path, version=version, names=[COARSE_NAME])
-        .orderBy("vec_id")
-        .collect()
-    )
-    if not cent_rows:
-        raise FileNotFoundError(f"no {COARSE_NAME} rows at {store_path}")
-    coarse = [list(r["embedding"]) for r in cent_rows]
-    cw_rows = (
-        snapshot_read(spark, store_path, version=version, names=[CODEBOOK_NAME])
-        .orderBy("vec_id")
-        .collect()
-    )
-    codebook = [
-        [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
-        for s in range(m)
-    ]
+    coarse, codebook = _load_quantizers(spark, store_path, version, m, k_codes)
     sub_dim = len(codebook[0][0])
     rows = (
         new_vectors.select(

@@ -377,6 +377,8 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     if k_const < 1:
         raise ValueError(f"k_const must be >= 1, got {k_const}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
     unit = F.floor(
         F.lit(float(unit_scale)) / (F.lit(k_const) + F.col(rank_col)) + F.lit(0.5)
     ).cast("long")
@@ -420,6 +422,13 @@ def hybrid_topk(
     top-``k`` emerges with exact integer scores. All three stages are
     individually oracle-replayable, so the composition grades bit-exact.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
     lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
     dense = hash_cosine_topk(
         df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col

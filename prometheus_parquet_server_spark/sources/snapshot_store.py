@@ -1703,6 +1703,18 @@ def snapshot_update(
         pred = pred & F.col("ts").between(lo, hi)
     pred = F.coalesce(pred, F.lit(False))
     src = _pinned_reader(spark, parent_m).parquet(*[f["path"] for f in touched])
+    # schema-less manifests (legacy/foreign stores) validate against the
+    # READ columns instead — otherwise a typo'd assignment column would
+    # silently rewrite every touched file byte-identically and commit a
+    # version that changed nothing
+    if not schema_cols:
+        unknown = sorted(set(assignments) - set(src.columns))
+        if unknown:
+            raise ValueError(
+                f"snapshot_update: column(s) {unknown} are not in the "
+                f"store's columns {sorted(src.columns)} — UPDATE cannot "
+                f"add columns"
+            )
     out_cols = [
         F.when(pred, F.expr(expr)).otherwise(F.col(c)).alias(c)
         if (expr := assignments.get(c)) is not None
@@ -1711,9 +1723,23 @@ def snapshot_update(
     ]
     rewritten = src.select(*out_cols)
     schema = parent_m.get("schema") or _schema_json(rewritten)
-    new_files = _write_data_files(
-        spark, path, rewritten, time_chunk_s=_inherited_chunk(parent_m)
-    )
+    try:
+        new_files = _write_data_files(
+            spark, path, rewritten, time_chunk_s=_inherited_chunk(parent_m)
+        )
+    except ValueError as e:
+        if "NULL name" not in str(e):
+            raise
+        # the snapshot_delete rule: point the operator at the real
+        # artifact (an out-of-contract store file or a key-NULLing
+        # assignment), not a non-existent "batch"
+        raise ValueError(
+            f"snapshot_update refused: the rewrite under {path} produced "
+            f"or preserved NULL/NaN-key row(s) — either an assignment "
+            f"NULLs a key column or a foreign/legacy data file violates "
+            f"the non-null key contract; fix the assignment or repair the "
+            f"file. Original: {e}"
+        ) from e
     target = _target_version(fs, path, parent)
     if target is None:
         raise ConcurrentWriteError(
