@@ -5282,6 +5282,35 @@ GROUP BY event_type
 """.replace("{sum_v}", _sql_unit_sum("value", 1e6))
 
 
+def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version row diff (snapshot_store.snapshot_diff — the
+    table_changes analog covering rewrites): diff v1 → v3 of the
+    snapshot_delete_events store, i.e. across BOTH deletes. The multiset
+    diff must equal exactly the raw rows the two predicates removed,
+    every one labeled 'delete' — carried files cancel at the manifest,
+    only the delete-touched files scan."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_diff,
+    )
+
+    q_snapshot_delete_events(spark, sf_dir)  # builds/caches the store
+    store = _DELETE_STORE_CACHE[(sf_dir, spark.sparkContext.applicationId)]
+    return snapshot_diff(spark, store, 1, 3).select(
+        "name", "ts", "value", "_change"
+    )
+
+
+SQL_SNAPSHOT_DIFF_EVENTS = f"""
+SELECT event_type AS name,
+       epoch_us(ts) / 1000000.0 AS ts,
+       value,
+       'delete' AS _change
+FROM events
+WHERE event_type = 'error'
+   OR (epoch_us(ts) / 1000000.0 BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r})
+"""
+
+
 _UPDATE_STORE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -6024,6 +6053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_incremental": q_rollup_incremental,
     "snapshot_delete_events": q_snapshot_delete_events,
     "snapshot_update_events": q_snapshot_update_events,
+    "snapshot_diff_events": q_snapshot_diff_events,
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
@@ -6194,6 +6224,7 @@ ORACLES: dict[str, str] = {
     "snapshot_stats_events": SQL_SNAPSHOT_STATS_EVENTS,
     "snapshot_delete_events": SQL_SNAPSHOT_DELETE_EVENTS,
     "snapshot_update_events": SQL_SNAPSHOT_UPDATE_EVENTS,
+    "snapshot_diff_events": SQL_SNAPSHOT_DIFF_EVENTS,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "ivf_store_topk": SQL_IVF_TOPK,
     "pipeline_strip_markup": SQL_PIPELINE_STRIP_MARKUP,

@@ -1517,3 +1517,67 @@ def test_vacuum_never_gaps_slots_between_kept_versions(spark, tmp_path):
     assert ss._resolve_tip(fs, store)[0] == 5
     # and a writer parented at the resolved tip lands at 6, not a fork
     assert snapshot_write(spark, store, mk(spark, [("f", {}, 6.0, 1.0)])) == 6
+
+
+def test_snapshot_diff_multiset_and_file_cancellation(spark, tmp_path):
+    """snapshot_diff: appends report inserts only; a predicate delete
+    reports deletes only; an update reports its delete+insert pair; a
+    pure compaction diffs EMPTY (rows cancel even though every file path
+    changed); carried files never scan (proven by deleting a carried
+    file's bytes); duplicate rows diff with multiplicity."""
+    import glob
+    import os
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_diff,
+        snapshot_update,
+    )
+
+    store_dir = f"{tmp_path}/snapdiff"
+    store = f"file://{store_dir}"
+    snapshot_write(
+        spark, store,
+        mk(spark, [("aa", {}, 1.0, 1.0), ("aa", {}, 1.0, 1.0)]),  # dup row ×2
+        mode="overwrite",
+    )
+    snapshot_write(spark, store, mk(spark, [("bb", {}, 2.0, 5.0)]))
+
+    # v1 → v2: the appended row, insert, exactly once
+    d12 = [(r["name"], r["ts"], r["value"], r["_change"])
+           for r in snapshot_diff(spark, store, 1, 2).collect()]
+    assert d12 == [("bb", 2.0, 5.0, "insert")]
+
+    # v2 → v3 (delete bb): one delete
+    snapshot_delete(spark, store, names=["bb"])
+    d23 = [(r["name"], r["_change"])
+           for r in snapshot_diff(spark, store, 2, 3).collect()]
+    assert d23 == [("bb", "delete")]
+
+    # v3 → v4 (update aa's value): delete+insert PAIRS with multiplicity 2
+    snapshot_update(spark, store, {"value": "value + 9"}, names=["aa"])
+    d34 = sorted(
+        (r["value"], r["_change"])
+        for r in snapshot_diff(spark, store, 3, 4).collect()
+    )
+    assert d34 == [(1.0, "delete"), (1.0, "delete"),
+                   (10.0, "insert"), (10.0, "insert")]
+
+    # reverse direction swaps the labels
+    d43 = sorted(
+        (r["value"], r["_change"])
+        for r in snapshot_diff(spark, store, 4, 3).collect()
+    )
+    assert d43 == [(1.0, "insert"), (1.0, "insert"),
+                   (10.0, "delete"), (10.0, "delete")]
+
+    # compaction: every file path may change, rows cancel to EMPTY
+    if snapshot_compact(spark, store) is not None:
+        assert snapshot_diff(spark, store, 4, 5).count() == 0
+
+    # carried-file proof: identical manifests diff empty WITHOUT reading
+    # — delete every data file's bytes; the v-to-v diff must still answer
+    for f in glob.glob(f"{store_dir}/data/**/*.parquet", recursive=True):
+        os.unlink(f)
+    assert snapshot_diff(spark, store, 4, 4).count() == 0
