@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search", "ivfpq_append"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search", "ivfpq_append", "stream_ivfpq_ingest"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -752,4 +752,44 @@ def ivfpq_append(
         mode="append",
         txn=txn,
         require_parent=version,
+    )
+
+
+def stream_ivfpq_ingest(
+    vec_stream,
+    spark,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "stream_ivfpq_ingest",
+):
+    """Streaming vector ingest into the persisted IVF-PQ index: each
+    micro-batch encodes against the frozen quantizers and appends via
+    :func:`ivfpq_append` with ``txn=(app_id, batch_id)`` — a
+    committed-but-unacknowledged batch replays as a version-preserving
+    no-op (the marker rides the same atomic manifest as the codes, and
+    :func:`ivfpq_build` carries markers through rebuilds). Requires an
+    existing index; one writer per checkpoint. A racing rebuild makes
+    the in-flight batch raise (CAS pin) — Structured Streaming retries
+    the batch, which then re-reads the NEW quantizers. Returns the
+    started query. The txn marker is tied to ONE checkpoint lineage
+    (the stream_ivf_ingest caveat: new app_id on checkpoint reset)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivfpq_append(
+            spark,
+            store_path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .start()
     )

@@ -351,3 +351,49 @@ def test_ivfpq_append_incremental_equals_one_shot(spark, tmp_path):
             ivfpq_append(spark, store, b2, txn=("app", 2))
     finally:
         ss.snapshot_write = real_write
+
+
+def test_stream_ivfpq_ingest_matches_batch_append(spark, tmp_path):
+    """availableNow streaming drain through stream_ivfpq_ingest ==
+    batch ivfpq_append of the same rows; checkpoint-reset replay with
+    the SAME app_id is deduped by the txn marker (version preserved)."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        stream_ivfpq_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    mat = _vecs(24, seed=13)
+    b1 = _frame(spark, mat[:16])
+    extra = spark.createDataFrame(
+        [(16 + i, [float(x) for x in row]) for i, row in enumerate(mat[16:])],
+        "vec_id long, embedding array<double>",
+    )
+    src = f"{tmp_path}/vecs_src"
+    extra.coalesce(1).write.mode("overwrite").parquet(src)
+
+    store = f"file://{tmp_path}/pqstream"
+    ivfpq_build(spark, store, b1, n_cells=3, n_probe_default=2,
+                m=M, k_codes=2, dim=DIM)
+    stream = spark.readStream.schema(extra.schema).parquet(src)
+    q = stream_ivfpq_ingest(stream, spark, store)
+    q.awaitTermination(120)
+    v_after = snapshot_version(spark, store)
+    assert v_after == 2
+
+    # replay with a reset checkpoint + same app_id: marker no-ops it
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/pqstream/_stream_checkpoint")
+    q2 = stream_ivfpq_ingest(stream, spark, store)
+    q2.awaitTermination(120)
+    assert snapshot_version(spark, store) == v_after
+
+    # search sees the streamed vectors
+    probes = b1.filter(F.col("vec_id") < 2)
+    got = {r["neighbor_id"] for r in
+           ivfpq_search(spark, store, probes, k=24).collect()}
+    assert got & set(range(16, 24)), "streamed vectors must be searchable"
