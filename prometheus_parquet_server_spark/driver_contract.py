@@ -5293,9 +5293,18 @@ def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_diff,
     )
 
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
     q_snapshot_delete_events(spark, sf_dir)  # builds/caches the store
     store = _DELETE_STORE_CACHE[(sf_dir, spark.sparkContext.applicationId)]
-    return snapshot_diff(spark, store, 1, 3).select(
+    # diff against the TIP, not a hardcoded v3: snapshot_delete commits
+    # no version when a predicate matches nothing (possible at other
+    # scale factors), and an uncommitted predicate removes nothing from
+    # the oracle's WHERE either — tip-relative stays correct at any sf
+    tip = snapshot_version(spark, store)
+    return snapshot_diff(spark, store, 1, tip).select(
         "name", "ts", "value", "_change"
     )
 

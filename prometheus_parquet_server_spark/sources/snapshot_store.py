@@ -1779,12 +1779,17 @@ def snapshot_diff(
     Scale shape — file-aware first, rows second: files present in BOTH
     manifests (carried by reference across commits) cancel exactly and
     are never read; only the symmetric difference of the file lists
-    scans. Row-level cancellation then runs as ONE hash aggregate over
-    xxhash-grouped full rows from those files (count per side, emit the
-    surplus) — compaction-style rewrites that only re-binned rows cancel
-    to an empty diff without any join. Rows explode back with
-    ``explode(sequence)`` per surplus count; no driver materialization
-    anywhere."""
+    scans. Row-level cancellation then runs as ONE hash aggregate
+    grouped on the rows' EXACT canonical identity — per column a
+    (null-flag, value-string) pair; no lossy 64-bit pre-hash whose
+    collisions could cancel a real change — counting per side and
+    emitting the surplus: compaction-style rewrites that only re-binned
+    rows cancel to an empty diff without any join. Rows explode back
+    with ``explode(sequence)`` per surplus count; no driver
+    materialization anywhere. Reads use the schema of the NEWER of the
+    two versions (under additive-only evolution that is the superset,
+    so a reverse diff across an evolution sees the evolved columns and
+    stays the exact label-swap of the forward diff)."""
     fs = _StoreFS(spark, path)
     m_from = _read_manifest(fs, path, from_version)
     m_to = _read_manifest(fs, path, to_version)
@@ -1792,7 +1797,11 @@ def snapshot_diff(
     files_to = {f["path"] for f in m_to["files"]}
     only_from = sorted(files_from - files_to)
     only_to = sorted(files_to - files_from)
-    schema_m = m_to.get("schema") or m_from.get("schema")
+    # the NEWER version's schema is the superset under additive-only
+    # evolution — reading both sides with it keeps reverse diffs exact
+    m_new = m_to if to_version >= from_version else m_from
+    m_old = m_from if to_version >= from_version else m_to
+    schema_m = m_new.get("schema") or m_old.get("schema")
     from pyspark.sql import types as T
 
     if schema_m is None:
@@ -1802,6 +1811,15 @@ def snapshot_diff(
             f"diff deterministically across heterogeneous files)"
         )
     schema = T.StructType.fromJson(schema_m)
+    reserved = {"_d", "_net", "_row", "_n", "_change"} | {
+        f"_hf{i}" for i in range(len(schema.fields))
+    } | {f"_hv{i}" for i in range(len(schema.fields))}
+    clash = reserved & {f.name for f in schema.fields}
+    if clash:
+        raise ValueError(
+            f"snapshot_diff: store columns {sorted(clash)} clash with the "
+            f"diff's working/output columns"
+        )
     # fresh StructType — StructType.add MUTATES in place (the round-8
     # pyds finding), which would smuggle a phantom _change column into
     # the data-read schema below
@@ -1824,31 +1842,32 @@ def snapshot_diff(
     # per-row identity instead and keep one exemplar row per group
     # (identical rows are interchangeable by definition of the multiset)
     def _cell(c: str):
-        if isinstance(
-            schema[c].dataType, (T.MapType, T.ArrayType, T.StructType)
-        ):
+        dt = schema[c].dataType
+        if isinstance(dt, (T.MapType, T.ArrayType, T.StructType)):
             return F.to_json(F.col(c))
+        if isinstance(dt, T.BinaryType):
+            # cast-to-string would lossily UTF-8-decode (distinct payloads
+            # collapsing onto replacement characters); base64 is injective
+            return F.base64(F.col(c))
         return F.col(c).cast("string")
 
     # per column: (is-null flag, value-as-string) - the flag keeps NULL
     # distinct from any real string without a collidable sentinel; the
-    # double->string cast is Java shortest-roundtrip (injective)
-    ident = F.xxhash64(
-        *[
-            e
-            for c in cols
-            for e in (
-                F.col(c).isNull().cast("int"),
-                F.coalesce(_cell(c), F.lit("")),
-            )
-        ]
-    )
+    # double->string cast is Java shortest-roundtrip (injective). The
+    # grouping key is the EXACT identity tuple, not a 64-bit hash of it
+    # - at billions of rows a birthday collision between a from-row and
+    # a to-row would silently cancel a real change out of the diff.
+    ident_cols = []
+    for i, c in enumerate(cols):
+        ident_cols.append(F.col(c).isNull().cast("int").alias(f"_hf{i}"))
+        ident_cols.append(F.coalesce(_cell(c), F.lit("")).alias(f"_hv{i}"))
+    key_names = [e for i in range(len(cols)) for e in (f"_hf{i}", f"_hv{i}")]
     agg = (
-        both.withColumn("_h", ident)
-        .groupBy("_h")
+        both.select(*ident_cols, F.struct(*cols).alias("_row"), "_d")
+        .groupBy(*key_names)
         .agg(
             F.sum("_d").alias("_net"),
-            F.first(F.struct(*cols)).alias("_row"),
+            F.first("_row").alias("_row"),
         )
         .filter(F.col("_net") != 0)
     )

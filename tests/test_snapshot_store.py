@@ -1581,3 +1581,57 @@ def test_snapshot_diff_multiset_and_file_cancellation(spark, tmp_path):
     for f in glob.glob(f"{store_dir}/data/**/*.parquet", recursive=True):
         os.unlink(f)
     assert snapshot_diff(spark, store, 4, 4).count() == 0
+
+
+def test_snapshot_diff_across_schema_evolution_reverse_exact(spark, tmp_path):
+    """Reverse diff across an additive evolution must see the evolved
+    column (reads use the NEWER version's superset schema): an update
+    confined to the evolved column diffs non-empty in BOTH directions,
+    as exact label-swapped mirrors. Also pins the working-column clash
+    guard."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_diff,
+        snapshot_update,
+    )
+
+    store = f"file://{tmp_path}/snapdiffevo"
+    snapshot_write(
+        spark, store, mk(spark, [("aa", {}, 1.0, 1.0)]), mode="overwrite"
+    )
+    wide = spark.createDataFrame(
+        [("bb", {}, 2.0, 2.0, "note-1")],
+        "name string, labels map<string,string>, ts double, value double, "
+        "note string",
+    )
+    snapshot_write(spark, store, wide, mode="append", merge_schema=True)
+    # v3: update the EVOLVED column only
+    snapshot_update(spark, store, {"note": "'note-2'"}, names=["bb"])
+
+    fwd = sorted(
+        (r["name"], r["note"], r["_change"])
+        for r in snapshot_diff(spark, store, 2, 3).collect()
+    )
+    rev = sorted(
+        (r["name"], r["note"], r["_change"])
+        for r in snapshot_diff(spark, store, 3, 2).collect()
+    )
+    assert fwd == [("bb", "note-1", "delete"), ("bb", "note-2", "insert")]
+    assert rev == [("bb", "note-1", "insert"), ("bb", "note-2", "delete")]
+
+    # working-column clash raises instead of silently clobbering
+    clash = spark.createDataFrame(
+        [("cc", {}, 3.0, 3.0, "x")],
+        "name string, labels map<string,string>, ts double, value double, "
+        "_change string",
+    )
+    store2 = f"file://{tmp_path}/snapdiffclash"
+    snapshot_write(spark, store2, clash, mode="overwrite")
+    snapshot_write(
+        spark, store2,
+        clash.withColumn("ts", F.lit(4.0)),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="clash"):
+        snapshot_diff(spark, store2, 1, 2)
