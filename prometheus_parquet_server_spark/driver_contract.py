@@ -3341,6 +3341,22 @@ def q_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(spark, store, probes, k=_IVF_K, n_probe=2)
 
 
+def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ search (pipeline/pq.py opq_train/opq_topk — Ge et al. 2013):
+    two alternating rounds of codebook fit + Procrustes rotation
+    (driver-side 64×64 SVD over a one-pass distributed cross-covariance),
+    then rotated-space ADC. Rows-only BY DESIGN (like emb_pca: the SVD is
+    not SQL-expressible; the iterations=0 degenerate case ≡ pq_topk is
+    oracle-proven, and numpy parity + the error-reduction property are
+    pytest-pinned)."""
+    from prometheus_parquet_server_spark.pipeline.pq import opq_topk, opq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    R, cb = opq_train(emb, m=8, k=16, iterations=2, pq_iterations=1, dim=_ND_DIM)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return opq_topk(emb, probes, R, cb, k=_IVF_K)
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.3
 
@@ -6089,6 +6105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_store_topk": q_ivfpq_store_topk,
+    "opq_topk": q_opq_topk,  # rows-only: driver-side SVD (like emb_pca)
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search", "ivfpq_append", "stream_ivfpq_ingest"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "ivfpq_build", "ivfpq_search", "ivfpq_append", "stream_ivfpq_ingest", "opq_train", "opq_topk"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -792,4 +792,147 @@ def stream_ivfpq_ingest(
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
         .start()
+    )
+
+
+def _rotate_udf(R: np.ndarray):
+    """Arrow kernel: embedding → embedding @ R (one matmul per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = np.asarray(R, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        out = mat @ Rm
+        return pd.Series([[float(x) for x in row] for row in out])
+
+    return _rot
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    pq_iterations: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized Product Quantization [Ge, He, Ke, Sun, CVPR 2013 —
+    public knowledge]: learn an orthonormal rotation ``R`` jointly with
+    the PQ codebooks so the subspace split aligns with the data's
+    principal structure — the standard upgrade when embedding dimensions
+    are correlated (plain PQ's fixed coordinate split quantizes
+    correlated subspaces poorly). Alternating minimization:
+
+    1. fix R: train/assign PQ codebooks on the rotated corpus
+       (:func:`pq_train` — the same decimal-exact Lloyd);
+    2. fix codes: the optimal R for ``min ‖XR − X̂‖²`` is the orthogonal
+       Procrustes solution ``R = U Vᵀ`` from ``SVD(Xᵀ X̂)``, where
+       ``X̂`` is the codeword reconstruction of the rotated corpus.
+
+    The cross-covariance ``Xᵀ X̂`` is a (dim × dim) sufficient statistic
+    accumulated in ONE distributed pass (per-partition numpy partials,
+    the pca.py pattern — ~33 KB per partition regardless of rows); the
+    SVD runs driver-side on the 64×64 matrix. Deterministic given the
+    corpus (LAPACK SVD on identical input; sign ambiguity is immaterial
+    — any Procrustes optimum is equally valid and re-runs on one
+    platform reproduce bit-identically; like emb_pca this is therefore
+    a rows-only registry citizen, pinned by numpy-parity tests).
+
+    Returns ``(R, codebook)`` — search by rotating probes and corpus
+    with R, then :func:`pq_topk` / :func:`ivfpq_*` as usual
+    (:func:`opq_topk` wires it)."""
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    _check_geometry(dim, m, k)
+    R = np.eye(dim)
+    # each round: fit codebooks under the current R, then re-solve R for
+    # those codes; the FINAL codebook fit below runs after the last R
+    # update so the returned pair is mutually consistent (an alternating
+    # loop that ends on the R step would pair the new rotation with
+    # codebooks trained under the old one)
+    for _ in range(max(0, iterations)):
+        rotated = corpus.select(
+            F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias("_rv")
+        )
+        codebook = pq_train(
+            rotated, m=m, k=k, iterations=pq_iterations, dim=dim,
+            id_col=id_col, vec_col="_rv",
+        )
+        # cross-covariance of the ORIGINAL vectors with the codeword
+        # reconstruction of their rotated images: one pass, dim² partials
+        cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+        sub_dim = dim // m
+        Rm = R.copy()
+
+        def _partials(batches):
+            acc = np.zeros((dim, dim), dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_x"]]
+                )
+                XR = X @ Rm
+                Xhat = np.empty_like(XR)
+                for s, cm in enumerate(cmats):
+                    sl = slice(s * sub_dim, (s + 1) * sub_dim)
+                    d = np.round(_sq_dists(XR[:, sl], cm), 9)
+                    Xhat[:, sl] = cm[np.argmin(d, axis=1)]
+                acc += X.T @ Xhat
+            if seen:
+                yield pd.DataFrame({"partial": [acc.ravel().tolist()]})
+
+        rows = corpus.select(F.col(vec_col).alias("_x")).mapInPandas(
+            _partials, schema="partial array<double>"
+        ).collect()
+        if not rows:
+            raise ValueError("opq_train: empty corpus")
+        C = np.sum(
+            [np.asarray(r["partial"]).reshape(dim, dim) for r in rows], axis=0
+        )
+        U, _, Vt = np.linalg.svd(C)
+        R = U @ Vt
+    rotated = corpus.select(
+        F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias("_rv")
+    )
+    codebook = pq_train(
+        rotated, m=m, k=k, iterations=pq_iterations, dim=dim,
+        id_col=id_col, vec_col="_rv",
+    )
+    return [[float(x) for x in row] for row in R], codebook
+
+
+def opq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    R: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """ADC search in the rotated space: rotation preserves L2 distances
+    (R orthonormal), so ranking rotated probes against rotated-space
+    codes is exactly PQ search with the OPQ-aligned subspaces. One
+    Arrow rotation pass each side, then :func:`pq_topk`'s machinery."""
+    Rm = np.asarray(R, dtype=np.float64)
+    rot_corpus = corpus.select(
+        F.col(id_col), _rotate_udf(Rm)(F.col(vec_col)).alias(vec_col)
+    )
+    rot_probes = probes.select(
+        F.col(id_col), _rotate_udf(Rm)(F.col(vec_col)).alias(vec_col)
+    )
+    return pq_topk(
+        rot_corpus, rot_probes, codebook, k=k, id_col=id_col,
+        vec_col=vec_col, unit_scale=unit_scale, salt_buckets=salt_buckets,
     )
