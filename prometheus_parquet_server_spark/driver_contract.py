@@ -2337,12 +2337,18 @@ kept AS (
     JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM passed GROUP BY fp) s
       ON p.fp = s.fp AND p.doc_id = s.doc_id
 ),
--- DSIR selection over the CURATED corpus (target slice doc_id % 17 = 3)
+-- DSIR selection over the CURATED corpus (target slice doc_id % 17 = 3).
+-- No NULL-id handling is needed here on EITHER side: kept is NULL-id-free
+-- by construction (the exact-dedup survivor join on MIN(doc_id) per
+-- fingerprint never matches a NULL id, in Spark and in this SQL alike),
+-- so the log-ratio table and the scoring see the same NULL-free corpus —
+-- consistent with dsir_logratio_table's table-over-everything convention
+-- and dsir_score's drop-NULL-id scoring rule (ADVICE r9 alignment note).
 toks5 AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                        x -> x <> '') AS t
-    FROM kept WHERE doc_id IS NOT NULL
+    FROM kept
 ),
 grams5 AS (
     SELECT doc_id, unnest(t) AS gram FROM toks5
@@ -5783,8 +5789,14 @@ tbl AS (
     CROSS JOIN tot t
 ),
 scored AS (
+    -- NULL-id docs contribute grams to the distribution CTEs above
+    -- (praw/tot — dsir_logratio_table's convention: the table estimates
+    -- the corpus distribution over EVERYTHING it is given) but are
+    -- dropped from SCORING, matching dsir_score's documented rule: a
+    -- NULL id cannot be selected (ADVICE r9 alignment fix).
     SELECT d.doc_id, CAST(SUM(tb.unit) AS BIGINT) AS score_u
     FROM bucketed d JOIN tbl tb ON tb.b = d.b
+    WHERE d.doc_id IS NOT NULL
     GROUP BY d.doc_id
 )
 SELECT doc_id, score_u,

@@ -303,7 +303,12 @@ def hash_cosine_topk(
     # is hash_embed's exact convention, pinned by the parity test.
     tok = F.explode(tokens_col(F.col(text_col))).alias("_t")
     long = (
-        df.select(F.col(id_col), tok)
+        # NULL-id docs are dropped up front (the tfidf_topk/bm25_topk rule,
+        # and what both the lexical side and the DuckDB hybrid oracle's
+        # docs CTE already do) — otherwise the dense side could rank a
+        # NULL-id candidate and shift every lower rank / fused RRF score.
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), tok)
         .select(
             id_col,
             (F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")

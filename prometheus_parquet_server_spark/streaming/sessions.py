@@ -217,6 +217,21 @@ def sessionize_batch_native(
     µs round-trip is exact because every such double came from integer
     microseconds (see events_sessionize_int's monotonicity note).
 
+    Residual exposure (ADVICE r9, pinned by
+    test_sessionize_native_vs_double_gap_residual_exposure): this twin
+    evaluates the merge rule on the EXACT integer microseconds, while
+    :func:`sessionize_batch` and the shared DuckDB oracle evaluate
+    ``ts_s - lag(ts_s) > gap_s`` in doubles. For a pair exactly
+    ``gap_s`` apart in true µs the double diff can land marginally
+    above ``gap_s`` (half-ulp operand rounding; the subtraction itself
+    is exact), making the operator split a session this twin merges.
+    Empirically the divergence needs epoch magnitudes where the /1e6
+    rounding errors don't cancel — a 5M-pair scan over the 2015–2027
+    era (2⁵⁰–2⁵¹ µs) found zero divergent exact-gap pairs, and the
+    pinned instance sits at a 1987 epoch — so "result-identical" holds
+    on the testdata era, with the boundary test documenting which side
+    each form takes outside it.
+
     Why keep both: the gaps-and-islands form gives ``session_seq`` for
     free on its single window pass, composes with the ``chunk_s``
     hot-key hatch, and grades the bit-stable contracts; the native form
