@@ -3363,6 +3363,41 @@ def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_topk(emb, probes, R, cb, k=_IVF_K)
 
 
+_OPQ_STORE_CACHE: dict = {}
+
+
+def q_opq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted OPQ index (VERDICT r9 Next #6 — pipeline/pq.py
+    ivfpq_build(opq_iterations=1)/ivfpq_search): the learned rotation is
+    stored as reserved ``_rotation`` rows version-pinned beside
+    ``_coarse``/``_codebook``, the whole index lives in the rotated
+    space, and search rotates the probes driver-side. Rows-only BY
+    DESIGN (the rotation comes from a driver-side 64×64 SVD, like
+    opq_topk/emb_pca); store==operator parity, append-in-rotated-space,
+    and time travel are pytest-pinned
+    (test_pq.py::test_opq_store_round_trip_parity_and_time_travel)."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _OPQ_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='opq_idx_')}/idx"
+        ivfpq_build(
+            spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
+            coarse_iterations=0, pq_iterations=0, dim=_ND_DIM,
+            opq_iterations=1,
+        )
+        _OPQ_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(spark, store, probes, k=_IVF_K)
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.3
 
@@ -6169,6 +6204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_grams": q_stream_heavy_grams,
     "pq_topk": q_pq_topk,
     "opq_topk": q_opq_topk,  # rows-only: driver-side SVD (like emb_pca)
+    "opq_store_topk": q_opq_store_topk,  # rows-only: persisted OPQ index
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)

@@ -475,6 +475,7 @@ def _ivfpq_rank(
 #: reserved names in the persisted index — never legal cell names
 COARSE_NAME = "_coarse"
 CODEBOOK_NAME = "_codebook"
+ROTATION_NAME = "_rotation"
 
 
 def ivfpq_build(
@@ -490,6 +491,8 @@ def ivfpq_build(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq_iterations: int = 0,
+    opq_pq_iterations: int = 1,
 ) -> int:
     """Persist the IVF-PQ index in the snapshot store (the ann_store
     pattern — cells are the ``name`` axis, quantizers are data rows):
@@ -510,13 +513,40 @@ def ivfpq_build(
     ``_write_data_files`` range-clusters by name, so a search probing
     ``n_probe`` cells prunes the scan at the MANIFEST to roughly that
     fraction of the index files. Rebuild = overwrite commit; time travel
-    searches an old index. Returns the committed version."""
+    searches an old index. Returns the committed version.
+
+    ``opq_iterations > 0`` builds the OPQ-pretransformed variant (the
+    Faiss ``OPQ..,IVF..,PQ..`` factory composition — public knowledge):
+    an orthonormal rotation is learned on the corpus
+    (:func:`opq_train`), the ENTIRE index is built in the rotated space
+    (rotation preserves L2, so coarse geometry is unchanged while the
+    residual subspace split aligns with the data), and the rotation
+    matrix persists as reserved ``_rotation`` data rows beside
+    ``_coarse``/``_codebook`` — version-pinned with the quantizers, so
+    the learned-rotation index survives build→search round trips and
+    time travel searches an old index with ITS OWN rotation
+    (VERDICT r9 Next #6). :func:`ivfpq_search` rotates probes
+    driver-side; :func:`ivfpq_append` rotates new vectors with the
+    pinned R before encoding."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_write,
     )
 
     if n_cells > 9999:
         raise ValueError("ivfpq_build: cell names are %04d — n_cells <= 9999")
+    rotation = None
+    if opq_iterations > 0:
+        rotation, _ = opq_train(
+            corpus, m=m, k=k_codes, iterations=opq_iterations,
+            pq_iterations=opq_pq_iterations, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        corpus = corpus.select(
+            F.col(id_col),
+            _rotate_udf(np.asarray(rotation, dtype=np.float64))(
+                F.col(vec_col)
+            ).alias(vec_col),
+        )
     coarse = pq_train(
         corpus, m=1, k=n_cells, iterations=coarse_iterations, dim=dim,
         id_col=id_col, vec_col=vec_col,
@@ -575,11 +605,20 @@ def ivfpq_build(
     carried.update(
         pq_m=m, pq_k=k_codes, pq_cells=n_cells,
         pq_dim=dim, pq_n_probe_default=n_probe_default,
+        pq_rot=1 if rotation is not None else 0,
     )
+    out = rows.unionByName(cent).unionByName(cw)
+    if rotation is not None:
+        rot_rows = spark.createDataFrame(
+            [(ROTATION_NAME, 0.0, i, [float(x) for x in row], None)
+             for i, row in enumerate(rotation)],
+            schema,
+        )
+        out = out.unionByName(rot_rows)
     return snapshot_write(
         spark,
         store_path,
-        rows.unionByName(cent).unionByName(cw),
+        out,
         mode="overwrite",
         properties=carried,
     )
@@ -635,6 +674,16 @@ def ivfpq_search(
     probe_rows = probes.select(id_col, vec_col).collect()
     if not probe_rows:
         raise ValueError("probes is empty")
+    if int(props.get("pq_rot", 0)):
+        # OPQ index: rotate the collected probes driver-side with the
+        # version-pinned rotation (probes are already in hand; one tiny
+        # numpy matmul — the corpus-side rotation happened at build)
+        R = _load_rotation(spark, store_path, version, int(props["pq_dim"]))
+        probe_rows = [
+            {id_col: r[id_col],
+             vec_col: (np.asarray(r[vec_col], dtype=np.float64) @ R).tolist()}
+            for r in probe_rows
+        ]
     probed_cells, tables = _probe_cell_tables(
         probe_rows, coarse, codebook, n_probe, unit_scale, id_col, vec_col
     )
@@ -694,6 +743,28 @@ def _load_quantizers(
     return coarse, codebook
 
 
+def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray:
+    """Version-pinned load of the persisted OPQ rotation (``_rotation``
+    reserved rows, vec_id = row index) — shared by search and append so
+    probe/vector rotation cannot drift from the build's corpus rotation."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    rows = (
+        snapshot_read(spark, store_path, version=version, names=[ROTATION_NAME])
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"OPQ index at {store_path} v{version} holds {len(rows)} rotation "
+            f"rows; pinned pq_dim={dim} requires {dim} — truncated or foreign "
+            f"store"
+        )
+    return np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
 def ivfpq_append(
     spark,
     store_path: str,
@@ -730,6 +801,13 @@ def ivfpq_append(
     m, k_codes = int(props["pq_m"]), int(props["pq_k"])
     coarse, codebook = _load_quantizers(spark, store_path, version, m, k_codes)
     sub_dim = len(codebook[0][0])
+    if int(props.get("pq_rot", 0)):
+        # OPQ index: new vectors must enter the SAME rotated space the
+        # frozen quantizers live in (version-pinned R, Arrow matmul)
+        R = _load_rotation(spark, store_path, version, int(props["pq_dim"]))
+        new_vectors = new_vectors.select(
+            F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias(vec_col)
+        )
     rows = (
         new_vectors.select(
             F.col(id_col),

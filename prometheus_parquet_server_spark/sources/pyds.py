@@ -305,6 +305,136 @@ class S3CommitBackend(CommitBackend):
         )
 
 
+class GCSCommitBackend(CommitBackend):
+    """GCS binding of the commit primitive over the public JSON API
+    (VERDICT r9 Next #5 — the seam documented since round 8): the
+    manifest slot is claimed with a media upload carrying
+    ``ifGenerationMatch=0`` — "only create if no live generation
+    exists". GCS answers HTTP 412 Precondition Failed when the object
+    already exists, the "lost the race, rebase" outcome; of N racing
+    ifGenerationMatch=0 writers GCS commits exactly one.
+
+    The HTTP session is INJECTED (``google.auth.transport.requests.
+    AuthorizedSession(credentials)`` in production, a stub in tests
+    asserting the literal request shapes) so no google SDK import is
+    required here. The session needs one method:
+    ``request(method, url, params=..., data=...)`` returning a response
+    with ``status_code``/``content``/``json()`` — the requests shape::
+
+        register_commit_backend(
+            "gs", GCSCommitBackend(AuthorizedSession(creds)))
+
+    Request shapes (the public JSON API, api/storage/v1):
+
+    - create: ``POST {root}/upload/storage/v1/b/{bucket}/o`` with params
+      ``uploadType=media, name=<key>, ifGenerationMatch=0`` and the
+      payload as the body — 200 win, 412 loss;
+    - read: ``GET {root}/storage/v1/b/{bucket}/o/{urlencoded key}`` with
+      ``alt=media`` — 404 → FileNotFoundError;
+    - list: ``GET {root}/storage/v1/b/{bucket}/o`` with ``prefix=<dir>/,
+      delimiter=/`` and ``pageToken`` pagination.
+
+    GCS throttles mutations of ONE object name to ~1/s: racing writers
+    can see 429 (and transient 503) before the precondition resolves —
+    both are documented-retryable, mirroring the S3 409 backoff; only
+    412 maps to False. Never overwrite, never swallow other errors."""
+
+    def __init__(
+        self,
+        session,
+        api_root: str = "https://storage.googleapis.com",
+        max_conflict_retries: int = 8,
+    ):
+        self._session = session
+        self._root = api_root.rstrip("/")
+        self._max_conflict_retries = int(max_conflict_retries)
+
+    @staticmethod
+    def _split(uri: str) -> tuple[str, str]:
+        rest = uri.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"GCS URI needs bucket and object: {uri!r}")
+        return bucket, key
+
+    def list_names(self, dir_uri: str) -> list[str]:
+        from urllib.parse import quote
+
+        bucket, prefix = self._split(dir_uri.rstrip("/"))
+        prefix = prefix + "/"
+        url = f"{self._root}/storage/v1/b/{quote(bucket, safe='')}/o"
+        names: list[str] = []
+        token = None
+        while True:
+            params = {
+                "prefix": prefix,
+                "delimiter": "/",
+                "fields": "items(name),nextPageToken",
+            }
+            if token:
+                params["pageToken"] = token
+            resp = self._session.request("GET", url, params=params)
+            if resp.status_code == 404:
+                return []
+            if resp.status_code != 200:
+                raise RuntimeError(
+                    f"GCS list of {dir_uri} failed: HTTP {resp.status_code}"
+                )
+            body = resp.json()
+            names.extend(
+                it["name"][len(prefix):]
+                for it in body.get("items", [])
+                if it["name"] != prefix
+            )
+            token = body.get("nextPageToken")
+            if not token:
+                return names
+
+    def read_bytes(self, uri: str) -> bytes:
+        from urllib.parse import quote
+
+        bucket, key = self._split(uri)
+        url = (
+            f"{self._root}/storage/v1/b/{quote(bucket, safe='')}"
+            f"/o/{quote(key, safe='')}"
+        )
+        resp = self._session.request("GET", url, params={"alt": "media"})
+        if resp.status_code == 404:
+            raise FileNotFoundError(uri)
+        if resp.status_code != 200:
+            raise RuntimeError(f"GCS read of {uri} failed: HTTP {resp.status_code}")
+        return resp.content
+
+    def create_exclusive(self, uri: str, payload: bytes) -> bool:
+        import time
+        from urllib.parse import quote
+
+        bucket, key = self._split(uri)
+        url = f"{self._root}/upload/storage/v1/b/{quote(bucket, safe='')}/o"
+        params = {"uploadType": "media", "name": key, "ifGenerationMatch": "0"}
+        for attempt in range(self._max_conflict_retries + 1):
+            resp = self._session.request("POST", url, params=params, data=payload)
+            if resp.status_code == 200:
+                return True
+            if resp.status_code == 412:
+                return False  # live generation exists — the loser rebases
+            if resp.status_code in (429, 503):
+                # same-object mutation throttling / transient backend —
+                # documented retryable; back off so the retry lands after
+                # the competing write resolves (cf. the S3 409 path)
+                time.sleep(min(0.05 * (2 ** attempt), 2.0))
+                continue
+            raise RuntimeError(
+                f"GCS conditional create on {uri} failed: "
+                f"HTTP {resp.status_code}"
+            )
+        raise RuntimeError(
+            f"GCS conditional create on {uri} still throttled (429/503) "
+            f"after {self._max_conflict_retries} retries — another writer's "
+            f"mutation stream never drained"
+        )
+
+
 def _list_versions(root: str) -> list[int]:
     snap = f"{root}/{_SNAP_DIR}"
     lp = _local_path(snap)

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Scale stress for the persisted IVF-PQ index (pipeline/pq.py — VERDICT
+r9 Next #4, the stress_ann_store / stress_dsir pattern).
+
+Claims under test at ~1M vectors:
+
+1. **Probe cost is sublinear and manifest-governed**: a search probing
+   ``n_probe`` of ``n_cells`` cells must open ≈ ``n_probe/n_cells`` of
+   the index FILES (the manifest prune decision, measured directly
+   against the manifest file list) and its wall must grow far slower
+   than linearly in n_probe (the fixed driver/scheduling floor
+   dominates small probes; the scan fraction governs the tail).
+2. **Append is O(new)**: one ivfpq_append of a 10% batch re-encodes only
+   the batch against the frozen quantizers; a search after the append
+   sees the union corpus with no rebuild.
+3. **Compressed at rest**: the per-vector payload in the store is m code
+   bytes + a cell id (no raw embedding column) — reported as the ratio
+   of index data bytes to raw float64 vector bytes. (No int8-vs-f64
+   cell variant applies: PQ codes are already sub-byte-per-dimension;
+   the int8 comparison lives in the flat-scan family,
+   tests/test_ann_recall.py.)
+
+Prints one JSON line for BASELINE.md.
+
+Usage: python scripts/stress_ivfpq.py [N] [N_CELLS] (defaults 1_000_000 / 64).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from prometheus_parquet_server_spark import get_spark
+from prometheus_parquet_server_spark.pipeline.pq import (
+    _load_quantizers,
+    _probe_cell_tables,
+    ivfpq_append,
+    ivfpq_build,
+    ivfpq_search,
+)
+from prometheus_parquet_server_spark.sources.snapshot_store import (
+    _StoreFS,
+    _name_overlaps,
+    _resolve_tip,
+    snapshot_version,
+)
+
+DIM = 64
+
+
+def _vectors(spark, n, offset=0):
+    """Deterministic pseudo-embeddings (the stress_ann_store recipe):
+    component i of vector v is hash-derived in [-1, 1] — no RNG, no I/O
+    bias, identical across runs."""
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000)
+        / F.lit(1000.0),
+    )
+    return (
+        spark.range(offset, offset + n)
+        .select(F.col("id").alias("vec_id"), comp.alias("embedding"))
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    m, k_codes = 8, 16
+    spark = get_spark("stress-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    vecs = _vectors(spark, n).cache()
+    vecs.count()
+
+    store = f"file://{tempfile.mkdtemp(prefix='stress_ivfpq_')}/index"
+    t0 = time.time()
+    ivfpq_build(
+        spark, store, vecs, n_cells=n_cells, n_probe_default=4, m=m,
+        k_codes=k_codes, coarse_iterations=1, pq_iterations=1, dim=DIM,
+    )
+    t_build = round(time.time() - t0, 2)
+
+    fs = _StoreFS(spark, store)
+    _, manifest = _resolve_tip(fs, store)
+    # a file carries cell data iff its name range overlaps the cell names
+    # (range clustering can pack the reserved _coarse/_codebook rows into
+    # the same file as the first cells at small scale)
+    cell_lo, cell_hi = "cell=0000", f"cell={n_cells - 1:04d}"
+    data_files = [
+        f for f in manifest["files"]
+        if f.get("min_name") is not None
+        and f["min_name"] <= cell_hi and f["max_name"] >= cell_lo
+    ]
+    n_files = len(data_files)
+    index_bytes = sum(int(f.get("n_bytes", 0)) for f in manifest["files"])
+    raw_bytes = n * DIM * 8
+
+    probes = (
+        vecs.limit(5)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    probes.count()
+
+    version = snapshot_version(spark, store)
+    coarse, codebook = _load_quantizers(spark, store, version, m, k_codes)
+    probe_rows = probes.collect()
+
+    sweep = []
+    for n_probe in (2, 4, 8, 16, n_cells):
+        t0 = time.time()
+        rows = ivfpq_search(spark, store, probes, k=10, n_probe=n_probe).count()
+        wall = round(time.time() - t0, 2)
+        probed_cells, _ = _probe_cell_tables(
+            probe_rows, coarse, codebook, n_probe, 1e6, "vec_id", "embedding"
+        )
+        probed_names = sorted(
+            {f"cell={c:04d}" for cells in probed_cells.values() for c in cells}
+        )
+        opened = sum(1 for f in data_files if _name_overlaps(f, probed_names))
+        sweep.append(
+            {
+                "cells_probed": len(probed_names),
+                "cell_fraction": round(len(probed_names) / n_cells, 3),
+                "n_probe": n_probe,
+                "wall_s": wall,
+                "rows": rows,
+                "files_opened": opened,
+                "file_fraction": round(opened / n_files, 3) if n_files else None,
+                "probe_fraction": round(n_probe / n_cells, 3),
+            }
+        )
+
+    # append-then-search: 10% new vectors against the frozen quantizers
+    batch = _vectors(spark, n // 10, offset=n)
+    t0 = time.time()
+    ivfpq_append(spark, store, batch)
+    t_append = round(time.time() - t0, 2)
+    t0 = time.time()
+    rows_after = ivfpq_search(spark, store, probes, k=10, n_probe=4).count()
+    t_after = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "n_cells": n_cells,
+                "m": m,
+                "k_codes": k_codes,
+                "build_wall_s": t_build,
+                "index_data_files": n_files,
+                "index_bytes": index_bytes,
+                "raw_vector_bytes": raw_bytes,
+                "at_rest_ratio": round(index_bytes / raw_bytes, 4),
+                "probe_sweep": sweep,
+                "append_10pct_wall_s": t_append,
+                "search_after_append_wall_s": t_after,
+                "rows_after_append": rows_after,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -450,3 +450,122 @@ def test_opq_rotation_reduces_quantization_error_on_correlated_data(spark):
     assert e_opq < e_plain, (e_opq, e_plain)
     assert np.allclose(np.asarray(R2) @ np.asarray(R2).T, np.eye(DIM),
                        atol=1e-9)
+
+
+def test_opq_store_round_trip_parity_and_time_travel(spark, tmp_path):
+    """The persisted OPQ index (VERDICT r9 Next #6): ivfpq_build with
+    opq_iterations>0 stores the learned rotation as reserved _rotation
+    rows version-pinned with the quantizers; search == the operator
+    composition (rotate corpus+probes with the SAME deterministic R →
+    ivfpq_topk at the same geometry); an append enters the rotated space
+    through the pinned R; a rebuild without rotation leaves the OLD
+    rotated index searchable via time travel with ITS OWN rotation."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ROTATION_NAME,
+        _rotate_udf,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, DIM // 2)
+    mat = np.hstack([base, base + 0.05 * rng.randn(40, DIM // 2)]).round(4)
+    df = _frame(spark, mat)
+    probes = df.filter(F.col("vec_id") < 3)
+    store = f"file://{tmp_path}/opqidx"
+
+    v1 = ivfpq_build(
+        spark, store, df, n_cells=4, n_probe_default=2, m=M, k_codes=3,
+        dim=DIM, opq_iterations=1,
+    )
+    assert v1 == 1
+    assert int(snapshot_properties(spark, store)["pq_rot"]) == 1
+    rot_rows = (
+        snapshot_read(spark, store, names=[ROTATION_NAME])
+        .orderBy("vec_id").collect()
+    )
+    assert len(rot_rows) == DIM
+    R = np.asarray([list(r["embedding"]) for r in rot_rows])
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)  # orthonormal
+
+    # parity: store search == operator composition with the same
+    # (deterministic) rotation replayed outside the store
+    rot = _rotate_udf(R)
+    rot_df = df.select("vec_id", rot(F.col("embedding")).alias("embedding"))
+    rot_probes = probes.select(
+        "vec_id", rot(F.col("embedding")).alias("embedding")
+    )
+    got = sorted(
+        tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk(rot_df, rot_probes, k=5, n_cells=4, n_probe=2,
+                            m=M, k_codes=3, dim=DIM).collect()
+    )
+    assert got == want and len(got) == 15
+
+    # append enters the rotated space via the pinned R: equal to the
+    # one-shot search over the union in rotated space with frozen
+    # quantizers (the append re-encodes ONLY the batch)
+    mat2 = (mat[:10] + 0.01).round(4)
+    batch = spark.createDataFrame(
+        [(100 + i, [float(x) for x in row]) for i, row in enumerate(mat2)],
+        "vec_id long, embedding array<double>",
+    )
+    v2 = ivfpq_append(spark, store, batch)
+    assert v2 == 2
+    after = ivfpq_search(spark, store, probes, k=5).collect()
+    assert len(after) == 15
+    # direct proof the batch entered the ROTATED space: the stored
+    # (cell, code) of every appended row equals the numpy assignment of
+    # the ROTATED batch vector against the frozen quantizers (the exact
+    # module conventions: 9-dp-rounded squared L2, ties → lowest id)
+    from prometheus_parquet_server_spark.pipeline.pq import _load_quantizers
+
+    coarse, codebook = _load_quantizers(spark, store, v1, M, 3)
+    cmat = np.asarray(coarse)
+    stored = {
+        r["vec_id"]: (
+            int(r["name"].split("=")[1]),
+            [int(c) for c in r["code"]],
+        )
+        for r in snapshot_read(spark, store)
+        .filter(F.col("vec_id") >= 100)
+        .select("vec_id", "name", "code")
+        .collect()
+    }
+    assert set(stored) == {100 + i for i in range(10)}
+    for i, raw in enumerate(mat2):
+        rv = np.asarray(raw, dtype=np.float64) @ R
+        d = np.round(
+            (rv[None, :] - cmat) ** 2 @ np.ones(DIM), 9
+        )
+        cell = int(np.argmin(d))
+        resid = rv - cmat[cell]
+        codes = []
+        for s in range(M):
+            cm = np.asarray(codebook[s])
+            sub = resid[s * SUB:(s + 1) * SUB]
+            ds = np.round(((sub[None, :] - cm) ** 2).sum(1), 9)
+            codes.append(int(np.argmin(ds)))
+        assert stored[100 + i] == (cell, codes), f"row {100 + i}"
+
+    # rebuild WITHOUT rotation: tip serves unrotated, v2 time-travels
+    # with its own rotation
+    v3 = ivfpq_build(spark, store, df, n_cells=4, n_probe_default=2,
+                     m=M, k_codes=3, dim=DIM)
+    assert v3 == 3
+    assert int(snapshot_properties(spark, store)["pq_rot"]) == 0
+    old = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, store, probes, k=5, version=1,
+                              n_probe=2).collect()
+    )
+    assert old == want

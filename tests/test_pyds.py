@@ -679,6 +679,144 @@ def test_s3_commit_backend_moto_race():
             cb.create_exclusive("s3://b/k", b"x")
 
 
+class _FakeGCSSession:
+    """In-memory GCS JSON API twin for the injected-session test: stores
+    objects in a dict keyed (bucket, name) and VALIDATES every request
+    against the literal public API shape — URL layout, uploadType=media,
+    the ifGenerationMatch=0 param, alt=media reads, pageToken paging
+    (page size 2 to force pagination) — so a binding that drifted from
+    the real protocol fails here, not in production."""
+
+    def __init__(self):
+        self.objects: dict[tuple[str, str], bytes] = {}
+        self.requests: list[tuple[str, str, dict]] = []
+        self.throttle_next = 0  # next N creates answer 429 (race window)
+
+    class _Resp:
+        def __init__(self, status_code, content=b"", body=None):
+            self.status_code = status_code
+            self.content = content
+            self._body = body or {}
+
+        def json(self):
+            return self._body
+
+    def request(self, method, url, params=None, data=None):
+        from urllib.parse import unquote
+
+        params = dict(params or {})
+        self.requests.append((method, url, params))
+        root = "https://storage.googleapis.com"
+        if method == "POST" and url.startswith(f"{root}/upload/storage/v1/b/"):
+            bucket = unquote(url[len(f"{root}/upload/storage/v1/b/"):].split("/o")[0])
+            assert params.get("uploadType") == "media", params
+            assert params.get("ifGenerationMatch") == "0", params
+            name = params["name"]
+            if self.throttle_next > 0:
+                self.throttle_next -= 1
+                return self._Resp(429)
+            if (bucket, name) in self.objects:
+                return self._Resp(412)
+            self.objects[(bucket, name)] = data
+            return self._Resp(200, body={"name": name, "generation": "1"})
+        if method == "GET" and "/storage/v1/b/" in url and "/o/" in url:
+            rest = url[len(f"{root}/storage/v1/b/"):]
+            bucket, obj = rest.split("/o/", 1)
+            key = (unquote(bucket), unquote(obj))
+            assert params.get("alt") == "media", params
+            if key not in self.objects:
+                return self._Resp(404)
+            return self._Resp(200, content=self.objects[key])
+        if method == "GET" and url.endswith("/o"):
+            bucket = unquote(url[len(f"{root}/storage/v1/b/"):-len("/o")])
+            prefix = params.get("prefix", "")
+            assert params.get("delimiter") == "/", params
+            matches = sorted(
+                n for (b, n) in self.objects
+                if b == bucket and n.startswith(prefix)
+                and "/" not in n[len(prefix):]
+            )
+            start = int(params.get("pageToken", "0"))
+            page = matches[start:start + 2]
+            body = {"items": [{"name": n} for n in page]}
+            if start + 2 < len(matches):
+                body["nextPageToken"] = str(start + 2)
+            return self._Resp(200, body=body)
+        raise AssertionError(f"unexpected GCS request: {method} {url} {params}")
+
+
+def test_gcs_commit_backend_race():
+    """The GCS binding (VERDICT r9 Next #5, finishing what S3/moto
+    started): ifGenerationMatch=0 create wins exactly one racer, the
+    loser sees 412 and rebases through the manifest protocol; reads and
+    paginated listing ride the same public JSON API shapes the stub
+    session enforces; 429 same-object throttling retries then raises at
+    the bound."""
+    from prometheus_parquet_server_spark.sources.pyds import (
+        GCSCommitBackend,
+        _manifest_fs_path,
+        _publish_manifest,
+        _read_manifest,
+        register_commit_backend,
+    )
+
+    sess = _FakeGCSSession()
+    backend = GCSCommitBackend(sess)
+
+    # (a) primitive: one slot, two racers — exactly one winner; the
+    # winner's bytes are what a read returns
+    slot = _manifest_fs_path("gs://pps-test-bucket/store", 1)
+    assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
+    assert backend.create_exclusive(slot, b'{"racer": "B"}') is False
+    assert backend.read_bytes(slot) == b'{"racer": "A"}'
+    with pytest.raises(FileNotFoundError):
+        backend.read_bytes("gs://pps-test-bucket/store/_snapshots/nope")
+
+    # (b) protocol: racing appends through the registered backend —
+    # sequential versions, tip unions the file lists, and the version
+    # listing exercises pageToken pagination (page size 2 in the stub)
+    register_commit_backend("gs", backend)
+    root = "gs://pps-test-bucket/store2"
+    schema_json = {"type": "struct", "fields": []}
+
+    def pub(i):
+        return _publish_manifest(
+            root,
+            "append",
+            schema_json,
+            [{"path": f"{root}/data/f{i}.parquet", "n_rows": 1,
+              "n_bytes": 1, "min_name": "a", "max_name": "a",
+              "min_ts": 0.0, "max_ts": 1.0}],
+            None,
+        )
+
+    assert [pub(0), pub(1), pub(2)] == [1, 2, 3]
+    tip = _read_manifest(root, 3)
+    assert sorted(f["path"] for f in tip["files"]) == [
+        f"{root}/data/f{i}.parquet" for i in range(3)
+    ]
+    n_before = len(sess.requests)
+    names = backend.list_names(f"{root}/_snapshots")
+    assert names == [f"v{v:010d}.json" for v in (1, 2, 3)]
+    assert any(
+        m == "GET" and p.get("pageToken")
+        for (m, u, p) in sess.requests[n_before:]
+    ), "3 objects at page size 2 must have paginated"
+
+    # (c) a transient 429 retries through to the win; at the bound the
+    # create raises instead of silently giving up
+    sess.throttle_next = 2
+    slot2 = _manifest_fs_path("gs://pps-test-bucket/store", 2)
+    assert backend.create_exclusive(slot2, b"{}") is True
+    sess.throttle_next = 10**9
+    limited = GCSCommitBackend(sess, max_conflict_retries=2)
+    with pytest.raises(RuntimeError, match="429"):
+        limited.create_exclusive(
+            "gs://pps-test-bucket/store/_snapshots/v3", b"{}"
+        )
+    sess.throttle_next = 0
+
+
 def test_timestamp_as_of_time_travel(spark, store):
     """timestamp_as_of resolves the highest version committed at or
     before the instant (the snapshot_as_of rule), and excludes version
