@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "events_sessionize_int",
     "dsir_topk",
     "hybrid_topk",
+    # round-10 additions (same caveat)
+    "events_sessionize_floats",
+    "ivfpq_store_topk",
 ]
 
 

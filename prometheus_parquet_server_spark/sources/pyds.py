@@ -733,7 +733,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # carries the backlog uncapped, pacing engages from the
             # second trigger on. (The JVM admission-control API that
             # solves this — ReadLimit — is not exposed to Python
-            # sources.)
+            # sources; re-checked against pyspark 4.1.2 in round 10:
+            # DataSourceStreamReader.latestOffset still takes no limit
+            # argument and pyspark.sql.datasource defines no ReadLimit
+            # type, so the documented limitation stands.)
             self._cursor = tip
             return {"version": tip}
         v, files = self._cursor, 0
