@@ -435,6 +435,85 @@ class GCSCommitBackend(CommitBackend):
         )
 
 
+class ABSCommitBackend(CommitBackend):
+    """Azure Blob Storage binding of the commit primitive, completing
+    the conditional-put trio (S3 ``If-None-Match:*`` → 412, GCS
+    ``ifGenerationMatch=0`` → 412, ABS ``If-None-Match:*`` → 409
+    ``BlobAlreadyExists``): the manifest slot is claimed with a Put Blob
+    carrying ``If-None-Match: *`` — the azure-storage-blob SDK sends
+    exactly that header for ``upload_blob(..., overwrite=False)`` and
+    surfaces the 409 as ``ResourceExistsError``.
+
+    The service client is INJECTED (``BlobServiceClient`` in production,
+    a stub twin in tests) and accessed through two SDK-shaped calls:
+    ``get_blob_client(container, blob)`` (→ ``upload_blob``/
+    ``download_blob``) and ``get_container_client(container)``
+    (→ ``list_blobs(name_starts_with=...)``, a fully-drained paged
+    iterator — the SDK follows continuation markers itself). Errors are
+    duck-typed on ``status_code``/``error_code`` (no azure import at
+    module load): 409 on create → slot taken; 404 on read →
+    FileNotFoundError; anything else propagates. Register under the URI
+    scheme the deployment mounts::
+
+        register_commit_backend(
+            "wasbs", ABSCommitBackend(BlobServiceClient(...)))
+
+    URIs parse as ``scheme://container@account-host/blob-path`` (the
+    wasbs/abfss layout) or ``scheme://container/blob-path``."""
+
+    def __init__(self, service):
+        self._service = service
+
+    @staticmethod
+    def _split(uri: str) -> tuple[str, str]:
+        rest = uri.split("://", 1)[1]
+        authority, _, key = rest.partition("/")
+        container = authority.split("@", 1)[0]
+        if not container or not key:
+            raise ValueError(f"ABS URI needs container and blob: {uri!r}")
+        return container, key
+
+    @staticmethod
+    def _status(e: Exception) -> tuple[int, str]:
+        return (
+            int(getattr(e, "status_code", 0) or 0),
+            str(getattr(e, "error_code", "") or ""),
+        )
+
+    def list_names(self, dir_uri: str) -> list[str]:
+        container, prefix = self._split(dir_uri.rstrip("/"))
+        prefix = prefix + "/"
+        cc = self._service.get_container_client(container)
+        return [
+            b.name[len(prefix):]
+            for b in cc.list_blobs(name_starts_with=prefix)
+            if b.name != prefix and "/" not in b.name[len(prefix):]
+        ]
+
+    def read_bytes(self, uri: str) -> bytes:
+        container, key = self._split(uri)
+        bc = self._service.get_blob_client(container, key)
+        try:
+            return bc.download_blob().readall()
+        except Exception as e:
+            status, code = self._status(e)
+            if status == 404 or code == "BlobNotFound":
+                raise FileNotFoundError(uri) from e
+            raise
+
+    def create_exclusive(self, uri: str, payload: bytes) -> bool:
+        container, key = self._split(uri)
+        bc = self._service.get_blob_client(container, key)
+        try:
+            bc.upload_blob(payload, overwrite=False)
+            return True
+        except Exception as e:
+            status, code = self._status(e)
+            if status == 409 or code == "BlobAlreadyExists":
+                return False  # slot taken — the loser rebases
+            raise
+
+
 def _list_versions(root: str) -> list[int]:
     snap = f"{root}/{_SNAP_DIR}"
     lp = _local_path(snap)
@@ -502,7 +581,8 @@ def _create_manifest_exclusive(path: str, payload: bytes) -> bool:
             f"pps_snapshot commit to {path.split('://', 1)[0]}:// needs an "
             f"atomic create-if-absent; register a CommitBackend "
             f"(register_commit_backend) wrapping the store's conditional "
-            f"put (S3 If-None-Match:*, GCS ifGenerationMatch=0)"
+            f"put (S3 If-None-Match:*, GCS ifGenerationMatch=0, ABS "
+            f"If-None-Match:* / overwrite=False)"
         )
     return be.create_exclusive(path, payload)
 

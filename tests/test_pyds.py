@@ -817,6 +817,111 @@ def test_gcs_commit_backend_race():
     sess.throttle_next = 0
 
 
+class _FakeBlobService:
+    """In-memory azure-storage-blob twin: SDK-shaped get_blob_client /
+    get_container_client over a dict, raising duck-typed 409
+    BlobAlreadyExists on upload_blob(overwrite=False) of an existing
+    blob and 404 BlobNotFound on missing reads — the exact outcomes the
+    ABS binding maps."""
+
+    class _Err(Exception):
+        def __init__(self, status_code, error_code):
+            self.status_code = status_code
+            self.error_code = error_code
+
+    def __init__(self):
+        self.blobs: dict[tuple[str, str], bytes] = {}
+
+    def get_blob_client(self, container, blob):
+        svc = self
+
+        class _BC:
+            def upload_blob(self, data, overwrite):
+                assert overwrite is False, "must never request overwrite"
+                if (container, blob) in svc.blobs:
+                    raise svc._Err(409, "BlobAlreadyExists")
+                svc.blobs[(container, blob)] = data
+
+            def download_blob(self):
+                if (container, blob) not in svc.blobs:
+                    raise svc._Err(404, "BlobNotFound")
+                payload = svc.blobs[(container, blob)]
+
+                class _DL:
+                    def readall(self):
+                        return payload
+
+                return _DL()
+
+        return _BC()
+
+    def get_container_client(self, container):
+        svc = self
+
+        class _CC:
+            def list_blobs(self, name_starts_with):
+                class _B:
+                    def __init__(self, name):
+                        self.name = name
+
+                return [
+                    _B(n) for (c, n) in sorted(svc.blobs)
+                    if c == container and n.startswith(name_starts_with)
+                ]
+
+        return _CC()
+
+
+def test_abs_commit_backend_race():
+    """The Azure binding completes the conditional-put trio: upload_blob
+    with overwrite=False (the SDK's If-None-Match:* Put Blob) wins
+    exactly one racer, the loser sees 409 BlobAlreadyExists and rebases
+    through the manifest protocol; container@account URI parsing; 404 →
+    FileNotFoundError."""
+    from prometheus_parquet_server_spark.sources.pyds import (
+        ABSCommitBackend,
+        _manifest_fs_path,
+        _publish_manifest,
+        _read_manifest,
+        register_commit_backend,
+    )
+
+    backend = ABSCommitBackend(_FakeBlobService())
+
+    # container@account authority parsing
+    assert backend._split("wasbs://cont@acct.blob.core.windows.net/a/b") == (
+        "cont", "a/b",
+    )
+
+    slot = _manifest_fs_path("wasbs://cont@acct.blob.core.windows.net/store", 1)
+    assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
+    assert backend.create_exclusive(slot, b'{"racer": "B"}') is False
+    assert backend.read_bytes(slot) == b'{"racer": "A"}'
+    with pytest.raises(FileNotFoundError):
+        backend.read_bytes("wasbs://cont@acct/store/_snapshots/nope")
+
+    register_commit_backend("wasbs", backend)
+    root = "wasbs://cont@acct.blob.core.windows.net/store2"
+    schema_json = {"type": "struct", "fields": []}
+
+    def pub(i):
+        return _publish_manifest(
+            root,
+            "append",
+            schema_json,
+            [{"path": f"{root}/data/f{i}.parquet", "n_rows": 1,
+              "n_bytes": 1, "min_name": "a", "max_name": "a",
+              "min_ts": 0.0, "max_ts": 1.0}],
+            None,
+        )
+
+    assert [pub(0), pub(1), pub(2)] == [1, 2, 3]
+    tip = _read_manifest(root, 3)
+    assert sorted(f["path"] for f in tip["files"]) == [
+        f"{root}/data/f{i}.parquet" for i in range(3)
+    ]
+
+
 def test_timestamp_as_of_time_travel(spark, store):
     """timestamp_as_of resolves the highest version committed at or
     before the instant (the snapshot_as_of rule), and excludes version
