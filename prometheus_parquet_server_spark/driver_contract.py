@@ -3317,7 +3317,35 @@ QUALIFY rank <= {_IVF_K}
 """
 
 
-_IVFPQ_STORE_CACHE: dict[tuple[str, str], str] = {}
+_IVFPQ_STORE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _ivfpq_store_search(
+    spark: SparkSession, sf_dir: str, prefix: str, **build_kw
+) -> DataFrame:
+    """Shared store-row builder (review r10 #4): build the persisted
+    IVF-PQ index once per (sf_dir, session, variant) at the graded
+    geometry — ``build_kw`` carries the variant deltas (e.g.
+    opq_iterations) — then search with the shared probe set."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId, prefix)
+    store = _IVFPQ_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix=prefix)}/idx"
+        ivfpq_build(
+            spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
+            coarse_iterations=0, pq_iterations=0, dim=_ND_DIM, **build_kw,
+        )
+        _IVFPQ_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(spark, store, probes, k=_IVF_K, n_probe=2)
 
 
 def q_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,25 +3354,7 @@ def q_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells pruned at the manifest) under the SAME oracle as the one-shot
     ivfpq_topk: the store round-trip is hash-invisible (the
     ivf_store_topk pattern)."""
-    import tempfile
-
-    from prometheus_parquet_server_spark.pipeline.pq import (
-        ivfpq_build,
-        ivfpq_search,
-    )
-
-    key = (sf_dir, spark.sparkContext.applicationId)
-    store = _IVFPQ_STORE_CACHE.get(key)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if store is None:
-        store = f"file://{tempfile.mkdtemp(prefix='ivfpq_idx_')}/idx"
-        ivfpq_build(
-            spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
-            coarse_iterations=0, pq_iterations=0, dim=_ND_DIM,
-        )
-        _IVFPQ_STORE_CACHE[key] = store
-    probes = emb.filter(F.col("vec_id") < 5)
-    return ivfpq_search(spark, store, probes, k=_IVF_K, n_probe=2)
+    return _ivfpq_store_search(spark, sf_dir, "ivfpq_idx_")
 
 
 def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3363,9 +3373,6 @@ def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_topk(emb, probes, R, cb, k=_IVF_K)
 
 
-_OPQ_STORE_CACHE: dict = {}
-
-
 def q_opq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted OPQ index (VERDICT r9 Next #6 — pipeline/pq.py
     ivfpq_build(opq_iterations=1)/ivfpq_search): the learned rotation is
@@ -3376,26 +3383,7 @@ def q_opq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     opq_topk/emb_pca); store==operator parity, append-in-rotated-space,
     and time travel are pytest-pinned
     (test_pq.py::test_opq_store_round_trip_parity_and_time_travel)."""
-    import tempfile
-
-    from prometheus_parquet_server_spark.pipeline.pq import (
-        ivfpq_build,
-        ivfpq_search,
-    )
-
-    key = (sf_dir, spark.sparkContext.applicationId)
-    store = _OPQ_STORE_CACHE.get(key)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if store is None:
-        store = f"file://{tempfile.mkdtemp(prefix='opq_idx_')}/idx"
-        ivfpq_build(
-            spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
-            coarse_iterations=0, pq_iterations=0, dim=_ND_DIM,
-            opq_iterations=1,
-        )
-        _OPQ_STORE_CACHE[key] = store
-    probes = emb.filter(F.col("vec_id") < 5)
-    return ivfpq_search(spark, store, probes, k=_IVF_K)
+    return _ivfpq_store_search(spark, sf_dir, "opq_idx_", opq_iterations=1)
 
 
 _SEMDEDUP_CENTROIDS = 8

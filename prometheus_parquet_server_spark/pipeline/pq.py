@@ -540,6 +540,8 @@ def ivfpq_build(
             corpus, m=m, k=k_codes, iterations=opq_iterations,
             pq_iterations=opq_pq_iterations, dim=dim,
             id_col=id_col, vec_col=vec_col,
+            final_fit=False,  # residual books retrain below; skip the
+            # flat-codebook pairing pass (one full Lloyd over the corpus)
         )
         corpus = corpus.select(
             F.col(id_col),
@@ -899,7 +901,8 @@ def opq_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[list[list[float]], list[list[list[float]]]]:
+    final_fit: bool = True,
+) -> tuple[list[list[float]], list[list[list[float]]] | None]:
     """Optimized Product Quantization [Ge, He, Ke, Sun, CVPR 2013 —
     public knowledge]: learn an orthonormal rotation ``R`` jointly with
     the PQ codebooks so the subspace split aligns with the data's
@@ -978,6 +981,13 @@ def opq_train(
         )
         U, _, Vt = np.linalg.svd(C)
         R = U @ Vt
+    R_out = [[float(x) for x in row] for row in R]
+    if not final_fit:
+        # rotation-only mode (review r10 #3): callers that retrain their
+        # own codebooks against the final R (ivfpq_build trains RESIDUAL
+        # books in the rotated space) skip the full-corpus Lloyd pass
+        # whose only purpose is pairing R with a consistent flat codebook
+        return R_out, None
     rotated = corpus.select(
         F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias("_rv")
     )
@@ -985,7 +995,7 @@ def opq_train(
         rotated, m=m, k=k, iterations=pq_iterations, dim=dim,
         id_col=id_col, vec_col="_rv",
     )
-    return [[float(x) for x in row] for row in R], codebook
+    return R_out, codebook
 
 
 def opq_topk(

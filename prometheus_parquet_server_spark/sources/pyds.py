@@ -288,7 +288,20 @@ class S3CommitBackend(CommitBackend):
             except Exception as e:
                 code, status = self._error(e)
                 if code == "PreconditionFailed" or status == 412:
-                    return False  # slot taken — the loser rebases
+                    # 412 usually means a racer holds the slot — but it is
+                    # ALSO what a retried put sees when its own earlier
+                    # attempt durably landed while the response was lost
+                    # (boto3 auto-retries 5xx internally, so the ambiguous
+                    # first attempt can be invisible to us). Answering
+                    # False for our own commit would make _publish_manifest
+                    # rebase onto itself and double-register every file, so
+                    # disambiguate by reading the slot back: the payload
+                    # embeds the writer's unique nonce (_publish_manifest's
+                    # _writer uuid), byte-equality ⇒ the slot is OURS.
+                    try:
+                        return self.read_bytes(uri) == payload
+                    except FileNotFoundError:
+                        return False
                 if code == "ConditionalRequestConflict" or status == 409:
                     # a COMPETING conditional write is still in flight —
                     # back off so the retry lands after it resolves to a
@@ -336,8 +349,17 @@ class GCSCommitBackend(CommitBackend):
 
     GCS throttles mutations of ONE object name to ~1/s: racing writers
     can see 429 (and transient 503) before the precondition resolves —
-    both are documented-retryable, mirroring the S3 409 backoff; only
-    412 maps to False. Never overwrite, never swallow other errors."""
+    both are documented-retryable, mirroring the S3 409 backoff. A 412
+    maps to False only after a read-back payload comparison (the
+    manifest embeds a unique writer nonce): a create whose response was
+    lost to a 503 has durably LANDED, and its retry's 412 would
+    otherwise misreport the writer's own commit as a lost race —
+    _publish_manifest would rebase onto itself and double-register
+    every file. Reads and listings retry the same transient codes with
+    the same bound: the commit protocol treats an unreadable manifest
+    slot as torn junk to skip, so an unretried transient 503 on a LIVE
+    version would silently drop that version's files from the lineage.
+    Never overwrite, never swallow other errors."""
 
     def __init__(
         self,
@@ -357,6 +379,24 @@ class GCSCommitBackend(CommitBackend):
             raise ValueError(f"GCS URI needs bucket and object: {uri!r}")
         return bucket, key
 
+    def _request_retrying(self, method: str, url: str, what: str, **kw):
+        """One request with bounded 429/503 backoff — shared by reads and
+        listings (the commit protocol equates 'slot unreadable' with
+        'torn junk, skip it', so a transient on a LIVE manifest must not
+        surface as a read failure)."""
+        import time
+
+        for attempt in range(self._max_conflict_retries + 1):
+            resp = self._session.request(method, url, **kw)
+            if resp.status_code in (429, 503):
+                time.sleep(min(0.05 * (2 ** attempt), 2.0))
+                continue
+            return resp
+        raise RuntimeError(
+            f"GCS {what} still throttled (HTTP {resp.status_code}) after "
+            f"{self._max_conflict_retries} retries"
+        )
+
     def list_names(self, dir_uri: str) -> list[str]:
         from urllib.parse import quote
 
@@ -373,7 +413,9 @@ class GCSCommitBackend(CommitBackend):
             }
             if token:
                 params["pageToken"] = token
-            resp = self._session.request("GET", url, params=params)
+            resp = self._request_retrying(
+                "GET", url, f"list of {dir_uri}", params=params
+            )
             if resp.status_code == 404:
                 return []
             if resp.status_code != 200:
@@ -398,7 +440,9 @@ class GCSCommitBackend(CommitBackend):
             f"{self._root}/storage/v1/b/{quote(bucket, safe='')}"
             f"/o/{quote(key, safe='')}"
         )
-        resp = self._session.request("GET", url, params={"alt": "media"})
+        resp = self._request_retrying(
+            "GET", url, f"read of {uri}", params={"alt": "media"}
+        )
         if resp.status_code == 404:
             raise FileNotFoundError(uri)
         if resp.status_code != 200:
@@ -417,7 +461,16 @@ class GCSCommitBackend(CommitBackend):
             if resp.status_code == 200:
                 return True
             if resp.status_code == 412:
-                return False  # live generation exists — the loser rebases
+                # a live generation exists — usually a racer's, but a
+                # retried create whose own earlier attempt landed while
+                # the 503 ate the response sees ITS OWN object here.
+                # Disambiguate by payload (unique writer nonce inside):
+                # answering False for our own commit would double-apply
+                # the manifest (see class docstring).
+                try:
+                    return self.read_bytes(uri) == payload
+                except FileNotFoundError:
+                    return False
             if resp.status_code in (429, 503):
                 # same-object mutation throttling / transient backend —
                 # documented retryable; back off so the retry lands after
@@ -510,7 +563,15 @@ class ABSCommitBackend(CommitBackend):
         except Exception as e:
             status, code = self._status(e)
             if status == 409 or code == "BlobAlreadyExists":
-                return False  # slot taken — the loser rebases
+                # usually a racer's blob — but the Azure SDK auto-retries
+                # 5xx, so a retried put whose own earlier attempt landed
+                # sees its OWN blob here; disambiguate by payload (unique
+                # writer nonce inside) like the S3/GCS bindings, else a
+                # self-loss would double-apply the manifest.
+                try:
+                    return self.read_bytes(uri) == payload
+                except FileNotFoundError:
+                    return False
             raise
 
 

@@ -637,6 +637,11 @@ def test_s3_commit_backend_moto_race():
         assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
         assert backend.create_exclusive(slot, b'{"racer": "B"}') is False
         assert backend.read_bytes(slot) == b'{"racer": "A"}'
+        # lost-response disambiguation: a retried create that finds its
+        # OWN payload in the slot (boto3 auto-retried a 5xx after the
+        # first attempt durably landed) must report the WIN, not a lost
+        # race — a self-loss would rebase onto itself and double-apply
+        assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
         with pytest.raises(FileNotFoundError):
             backend.read_bytes("s3://pps-test-bucket/store/_snapshots/nope")
 
@@ -706,15 +711,15 @@ class _FakeGCSSession:
 
         params = dict(params or {})
         self.requests.append((method, url, params))
+        if self.throttle_next > 0:  # throttle ANY request type (GCS does)
+            self.throttle_next -= 1
+            return self._Resp(429)
         root = "https://storage.googleapis.com"
         if method == "POST" and url.startswith(f"{root}/upload/storage/v1/b/"):
             bucket = unquote(url[len(f"{root}/upload/storage/v1/b/"):].split("/o")[0])
             assert params.get("uploadType") == "media", params
             assert params.get("ifGenerationMatch") == "0", params
             name = params["name"]
-            if self.throttle_next > 0:
-                self.throttle_next -= 1
-                return self._Resp(429)
             if (bucket, name) in self.objects:
                 return self._Resp(412)
             self.objects[(bucket, name)] = data
@@ -769,8 +774,19 @@ def test_gcs_commit_backend_race():
     assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
     assert backend.create_exclusive(slot, b'{"racer": "B"}') is False
     assert backend.read_bytes(slot) == b'{"racer": "A"}'
+    # lost-response disambiguation: a retried create finding its OWN
+    # payload (the 503-ate-the-response case) reports the win
+    assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
     with pytest.raises(FileNotFoundError):
         backend.read_bytes("gs://pps-test-bucket/store/_snapshots/nope")
+    # transient 503/429 on reads/listings retries instead of surfacing —
+    # the protocol would misread a failed read as a torn junk slot
+    sess.throttle_next = 2
+    assert backend.read_bytes(slot) == b'{"racer": "A"}'
+    sess.throttle_next = 2
+    assert backend.list_names("gs://pps-test-bucket/store/_snapshots") == [
+        "v0000000001.json"
+    ]
 
     # (b) protocol: racing appends through the registered backend —
     # sequential versions, tip unions the file lists, and the version
@@ -897,6 +913,9 @@ def test_abs_commit_backend_race():
     assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
     assert backend.create_exclusive(slot, b'{"racer": "B"}') is False
     assert backend.read_bytes(slot) == b'{"racer": "A"}'
+    # lost-response disambiguation (the Azure SDK auto-retries 5xx):
+    # finding our OWN payload behind the 409 reports the win
+    assert backend.create_exclusive(slot, b'{"racer": "A"}') is True
     with pytest.raises(FileNotFoundError):
         backend.read_bytes("wasbs://cont@acct/store/_snapshots/nope")
 
