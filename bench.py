@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     # round-10 additions (same caveat)
     "events_sessionize_floats",
     "ivfpq_store_topk",
+    "ivfpq_rerank_topk",
 ]
 
 

@@ -3239,7 +3239,10 @@ def _sql_l2(a: str, b: str) -> str:
     )
 
 
-SQL_IVFPQ_TOPK = f"""
+# shared WITH-body: the full IVF-PQ pipeline replay down to per-candidate
+# ADC unit distances (scored) — consumed by the plain top-k oracle and by
+# the exact-rerank oracle below
+_SQL_IVFPQ_SCORED_BODY = f"""
 WITH cent AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            embedding::DOUBLE[] AS cvec
@@ -3308,7 +3311,9 @@ scored AS (
     JOIN ptab t ON t.cell = c.cell AND t.s = c.s AND t.j = c.j
     WHERE c.vec_id <> t.probe_id
     GROUP BY 1, 2
-)
+)"""
+
+SQL_IVFPQ_TOPK = f"""{_SQL_IVFPQ_SCORED_BODY}
 SELECT probe_id, neighbor_id, dist_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
             ORDER BY dist_u, neighbor_id) AS INT) AS rank
@@ -3316,34 +3321,85 @@ FROM scored
 QUALIFY rank <= {_IVF_K}
 """
 
+_IVFPQ_K_ADC = 30
+
+# exact rerank (IVFADC+R): ADC top-k_adc candidates re-ranked by exact
+# squared L2 against the raw vectors on the 9-dp grid (ties → id)
+SQL_IVFPQ_RERANK = f"""{_SQL_IVFPQ_SCORED_BODY},
+cand AS (
+    SELECT probe_id, neighbor_id FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        ORDER BY dist_u, neighbor_id) <= {_IVFPQ_K_ADC}
+),
+exact AS (
+    SELECT c.probe_id, c.neighbor_id,
+           ROUND({_sql_l2('p.embedding::DOUBLE[]', 'n.embedding::DOUBLE[]')},
+                 9) AS d
+    FROM cand c
+    JOIN embeddings p ON p.vec_id = c.probe_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT probe_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY d, neighbor_id) AS INT) AS rank
+FROM exact
+QUALIFY rank <= {_IVF_K}
+"""
+
+
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (pipeline/pq.py ivfpq_rerank — the IVFADC+R
+    refinement of Jégou et al. 2011 §V): ADC top-{_IVFPQ_K_ADC} from the
+    persisted compressed index, raw vectors joined back from the lake
+    (candidate-bounded broadcast), exact squared-L2 re-rank on the 9-dp
+    grid. The oracle replays the WHOLE pipeline — coarse cells, residual
+    codes, probe tables, ADC candidate cut, exact re-rank — in one
+    DuckDB query."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_rerank
+
+    store = _ivfpq_store(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_rerank(
+        spark, store, probes, emb, k=_IVF_K, k_adc=_IVFPQ_K_ADC, n_probe=2
+    )
+
 
 _IVFPQ_STORE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
-def _ivfpq_store_search(
-    spark: SparkSession, sf_dir: str, prefix: str, **build_kw
-) -> DataFrame:
-    """Shared store-row builder (review r10 #4): build the persisted
-    IVF-PQ index once per (sf_dir, session, variant) at the graded
-    geometry — ``build_kw`` carries the variant deltas (e.g.
-    opq_iterations) — then search with the shared probe set."""
+def _ivfpq_store(
+    spark: SparkSession, sf_dir: str, prefix: str = "ivfpq_idx_", **build_kw
+) -> str:
+    """Build-once cache of the persisted IVF-PQ index per (sf_dir,
+    session, variant) at the graded geometry — ``build_kw`` carries the
+    variant deltas (e.g. opq_iterations). Returns the store path."""
     import tempfile
 
-    from prometheus_parquet_server_spark.pipeline.pq import (
-        ivfpq_build,
-        ivfpq_search,
-    )
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_build
 
     key = (sf_dir, spark.sparkContext.applicationId, prefix)
     store = _IVFPQ_STORE_CACHE.get(key)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if store is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         store = f"file://{tempfile.mkdtemp(prefix=prefix)}/idx"
         ivfpq_build(
             spark, store, emb, n_cells=8, n_probe_default=2, m=8, k_codes=8,
             coarse_iterations=0, pq_iterations=0, dim=_ND_DIM, **build_kw,
         )
         _IVFPQ_STORE_CACHE[key] = store
+    return store
+
+
+def _ivfpq_store_search(
+    spark: SparkSession, sf_dir: str, prefix: str, **build_kw
+) -> DataFrame:
+    """Shared store-row builder (review r10 #4): the cached index
+    searched with the shared probe set."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_search
+
+    store = _ivfpq_store(spark, sf_dir, prefix, **build_kw)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 5)
     return ivfpq_search(spark, store, probes, k=_IVF_K, n_probe=2)
 
@@ -6193,6 +6249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "opq_topk": q_opq_topk,  # rows-only: driver-side SVD (like emb_pca)
     "opq_store_topk": q_opq_store_topk,  # rows-only: persisted OPQ index
+    "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
@@ -6317,6 +6374,7 @@ ORACLES: dict[str, str] = {
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_store_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_rerank_topk": SQL_IVFPQ_RERANK,
     "pipeline_chunks": SQL_PIPELINE_CHUNKS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,

@@ -745,6 +745,84 @@ def _load_quantizers(
     return coarse, codebook
 
 
+def ivfpq_rerank(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    k_adc: int = 50,
+    n_probe: int | None = None,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact re-ranking of IVF-PQ candidates — the refinement stage of
+    the published pipeline [Jégou et al. 2011 §V, IVFADC+R; Faiss's
+    refine wrapper]: ADC resolution is m codes per vector, so
+    sub-resolution neighbors tie with everything sharing their codes
+    (measured: scripts/stress_ivfpq.py's planted twins tie into the
+    top-10 but cannot win it under ADC alone). The fix is a second
+    stage: take the ADC top-``k_adc`` per probe from the compressed
+    index, join the RAW vectors back from the lake (``corpus`` — the
+    index deliberately stores only codes; raw embeddings live in the
+    source table), and re-rank by exact squared L2 on the 9-dp grid
+    (ties → neighbor id, the family convention).
+
+    Cost shape at scale: the index answers from m-byte codes with
+    manifest-pruned cells; the re-rank join touches ``probes × k_adc``
+    rows of the raw table — a candidate-bounded broadcast-hash join
+    (the candidate side broadcasts; the corpus is scanned once, column-
+    pruned to (id, vector)). Returns ``(probe_id, neighbor_id, rank)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or k_adc < k:
+        raise ValueError(f"need k_adc >= k >= 1, got k={k} k_adc={k_adc}")
+    cand = ivfpq_search(
+        spark, store_path, probes, k=k_adc, n_probe=n_probe, version=version,
+        id_col=id_col, vec_col=vec_col, unit_scale=unit_scale,
+        salt_buckets=salt_buckets,
+    ).select("probe_id", "neighbor_id")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    # the same dot-expansion decomposition as the DuckDB oracle's _sql_l2
+    # (a·a − 2ab + b·b) so the 9-dp grid agrees bit-exactly
+    d = F.round(
+        _dot(F.col("_pv"), F.col("_pv"))
+        - F.lit(2.0) * _dot(F.col("_pv"), F.col("_nv"))
+        + _dot(F.col("_nv"), F.col("_nv")),
+        9,
+    )
+    exact = (
+        F.broadcast(cand.join(F.broadcast(pv), "probe_id"))
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", d.alias("_d"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank")
+    )
+
+
 def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray:
     """Version-pinned load of the persisted OPQ rotation (``_rotation``
     reserved rows, vec_id = row index) — shared by search and append so

@@ -149,3 +149,35 @@ def test_opq_recall_not_below_pq(emb, probes, truth_l2):
     r_opq = _recall(opq_topk(emb, probes, R, cbo, k=10), truth_l2)
     assert r_opq >= r_pq, f"opq {r_opq:.3f} must not lose to pq {r_pq:.3f}"
     assert r_opq >= 0.22, f"opq recall@10 = {r_opq:.3f}"
+
+
+def test_ivfpq_exact_rerank_lifts_recall(spark, emb, probes, truth_l2, tmp_path):
+    """The IVFADC+R refinement (pq.py ivfpq_rerank): exact re-ranking of
+    the ADC top-k_adc against the raw vectors must lift recall well
+    above ADC-only (measured 0.218 → 0.392/0.460/0.520 at k_adc =
+    30/50/100, trained quantizers, probe 2 of 8 cells — the residual
+    gap to 1.0 is cell routing, which n_probe buys) and be monotone in
+    the candidate budget."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_rerank,
+        ivfpq_search,
+    )
+
+    store = f"file://{tmp_path}/rerank_idx"
+    ivfpq_build(spark, store, emb, n_cells=8, n_probe_default=2, m=8,
+                k_codes=8, coarse_iterations=2, pq_iterations=2, dim=64)
+    r_adc = _recall(
+        ivfpq_search(spark, store, probes, k=10, n_probe=2), truth_l2
+    )
+    r30 = _recall(
+        ivfpq_rerank(spark, store, probes, emb, k=10, k_adc=30, n_probe=2),
+        truth_l2,
+    )
+    r100 = _recall(
+        ivfpq_rerank(spark, store, probes, emb, k=10, k_adc=100, n_probe=2),
+        truth_l2,
+    )
+    assert r30 >= r_adc + 0.10, f"rerank {r30:.3f} must lift ADC {r_adc:.3f}"
+    assert r100 >= r30, "a bigger candidate budget must not lose neighbors"
+    assert r100 >= 0.45, f"rerank k_adc=100 recall@10 = {r100:.3f}"
