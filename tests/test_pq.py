@@ -569,3 +569,52 @@ def test_opq_store_round_trip_parity_and_time_travel(spark, tmp_path):
                               n_probe=2).collect()
     )
     assert old == want
+
+
+def test_ivfpq_index_survives_compaction_and_time_travel(spark, tmp_path):
+    """The index IS a snapshot-store table, so the table format's
+    maintenance composes: after fragmenting appends, snapshot_compact
+    rewrites the small files into name-clustered ones and the search
+    answer is IDENTICAL (quantizer rows, cell codes, and manifest
+    properties all carry through the rewrite); the pre-compaction
+    version still time-travels."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_compact,
+        snapshot_properties,
+    )
+
+    mat = _vecs(36, seed=13)
+    probes = _frame(spark, mat[:2])
+    store = f"file://{tmp_path}/pqcompact"
+    ivfpq_build(spark, store, _frame(spark, mat[:12]), n_cells=3,
+                n_probe_default=2, m=M, k_codes=3, dim=DIM)
+    for lo in (12, 20, 28):
+        batch = spark.createDataFrame(
+            [(i, [float(x) for x in row])
+             for i, row in enumerate(mat[lo:lo + 8], start=lo)],
+            "vec_id long, embedding array<double>",
+        )
+        ivfpq_append(spark, store, batch)
+    before = sorted(
+        tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect()
+    )
+    v_pre = 4
+    v_compact = snapshot_compact(spark, store, min_files_to_compact=2)
+    assert v_compact == 5
+    after = sorted(
+        tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect()
+    )
+    assert after == before
+    # pinned geometry survives the rewrite; the old version still serves
+    assert int(snapshot_properties(spark, store)["pq_cells"]) == 3
+    old = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, store, probes, k=5,
+                              version=v_pre).collect()
+    )
+    assert old == before
