@@ -5862,6 +5862,52 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_topk(docs, target, k=50, m=4096)
 
 
+_DSIR_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR (pipeline/dsir.py dsir_counts_ingest /
+    dsir_table_read on snapshot_merge — the rollup_ingest pattern): the
+    raw corpus folds into the persisted m-bounded distribution store in
+    THREE batches (doc_id % 3) and the target slice in TWO, each ingest
+    O(m + batch) with no corpus rescan; the table reads back and selects
+    via the literally-shared construction/selection cores
+    (_table_from_counts, dsir_topk_from_table) — so this row's oracle is
+    the ONE-SHOT SQL_DSIR_TOPK: N ingests must be bit-identical to
+    fitting once over everything."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_table_read,
+        dsir_topk_from_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _DSIR_STORE_CACHE.get(key)
+    if store is None:
+        import tempfile
+
+        store = f"file://{tempfile.mkdtemp(prefix='dsir_counts_')}/store"
+        for r in (0, 1, 2):
+            # NULL-safe split: the one-shot table counts grams over ALL
+            # raw docs incl. NULL-id ones (the ADVICE r9 convention), so
+            # the batch partition must not silently drop them
+            dsir_counts_ingest(
+                spark, store,
+                docs.filter(F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == r),
+                side="raw", m=4096,
+            )
+        target = docs.filter(F.col("doc_id") % 17 == 3)
+        for r in (0, 1):
+            dsir_counts_ingest(
+                spark, store, target.filter(F.col("doc_id") % 2 == r),
+                side="target", m=4096,
+            )
+        _DSIR_STORE_CACHE[key] = store
+    table = dsir_table_read(spark, store)
+    return dsir_topk_from_table(docs, table, k=50, m=4096)
+
+
 SQL_DSIR_TOPK = """
 WITH toks AS (
     SELECT doc_id,
@@ -6250,6 +6296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opq_topk": q_opq_topk,  # rows-only: driver-side SVD (like emb_pca)
     "opq_store_topk": q_opq_store_topk,  # rows-only: persisted OPQ index
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
+    "dsir_incremental": q_dsir_incremental,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
@@ -6369,6 +6416,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
+    "dsir_incremental": SQL_DSIR_TOPK,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,

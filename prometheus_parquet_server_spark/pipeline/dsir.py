@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark.pipeline.text import ngrams_col, tokens_col
 
-__all__ = ["dsir_logratio_table", "dsir_score", "dsir_topk", "dsir_sample"]
+__all__ = [
+    "dsir_logratio_table",
+    "dsir_score",
+    "dsir_topk",
+    "dsir_sample",
+    "dsir_counts_ingest",
+    "dsir_table_read",
+]
 
 
 def _gram_buckets(text: Column, m: int) -> Column:
@@ -76,7 +83,6 @@ def dsir_logratio_table(
     is meant to be broadcast."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    spark = raw.sparkSession
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         return (
@@ -85,8 +91,19 @@ def dsir_logratio_table(
             .agg(F.count("*").alias(out))
         )
 
-    p = counts(raw, "_cp")
-    q = counts(target, "_cq")
+    return _table_from_counts(
+        raw.sparkSession, counts(raw, "_cp"), counts(target, "_cq"), m,
+        unit_scale,
+    )
+
+
+def _table_from_counts(
+    spark, p: DataFrame, q: DataFrame, m: int, unit_scale: float
+) -> DataFrame:
+    """The λ construction from per-bucket gram-occurrence counts —
+    shared by the one-shot fit and the incremental counts store so the
+    two CANNOT drift: ``p`` is (b, _cp), ``q`` is (b, _cq), both sparse
+    (absent buckets count 0)."""
     totals = (
         p.agg(F.sum("_cp").alias("_np"))
         .crossJoin(q.agg(F.sum("_cq").alias("_nq")))
@@ -164,13 +181,35 @@ def dsir_topk(
     reproducible; inject Gumbel noise upstream (a seeded per-doc hash
     perturbation on score_u) if sampling diversity matters more.
     """
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     table = dsir_logratio_table(
         raw, target, m=m, text_col=text_col, unit_scale=unit_scale
     )
+    return dsir_topk_from_table(
+        raw, table, k, m=m, text_col=text_col, id_col=id_col,
+        salt_buckets=salt_buckets,
+    )
+
+
+def dsir_topk_from_table(
+    raw: DataFrame,
+    table: DataFrame,
+    k: int,
+    m: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """The selection half of :func:`dsir_topk` against an ALREADY-FITTED
+    importance table — the serving path for the incremental counts
+    store (:func:`dsir_table_read`): score every raw document, salted
+    two-stage top-k, ties → ``id_col`` asc. Shared by the one-shot
+    operator so the two selections cannot drift."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     scored = dsir_score(raw, table, m=m, text_col=text_col, id_col=id_col)
     order = [F.col("score_u").desc(), F.col(id_col).asc()]
     w_part = Window.partitionBy(
@@ -257,3 +296,86 @@ def dsir_sample(
         .filter(F.col("rank") <= k)
         .select(id_col, "score_u", "gumbel_u", "key_u", "rank")
     )
+
+
+def dsir_counts_ingest(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    side: str = "raw",
+    m: int = 4096,
+    text_col: str = "text",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incrementally fold a document batch's gram-bucket occurrence
+    counts into a persisted DSIR distribution store (the rollup_ingest
+    pattern on :func:`snapshot_merge`): each side ("raw"/"target") is a
+    name in the snapshot store holding at most ``m`` (bucket, count)
+    rows, and an ingest reads back ONLY the touched side's rows and
+    commits their additive fold with the batch — O(m + batch scan) at
+    any history length, never a corpus rescan. ``m`` is pinned as a
+    manifest property (a later ingest with a different m raises — the
+    rollup width rule); ``txn=(app_id, batch_id)`` makes redelivered
+    batches no-ops. The grown corpus's importance table reads back via
+    :func:`dsir_table_read`, bit-identical to the one-shot
+    :func:`dsir_logratio_table` over the union of all ingested batches
+    (the λ construction is literally shared — ``_table_from_counts``).
+    """
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_merge,
+    )
+
+    if side not in ("raw", "target"):
+        raise ValueError(f"side must be 'raw' or 'target', got {side!r}")
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    rows = (
+        batch.select(F.explode(_gram_buckets(F.col(text_col), m)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit(side).alias("name"), F.lit(0.0).alias("ts"), "b", "c"
+        )
+    )
+
+    def combine(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
+        if existing is None:
+            return updates
+        # union-then-regroup: preserves bystander names sharing a file
+        # (the snapshot_merge combine contract)
+        return (
+            existing.unionByName(updates)
+            .groupBy("name", "b")
+            .agg(F.sum("c").alias("c"), F.min("ts").alias("ts"))
+            .select("name", "ts", "b", "c")
+        )
+
+    return snapshot_merge(
+        spark, store_path, rows, combine,
+        properties={"dsir_m": m}, txn=txn,
+    )
+
+
+def dsir_table_read(
+    spark,
+    store_path: str,
+    unit_scale: float = 1e6,
+    version: int | None = None,
+) -> DataFrame:
+    """The importance table from a persisted counts store (optionally
+    time-traveled): reads the two sides' m-bounded count rows and runs
+    the SHARED λ construction — equal to fitting
+    :func:`dsir_logratio_table` on the union of every ingested batch,
+    without touching any document again."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    m = int(snapshot_properties(spark, store_path, version=version)["dsir_m"])
+    rows = snapshot_read(spark, store_path, version=version)
+    p = rows.filter(F.col("name") == "raw").select("b", F.col("c").alias("_cp"))
+    q = rows.filter(F.col("name") == "target").select(
+        "b", F.col("c").alias("_cq")
+    )
+    return _table_from_counts(spark, p, q, m, unit_scale)

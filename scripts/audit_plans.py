@@ -65,6 +65,14 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "Gumbel keying adds per-row expressions only",
         )
     },
+    "dsir_incremental": {
+        "BroadcastNestedLoopJoin": (
+            2,
+            "same one-row totals crosses as dsir_topk — the shared "
+            "_table_from_counts core, fed from the persisted counts "
+            "store instead of a corpus scan",
+        )
+    },
     "cluster_topics": {
         "BroadcastNestedLoopJoin": (1, "cell-count (one row) broadcast back")
     },

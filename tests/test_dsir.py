@@ -166,3 +166,81 @@ def test_dsir_sample_gumbel_exact_and_seeded(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     other = dsir_sample(raw, target, k=10, m=64, seed=7).collect()
     assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
+
+
+def test_incremental_counts_store_equals_one_shot_table(spark, tmp_path):
+    """The persisted DSIR distribution store (dsir_counts_ingest /
+    dsir_table_read on snapshot_merge): ingesting the raw corpus in 3
+    batches and the target in 2 yields a table BIT-IDENTICAL to the
+    one-shot dsir_logratio_table over the unions (the λ construction is
+    literally shared); each ingest is O(m + batch) — history counts fold
+    without a corpus rescan; m is pinned (a mismatched ingest raises);
+    redelivered txn batches are no-ops; time travel reads an earlier
+    corpus state's table."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_table_read,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    m = 32
+    raw_rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} shared tok{i % 5}")
+        for i in range(30)
+    ]
+    target_rows = [(100 + i, f"tok{i % 5} shared special") for i in range(10)]
+    raw = _docs(spark, raw_rows)
+    target = _docs(spark, target_rows)
+    store = f"file://{tmp_path}/dsir_counts"
+
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        dsir_counts_ingest(
+            spark, store, _docs(spark, raw_rows[lo:hi]), side="raw", m=m
+        )
+    v_raw_only = snapshot_version(spark, store)
+    for lo, hi in ((0, 5), (5, 10)):
+        dsir_counts_ingest(
+            spark, store, _docs(spark, target_rows[lo:hi]), side="target", m=m
+        )
+
+    got = {(r["b"], r["unit"]) for r in dsir_table_read(spark, store).collect()}
+    want = {
+        (r["b"], r["unit"])
+        for r in dsir_logratio_table(raw, target, m=m).collect()
+    }
+    assert got == want and len(got) == m
+
+    # m is pinned in the manifest
+    with pytest.raises(Exception, match="dsir_m"):
+        dsir_counts_ingest(spark, store, raw.limit(2), side="raw", m=64)
+    with pytest.raises(ValueError, match="side"):
+        dsir_counts_ingest(spark, store, raw.limit(2), side="validation", m=m)
+
+    # txn idempotence: a redelivered batch is a version-preserving no-op
+    v = snapshot_version(spark, store)
+    dsir_counts_ingest(
+        spark, store, _docs(spark, raw_rows[:3]), side="raw", m=m,
+        txn=("dsir-test", 7),
+    )
+    v2 = snapshot_version(spark, store)
+    assert v2 == v + 1
+    dsir_counts_ingest(
+        spark, store, _docs(spark, raw_rows[:3]), side="raw", m=m,
+        txn=("dsir-test", 7),
+    )
+    assert snapshot_version(spark, store) == v2  # replay did not commit
+
+    # time travel: the raw-only corpus state's table == one-shot with an
+    # EMPTY target (pure smoothing on the q side)
+    old = {
+        (r["b"], r["unit"])
+        for r in dsir_table_read(spark, store, version=v_raw_only).collect()
+    }
+    empty_target = _docs(spark, []).filter(F.lit(False))
+    want_old = {
+        (r["b"], r["unit"])
+        for r in dsir_logratio_table(raw, empty_target, m=m).collect()
+    }
+    assert old == want_old
