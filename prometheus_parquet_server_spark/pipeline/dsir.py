@@ -47,6 +47,7 @@ __all__ = [
     "dsir_logratio_table",
     "dsir_score",
     "dsir_topk",
+    "dsir_topk_from_table",
     "dsir_sample",
     "dsir_counts_ingest",
     "dsir_table_read",

@@ -781,11 +781,13 @@ def ivfpq_rerank(
 
     if k < 1 or k_adc < k:
         raise ValueError(f"need k_adc >= k >= 1, got k={k} k_adc={k_adc}")
+    # candidates are tiny (probes × k_adc) — pin them so the
+    # completeness check below and the re-rank join share one result
     cand = ivfpq_search(
         spark, store_path, probes, k=k_adc, n_probe=n_probe, version=version,
         id_col=id_col, vec_col=vec_col, unit_scale=unit_scale,
         salt_buckets=salt_buckets,
-    ).select("probe_id", "neighbor_id")
+    ).select("probe_id", "neighbor_id").localCheckpoint()
 
     def _dot(a, b):
         return F.aggregate(
@@ -812,7 +814,26 @@ def ivfpq_rerank(
         F.broadcast(cand.join(F.broadcast(pv), "probe_id"))
         .join(nv, "neighbor_id")
         .select("probe_id", "neighbor_id", d.alias("_d"))
-    )
+    ).localCheckpoint()
+    # completeness gate: the index holds ids encoded at build/append time;
+    # a stale or filtered corpus that is missing some of them would
+    # silently shrink the answer below k (the ADC stage surfaced those
+    # neighbors — dropping them here is a wrong answer, not a re-rank).
+    # Raise loudly instead, naming the missing ids.
+    n_cand, n_exact = cand.count(), exact.count()
+    if n_exact != n_cand:
+        missing = [
+            r["neighbor_id"]
+            for r in cand.join(
+                nv.select("neighbor_id"), "neighbor_id", "left_anti"
+            ).select("neighbor_id").distinct().limit(10).collect()
+        ]
+        raise ValueError(
+            f"ivfpq_rerank: corpus is missing {n_cand - n_exact} of the "
+            f"index's candidate rows (e.g. {id_col} in {missing}) — the "
+            f"supplied corpus must cover every vector the searched index "
+            f"version has encoded"
+        )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
     )

@@ -132,11 +132,10 @@ def main() -> None:
     index_bytes = sum(int(f.get("n_bytes", 0)) for f in manifest["files"])
     raw_bytes = n * DIM * 8
 
-    probes = (
-        vecs.limit(5)
-        .select("vec_id", "embedding")
-        .cache()
-    )
+    # the probe set MUST be exactly the vectors the twins were planted
+    # for (vec_id 0-4) — an unordered limit(5) over the union could pick
+    # twin rows or arbitrary ids and poison the recall metric
+    probes = probe_base.select("vec_id", "embedding").cache()
     probes.count()
 
     version = snapshot_version(spark, store)

@@ -618,3 +618,30 @@ def test_ivfpq_index_survives_compaction_and_time_travel(spark, tmp_path):
                               version=v_pre).collect()
     )
     assert old == before
+
+
+def test_ivfpq_rerank_raises_on_incomplete_corpus(spark, tmp_path):
+    """The rerank completeness gate: a corpus missing indexed ids must
+    raise loudly (the ADC stage surfaced those neighbors; dropping them
+    would silently shrink the answer), and a complete corpus reranks
+    exactly the one-shot composition."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_rerank,
+    )
+
+    mat = _vecs(24, seed=17)
+    df = _frame(spark, mat)
+    probes = df.filter(F.col("vec_id") < 2)
+    store = f"file://{tmp_path}/rrguard"
+    ivfpq_build(spark, store, df, n_cells=3, n_probe_default=3, m=M,
+                k_codes=3, dim=DIM)
+    full = ivfpq_rerank(spark, store, probes, df, k=4, k_adc=8).collect()
+    assert len(full) == 8
+    with pytest.raises(ValueError, match="missing"):
+        ivfpq_rerank(
+            spark, store, probes, df.filter(F.col("vec_id") % 2 == 0),
+            k=4, k_adc=8,
+        )
+    with pytest.raises(ValueError, match="need k_adc"):
+        ivfpq_rerank(spark, store, probes, df, k=5, k_adc=4)
