@@ -51,6 +51,7 @@ __all__ = [
     "dsir_sample",
     "dsir_counts_ingest",
     "dsir_table_read",
+    "stream_dsir_ingest",
 ]
 
 
@@ -380,3 +381,39 @@ def dsir_table_read(
         "b", F.col("c").alias("_cq")
     )
     return _table_from_counts(spark, p, q, m, unit_scale)
+
+
+def stream_dsir_ingest(
+    doc_stream: DataFrame,
+    spark,
+    store_path: str,
+    side: str = "raw",
+    m: int = 4096,
+    text_col: str = "text",
+    app_id: str = "stream_dsir_ingest",
+):
+    """Streaming twin of :func:`dsir_counts_ingest` (the
+    stream_ivfpq_ingest / stream_rollup_ingest pattern): each micro-batch
+    of documents folds its gram-bucket counts into the persisted
+    distribution store with ``txn=(app_id, batch_id)``, so a
+    committed-but-unacknowledged batch replays as a version-preserving
+    no-op and the growing stream's importance table stays readable via
+    :func:`dsir_table_read` at every commit — a 100 TB crawl's DSIR
+    weights refresh at stream pace without ever rescanning history.
+    One writer per checkpoint; new ``app_id`` on checkpoint reset (the
+    stream_ivf_ingest caveat). Returns the started query."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dsir_counts_ingest(
+            spark, store_path, batch_df, side=side, m=m,
+            text_col=text_col, txn=(app_id, int(batch_id)),
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint_{side}")
+        .start()
+    )

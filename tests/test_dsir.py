@@ -244,3 +244,61 @@ def test_incremental_counts_store_equals_one_shot_table(spark, tmp_path):
         for r in dsir_logratio_table(raw, empty_target, m=m).collect()
     }
     assert old == want_old
+
+
+def test_stream_dsir_ingest_matches_batch(spark, tmp_path):
+    """availableNow streaming drain through stream_dsir_ingest produces
+    the SAME table as batch dsir_counts_ingest of the same docs;
+    checkpoint-reset replay with the same app_id is a version-preserving
+    no-op (txn marker)."""
+    import shutil
+
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_table_read,
+        stream_dsir_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    m = 16
+    raw_rows = [(i, f"alpha tok{i % 4} beta tok{i % 6}") for i in range(20)]
+    tgt_rows = [(50 + i, f"alpha special tok{i % 3}") for i in range(6)]
+    raw = _docs(spark, raw_rows)
+
+    # batch twin
+    batch_store = f"file://{tmp_path}/dsir_batch"
+    dsir_counts_ingest(spark, batch_store, raw, side="raw", m=m)
+    dsir_counts_ingest(
+        spark, batch_store, _docs(spark, tgt_rows), side="target", m=m
+    )
+    want = {
+        (r["b"], r["unit"])
+        for r in dsir_table_read(spark, batch_store).collect()
+    }
+
+    # streaming: raw docs arrive through a file stream; target via batch
+    src = f"{tmp_path}/docs_src"
+    raw.coalesce(2).write.mode("overwrite").parquet(src)
+    stream_store = f"file://{tmp_path}/dsir_stream"
+    # seed the target side via batch first so both sides exist when the
+    # table reads back (the stream folds only the raw side)
+    dsir_counts_ingest(
+        spark, stream_store, _docs(spark, tgt_rows), side="target", m=m
+    )
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    q = stream_dsir_ingest(stream, spark, stream_store, side="raw", m=m)
+    q.awaitTermination(120)
+    got = {
+        (r["b"], r["unit"])
+        for r in dsir_table_read(spark, stream_store).collect()
+    }
+    assert got == want
+
+    # replay with a reset checkpoint + same app_id: marker no-ops it
+    v = snapshot_version(spark, stream_store)
+    shutil.rmtree(f"{tmp_path}/dsir_stream/_stream_checkpoint_raw")
+    q2 = stream_dsir_ingest(stream, spark, stream_store, side="raw", m=m)
+    q2.awaitTermination(120)
+    assert snapshot_version(spark, stream_store) == v
