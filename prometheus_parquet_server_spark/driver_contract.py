@@ -5882,16 +5882,29 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = _dsir_store(spark, sf_dir)
+    table = dsir_table_read(spark, store)
+    return dsir_topk_from_table(docs, table, k=50, m=4096)
+
+
+def _dsir_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the incremental DSIR counts store: raw in 3
+    NULL-safe doc_id%3 batches (versions 1-3 — the one-shot table counts
+    grams over ALL raw docs incl. NULL-id ones, the ADVICE r9
+    convention, so the split must not drop them), target slice in 2
+    (versions 4-5)."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+    )
+
     key = (sf_dir, spark.sparkContext.applicationId)
     store = _DSIR_STORE_CACHE.get(key)
     if store is None:
         import tempfile
 
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         store = f"file://{tempfile.mkdtemp(prefix='dsir_counts_')}/store"
         for r in (0, 1, 2):
-            # NULL-safe split: the one-shot table counts grams over ALL
-            # raw docs incl. NULL-id ones (the ADVICE r9 convention), so
-            # the batch partition must not silently drop them
             dsir_counts_ingest(
                 spark, store,
                 docs.filter(F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == r),
@@ -5904,8 +5917,79 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 side="target", m=4096,
             )
         _DSIR_STORE_CACHE[key] = store
-    table = dsir_table_read(spark, store)
-    return dsir_topk_from_table(docs, table, k=50, m=4096)
+    return store
+
+
+def q_dsir_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring (pipeline/dsir.py dsir_drift): per-bucket
+    Jensen–Shannon divergence contributions between TWO TIME-TRAVELED
+    versions of the incremental counts store — v1 (the first raw third)
+    vs v3 (the full raw corpus) — all-integer output (exact counts +
+    once-quantized BIGINT contributions), no corpus rescan. The oracle
+    recomputes both populations' gram counts from the documents table
+    directly and replays the identical smoothed-JS formula."""
+    from prometheus_parquet_server_spark.pipeline.dsir import dsir_drift
+
+    store = _dsir_store(spark, sf_dir)
+    return dsir_drift(spark, store, v_old=1, v_new=3, side="raw")
+
+
+# drift oracle: recompute the v1 (first raw third, NULL-id-safe split)
+# and v3 (all raw docs) gram-bucket counts from the documents table and
+# replay the smoothed per-bucket Jensen–Shannon contribution with the
+# IDENTICAL expression structure as pipeline/dsir.dsir_drift (every ln
+# input is the same double on both engines; quantized once to 1e-12
+# units)
+SQL_DSIR_DRIFT = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(t) AS gram FROM toks
+    UNION ALL
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM toks
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+    FROM grams
+),
+co AS (
+    SELECT b, COUNT(*) AS c FROM bucketed
+    WHERE coalesce(doc_id % 3, 0) = 0 GROUP BY b
+),
+cn AS (SELECT b, COUNT(*) AS c FROM bucketed GROUP BY b),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM bucketed WHERE coalesce(doc_id % 3, 0) = 0) AS n_old,
+           (SELECT COUNT(*) FROM bucketed) AS n_new
+)
+SELECT r.range AS b,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS c_old,
+       CAST(coalesce(n.c, 0) AS BIGINT) AS c_new,
+       CAST(FLOOR((
+           0.5 * (
+               (CAST(coalesce(o.c, 0) + 1 AS DOUBLE) / CAST(t.n_old + 4096 AS DOUBLE))
+               * (ln(CAST(coalesce(o.c, 0) + 1 AS DOUBLE) / CAST(t.n_old + 4096 AS DOUBLE))
+                  - ln(((CAST(coalesce(o.c, 0) + 1 AS DOUBLE) / CAST(t.n_old + 4096 AS DOUBLE))
+                        + (CAST(coalesce(n.c, 0) + 1 AS DOUBLE) / CAST(t.n_new + 4096 AS DOUBLE))) / 2.0))
+               + (CAST(coalesce(n.c, 0) + 1 AS DOUBLE) / CAST(t.n_new + 4096 AS DOUBLE))
+               * (ln(CAST(coalesce(n.c, 0) + 1 AS DOUBLE) / CAST(t.n_new + 4096 AS DOUBLE))
+                  - ln(((CAST(coalesce(o.c, 0) + 1 AS DOUBLE) / CAST(t.n_old + 4096 AS DOUBLE))
+                        + (CAST(coalesce(n.c, 0) + 1 AS DOUBLE) / CAST(t.n_new + 4096 AS DOUBLE))) / 2.0))
+           )
+       ) * 1000000000000.0 + 0.5) AS BIGINT) AS contrib_u
+FROM range(4096) r
+LEFT JOIN co o ON o.b = r.range
+LEFT JOIN cn n ON n.b = r.range
+CROSS JOIN tot t
+"""
 
 
 SQL_DSIR_TOPK = """
@@ -6297,6 +6381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opq_store_topk": q_opq_store_topk,  # rows-only: persisted OPQ index
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "dsir_incremental": q_dsir_incremental,
+    "dsir_drift": q_dsir_drift,
     "pipeline_prepare_v5": q_pipeline_prepare_v5,
     "emb_pca": q_emb_pca,  # no oracle: eigendecomposition (rows-only check)
     "quality_classifier": q_quality_classifier,  # no oracle: iterative GD (rows-only)
@@ -6417,6 +6502,7 @@ ORACLES: dict[str, str] = {
     "stream_heavy_grams": SQL_SKETCH_HEAVY_HITTERS,
     "dsir_topk": SQL_DSIR_TOPK,
     "dsir_incremental": SQL_DSIR_TOPK,
+    "dsir_drift": SQL_DSIR_DRIFT,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,

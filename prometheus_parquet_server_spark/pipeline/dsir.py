@@ -52,6 +52,7 @@ __all__ = [
     "dsir_counts_ingest",
     "dsir_table_read",
     "stream_dsir_ingest",
+    "dsir_drift",
 ]
 
 
@@ -416,4 +417,91 @@ def stream_dsir_ingest(
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{store_path}/_stream_checkpoint_{side}")
         .start()
+    )
+
+
+def dsir_drift(
+    spark,
+    store_path: str,
+    v_old: int,
+    v_new: int,
+    side: str = "raw",
+    unit_scale: float = 1e12,
+) -> DataFrame:
+    """Distribution drift between two snapshot VERSIONS of the counts
+    store — the data-ops primitive for a growing crawl ("did the corpus
+    shift since last week?"): per-bucket Jensen–Shannon divergence
+    contributions between the Laplace-smoothed gram distributions at
+    ``v_old`` and ``v_new`` (Lin 1991, public knowledge — symmetric,
+    bounded by ln 2, defined even for disjoint supports).
+
+    Per bucket, with exact integer counts ``c_old``/``c_new`` and totals
+    ``N_old``/``N_new`` read via time travel:
+
+        p = (c_old+1)/(N_old+m),  q = (c_new+1)/(N_new+m),  mid = (p+q)/2
+        contrib = ½·(p·(ln p − ln mid) + q·(ln q − ln mid))
+
+    quantized ONCE to BIGINT units (``floor(contrib·scale + 0.5)``, the
+    λ contract — every input to every ``ln`` is the same double on both
+    engines, so the only cross-engine exposure is the documented libm
+    grid-boundary class). Total drift = the exact integer sum of
+    ``contrib_u`` over the m rows. Output ``(b, c_old, c_new,
+    contrib_u)`` — m rows, all-integer. Cost: two m-bounded store
+    slices, no corpus scan."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    if side not in ("raw", "target"):
+        raise ValueError(f"side must be 'raw' or 'target', got {side!r}")
+    m = int(
+        snapshot_properties(spark, store_path, version=v_new)["dsir_m"]
+    )
+    m_old = int(
+        snapshot_properties(spark, store_path, version=v_old)["dsir_m"]
+    )
+    if m_old != m:
+        raise ValueError(
+            f"dsir_m changed between versions ({m_old} -> {m}); drift over "
+            f"incompatible bucketings is undefined"
+        )
+
+    def counts(version: int, out: str) -> DataFrame:
+        return (
+            snapshot_read(spark, store_path, version=version)
+            .filter(F.col("name") == side)
+            .select("b", F.col("c").alias(out))
+        )
+
+    co, cn = counts(v_old, "_co"), counts(v_new, "_cn")
+    totals = (
+        co.agg(F.sum("_co").alias("_no"))
+        .crossJoin(cn.agg(F.sum("_cn").alias("_nn")))
+        .select(
+            F.coalesce("_no", F.lit(0)).alias("_no"),
+            F.coalesce("_nn", F.lit(0)).alias("_nn"),
+        )
+    )
+    base = (
+        spark.range(m).select(F.col("id").alias("b"))
+        .join(co, "b", "left")
+        .join(cn, "b", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    c_old = F.coalesce("_co", F.lit(0))
+    c_new = F.coalesce("_cn", F.lit(0))
+    p = (c_old + 1).cast("double") / (F.col("_no") + m).cast("double")
+    q = (c_new + 1).cast("double") / (F.col("_nn") + m).cast("double")
+    mid = (p + q) / F.lit(2.0)
+    contrib = F.lit(0.5) * (
+        p * (F.log(p) - F.log(mid)) + q * (F.log(q) - F.log(mid))
+    )
+    return base.select(
+        "b",
+        c_old.cast("long").alias("c_old"),
+        c_new.cast("long").alias("c_new"),
+        F.floor(contrib * F.lit(float(unit_scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("contrib_u"),
     )

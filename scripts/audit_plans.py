@@ -73,6 +73,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "store instead of a corpus scan",
         )
     },
+    "dsir_drift": {
+        "BroadcastNestedLoopJoin": (
+            2,
+            "the same one-row totals crosses (N_old x N_new single-row "
+            "aggs cross-joined, then broadcast back onto the m-row base)",
+        )
+    },
     "cluster_topics": {
         "BroadcastNestedLoopJoin": (1, "cell-count (one row) broadcast back")
     },

@@ -302,3 +302,69 @@ def test_stream_dsir_ingest_matches_batch(spark, tmp_path):
     q2 = stream_dsir_ingest(stream, spark, stream_store, side="raw", m=m)
     q2.awaitTermination(120)
     assert snapshot_version(spark, stream_store) == v
+
+
+def test_dsir_drift_matches_reference_and_detects_shift(spark, tmp_path):
+    """dsir_drift vs a pure-Python smoothed-JS reference over exact
+    counts; identical versions drift ~0 (only the smoothing floor);
+    a vocabulary shift produces strictly larger total drift."""
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_drift,
+    )
+
+    m = 16
+    a = [(i, f"alpha tok{i % 4}") for i in range(12)]
+    b = [(50 + i, f"omega shift{i % 5} zeta") for i in range(12)]
+    store = f"file://{tmp_path}/drift"
+    dsir_counts_ingest(spark, store, _docs(spark, a), side="raw", m=m)   # v1
+    dsir_counts_ingest(spark, store, _docs(spark, a), side="raw", m=m)   # v2: same again
+    dsir_counts_ingest(spark, store, _docs(spark, b), side="raw", m=m)   # v3: shifted
+
+    rows = {r["b"]: r for r in dsir_drift(spark, store, 1, 3, side="raw").collect()}
+    assert len(rows) == m
+
+    # pure-Python reference over exact gram counts
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{x} {y}" for x, y in zip(t, t[1:])]
+
+    def bucket(g):
+        import hashlib
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def count(docs):
+        c = {}
+        for _, text in docs:
+            for g in grams(text):
+                bb = bucket(g)
+                c[bb] = c.get(bb, 0) + 1
+        return c
+
+    c1, c3 = count(a), count(a + a + b)
+    n1, n3 = sum(c1.values()), sum(c3.values())
+    for bb in range(m):
+        p = (c1.get(bb, 0) + 1) / (n1 + m)
+        q = (c3.get(bb, 0) + 1) / (n3 + m)
+        mid = (p + q) / 2.0
+        want = math.floor(
+            0.5 * (p * (math.log(p) - math.log(mid))
+                   + q * (math.log(q) - math.log(mid))) * 1e12 + 0.5
+        )
+        r = rows[bb]
+        assert (r["c_old"], r["c_new"]) == (c1.get(bb, 0), c3.get(bb, 0))
+        assert r["contrib_u"] == want, bb
+
+    # v1 vs v2 re-ingests the SAME docs (every count doubles): the
+    # underlying distribution is unchanged, but Laplace smoothing shifts
+    # with corpus size, so this is the method's size floor rather than
+    # zero — a genuine vocabulary shift must still clearly dominate it
+    same = sum(r["contrib_u"] for r in
+               dsir_drift(spark, store, 1, 2, side="raw").collect())
+    shifted = sum(r["contrib_u"] for r in rows.values())
+    assert shifted > 5 * max(same, 1), (shifted, same)
+
+    with pytest.raises(ValueError, match="side"):
+        dsir_drift(spark, store, 1, 3, side="nope")
