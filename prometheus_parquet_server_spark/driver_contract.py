@@ -5876,62 +5876,71 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONE-SHOT SQL_DSIR_TOPK: N ingests must be bit-identical to
     fitting once over everything."""
     from prometheus_parquet_server_spark.pipeline.dsir import (
-        dsir_counts_ingest,
         dsir_table_read,
         dsir_topk_from_table,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    store = _dsir_store(spark, sf_dir)
+    store, _ = _dsir_store(spark, sf_dir)
     table = dsir_table_read(spark, store)
     return dsir_topk_from_table(docs, table, k=50, m=4096)
 
 
-def _dsir_store(spark: SparkSession, sf_dir: str) -> str:
+def _dsir_store(spark: SparkSession, sf_dir: str) -> tuple[str, list[int]]:
     """Build-once cache of the incremental DSIR counts store: raw in 3
-    NULL-safe doc_id%3 batches (versions 1-3 — the one-shot table counts
-    grams over ALL raw docs incl. NULL-id ones, the ADVICE r9
-    convention, so the split must not drop them), target slice in 2
-    (versions 4-5)."""
+    NULL-safe doc_id%3 batches (the one-shot table counts grams over ALL
+    raw docs incl. NULL-id ones, the ADVICE r9 convention, so the split
+    must not drop them), target slice in 2. Returns (store, the list of
+    versions the three RAW ingests actually committed) — version numbers
+    are CAPTURED, never assumed, because a zero-gram batch is a legal
+    commit-skipping no-op (review r10 #3)."""
     from prometheus_parquet_server_spark.pipeline.dsir import (
         dsir_counts_ingest,
     )
 
     key = (sf_dir, spark.sparkContext.applicationId)
-    store = _DSIR_STORE_CACHE.get(key)
-    if store is None:
+    cached = _DSIR_STORE_CACHE.get(key)
+    if cached is None:
         import tempfile
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         store = f"file://{tempfile.mkdtemp(prefix='dsir_counts_')}/store"
-        for r in (0, 1, 2):
+        raw_versions = [
             dsir_counts_ingest(
                 spark, store,
                 docs.filter(F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == r),
                 side="raw", m=4096,
             )
+            for r in (0, 1, 2)
+        ]
         target = docs.filter(F.col("doc_id") % 17 == 3)
         for r in (0, 1):
             dsir_counts_ingest(
                 spark, store, target.filter(F.col("doc_id") % 2 == r),
                 side="target", m=4096,
             )
-        _DSIR_STORE_CACHE[key] = store
-    return store
+        cached = (store, raw_versions)
+        _DSIR_STORE_CACHE[key] = cached
+    return cached
 
 
 def q_dsir_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitoring (pipeline/dsir.py dsir_drift): per-bucket
     Jensen–Shannon divergence contributions between TWO TIME-TRAVELED
-    versions of the incremental counts store — v1 (the first raw third)
-    vs v3 (the full raw corpus) — all-integer output (exact counts +
-    once-quantized BIGINT contributions), no corpus rescan. The oracle
-    recomputes both populations' gram counts from the documents table
-    directly and replays the identical smoothed-JS formula."""
+    versions of the incremental counts store — the version the FIRST raw
+    ingest committed (first NULL-safe doc_id%3 third) vs the version the
+    LAST raw ingest committed (full raw corpus) — all-integer output
+    (exact counts + once-quantized BIGINT contributions), no corpus
+    rescan. The oracle recomputes both populations' gram counts from the
+    documents table directly and replays the identical smoothed-JS
+    formula."""
     from prometheus_parquet_server_spark.pipeline.dsir import dsir_drift
 
-    store = _dsir_store(spark, sf_dir)
-    return dsir_drift(spark, store, v_old=1, v_new=3, side="raw")
+    store, raw_versions = _dsir_store(spark, sf_dir)
+    return dsir_drift(
+        spark, store, v_old=raw_versions[0], v_new=raw_versions[-1],
+        side="raw",
+    )
 
 
 # drift oracle: recompute the v1 (first raw third, NULL-id-safe split)

@@ -100,6 +100,31 @@ def dsir_logratio_table(
     )
 
 
+def _counts_base(
+    spark, p: DataFrame, q: DataFrame, m: int,
+    pc: str, qc: str, pn: str, qn: str,
+) -> DataFrame:
+    """Shared two-distribution scaffold (review r10 #4 — used by BOTH
+    the λ table and the drift metric so the construction cannot drift):
+    the dense m-row bucket base left-joined with the two sparse count
+    frames (``p``=(b, pc), ``q``=(b, qc)) and cross-joined with their
+    one-row totals (named ``pn``/``qn``, NULL→0)."""
+    totals = (
+        p.agg(F.sum(pc).alias(pn))
+        .crossJoin(q.agg(F.sum(qc).alias(qn)))
+        .select(
+            F.coalesce(pn, F.lit(0)).alias(pn),
+            F.coalesce(qn, F.lit(0)).alias(qn),
+        )
+    )
+    return (
+        spark.range(m).select(F.col("id").alias("b"))
+        .join(p, "b", "left")
+        .join(q, "b", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+
+
 def _table_from_counts(
     spark, p: DataFrame, q: DataFrame, m: int, unit_scale: float
 ) -> DataFrame:
@@ -107,20 +132,7 @@ def _table_from_counts(
     shared by the one-shot fit and the incremental counts store so the
     two CANNOT drift: ``p`` is (b, _cp), ``q`` is (b, _cq), both sparse
     (absent buckets count 0)."""
-    totals = (
-        p.agg(F.sum("_cp").alias("_np"))
-        .crossJoin(q.agg(F.sum("_cq").alias("_nq")))
-        .select(
-            F.coalesce("_np", F.lit(0)).alias("_np"),
-            F.coalesce("_nq", F.lit(0)).alias("_nq"),
-        )
-    )
-    base = (
-        spark.range(m).select(F.col("id").alias("b"))
-        .join(p, "b", "left")
-        .join(q, "b", "left")
-        .crossJoin(F.broadcast(totals))
-    )
+    base = _counts_base(spark, p, q, m, "_cp", "_cq", "_np", "_nq")
     # λ_b = ln(cq+1) − ln(Nq+m) − ln(cp+1) + ln(Np+m): four lns of exact
     # integer-valued doubles, combined in this exact order on both engines
     lam = (
@@ -339,7 +351,24 @@ def dsir_counts_ingest(
         .select(
             F.lit(side).alias("name"), F.lit(0.0).alias("ts"), "b", "c"
         )
-    )
+    ).localCheckpoint()
+    if not rows.take(1):
+        # a non-empty batch can still yield ZERO gram rows (all NULL /
+        # empty / whitespace text) — a legal no-op, not a commit: the
+        # distribution is unchanged, and snapshot_merge on a fresh store
+        # would otherwise raise on empty updates (review r10 #2)
+        from prometheus_parquet_server_spark.sources.snapshot_store import (
+            snapshot_version,
+        )
+
+        v = snapshot_version(spark, store_path)
+        if v is None:
+            raise ValueError(
+                f"dsir_counts_ingest: the first batch into {store_path} "
+                f"produced no gram rows (all NULL/empty text) — nothing "
+                f"to initialize the store with"
+            )
+        return v
 
     def combine(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
         if existing is None:
@@ -391,7 +420,7 @@ def stream_dsir_ingest(
     side: str = "raw",
     m: int = 4096,
     text_col: str = "text",
-    app_id: str = "stream_dsir_ingest",
+    app_id: str | None = None,
 ):
     """Streaming twin of :func:`dsir_counts_ingest` (the
     stream_ivfpq_ingest / stream_rollup_ingest pattern): each micro-batch
@@ -402,7 +431,13 @@ def stream_dsir_ingest(
     :func:`dsir_table_read` at every commit — a 100 TB crawl's DSIR
     weights refresh at stream pace without ever rescanning history.
     One writer per checkpoint; new ``app_id`` on checkpoint reset (the
-    stream_ivf_ingest caveat). Returns the started query."""
+    stream_ivf_ingest caveat). The DEFAULT app_id is side-scoped
+    (``stream_dsir_ingest_<side>``) because the store's txn marker is a
+    single monotonic watermark per app_id: raw and target streams into
+    one store with a shared app_id would silently no-op each other's
+    batches (review r10 #1). Returns the started query."""
+    if app_id is None:
+        app_id = f"stream_dsir_ingest_{side}"
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -475,20 +510,7 @@ def dsir_drift(
         )
 
     co, cn = counts(v_old, "_co"), counts(v_new, "_cn")
-    totals = (
-        co.agg(F.sum("_co").alias("_no"))
-        .crossJoin(cn.agg(F.sum("_cn").alias("_nn")))
-        .select(
-            F.coalesce("_no", F.lit(0)).alias("_no"),
-            F.coalesce("_nn", F.lit(0)).alias("_nn"),
-        )
-    )
-    base = (
-        spark.range(m).select(F.col("id").alias("b"))
-        .join(co, "b", "left")
-        .join(cn, "b", "left")
-        .crossJoin(F.broadcast(totals))
-    )
+    base = _counts_base(spark, co, cn, m, "_co", "_cn", "_no", "_nn")
     c_old = F.coalesce("_co", F.lit(0))
     c_new = F.coalesce("_cn", F.lit(0))
     p = (c_old + 1).cast("double") / (F.col("_no") + m).cast("double")
