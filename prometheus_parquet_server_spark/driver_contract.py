@@ -1849,7 +1849,7 @@ SQL_DEDUP_INCREMENTAL = """
 WITH fp AS (
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
-           doc_id % 3 AS b
+           (doc_id % 3 + 3) % 3 AS b
     FROM documents
     WHERE text IS NOT NULL
 ),
@@ -5948,7 +5948,9 @@ def q_dsir_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay the smoothed per-bucket Jensen–Shannon contribution with the
 # IDENTICAL expression structure as pipeline/dsir.dsir_drift (every ln
 # input is the same double on both engines; quantized once to 1e-12
-# units)
+# units). Batch split uses (doc_id % 3 + 3) % 3 — DuckDB's % follows the
+# sign while the Spark side splits with pmod; the wrap makes the twin
+# expressions total-function-equal even for negative ids.
 SQL_DSIR_DRIFT = """
 WITH toks AS (
     SELECT doc_id,
@@ -5972,11 +5974,11 @@ bucketed AS (
 ),
 co AS (
     SELECT b, COUNT(*) AS c FROM bucketed
-    WHERE coalesce(doc_id % 3, 0) = 0 GROUP BY b
+    WHERE coalesce((doc_id % 3 + 3) % 3, 0) = 0 GROUP BY b
 ),
 cn AS (SELECT b, COUNT(*) AS c FROM bucketed GROUP BY b),
 tot AS (
-    SELECT (SELECT COUNT(*) FROM bucketed WHERE coalesce(doc_id % 3, 0) = 0) AS n_old,
+    SELECT (SELECT COUNT(*) FROM bucketed WHERE coalesce((doc_id % 3 + 3) % 3, 0) = 0) AS n_old,
            (SELECT COUNT(*) FROM bucketed) AS n_new
 )
 SELECT r.range AS b,

@@ -781,10 +781,20 @@ def ivfpq_rerank(
 
     if k < 1 or k_adc < k:
         raise ValueError(f"need k_adc >= k >= 1, got k={k} k_adc={k_adc}")
+    # pin the probes ONCE and feed the same pinned frame to BOTH stages:
+    # ivfpq_search collects internally for the ADC cut, but the exact
+    # re-rank joins `pv` below — a non-deterministic probes plan evaluated
+    # twice could re-rank against different vectors than the ones that
+    # produced the candidates (or shrink the pv join so the completeness
+    # gate misblames the corpus)
+    probes_proj = probes.select(id_col, vec_col)
+    pinned = spark.createDataFrame(
+        probes_proj.collect(), schema=probes_proj.schema
+    )
     # candidates are tiny (probes × k_adc) — pin them so the
     # completeness check below and the re-rank join share one result
     cand = ivfpq_search(
-        spark, store_path, probes, k=k_adc, n_probe=n_probe, version=version,
+        spark, store_path, pinned, k=k_adc, n_probe=n_probe, version=version,
         id_col=id_col, vec_col=vec_col, unit_scale=unit_scale,
         salt_buckets=salt_buckets,
     ).select("probe_id", "neighbor_id").localCheckpoint()
@@ -796,7 +806,7 @@ def ivfpq_rerank(
             lambda acc, v: acc + v,
         )
 
-    pv = probes.select(
+    pv = pinned.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
     nv = corpus.select(
@@ -819,20 +829,31 @@ def ivfpq_rerank(
     # a stale or filtered corpus that is missing some of them would
     # silently shrink the answer below k (the ADC stage surfaced those
     # neighbors — dropping them here is a wrong answer, not a re-rank).
-    # Raise loudly instead, naming the missing ids.
+    # Missing is measured via left_anti DIRECTLY (not inferred from a
+    # count delta: duplicate ids fan the joins OUT, so n_exact can exceed
+    # n_cand and a delta-based check would misblame the corpus — or pass
+    # while emitting duplicate ranks if the two effects offset). Raise
+    # loudly for each failure mode with its own message.
+    # (checked unconditionally: duplicates can exactly offset missing rows
+    # so the counts alone would agree while the result is wrong)
     n_cand, n_exact = cand.count(), exact.count()
-    if n_exact != n_cand:
-        missing = [
-            r["neighbor_id"]
-            for r in cand.join(
-                nv.select("neighbor_id"), "neighbor_id", "left_anti"
-            ).select("neighbor_id").distinct().limit(10).collect()
-        ]
+    missing = [
+        r["neighbor_id"]
+        for r in cand.join(
+            nv.select("neighbor_id"), "neighbor_id", "left_anti"
+        ).select("neighbor_id").distinct().limit(10).collect()
+    ]
+    if missing:
         raise ValueError(
-            f"ivfpq_rerank: corpus is missing {n_cand - n_exact} of the "
-            f"index's candidate rows (e.g. {id_col} in {missing}) — the "
-            f"supplied corpus must cover every vector the searched index "
-            f"version has encoded"
+            f"ivfpq_rerank: corpus is missing candidate rows the index "
+            f"encoded (e.g. {id_col} in {missing}) — the supplied corpus "
+            f"must cover every vector the searched index version holds"
+        )
+    if n_exact != n_cand:
+        raise ValueError(
+            f"ivfpq_rerank: duplicate {id_col} values in corpus/probes fan "
+            f"the re-rank join out ({n_exact} exact rows vs {n_cand} "
+            f"candidates) — deduplicate the inputs; ids must be unique"
         )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()

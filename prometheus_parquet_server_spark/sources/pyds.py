@@ -348,8 +348,8 @@ class GCSCommitBackend(CommitBackend):
       delimiter=/`` and ``pageToken`` pagination.
 
     GCS throttles mutations of ONE object name to ~1/s: racing writers
-    can see 429 (and transient 503) before the precondition resolves —
-    both are documented-retryable, mirroring the S3 409 backoff. A 412
+    can see 429 (and transient 500/502/503/504) before the precondition
+    resolves — all documented-retryable, mirroring the S3 409 backoff. A 412
     maps to False only after a read-back payload comparison (the
     manifest embeds a unique writer nonce): a create whose response was
     lost to a 503 has durably LANDED, and its retry's 412 would
@@ -379,16 +379,22 @@ class GCSCommitBackend(CommitBackend):
             raise ValueError(f"GCS URI needs bucket and object: {uri!r}")
         return bucket, key
 
+    # GCS documents 429 AND all 5xx gateway/backend transients as equally
+    # retryable (cloud.google.com/storage/docs/retry-strategy); an
+    # unretried 500/502/504 on a read of a LIVE manifest slot would be
+    # treated as torn junk and silently drop that version's files
+    _RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
     def _request_retrying(self, method: str, url: str, what: str, **kw):
-        """One request with bounded 429/503 backoff — shared by reads and
-        listings (the commit protocol equates 'slot unreadable' with
-        'torn junk, skip it', so a transient on a LIVE manifest must not
-        surface as a read failure)."""
+        """One request with bounded transient backoff (429/500/502/503/504)
+        — shared by reads and listings (the commit protocol equates 'slot
+        unreadable' with 'torn junk, skip it', so a transient on a LIVE
+        manifest must not surface as a read failure)."""
         import time
 
         for attempt in range(self._max_conflict_retries + 1):
             resp = self._session.request(method, url, **kw)
-            if resp.status_code in (429, 503):
+            if resp.status_code in self._RETRYABLE:
                 time.sleep(min(0.05 * (2 ** attempt), 2.0))
                 continue
             return resp
@@ -471,10 +477,12 @@ class GCSCommitBackend(CommitBackend):
                     return self.read_bytes(uri) == payload
                 except FileNotFoundError:
                     return False
-            if resp.status_code in (429, 503):
-                # same-object mutation throttling / transient backend —
-                # documented retryable; back off so the retry lands after
-                # the competing write resolves (cf. the S3 409 path)
+            if resp.status_code in self._RETRYABLE:
+                # same-object mutation throttling / transient backend
+                # (429 or any 5xx transient) — documented retryable; back
+                # off so the retry lands after the competing write
+                # resolves (cf. the S3 409 path). The 412 read-back above
+                # keeps a retried-after-500 create from double-applying.
                 time.sleep(min(0.05 * (2 ** attempt), 2.0))
                 continue
             raise RuntimeError(
@@ -482,9 +490,9 @@ class GCSCommitBackend(CommitBackend):
                 f"HTTP {resp.status_code}"
             )
         raise RuntimeError(
-            f"GCS conditional create on {uri} still throttled (429/503) "
-            f"after {self._max_conflict_retries} retries — another writer's "
-            f"mutation stream never drained"
+            f"GCS conditional create on {uri} still throttled "
+            f"(429/5xx transient) after {self._max_conflict_retries} "
+            f"retries — another writer's mutation stream never drained"
         )
 
 
