@@ -6139,6 +6139,24 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample(docs, target, k=50, m=4096, seed=42)
 
 
+def q_dsir_sample_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel sampling SERVED FROM the incremental counts store (VERDICT
+    r10 Next #5 — pipeline/dsir.py dsir_sample_from_table): the same
+    5-batch-ingested store as dsir_incremental, read back via the shared
+    λ construction and sampled via the shared Gumbel-top-k scaffold — so
+    this row's oracle is the ONE-SHOT SQL_DSIR_SAMPLE: store-served
+    sampling must be bit-identical to fitting once over everything."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_sample_from_table,
+        dsir_table_read,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store, _ = _dsir_store(spark, sf_dir)
+    table = dsir_table_read(spark, store)
+    return dsir_sample_from_table(docs, table, k=50, m=4096, seed=42)
+
+
 #: shares SQL_DSIR_TOPK's CTE stack verbatim (split at its final SELECT),
 #: then keys each scored doc with the quantized Gumbel perturbation:
 #: U = (first-13-hex-digits-of-md5(id ':' seed) + 1) / (2^52 + 2)
@@ -6349,7 +6367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_incremental": q_dsir_incremental,
     "dsir_drift": q_dsir_drift,
     "dsir_topk": q_dsir_topk,
-    "dsir_sample": q_dsir_sample,
+    "dsir_sample_from_table": q_dsir_sample_from_table,
     "hybrid_topk": q_hybrid_topk,
     "snapshot_update_events": q_snapshot_update_events,
     "bm25_topk": q_bm25_topk,
@@ -6411,6 +6429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_store_topk": q_ivfpq_store_topk,
     "snapshot_diff_events": q_snapshot_diff_events,
+    "dsir_sample": q_dsir_sample,
     "promql_topk": q_topk,
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
@@ -6578,6 +6597,7 @@ ORACLES: dict[str, str] = {
     "dsir_incremental": SQL_DSIR_TOPK,
     "dsir_drift": SQL_DSIR_DRIFT,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "dsir_sample_from_table": SQL_DSIR_SAMPLE,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,

@@ -49,10 +49,12 @@ __all__ = [
     "dsir_topk",
     "dsir_topk_from_table",
     "dsir_sample",
+    "dsir_sample_from_table",
     "dsir_counts_ingest",
     "dsir_table_read",
     "stream_dsir_ingest",
     "dsir_drift",
+    "dsir_drift_total",
 ]
 
 
@@ -263,13 +265,39 @@ def dsir_sample(
     ``score_u + gumbel_u`` — exact integer addition, ties → id. Same
     scale shape as :func:`dsir_topk`; output ``(id_col, score_u,
     gumbel_u, key_u, rank)``, all integers."""
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     table = dsir_logratio_table(
         raw, target, m=m, text_col=text_col, unit_scale=unit_scale
     )
+    return dsir_sample_from_table(
+        raw, table, k, m=m, text_col=text_col, id_col=id_col, seed=seed,
+        unit_scale=unit_scale, salt_buckets=salt_buckets,
+    )
+
+
+def dsir_sample_from_table(
+    raw: DataFrame,
+    table: DataFrame,
+    k: int,
+    m: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """The Gumbel-top-k sampling half of :func:`dsir_sample` against an
+    ALREADY-FITTED importance table — the serving path for the
+    incremental counts store (:func:`dsir_table_read`), twin of
+    :func:`dsir_topk_from_table`. Shared by the one-shot sampler so
+    store-served sampling and fit-once sampling CANNOT drift: the seeded
+    Gumbel key, the micro-unit quantization, and the salted two-stage
+    selection are this one code path."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     scored = dsir_score(raw, table, m=m, text_col=text_col, id_col=id_col)
     # U = (md5_52bits + 1) / (2^52 + 2): exact integer → exact double,
     # strictly inside (0, 1) so both ln's are finite
@@ -421,6 +449,10 @@ def stream_dsir_ingest(
     m: int = 4096,
     text_col: str = "text",
     app_id: str | None = None,
+    drift_tau: float | None = None,
+    drift_every: int = 1,
+    on_drift=None,
+    drift_baseline_version: int | None = None,
 ):
     """Streaming twin of :func:`dsir_counts_ingest` (the
     stream_ivfpq_ingest / stream_rollup_ingest pattern): each micro-batch
@@ -435,17 +467,67 @@ def stream_dsir_ingest(
     (``stream_dsir_ingest_<side>``) because the store's txn marker is a
     single monotonic watermark per app_id: raw and target streams into
     one store with a shared app_id would silently no-op each other's
-    batches (review r10 #1). Returns the started query."""
+    batches (review r10 #1). Returns the started query.
+
+    Drift monitoring at commit cadence (no separate job): with
+    ``drift_tau`` set, every ``drift_every``-th COMMITTED batch runs
+    :func:`dsir_drift_total` between the baseline version (the store
+    version before this stream's first commit, or
+    ``drift_baseline_version``) and the just-committed version — two
+    m-bounded store slices, never a corpus rescan — and calls
+    ``on_drift(info)`` when ``js_frac >= drift_tau``, where ``info`` has
+    ``v_old``/``v_new``/``drift_u``/``js_frac``. Replayed (no-op)
+    batches don't advance the version and are never re-measured."""
     if app_id is None:
         app_id = f"stream_dsir_ingest_{side}"
+    if drift_tau is not None and on_drift is None:
+        raise ValueError("drift_tau set but on_drift callback missing")
+    if drift_every < 1:
+        raise ValueError(f"drift_every must be >= 1, got {drift_every}")
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    # baseline resolves lazily at first commit: the store may not exist
+    # until this stream's own first batch initializes it
+    state = {"baseline": drift_baseline_version, "since": 0, "last_v": None}
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dsir_counts_ingest(
+        if drift_tau is not None and state["baseline"] is None:
+            # version BEFORE this stream's first commit (None → the first
+            # commit itself becomes the baseline below)
+            state["baseline"] = snapshot_version(spark, store_path)
+        v = dsir_counts_ingest(
             spark, store_path, batch_df, side=side, m=m,
             text_col=text_col, txn=(app_id, int(batch_id)),
         )
+        if drift_tau is None:
+            return
+        if state["baseline"] is None:
+            state["baseline"] = v
+            return
+        if v == state["last_v"]:
+            return  # txn-deduped replay: version unchanged, nothing new
+        state["last_v"] = v
+        state["since"] += 1
+        if state["since"] < drift_every:
+            return
+        state["since"] = 0
+        row = dsir_drift_total(
+            spark, store_path, state["baseline"], v, side=side
+        ).first()
+        if row["js_frac"] >= drift_tau:
+            on_drift(
+                {
+                    "v_old": state["baseline"],
+                    "v_new": v,
+                    "drift_u": row["drift_u"],
+                    "js_frac": row["js_frac"],
+                }
+            )
 
     return (
         doc_stream.writeStream.foreachBatch(_ingest)
@@ -526,4 +608,35 @@ def dsir_drift(
         F.floor(contrib * F.lit(float(unit_scale)) + F.lit(0.5))
         .cast("long")
         .alias("contrib_u"),
+    )
+
+
+def dsir_drift_total(
+    spark,
+    store_path: str,
+    v_old: int,
+    v_new: int,
+    side: str = "raw",
+    unit_scale: float = 1e12,
+) -> DataFrame:
+    """One-row convenience over :func:`dsir_drift`: the EXACT integer
+    total ``drift_u`` (sum of the m per-bucket contributions — integer
+    addition, order-free) plus ``js_frac``, the ln 2-normalized fraction
+    in [0, 1] (JS divergence is bounded by ln 2, so js_frac ≈ 1 means
+    "the two corpus versions share essentially no gram mass"). js_frac
+    is one exact-integer→double cast followed by two IEEE divisions by
+    constants — deterministic given drift_u. Same cost shape: two
+    m-bounded store slices, no corpus rescan."""
+    import math
+
+    d = dsir_drift(
+        spark, store_path, v_old, v_new, side=side, unit_scale=unit_scale
+    )
+    return d.agg(
+        F.coalesce(F.sum("contrib_u"), F.lit(0)).cast("long").alias("drift_u"),
+        (
+            F.coalesce(F.sum("contrib_u"), F.lit(0)).cast("double")
+            / F.lit(float(unit_scale))
+            / F.lit(math.log(2.0))
+        ).alias("js_frac"),
     )

@@ -368,3 +368,112 @@ def test_dsir_drift_matches_reference_and_detects_shift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="side"):
         dsir_drift(spark, store, 1, 3, side="nope")
+
+
+def test_dsir_sample_from_table_store_served_equals_one_shot(spark, tmp_path):
+    """Gumbel sampling served from the persisted counts store
+    (dsir_table_read → dsir_sample_from_table) is BIT-IDENTICAL to the
+    one-shot dsir_sample over the same corpora — the selection scaffold
+    is literally shared, and the store's λ table is bit-equal to the
+    one-shot fit."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_sample,
+        dsir_sample_from_table,
+        dsir_table_read,
+    )
+
+    m = 32
+    raw_rows = [(i, f"tok{i % 7} shared tok{(i * 3) % 11}") for i in range(30)]
+    tgt_rows = [(100 + i, f"tok{i % 5} shared special") for i in range(10)]
+    raw = _docs(spark, raw_rows)
+    target = _docs(spark, tgt_rows)
+
+    store = f"file://{tmp_path}/dsir_sample_store"
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        dsir_counts_ingest(
+            spark, store, _docs(spark, raw_rows[lo:hi]), side="raw", m=m
+        )
+    dsir_counts_ingest(
+        spark, store, _docs(spark, tgt_rows), side="target", m=m
+    )
+
+    served = dsir_sample_from_table(
+        raw, dsir_table_read(spark, store), k=8, m=m, seed=42
+    ).collect()
+    one_shot = dsir_sample(raw, target, k=8, m=m, seed=42).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, one_shot))
+    assert len(served) == 8
+
+    with pytest.raises(ValueError, match="k"):
+        dsir_sample_from_table(raw, dsir_table_read(spark, store), k=0, m=m)
+
+
+def test_dsir_drift_total_and_stream_alert(spark, tmp_path):
+    """dsir_drift_total is the exact integer sum of the per-bucket
+    contributions with the ln 2-normalized fraction; the streaming hook
+    fires on_drift at commit cadence when js_frac crosses tau, never
+    rescanning the corpus, and stays silent below tau."""
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+        dsir_drift,
+        dsir_drift_total,
+        stream_dsir_ingest,
+    )
+
+    m = 16
+    a = [(i, f"alpha tok{i % 4}") for i in range(12)]
+    b = [(50 + i, f"omega shift{i % 5} zeta") for i in range(12)]
+    store = f"file://{tmp_path}/drift_total"
+    dsir_counts_ingest(spark, store, _docs(spark, a), side="raw", m=m)  # v1
+    dsir_counts_ingest(spark, store, _docs(spark, b), side="raw", m=m)  # v2
+
+    want_u = sum(
+        r["contrib_u"] for r in dsir_drift(spark, store, 1, 2).collect()
+    )
+    row = dsir_drift_total(spark, store, 1, 2).first()
+    assert row["drift_u"] == want_u
+    assert row["js_frac"] == want_u / 1e12 / math.log(2.0)
+    assert 0.0 <= row["js_frac"] <= 1.0
+
+    # streaming with the drift hook: first batch sets the baseline, the
+    # shifted second batch must alert; tau=1.1 (unreachable) never fires
+    src = f"{tmp_path}/drift_src"
+    _docs(spark, a).coalesce(1).write.mode("overwrite").parquet(src)
+    stream_store = f"file://{tmp_path}/drift_stream"
+    alerts = []
+    stream = spark.readStream.schema(_docs(spark, a).schema).parquet(src)
+    q = stream_dsir_ingest(
+        stream, spark, stream_store, side="raw", m=m,
+        drift_tau=0.0, on_drift=alerts.append,
+    )
+    q.awaitTermination(120)
+    assert alerts == []  # one commit: baseline only, nothing to compare
+
+    _docs(spark, b).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dsir_ingest(
+        stream, spark, stream_store, side="raw", m=m,
+        drift_tau=0.0, on_drift=alerts.append,
+    )
+    q2.awaitTermination(120)
+    assert len(alerts) == 1
+    info = alerts[0]
+    assert info["v_new"] > info["v_old"] and info["drift_u"] > 0
+    assert info["js_frac"] == pytest.approx(
+        info["drift_u"] / 1e12 / math.log(2.0)
+    )
+
+    # silent below tau: fresh store+checkpoint, unreachable threshold
+    quiet = []
+    quiet_store = f"file://{tmp_path}/drift_quiet"
+    q3 = stream_dsir_ingest(
+        stream, spark, quiet_store, side="raw", m=m,
+        drift_tau=1.1, on_drift=quiet.append,
+    )
+    q3.awaitTermination(120)
+    assert quiet == []
+
+    with pytest.raises(ValueError, match="on_drift"):
+        stream_dsir_ingest(stream, spark, quiet_store, drift_tau=0.5)
