@@ -4849,26 +4849,20 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, _BM25_QUERIES, k=10, candidates=20)
 
 
-def _sql_hybrid_topk(
-    queries: dict[str, list[str]],
-    k: int = 10,
-    candidates: int = 20,
-    k_const: int = 60,
-    dim: int = 64,
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_hybrid_lex_stack(
+    queries: dict[str, list[str]], candidates: int, dim: int
 ) -> str:
-    """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
-    idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
-    cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
-    and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
-    sum — query weight literals computed by the SAME
-    _query_hash_weights the engine broadcasts."""
-    from prometheus_parquet_server_spark.pipeline.stats import (
-        _query_hash_weights,
-    )
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
+    """The SHARED hybrid prefix (bm25 lexical CTE stack + hash-embed
+    long-form doc weights) — used verbatim by both hybrid oracles
+    (scan-based SQL_HYBRID_TOPK and index-based SQL_HYBRID_INDEX_TOPK)
+    so the lexical side and the embedding convention cannot drift
+    between them. Ends after the ``dweights`` CTE (a trailing comma —
+    callers append their dense-side CTEs)."""
+    q = _sql_quote
     qrows = ", ".join(
         f"({q(qid)}, {q(t)})"
         for qid, terms in sorted(queries.items())
@@ -4876,16 +4870,6 @@ def _sql_hybrid_topk(
     )
     terms_in = ", ".join(
         q(t) for t in sorted({w.lower() for ts in queries.values() for w in ts})
-    )
-    qwrows = ", ".join(
-        f"({q(qid)}, {b}, {w})"
-        for qid, terms in sorted(queries.items())
-        for b, w in _query_hash_weights(
-            sorted({t.lower() for t in terms}), dim
-        )
-    )
-    rrf_unit = (
-        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
     )
     return f"""
 WITH docs AS (
@@ -4948,7 +4932,38 @@ hfeat AS (
 dweights AS (
     SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS w
     FROM hfeat GROUP BY doc_id, bucket HAVING SUM(s) <> 0
-),
+),"""
+
+
+def _sql_hybrid_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
+    idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
+    cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
+    and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
+    sum — query weight literals computed by the SAME
+    _query_hash_weights the engine broadcasts."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        _query_hash_weights,
+    )
+
+    q = _sql_quote
+    qwrows = ", ".join(
+        f"({q(qid)}, {b}, {w})"
+        for qid, terms in sorted(queries.items())
+        for b, w in _query_hash_weights(
+            sorted({t.lower() for t in terms}), dim
+        )
+    )
+    rrf_unit = (
+        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    return _sql_hybrid_lex_stack(queries, candidates, dim) + f"""
 dnorm AS (
     SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM dweights GROUP BY doc_id
 ),
@@ -4988,6 +5003,212 @@ QUALIFY rank <= {k}
 
 
 SQL_HYBRID_TOPK = _sql_hybrid_topk(_BM25_QUERIES, k=10, candidates=20)
+
+
+_HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _hybrid_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the hybrid IVF-PQ index (the graded geometry:
+    8 cells / m=8 / k_codes=8 / iterations=0 over the documents table's
+    hash-embed corpus)."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_build,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _HYBRID_IDX_CACHE.get(key)
+    if store is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        store = f"file://{tempfile.mkdtemp(prefix='hybrid_idx_')}/idx"
+        hybrid_index_build(
+            spark, store, docs, dim=64, n_cells=8, n_probe_default=2,
+            m=8, k_codes=8, coarse_iterations=0, pq_iterations=0,
+        )
+        _HYBRID_IDX_CACHE[key] = store
+    return store
+
+
+def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served from the PERSISTED IVF-PQ index (VERDICT
+    r10 Next #4 — pipeline/stats.py hybrid_index_topk): same BM25
+    lexical side as hybrid_topk; the dense side is
+    ivfpq_search → ivfpq_rerank over the hash-embed corpus index (ADC on
+    compressed codes in probed cells, exact L2 re-rank of the ADC
+    top-30, negative-long probe-id remap), fused under the same RRF.
+    The oracle replays EVERYTHING — bm25, hash-embed densification,
+    coarse cells, residual codes, probe tables, ADC cut, exact re-rank,
+    RRF — in one DuckDB query (iterations=0 keeps the quantizers
+    replayable)."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = _hybrid_index_store(spark, sf_dir)
+    return hybrid_index_topk(
+        spark, docs, store, _BM25_QUERIES, k=10, candidates=20, k_adc=30,
+    )
+
+
+def _sql_hybrid_index_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_adc: int = 30,
+    k_const: int = 60,
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 8,
+) -> str:
+    """DuckDB twin of hybrid_index_topk: the SHARED lexical/hash-weight
+    prefix (_sql_hybrid_lex_stack — literally the same string as the
+    scan-hybrid oracle's), the dense corpus densified from the long-form
+    weights (MAP subscript per element; docs with no surviving buckets
+    get the zero vector, matching hash_embed(normalize=False)), then the
+    FULL IVF-PQ replay at iterations=0 — coarse cells from the k lowest
+    doc ids, residual codebook, probe tables from driver-computed query
+    vector literals (the negative-long probe-id convention), ADC
+    candidate cut at k_adc, exact 9-dp L2 re-rank — and the RRF fusion.
+    """
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        _query_hash_vec,
+    )
+
+    q = _sql_quote
+    sub_dim = dim // m_sub
+    probe_vals = ", ".join(
+        f"({-1 - i}, {q(qid)}, CAST([{', '.join(repr(x) for x in _query_hash_vec(queries[qid], dim))}] AS DOUBLE[]))"
+        for i, qid in enumerate(sorted(queries))
+    )
+    rrf_unit = (
+        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    return _sql_hybrid_lex_stack(queries, candidates, dim) + f"""
+hmap AS (
+    SELECT doc_id, MAP(list(bucket ORDER BY bucket),
+                       list(w ORDER BY bucket)) AS mm
+    FROM dweights GROUP BY doc_id
+),
+hvecs AS (
+    SELECT d.doc_id,
+           list_transform(range({dim}),
+               i -> CAST(coalesce(mm[i][1], 0) AS DOUBLE)) AS v
+    FROM (SELECT DISTINCT doc_id FROM docs) d
+    LEFT JOIN hmap USING (doc_id)
+),
+cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS cid,
+           v AS cvec
+    FROM (SELECT doc_id, v FROM hvecs ORDER BY doc_id LIMIT {n_cells})
+),
+cellassign AS (
+    SELECT doc_id, cid AS cell, cvec FROM (
+        SELECT h.doc_id, c.cid, c.cvec,
+               ROUND({_sql_l2('h.v', 'c.cvec')}, 9) AS d
+        FROM hvecs h CROSS JOIN cent c
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, cid) = 1
+),
+res AS (
+    SELECT h.doc_id, a.cell,
+           list_transform(range({dim}), i -> h.v[i + 1] - a.cvec[i + 1]) AS r
+    FROM hvecs h JOIN cellassign a USING (doc_id)
+),
+subs AS (SELECT CAST(range AS INT) AS s FROM range({m_sub})),
+rsub AS (
+    SELECT r.doc_id, r.cell, su.s,
+           r.r[su.s * {sub_dim} + 1 : su.s * {sub_dim} + {sub_dim}] AS rs
+    FROM res r CROSS JOIN subs su
+),
+rw AS (
+    SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) - 1
+                   AS INT) AS j, rs AS w
+    FROM rsub
+    WHERE doc_id IN (SELECT doc_id FROM hvecs ORDER BY doc_id LIMIT {k_codes})
+),
+codes AS (
+    SELECT doc_id, cell, s, j FROM (
+        SELECT r.doc_id, r.cell, r.s, w.j,
+               ROUND({_sql_l2('r.rs', 'w.w')}, 9) AS d
+        FROM rsub r JOIN rw w ON w.s = r.s
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, s ORDER BY d, j) = 1
+),
+pvq(probe_id, query_id, pvec) AS (VALUES {probe_vals}),
+pcells AS (
+    SELECT probe_id, cid AS cell, cvec FROM (
+        SELECT p.probe_id, c.cid, c.cvec,
+               ROUND({_sql_l2('p.pvec', 'c.cvec')}, 9) AS d
+        FROM pvq p CROSS JOIN cent c
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, cid)
+        <= {n_probe}
+),
+pres AS (
+    SELECT pc.probe_id, pc.cell,
+           list_transform(range({dim}), i -> p.pvec[i + 1] - pc.cvec[i + 1])
+               AS r
+    FROM pcells pc JOIN pvq p USING (probe_id)
+),
+prsub AS (
+    SELECT pr.probe_id, pr.cell, su.s,
+           pr.r[su.s * {sub_dim} + 1 : su.s * {sub_dim} + {sub_dim}] AS rs
+    FROM pres pr CROSS JOIN subs su
+),
+ptab AS (
+    SELECT pr.probe_id, pr.cell, pr.s, w.j,
+           CAST(FLOOR({_sql_l2('pr.rs', 'w.w')} * 1000000.0 + 0.5)
+                AS BIGINT) AS u
+    FROM prsub pr JOIN rw w ON w.s = pr.s
+),
+adc AS (
+    SELECT t.probe_id, c.doc_id AS neighbor_id, CAST(SUM(t.u) AS BIGINT) AS dist_u
+    FROM codes c
+    JOIN ptab t ON t.cell = c.cell AND t.s = c.s AND t.j = c.j
+    WHERE c.doc_id <> t.probe_id
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT probe_id, neighbor_id FROM adc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        ORDER BY dist_u, neighbor_id) <= {k_adc}
+),
+exact AS (
+    SELECT c.probe_id, c.neighbor_id,
+           ROUND({_sql_l2('p.pvec', 'h.v')}, 9) AS d
+    FROM cand c
+    JOIN pvq p USING (probe_id)
+    JOIN hvecs h ON h.doc_id = c.neighbor_id
+),
+dense AS (
+    SELECT p.query_id, e.neighbor_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY e.probe_id
+               ORDER BY e.d, e.neighbor_id) AS rank
+    FROM exact e JOIN pvq p USING (probe_id)
+    QUALIFY rank <= {candidates}
+),
+unioned AS (
+    SELECT query_id, doc_id, {rrf_unit} AS u FROM lex
+    UNION ALL
+    SELECT query_id, doc_id, {rrf_unit} AS u FROM dense
+),
+fused AS (
+    SELECT query_id, doc_id, CAST(SUM(u) AS BIGINT) AS score_u
+    FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
+SQL_HYBRID_INDEX_TOPK = _sql_hybrid_index_topk(
+    _BM25_QUERIES, k=10, candidates=20, k_adc=30
+)
 
 
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6368,7 +6589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_drift": q_dsir_drift,
     "dsir_topk": q_dsir_topk,
     "dsir_sample_from_table": q_dsir_sample_from_table,
-    "hybrid_topk": q_hybrid_topk,
+    "hybrid_index_topk": q_hybrid_index_topk,
     "snapshot_update_events": q_snapshot_update_events,
     "bm25_topk": q_bm25_topk,
     "pipeline_mixture": q_pipeline_mixture,
@@ -6430,6 +6651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_store_topk": q_ivfpq_store_topk,
     "snapshot_diff_events": q_snapshot_diff_events,
     "dsir_sample": q_dsir_sample,
+    "hybrid_topk": q_hybrid_topk,
     "promql_topk": q_topk,
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
@@ -6598,6 +6820,7 @@ ORACLES: dict[str, str] = {
     "dsir_drift": SQL_DSIR_DRIFT,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "dsir_sample_from_table": SQL_DSIR_SAMPLE,
+    "hybrid_index_topk": SQL_HYBRID_INDEX_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,

@@ -444,3 +444,141 @@ def hybrid_topk(
         top_k=k,
         id_col=id_col,
     )
+
+
+def _hash_embed_corpus(
+    df: DataFrame, dim: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The SHARED dense corpus for index-backed hybrid retrieval: raw
+    (unnormalized) signed-count hash embeddings of every non-NULL-id
+    document, renamed to the index family's (vec_id, embedding)
+    convention. Shared by :func:`hybrid_index_build` and
+    :func:`hybrid_index_topk` so the vectors the index encodes and the
+    vectors the exact re-rank joins back CANNOT drift (ivfpq_rerank's
+    completeness gate would raise on any mismatch)."""
+    from prometheus_parquet_server_spark.pipeline.similarity import hash_embed
+
+    return hash_embed(
+        df.filter(F.col(id_col).isNotNull()),
+        text_col=text_col,
+        id_col=id_col,
+        dim=dim,
+        normalize=False,
+    ).select(F.col(id_col).alias("vec_id"), "embedding")
+
+
+def _query_hash_vec(terms: list[str], dim: int) -> list[float]:
+    """Driver-side dense query vector: the sparse
+    :func:`_query_hash_weights` densified to ``dim`` doubles — the same
+    signed-count space the corpus embeds into."""
+    vec = [0.0] * dim
+    for b, w in _query_hash_weights(sorted({t.lower() for t in terms}), dim):
+        vec[b] = float(w)
+    return vec
+
+
+def hybrid_index_build(
+    spark,
+    store_path: str,
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **build_kw,
+):
+    """Build the persisted IVF-PQ index over the hash-embed corpus of a
+    document table — the offline half of :func:`hybrid_index_topk`
+    (``build_kw`` forwards to :func:`pipeline.pq.ivfpq_build`:
+    n_cells/m/k_codes/iterations/opq). At 100 TB this runs once per
+    corpus version; queries then touch m-byte codes in probed cells
+    instead of re-embedding and scanning every document."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_build
+
+    # localCheckpoint: ivfpq_build applies its cell/residual Python UDF on
+    # the vector column, and stacking that on the hash-embed HOF fold
+    # makes Spark inline the UDF into an interpreted projection it cannot
+    # evaluate (INTERNAL_ERROR: Cannot evaluate expression ... PythonUDF).
+    # Materializing the embedded corpus first gives the UDF a plain
+    # column — and the build reads the corpus twice anyway (codebook
+    # training + encoding), so the checkpoint also dedupes the fold.
+    corpus = _hash_embed_corpus(df, dim, text_col, id_col).localCheckpoint()
+    return ivfpq_build(spark, store_path, corpus, dim=dim, **build_kw)
+
+
+def hybrid_index_topk(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_adc: int = 30,
+    n_probe: int | None = None,
+    k_const: int = 60,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval with the dense side served from the persisted
+    IVF-PQ index (VERDICT r10 Next #4): BM25 stays the lexical side; the
+    dense side embeds each query's term list driver-side (the house
+    hash-embed signed counts), searches the index — ADC over m-byte
+    residual codes, manifest-pruned probed cells — takes the ADC
+    top-``k_adc``, exact-reranks them against the raw hash-embed corpus
+    (:func:`pipeline.pq.ivfpq_rerank`, candidate-bounded broadcast
+    join), and the two rankings fuse under the same RRF as
+    :func:`hybrid_topk`.
+
+    Scale contrast with the scan-based hybrid: hash_cosine_topk's dense
+    side is O(corpus tokens) per query batch; here the per-query dense
+    cost is ``n_probe/n_cells`` of the CODES (m bytes/vector) plus
+    ``k_adc`` raw-vector joins — the billion-document serving shape.
+    Ranking metric differs by design (index family = L2 on raw signed
+    counts; scan hybrid = cosine): RRF consumes only ranks, and the
+    agreement structure is what the fusion keeps.
+
+    Probe ids are mapped to NEGATIVE longs (−1−index in sorted query
+    order) so the ADC kernel's typed (long) probe ids can never collide
+    with corpus ids — document ids must be non-negative. Returns
+    ``(query_id, id_col, score_u, rank)``, all-integer scores."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_rerank
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
+    if k_adc < candidates:
+        raise ValueError(
+            f"k_adc ({k_adc}) must be >= candidates ({candidates}) — the "
+            f"exact re-rank can only return what the ADC stage surfaced"
+        )
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+
+    qids = sorted(queries)
+    probes = spark.createDataFrame(
+        [(-1 - i, _query_hash_vec(queries[qid], dim)) for i, qid in enumerate(qids)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = _hash_embed_corpus(df, dim, text_col, id_col)
+    dense = ivfpq_rerank(
+        spark, store_path, probes, corpus, k=candidates, k_adc=k_adc,
+        n_probe=n_probe, version=version,
+    )
+    mapping = spark.createDataFrame(
+        [(-1 - i, qid) for i, qid in enumerate(qids)],
+        "probe_id long, query_id string",
+    )
+    dense = dense.join(F.broadcast(mapping), "probe_id").select(
+        "query_id", F.col("neighbor_id").alias(id_col), "rank"
+    )
+    return rrf_fuse(
+        [lex.select("query_id", id_col, "rank"), dense],
+        k_const=k_const, top_k=k, id_col=id_col,
+    )

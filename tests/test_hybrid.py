@@ -110,3 +110,53 @@ def test_hybrid_topk_composes(spark):
     assert [r[0] for r in rows] == [1, 2, 3]
     assert rows[0][1] == 1          # both-sides doc wins
     assert all(isinstance(r[2], int) for r in rows)
+
+
+def test_hybrid_index_topk_served_from_persisted_index(spark, tmp_path):
+    """Index-backed hybrid (stats.hybrid_index_topk): the dense side is
+    ADC-over-codes + exact re-rank from the persisted IVF-PQ index over
+    the SAME hash-embed corpus the scan hybrid embeds; with k_adc
+    covering the whole corpus the exact re-rank makes the dense ranking
+    the true L2 order, so a query matching one doc's text verbatim must
+    put that doc at dense rank 1 and the fused output keeps the dense
+    1..k prefix shape. Deterministic across reruns; guards raise."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_build,
+        hybrid_index_topk,
+    )
+
+    rows = [
+        (i, f"term{i % 5} filler{i} shared corpus text body") for i in range(24)
+    ]
+    rows.append((100, "needle exact match phrase"))
+    docs = _docs(spark, rows)
+    store = f"file://{tmp_path}/hybrid_idx"
+    hybrid_index_build(
+        spark, store, docs, dim=64, n_cells=4, n_probe_default=4,
+        m=8, k_codes=8, coarse_iterations=0, pq_iterations=0,
+    )
+
+    queries = {"qa": ["needle", "exact", "match", "phrase"]}
+    out = hybrid_index_topk(
+        spark, docs, store, queries, k=3, candidates=5, k_adc=25,
+        n_probe=4,
+    ).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    # doc 100 tops BOTH sides (verbatim text → top lexical; its exact
+    # hash vector minimizes L2 to the query's vector among candidates)
+    best = min(out, key=lambda r: r["rank"])
+    assert best["doc_id"] == 100
+    assert all(isinstance(r["score_u"], int) for r in out)
+
+    again = hybrid_index_topk(
+        spark, docs, store, queries, k=3, candidates=5, k_adc=25, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_index_topk(spark, docs, store, queries, k=6, candidates=5)
+    with pytest.raises(ValueError, match="k_adc"):
+        hybrid_index_topk(spark, docs, store, queries, k=2, candidates=5,
+                          k_adc=4)
+    with pytest.raises(ValueError, match="queries"):
+        hybrid_index_topk(spark, docs, store, {}, k=2)
