@@ -65,23 +65,46 @@ def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     )
 
 
-def _assign_codes_udf(codebook: list[list[list[float]]], sub_dim: int):
-    """Arrow kernel: embedding → array<int> of m codes (argmin squared L2
-    per subspace, 9-dp rounded, ties to the lowest code id)."""
+def _assign_codes_udf(
+    codebook: list[list[list[float]]], sub_dim: int, as_binary: bool = False
+):
+    """Arrow kernel: embedding → m codes (argmin squared L2 per subspace,
+    9-dp rounded, ties to the lowest code id). ``as_binary`` emits the
+    codes as ONE m-byte binary value instead of array<int> — the
+    production at-rest format (requires k_codes ≤ 256): parquet stores
+    one BYTE_ARRAY cell per vector instead of m list elements each
+    carrying repetition levels, which is where the real size win lives
+    (int32 list elements already bit-pack; the per-element list overhead
+    does not — measured in scripts/stress_ivfpq.py)."""
     from pyspark.sql.functions import pandas_udf
 
     cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
 
-    @pandas_udf("array<int>")
-    def _codes(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
+    def _argmins(v: pd.Series) -> np.ndarray:
         mat = np.array([np.asarray(x, dtype=np.float64) for x in v])
         out = np.empty((len(mat), len(cmats)), dtype=np.int64)
         for s, cm in enumerate(cmats):
             sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
             d = np.round(_sq_dists(sub, cm), 9)
             out[:, s] = np.argmin(d, axis=1)  # first occurrence = lowest id
+        return out
+
+    if as_binary:
+
+        @pandas_udf("binary")
+        def _codes_bin(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            out = _argmins(v)
+            return pd.Series([bytes(row.astype(np.uint8)) for row in out])
+
+        return _codes_bin
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        out = _argmins(v)
         return pd.Series([[int(c) for c in row] for row in out])
 
     return _codes
@@ -415,6 +438,7 @@ def _ivfpq_rank(
     k: int,
     salt_buckets: int,
     id_col: str,
+    binary_codes: bool = False,
 ) -> DataFrame:
     """The shared ADC ranking half of IVF-PQ: PRECOMPUTED probe tables
     (one collect, done by the caller — ivfpq_search prunes the code scan
@@ -433,9 +457,15 @@ def _ivfpq_rank(
                 continue
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy()
-            code_mat = np.array(
-                [np.asarray(c, dtype=np.int64) for c in pdf["code"]]
-            )
+            if binary_codes:
+                # production at-rest format: one m-byte value per vector
+                code_mat = np.frombuffer(
+                    b"".join(pdf["code"]), dtype=np.uint8
+                ).reshape(len(pdf), m).astype(np.int64)
+            else:
+                code_mat = np.array(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["code"]]
+                )
             frames = []
             for pid, pcells in probed_cells.items():
                 for c in pcells:
@@ -493,6 +523,7 @@ def ivfpq_build(
     vec_col: str = "embedding",
     opq_iterations: int = 0,
     opq_pq_iterations: int = 1,
+    code_type: str = "int",
 ) -> int:
     """Persist the IVF-PQ index in the snapshot store (the ann_store
     pattern — cells are the ``name`` axis, quantizers are data rows):
@@ -534,6 +565,15 @@ def ivfpq_build(
 
     if n_cells > 9999:
         raise ValueError("ivfpq_build: cell names are %04d — n_cells <= 9999")
+    if code_type not in ("int", "binary"):
+        raise ValueError(
+            f"code_type must be 'int' or 'binary', got {code_type!r}"
+        )
+    if code_type == "binary" and k_codes > 256:
+        raise ValueError(
+            f"code_type='binary' stores one byte per code — k_codes must "
+            f"be <= 256, got {k_codes}"
+        )
     rotation = None
     if opq_iterations > 0:
         rotation, _ = opq_train(
@@ -564,16 +604,19 @@ def ivfpq_build(
         id_col=id_col, vec_col="resid",
     )
     sub_dim = dim // m
+    as_binary = code_type == "binary"
     rows = cr.select(
         F.format_string("cell=%04d", F.col("cell")).alias("name"),
         F.lit(0.0).alias("ts"),
         F.col(id_col).alias("vec_id"),
         F.lit(None).cast("array<double>").alias("embedding"),
-        _assign_codes_udf(codebook, sub_dim)(F.col("resid")).alias("code"),
+        _assign_codes_udf(codebook, sub_dim, as_binary=as_binary)(
+            F.col("resid")
+        ).alias("code"),
     )
     schema = (
         "name string, ts double, vec_id long, embedding array<double>, "
-        "code array<int>"
+        f"code {'binary' if as_binary else 'array<int>'}"
     )
     cent = spark.createDataFrame(
         [(COARSE_NAME, 0.0, i, [float(x) for x in c], None)
@@ -608,6 +651,7 @@ def ivfpq_build(
         pq_m=m, pq_k=k_codes, pq_cells=n_cells,
         pq_dim=dim, pq_n_probe_default=n_probe_default,
         pq_rot=1 if rotation is not None else 0,
+        pq_code_type=code_type,
     )
     out = rows.unionByName(cent).unionByName(cw)
     if rotation is not None:
@@ -702,6 +746,7 @@ def ivfpq_search(
     return _ivfpq_rank(
         codes, probed_cells, tables, m=m, k=k,
         salt_buckets=salt_buckets, id_col=id_col,
+        binary_codes=props.get("pq_code_type", "int") == "binary",
     )
 
 
@@ -930,6 +975,9 @@ def ivfpq_append(
         new_vectors = new_vectors.select(
             F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias(vec_col)
         )
+    # the store's pinned at-rest code format — appended rows must match
+    # the build's schema or the union scan would see mixed types
+    as_binary = props.get("pq_code_type", "int") == "binary"
     rows = (
         new_vectors.select(
             F.col(id_col),
@@ -940,9 +988,9 @@ def ivfpq_append(
             F.lit(0.0).alias("ts"),
             F.col(id_col).alias("vec_id"),
             F.lit(None).cast("array<double>").alias("embedding"),
-            _assign_codes_udf(codebook, sub_dim)(F.col("_cr.resid")).alias(
-                "code"
-            ),
+            _assign_codes_udf(codebook, sub_dim, as_binary=as_binary)(
+                F.col("_cr.resid")
+            ).alias("code"),
         )
     )
     return snapshot_write(

@@ -34,6 +34,7 @@ import time
 
 sys.path.insert(0, ".")
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from prometheus_parquet_server_spark import get_spark
@@ -52,6 +53,16 @@ from prometheus_parquet_server_spark.sources.snapshot_store import (
 )
 
 DIM = 64
+
+
+def _unpack_codes_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _unpack(b: pd.Series) -> pd.Series:
+        return pd.Series([[int(x) for x in bytes(v)] for v in b])
+
+    return _unpack
 
 
 def _vectors(spark, n, offset=0, n_clusters=96):
@@ -75,6 +86,114 @@ def _vectors(spark, n, offset=0, n_clusters=96):
         spark.range(offset, offset + n)
         .select(F.col("id").alias("vec_id"), comp.alias("embedding"))
     )
+
+
+def production_phase(spark, vecs, probes, probe_rows, twin_ids, n, n_cells):
+    """VERDICT r10 Next #3 — the PRODUCTION geometry the 500-vector
+    fixtures cannot train (EXPLAIN §37's caveat): k_codes=256 with
+    byte-typed (binary) code storage on the clustered 1M corpus.
+    Measures (a) tie-aware planted-twin recall at that geometry, and
+    (b) the REAL at-rest bytes/vector — binary m-byte codes vs the same
+    codes as array<int>, same rows, same writer (apples-to-apples; the
+    int-list format already bit-packs values, so the delta is the
+    per-element list overhead this phase exists to quantify)."""
+    import numpy as np
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    m, k_codes = 8, 256
+    store = f"file://{tempfile.mkdtemp(prefix='stress_ivfpq_prod_')}/index"
+    t0 = time.time()
+    ivfpq_build(
+        spark, store, vecs, n_cells=n_cells, n_probe_default=4, m=m,
+        k_codes=k_codes, coarse_iterations=1, pq_iterations=1, dim=DIM,
+        code_type="binary",
+    )
+    t_build = round(time.time() - t0, 2)
+
+    fs = _StoreFS(spark, store)
+    _, manifest = _resolve_tip(fs, store)
+    index_bytes = sum(int(f.get("n_bytes", 0)) for f in manifest["files"])
+    raw_bytes = n * DIM * 8
+
+    version = snapshot_version(spark, store)
+    coarse, codebook = _load_quantizers(spark, store, version, m, k_codes)
+
+    # at-rest comparison: the SAME (vec_id, cell, code) rows written once
+    # with binary codes and once as array<int>, same writer/settings
+    codes_df = (
+        snapshot_read(spark, store)
+        .filter(F.col("name").startswith("cell="))
+        .select("vec_id", "name", "code")
+    ).localCheckpoint()
+    import os
+
+    def _dir_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fns in os.walk(path) for f in fns
+            if f.endswith(".parquet")
+        )
+
+    bin_dir = tempfile.mkdtemp(prefix="codes_bin_")
+    int_dir = tempfile.mkdtemp(prefix="codes_int_")
+    codes_df.write.mode("overwrite").parquet(bin_dir)
+    # binary → array<int> for the comparison write: decode in an Arrow
+    # kernel (measurement path only)
+    _unpack = _unpack_codes_udf()
+
+    codes_df.select(
+        "vec_id", "name", _unpack("code").alias("code")
+    ).write.mode("overwrite").parquet(int_dir)
+    bin_bytes, int_bytes = _dir_bytes(bin_dir), _dir_bytes(int_dir)
+
+    # tie-aware twin recall at the production geometry (n_probe=4): the
+    # same planted-twin metric as the main sweep
+    n_probe = 4
+    got = ivfpq_search(spark, store, probes, k=10, n_probe=n_probe).collect()
+    probed_cells, tables = _probe_cell_tables(
+        probe_rows, coarse, codebook, n_probe, 1e6, "vec_id", "embedding"
+    )
+    twin_rows = (
+        snapshot_read(spark, store)
+        .filter(F.col("vec_id").isin(twin_ids))
+        .select("vec_id", "name", "code")
+        .collect()
+    )
+    twin_codes = {
+        r["vec_id"]: (int(r["name"].split("=")[1]),
+                      np.frombuffer(r["code"], dtype=np.uint8).astype(np.int64))
+        for r in twin_rows
+    }
+    midx = np.arange(m)
+    worst = {}
+    for r in got:
+        worst[r["probe_id"]] = max(worst.get(r["probe_id"], -1), r["dist_u"])
+    found = 0
+    for pid, cells in probed_cells.items():
+        for j in range(10):
+            cell, code = twin_codes[n + pid * 10 + j]
+            if cell not in cells:
+                continue
+            dist = int(tables[(pid, cell)][midx, code].sum())
+            if dist <= worst.get(pid, -1):
+                found += 1
+    return {
+        "m": m,
+        "k_codes": k_codes,
+        "code_type": "binary",
+        "build_wall_s": t_build,
+        "index_bytes": index_bytes,
+        "at_rest_ratio": round(index_bytes / raw_bytes, 4),
+        "codes_parquet_bytes_binary": bin_bytes,
+        "codes_parquet_bytes_int_array": int_bytes,
+        "binary_vs_int_ratio": round(bin_bytes / int_bytes, 3) if int_bytes else None,
+        "bytes_per_vector_binary": round(bin_bytes / n, 2),
+        "bytes_per_vector_int_array": round(int_bytes / n, 2),
+        "twin_recall_tieaware_nprobe4": round(found / 50.0, 3),
+    }
 
 
 def main() -> None:
@@ -248,6 +367,11 @@ def main() -> None:
     rows_after = ivfpq_search(spark, store, probes, k=10, n_probe=4).count()
     t_after = round(time.time() - t0, 2)
 
+    twin_ids = [n + pid * 10 + j for pid in range(5) for j in range(10)]
+    prod = production_phase(
+        spark, vecs, probes, probe_rows, twin_ids, n, n_cells
+    )
+
     print(
         json.dumps(
             {
@@ -265,6 +389,7 @@ def main() -> None:
                 "append_10pct_wall_s": t_append,
                 "search_after_append_wall_s": t_after,
                 "rows_after_append": rows_after,
+                "production_geometry": prod,
             }
         )
     )

@@ -645,3 +645,72 @@ def test_ivfpq_rerank_raises_on_incomplete_corpus(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="need k_adc"):
         ivfpq_rerank(spark, store, probes, df, k=5, k_adc=4)
+
+
+def test_ivfpq_binary_code_storage_parity(spark, tmp_path):
+    """code_type='binary' (the production at-rest format — one m-byte
+    value per vector instead of array<int>): search, append, and rerank
+    results are BIT-IDENTICAL to the int-code store on the same corpus;
+    the pinned pq_code_type property makes appends encode matching; the
+    k_codes>256 guard raises."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_rerank,
+        ivfpq_search,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    mat = _vecs(30, seed=23)
+    df = _frame(spark, mat)
+    probes = df.filter(F.col("vec_id") < 3)
+    s_int = f"file://{tmp_path}/codes_int"
+    s_bin = f"file://{tmp_path}/codes_bin"
+    kw = dict(n_cells=3, n_probe_default=2, m=M, k_codes=3, dim=DIM)
+    ivfpq_build(spark, s_int, df, **kw)
+    ivfpq_build(spark, s_bin, df, code_type="binary", **kw)
+    assert snapshot_properties(spark, s_bin)["pq_code_type"] == "binary"
+
+    def got(store):
+        return sorted(
+            tuple(r)
+            for r in ivfpq_search(spark, store, probes, k=5).collect()
+        )
+
+    assert got(s_bin) == got(s_int)
+    # the stored code column really is m raw bytes per vector
+    row = (
+        snapshot_read(spark, s_bin)
+        .filter(F.col("name").startswith("cell="))
+        .select("code")
+        .first()
+    )
+    assert isinstance(row["code"], (bytes, bytearray)) and len(row["code"]) == M
+
+    # append encodes with the pinned format on BOTH stores → still equal
+    extra = _frame(spark, _vecs(36, seed=23)).filter(F.col("vec_id") >= 30)
+    ivfpq_append(spark, s_int, extra)
+    ivfpq_append(spark, s_bin, extra)
+    assert got(s_bin) == got(s_int)
+
+    # exact rerank reads the same ADC candidates from either format
+    full = df.unionByName(extra)
+    ri = sorted(
+        tuple(r)
+        for r in ivfpq_rerank(spark, s_int, probes, full, k=4, k_adc=8).collect()
+    )
+    rb = sorted(
+        tuple(r)
+        for r in ivfpq_rerank(spark, s_bin, probes, full, k=4, k_adc=8).collect()
+    )
+    assert rb == ri and len(rb) == 12
+
+    with pytest.raises(ValueError, match="k_codes"):
+        ivfpq_build(spark, f"file://{tmp_path}/bad", df, n_cells=3, m=M,
+                    k_codes=300, dim=DIM, code_type="binary")
+    with pytest.raises(ValueError, match="code_type"):
+        ivfpq_build(spark, f"file://{tmp_path}/bad2", df, n_cells=3, m=M,
+                    k_codes=3, dim=DIM, code_type="tinyint")

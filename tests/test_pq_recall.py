@@ -181,3 +181,76 @@ def test_ivfpq_exact_rerank_lifts_recall(spark, emb, probes, truth_l2, tmp_path)
     assert r30 >= r_adc + 0.10, f"rerank {r30:.3f} must lift ADC {r_adc:.3f}"
     assert r100 >= r30, "a bigger candidate budget must not lose neighbors"
     assert r100 >= 0.45, f"rerank k_adc=100 recall@10 = {r100:.3f}"
+
+
+def test_ivfpq_production_geometry_k256_recall(spark, tmp_path):
+    """The PRODUCTION code-width (k_codes=256, one byte per code — the
+    geometry EXPLAIN §37 flagged as untrainable on the 500-vector
+    fixture): trained on a clustered synthetic corpus that CAN train it
+    (4k vectors, 256 codewords per subspace), stored with
+    code_type='binary', searched through the persisted index. On a
+    clustered corpus exact top-10 membership among ~125 near-equidistant
+    cluster members is partly tie noise, so the gate pins what code
+    width actually controls: recall must be MONOTONE in k_codes
+    (measured 0.080 → 0.340 for k=16 → k=256 on this deterministic
+    corpus) and the production geometry must clear an absolute floor of
+    0.3 — 4× the k=16 number. (The tie-aware planted-twin metric at 1M
+    vectors reaches 1.0 at this geometry: scripts/stress_ivfpq.py,
+    BASELINE.md round-11 table.)"""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    dim, n, n_clusters = 64, 4000, 32
+    cid = F.pmod(F.col("id"), F.lit(n_clusters))
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(cid, i), F.lit(2000)) - 1000)
+        / F.lit(1000.0)
+        + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000)
+        / F.lit(20000.0),
+    )
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), comp.alias("embedding"))
+        .cache()
+    )
+    probes = corpus.filter(F.col("vec_id") < 5).cache()
+
+    def build_and_search(k_codes, code_type):
+        store = f"file://{tmp_path}/prod_idx_{k_codes}"
+        ivfpq_build(
+            spark, store, corpus, n_cells=8, n_probe_default=4, m=8,
+            k_codes=k_codes, coarse_iterations=1, pq_iterations=1, dim=dim,
+            code_type=code_type,
+        )
+        return ivfpq_search(spark, store, probes, k=10, n_probe=4)
+
+    got_k16 = build_and_search(16, "int")
+    got_k256 = build_and_search(256, "binary")
+
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    d2 = (
+        "aggregate(zip_with(probe_vec, embedding,"
+        " (x,y)->(x-y)*(x-y)), cast(0 as double), (a,v)->a+v)"
+    )
+    scored = corpus.join(
+        F.broadcast(p), F.col("probe_id") != F.col("vec_id")
+    ).select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"), F.expr(d2).alias("_d2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc()
+    )
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .collect()
+    }
+    r16, r256 = _recall(got_k16, truth), _recall(got_k256, truth)
+    assert r256 > r16, (r16, r256)
+    assert r256 >= 0.3, r256
