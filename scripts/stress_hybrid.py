@@ -81,6 +81,13 @@ def corpus(spark, n):
 
 
 def run(spark, n):
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_build,
+        hybrid_index_topk,
+    )
+
     docs = corpus(spark, n).localCheckpoint()  # pin: measure ops, not synthesis
     walls = {}
     t0 = time.time()
@@ -95,18 +102,39 @@ def run(spark, n):
     fused = hybrid_topk(docs, QUERIES, k=10, candidates=20)
     rows = fused.collect()
     walls["hybrid_end_to_end"] = round(time.time() - t0, 2)
+    # index-served dense side (VERDICT r10 Next #4): one offline build,
+    # then the query-time dense cost is probed-cell codes + k_adc raw
+    # joins instead of the full O(tokens) embed+scan
+    store = f"file://{tempfile.mkdtemp(prefix='stress_hybrid_idx_')}/idx"
+    t0 = time.time()
+    hybrid_index_build(
+        spark, store, docs, dim=64, n_cells=32, n_probe_default=8,
+        m=8, k_codes=16, coarse_iterations=1, pq_iterations=1,
+    )
+    walls["index_build_once"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    idx_rows = hybrid_index_topk(
+        spark, docs, store, QUERIES, k=10, candidates=20, k_adc=40,
+        n_probe=8,
+    ).collect()
+    walls["hybrid_index_end_to_end"] = round(time.time() - t0, 2)
     # planted-signal check: each query's fused top-10 should be dominated
     # by its flavor slice (doc_id % 10 == flavor index)
-    hit = {q: 0 for q in QUERIES}
     slice_of = {"q_engine": 0, "q_ocean": 1, "q_ledger": 2}
-    for r in rows:
-        if r["doc_id"] % 10 == slice_of[r["query_id"]]:
-            hit[r["query_id"]] += 1
+
+    def hits(rws):
+        hit = {q: 0 for q in QUERIES}
+        for r in rws:
+            if r["doc_id"] % 10 == slice_of[r["query_id"]]:
+                hit[r["query_id"]] += 1
+        return hit
+
     return {
         "n_docs": n,
         "walls_s": walls,
-        "rows": [n_lex, n_dense, len(rows)],
-        "fused_top10_in_planted_slice": hit,
+        "rows": [n_lex, n_dense, len(rows), len(idx_rows)],
+        "fused_top10_in_planted_slice": hits(rows),
+        "index_fused_top10_in_planted_slice": hits(idx_rows),
     }
 
 
