@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "events_sessionize_floats",
     "ivfpq_store_topk",
     "ivfpq_rerank_topk",
+    # round-11 additions (same caveat)
+    "events_sessionize_md5",
+    "dsir_sample_from_table",
+    "hybrid_index_topk",
 ]
 
 
