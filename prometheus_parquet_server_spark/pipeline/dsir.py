@@ -472,12 +472,22 @@ def stream_dsir_ingest(
     Drift monitoring at commit cadence (no separate job): with
     ``drift_tau`` set, every ``drift_every``-th COMMITTED batch runs
     :func:`dsir_drift_total` between the baseline version (the store
-    version before this stream's first commit, or
+    version before this stream's first commit IN THIS PROCESS, or
     ``drift_baseline_version``) and the just-committed version — two
     m-bounded store slices, never a corpus rescan — and calls
     ``on_drift(info)`` when ``js_frac >= drift_tau``, where ``info`` has
     ``v_old``/``v_new``/``drift_u``/``js_frac``. Replayed (no-op)
-    batches don't advance the version and are never re-measured."""
+    batches don't advance the version and are never re-measured — the
+    store tip is captured before the first ingest, so a restart whose
+    first batch is a txn-deduped redelivery measures nothing.
+
+    NOTE the default baseline is per-process: a restart re-anchors the
+    window at the current tip, so slow CUMULATIVE drift that never
+    crosses tau within one process lifetime will not alert. For a fixed
+    cross-restart reference window, pass ``drift_baseline_version``
+    (e.g. the version of the last reviewed corpus snapshot) — the
+    comparison then stays anchored no matter how often the stream
+    restarts."""
     if app_id is None:
         app_id = f"stream_dsir_ingest_{side}"
     if drift_tau is not None and on_drift is None:
@@ -489,17 +499,29 @@ def stream_dsir_ingest(
         snapshot_version,
     )
 
-    # baseline resolves lazily at first commit: the store may not exist
-    # until this stream's own first batch initializes it
-    state = {"baseline": drift_baseline_version, "since": 0, "last_v": None}
+    # baseline/tip resolve lazily at the first batch: the store may not
+    # exist until this stream's own first batch initializes it
+    state = {
+        "baseline": drift_baseline_version,
+        "since": 0,
+        "last_v": None,
+        "init": False,
+    }
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if drift_tau is not None and state["baseline"] is None:
-            # version BEFORE this stream's first commit (None → the first
-            # commit itself becomes the baseline below)
-            state["baseline"] = snapshot_version(spark, store_path)
+        if drift_tau is not None and not state["init"]:
+            # capture the tip BEFORE the first ingest of this process:
+            # it seeds last_v so a restart whose first batch is a
+            # txn-deduped redelivery (version unchanged) is recognized
+            # as a no-op instead of being measured as a fresh commit
+            tip = snapshot_version(spark, store_path)
+            state["init"] = True
+            state["last_v"] = tip
+            if state["baseline"] is None:
+                state["baseline"] = tip  # None for a fresh store: the
+                # first commit below becomes the baseline
         v = dsir_counts_ingest(
             spark, store_path, batch_df, side=side, m=m,
             text_col=text_col, txn=(app_id, int(batch_id)),
@@ -508,6 +530,7 @@ def stream_dsir_ingest(
             return
         if state["baseline"] is None:
             state["baseline"] = v
+            state["last_v"] = v
             return
         if v == state["last_v"]:
             return  # txn-deduped replay: version unchanged, nothing new

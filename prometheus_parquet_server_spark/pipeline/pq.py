@@ -70,12 +70,14 @@ def _assign_codes_udf(
 ):
     """Arrow kernel: embedding → m codes (argmin squared L2 per subspace,
     9-dp rounded, ties to the lowest code id). ``as_binary`` emits the
-    codes as ONE m-byte binary value instead of array<int> — the
-    production at-rest format (requires k_codes ≤ 256): parquet stores
-    one BYTE_ARRAY cell per vector instead of m list elements each
-    carrying repetition levels, which is where the real size win lives
-    (int32 list elements already bit-pack; the per-element list overhead
-    does not — measured in scripts/stress_ivfpq.py)."""
+    codes as ONE m-byte binary value instead of array<int> (requires
+    k_codes ≤ 256). NOTE the measurement went AGAINST the obvious
+    intuition: parquet dictionary/bit-packs int-list code values to
+    ~1 byte already, and BYTE_ARRAY cells pay per-value length overhead,
+    so binary codes measured 1.136× LARGER at rest at 1M vectors
+    (scripts/stress_ivfpq.py production_geometry; BASELINE.md round-11)
+    — which is why ``int`` remains the store default and binary is an
+    opt-in, result-identical variant."""
     from pyspark.sql.functions import pandas_udf
 
     cmats = [np.asarray(cb, dtype=np.float64) for cb in codebook]
@@ -864,7 +866,7 @@ def ivfpq_rerank(
     # distinct candidate-id set is bounded by probes × k_adc, so an
     # isin filter pushes below the projection (and into a parquet scan
     # as PushedFilters: In) and the re-rank becomes candidate-bounded
-    # for real — measured 48 s → 17 s end-to-end at 1M docs in
+    # for real — measured 48 s → 7.6 s end-to-end at 1M docs in
     # scripts/stress_hybrid.py. The completeness/duplicate gates below
     # are unaffected: pruning keeps exactly the ids they inspect.
     cand_ids = [

@@ -465,6 +465,19 @@ def test_dsir_drift_total_and_stream_alert(spark, tmp_path):
         info["drift_u"] / 1e12 / math.log(2.0)
     )
 
+    # restart whose first batch is a txn-deduped redelivery: the tip is
+    # captured BEFORE the first ingest, so the no-op replay is never
+    # measured — no self-drift, no spurious alert even at tau=0.0
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/drift_stream/_stream_checkpoint_raw")
+    q_replay = stream_dsir_ingest(
+        stream, spark, stream_store, side="raw", m=m,
+        drift_tau=0.0, on_drift=alerts.append,
+    )
+    q_replay.awaitTermination(120)
+    assert len(alerts) == 1  # unchanged: replays measured nothing
+
     # silent below tau: fresh store+checkpoint, unreachable threshold
     quiet = []
     quiet_store = f"file://{tmp_path}/drift_quiet"
