@@ -160,3 +160,43 @@ def test_hybrid_index_topk_served_from_persisted_index(spark, tmp_path):
                           k_adc=4)
     with pytest.raises(ValueError, match="queries"):
         hybrid_index_topk(spark, docs, store, {}, k=2)
+
+
+def test_hybrid_index_topk_opq_variant(spark, tmp_path):
+    """hybrid_index_build forwards build_kw, so the OPQ-pretransformed
+    index (learned rotation persisted as _rotation rows) composes with
+    the hybrid fusion unchanged: ivfpq_search rotates the query vectors
+    driver-side via the version-pinned R, and the exact re-rank still
+    runs against the UNROTATED raw corpus L2 (rotation preserves L2, so
+    candidate quality is what OPQ improves — the fused output keeps the
+    1..k shape and determinism)."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_build,
+        hybrid_index_topk,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+    )
+
+    rows = [
+        (i, f"term{i % 5} filler{i} shared corpus text body") for i in range(24)
+    ]
+    rows.append((100, "needle exact match phrase"))
+    docs = _docs(spark, rows)
+    store = f"file://{tmp_path}/hybrid_opq_idx"
+    hybrid_index_build(
+        spark, store, docs, dim=64, n_cells=4, n_probe_default=4,
+        m=8, k_codes=8, coarse_iterations=0, pq_iterations=0,
+        opq_iterations=1,
+    )
+    assert int(snapshot_properties(spark, store)["pq_rot"]) == 1
+
+    queries = {"qa": ["needle", "exact", "match", "phrase"]}
+    out = hybrid_index_topk(
+        spark, docs, store, queries, k=3, candidates=5, k_adc=25, n_probe=4
+    ).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    again = hybrid_index_topk(
+        spark, docs, store, queries, k=3, candidates=5, k_adc=25, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
