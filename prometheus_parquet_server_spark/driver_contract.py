@@ -5005,6 +5005,111 @@ QUALIFY rank <= {k}
 SQL_HYBRID_TOPK = _sql_hybrid_topk(_BM25_QUERIES, k=10, candidates=20)
 
 
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (pipeline/stats.py maxsim_topk —
+    ColBERT's MaxSim, Khattab & Zaharia 2020): per-position windowed
+    hash-embed token vectors, score = Σ over query positions of the max
+    integer dot against any doc position (non-overlapping pairs
+    contribute 0), top-10 per query, ties → doc_id. All-integer output;
+    the oracle replays tokenization with ordinality, window membership,
+    bucket/sign hashing, the per-pair dots, the per-position maxima, and
+    the final sum in one query."""
+    from prometheus_parquet_server_spark.pipeline.stats import maxsim_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return maxsim_topk(docs, _BM25_QUERIES, k=10, dim=64, window=1)
+
+
+def _sql_maxsim_topk(
+    queries: dict[str, list[str]], k: int = 10, dim: int = 64, window: int = 1
+) -> str:
+    """DuckDB twin of maxsim_topk: ordinality via generate_subscripts
+    (lockstep with unnest; −1 to match Spark's 0-based posexplode),
+    window membership as a CROSS JOIN with the offset table, the house
+    md5 bucket/sign math, exact integer dots/maxima/sums, and the query
+    windows as driver-computed literals replaying the ENGINE's exact
+    construction (ordered terms, clamped windows, zero weights
+    dropped)."""
+    import hashlib
+
+    q = _sql_quote
+    qrows = []
+    for qid, terms in sorted(queries.items()):
+        toks = [t.lower() for t in terms if t]
+        n = len(toks)
+        acc: dict[tuple[int, int], int] = {}
+        for j, t in enumerate(toks):
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = -1 if h[8] in "89abcdef" else 1
+            for d in range(-window, window + 1):
+                i = j + d
+                if 0 <= i < n:
+                    acc[(i, b)] = acc.get((i, b), 0) + s
+        qrows.extend(
+            f"({q(qid)}, {i}, {b}, {w})"
+            for (i, b), w in sorted(acc.items())
+            if w != 0
+        )
+    qvals = ", ".join(qrows)
+    offs = ", ".join(f"({d})" for d in range(-window, window + 1))
+    return f"""
+WITH docs AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        x -> x <> '') AS t
+    FROM documents WHERE doc_id IS NOT NULL
+),
+tok AS (
+    SELECT doc_id, len(t) AS n, unnest(t) AS token,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM docs
+),
+wrows AS (
+    SELECT doc_id, pos + d AS wpos, token
+    FROM tok CROSS JOIN (VALUES {offs}) AS o(d)
+    WHERE pos + d BETWEEN 0 AND n - 1
+),
+feat AS (
+    SELECT doc_id, wpos,
+           CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % {dim} AS BIGINT)
+               AS bucket,
+           CASE WHEN substr(md5(token), 9, 1)
+                     IN ('8','9','a','b','c','d','e','f')
+                THEN -1 ELSE 1 END AS s
+    FROM wrows
+),
+dwin AS (
+    SELECT doc_id, wpos, bucket, CAST(SUM(s) AS BIGINT) AS w
+    FROM feat GROUP BY doc_id, wpos, bucket HAVING SUM(s) <> 0
+),
+qwin(query_id, qpos, bucket, qw) AS (VALUES {qvals}),
+dots AS (
+    SELECT qwin.query_id, d.doc_id, d.wpos, qwin.qpos,
+           CAST(SUM(d.w * qwin.qw) AS BIGINT) AS dot
+    FROM dwin d JOIN qwin USING (bucket)
+    GROUP BY 1, 2, 3, 4
+),
+contrib AS (
+    SELECT query_id, doc_id, qpos,
+           GREATEST(CAST(0 AS BIGINT), MAX(dot)) AS c
+    FROM dots GROUP BY query_id, doc_id, qpos
+),
+scores AS (
+    SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_u
+    FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM scores
+QUALIFY rank <= {k}
+"""
+
+
+SQL_MAXSIM_TOPK = _sql_maxsim_topk(_BM25_QUERIES, k=10, dim=64, window=1)
+
+
 _HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -6591,7 +6696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample_from_table": q_dsir_sample_from_table,
     "hybrid_index_topk": q_hybrid_index_topk,
     "snapshot_update_events": q_snapshot_update_events,
-    "bm25_topk": q_bm25_topk,
+    "maxsim_topk": q_maxsim_topk,
     "pipeline_mixture": q_pipeline_mixture,
     "jsonl_ingest": q_jsonl_ingest,
     "m2_metric_names": q_m2_metric_names,
@@ -6652,6 +6757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_events": q_snapshot_diff_events,
     "dsir_sample": q_dsir_sample,
     "hybrid_topk": q_hybrid_topk,
+    "bm25_topk": q_bm25_topk,
     "promql_topk": q_topk,
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
@@ -6821,6 +6927,7 @@ ORACLES: dict[str, str] = {
     "dsir_sample": SQL_DSIR_SAMPLE,
     "dsir_sample_from_table": SQL_DSIR_SAMPLE,
     "hybrid_index_topk": SQL_HYBRID_INDEX_TOPK,
+    "maxsim_topk": SQL_MAXSIM_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,

@@ -582,3 +582,139 @@ def hybrid_index_topk(
         [lex.select("query_id", id_col, "rank"), dense],
         k_const=k_const, top_k=k, id_col=id_col,
     )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Late-interaction retrieval — MaxSim [Khattab & Zaharia, SIGIR
+    2020 (ColBERT), public knowledge]: instead of one vector per
+    document, every TOKEN POSITION gets a representation, and
+    ``score(q, d) = Σ_{query positions} max_{doc positions}
+    sim(q_i, d_j)`` — the query keeps its token-level structure, so a
+    document matching all query aspects at different places outranks one
+    repeating a single aspect (the failure mode of bag-of-features
+    cosine).
+
+    Token representations here are WINDOWED hash embeddings: position
+    j's vector is the signed-count hash-embed of tokens
+    ``j−window … j+window`` (clamped at the edges). Single-token one-hot
+    vectors would make sim degenerate to same-bucket tests; the window
+    gives each position local context while keeping every weight an
+    EXACT integer. sim = the raw integer dot product; per-(query
+    position) maxima and the final sum are exact integer ops, so the
+    output is all-integer and engine-replayable. Convention: token
+    pairs sharing no bucket have dot 0, so each query position
+    contributes ``greatest(0, max observed dot)`` and documents with no
+    bucket overlap at all are not returned (retrieval semantics, the
+    hash_cosine_topk rule).
+
+    Scale shape: tokens explode to ``(2·window+1)`` window-membership
+    rows — O(tokens) with a constant factor — then ONE hash aggregate
+    to per-position sparse weights (text leaves the scan only as md5
+    buckets), a bucket-equi join against a BROADCAST of the query
+    windows (query side is tiny), and two more bounded aggregates
+    (per-pair dot, per-position max). No doc×doc work, no dense
+    vectors, salted two-stage top-k. Returns ``(query_id, id_col,
+    score_u, rank)``."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = df.sparkSession
+
+    # query windows, driver-side (tiny): same construction as the doc
+    # side — position i's vector sums signed one-hots of tokens
+    # i−window … i+window of the ORDERED term list
+    import hashlib
+
+    qrows = []
+    for qid, terms in sorted(queries.items()):
+        toks = [t.lower() for t in terms if t]
+        n = len(toks)
+        acc: dict[tuple[int, int], int] = {}
+        for j, t in enumerate(toks):
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = -1 if h[8] in "89abcdef" else 1
+            for d in range(-window, window + 1):
+                i = j + d
+                if 0 <= i < n:
+                    acc[(i, b)] = acc.get((i, b), 0) + s
+        qrows.extend(
+            (qid, i, b, w) for (i, b), w in sorted(acc.items()) if w != 0
+        )
+    if not qrows:
+        raise ValueError("every query embeds to zero at every position")
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, qpos int, bucket long, qw long"
+    )
+
+    toks = tokens_col(F.col(text_col))
+    tok = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.size(toks).alias("_n"),
+                F.posexplode(toks).alias("pos", "_t"))
+    )
+    offsets = F.sequence(F.lit(-window), F.lit(window))
+    wrows = tok.select(
+        id_col,
+        "_t",
+        F.explode(
+            F.filter(
+                F.transform(offsets, lambda d: F.col("pos") + d),
+                lambda p: (p >= 0) & (p < F.col("_n")),
+            )
+        ).alias("wpos"),
+    )
+    dwin = (
+        wrows.select(
+            id_col,
+            "wpos",
+            (F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+             % F.lit(dim)).alias("bucket"),
+            F.when(
+                F.substring(F.md5("_t"), 9, 1).isin(*"89abcdef"), F.lit(-1)
+            ).otherwise(F.lit(1)).alias("_s"),
+        )
+        .groupBy(id_col, "wpos", "bucket")
+        .agg(F.sum("_s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    dots = (
+        dwin.join(F.broadcast(qdf), "bucket")
+        .groupBy("query_id", id_col, "wpos", "qpos")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("_dot"))
+    )
+    contrib = (
+        dots.groupBy("query_id", id_col, "qpos")
+        .agg(F.greatest(F.lit(0).cast("long"), F.max("_dot")).alias("_c"))
+    )
+    scores = (
+        contrib.groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score_u"))
+    )
+    order = [F.col("score_u").desc(), F.col(id_col).asc()]
+    w_part = W.partitionBy(
+        "query_id", F.pmod(F.hash(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = scores.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = W.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_u", "rank")
+    )

@@ -200,3 +200,76 @@ def test_hybrid_index_topk_opq_variant(spark, tmp_path):
         spark, docs, store, queries, k=3, candidates=5, k_adc=25, n_probe=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_maxsim_topk_matches_reference_and_rewards_aspect_coverage(spark):
+    """Late interaction (stats.maxsim_topk): scores equal a transparent
+    pure-Python replay of the windowed-hash MaxSim model (exact integer
+    dots, per-query-position maxima, greatest-with-0), and the operator
+    exhibits the property it exists for — a document covering ALL query
+    aspects at different positions outranks one repeating a single
+    aspect, which bag-of-features cosine conflates. Deterministic;
+    guards raise."""
+    from prometheus_parquet_server_spark.pipeline.stats import maxsim_topk
+
+    docs = _docs(spark, [
+        (1, "hash join fast pipeline"),      # covers all three aspects
+        (2, "hash hash hash hash hash"),     # one aspect, repeated
+        (3, "unrelated filler text body"),
+        (4, "fast hash"),                    # two aspects
+    ])
+    queries = {"qa": ["hash", "join", "fast"]}
+    out = {r["doc_id"]: (r["score_u"], r["rank"])
+           for r in maxsim_topk(docs, queries, k=4, window=1).collect()}
+
+    # pure-Python reference with the operator's exact conventions
+    def win_vecs(toks, dim=64, window=1):
+        n = len(toks)
+        vecs = [dict() for _ in range(n)]
+        for j, t in enumerate(toks):
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = -1 if h[8] in "89abcdef" else 1
+            for d in range(-window, window + 1):
+                if 0 <= j + d < n:
+                    vecs[j + d][b] = vecs[j + d].get(b, 0) + s
+        return [{b: w for b, w in v.items() if w != 0} for v in vecs]
+
+    corpus = {1: "hash join fast pipeline", 2: "hash hash hash hash hash",
+              3: "unrelated filler text body", 4: "fast hash"}
+    qv = win_vecs([t.lower() for t in queries["qa"]])
+    want = {}
+    for did, text in corpus.items():
+        dv = win_vecs(text.lower().split())
+        score = 0
+        for qvec in qv:
+            dots = [
+                sum(w * dvec.get(b, 0) for b, w in qvec.items())
+                for dvec in dv
+                if any(b in dvec for b in qvec)
+            ]
+            score += max([0] + dots)
+        if score or any(
+            any(b in dvec for b in qvec) for qvec in qv for dvec in
+            win_vecs(text.lower().split())
+        ):
+            want[did] = score
+    for did, (score, _) in out.items():
+        assert score == want[did], (did, score, want.get(did))
+    # full aspect coverage beats single-aspect repetition (doc 2's
+    # repeated token DOES inflate its window weights — windows hold 3
+    # copies — yet covering every query position still wins: that is
+    # the late-interaction property)
+    assert out[1][1] == 1 and out[1][0] > out[2][0]
+    # any aspect overlap beats none
+    assert out[4][0] > out.get(3, (0, 99))[0]
+
+    again = {r["doc_id"]: (r["score_u"], r["rank"])
+             for r in maxsim_topk(docs, queries, k=4, window=1).collect()}
+    assert again == out
+    with pytest.raises(ValueError, match="k"):
+        maxsim_topk(docs, queries, k=0)
+    with pytest.raises(ValueError, match="queries"):
+        maxsim_topk(docs, {}, k=2)
+    with pytest.raises(ValueError, match="window"):
+        maxsim_topk(docs, queries, k=2, window=-1)
