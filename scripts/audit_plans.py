@@ -73,6 +73,21 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "store instead of a corpus scan",
         )
     },
+    "dsir_sample_from_table": {
+        "BroadcastNestedLoopJoin": (
+            2,
+            "same one-row totals crosses as dsir_incremental (the shared "
+            "_table_from_counts core under the shared Gumbel scaffold)",
+        )
+    },
+    "hybrid_index_topk": {
+        "BroadcastNestedLoopJoin": (
+            1,
+            "the bm25 side's allowlisted corpus (N, avgdl) one-row "
+            "broadcast (the hybrid_topk shape); the index dense side is "
+            "equi-joins + the candidate-bounded broadcast re-rank",
+        )
+    },
     "dsir_drift": {
         "BroadcastNestedLoopJoin": (
             2,
