@@ -4941,13 +4941,19 @@ def _sql_hybrid_topk(
     candidates: int = 20,
     k_const: int = 60,
     dim: int = 64,
+    extra_ctes: str = "",
+    extra_rankings: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
     idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
     cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
     and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
     sum — query weight literals computed by the SAME
-    _query_hash_weights the engine broadcasts."""
+    _query_hash_weights the engine broadcasts. ``extra_ctes`` (a
+    ``,\\n``-led CTE fragment) and ``extra_rankings`` (CTE names each
+    exposing (query_id, doc_id, rank)) splice additional modalities into
+    the SAME fusion — the tri-modal oracle reuses this builder so the
+    2-way and 3-way replays cannot drift."""
     from prometheus_parquet_server_spark.pipeline.stats import (
         _query_hash_weights,
     )
@@ -4962,6 +4968,11 @@ def _sql_hybrid_topk(
     )
     rrf_unit = (
         f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    extra_union = "".join(
+        f"\n    UNION ALL\n    SELECT query_id, doc_id, {rrf_unit} AS u "
+        f"FROM {name}"
+        for name in extra_rankings
     )
     return _sql_hybrid_lex_stack(queries, candidates, dim) + f"""
 dnorm AS (
@@ -4984,11 +4995,11 @@ dense AS (
                    DESC, doc_id) AS rank
     FROM dots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
     QUALIFY rank <= {candidates}
-),
+){extra_ctes},
 unioned AS (
     SELECT query_id, doc_id, {rrf_unit} AS u FROM lex
     UNION ALL
-    SELECT query_id, doc_id, {rrf_unit} AS u FROM dense
+    SELECT query_id, doc_id, {rrf_unit} AS u FROM dense{extra_union}
 ),
 fused AS (
     SELECT query_id, doc_id, CAST(SUM(u) AS BIGINT) AS score_u
@@ -5020,16 +5031,14 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(docs, _BM25_QUERIES, k=10, dim=64, window=1)
 
 
-def _sql_maxsim_topk(
-    queries: dict[str, list[str]], k: int = 10, dim: int = 64, window: int = 1
+def _sql_maxsim_ctes(
+    queries: dict[str, list[str]], dim: int, window: int, p: str = ""
 ) -> str:
-    """DuckDB twin of maxsim_topk: ordinality via generate_subscripts
-    (lockstep with unnest; −1 to match Spark's 0-based posexplode),
-    window membership as a CROSS JOIN with the offset table, the house
-    md5 bucket/sign math, exact integer dots/maxima/sums, and the query
-    windows as driver-computed literals replaying the ENGINE's exact
-    construction (ordered terms, clamped windows, zero weights
-    dropped)."""
+    """The maxsim CTE chain (prefix ``p`` on every CTE name so it can be
+    spliced into another oracle's WITH block without collisions), ending
+    at ``{p}scores`` = (query_id, doc_id, score_u). Shared by the
+    standalone SQL_MAXSIM_TOPK and the tri-modal fusion oracle so the
+    late-interaction replay cannot drift between them."""
     import hashlib
 
     q = _sql_quote
@@ -5053,52 +5062,65 @@ def _sql_maxsim_topk(
         )
     qvals = ", ".join(qrows)
     offs = ", ".join(f"({d})" for d in range(-window, window + 1))
-    return f"""
-WITH docs AS (
+    return f"""{p}docs AS (
     SELECT doc_id, list_filter(
         string_split_regex(lower(coalesce(text, '')), '\\s+'),
         x -> x <> '') AS t
     FROM documents WHERE doc_id IS NOT NULL
 ),
-tok AS (
+{p}tok AS (
     SELECT doc_id, len(t) AS n, unnest(t) AS token,
            generate_subscripts(t, 1) - 1 AS pos
-    FROM docs
+    FROM {p}docs
 ),
-wrows AS (
+{p}wrows AS (
     SELECT doc_id, pos + d AS wpos, token
-    FROM tok CROSS JOIN (VALUES {offs}) AS o(d)
+    FROM {p}tok CROSS JOIN (VALUES {offs}) AS o(d)
     WHERE pos + d BETWEEN 0 AND n - 1
 ),
-feat AS (
+{p}feat AS (
     SELECT doc_id, wpos,
            CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % {dim} AS BIGINT)
                AS bucket,
            CASE WHEN substr(md5(token), 9, 1)
                      IN ('8','9','a','b','c','d','e','f')
                 THEN -1 ELSE 1 END AS s
-    FROM wrows
+    FROM {p}wrows
 ),
-dwin AS (
+{p}dwin AS (
     SELECT doc_id, wpos, bucket, CAST(SUM(s) AS BIGINT) AS w
-    FROM feat GROUP BY doc_id, wpos, bucket HAVING SUM(s) <> 0
+    FROM {p}feat GROUP BY doc_id, wpos, bucket HAVING SUM(s) <> 0
 ),
-qwin(query_id, qpos, bucket, qw) AS (VALUES {qvals}),
-dots AS (
-    SELECT qwin.query_id, d.doc_id, d.wpos, qwin.qpos,
-           CAST(SUM(d.w * qwin.qw) AS BIGINT) AS dot
-    FROM dwin d JOIN qwin USING (bucket)
+{p}qwin(query_id, qpos, bucket, qw) AS (VALUES {qvals}),
+{p}dots AS (
+    SELECT {p}qwin.query_id, d.doc_id, d.wpos, {p}qwin.qpos,
+           CAST(SUM(d.w * {p}qwin.qw) AS BIGINT) AS dot
+    FROM {p}dwin d JOIN {p}qwin USING (bucket)
     GROUP BY 1, 2, 3, 4
 ),
-contrib AS (
+{p}contrib AS (
     SELECT query_id, doc_id, qpos,
            GREATEST(CAST(0 AS BIGINT), MAX(dot)) AS c
-    FROM dots GROUP BY query_id, doc_id, qpos
+    FROM {p}dots GROUP BY query_id, doc_id, qpos
 ),
-scores AS (
+{p}scores AS (
     SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_u
-    FROM contrib GROUP BY query_id, doc_id
-)
+    FROM {p}contrib GROUP BY query_id, doc_id
+)"""
+
+
+def _sql_maxsim_topk(
+    queries: dict[str, list[str]], k: int = 10, dim: int = 64, window: int = 1
+) -> str:
+    """DuckDB twin of maxsim_topk: ordinality via generate_subscripts
+    (lockstep with unnest; -1 to match Spark's 0-based posexplode),
+    window membership as a CROSS JOIN with the offset table, the house
+    md5 bucket/sign math, exact integer dots/maxima/sums, and the query
+    windows as driver-computed literals replaying the ENGINE's exact
+    construction (ordered terms, clamped windows, zero weights
+    dropped). Built on the shared _sql_maxsim_ctes chain."""
+    return f"""
+WITH {_sql_maxsim_ctes(queries, dim, window)}
 SELECT query_id, doc_id, score_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY score_u DESC, doc_id) AS INT) AS rank
@@ -5108,6 +5130,39 @@ QUALIFY rank <= {k}
 
 
 SQL_MAXSIM_TOPK = _sql_maxsim_topk(_BM25_QUERIES, k=10, dim=64, window=1)
+
+
+def q_hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-modal hybrid (pipeline/stats.py hybrid_rrf3_topk): BM25 ⊕
+    hash-cosine ⊕ MaxSim fused under one RRF — three top-20 candidate
+    rankings, quantized-reciprocal integer sums, fused top-10. The
+    oracle splices the maxsim CTE chain (the literally-shared
+    _sql_maxsim_ctes, m_-prefixed) into the SAME 2-way hybrid builder
+    as a third fusion leg."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_rrf3_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hybrid_rrf3_topk(docs, _BM25_QUERIES, k=10, candidates=20)
+
+
+SQL_HYBRID_RRF3_TOPK = _sql_hybrid_topk(
+    _BM25_QUERIES,
+    k=10,
+    candidates=20,
+    extra_ctes=",\n"
+    + _sql_maxsim_ctes(_BM25_QUERIES, dim=64, window=1, p="m_")
+    + """,
+m_late AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_u DESC, doc_id) AS rank
+    FROM m_scores
+    QUALIFY rank <= 20
+)""",
+    extra_rankings=("m_late",),
+)
 
 
 _HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}
@@ -6710,7 +6765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # matching machinery, tpch_q5ish≈q3 join+agg shape) moved to the
     # locally-checked tail — every SURVEY §2 row stays in the head.
     "events_rollup": q_events_rollup,
-    "tfidf_topk": q_tfidf_topk,
+    "hybrid_rrf3_topk": q_hybrid_rrf3_topk,
     "pipeline_chunks": q_pipeline_chunks,
     "text_perplexity": q_text_perplexity,
     "dedup_exact_fp": q_dedup_exact_fp,
@@ -6758,6 +6813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": q_dsir_sample,
     "hybrid_topk": q_hybrid_topk,
     "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
     "promql_topk": q_topk,
     "promql_quantile": q_promql_quantile,
     "promql_over_time": q_promql_over_time,
@@ -6928,6 +6984,7 @@ ORACLES: dict[str, str] = {
     "dsir_sample_from_table": SQL_DSIR_SAMPLE,
     "hybrid_index_topk": SQL_HYBRID_INDEX_TOPK,
     "maxsim_topk": SQL_MAXSIM_TOPK,
+    "hybrid_rrf3_topk": SQL_HYBRID_RRF3_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,

@@ -718,3 +718,50 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score_u", "rank")
     )
+
+
+def hybrid_rrf3_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tri-modal hybrid retrieval: BM25 ⊕ bag-of-features cosine ⊕
+    MaxSim late interaction under ONE Reciprocal Rank Fusion — the
+    standard production shape when a corpus serves queries with both
+    topical (bag) and positional/aspect (late-interaction) structure;
+    RRF's rank-only fusion is exactly what makes a third modality a
+    drop-in (Cormack et al. 2009 fuses any number of rankings). Each
+    side contributes its top ``candidates``; fused scores are exact
+    integer sums of the quantized reciprocals, so the composition grades
+    bit-exact like its 2-way siblings. Same scale shape as the parts:
+    three O(tokens)-bounded scans, candidate-bounded everything after.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = hash_cosine_topk(
+        df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
+    )
+    late = maxsim_topk(
+        df, queries, k=candidates, dim=dim, window=window,
+        text_col=text_col, id_col=id_col,
+    )
+    return rrf_fuse(
+        [
+            lex.select("query_id", id_col, "rank"),
+            dense,
+            late.select("query_id", id_col, "rank"),
+        ],
+        k_const=k_const, top_k=k, id_col=id_col,
+    )

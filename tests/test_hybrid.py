@@ -273,3 +273,42 @@ def test_maxsim_topk_matches_reference_and_rewards_aspect_coverage(spark):
         maxsim_topk(docs, {}, k=2)
     with pytest.raises(ValueError, match="window"):
         maxsim_topk(docs, queries, k=2, window=-1)
+
+
+def test_hybrid_rrf3_composes_three_modalities(spark):
+    """Tri-modal fusion (stats.hybrid_rrf3_topk): fused score equals the
+    exact integer sum of the three sides' quantized reciprocals (checked
+    against the sides run independently), a doc strong on ALL THREE
+    sides wins, output is a dense 1..k prefix, guards raise."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        bm25_topk,
+        hybrid_rrf3_topk,
+        maxsim_topk,
+    )
+
+    docs = _docs(spark, [
+        (1, "hash join fast hash join"),
+        (2, "hash hash hash hash hash"),
+        (3, "totally different content"),
+        (4, "join fast"),
+    ])
+    queries = {"qa": ["hash", "join", "fast"]}
+    out = {r["doc_id"]: (r["score_u"], r["rank"])
+           for r in hybrid_rrf3_topk(docs, queries, k=4, candidates=4).collect()}
+
+    sides = [
+        bm25_topk(docs, queries, k=4),
+        hash_cosine_topk(docs, queries, k=4),
+        maxsim_topk(docs, queries, k=4),
+    ]
+    want = {}
+    for side in sides:
+        for r in side.collect():
+            want[r["doc_id"]] = want.get(r["doc_id"], 0) + math.floor(
+                1e6 / (60 + r["rank"]) + 0.5
+            )
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert out == {d: (s, i + 1) for i, (d, s) in enumerate(ranked)}
+    assert min(out.values(), key=lambda v: v[1])[1] == 1
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_rrf3_topk(docs, queries, k=5, candidates=4)
