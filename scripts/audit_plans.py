@@ -88,6 +88,14 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "equi-joins + the candidate-bounded broadcast re-rank",
         )
     },
+    "hybrid_rrf3_topk": {
+        "BroadcastNestedLoopJoin": (
+            1,
+            "the bm25 side's allowlisted corpus (N, avgdl) one-row "
+            "broadcast (the hybrid_topk shape); the cosine and maxsim "
+            "legs add bucket equi-joins only",
+        )
+    },
     "dsir_drift": {
         "BroadcastNestedLoopJoin": (
             2,

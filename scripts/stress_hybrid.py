@@ -102,6 +102,13 @@ def run(spark, n):
     fused = hybrid_topk(docs, QUERIES, k=10, candidates=20)
     rows = fused.collect()
     walls["hybrid_end_to_end"] = round(time.time() - t0, 2)
+    # late interaction (round 11): O(tokens·(2w+1)) window rows → one
+    # hash aggregate → broadcast-join dots — should scale at scan rate
+    from prometheus_parquet_server_spark.pipeline.stats import maxsim_topk
+
+    t0 = time.time()
+    n_late = maxsim_topk(docs, QUERIES, k=20).count()
+    walls["maxsim_topk"] = round(time.time() - t0, 2)
     # index-served dense side (VERDICT r10 Next #4): one offline build,
     # then the query-time dense cost is probed-cell codes + k_adc raw
     # joins instead of the full O(tokens) embed+scan
@@ -132,7 +139,7 @@ def run(spark, n):
     return {
         "n_docs": n,
         "walls_s": walls,
-        "rows": [n_lex, n_dense, len(rows), len(idx_rows)],
+        "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late],
         "fused_top10_in_planted_slice": hits(rows),
         "index_fused_top10_in_planted_slice": hits(idx_rows),
     }
