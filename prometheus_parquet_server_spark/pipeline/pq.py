@@ -869,10 +869,12 @@ def ivfpq_rerank(
     # for real — measured 48 s → 7.6 s end-to-end at 1M docs in
     # scripts/stress_hybrid.py. The completeness/duplicate gates below
     # are unaffected: pruning keeps exactly the ids they inspect.
-    cand_ids = [
-        r["neighbor_id"]
-        for r in cand.select("neighbor_id").distinct().collect()
-    ]
+    # (cand is localCheckpointed and bounded by probes × k_adc — one
+    # collect serves the prune list AND the completeness gate below, so
+    # the serving path pays one driver action here, not three)
+    cand_rows = cand.collect()
+    n_cand = len(cand_rows)
+    cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
     if len(cand_ids) <= 100_000:
         nv = nv.filter(F.col("neighbor_id").isin(cand_ids))
     # the same dot-expansion decomposition as the DuckDB oracle's _sql_l2
@@ -892,20 +894,21 @@ def ivfpq_rerank(
     # a stale or filtered corpus that is missing some of them would
     # silently shrink the answer below k (the ADC stage surfaced those
     # neighbors — dropping them here is a wrong answer, not a re-rank).
-    # Missing is measured via left_anti DIRECTLY (not inferred from a
-    # count delta: duplicate ids fan the joins OUT, so n_exact can exceed
-    # n_cand and a delta-based check would misblame the corpus — or pass
-    # while emitting duplicate ranks if the two effects offset). Raise
-    # loudly for each failure mode with its own message.
-    # (checked unconditionally: duplicates can exactly offset missing rows
-    # so the counts alone would agree while the result is wrong)
-    n_cand, n_exact = cand.count(), exact.count()
-    missing = [
-        r["neighbor_id"]
-        for r in cand.join(
-            nv.select("neighbor_id"), "neighbor_id", "left_anti"
-        ).select("neighbor_id").distinct().limit(10).collect()
-    ]
+    # Missing is measured by MEMBERSHIP, not a count delta (duplicate ids
+    # fan the joins OUT, so n_exact can exceed n_cand and a delta-based
+    # check would misblame the corpus — or pass while emitting duplicate
+    # ranks if the two effects exactly offset; checked unconditionally
+    # for that reason): a candidate id absent from the corpus produces
+    # NO exact row for any of its pairs, so the distinct ids surviving
+    # the join — gathered in ONE aggregate together with the row count —
+    # expose exactly the missing set. Raise loudly for each failure mode
+    # with its own message.
+    gate = exact.agg(
+        F.count("*").alias("_n"),
+        F.collect_set("neighbor_id").alias("_ids"),
+    ).first()
+    n_exact, exact_ids = gate["_n"], set(gate["_ids"])
+    missing = [i for i in cand_ids if i not in exact_ids][:10]
     if missing:
         raise ValueError(
             f"ivfpq_rerank: corpus is missing candidate rows the index "
