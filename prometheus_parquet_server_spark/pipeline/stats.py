@@ -765,3 +765,62 @@ def hybrid_rrf3_topk(
         ],
         k_const=k_const, top_k=k, id_col=id_col,
     )
+
+
+def hybrid_index_append(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Fold NEW documents into the persisted hybrid index — the growing-
+    corpus half of :func:`hybrid_index_build`: the batch hash-embeds
+    through the SHARED ``_hash_embed_corpus`` construction and appends
+    via :func:`pipeline.pq.ivfpq_append` (encode against the frozen
+    version-pinned quantizers — rotated through the pinned R if the
+    index is OPQ — O(new) commit, CAS-pinned against racing rebuilds,
+    ``txn`` idempotence). A crawl's hybrid index stays fresh without
+    re-embedding history; quantizer drift until the next rebuild is the
+    standard Faiss ``add`` trade. Returns the new version."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_append
+
+    corpus = _hash_embed_corpus(
+        new_docs, dim, text_col, id_col
+    ).localCheckpoint()
+    return ivfpq_append(spark, store_path, corpus, txn=txn)
+
+
+def stream_hybrid_index_ingest(
+    doc_stream: DataFrame,
+    spark,
+    store_path: str,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "stream_hybrid_index_ingest",
+):
+    """Streaming twin of :func:`hybrid_index_append` (the
+    stream_ivfpq_ingest pattern): each micro-batch of documents
+    hash-embeds and appends with ``txn=(app_id, batch_id)`` so a
+    committed-but-unacknowledged batch replays as a version-preserving
+    no-op; :func:`hybrid_index_topk` serves the growing index at every
+    commit. Requires an existing index; one writer per checkpoint; new
+    app_id on checkpoint reset (the stream_ivf_ingest caveat)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hybrid_index_append(
+            spark, store_path, batch_df, dim=dim, text_col=text_col,
+            id_col=id_col, txn=(app_id, int(batch_id)),
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint_docs")
+        .start()
+    )

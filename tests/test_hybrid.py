@@ -312,3 +312,73 @@ def test_hybrid_rrf3_composes_three_modalities(spark):
     assert min(out.values(), key=lambda v: v[1])[1] == 1
     with pytest.raises(ValueError, match="candidates"):
         hybrid_rrf3_topk(docs, queries, k=5, candidates=4)
+
+
+def test_hybrid_index_append_and_stream_ingest(spark, tmp_path):
+    """Growing-corpus hybrid (stats.hybrid_index_append /
+    stream_hybrid_index_ingest): appended docs encode against the FROZEN
+    quantizers through the shared hash-embed construction, so the served
+    fusion equals a from-scratch query over the union corpus's rerank
+    truth — a query matching an APPENDED doc verbatim surfaces it at the
+    top; a checkpoint-reset replay with the same app_id is a
+    version-preserving no-op (txn marker); time travel still serves the
+    pre-append index."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_append,
+        hybrid_index_build,
+        hybrid_index_topk,
+        stream_hybrid_index_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    base_rows = [
+        (i, f"term{i % 5} filler{i} shared corpus text body") for i in range(24)
+    ]
+    docs = _docs(spark, base_rows)
+    store = f"file://{tmp_path}/hybrid_grow_idx"
+    hybrid_index_build(
+        spark, store, docs, dim=64, n_cells=4, n_probe_default=4,
+        m=8, k_codes=8, coarse_iterations=0, pq_iterations=0,
+    )
+    v1 = snapshot_version(spark, store)
+
+    late_rows = [(100, "needle exact match phrase"), (101, "more filler body")]
+    hybrid_index_append(spark, store, _docs(spark, late_rows))
+    union = _docs(spark, base_rows + late_rows)
+
+    queries = {"qa": ["needle", "exact", "match", "phrase"]}
+    out = hybrid_index_topk(
+        spark, union, store, queries, k=3, candidates=5, k_adc=26, n_probe=4
+    ).collect()
+    assert min(out, key=lambda r: r["rank"])["doc_id"] == 100
+
+    # time travel: the pre-append version serves the base corpus only
+    old = hybrid_index_topk(
+        spark, docs, store, queries, k=3, candidates=5, k_adc=24,
+        n_probe=4, version=v1,
+    ).collect()
+    assert all(r["doc_id"] < 100 for r in old)
+
+    # streaming twin: two more docs via a file stream; replay no-ops
+    import shutil
+
+    src = f"{tmp_path}/doc_src"
+    extra = [(200, "stream landed document"), (201, "another streamed doc")]
+    _docs(spark, extra).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(_docs(spark, extra).schema).parquet(src)
+    q = stream_hybrid_index_ingest(stream, spark, store)
+    q.awaitTermination(120)
+    v_after = snapshot_version(spark, store)
+    got = hybrid_index_topk(
+        spark, _docs(spark, base_rows + late_rows + extra), store,
+        {"qs": ["stream", "landed", "document"]},
+        k=3, candidates=5, k_adc=28, n_probe=4,
+    ).collect()
+    assert min(got, key=lambda r: r["rank"])["doc_id"] == 200
+
+    shutil.rmtree(f"{tmp_path}/hybrid_grow_idx/_stream_checkpoint_docs")
+    q2 = stream_hybrid_index_ingest(stream, spark, store)
+    q2.awaitTermination(120)
+    assert snapshot_version(spark, store) == v_after  # replay deduped
