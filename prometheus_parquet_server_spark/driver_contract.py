@@ -5032,13 +5032,21 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_maxsim_ctes(
-    queries: dict[str, list[str]], dim: int, window: int, p: str = ""
+    queries: dict[str, list[str]],
+    dim: int,
+    window: int,
+    p: str = "",
+    docs_src: tuple[str, str] | None = None,
 ) -> str:
     """The maxsim CTE chain (prefix ``p`` on every CTE name so it can be
     spliced into another oracle's WITH block without collisions), ending
     at ``{p}scores`` = (query_id, doc_id, score_u). Shared by the
     standalone SQL_MAXSIM_TOPK and the tri-modal fusion oracle so the
-    late-interaction replay cannot drift between them."""
+    late-interaction replay cannot drift between them. ``docs_src =
+    (cte_name, token_col)`` reuses an ALREADY-TOKENIZED docs CTE from
+    the enclosing query (the tri-modal oracle feeds the hybrid lex
+    stack's ``docs.toks``) instead of re-scanning/re-tokenizing the
+    documents table — one tokenizer convention, one scan."""
     import hashlib
 
     q = _sql_quote
@@ -5062,16 +5070,22 @@ def _sql_maxsim_ctes(
         )
     qvals = ", ".join(qrows)
     offs = ", ".join(f"({d})" for d in range(-window, window + 1))
-    return f"""{p}docs AS (
+    if docs_src is None:
+        docs_cte = f"""{p}docs AS (
     SELECT doc_id, list_filter(
         string_split_regex(lower(coalesce(text, '')), '\\s+'),
         x -> x <> '') AS t
     FROM documents WHERE doc_id IS NOT NULL
 ),
-{p}tok AS (
-    SELECT doc_id, len(t) AS n, unnest(t) AS token,
-           generate_subscripts(t, 1) - 1 AS pos
-    FROM {p}docs
+"""
+        src_name, tok_col = f"{p}docs", "t"
+    else:
+        docs_cte = ""
+        src_name, tok_col = docs_src
+    return f"""{docs_cte}{p}tok AS (
+    SELECT doc_id, len({tok_col}) AS n, unnest({tok_col}) AS token,
+           generate_subscripts({tok_col}, 1) - 1 AS pos
+    FROM {src_name}
 ),
 {p}wrows AS (
     SELECT doc_id, pos + d AS wpos, token
@@ -5147,22 +5161,42 @@ def q_hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf3_topk(docs, _BM25_QUERIES, k=10, candidates=20)
 
 
-SQL_HYBRID_RRF3_TOPK = _sql_hybrid_topk(
-    _BM25_QUERIES,
-    k=10,
-    candidates=20,
-    extra_ctes=",\n"
-    + _sql_maxsim_ctes(_BM25_QUERIES, dim=64, window=1, p="m_")
-    + """,
+def _sql_hybrid_rrf3_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+) -> str:
+    """Tri-modal oracle: the 2-way hybrid builder with the maxsim CTE
+    chain spliced in as a third leg. The maxsim chain reuses the lex
+    stack's tokenized ``docs.toks`` (no second documents scan), and ONE
+    ``candidates`` value caps all three legs — the engine caps all
+    three at the same parameter, so a hardcoded per-leg cap would be a
+    drift trap."""
+    return _sql_hybrid_topk(
+        queries,
+        k=k,
+        candidates=candidates,
+        dim=dim,
+        extra_ctes=",\n"
+        + _sql_maxsim_ctes(
+            queries, dim=dim, window=window, p="m_",
+            docs_src=("docs", "toks"),
+        )
+        + f""",
 m_late AS (
     SELECT query_id, doc_id,
            ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score_u DESC, doc_id) AS rank
     FROM m_scores
-    QUALIFY rank <= 20
+    QUALIFY rank <= {candidates}
 )""",
-    extra_rankings=("m_late",),
-)
+        extra_rankings=("m_late",),
+    )
+
+
+SQL_HYBRID_RRF3_TOPK = _sql_hybrid_rrf3_topk(_BM25_QUERIES, k=10, candidates=20)
 
 
 _HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}

@@ -347,21 +347,16 @@ def stream_ivf_ingest(
     silently skip genuinely new batches — pass a NEW ``app_id`` whenever
     you reset or relocate the checkpoint."""
 
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_txn_append,
+    )
+
+    def _append(batch_df: DataFrame, txn: tuple[str, int]) -> None:
         ivf_append(
-            spark,
-            store_path,
-            batch_df,
-            id_col=id_col,
-            vec_col=vec_col,
-            txn=(app_id, int(batch_id)),
+            spark, store_path, batch_df,
+            id_col=id_col, vec_col=vec_col, txn=txn,
         )
 
-    return (
-        vec_stream.writeStream.foreachBatch(_append)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
-        .start()
+    return stream_txn_append(
+        vec_stream, f"{store_path}/_stream_checkpoint", app_id, _append
     )

@@ -1044,23 +1044,18 @@ def stream_ivfpq_ingest(
     started query. The txn marker is tied to ONE checkpoint lineage
     (the stream_ivf_ingest caveat: new app_id on checkpoint reset)."""
 
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_txn_append,
+    )
+
+    def _append(batch_df: DataFrame, txn: tuple[str, int]) -> None:
         ivfpq_append(
-            spark,
-            store_path,
-            batch_df,
-            id_col=id_col,
-            vec_col=vec_col,
-            txn=(app_id, int(batch_id)),
+            spark, store_path, batch_df,
+            id_col=id_col, vec_col=vec_col, txn=txn,
         )
 
-    return (
-        vec_stream.writeStream.foreachBatch(_append)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
-        .start()
+    return stream_txn_append(
+        vec_stream, f"{store_path}/_stream_checkpoint", app_id, _append
     )
 
 

@@ -786,7 +786,19 @@ def hybrid_index_append(
     re-embedding history; quantizer drift until the next rebuild is the
     standard Faiss ``add`` trade. Returns the new version."""
     from prometheus_parquet_server_spark.pipeline.pq import ivfpq_append
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+    )
 
+    # geometry guard, the index family's loud driver-side convention: a
+    # mismatched dim would otherwise surface only as an executor-side
+    # numpy shape error inside the encode kernel
+    pinned_dim = int(snapshot_properties(spark, store_path)["pq_dim"])
+    if pinned_dim != dim:
+        raise ValueError(
+            f"hybrid_index_append: dim={dim} does not match the index's "
+            f"pinned pq_dim={pinned_dim} at {store_path}"
+        )
     corpus = _hash_embed_corpus(
         new_docs, dim, text_col, id_col
     ).localCheckpoint()
@@ -810,17 +822,16 @@ def stream_hybrid_index_ingest(
     commit. Requires an existing index; one writer per checkpoint; new
     app_id on checkpoint reset (the stream_ivf_ingest caveat)."""
 
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_txn_append,
+    )
+
+    def _append(batch_df: DataFrame, txn: tuple[str, int]) -> None:
         hybrid_index_append(
             spark, store_path, batch_df, dim=dim, text_col=text_col,
-            id_col=id_col, txn=(app_id, int(batch_id)),
+            id_col=id_col, txn=txn,
         )
 
-    return (
-        doc_stream.writeStream.foreachBatch(_append)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_path}/_stream_checkpoint_docs")
-        .start()
+    return stream_txn_append(
+        doc_stream, f"{store_path}/_stream_checkpoint_docs", app_id, _append
     )

@@ -95,6 +95,38 @@ def stream_windowed_rate(
     )
 
 
+def stream_txn_append(
+    stream: DataFrame,
+    checkpoint_location: str,
+    app_id: str,
+    ingest_fn,
+) -> StreamingQuery:
+    """The SHARED foreachBatch transactional-append scaffold behind the
+    ``stream_*_ingest`` twins (rollup, IVF, IVF-PQ, hybrid index):
+    skip empty micro-batches, call ``ingest_fn(batch_df, txn)`` with
+    ``txn = (app_id, batch_id)`` so the store's marker makes redelivered
+    batches version-preserving no-ops, drain with ``availableNow``, and
+    checkpoint at the given location. The mechanics live ONCE here so a
+    fix to any of them (as with round 10's side-scoped app_id) cannot
+    miss a twin. One writer per app_id/checkpoint; batch ids restart at
+    0 on a checkpoint reset, so pass a NEW app_id whenever the
+    checkpoint is reset or relocated (the stream_ivf_ingest caveat).
+    Twins with EXTRA per-batch behavior (minhash/dedup compaction
+    cadence, the DSIR drift hook) keep their own bodies by design."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_fn(batch_df, (app_id, int(batch_id)))
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
 def stream_rollup_ingest(
     events_stream: DataFrame,
     spark: SparkSession,
@@ -122,11 +154,7 @@ def stream_rollup_ingest(
     termination)."""
     from prometheus_parquet_server_spark.operators.rollup import rollup_ingest
 
-    app_id = "stream_rollup_ingest"
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _fold(batch_df: DataFrame, txn: tuple[str, int]) -> None:
         rollup_ingest(
             spark,
             store_path,
@@ -135,17 +163,14 @@ def stream_rollup_ingest(
             ts_col=ts_col,
             value_col=value_col,
             name_col=name_col,
-            txn=(app_id, int(batch_id)),
+            txn=txn,
         )
 
-    return (
-        events_stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            f"{store_path}/_stream_checkpoint",
-        )
-        .start()
+    return stream_txn_append(
+        events_stream,
+        f"{store_path}/_stream_checkpoint",
+        "stream_rollup_ingest",
+        _fold,
     )
 
 
