@@ -752,6 +752,31 @@ def ivfpq_search(
     )
 
 
+#: serving-path cache for the version-pinned quantizers/rotation: a
+#: committed version's content is immutable (rebuilds COMMIT a NEW
+#: version — overwrite is itself a version bump, verified monotonic),
+#: so (app, store, version) identifies the bytes; caching cuts two
+#: driver collects off every search against a warm index. Bounded FIFO
+#: so long sessions touching many stores stay flat.
+_QUANTIZER_CACHE: dict[tuple, tuple] = {}
+_QUANTIZER_CACHE_MAX = 32
+
+
+def _cache_get(spark, kind: str, store_path: str, version: int):
+    return _QUANTIZER_CACHE.get(
+        (spark.sparkContext.applicationId, kind, store_path, version)
+    )
+
+
+def _cache_put(spark, kind: str, store_path: str, version: int, value):
+    if len(_QUANTIZER_CACHE) >= _QUANTIZER_CACHE_MAX:
+        _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
+    _QUANTIZER_CACHE[
+        (spark.sparkContext.applicationId, kind, store_path, version)
+    ] = value
+    return value
+
+
 def _load_quantizers(
     spark, store_path: str, version: int, m: int, k_codes: int
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
@@ -759,10 +784,17 @@ def _load_quantizers(
     and append so the reconstruction cannot drift): coarse centroids from
     the ``_coarse`` slice, residual codewords from ``_codebook`` with the
     ``vec_id = s·k_codes + j`` layout validated against the pinned
-    geometry before any positional indexing."""
+    geometry before any positional indexing. Cached per committed
+    version (immutable — see _QUANTIZER_CACHE)."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_read,
     )
+
+    cached = _cache_get(spark, "q", store_path, version)
+    if cached is not None and len(cached[1]) == m and all(
+        len(sub) == k_codes for sub in cached[1]
+    ):
+        return cached
 
     cent_rows = (
         snapshot_read(spark, store_path, version=version, names=[COARSE_NAME])
@@ -789,7 +821,7 @@ def _load_quantizers(
         [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
         for s in range(m)
     ]
-    return coarse, codebook
+    return _cache_put(spark, "q", store_path, version, (coarse, codebook))
 
 
 def ivfpq_rerank(
@@ -934,10 +966,15 @@ def ivfpq_rerank(
 def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray:
     """Version-pinned load of the persisted OPQ rotation (``_rotation``
     reserved rows, vec_id = row index) — shared by search and append so
-    probe/vector rotation cannot drift from the build's corpus rotation."""
+    probe/vector rotation cannot drift from the build's corpus rotation.
+    Cached per committed version (immutable — see _QUANTIZER_CACHE)."""
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_read,
     )
+
+    cached = _cache_get(spark, "r", store_path, version)
+    if cached is not None and cached.shape == (dim, dim):
+        return cached
 
     rows = (
         snapshot_read(spark, store_path, version=version, names=[ROTATION_NAME])
@@ -950,7 +987,10 @@ def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray
             f"rows; pinned pq_dim={dim} requires {dim} — truncated or foreign "
             f"store"
         )
-    return np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return _cache_put(
+        spark, "r", store_path, version,
+        np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64),
+    )
 
 
 def ivfpq_append(
