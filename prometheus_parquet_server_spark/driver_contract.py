@@ -4100,6 +4100,53 @@ def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "n_contaminated_grams")
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs a reference corpus (pipeline/split.py
+    novelty_counts — the freshness/memorization complement of
+    contamination): distinct word-bigram counts and how many never occur
+    in the deterministic reference slice (doc_id % 17 == 3, the DSIR
+    target convention), reference members excluded from the audited
+    side. All-integer output; the oracle replays the shared
+    word_ngram_hashes identity, the anti-membership, and the tallies."""
+    from prometheus_parquet_server_spark.pipeline.split import novelty_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 17 == 3)
+    return novelty_counts(docs.filter(F.col("doc_id") % 17 != 3), ref, n=2)
+
+
+SQL_TEXT_NOVELTY = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents WHERE doc_id IS NOT NULL
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                    i -> md5(t[i] || ' ' || t[i + 1]))
+               ELSE CAST([] AS VARCHAR[]) END) AS gs
+    FROM toks
+),
+ref AS (
+    SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 17 = 3
+),
+dg AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 17 <> 3
+),
+novel AS (
+    SELECT d.doc_id, COUNT(*) AS n_novel
+    FROM dg d LEFT JOIN ref r USING (gram)
+    WHERE r.gram IS NULL GROUP BY d.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+FROM (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id) t
+LEFT JOIN novel nv USING (doc_id)
+"""
+
+
 SQL_PIPELINE_CONTAMINATION = """
 WITH toks AS (
     SELECT doc_id,
@@ -6880,6 +6927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split": q_pipeline_split,
     "pipeline_packing": q_pipeline_packing,
     "pipeline_contamination": q_pipeline_contamination,
+    "text_novelty": q_text_novelty,
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
     "promql_count_values": q_promql_count_values,
@@ -6985,6 +7033,7 @@ ORACLES: dict[str, str] = {
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
+    "text_novelty": SQL_TEXT_NOVELTY,
     "pipeline_pii_scrub": SQL_PIPELINE_PII_SCRUB,
     "text_repetition": SQL_TEXT_REPETITION,
     "pipeline_capped_sample": SQL_PIPELINE_CAPPED_SAMPLE,

