@@ -108,7 +108,11 @@ def _metrics_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     ev = _events(spark, sf_dir)
     out = (
-        ev.select(
+        # NULL-ts ingest rule (round 12, twin of _METRICS_CTE's guard): a
+        # sample has a MANDATORY timestamp — drop NULL ts before anything
+        # orders or buckets by it.
+        ev.where(F.col("ts").isNotNull())
+        .select(
             F.col("event_type").alias("name"),
             # Prometheus has no NULL label values: a missing label IS the
             # empty string (the absent-label matcher semantics). Without
@@ -183,11 +187,17 @@ def _sql_unit_sum(expr: str, scale: float = 1e6, guarded: bool = True) -> str:
 
 _METRICS_CTE = """
 metrics AS (
+    -- NULL-ts ingest rule (round 12): a Prometheus sample has a MANDATORY
+    -- timestamp (the reference stores int64 µs, src/timeseries.rs) — a row
+    -- with no ts is not a sample on either engine. Also removes the
+    -- engine-dependent NULL sort placement (Spark NULLS FIRST vs DuckDB
+    -- NULLS LAST) from every window over ts.
     SELECT event_type AS name,
            coalesce(CAST(user_id AS VARCHAR), '') AS user_id,
            epoch_us(ts) / 1000000.0 AS ts,
            coalesce(MAX(value), CAST('NaN' AS DOUBLE)) AS value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
 )"""
 
@@ -518,7 +528,11 @@ HQ_PHI = 0.95
 def _hq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative histogram series synthesized from events: per event_type
     and 6h window, counts of value <= threshold (plus +Inf total)."""
-    ev = _events(spark, sf_dir)
+    # NULL-ts ingest rule (round 12, twin of the oracle bucket CTE's
+    # guard): a row with no timestamp is not a sample — without the drop
+    # both engines would keep a NULL time bucket, and every window that
+    # then orders by ts places it engine-dependently.
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     win_us = int(HQ_WINDOW_S * 1e6)
     wts = (F.floor(epoch_micros(ev) / F.lit(win_us)) * F.lit(HQ_WINDOW_S)).alias("ts")
     aggs = [
@@ -565,7 +579,7 @@ WITH buckets AS (
            (epoch_us(ts) // {int(HQ_WINDOW_S * 1e6)}) * {_d(HQ_WINDOW_S)} AS ts,
            {_HQ_CASES}
            COUNT(*)::DOUBLE AS binf
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 longb AS ({_HQ_UNION}),
 walk AS (
@@ -665,7 +679,7 @@ bwin AS (
            (epoch_us(ts) // {int(HQ_WINDOW_S * 1e6)}) * {_d(HQ_WINDOW_S)} AS ts,
            {_HQ_CASES}
            COUNT(*)::DOUBLE AS binf
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 blong AS ({_HQ_RATE_UNION}),
 bcum AS (
@@ -1493,7 +1507,7 @@ def q_m2_metric_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _metrics_flat(spark, sf_dir).select("name").distinct()
 
 
-SQL_M2 = "SELECT DISTINCT event_type AS name FROM events"
+SQL_M2 = "SELECT DISTINCT event_type AS name FROM events WHERE ts IS NOT NULL"
 
 
 def q_m3_series_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,7 +1519,7 @@ def q_m3_series_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_M3 = """
 SELECT CAST(COUNT(*) AS BIGINT) AS series_count
-FROM (SELECT DISTINCT event_type, user_id FROM events)
+FROM (SELECT DISTINCT event_type, user_id FROM events WHERE ts IS NOT NULL)
 """
 
 
@@ -5640,7 +5654,13 @@ def q_events_sessionize_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_SESSIONIZE = """
 WITH base AS (
+    -- NULL-ts contract (round 12): rows with NULL ts are dropped on BOTH
+    -- engines. Without the guard the window's NULL placement is
+    -- engine-dependent (Spark NULLS FIRST vs DuckDB NULLS LAST), which
+    -- moves a NULL-ts event between the user's first and last session at
+    -- identical row counts — the CORRECTNESS_r11 hash-only signature.
     SELECT user_id, epoch_us(ts) / 1000000.0 AS ts_s, value FROM events
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT user_id, ts_s, value,
@@ -5709,8 +5729,10 @@ FROM sess
 # session_seq and sum_value_u cast back to BIGINT to match Spark's long.
 SQL_EVENTS_SESSIONIZE_INT = """
 WITH base AS (
+    -- NULL-ts contract: same drop as SQL_EVENTS_SESSIONIZE (see there)
     SELECT user_id, epoch_us(ts) AS ts_us,
            epoch_us(ts) / 1000000.0 AS ts_s, value FROM events
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT user_id, ts_us, ts_s, value,
@@ -5748,9 +5770,11 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prometheus_parquet_server_spark.operators.rollup import rollup_cascade
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NULL-ts ingest rule (round 12): a row with no timestamp has no time
+    # bucket — dropped on both engines (oracle: WHERE ts IS NOT NULL)
     base = ev.select(
         "event_type", (epoch_micros(ev) / F.lit(1e6)).alias("ts"), "value"
-    )
+    ).where(F.col("ts").isNotNull())
     day = rollup_cascade(
         base, widths_s=(60.0, 3600.0, 86400.0), by=("event_type",), unit_scale=1e6
     )[86400.0]
@@ -5802,7 +5826,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
             "value",
             "user_id",
-        )
+        ).where(F.col("ts").isNotNull())  # NULL-ts ingest rule (round 12)
         for band in range(3):
             # coalesce: a NULL user_id would satisfy NO band (pmod(NULL)
             # is NULL) and silently vanish from the incremental store
@@ -5858,11 +5882,13 @@ def q_snapshot_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write(
             spark,
             store,
+            # NULL-ts ingest rule (round 12): the store rejects NULL/NaN
+            # keys by contract — clean the batch like any real ingest
             ev.select(
                 F.col("event_type").alias("name"),
                 (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
                 "value",
-            ),
+            ).where(F.col("ts").isNotNull()),
             mode="overwrite",
         )
         _STATS_STORE_CACHE[key] = store
@@ -5880,7 +5906,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(epoch_us(ts) / 1000000.0) AS min_ts,
        MAX(epoch_us(ts) / 1000000.0) AS max_ts
 FROM events
-WHERE event_type IN ('click', 'view')
+WHERE event_type IN ('click', 'view') AND ts IS NOT NULL
 """
 
 
@@ -5914,11 +5940,13 @@ def q_snapshot_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write(
             spark,
             store,
+            # NULL-ts ingest rule (round 12): the store rejects NULL/NaN
+            # keys by contract — clean the batch like any real ingest
             ev.select(
                 F.col("event_type").alias("name"),
                 (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
                 "value",
-            ),
+            ).where(F.col("ts").isNotNull()),
             mode="overwrite",
         )
         snapshot_delete(spark, store, names=["error"])
@@ -5939,7 +5967,8 @@ SELECT event_type AS name,
        CAST(COUNT(*) AS BIGINT) AS n,
        {{sum_v}} AS sum_v
 FROM events
-WHERE event_type <> 'error'
+WHERE ts IS NOT NULL
+  AND event_type <> 'error'
   AND NOT (epoch_us(ts) / 1000000.0 BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r})
 GROUP BY event_type
 """.replace("{sum_v}", _sql_unit_sum("value", 1e6))
@@ -5978,8 +6007,9 @@ SELECT event_type AS name,
        value,
        'delete' AS _change
 FROM events
-WHERE event_type = 'error'
-   OR (epoch_us(ts) / 1000000.0 BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r})
+WHERE ts IS NOT NULL
+  AND (event_type = 'error'
+   OR epoch_us(ts) / 1000000.0 BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r})
 """
 
 
@@ -6010,11 +6040,13 @@ def q_snapshot_update_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write(
             spark,
             store,
+            # NULL-ts ingest rule (round 12): the store rejects NULL/NaN
+            # keys by contract — clean the batch like any real ingest
             ev.select(
                 F.col("event_type").alias("name"),
                 (epoch_micros(ev) / F.lit(1e6)).alias("ts"),
                 "value",
-            ),
+            ).where(F.col("ts").isNotNull()),
             mode="overwrite",
         )
         snapshot_update(
@@ -6043,6 +6075,7 @@ WITH base AS (
                      BETWEEN {_DELETE_TS_LO!r} AND {_DELETE_TS_HI!r}
                 THEN value * 2 + 1 ELSE value END AS value
     FROM events
+    WHERE ts IS NOT NULL
 )
 SELECT name,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -6054,7 +6087,9 @@ GROUP BY name
 
 SQL_EVENTS_ROLLUP = """
 WITH base AS (
+    -- NULL-ts ingest rule (round 12): twin of the Spark-side drop
     SELECT event_type, epoch_us(ts) / 1000000.0 AS ts, value FROM events
+    WHERE ts IS NOT NULL
 )
 SELECT event_type,
        FLOOR(ts / 86400.0) * 86400.0 AS bucket_ts,
@@ -6777,6 +6812,7 @@ SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS day_start,
        event_type,
        COUNT(*) AS count
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 

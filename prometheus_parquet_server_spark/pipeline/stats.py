@@ -584,54 +584,19 @@ def hybrid_index_topk(
     )
 
 
-def maxsim_topk(
+def _maxsim_scores(
     df: DataFrame,
     queries: dict[str, list[str]],
-    k: int = 10,
-    dim: int = 64,
-    window: int = 1,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    salt_buckets: int = 32,
+    dim: int,
+    window: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Late-interaction retrieval — MaxSim [Khattab & Zaharia, SIGIR
-    2020 (ColBERT), public knowledge]: instead of one vector per
-    document, every TOKEN POSITION gets a representation, and
-    ``score(q, d) = Σ_{query positions} max_{doc positions}
-    sim(q_i, d_j)`` — the query keeps its token-level structure, so a
-    document matching all query aspects at different places outranks one
-    repeating a single aspect (the failure mode of bag-of-features
-    cosine).
-
-    Token representations here are WINDOWED hash embeddings: position
-    j's vector is the signed-count hash-embed of tokens
-    ``j−window … j+window`` (clamped at the edges). Single-token one-hot
-    vectors would make sim degenerate to same-bucket tests; the window
-    gives each position local context while keeping every weight an
-    EXACT integer. sim = the raw integer dot product; per-(query
-    position) maxima and the final sum are exact integer ops, so the
-    output is all-integer and engine-replayable. Convention: token
-    pairs sharing no bucket have dot 0, so each query position
-    contributes ``greatest(0, max observed dot)`` and documents with no
-    bucket overlap at all are not returned (retrieval semantics, the
-    hash_cosine_topk rule).
-
-    Scale shape: tokens explode to ``(2·window+1)`` window-membership
-    rows — O(tokens) with a constant factor — then ONE hash aggregate
-    to per-position sparse weights (text leaves the scan only as md5
-    buckets), a bucket-equi join against a BROADCAST of the query
-    windows (query side is tiny), and two more bounded aggregates
-    (per-pair dot, per-position max). No doc×doc work, no dense
-    vectors, salted two-stage top-k. Returns ``(query_id, id_col,
-    score_u, rank)``."""
-    from pyspark.sql import Window as W
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if window < 0:
-        raise ValueError(f"window must be >= 0, got {window}")
-    if not queries:
-        raise ValueError("queries must be non-empty")
+    """The MaxSim scoring chain shared by :func:`maxsim_topk` (full-corpus
+    scan) and :func:`maxsim_rerank_topk` (candidate-served): windowed
+    hash-embed token vectors on both sides, exact integer dots / maxima /
+    sums — ``(query_id, id_col, score_u)``. ONE definition so the scan
+    form and the serving form cannot drift in scoring semantics."""
     spark = df.sparkSession
 
     # query windows, driver-side (tiny): same construction as the doc
@@ -701,10 +666,66 @@ def maxsim_topk(
         dots.groupBy("query_id", id_col, "qpos")
         .agg(F.greatest(F.lit(0).cast("long"), F.max("_dot")).alias("_c"))
     )
-    scores = (
+    return (
         contrib.groupBy("query_id", id_col)
         .agg(F.sum("_c").alias("score_u"))
     )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Late-interaction retrieval — MaxSim [Khattab & Zaharia, SIGIR
+    2020 (ColBERT), public knowledge]: instead of one vector per
+    document, every TOKEN POSITION gets a representation, and
+    ``score(q, d) = Σ_{query positions} max_{doc positions}
+    sim(q_i, d_j)`` — the query keeps its token-level structure, so a
+    document matching all query aspects at different places outranks one
+    repeating a single aspect (the failure mode of bag-of-features
+    cosine).
+
+    Token representations here are WINDOWED hash embeddings: position
+    j's vector is the signed-count hash-embed of tokens
+    ``j−window … j+window`` (clamped at the edges). Single-token one-hot
+    vectors would make sim degenerate to same-bucket tests; the window
+    gives each position local context while keeping every weight an
+    EXACT integer. sim = the raw integer dot product; per-(query
+    position) maxima and the final sum are exact integer ops, so the
+    output is all-integer and engine-replayable. Convention: token
+    pairs sharing no bucket have dot 0, so each query position
+    contributes ``greatest(0, max observed dot)`` and documents with no
+    bucket overlap at all are not returned (retrieval semantics, the
+    hash_cosine_topk rule).
+
+    Scale shape: tokens explode to ``(2·window+1)`` window-membership
+    rows — O(tokens) with a constant factor — then ONE hash aggregate
+    to per-position sparse weights (text leaves the scan only as md5
+    buckets), a bucket-equi join against a BROADCAST of the query
+    windows (query side is tiny), and two more bounded aggregates
+    (per-pair dot, per-position max). No doc×doc work, no dense
+    vectors, salted two-stage top-k. Returns ``(query_id, id_col,
+    score_u, rank)``.
+
+    CAVEAT (measured, BASELINE round-11): this form scans EVERY corpus
+    token window per query batch — 4.2× wall at 10× docs at 1M. For
+    serving at scale use :func:`maxsim_rerank_topk`, the
+    candidate-served ColBERT shape (VERDICT r11 Next #2)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    scores = _maxsim_scores(df, queries, dim, window, text_col, id_col)
     order = [F.col("score_u").desc(), F.col(id_col).asc()]
     w_part = W.partitionBy(
         "query_id", F.pmod(F.hash(id_col), F.lit(salt_buckets))
@@ -756,6 +777,176 @@ def hybrid_rrf3_topk(
     late = maxsim_topk(
         df, queries, k=candidates, dim=dim, window=window,
         text_col=text_col, id_col=id_col,
+    )
+    return rrf_fuse(
+        [
+            lex.select("query_id", id_col, "rank"),
+            dense,
+            late.select("query_id", id_col, "rank"),
+        ],
+        k_const=k_const, top_k=k, id_col=id_col,
+    )
+
+
+def maxsim_rerank_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_candidate_ids: int = 100_000,
+) -> DataFrame:
+    """Candidate-served MaxSim — the ColBERT SERVING shape [Khattab &
+    Zaharia, SIGIR 2020 run late interaction only over a candidate set
+    from a cheap first stage]: candidates come from the lexical
+    (:func:`bm25_topk`) and dense (:func:`hash_cosine_topk`) legs (top
+    ``candidates`` each, per query), and the late-interaction scoring
+    touches ONLY those documents. The corpus is pruned BELOW the
+    token-window explode with a driver-collected candidate-id ``isin``
+    filter — the exact pattern that made the persisted-index re-rank
+    flat in corpus size (pipeline/pq.py ivfpq_rerank, EXPLAIN §43):
+    the filter reaches the parquet scan (PushedFilters: In), so the
+    O(tokens·(2·window+1)) explode that makes :func:`maxsim_topk` a
+    scan-shaped operator (measured 4.2× wall at 10× docs, BASELINE
+    round-11) runs over ≤ |queries|·2·``candidates`` documents
+    regardless of corpus size.
+
+    Re-rank semantics: every candidate PAIR gets a MaxSim score —
+    a candidate with no bucket overlap at any position scores exactly
+    0 and still ranks (tie-broken by id), unlike the scan form's
+    retrieval convention which never surfaces it. Scores are the same
+    exact integers as :func:`maxsim_topk` (the literally-shared
+    :func:`_maxsim_scores` chain), so the row grades bit-exact against
+    a full SQL replay. Returns ``(query_id, id_col, score_u, rank)``,
+    rank ≤ ``k`` per query.
+
+    ``max_candidate_ids`` bounds the driver-side id collect and the
+    literal In filter (the ivfpq_rerank ADVICE lesson: an unbounded
+    probe collect is a driver-memory cliff and a 100k-literal In bloats
+    the Catalyst plan) — raise the bound consciously, don't remove it.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the reranked "
+            f"top-k draws from the candidate pool"
+        )
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = hash_cosine_topk(
+        df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
+    )
+    reranked = _maxsim_rerank_scores(
+        df, queries, lex, dense, dim, window, text_col, id_col,
+        max_candidate_ids,
+    )
+    # candidate-bounded (≤ |Q|·2·candidates rows): plain per-query window,
+    # no salting needed
+    from pyspark.sql import Window as W
+
+    w_final = W.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_u", "rank")
+    )
+
+
+def _maxsim_rerank_scores(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    lex: DataFrame,
+    dense: DataFrame,
+    dim: int,
+    window: int,
+    text_col: str,
+    id_col: str,
+    max_candidate_ids: int,
+) -> DataFrame:
+    """The candidate-union → isin-prune → MaxSim-score core shared by
+    :func:`maxsim_rerank_topk` and :func:`hybrid_rrf3_rerank_topk`
+    (which builds the legs ONCE for both candidate generation and its
+    own fusion): ``(query_id, id_col, score_u)`` for every candidate
+    pair, no-overlap pairs scoring exactly 0."""
+    # pin the candidate pairs ONCE and feed BOTH the id-prune and the
+    # final pair join from the pinned frame (the r11 ivfpq_rerank ADVICE
+    # pattern) — the legs are deterministic integer contracts, so this is
+    # a recompute saving, not a correctness need
+    cand = (
+        lex.select("query_id", id_col)
+        .unionByName(dense.select("query_id", id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    ids = sorted(r[0] for r in cand.select(id_col).distinct().collect())
+    if len(ids) > max_candidate_ids:
+        raise ValueError(
+            f"maxsim_rerank_topk: {len(ids)} candidate ids exceed "
+            f"max_candidate_ids={max_candidate_ids} — lower `candidates`/"
+            f"query count or raise the bound consciously"
+        )
+    # prune BELOW the window explode: the In filter pushes to the scan,
+    # so tokenization/explode/hashing only ever see candidate documents
+    pruned = df.filter(F.col(id_col).isin(ids))
+    late = _maxsim_scores(pruned, queries, dim, window, text_col, id_col)
+    return cand.join(late, ["query_id", id_col], "left").select(
+        "query_id",
+        id_col,
+        F.coalesce(F.col("score_u"), F.lit(0).cast("long")).alias("score_u"),
+    )
+
+
+def hybrid_rrf3_rerank_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_candidate_ids: int = 100_000,
+) -> DataFrame:
+    """Tri-modal RRF with the late leg CANDIDATE-SERVED: the serving twin
+    of :func:`hybrid_rrf3_topk`. BM25 and hash-cosine rank as before
+    (O(tokens)-bounded scans); the MaxSim leg re-scores only the
+    lexical∪dense candidate union (:func:`maxsim_rerank_topk`'s pruned
+    chain) instead of scanning every corpus token window, and the three
+    rankings fuse under the same exact-integer RRF. At 100 TB this is
+    the only affordable tri-modal shape — the late leg's cost is bounded
+    by the candidate count, not the corpus."""
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = hash_cosine_topk(
+        df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
+    )
+    from pyspark.sql import Window as W
+
+    reranked = _maxsim_rerank_scores(
+        df, queries, lex, dense, dim, window, text_col, id_col,
+        max_candidate_ids,
+    )
+    w_late = W.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
+    late = (
+        reranked.withColumn("rank", F.row_number().over(w_late))
+        .filter(F.col("rank") <= candidates)
     )
     return rrf_fuse(
         [

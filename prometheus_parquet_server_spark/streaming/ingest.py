@@ -37,7 +37,12 @@ def stream_events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from prometheus_parquet_server_spark.sources.ingest import epoch_micros
 
-    return stream.select(
+    # NULL-ts ingest rule (round 12, twin of the batch _metrics_flat
+    # guard): a sample has a MANDATORY event time. Spark's windowed aggs
+    # silently drop NULL event times anyway — the explicit filter makes
+    # the contract visible and keeps the DuckDB oracles' `WHERE ts IS NOT
+    # NULL` the same rule rather than an engine accident.
+    return stream.where(F.col("ts").isNotNull()).select(
         F.col("event_type").alias("name"),
         F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
         F.timestamp_micros(epoch_micros(stream)).alias("event_time"),

@@ -67,6 +67,14 @@ def sessionize(
     flushed boundaries equal :func:`sessionize_batch` on the same data
     (pinned by tests/test_streaming_server.py)."""
 
+    from pyspark.sql import functions as F
+
+    # NULL-ts contract: same drop as _session_flags (see its docstring) —
+    # a NULL/NaN timestamp has no session membership, and the pandas sort
+    # below would otherwise place it engine-arbitrarily.
+    events = events.where(
+        F.col(ts_col).isNotNull() & ~F.isnan(F.col(ts_col))
+    )
     use_timeout = event_time_col is not None
     if use_timeout:
         events = events.withWatermark(event_time_col, watermark)
@@ -146,10 +154,24 @@ def _session_flags(src, part, ts_col, keep_cols, gap_s):
     but the first tied row, so no tie can raise a _new flag, and the
     per-(user, session) aggregates are functions of the row SET, not
     the order. A secondary key would pin the internal lag order but
-    change nothing observable — documented instead of paid for."""
+    change nothing observable — documented instead of paid for.
+
+    NULL-timestamp contract (round 12, VERDICT r11 Next #1): rows with
+    a NULL ``ts_col`` are DROPPED before the window. A NULL timestamp
+    has no position on the time axis, so no session membership is
+    well-defined for it — and engines disagree on where NULL sorts
+    (Spark windows order ASC NULLS FIRST, DuckDB/Postgres NULLS LAST),
+    which makes any membership the window assigns engine-dependent:
+    for ts = {NULL, 10, 2000, 6000} and gap 1800, Spark glues the NULL
+    row to the FIRST session, DuckDB to the LAST — same session count,
+    same row count, different MIN/MAX/COUNT/SUM per session (the exact
+    rows-green/hash-red signature of CORRECTNESS_r11's sessionize
+    pair). Pinned by tests/test_oracle_edges.py's NULL-ts fixture row
+    and test_sessions.py's divergence regression."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    src = src.where(F.col(ts_col).isNotNull() & ~F.isnan(F.col(ts_col)))
     w = Window.partitionBy(*part).orderBy(ts_col)
     return src.select(
         *part,
@@ -244,6 +266,11 @@ def sessionize_batch_native(
     if gap_s <= 0:
         raise ValueError(f"gap_s must be > 0, got {gap_s}")
     gap_us = int(round(gap_s * 1e6))
+    # NULL-ts contract: same drop as _session_flags (see its docstring) —
+    # a NULL/NaN timestamp would otherwise land in a NULL session_window group.
+    events = events.where(
+        F.col(ts_col).isNotNull() & ~F.isnan(F.col(ts_col))
+    )
     tcol = F.timestamp_micros(
         F.round(F.col(ts_col) * F.lit(1e6)).cast("long")
     )

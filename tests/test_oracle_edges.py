@@ -190,6 +190,14 @@ EDGE_EVENTS = [
     (7, _ts(4000), 2, "click", 7.0, "{}"),   # big session gap
     (8, _ts(4001), 3, "purchase", 0.0, "{}"),
     (9, _ts(4001), 3, "purchase", 0.0, "{}"),  # exact duplicate row
+    # NULL ts (round 12, VERDICT r11 Next #1/#3): the one dirty-data class
+    # the r6–r11 suite missed. Engines disagree on NULL sort placement
+    # (Spark windows ASC NULLS FIRST, DuckDB NULLS LAST), so any
+    # ordering-sensitive operator without an explicit NULL-ts contract
+    # diverges at identical row counts. User 2 has events in TWO sessions
+    # — the adversarial shape where membership moves between first/last.
+    (10, None, 2, "click", 4.0, "{}"),
+    (11, None, 4, "view", 1.0, "{}"),        # NULL ts, user with no other rows
 ]
 
 EDGE_EVENT_QUERIES = [
@@ -245,6 +253,18 @@ EDGE_EVENT_QUERIES = [
     "promql_set_unless",
     "promql_at_modifier",
     "promql_count_values",
+    # round-12 NULL-sort-key audit (VERDICT r11 Next #3): every remaining
+    # ordering-sensitive oracle pair now faces the NULL-ts fixture rows
+    "events_sessionize_int",
+    "events_sessionize_floats",
+    "events_sessionize_md5",
+    "events_sessionize_native",
+    "snapshot_update_events",
+    "snapshot_diff_events",
+    "rollup_incremental",
+    "streaming_interval_join",
+    "promql_subquery",
+    "promql_absent",
 ]
 
 
@@ -432,3 +452,112 @@ def test_edge_tpch_parity(spark, edge_tpch_dir, duck_tpch, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert _norm_rows(scols, srows) == _norm_rows(ocols, orows), name
+
+
+# ---------------------------------------------------------------------------
+# NULL sort-key divergence mechanism (round 12, VERDICT r11 Next #1)
+# ---------------------------------------------------------------------------
+# Spark windows order ASC NULLS FIRST; DuckDB orders ASC NULLS LAST. Over a
+# LAG-gap sessionize this moves a NULL-ts event between a user's FIRST and
+# LAST session at identical row/session counts — rows_match green,
+# hash_match red, the exact CORRECTNESS_r11 signature. Part A pins the
+# mechanism on the UNGUARDED forms (they must diverge); part B proves the
+# shipped NULL-ts contract (drop on both engines) restores bit parity.
+
+_NULLTS_ROWS = [(1, None, 9.0), (1, 10.0, 1.0), (1, 2000.0, 2.0), (1, 6000.0, 4.0)]
+
+
+def _nullts_duck(guard: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW base AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {('CAST(NULL AS DOUBLE)' if t is None else t)}, {v})"
+            for u, t, v in _NULLTS_ROWS
+        )
+        + ") AS t(user_id, ts_s, value)"
+    )
+    return con.execute(
+        f"""
+        WITH flagged AS (
+            SELECT user_id, ts_s, value,
+                   CASE WHEN ts_s - LAG(ts_s) OVER
+                        (PARTITION BY user_id ORDER BY ts_s) > 1800.0
+                        THEN 1 ELSE 0 END AS new_flag
+            FROM base {guard}
+        ),
+        numbered AS (
+            SELECT user_id, ts_s, value,
+                   SUM(new_flag) OVER (PARTITION BY user_id ORDER BY ts_s
+                       ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+               COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM numbered GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+        """
+    ).fetchall()
+
+
+def test_null_ts_ordering_mechanism_diverges_unguarded(spark):
+    """The UNGUARDED gaps-and-islands (pre-round-12 form, inlined here)
+    assigns the NULL-ts row to the user's FIRST session on Spark
+    (NULLS FIRST) and to the LAST on DuckDB (NULLS LAST): same session
+    count, same total rows, different per-session aggregates."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(_NULLTS_ROWS, "user_id long, ts_s double, value double")
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    spark_rows = [
+        tuple(r)
+        for r in df.select(
+            "user_id",
+            "ts_s",
+            "value",
+            F.when((F.col("ts_s") - F.lag("ts_s").over(w)) > 1800.0, 1)
+            .otherwise(0)
+            .alias("_new"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + 1,
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+        .collect()
+    ]
+    duck_rows = _nullts_duck(guard="")
+    # identical shape — the driver's rows_match/schema_match stay green...
+    assert len(spark_rows) == len(duck_rows) == 3
+    # ...but the NULL row's membership moved: Spark glues it to the FIRST
+    # session (n_events=2, sum includes 9.0), DuckDB to the LAST.
+    assert spark_rows != duck_rows
+    assert spark_rows[0][4] == 2 and duck_rows[0][4] == 1   # first session n_events
+    assert spark_rows[-1][4] == 1 and duck_rows[-1][4] == 2  # last session n_events
+
+
+def test_null_ts_contract_restores_parity(spark):
+    """The shipped contract — drop NULL ts on BOTH engines — is bit-exact
+    on the same adversarial fixture, via the real operator."""
+    from prometheus_parquet_server_spark.streaming.sessions import sessionize_batch
+
+    df = spark.createDataFrame(_NULLTS_ROWS, "user_id long, ts_s double, value double")
+    got = [
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize_batch(df, gap_s=1800.0)
+        .orderBy("user_id", "session_seq")
+        .collect()
+    ]
+    want = _nullts_duck(guard="WHERE ts_s IS NOT NULL")
+    assert [tuple(r) for r in want] == got
