@@ -4996,25 +4996,15 @@ dweights AS (
 ),"""
 
 
-def _sql_hybrid_topk(
-    queries: dict[str, list[str]],
-    k: int = 10,
-    candidates: int = 20,
-    k_const: int = 60,
-    dim: int = 64,
-    extra_ctes: str = "",
-    extra_rankings: tuple[str, ...] = (),
+def _sql_hybrid_dense_ctes(
+    queries: dict[str, list[str]], candidates: int, dim: int
 ) -> str:
-    """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
-    idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
-    cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
-    and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
-    sum — query weight literals computed by the SAME
-    _query_hash_weights the engine broadcasts. ``extra_ctes`` (a
-    ``,\\n``-led CTE fragment) and ``extra_rankings`` (CTE names each
-    exposing (query_id, doc_id, rank)) splice additional modalities into
-    the SAME fusion — the tri-modal oracle reuses this builder so the
-    2-way and 3-way replays cannot drift."""
+    """The hash-embed dense-leg CTE block (dnorm/qw/qnorm/dots → ``dense``
+    = (query_id, doc_id, rank ≤ candidates)), factored so the scan hybrid,
+    the tri-modal fusion, and the candidate-served maxsim rerank all
+    replay ONE dense-leg definition. Appends after
+    :func:`_sql_hybrid_lex_stack` (which ends at ``dweights`` with a
+    trailing comma)."""
     from prometheus_parquet_server_spark.pipeline.stats import (
         _query_hash_weights,
     )
@@ -5027,15 +5017,7 @@ def _sql_hybrid_topk(
             sorted({t.lower() for t in terms}), dim
         )
     )
-    rrf_unit = (
-        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
-    )
-    extra_union = "".join(
-        f"\n    UNION ALL\n    SELECT query_id, doc_id, {rrf_unit} AS u "
-        f"FROM {name}"
-        for name in extra_rankings
-    )
-    return _sql_hybrid_lex_stack(queries, candidates, dim) + f"""
+    return f"""
 dnorm AS (
     SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM dweights GROUP BY doc_id
 ),
@@ -5056,7 +5038,39 @@ dense AS (
                    DESC, doc_id) AS rank
     FROM dots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
     QUALIFY rank <= {candidates}
-){extra_ctes},
+)"""
+
+
+def _sql_hybrid_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_const: int = 60,
+    dim: int = 64,
+    extra_ctes: str = "",
+    extra_rankings: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of hybrid_topk: the bm25 CTE stack (same tokenizer /
+    idf / unit-sum ordering as _sql_bm25_topk), the hash-embed long-form
+    cosine side (same md5 bucket/sign math as SQL_TEXT_HASH_EMBED, dot
+    and norms exact integers, ROUND(cos, 9) ranking), and the RRF unit
+    sum — query weight literals computed by the SAME
+    _query_hash_weights the engine broadcasts. ``extra_ctes`` (a
+    ``,\\n``-led CTE fragment) and ``extra_rankings`` (CTE names each
+    exposing (query_id, doc_id, rank)) splice additional modalities into
+    the SAME fusion — the tri-modal oracle reuses this builder so the
+    2-way and 3-way replays cannot drift."""
+    rrf_unit = (
+        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    extra_union = "".join(
+        f"\n    UNION ALL\n    SELECT query_id, doc_id, {rrf_unit} AS u "
+        f"FROM {name}"
+        for name in extra_rankings
+    )
+    return _sql_hybrid_lex_stack(queries, candidates, dim) + _sql_hybrid_dense_ctes(
+        queries, candidates, dim
+    ) + f"""{extra_ctes},
 unioned AS (
     SELECT query_id, doc_id, {rrf_unit} AS u FROM lex
     UNION ALL
@@ -5258,6 +5272,140 @@ m_late AS (
 
 
 SQL_HYBRID_RRF3_TOPK = _sql_hybrid_rrf3_topk(_BM25_QUERIES, k=10, candidates=20)
+
+
+def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-served MaxSim — the ColBERT serving shape
+    (pipeline/stats.py maxsim_rerank_topk; VERDICT r11 Next #2):
+    candidates = BM25 top-20 ∪ hash-cosine top-20 per query, the corpus
+    isin-pruned BELOW the token-window explode (PushedFilters: In — the
+    ivfpq_rerank pattern that made the dense leg flat in corpus size),
+    MaxSim scores computed ONLY for candidate documents through the
+    literally-shared _maxsim_scores chain, every candidate pair ranked
+    (no-overlap pairs score exactly 0). The oracle replays the whole
+    thing: both candidate legs, the candidate union, the pruned maxsim
+    chain, the 0-coalesced rerank."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        maxsim_rerank_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return maxsim_rerank_topk(docs, _BM25_QUERIES, k=10, candidates=20)
+
+
+def _sql_maxsim_rerank_ctes(
+    queries: dict[str, list[str]],
+    candidates: int,
+    dim: int,
+    window: int,
+) -> str:
+    """The candidate-union → prune → MaxSim → 0-coalesced rerank CTE
+    fragment (``,\n``-led; appends after the shared lex stack + dense
+    block, referencing their ``lex``/``dense``/``docs`` CTEs), ending at
+    ``m_rerank`` = (query_id, doc_id, score_u) for every candidate pair.
+    Shared by the standalone rerank oracle and the candidate-served
+    tri-modal fusion so the serving replay cannot drift. The maxsim
+    chain itself is the literally-shared :func:`_sql_maxsim_ctes`, fed
+    the PRUNED tokenized docs — the SQL mirror of the engine's isin
+    pushdown."""
+    return f""",
+cand AS (
+    SELECT DISTINCT query_id, doc_id FROM (
+        SELECT query_id, doc_id FROM lex
+        UNION ALL
+        SELECT query_id, doc_id FROM dense
+    )
+),
+cand_ids AS (SELECT DISTINCT doc_id FROM cand),
+pdocs AS (
+    SELECT d.doc_id, d.toks FROM docs d JOIN cand_ids USING (doc_id)
+),
+{_sql_maxsim_ctes(queries, dim=dim, window=window, p="m_",
+                  docs_src=("pdocs", "toks"))},
+m_rerank AS (
+    SELECT c.query_id, c.doc_id,
+           COALESCE(s.score_u, CAST(0 AS BIGINT)) AS score_u
+    FROM cand c LEFT JOIN m_scores s
+        ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+)"""
+
+
+def _sql_maxsim_rerank_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+) -> str:
+    """DuckDB twin of maxsim_rerank_topk: the shared hybrid lex stack +
+    dense block generate the same candidate legs the engine uses, then
+    the shared rerank fragment scores and ranks them."""
+    return (
+        _sql_hybrid_lex_stack(queries, candidates, dim)
+        + _sql_hybrid_dense_ctes(queries, candidates, dim)
+        + _sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        + f"""
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM m_rerank
+QUALIFY rank <= {k}
+"""
+    )
+
+
+SQL_MAXSIM_RERANK_TOPK = _sql_maxsim_rerank_topk(
+    _BM25_QUERIES, k=10, candidates=20, dim=64, window=1
+)
+
+
+def q_hybrid_rrf3_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-modal RRF with the late leg candidate-served (pipeline/stats.py
+    hybrid_rrf3_rerank_topk): same three modalities as hybrid_rrf3_topk,
+    but the MaxSim leg re-scores only the lexical∪dense candidate union —
+    the affordable tri-modal shape at corpus scale. The oracle splices
+    the shared rerank fragment into the same fusion builder as a third
+    leg."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_rrf3_rerank_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hybrid_rrf3_rerank_topk(docs, _BM25_QUERIES, k=10, candidates=20)
+
+
+def _sql_hybrid_rrf3_rerank_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+) -> str:
+    """Candidate-served tri-modal oracle: the 2-way hybrid builder with
+    the shared rerank fragment spliced in, its late ranking drawn from
+    ``m_rerank`` (rank over ALL candidate pairs, capped at
+    ``candidates`` like the engine's late leg)."""
+    return _sql_hybrid_topk(
+        queries,
+        k=k,
+        candidates=candidates,
+        dim=dim,
+        extra_ctes=_sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        + f""",
+m_late AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_u DESC, doc_id) AS rank
+    FROM m_rerank
+    QUALIFY rank <= {candidates}
+)""",
+        extra_rankings=("m_late",),
+    )
+
+
+SQL_HYBRID_RRF3_RERANK_TOPK = _sql_hybrid_rrf3_rerank_topk(
+    _BM25_QUERIES, k=10, candidates=20
+)
 
 
 _HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}
@@ -6859,15 +7007,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hybrid_topk/dsir_topk/dsir_sample/snapshot_update_events/
     # snapshot_diff_events r10) and stays strict-gate checked by
     # scripts/check_oracles.py.
+    # round-12 rotation (VERDICT r11 Next #1/#2/#4): the r11 red/red
+    # sessionize outcome reopened the file (EXPLAIN §41 correction) and
+    # the judge demonstrated the NULL-ts ordering mechanism (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST); the contract is now pinned on both
+    # engines, and ALL FOUR sessionize rows grade in ONE window —
+    # co-observation removes the cross-round env-stability assumption.
+    # maxsim_rerank_topk (candidate-served ColBERT shape) and
+    # text_novelty rotate in; displaced rows (dsir_incremental/drift/
+    # topk r11, snapshot_update_events r11) hold driver-green records
+    # and stay strict-gate checked.
     "events_sessionize": q_events_sessionize,
     "events_sessionize_md5": q_events_sessionize_md5,
+    "events_sessionize_int": q_events_sessionize_int,
+    "events_sessionize_floats": q_events_sessionize_floats,
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
-    "dsir_incremental": q_dsir_incremental,
-    "dsir_drift": q_dsir_drift,
-    "dsir_topk": q_dsir_topk,
     "dsir_sample_from_table": q_dsir_sample_from_table,
     "hybrid_index_topk": q_hybrid_index_topk,
-    "snapshot_update_events": q_snapshot_update_events,
+    "maxsim_rerank_topk": q_maxsim_rerank_topk,
+    "text_novelty": q_text_novelty,
     "maxsim_topk": q_maxsim_topk,
     "pipeline_mixture": q_pipeline_mixture,
     "jsonl_ingest": q_jsonl_ingest,
@@ -6920,11 +7078,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "pipeline_prepare_v4": q_pipeline_prepare_v4,
     "events_range_join": q_events_range_join,
-    # demoted round-11 (driver-green records: int r09+r10, floats r10,
-    # ivfpq/hybrid/snapshot rows r10; all still strict-gate checked):
-    "events_sessionize_int": q_events_sessionize_int,
-    "events_sessionize_floats": q_events_sessionize_floats,
+    # demoted round-11 (driver-green records: ivfpq/hybrid/snapshot rows
+    # r10; all still strict-gate checked):
     "ivfpq_topk": q_ivfpq_topk,
+    # demoted round-12 (driver-green r11; strict-gate checked):
+    "dsir_incremental": q_dsir_incremental,
+    "dsir_drift": q_dsir_drift,
+    "dsir_topk": q_dsir_topk,
+    "snapshot_update_events": q_snapshot_update_events,
+    "hybrid_rrf3_rerank_topk": q_hybrid_rrf3_rerank_topk,
     "ivfpq_store_topk": q_ivfpq_store_topk,
     "snapshot_diff_events": q_snapshot_diff_events,
     "dsir_sample": q_dsir_sample,
@@ -6963,7 +7125,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split": q_pipeline_split,
     "pipeline_packing": q_pipeline_packing,
     "pipeline_contamination": q_pipeline_contamination,
-    "text_novelty": q_text_novelty,
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
     "promql_count_values": q_promql_count_values,
@@ -7103,6 +7264,8 @@ ORACLES: dict[str, str] = {
     "dsir_sample_from_table": SQL_DSIR_SAMPLE,
     "hybrid_index_topk": SQL_HYBRID_INDEX_TOPK,
     "maxsim_topk": SQL_MAXSIM_TOPK,
+    "maxsim_rerank_topk": SQL_MAXSIM_RERANK_TOPK,
+    "hybrid_rrf3_rerank_topk": SQL_HYBRID_RRF3_RERANK_TOPK,
     "hybrid_rrf3_topk": SQL_HYBRID_RRF3_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pq_topk": SQL_PQ_TOPK,

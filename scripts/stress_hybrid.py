@@ -109,6 +109,17 @@ def run(spark, n):
     t0 = time.time()
     n_late = maxsim_topk(docs, QUERIES, k=20).count()
     walls["maxsim_topk"] = round(time.time() - t0, 2)
+    # candidate-served MaxSim (round 12, VERDICT r11 Next #2): candidates
+    # from the lexical+dense legs, isin-prune BELOW the token-window
+    # explode — late-interaction cost bounded by the candidate count, so
+    # the wall should go FLAT in corpus size where the scan form is 4.2x
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        maxsim_rerank_topk,
+    )
+
+    t0 = time.time()
+    n_rerank = maxsim_rerank_topk(docs, QUERIES, k=20, candidates=20).count()
+    walls["maxsim_rerank_topk"] = round(time.time() - t0, 2)
     # index-served dense side (VERDICT r10 Next #4): one offline build,
     # then the query-time dense cost is probed-cell codes + k_adc raw
     # joins instead of the full O(tokens) embed+scan
@@ -139,7 +150,7 @@ def run(spark, n):
     return {
         "n_docs": n,
         "walls_s": walls,
-        "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late],
+        "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late, n_rerank],
         "fused_top10_in_planted_slice": hits(rows),
         "index_fused_top10_in_planted_slice": hits(idx_rows),
     }

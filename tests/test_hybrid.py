@@ -382,3 +382,118 @@ def test_hybrid_index_append_and_stream_ingest(spark, tmp_path):
     q2 = stream_hybrid_index_ingest(stream, spark, store)
     q2.awaitTermination(120)
     assert snapshot_version(spark, store) == v_after  # replay deduped
+
+
+def test_maxsim_rerank_topk_candidate_served(spark):
+    """Candidate-served MaxSim (stats.maxsim_rerank_topk — the ColBERT
+    serving shape): (1) a candidate's score equals the scan form's score
+    for the same (query, doc) pair — the literally-shared _maxsim_scores
+    chain; (2) a candidate with NO bucket overlap still ranks with score
+    exactly 0 (the rerank convention the scan form lacks); (3) every
+    returned doc IS a lexical∪dense candidate; (4) deterministic;
+    (5) the candidate-id bound raises loudly."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        bm25_topk,
+        hash_cosine_topk,
+        maxsim_rerank_topk,
+        maxsim_topk,
+    )
+
+    docs = _docs(spark, [
+        (1, "hash join fast pipeline"),
+        (2, "hash hash hash hash hash"),
+        (3, "unrelated filler text body"),
+        (4, "fast hash"),
+        (5, "join stream plan"),
+        (6, "totally different words entirely"),
+    ])
+    queries = {"qa": ["hash", "join", "fast"]}
+    out = maxsim_rerank_topk(docs, queries, k=6, candidates=6).collect()
+    got = {r["doc_id"]: (r["score_u"], r["rank"]) for r in out}
+
+    # (3) returned ⊆ candidates
+    cand = {
+        r["doc_id"]
+        for r in bm25_topk(docs, queries, k=6).collect()
+    } | {
+        r["doc_id"]
+        for r in hash_cosine_topk(docs, queries, k=6).collect()
+    }
+    assert set(got) <= cand
+
+    # (1) candidate scores equal the scan form's for shared pairs
+    scan = {r["doc_id"]: r["score_u"]
+            for r in maxsim_topk(docs, queries, k=6).collect()}
+    for did, (score, _) in got.items():
+        if did in scan:
+            assert score == scan[did], (did, score, scan[did])
+        else:
+            # (2) candidate without bucket overlap: exact 0, still ranked
+            assert score == 0, (did, score)
+
+    # (4) deterministic
+    again = {r["doc_id"]: (r["score_u"], r["rank"])
+             for r in maxsim_rerank_topk(docs, queries, k=6, candidates=6).collect()}
+    assert again == got
+
+    # (5) guards
+    with pytest.raises(ValueError, match="candidates"):
+        maxsim_rerank_topk(docs, queries, k=5, candidates=3)
+    with pytest.raises(ValueError, match="max_candidate_ids"):
+        maxsim_rerank_topk(docs, queries, k=2, candidates=4,
+                           max_candidate_ids=1)
+    with pytest.raises(ValueError, match="queries"):
+        maxsim_rerank_topk(docs, {}, k=2)
+
+
+def test_hybrid_rrf3_rerank_matches_scan_when_candidates_cover(spark):
+    """When the candidate pool covers every doc the scan form's late leg
+    would rank (small corpus, candidates ≥ corpus), the candidate-served
+    tri-modal fusion returns EXACTLY hybrid_rrf3_topk's rows for docs
+    whose late ranks agree — and in all cases fused scores are exact
+    integer sums of quantized reciprocals from the three legs."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        bm25_topk,
+        hash_cosine_topk,
+        hybrid_rrf3_rerank_topk,
+        maxsim_rerank_topk,
+    )
+
+    docs = _docs(spark, [
+        (1, "hash join fast pipeline"),
+        (2, "hash stream window"),
+        (3, "join fast stream"),
+        (4, "watermark window stream"),
+        (5, "filler body text"),
+    ])
+    queries = {"qa": ["hash", "join"], "qb": ["stream", "window"]}
+    k, c = 4, 5
+    out = hybrid_rrf3_rerank_topk(docs, queries, k=k, candidates=c).collect()
+    # replay the fusion from the three legs' ranks
+    lex = {(r["query_id"], r["doc_id"]): r["rank"]
+           for r in bm25_topk(docs, queries, k=c).collect()}
+    den = {(r["query_id"], r["doc_id"]): r["rank"]
+           for r in hash_cosine_topk(docs, queries, k=c).collect()}
+    late = {(r["query_id"], r["doc_id"]): r["rank"]
+            for r in maxsim_rerank_topk(docs, queries, k=c, candidates=c).collect()}
+
+    def unit(rank):
+        import math
+        return int(math.floor(1e6 / (60 + rank) + 0.5))
+
+    want = {}
+    for key in set(lex) | set(den) | set(late):
+        want[key] = sum(unit(m[key]) for m in (lex, den, late) if key in m)
+    got = {(r["query_id"], r["doc_id"]): r["score_u"] for r in out}
+    for key, score in got.items():
+        assert score == want[key], (key, score, want[key])
+    # rank = dense ordering of fused scores, ties → doc_id
+    for qid in ("qa", "qb"):
+        rows = sorted(
+            [r for r in out if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        expect = sorted(
+            [(kk[1], v) for kk, v in want.items() if kk[0] == qid],
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        assert [(r["doc_id"], r["score_u"]) for r in rows] == expect
