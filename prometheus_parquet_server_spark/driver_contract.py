@@ -5408,6 +5408,27 @@ SQL_HYBRID_RRF3_RERANK_TOPK = _sql_hybrid_rrf3_rerank_topk(
 )
 
 
+def q_maxsim_index_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ColBERT serving stack (pipeline/stats.py
+    maxsim_index_rerank_topk): candidates from BM25 + the PERSISTED
+    IVF-PQ index (the hybrid_index_topk dense leg — ADC on probed-cell
+    codes, exact L2 re-rank), MaxSim late interaction re-scoring ONLY
+    those candidates. Every stage term-filtered, index-served, or
+    candidate-bounded — the near-flat serving shape. The oracle replays
+    the whole stack: the shared lex stack, the factored full IVF-PQ
+    dense replay at iterations=0, the candidate union, the pruned
+    maxsim chain, the 0-coalesced rerank."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        maxsim_index_rerank_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = _hybrid_index_store(spark, sf_dir)
+    return maxsim_index_rerank_topk(
+        spark, docs, store, _BM25_QUERIES, k=10, candidates=20, k_adc=30,
+    )
+
+
 _HYBRID_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -5456,28 +5477,26 @@ def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid_index_topk(
+def _sql_index_dense_ctes(
     queries: dict[str, list[str]],
-    k: int = 10,
     candidates: int = 20,
     k_adc: int = 30,
-    k_const: int = 60,
     dim: int = 64,
     n_cells: int = 8,
     n_probe: int = 2,
     m_sub: int = 8,
     k_codes: int = 8,
 ) -> str:
-    """DuckDB twin of hybrid_index_topk: the SHARED lexical/hash-weight
-    prefix (_sql_hybrid_lex_stack — literally the same string as the
-    scan-hybrid oracle's), the dense corpus densified from the long-form
-    weights (MAP subscript per element; docs with no surviving buckets
-    get the zero vector, matching hash_embed(normalize=False)), then the
-    FULL IVF-PQ replay at iterations=0 — coarse cells from the k lowest
-    doc ids, residual codebook, probe tables from driver-computed query
-    vector literals (the negative-long probe-id convention), ADC
-    candidate cut at k_adc, exact 9-dp L2 re-rank — and the RRF fusion.
-    """
+    """The FULL IVF-PQ-served dense-leg replay at iterations=0 (appends
+    after :func:`_sql_hybrid_lex_stack`, ending at ``dense`` =
+    (query_id, doc_id, rank ≤ candidates)): corpus densified from the
+    long-form weights, coarse cells from the k lowest doc ids, residual
+    codebook, probe tables from driver-computed query vector literals
+    (the negative-long probe-id convention), ADC candidate cut at
+    ``k_adc``, exact 9-dp L2 re-rank. Factored (round 12) so the index
+    hybrid and the index-served maxsim rerank replay ONE dense leg —
+    its ADC cut is named ``adc_cand`` to leave ``cand`` free for the
+    rerank fragment's candidate union."""
     from prometheus_parquet_server_spark.pipeline.stats import (
         _query_hash_vec,
     )
@@ -5488,10 +5507,7 @@ def _sql_hybrid_index_topk(
         f"({-1 - i}, {q(qid)}, CAST([{', '.join(repr(x) for x in _query_hash_vec(queries[qid], dim))}] AS DOUBLE[]))"
         for i, qid in enumerate(sorted(queries))
     )
-    rrf_unit = (
-        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
-    )
-    return _sql_hybrid_lex_stack(queries, candidates, dim) + f"""
+    return f"""
 hmap AS (
     SELECT doc_id, MAP(list(bucket ORDER BY bucket),
                        list(w ORDER BY bucket)) AS mm
@@ -5573,7 +5589,7 @@ adc AS (
     WHERE c.doc_id <> t.probe_id
     GROUP BY 1, 2
 ),
-cand AS (
+adc_cand AS (
     SELECT probe_id, neighbor_id FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
         ORDER BY dist_u, neighbor_id) <= {k_adc}
@@ -5581,7 +5597,7 @@ cand AS (
 exact AS (
     SELECT c.probe_id, c.neighbor_id,
            ROUND({_sql_l2('p.pvec', 'h.v')}, 9) AS d
-    FROM cand c
+    FROM adc_cand c
     JOIN pvq p USING (probe_id)
     JOIN hvecs h ON h.doc_id = c.neighbor_id
 ),
@@ -5591,7 +5607,32 @@ dense AS (
                ORDER BY e.d, e.neighbor_id) AS rank
     FROM exact e JOIN pvq p USING (probe_id)
     QUALIFY rank <= {candidates}
-),
+)"""
+
+
+def _sql_hybrid_index_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_adc: int = 30,
+    k_const: int = 60,
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 8,
+) -> str:
+    """DuckDB twin of hybrid_index_topk: the SHARED lexical/hash-weight
+    prefix (_sql_hybrid_lex_stack — literally the same string as the
+    scan-hybrid oracle's) + the factored full IVF-PQ dense-leg replay
+    (:func:`_sql_index_dense_ctes`) + the RRF fusion."""
+    rrf_unit = (
+        f"CAST(FLOOR({_d(1e6)} / ({k_const} + rank) + {_d(0.5)}) AS BIGINT)"
+    )
+    return _sql_hybrid_lex_stack(queries, candidates, dim) + _sql_index_dense_ctes(
+        queries, candidates=candidates, k_adc=k_adc, dim=dim,
+        n_cells=n_cells, n_probe=n_probe, m_sub=m_sub, k_codes=k_codes,
+    ) + f""",
 unioned AS (
     SELECT query_id, doc_id, {rrf_unit} AS u FROM lex
     UNION ALL
@@ -5610,6 +5651,44 @@ QUALIFY rank <= {k}
 
 
 SQL_HYBRID_INDEX_TOPK = _sql_hybrid_index_topk(
+    _BM25_QUERIES, k=10, candidates=20, k_adc=30
+)
+
+
+def _sql_maxsim_index_rerank_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_adc: int = 30,
+    dim: int = 64,
+    window: int = 1,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 8,
+) -> str:
+    """DuckDB twin of maxsim_index_rerank_topk: the shared lex stack +
+    the factored IVF-PQ dense replay (same strings as the index hybrid
+    oracle) generate the candidate legs, then the SHARED rerank fragment
+    (same string as the scan rerank oracle) scores and ranks them."""
+    return (
+        _sql_hybrid_lex_stack(queries, candidates, dim)
+        + _sql_index_dense_ctes(
+            queries, candidates=candidates, k_adc=k_adc, dim=dim,
+            n_cells=n_cells, n_probe=n_probe, m_sub=m_sub, k_codes=k_codes,
+        )
+        + _sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        + f"""
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM m_rerank
+QUALIFY rank <= {k}
+"""
+    )
+
+
+SQL_MAXSIM_INDEX_RERANK_TOPK = _sql_maxsim_index_rerank_topk(
     _BM25_QUERIES, k=10, candidates=20, k_adc=30
 )
 
@@ -7087,6 +7166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topk": q_dsir_topk,
     "snapshot_update_events": q_snapshot_update_events,
     "hybrid_rrf3_rerank_topk": q_hybrid_rrf3_rerank_topk,
+    "maxsim_index_rerank_topk": q_maxsim_index_rerank_topk,
     "ivfpq_store_topk": q_ivfpq_store_topk,
     "snapshot_diff_events": q_snapshot_diff_events,
     "dsir_sample": q_dsir_sample,
@@ -7265,6 +7345,7 @@ ORACLES: dict[str, str] = {
     "hybrid_index_topk": SQL_HYBRID_INDEX_TOPK,
     "maxsim_topk": SQL_MAXSIM_TOPK,
     "maxsim_rerank_topk": SQL_MAXSIM_RERANK_TOPK,
+    "maxsim_index_rerank_topk": SQL_MAXSIM_INDEX_RERANK_TOPK,
     "hybrid_rrf3_rerank_topk": SQL_HYBRID_RRF3_RERANK_TOPK,
     "hybrid_rrf3_topk": SQL_HYBRID_RRF3_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,

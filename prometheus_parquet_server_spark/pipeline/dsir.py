@@ -539,17 +539,32 @@ def stream_dsir_ingest(
         if state["since"] < drift_every:
             return
         state["since"] = 0
-        row = dsir_drift_total(
-            spark, store_path, state["baseline"], v, side=side
-        ).first()
-        if row["js_frac"] >= drift_tau:
-            on_drift(
-                {
-                    "v_old": state["baseline"],
-                    "v_new": v,
-                    "drift_u": row["drift_u"],
-                    "js_frac": row["js_frac"],
-                }
+        # the ingest COMMIT above is already durable; a failure in the
+        # drift measurement or the user's on_drift callback must not fail
+        # the batch POST-COMMIT — on restart the txn-deduped replay is a
+        # version-unchanged no-op, so that commit's drift alert would be
+        # permanently lost AND the baseline/since state silently reset
+        # (ADVICE r11). Alerts are at-most-once by design; log and go on.
+        try:
+            row = dsir_drift_total(
+                spark, store_path, state["baseline"], v, side=side
+            ).first()
+            if row["js_frac"] >= drift_tau:
+                on_drift(
+                    {
+                        "v_old": state["baseline"],
+                        "v_new": v,
+                        "drift_u": row["drift_u"],
+                        "js_frac": row["js_frac"],
+                    }
+                )
+        except Exception:  # noqa: BLE001 — alerting is best-effort
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "dsir drift measurement/alert failed post-commit "
+                "(batch %s, v=%s) — ingest is durable, alert skipped",
+                batch_id, v,
             )
 
     return (

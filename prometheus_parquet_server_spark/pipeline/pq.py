@@ -649,11 +649,18 @@ def ivfpq_build(
             for kk, v in snapshot_properties(spark, store_path).items()
             if kk.startswith("txn_")
         }
+    import uuid
+
     carried.update(
         pq_m=m, pq_k=k_codes, pq_cells=n_cells,
         pq_dim=dim, pq_n_probe_default=n_probe_default,
         pq_rot=1 if rotation is not None else 0,
         pq_code_type=code_type,
+        # per-BUILD identity for the quantizer cache (ADVICE r11): a
+        # store deleted out-of-band and rebuilt at the same path restarts
+        # version numbering, so (path, version) alone could serve the OLD
+        # build's quantizers from cache; the nonce changes every rebuild
+        pq_store_nonce=uuid.uuid4().hex,
     )
     out = rows.unionByName(cent).unionByName(cw)
     if rotation is not None:
@@ -714,7 +721,10 @@ def ivfpq_search(
     if not (1 <= n_probe <= n_cells):
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
 
-    coarse, codebook = _load_quantizers(spark, store_path, version, m, k_codes)
+    coarse, codebook = _load_quantizers(
+        spark, store_path, version, m, k_codes,
+        nonce=str(props.get("pq_store_nonce", "")),
+    )
 
     # probes collect ONCE: the same collected rows drive cell pruning AND
     # ranking (a non-deterministic probes plan re-collected would prune
@@ -726,7 +736,10 @@ def ivfpq_search(
         # OPQ index: rotate the collected probes driver-side with the
         # version-pinned rotation (probes are already in hand; one tiny
         # numpy matmul — the corpus-side rotation happened at build)
-        R = _load_rotation(spark, store_path, version, int(props["pq_dim"]))
+        R = _load_rotation(
+            spark, store_path, version, int(props["pq_dim"]),
+            nonce=str(props.get("pq_store_nonce", "")),
+        )
         probe_rows = [
             {id_col: r[id_col],
              vec_col: (np.asarray(r[vec_col], dtype=np.float64) @ R).tolist()}
@@ -755,30 +768,36 @@ def ivfpq_search(
 #: serving-path cache for the version-pinned quantizers/rotation: a
 #: committed version's content is immutable (rebuilds COMMIT a NEW
 #: version — overwrite is itself a version bump, verified monotonic),
-#: so (app, store, version) identifies the bytes; caching cuts two
-#: driver collects off every search against a warm index. Bounded FIFO
-#: so long sessions touching many stores stay flat.
+#: so (app, store, version, build-nonce) identifies the bytes; the
+#: pq_store_nonce component (read from the FRESH per-search properties,
+#: so it costs no extra driver job) covers the one hole version pinning
+#: leaves — a store deleted OUT-OF-BAND and rebuilt at the same path
+#: restarts version numbers, and a geometry-compatible rebuild would
+#: otherwise silently serve the old build's quantizers (ADVICE r11).
+#: Caching cuts two driver collects off every search against a warm
+#: index. Bounded FIFO so long sessions touching many stores stay flat.
 _QUANTIZER_CACHE: dict[tuple, tuple] = {}
 _QUANTIZER_CACHE_MAX = 32
 
 
-def _cache_get(spark, kind: str, store_path: str, version: int):
+def _cache_get(spark, kind: str, store_path: str, version: int, nonce: str):
     return _QUANTIZER_CACHE.get(
-        (spark.sparkContext.applicationId, kind, store_path, version)
+        (spark.sparkContext.applicationId, kind, store_path, version, nonce)
     )
 
 
-def _cache_put(spark, kind: str, store_path: str, version: int, value):
+def _cache_put(spark, kind: str, store_path: str, version: int, nonce: str, value):
     if len(_QUANTIZER_CACHE) >= _QUANTIZER_CACHE_MAX:
         _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
     _QUANTIZER_CACHE[
-        (spark.sparkContext.applicationId, kind, store_path, version)
+        (spark.sparkContext.applicationId, kind, store_path, version, nonce)
     ] = value
     return value
 
 
 def _load_quantizers(
-    spark, store_path: str, version: int, m: int, k_codes: int
+    spark, store_path: str, version: int, m: int, k_codes: int,
+    nonce: str = "",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Version-pinned load of the persisted quantizers (shared by search
     and append so the reconstruction cannot drift): coarse centroids from
@@ -790,7 +809,7 @@ def _load_quantizers(
         snapshot_read,
     )
 
-    cached = _cache_get(spark, "q", store_path, version)
+    cached = _cache_get(spark, "q", store_path, version, nonce)
     if cached is not None and len(cached[1]) == m and all(
         len(sub) == k_codes for sub in cached[1]
     ):
@@ -821,7 +840,7 @@ def _load_quantizers(
         [list(cw_rows[s * k_codes + j]["embedding"]) for j in range(k_codes)]
         for s in range(m)
     ]
-    return _cache_put(spark, "q", store_path, version, (coarse, codebook))
+    return _cache_put(spark, "q", store_path, version, nonce, (coarse, codebook))
 
 
 def ivfpq_rerank(
@@ -837,6 +856,7 @@ def ivfpq_rerank(
     vec_col: str = "embedding",
     unit_scale: float = 1e6,
     salt_buckets: int = 32,
+    max_probes: int = 10_000,
 ) -> DataFrame:
     """Exact re-ranking of IVF-PQ candidates — the refinement stage of
     the published pipeline [Jégou et al. 2011 §V, IVFADC+R; Faiss's
@@ -855,6 +875,15 @@ def ivfpq_rerank(
     rows of the raw table — a candidate-bounded broadcast-hash join
     (the candidate side broadcasts; the corpus is scanned once, column-
     pruned to (id, vector)). Returns ``(probe_id, neighbor_id, rank)``.
+
+    The probe set is COLLECTED to the driver (full vectors — that is
+    what pins one probe evaluation for both stages), so its size is a
+    driver-memory bound, not a cluster bound: ``max_probes`` caps it
+    with a loud error (ADVICE r11). Serving batches are typically
+    10s–1000s of probes; raise the cap consciously for offline sweeps.
+    The downstream candidate-id prune already degrades gracefully (the
+    isin pushdown is skipped above 100k distinct candidate ids rather
+    than bloating the Catalyst plan).
     """
     from pyspark.sql import Window
 
@@ -867,9 +896,15 @@ def ivfpq_rerank(
     # produced the candidates (or shrink the pv join so the completeness
     # gate misblames the corpus)
     probes_proj = probes.select(id_col, vec_col)
-    pinned = spark.createDataFrame(
-        probes_proj.collect(), schema=probes_proj.schema
-    )
+    probe_rows = probes_proj.limit(max_probes + 1).collect()
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"ivfpq_rerank: probe batch exceeds max_probes={max_probes} — "
+            f"probes are collected to the driver (full vectors) to pin one "
+            f"evaluation for both stages; split the batch or raise the cap "
+            f"consciously"
+        )
+    pinned = spark.createDataFrame(probe_rows, schema=probes_proj.schema)
     # candidates are tiny (probes × k_adc) — pin them so the
     # completeness check below and the re-rank join share one result
     cand = ivfpq_search(
@@ -963,7 +998,9 @@ def ivfpq_rerank(
     )
 
 
-def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray:
+def _load_rotation(
+    spark, store_path: str, version: int, dim: int, nonce: str = ""
+) -> np.ndarray:
     """Version-pinned load of the persisted OPQ rotation (``_rotation``
     reserved rows, vec_id = row index) — shared by search and append so
     probe/vector rotation cannot drift from the build's corpus rotation.
@@ -972,7 +1009,7 @@ def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray
         snapshot_read,
     )
 
-    cached = _cache_get(spark, "r", store_path, version)
+    cached = _cache_get(spark, "r", store_path, version, nonce)
     if cached is not None and cached.shape == (dim, dim):
         return cached
 
@@ -988,7 +1025,7 @@ def _load_rotation(spark, store_path: str, version: int, dim: int) -> np.ndarray
             f"store"
         )
     return _cache_put(
-        spark, "r", store_path, version,
+        spark, "r", store_path, version, nonce,
         np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64),
     )
 
@@ -1027,12 +1064,18 @@ def ivfpq_append(
         )
     props = snapshot_properties(spark, store_path, version=version)
     m, k_codes = int(props["pq_m"]), int(props["pq_k"])
-    coarse, codebook = _load_quantizers(spark, store_path, version, m, k_codes)
+    coarse, codebook = _load_quantizers(
+        spark, store_path, version, m, k_codes,
+        nonce=str(props.get("pq_store_nonce", "")),
+    )
     sub_dim = len(codebook[0][0])
     if int(props.get("pq_rot", 0)):
         # OPQ index: new vectors must enter the SAME rotated space the
         # frozen quantizers live in (version-pinned R, Arrow matmul)
-        R = _load_rotation(spark, store_path, version, int(props["pq_dim"]))
+        R = _load_rotation(
+            spark, store_path, version, int(props["pq_dim"]),
+            nonce=str(props.get("pq_store_nonce", "")),
+        )
         new_vectors = new_vectors.select(
             F.col(id_col), _rotate_udf(R)(F.col(vec_col)).alias(vec_col)
         )

@@ -167,6 +167,7 @@ def novelty_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     ref_text_col: str | None = None,
+    broadcast_reference: bool = False,
 ) -> DataFrame:
     """Per-document NOVELTY against a reference corpus — the complement
     of benchmark contamination, the freshness/memorization signal of
@@ -182,9 +183,14 @@ def novelty_counts(
     Scale shape: grams leave the scan as md5 hashes only (the SHARED
     :func:`word_ngram_hashes` identity, so the oracle replays it);
     the reference collapses to ONE distinct hash column; membership is
-    a LEFT ANTI equi-join (broadcast when the reference is small);
-    per-doc tallies are one hash aggregate. No text shuffles, no
-    doc×doc work."""
+    a LEFT ANTI equi-join; per-doc tallies are one hash aggregate. No
+    text shuffles, no doc×doc work.
+
+    ``broadcast_reference`` (default False): by default Spark picks the
+    anti-join strategy (AQE broadcasts small builds on its own; a full
+    prior crawl's distinct gram set — billions of rows — must shuffle,
+    and a forced broadcast hint would OOM the driver, ADVICE r11). Set
+    True only when the reference is KNOWN small to pin the broadcast."""
     rcol = ref_text_col or text_col
     ref_grams = (
         reference.select(
@@ -197,8 +203,10 @@ def novelty_counts(
         F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram"),
     )
     totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    if broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
     novel = (
-        doc_grams.join(F.broadcast(ref_grams), "gram", "left_anti")
+        doc_grams.join(ref_grams, "gram", "left_anti")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_novel"))
     )

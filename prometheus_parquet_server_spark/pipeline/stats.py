@@ -502,7 +502,24 @@ def hybrid_index_build(
     # column — and the build reads the corpus twice anyway (codebook
     # training + encoding), so the checkpoint also dedupes the fold.
     corpus = _hash_embed_corpus(df, dim, text_col, id_col).localCheckpoint()
+    _guard_nonnegative_ids(corpus, "hybrid_index_build")
     return ivfpq_build(spark, store_path, corpus, dim=dim, **build_kw)
+
+
+def _guard_nonnegative_ids(corpus: DataFrame, op: str) -> None:
+    """The hybrid-index family maps query probes to NEGATIVE longs
+    (−1−index), so corpus doc ids MUST be non-negative — a corpus doc at
+    id −1−i would collide with probe i: the ADC self-exclusion would
+    silently drop it from that probe's results and the probe_id→query_id
+    join could mislabel rows (ADVICE r11). One cheap agg over the batch
+    being indexed (already materialized); raises loudly."""
+    row = corpus.agg(F.min("vec_id").alias("lo")).first()
+    if row["lo"] is not None and row["lo"] < 0:
+        raise ValueError(
+            f"{op}: corpus contains negative doc id {row['lo']} — the "
+            f"hybrid index reserves negative longs for query probe ids; "
+            f"remap document ids to non-negative before indexing"
+        )
 
 
 def hybrid_index_topk(
@@ -542,8 +559,6 @@ def hybrid_index_topk(
     order) so the ADC kernel's typed (long) probe ids can never collide
     with corpus ids — document ids must be non-negative. Returns
     ``(query_id, id_col, score_u, rank)``, all-integer scores."""
-    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_rerank
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if candidates < k:
@@ -560,6 +575,36 @@ def hybrid_index_topk(
         raise ValueError("queries must be non-empty")
 
     lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = _index_dense_ranks(
+        spark, df, store_path, queries, candidates, k_adc, n_probe,
+        dim, text_col, id_col, version,
+    )
+    return rrf_fuse(
+        [lex.select("query_id", id_col, "rank"), dense],
+        k_const=k_const, top_k=k, id_col=id_col,
+    )
+
+
+def _index_dense_ranks(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    queries: dict[str, list[str]],
+    candidates: int,
+    k_adc: int,
+    n_probe: int | None,
+    dim: int,
+    text_col: str,
+    id_col: str,
+    version: int | None,
+) -> DataFrame:
+    """The index-served dense leg shared by :func:`hybrid_index_topk` and
+    :func:`maxsim_index_rerank_topk`: driver-side query hash-embeds as
+    NEGATIVE-long probes (−1−index in sorted query order, so the typed
+    probe ids can never collide with non-negative corpus ids), ADC over
+    the persisted codes in probed cells, exact re-rank of the ADC
+    top-``k_adc`` — ``(query_id, id_col, rank ≤ candidates)``."""
+    from prometheus_parquet_server_spark.pipeline.pq import ivfpq_rerank
 
     qids = sorted(queries)
     probes = spark.createDataFrame(
@@ -575,12 +620,8 @@ def hybrid_index_topk(
         [(-1 - i, qid) for i, qid in enumerate(qids)],
         "probe_id long, query_id string",
     )
-    dense = dense.join(F.broadcast(mapping), "probe_id").select(
+    return dense.join(F.broadcast(mapping), "probe_id").select(
         "query_id", F.col("neighbor_id").alias(id_col), "rank"
-    )
-    return rrf_fuse(
-        [lex.select("query_id", id_col, "rank"), dense],
-        k_const=k_const, top_k=k, id_col=id_col,
     )
 
 
@@ -958,6 +999,70 @@ def hybrid_rrf3_rerank_topk(
     )
 
 
+def maxsim_index_rerank_topk(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    k_adc: int = 30,
+    n_probe: int | None = None,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: int | None = None,
+    max_candidate_ids: int = 100_000,
+) -> DataFrame:
+    """The full ColBERT serving STACK at corpus scale: candidates from
+    BM25 (term-filtered explode — never more than query-term hits) and
+    the PERSISTED IVF-PQ index (ADC on probed-cell codes + exact re-rank,
+    the :func:`hybrid_index_topk` dense leg), late-interaction MaxSim
+    re-scoring ONLY those candidates through the shared pruned chain.
+    Unlike :func:`maxsim_rerank_topk` (whose hash-cosine candidate leg
+    still scans O(corpus tokens) per batch), EVERY stage here is either
+    term-filtered, index-served, or candidate-bounded — the measured
+    near-flat shape (scripts/stress_hybrid.py, BASELINE round-12).
+    Returns ``(query_id, id_col, score_u, rank)``, all-integer scores."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the reranked "
+            f"top-k draws from the candidate pool"
+        )
+    if k_adc < candidates:
+        raise ValueError(
+            f"k_adc ({k_adc}) must be >= candidates ({candidates}) — the "
+            f"exact re-rank can only return what the ADC stage surfaced"
+        )
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    dense = _index_dense_ranks(
+        spark, df, store_path, queries, candidates, k_adc, n_probe,
+        dim, text_col, id_col, version,
+    )
+    reranked = _maxsim_rerank_scores(
+        df, queries, lex, dense, dim, window, text_col, id_col,
+        max_candidate_ids,
+    )
+    from pyspark.sql import Window as W
+
+    w_final = W.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_u", "rank")
+    )
+
+
 def hybrid_index_append(
     spark,
     store_path: str,
@@ -993,6 +1098,7 @@ def hybrid_index_append(
     corpus = _hash_embed_corpus(
         new_docs, dim, text_col, id_col
     ).localCheckpoint()
+    _guard_nonnegative_ids(corpus, "hybrid_index_append")
     return ivfpq_append(spark, store_path, corpus, txn=txn)
 
 

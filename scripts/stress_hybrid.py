@@ -136,6 +136,20 @@ def run(spark, n):
         n_probe=8,
     ).collect()
     walls["hybrid_index_end_to_end"] = round(time.time() - t0, 2)
+    # the full ColBERT serving stack (round 12): BM25 + INDEX candidates,
+    # MaxSim only on candidates — no stage scans corpus token windows and
+    # the dense leg is served from codes, so this is the shape whose wall
+    # should stay near-flat where even maxsim_rerank's cosine leg scans
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        maxsim_index_rerank_topk,
+    )
+
+    t0 = time.time()
+    n_idx_rerank = maxsim_index_rerank_topk(
+        spark, docs, store, QUERIES, k=20, candidates=20, k_adc=40,
+        n_probe=8,
+    ).count()
+    walls["maxsim_index_rerank_topk"] = round(time.time() - t0, 2)
     # planted-signal check: each query's fused top-10 should be dominated
     # by its flavor slice (doc_id % 10 == flavor index)
     slice_of = {"q_engine": 0, "q_ocean": 1, "q_ledger": 2}
@@ -150,7 +164,8 @@ def run(spark, n):
     return {
         "n_docs": n,
         "walls_s": walls,
-        "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late, n_rerank],
+        "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late, n_rerank,
+                 n_idx_rerank],
         "fused_top10_in_planted_slice": hits(rows),
         "index_fused_top10_in_planted_slice": hits(idx_rows),
     }

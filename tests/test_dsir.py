@@ -490,3 +490,48 @@ def test_dsir_drift_total_and_stream_alert(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_drift"):
         stream_dsir_ingest(stream, spark, quiet_store, drift_tau=0.5)
+
+
+def test_stream_dsir_ingest_drift_alert_failure_does_not_fail_batch(
+    spark, tmp_path
+):
+    """ADVICE r11: the drift measurement/on_drift callback runs AFTER the
+    store commit inside foreachBatch — a raising callback must NOT fail
+    the batch post-commit (the txn-deduped replay would be a no-op and
+    the alert permanently lost anyway; alerting is at-most-once by
+    design). The stream must drain cleanly, the ingest must be durable,
+    and a later healthy cycle still works."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_table_read,
+        stream_dsir_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    m = 16
+    a = [(i, f"alpha tok{i % 4}") for i in range(10)]
+    b = [(50 + i, f"omega shift{i % 5} zeta") for i in range(10)]
+    src = f"{tmp_path}/drift_boom_src"
+    _docs(spark, a).coalesce(1).write.mode("overwrite").parquet(src)
+    store = f"file://{tmp_path}/drift_boom_store"
+    stream = spark.readStream.schema(_docs(spark, a).schema).parquet(src)
+
+    def boom(_info):
+        raise RuntimeError("alert sink down")
+
+    q = stream_dsir_ingest(
+        stream, spark, store, side="raw", m=m, drift_tau=0.0, on_drift=boom,
+    )
+    q.awaitTermination(120)  # baseline commit, no alert yet
+
+    _docs(spark, b).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dsir_ingest(
+        stream, spark, store, side="raw", m=m, drift_tau=0.0, on_drift=boom,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None  # callback raised, batch did NOT fail
+    v = snapshot_version(spark, store)
+    assert v == 2  # both commits durable
+    n_rows = dsir_table_read(spark, store).count()
+    assert n_rows > 0

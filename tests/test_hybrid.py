@@ -497,3 +497,66 @@ def test_hybrid_rrf3_rerank_matches_scan_when_candidates_cover(spark):
             key=lambda t: (-t[1], t[0]),
         )[:k]
         assert [(r["doc_id"], r["score_u"]) for r in rows] == expect
+
+
+def test_hybrid_index_rejects_negative_doc_ids(spark, tmp_path):
+    """ADVICE r11: the index family reserves NEGATIVE longs for query
+    probe ids (−1−i) — a corpus doc at a negative id would collide with
+    a probe (ADC self-exclusion silently drops it). Build and append
+    must raise loudly."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_append,
+        hybrid_index_build,
+    )
+
+    bad = _docs(spark, [(-1, "colliding probe id doc"), (1, "fine doc")])
+    store = f"file://{tmp_path}/negidx"
+    with pytest.raises(ValueError, match="negative doc id"):
+        hybrid_index_build(spark, store, bad, dim=64, n_cells=1,
+                           n_probe_default=1, m=8, k_codes=2,
+                           coarse_iterations=0, pq_iterations=0)
+    good = _docs(spark, [(i, f"doc body {i} words") for i in range(8)])
+    hybrid_index_build(spark, store, good, dim=64, n_cells=1,
+                       n_probe_default=1, m=8, k_codes=2,
+                       coarse_iterations=0, pq_iterations=0)
+    with pytest.raises(ValueError, match="negative doc id"):
+        hybrid_index_append(spark, store, bad, dim=64)
+
+
+def test_maxsim_index_rerank_topk_serving_stack(spark, tmp_path):
+    """The full ColBERT serving stack (stats.maxsim_index_rerank_topk):
+    candidate-bounded MaxSim scores equal the scan operator's for shared
+    pairs, returned docs come from the BM25 ∪ index-dense union, and the
+    guards raise."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_index_build,
+        maxsim_index_rerank_topk,
+        maxsim_topk,
+    )
+
+    rows = [
+        (1, "hash join fast pipeline"),
+        (2, "hash hash hash hash hash"),
+        (3, "unrelated filler text body"),
+        (4, "fast hash"),
+        (5, "join stream plan"),
+        (6, "totally different words entirely"),
+    ]
+    docs = _docs(spark, rows)
+    store = f"file://{tmp_path}/msidx"
+    hybrid_index_build(spark, store, docs, dim=64, n_cells=2,
+                       n_probe_default=2, m=8, k_codes=2,
+                       coarse_iterations=0, pq_iterations=0)
+    queries = {"qa": ["hash", "join", "fast"]}
+    out = maxsim_index_rerank_topk(
+        spark, docs, store, queries, k=6, candidates=6, k_adc=6,
+    ).collect()
+    got = {r["doc_id"]: r["score_u"] for r in out}
+    scan = {r["doc_id"]: r["score_u"]
+            for r in maxsim_topk(docs, queries, k=6).collect()}
+    for did, score in got.items():
+        assert score == scan.get(did, 0), (did, score)
+    assert len(out) >= 1
+    with pytest.raises(ValueError, match="k_adc"):
+        maxsim_index_rerank_topk(spark, docs, store, queries, k=2,
+                                 candidates=4, k_adc=3)

@@ -714,3 +714,70 @@ def test_ivfpq_binary_code_storage_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="code_type"):
         ivfpq_build(spark, f"file://{tmp_path}/bad2", df, n_cells=3, m=M,
                     k_codes=3, dim=DIM, code_type="tinyint")
+
+
+def test_quantizer_cache_store_nonce_survives_out_of_band_rebuild(spark, tmp_path):
+    """ADVICE r11: (path, version) alone cannot key the quantizer cache —
+    a store deleted OUT-OF-BAND and rebuilt at the same path restarts
+    version numbers, and a geometry-compatible rebuild would silently
+    serve the OLD build's cached quantizers. The per-build
+    pq_store_nonce breaks the tie: after rm -rf + rebuild with different
+    data at the same (path, version, geometry), a search must reflect
+    the NEW quantizers."""
+    import shutil
+
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    store = f"file://{tmp_path}/noncestore"
+    mat_a = _vecs(16, seed=21)
+    df_a = _frame(spark, mat_a)
+    probes = df_a.filter(F.col("vec_id") < 2)
+    v_a = ivfpq_build(spark, store, df_a, n_cells=2, n_probe_default=2,
+                      m=M, k_codes=2, dim=DIM)
+    first = sorted(
+        tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect()
+    )  # warms the cache for (store, v_a)
+
+    # out-of-band delete + rebuild: same path, same geometry, version
+    # numbering restarts, DIFFERENT data (ids offset so results differ)
+    shutil.rmtree(f"{tmp_path}/noncestore")
+    df_b = spark.createDataFrame(
+        [(100 + i, [float(x) for x in row])
+         for i, row in enumerate(_vecs(16, seed=22))],
+        "vec_id long, embedding array<double>",
+    )
+    v_b = ivfpq_build(spark, store, df_b, n_cells=2, n_probe_default=2,
+                      m=M, k_codes=2, dim=DIM)
+    assert v_b == v_a  # version numbers really did restart
+    second = sorted(
+        tuple(r) for r in ivfpq_search(spark, store, probes, k=5).collect()
+    )
+    # every neighbor must come from the NEW corpus (ids >= 100): stale
+    # cached quantizers of the old build would keep old-geometry cells
+    # but the codes table is new — the discriminating signal is that the
+    # search runs at all AND returns only new-corpus ids
+    assert all(r[1] >= 100 for r in second), second
+    assert first != second
+
+
+def test_ivfpq_rerank_max_probes_cap(spark, tmp_path):
+    """ADVICE r11: the probe batch is collected to the driver (full
+    vectors); the cap raises loudly instead of cliffing."""
+    from prometheus_parquet_server_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_rerank,
+    )
+
+    mat = _vecs(12, seed=23)
+    df = _frame(spark, mat)
+    store = f"file://{tmp_path}/probecap"
+    ivfpq_build(spark, store, df, n_cells=2, n_probe_default=2, m=M,
+                k_codes=2, dim=DIM)
+    probes = df.filter(F.col("vec_id") < 4)
+    with pytest.raises(ValueError, match="max_probes"):
+        ivfpq_rerank(spark, store, probes, df, k=2, k_adc=4, max_probes=3)
+    ok = ivfpq_rerank(spark, store, probes, df, k=2, k_adc=4, max_probes=4)
+    assert ok.count() == 8
