@@ -5295,7 +5295,6 @@ def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_maxsim_rerank_ctes(
     queries: dict[str, list[str]],
-    candidates: int,
     dim: int,
     window: int,
 ) -> str:
@@ -5343,7 +5342,7 @@ def _sql_maxsim_rerank_topk(
     return (
         _sql_hybrid_lex_stack(queries, candidates, dim)
         + _sql_hybrid_dense_ctes(queries, candidates, dim)
-        + _sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        + _sql_maxsim_rerank_ctes(queries, dim, window)
         + f"""
 SELECT query_id, doc_id, score_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5390,7 +5389,7 @@ def _sql_hybrid_rrf3_rerank_topk(
         k=k,
         candidates=candidates,
         dim=dim,
-        extra_ctes=_sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        extra_ctes=_sql_maxsim_rerank_ctes(queries, dim, window)
         + f""",
 m_late AS (
     SELECT query_id, doc_id,
@@ -5677,7 +5676,7 @@ def _sql_maxsim_index_rerank_topk(
             queries, candidates=candidates, k_adc=k_adc, dim=dim,
             n_cells=n_cells, n_probe=n_probe, m_sub=m_sub, k_codes=k_codes,
         )
-        + _sql_maxsim_rerank_ctes(queries, candidates, dim, window)
+        + _sql_maxsim_rerank_ctes(queries, dim, window)
         + f"""
 SELECT query_id, doc_id, score_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -7165,6 +7164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_drift": q_dsir_drift,
     "dsir_topk": q_dsir_topk,
     "snapshot_update_events": q_snapshot_update_events,
+    # NEW round-12 tail rows (NO driver-green record yet — strict-gate
+    # bit-exact both SFs only; rotate into the head to earn one):
     "hybrid_rrf3_rerank_topk": q_hybrid_rrf3_rerank_topk,
     "maxsim_index_rerank_topk": q_maxsim_index_rerank_topk,
     "ivfpq_store_topk": q_ivfpq_store_topk,

@@ -889,8 +889,15 @@ def maxsim_rerank_topk(
         df, queries, lex, dense, dim, window, text_col, id_col,
         max_candidate_ids,
     )
-    # candidate-bounded (≤ |Q|·2·candidates rows): plain per-query window,
-    # no salting needed
+    return _rank_candidates(reranked, k, id_col)
+
+
+def _rank_candidates(reranked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """The ONE rerank ranking contract (score_u desc, id asc, rank ≤ k)
+    shared by the scan-served and index-served serving shapes — a
+    tie-break or cap change lands in both or neither. Candidate-bounded
+    input (≤ |Q|·2·candidates rows): plain per-query window, no salting
+    needed."""
     from pyspark.sql import Window as W
 
     w_final = W.partitionBy("query_id").orderBy(
@@ -967,15 +974,27 @@ def hybrid_rrf3_rerank_topk(
     rankings fuse under the same exact-integer RRF. At 100 TB this is
     the only affordable tri-modal shape — the late leg's cost is bounded
     by the candidate count, not the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if candidates < k:
         raise ValueError(
             f"candidates ({candidates}) must be >= k ({k}) — the fused "
             f"top-k draws from each side's candidate pool"
         )
-    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    # pin BOTH legs once: _maxsim_rerank_scores materializes the
+    # candidate union from them AND rrf_fuse consumes their rankings —
+    # without the checkpoint the full-corpus bm25/cosine scans run TWICE
+    # (review finding, round 12)
+    lex = bm25_topk(
+        df, queries, k=candidates, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
     dense = hash_cosine_topk(
         df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint()
     from pyspark.sql import Window as W
 
     reranked = _maxsim_rerank_scores(
@@ -1051,16 +1070,7 @@ def maxsim_index_rerank_topk(
         df, queries, lex, dense, dim, window, text_col, id_col,
         max_candidate_ids,
     )
-    from pyspark.sql import Window as W
-
-    w_final = W.partitionBy("query_id").orderBy(
-        F.col("score_u").desc(), F.col(id_col).asc()
-    )
-    return (
-        reranked.withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score_u", "rank")
-    )
+    return _rank_candidates(reranked, k, id_col)
 
 
 def hybrid_index_append(
