@@ -7103,10 +7103,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample_from_table": q_dsir_sample_from_table,
     "hybrid_index_topk": q_hybrid_index_topk,
     "maxsim_rerank_topk": q_maxsim_rerank_topk,
+    "maxsim_index_rerank_topk": q_maxsim_index_rerank_topk,
+    "hybrid_rrf3_rerank_topk": q_hybrid_rrf3_rerank_topk,
     "text_novelty": q_text_novelty,
     "maxsim_topk": q_maxsim_topk,
-    "pipeline_mixture": q_pipeline_mixture,
-    "jsonl_ingest": q_jsonl_ingest,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
     "tpch_q1": q_tpch_q1,
@@ -7164,10 +7164,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_drift": q_dsir_drift,
     "dsir_topk": q_dsir_topk,
     "snapshot_update_events": q_snapshot_update_events,
-    # NEW round-12 tail rows (NO driver-green record yet — strict-gate
-    # bit-exact both SFs only; rotate into the head to earn one):
-    "hybrid_rrf3_rerank_topk": q_hybrid_rrf3_rerank_topk,
-    "maxsim_index_rerank_topk": q_maxsim_index_rerank_topk,
+    # demoted round-12 late rotation (driver-green records: mixture
+    # r8+r11, jsonl many rounds; displaced so BOTH new serving rows
+    # grade in this round's window; still strict-gate checked):
+    "pipeline_mixture": q_pipeline_mixture,
+    "jsonl_ingest": q_jsonl_ingest,
     "ivfpq_store_topk": q_ivfpq_store_topk,
     "snapshot_diff_events": q_snapshot_diff_events,
     "dsir_sample": q_dsir_sample,
