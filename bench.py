@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "events_sessionize_md5",
     "dsir_sample_from_table",
     "hybrid_index_topk",
+    # round-12 additions (same caveat)
+    "maxsim_rerank_topk",
+    "maxsim_index_rerank_topk",
+    "text_novelty",
 ]
 
 

@@ -1820,6 +1820,64 @@ JOIN sh y ON y.doc_id = p.id_b
 """
 
 
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by EDIT DISTANCE (pipeline/dedup.py edit_distance_pairs
+    — round 12): MinHash-LSH candidate pairs verified by byte-level
+    Levenshtein <= 200, the literal-edit near-dup modality (OCR noise,
+    version strings, injected boilerplate) that shingle-set Jaccard
+    blurs. All-integer output (dist + byte lengths).
+
+    Scale shape: candidates via the capped band equi-join; the verifier
+    is the THRESHOLD-banded JVM kernel (O(bytes·max_dist) per pair, -1
+    sentinel above the band — rejected pairs cost a diagonal scan, not
+    a full DP). The oracle replays the same byte-level distance
+    natively (DuckDB levenshtein IS byte-based; the engine reaches byte
+    semantics through the latin-1 decode of the UTF-8 bytes)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        edit_distance_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs, num_perm=4, bands=1, shingle_n=1)
+    return edit_distance_pairs(docs, pairs, max_dist=200)
+
+
+SQL_DEDUP_EDIT = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+),
+mins AS (
+    SELECT doc_id,
+           MIN(md5(tok || '#0')) AS m0, MIN(md5(tok || '#1')) AS m1,
+           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3
+    FROM uni GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+    FROM mins
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       -- DuckDB levenshtein is BYTE-level natively — the engine matches it
+       -- via the latin-1 byte view (one codepoint per byte)
+       CAST(levenshtein(coalesce(x.text, ''), coalesce(y.text, '')) AS INT) AS dist,
+       CAST(strlen(coalesce(x.text, '')) AS INT) AS bytes_a,
+       CAST(strlen(coalesce(y.text, '')) AS INT) AS bytes_b
+FROM pairs p
+JOIN documents x ON x.doc_id = p.id_a
+JOIN documents y ON y.doc_id = p.id_b
+WHERE levenshtein(coalesce(x.text, ''), coalesce(y.text, '')) <= 200
+"""
+
+
 _DEDUP_STORE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -7199,6 +7257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_edit": q_dedup_edit,
     "streaming_interval_join": q_streaming_interval_join,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
@@ -7334,6 +7393,7 @@ ORACLES: dict[str, str] = {
     "text_hash_embed": SQL_TEXT_HASH_EMBED,
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_edit": SQL_DEDUP_EDIT,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -57,6 +57,7 @@ EDGE_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_jaccard",
+    "dedup_edit",
     "dedup_minhash_incremental",
     "pipeline_capped_sample",
     "pipeline_stratified",

@@ -964,3 +964,57 @@ def test_banding_stages_shingles_once(spark):
     )
     assert staged.exceptAll(api).count() == 0
     assert api.exceptAll(staged).count() == 0
+
+
+def test_edit_distance_pairs_byte_contract_and_threshold(spark):
+    """edit_distance_pairs (round 12): distances equal a pure-Python
+    byte-level Levenshtein reference (the latin-1 view makes Spark's
+    codepoint kernel count UTF-8 BYTES — the convention DuckDB's native
+    levenshtein already uses, so the oracle replays it directly);
+    above-threshold pairs drop via the -1 sentinel; byte lengths are the
+    raw UTF-8 octet counts; NULL text is zero bytes."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [
+        (1, "hello world"),
+        (2, "hello w0rld"),          # 1 byte edit
+        (3, "Ünïcödé body"),         # multi-byte chars
+        (4, "Unicode body"),
+        (5, None),                   # NULL text → 0 bytes
+        (6, ""),
+        (7, "completely different text that is far away from all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (1, 7)], "id_a long, id_b long"
+    )
+
+    def lev(a, b):
+        a, b = (a or "").encode(), (b or "").encode()
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = {(r["id_a"], r["id_b"]): (r["dist"], r["bytes_a"], r["bytes_b"])
+           for r in edit_distance_pairs(docs, pairs, max_dist=30).collect()}
+    texts = dict(rows)
+    # kept pairs: exact byte distance + raw octet lengths
+    for (a, b), (d, la, lb) in out.items():
+        assert d == lev(texts[a], texts[b]), (a, b)
+        assert la == len((texts[a] or "").encode())
+        assert lb == len((texts[b] or "").encode())
+    assert (1, 2) in out and out[(1, 2)][0] == 1
+    assert (3, 4) in out and out[(3, 4)][0] == lev(texts[3], texts[4]) > 2
+    assert (5, 6) in out and out[(5, 6)] == (0, 0, 0)
+    # far pair exceeds the threshold: dropped, not emitted with -1
+    assert (1, 7) not in out
+    assert lev(texts[1], texts[7]) > 30
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(docs, pairs, max_dist=-1)
