@@ -3594,6 +3594,75 @@ FROM cells c LEFT JOIN dups d ON d.id_a = c.vec_id
 _IVF_STORE_CACHE: dict[tuple[str, str], str] = {}
 
 
+_SQ8_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_sq8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (pipeline/sq.py — Faiss SQ8, round 12):
+    per-dimension min/max corpus scales quantize every vector to one
+    8-bit code per dimension (~8× smaller at rest than the float64
+    arrays; codes stored as a bit-packed int list, the EXPLAIN §44
+    at-rest winner), searched by exact BIGINT sums of squared code
+    deltas over a position equi-join. Training-free and deterministic —
+    the oracle replays build + encode + search in plain SQL with no
+    iteration pinning: per-dim MIN/MAX (order-free exact aggregates),
+    the shared left-to-right IEEE quantization formula, integer
+    distances, (dist, id) ranking."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        sq8_build,
+        sq8_topk,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _SQ8_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='sq8_store_')}/index"
+        sq8_build(spark, store, emb, dim=_ND_DIM)
+        _SQ8_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5)
+    return sq8_topk(spark, store, probes, k=_IVF_K)
+
+
+SQL_SQ8_STORE_TOPK = f"""
+WITH elems AS (
+    SELECT vec_id, CAST(x AS DOUBLE) AS x, CAST(i AS INT) AS i FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    )
+),
+stats AS (
+    SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS sp FROM elems GROUP BY i
+),
+codes AS (
+    SELECT e.vec_id, e.i,
+           CAST(CASE WHEN s.sp > 0
+                THEN least(greatest(
+                    floor((e.x - s.mn) / s.sp * 255.0 + 0.5), 0.0), 255.0)
+                ELSE 0.0 END AS BIGINT) AS c
+    FROM elems e JOIN stats s USING (i)
+),
+pcodes AS (
+    SELECT vec_id AS probe_id, i, c AS qc FROM codes WHERE vec_id < 5
+),
+dists AS (
+    SELECT p.probe_id, c.vec_id AS neighbor_id,
+           CAST(SUM((p.qc - c.c) * (p.qc - c.c)) AS BIGINT) AS dist_u
+    FROM codes c JOIN pcodes p USING (i)
+    WHERE c.vec_id <> p.probe_id
+    GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, dist_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY dist_u, neighbor_id) AS INT) AS rank
+FROM dists
+QUALIFY rank <= {_IVF_K}
+"""
+
+
 def q_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (pipeline/ann_store): the index is BUILT once
     into a snapshot store — cells as the name axis, centroids as pruned
@@ -7217,6 +7286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # demoted round-11 (driver-green records: ivfpq/hybrid/snapshot rows
     # r10; all still strict-gate checked):
     "ivfpq_topk": q_ivfpq_topk,
+    "sq8_store_topk": q_sq8_store_topk,
     # demoted round-12 (driver-green r11; strict-gate checked):
     "dsir_incremental": q_dsir_incremental,
     "dsir_drift": q_dsir_drift,
@@ -7394,6 +7464,7 @@ ORACLES: dict[str, str] = {
     "dedup_shared_ngrams": SQL_DEDUP_SHARED_NGRAMS,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_edit": SQL_DEDUP_EDIT,
+    "sq8_store_topk": SQL_SQ8_STORE_TOPK,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "vocab_topk": SQL_VOCAB_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,

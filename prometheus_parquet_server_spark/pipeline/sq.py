@@ -1,0 +1,303 @@
+"""SQ8 scalar quantization — the third compressed-at-rest ANN family
+beside IVF-PQ and OPQ [Faiss's ``SQ8`` / ``IndexScalarQuantizer``,
+public knowledge]: every dimension is quantized INDEPENDENTLY to one
+8-bit code against per-dimension corpus min/max, so a 64-dim float64
+vector stores as 64 small ints (parquet bit-packs ≤255 int lists to
+~1 byte/code — the EXPLAIN §44 measurement) instead of 512 bytes.
+Where PQ buys compression with a trained codebook (k-means, subspace
+structure), SQ8 is training-free and deterministic: two exact MIN/MAX
+aggregates ARE the "codebook", which makes the whole index — build,
+encode, search — replayable in plain SQL with zero iteration pinning.
+
+Everything stays JVM-side built-ins: quantization is one higher-order
+``transform`` against literal scale arrays (no UDF), distances are
+exact BIGINT sums of squared code deltas over a position equi-join
+(never a cartesian), and the optional refinement stage is the
+IVFADC+R shape — approximate candidates, exact 9-dp L2 re-rank
+against the raw vectors.
+
+Store layout (the ann_store/ivfpq conventions,
+sources/snapshot_store.py): code rows under ``name='sq'`` with the
+codes as an ``array<int>`` payload; the per-dimension minima and
+spans as reserved ``_sq_min`` / ``_sq_span`` rows (vec_id 0, the
+arrays in the ``embedding`` column); geometry pinned as the
+``sq_dim`` manifest property. Rebuild = overwrite commit; time travel
+searches an old index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SQ_NAME = "sq"
+SQ_MIN_NAME = "_sq_min"
+SQ_SPAN_NAME = "_sq_span"
+
+
+def sq8_quantize_expr(vec, mins: list[float], spans: list[float]):
+    """The ONE quantization definition (build + probe sides share it):
+    ``code_i = clamp(floor((x_i − min_i) / span_i · 255 + 0.5), 0, 255)``,
+    zero where the dimension is constant (span 0). Left-to-right IEEE
+    double ops only — identical in DuckDB written the same way, so the
+    oracle replays codes bit-exactly without any rounding contract."""
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    spans_lit = F.array(*[F.lit(float(v)) for v in spans])
+    return F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.element_at(spans_lit, i + 1) > 0.0,
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x.cast("double") - F.element_at(mins_lit, i + 1))
+                        / F.element_at(spans_lit, i + 1)
+                        * F.lit(255.0)
+                        + F.lit(0.5)
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+
+
+def _load_scales(spark, store_path: str, version: int | None, dim: int):
+    """Version-pinned driver-side load of the reserved scale rows."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    rows = {
+        r["name"]: list(r["embedding"])
+        for r in snapshot_read(
+            spark, store_path, version=version,
+            names=[SQ_MIN_NAME, SQ_SPAN_NAME],
+        ).collect()
+    }
+    if set(rows) != {SQ_MIN_NAME, SQ_SPAN_NAME}:
+        raise FileNotFoundError(
+            f"no SQ8 index (missing scale rows) at {store_path}"
+        )
+    mins, spans = rows[SQ_MIN_NAME], rows[SQ_SPAN_NAME]
+    if len(mins) != dim or len(spans) != dim:
+        raise ValueError(
+            f"SQ8 index at {store_path} has dim {len(mins)}; caller "
+            f"expected {dim} — foreign or truncated store"
+        )
+    return mins, spans
+
+
+def sq8_build(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Quantize the corpus and commit the SQ8 index. Two exact
+    aggregates (per-dimension MIN/MAX over the exploded elements —
+    order-free, no sums, so bit-stable on any engine), one HOF
+    quantization pass, one snapshot commit. Returns the version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    elems = corpus.select(
+        F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select("i", F.col("x").cast("double").alias("x"))
+    stats = {
+        r["i"]: (r["mn"], r["mx"])
+        for r in elems.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    if len(stats) != dim:
+        raise ValueError(
+            f"sq8_build: corpus vectors have {len(stats)} dimensions; "
+            f"dim={dim} expected"
+        )
+    mins = [stats[i][0] for i in range(dim)]
+    spans = [stats[i][1] - stats[i][0] for i in range(dim)]
+
+    rows = corpus.select(
+        F.lit(SQ_NAME).alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        sq8_quantize_expr(F.col(vec_col), mins, spans).alias("code"),
+    )
+    schema = (
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "code array<int>"
+    )
+    scales = spark.createDataFrame(
+        [
+            (SQ_MIN_NAME, 0.0, 0, [float(v) for v in mins], None),
+            (SQ_SPAN_NAME, 0.0, 0, [float(v) for v in spans], None),
+        ],
+        schema,
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows.unionByName(scales),
+        mode="overwrite",
+        properties={"sq_dim": dim},
+    )
+
+
+def _quantize_probe(vec, mins, spans):
+    """Driver-side probe quantization — the same IEEE double ops as
+    :func:`sq8_quantize_expr` (floor((x−mn)/sp·255+0.5) clamped), so a
+    probe drawn from the corpus gets its exact stored codes."""
+    import math
+
+    out = []
+    for x, mn, sp in zip(vec, mins, spans):
+        if sp > 0.0:
+            c = math.floor((float(x) - mn) / sp * 255.0 + 0.5)
+            out.append(int(min(max(c, 0.0), 255.0)))
+        else:
+            out.append(0)
+    return out
+
+
+def sq8_topk(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    k: int = 10,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Approximate top-``k`` per probe from the SQ8 index: probes
+    quantize driver-side against the version-pinned scales, distances
+    are EXACT BIGINT sums of squared code deltas over an
+    (index-position) equi-join — narrow integer rows, no cartesian, no
+    UDF — ranked ``(dist_u, neighbor_id)`` with the family's salted
+    two-stage top-k. Self-matches excluded (the pq_topk rule). Returns
+    ``(probe_id, neighbor_id, dist_u, rank)``, all-integer."""
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if version is None:
+        version = snapshot_version(spark, store_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {store_path}")
+    dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
+    mins, spans = _load_scales(spark, store_path, version, dim)
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    qcodes = [
+        (r[id_col], i, c)
+        for r in probe_rows
+        for i, c in enumerate(_quantize_probe(list(r[vec_col]), mins, spans))
+    ]
+    qdf = spark.createDataFrame(qcodes, "probe_id long, i int, qc int")
+
+    codes = snapshot_read(
+        spark, store_path, version=version, names=[SQ_NAME]
+    ).select("vec_id", F.posexplode("code").alias("i", "cc"))
+    dists = (
+        codes.join(F.broadcast(qdf), "i")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("qc") - F.col("cc")).cast("long")
+                * (F.col("qc") - F.col("cc")).cast("long")
+            ).alias("dist_u")
+        )
+    )
+    order = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
+    w_part = Window.partitionBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = dists.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= k
+    )
+    w_final = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "dist_u", "rank")
+    )
+
+
+def sq8_rerank_topk(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    k_adc: int = 50,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refinement shape (IVFADC+R, Jégou et al. 2011 §V — the same
+    contract as :func:`pq.ivfpq_rerank`): SQ8-approximate top-``k_adc``
+    candidates, raw vectors joined back from the lake, exact squared-L2
+    re-rank on the 9-dp grid, ties → neighbor id. Candidate-bounded:
+    the exact stage touches ``probes × k_adc`` raw rows, isin-pruned
+    below the corpus projection."""
+    from pyspark.sql import Window
+
+    if k < 1 or k_adc < k:
+        raise ValueError(f"need k_adc >= k >= 1, got k={k} k_adc={k_adc}")
+    cand = sq8_topk(
+        spark, store_path, probes, k=k_adc, version=version,
+        id_col=id_col, vec_col=vec_col,
+    ).select("probe_id", "neighbor_id").localCheckpoint()
+    cand_ids = sorted({r["neighbor_id"] for r in cand.collect()})
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    if len(cand_ids) <= 100_000:
+        nv = nv.filter(F.col("neighbor_id").isin(cand_ids))
+    d = F.round(
+        _dot(F.col("_pv"), F.col("_pv"))
+        - F.lit(2.0) * _dot(F.col("_pv"), F.col("_nv"))
+        + _dot(F.col("_nv"), F.col("_nv")),
+        9,
+    )
+    exact = (
+        F.broadcast(cand.join(F.broadcast(pv), "probe_id"))
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", d.alias("_d"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank")
+    )

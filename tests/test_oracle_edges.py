@@ -323,7 +323,7 @@ EDGE_EMBEDDINGS = (
     + [(i, _vec(i), i % 2) for i in range(6, 40)]
 )
 
-EDGE_EMB_QUERIES = ["emb_cosine_topk", "dedup_embedding"]
+EDGE_EMB_QUERIES = ["emb_cosine_topk", "dedup_embedding", "sq8_store_topk"]
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,121 @@
+"""SQ8 scalar-quantized ANN (pipeline/sq.py — Faiss SQ8 shape)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 16
+
+
+def _vecs(n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, DIM)).astype(np.float64)
+
+
+def _frame(spark, mat, offset=0):
+    return spark.createDataFrame(
+        [(offset + i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_sq8_codes_match_reference_and_self_probe_is_nearest(spark, tmp_path):
+    """Stored codes equal a pure-Python replay of the shared quantization
+    formula (per-dim min/max scales, floor((x−mn)/sp·255+0.5) clamped);
+    a probe drawn from the corpus quantizes to its OWN stored codes, so
+    its nearest neighbor under code distance is its true duplicate; a
+    constant dimension codes to 0 everywhere."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        sq8_build,
+        sq8_topk,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    mat = _vecs(20, seed=5)
+    mat[:, 3] = 1.25  # constant dimension → span 0 → code 0
+    mat[11] = mat[2]  # planted exact duplicate
+    df = _frame(spark, mat)
+    store = f"file://{tmp_path}/sq8"
+    v = sq8_build(spark, store, df, dim=DIM)
+    assert v == 1
+
+    got = {
+        r["vec_id"]: list(r["code"])
+        for r in snapshot_read(spark, store, names=["sq"]).collect()
+    }
+    mins = mat.min(axis=0)
+    spans = mat.max(axis=0) - mins
+    import math
+
+    want = {}
+    for i, row in enumerate(mat):
+        cs = []
+        for x, mn, sp in zip(row, mins, spans):
+            if sp > 0:
+                cs.append(int(min(max(
+                    math.floor((x - mn) / sp * 255.0 + 0.5), 0.0), 255.0)))
+            else:
+                cs.append(0)
+        want[i] = cs
+    assert got == want
+    assert all(c[3] == 0 for c in got.values())
+
+    out = sq8_topk(spark, store, df.filter(F.col("vec_id") == 2), k=3)
+    by_rank = {r["rank"]: (r["neighbor_id"], r["dist_u"])
+               for r in out.collect()}
+    # the planted duplicate is rank 1 at distance 0 (self excluded)
+    assert by_rank[1] == (11, 0)
+
+
+def test_sq8_rerank_equals_exact_l2_when_candidates_cover(spark, tmp_path):
+    """With k_adc = corpus size the rerank stage sees every vector, so
+    its top-k must equal the exact 9-dp L2 brute force — quantization
+    error cannot survive the refinement (the IVFADC+R property)."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        sq8_build,
+        sq8_rerank_topk,
+    )
+
+    mat = _vecs(24, seed=7)
+    df = _frame(spark, mat)
+    store = f"file://{tmp_path}/sq8rr"
+    sq8_build(spark, store, df, dim=DIM)
+    probes = df.filter(F.col("vec_id") < 3)
+    out = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in sq8_rerank_topk(
+            spark, store, probes, df, k=5, k_adc=23
+        ).collect()
+    }
+    for pid in range(3):
+        d = np.round(((mat - mat[pid]) ** 2).sum(axis=1), 9)
+        order = sorted((dd, i) for i, dd in enumerate(d) if i != pid)
+        for rk, (_, nid) in enumerate(order[:5], 1):
+            assert out[(pid, rk)] == nid, (pid, rk)
+
+    with pytest.raises(ValueError, match="k_adc"):
+        sq8_rerank_topk(spark, store, probes, df, k=5, k_adc=3)
+
+
+def test_sq8_guards_and_dim_pinning(spark, tmp_path):
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        _load_scales,
+        sq8_build,
+        sq8_topk,
+    )
+
+    df = _frame(spark, _vecs(8, seed=9))
+    store = f"file://{tmp_path}/sq8g"
+    with pytest.raises(ValueError, match="dim"):
+        sq8_build(spark, store, df, dim=DIM + 1)
+    sq8_build(spark, store, df, dim=DIM)
+    with pytest.raises(ValueError, match="dim"):
+        _load_scales(spark, store, None, DIM + 2)
+    with pytest.raises(ValueError, match="k must be"):
+        sq8_topk(spark, store, df.limit(1), k=0)
+    with pytest.raises(ValueError, match="probes is empty"):
+        sq8_topk(spark, store, df.filter(F.col("vec_id") < 0), k=2)
+    with pytest.raises(FileNotFoundError):
+        sq8_topk(spark, f"file://{tmp_path}/nowhere", df.limit(1), k=2)
