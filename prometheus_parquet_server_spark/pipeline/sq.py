@@ -9,12 +9,15 @@ structure), SQ8 is training-free and deterministic: two exact MIN/MAX
 aggregates ARE the "codebook", which makes the whole index — build,
 encode, search — replayable in plain SQL with zero iteration pinning.
 
-Everything stays JVM-side built-ins: quantization is one higher-order
-``transform`` against literal scale arrays (no UDF), distances are
-exact BIGINT sums of squared code deltas over a position equi-join
-(never a cartesian), and the optional refinement stage is the
-IVFADC+R shape — approximate candidates, exact 9-dp L2 re-rank
-against the raw vectors.
+Quantization stays JVM-side (one higher-order ``transform`` against
+literal scale arrays — no UDF); the search's distance stage is an
+Arrow-batched numpy kernel (the similarity.py matmul-kernel
+convention) that emits only per-batch top-k rows — the position-
+explode SQL form was built first and MEASURED at 92.8 s/1M vectors
+(dim·N shuffled rows; scripts/stress_sq8.py round 12), the kernel
+replaces it at identical integer semantics. The optional refinement
+stage is the IVFADC+R shape — approximate candidates, exact 9-dp L2
+re-rank against the raw vectors.
 
 Store layout (the ann_store/ivfpq conventions,
 sources/snapshot_store.py): code rows under ``name='sq'`` with the
@@ -175,15 +178,16 @@ def sq8_topk(
     version: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    salt_buckets: int = 32,
 ) -> DataFrame:
     """Approximate top-``k`` per probe from the SQ8 index: probes
     quantize driver-side against the version-pinned scales, distances
-    are EXACT BIGINT sums of squared code deltas over an
-    (index-position) equi-join — narrow integer rows, no cartesian, no
-    UDF — ranked ``(dist_u, neighbor_id)`` with the family's salted
-    two-stage top-k. Self-matches excluded (the pq_topk rule). Returns
-    ``(probe_id, neighbor_id, dist_u, rank)``, all-integer."""
+    are EXACT BIGINT sums of squared code deltas computed by an
+    Arrow-batched numpy kernel (one pass over each code row, per-batch
+    top-k emitted — the global top-k of per-batch top-ks is exact, so
+    the shuffle carries O(batches·probes·k) rows, never probes·N),
+    ranked ``(dist_u, neighbor_id)``. Self-matches excluded (the
+    pq_topk rule). Returns ``(probe_id, neighbor_id, dist_u, rank)``,
+    all-integer and oracle-replayable (the kernel is integer-exact)."""
     from pyspark.sql import Window
 
     from prometheus_parquet_server_spark.sources.snapshot_store import (
@@ -204,37 +208,62 @@ def sq8_topk(
     probe_rows = probes.select(id_col, vec_col).collect()
     if not probe_rows:
         raise ValueError("probes is empty")
-    qcodes = [
-        (r[id_col], i, c)
-        for r in probe_rows
-        for i, c in enumerate(_quantize_probe(list(r[vec_col]), mins, spans))
-    ]
-    qdf = spark.createDataFrame(qcodes, "probe_id long, i int, qc int")
+    import numpy as np
+
+    pids = np.asarray([r[id_col] for r in probe_rows], dtype=np.int64)
+    pcodes = np.asarray(
+        [_quantize_probe(list(r[vec_col]), mins, spans) for r in probe_rows],
+        dtype=np.int64,
+    )
+
+    # distance stage: Arrow-batched numpy kernel (the similarity.py
+    # matmul-kernel convention), NOT a position explode — the explode
+    # form shuffles dim·N narrow rows and MEASURED 92.8 s at 1M vectors
+    # (scripts/stress_sq8.py, round 12); the kernel reads each code row
+    # once, computes ‖q−c‖² for all probes in one vectorized pass via
+    # the (q−c)² = q·q − 2q·c + c·c expansion (exact in int64: codes
+    # ≤ 255, dims ≤ ~2³² safe), and emits only the per-batch top-k per
+    # probe — the global top-k of per-batch top-ks is exact, so the
+    # shuffle carries O(batches·probes·k) rows instead of probes·N.
+    def _batch_topk(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.asarray(list(pdf["code"]), dtype=np.int64)
+            # (P, B) distances via the dot expansion
+            d = (
+                (pcodes * pcodes).sum(axis=1)[:, None]
+                - 2 * (pcodes @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            out_p, out_n, out_d = [], [], []
+            for pi in range(len(pids)):
+                mask = ids != pids[pi]  # self-exclusion (the pq_topk rule)
+                di, ii = d[pi][mask], ids[mask]
+                if not len(di):
+                    continue
+                # tie-stable selection: order by (dist, id) — lexsort keys
+                # are last-key-primary
+                sel = np.lexsort((ii, di))[:k]
+                out_p.extend([pids[pi]] * len(sel))
+                out_n.extend(ii[sel])
+                out_d.extend(di[sel])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "dist_u": out_d}
+            ).astype({"probe_id": "int64", "neighbor_id": "int64",
+                      "dist_u": "int64"})
 
     codes = snapshot_read(
         spark, store_path, version=version, names=[SQ_NAME]
-    ).select("vec_id", F.posexplode("code").alias("i", "cc"))
-    dists = (
-        codes.join(F.broadcast(qdf), "i")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(
-                (F.col("qc") - F.col("cc")).cast("long")
-                * (F.col("qc") - F.col("cc")).cast("long")
-            ).alias("dist_u")
-        )
+    ).select("vec_id", "code")
+    dists = codes.mapInPandas(
+        _batch_topk, "probe_id long, neighbor_id long, dist_u long"
     )
     order = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
-    w_part = Window.partitionBy(
-        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
-    ).orderBy(*order)
-    partial = dists.withColumn("_pr", F.row_number().over(w_part)).filter(
-        F.col("_pr") <= k
-    )
     w_final = Window.partitionBy("probe_id").orderBy(*order)
     return (
-        partial.withColumn("rank", F.row_number().over(w_final))
+        dists.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "dist_u", "rank")
     )
