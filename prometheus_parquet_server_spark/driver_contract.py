@@ -7246,8 +7246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # locally-checked tail — every SURVEY §2 row stays in the head.
     "events_rollup": q_events_rollup,
     "hybrid_rrf3_topk": q_hybrid_rrf3_topk,
-    "pipeline_chunks": q_pipeline_chunks,
-    "text_perplexity": q_text_perplexity,
+    "dedup_edit": q_dedup_edit,
+    "sq8_store_topk": q_sq8_store_topk,
     "dedup_exact_fp": q_dedup_exact_fp,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -7286,7 +7286,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # demoted round-11 (driver-green records: ivfpq/hybrid/snapshot rows
     # r10; all still strict-gate checked):
     "ivfpq_topk": q_ivfpq_topk,
-    "sq8_store_topk": q_sq8_store_topk,
+    # demoted round-12 late rotation #2 (driver-green: chunks r6+,
+    # perplexity r10/r11) so the two NEWEST families (edit-distance
+    # dedup, SQ8) earn driver records this round:
+    "pipeline_chunks": q_pipeline_chunks,
+    "text_perplexity": q_text_perplexity,
     # demoted round-12 (driver-green r11; strict-gate checked):
     "dsir_incremental": q_dsir_incremental,
     "dsir_drift": q_dsir_drift,
@@ -7327,7 +7331,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embed": q_text_hash_embed,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_jaccard": q_dedup_jaccard,
-    "dedup_edit": q_dedup_edit,
     "streaming_interval_join": q_streaming_interval_join,
     "hq_sum_rate": q_hq_sum_rate,
     "promql_mad_ot": q_promql_mad_ot,
