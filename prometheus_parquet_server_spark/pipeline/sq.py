@@ -330,3 +330,83 @@ def sq8_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank")
     )
+
+
+def sq8_append(
+    spark,
+    store_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incrementally index ``new_vectors`` with the FROZEN per-dimension
+    scales (read at one pinned version) — the growing-corpus half of
+    the family, O(new) commit cost with history carried by manifest
+    reference. The standard trade (the ivfpq_append / Faiss ``add``
+    rule): a new vector outside the build-time [min, max] range CLAMPS
+    to the boundary code until the next :func:`sq8_build` rebuild (an
+    atomic overwrite). ``txn=(app_id, batch_id)`` idempotence; the
+    commit is CAS-pinned (``require_parent``) to the version the scales
+    were read at, so a racing rebuild raises ``ConcurrentWriteError``
+    instead of committing codes quantized against dead scales. Returns
+    the new version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    version = snapshot_version(spark, store_path)
+    if version is None:
+        raise FileNotFoundError(
+            f"no SQ8 index at {store_path} — sq8_build first"
+        )
+    dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
+    mins, spans = _load_scales(spark, store_path, version, dim)
+    rows = new_vectors.select(
+        F.lit(SQ_NAME).alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        sq8_quantize_expr(F.col(vec_col), mins, spans).alias("code"),
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows,
+        mode="append",
+        txn=txn,
+        require_parent=version,
+    )
+
+
+def stream_sq8_ingest(
+    vec_stream: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "stream_sq8_ingest",
+):
+    """Streaming vector ingest into the persisted SQ8 index — the
+    stream_ivfpq_ingest twin on the SHARED ``stream_txn_append``
+    scaffold: each micro-batch quantizes against the frozen scales and
+    appends with ``txn=(app_id, batch_id)`` (redelivered batches are
+    version-preserving no-ops); a racing rebuild raises on the CAS pin
+    and Structured Streaming's retry re-reads the NEW scales. Requires
+    an existing index; one writer per checkpoint; new app_id on
+    checkpoint reset."""
+    from prometheus_parquet_server_spark.streaming.ingest import (
+        stream_txn_append,
+    )
+
+    def _append(batch_df: DataFrame, txn: tuple[str, int]) -> None:
+        sq8_append(
+            spark, store_path, batch_df, id_col=id_col, vec_col=vec_col,
+            txn=txn,
+        )
+
+    return stream_txn_append(
+        vec_stream, f"{store_path}/_stream_checkpoint_sq8", app_id, _append
+    )

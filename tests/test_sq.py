@@ -119,3 +119,66 @@ def test_sq8_guards_and_dim_pinning(spark, tmp_path):
         sq8_topk(spark, store, df.filter(F.col("vec_id") < 0), k=2)
     with pytest.raises(FileNotFoundError):
         sq8_topk(spark, f"file://{tmp_path}/nowhere", df.limit(1), k=2)
+
+
+def test_sq8_append_oneshot_equivalence_txn_and_cas(spark, tmp_path):
+    """The growing-index contract (the ivfpq_append rules): an append
+    encodes with the FROZEN scales, so search(build(b1) + append(b2))
+    == search(build(b1 ∪ b2)) whenever b2 stays inside b1's per-dim
+    range (frozen-scale clamping is the documented out-of-range trade);
+    a txn-marked replay is a version-preserving no-op — batch and
+    streaming alike (the CAS race itself is exercised by the shared
+    snapshot-store require_parent tests; sq8_append passes the pinned
+    version straight through)."""
+    import shutil
+
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        sq8_append,
+        sq8_build,
+        sq8_topk,
+        stream_sq8_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_version,
+    )
+
+    mat = _vecs(30, seed=11)
+    # b2 strictly inside b1's envelope: shrink toward zero (normal data
+    # spans both signs, so scaled copies stay in [min, max] per dim)
+    b1 = _frame(spark, mat[:20])
+    b2 = _frame(spark, mat[:10] * 0.25, offset=20)
+    store = f"file://{tmp_path}/sq8app"
+    v1 = sq8_build(spark, store, b1, dim=DIM)
+    v2 = sq8_append(spark, store, b2, txn=("app", 1))
+    assert v2 == v1 + 1
+    # txn replay: version unchanged
+    assert sq8_append(spark, store, b2, txn=("app", 1)) == v2
+
+    store2 = f"file://{tmp_path}/sq8one"
+    sq8_build(spark, store2, b1, dim=DIM)  # same scales source: b1 only
+    sq8_append(spark, store2, b2, txn=("x", 1))
+    probes = b1.filter(F.col("vec_id") < 3)
+    a = sorted(tuple(r) for r in sq8_topk(spark, store, probes, k=5).collect())
+    b = sorted(tuple(r) for r in sq8_topk(spark, store2, probes, k=5).collect())
+    assert a == b
+
+    with pytest.raises(FileNotFoundError):
+        sq8_append(spark, f"file://{tmp_path}/empty", b2)
+
+    # streaming twin: drain b2 as a stream into a fresh b1 index; the
+    # result equals the batch append (shared scaffold, txn no-ops)
+    src = f"{tmp_path}/sq8_stream_src"
+    b2.write.mode("overwrite").parquet(src)
+    store3 = f"file://{tmp_path}/sq8stream"
+    sq8_build(spark, store3, b1, dim=DIM)
+    stream = spark.readStream.schema(b2.schema).parquet(src)
+    q = stream_sq8_ingest(stream, spark, store3)
+    q.awaitTermination(120)
+    c = sorted(tuple(r) for r in sq8_topk(spark, store3, probes, k=5).collect())
+    assert c == a
+    # replay after checkpoint wipe: txn marker makes it a no-op
+    tip = snapshot_version(spark, store3)
+    shutil.rmtree(f"{tmp_path}/sq8stream/_stream_checkpoint_sq8")
+    q2 = stream_sq8_ingest(stream, spark, store3)
+    q2.awaitTermination(120)
+    assert snapshot_version(spark, store3) == tip
