@@ -1874,7 +1874,10 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN documents x ON x.doc_id = p.id_a
 JOIN documents y ON y.doc_id = p.id_b
-WHERE levenshtein(coalesce(x.text, ''), coalesce(y.text, '')) <= 200
+-- the length lower bound prunes before the O(len²) DP (same result set:
+-- |len a − len b| > d implies distance > d)
+WHERE abs(strlen(coalesce(x.text, '')) - strlen(coalesce(y.text, ''))) <= 200
+  AND levenshtein(coalesce(x.text, ''), coalesce(y.text, '')) <= 200
 """
 
 

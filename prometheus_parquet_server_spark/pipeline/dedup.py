@@ -294,15 +294,44 @@ def edit_distance_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("_t_id_a", "_t_id_b", max_dist).alias("dist"),
+            "_t_id_a",
+            "_t_id_b",
             # length of the latin-1 view = one per byte = UTF-8 byte count
             # (octet_length here would re-encode and double the high bytes)
             F.length("_t_id_a").alias("bytes_a"),
             F.length("_t_id_b").alias("bytes_b"),
         )
+        # the Levenshtein length lower bound: |len a − len b| <= dist, so
+        # pairs whose byte lengths differ by more than max_dist can never
+        # survive — pruned BEFORE the DP kernel runs at all (the banded
+        # kernel still costs a diagonal scan; this filter costs two ints)
+        .filter(
+            F.abs(F.col("bytes_a") - F.col("bytes_b")) <= F.lit(max_dist)
+        )
+    )
+    # spread the DP: the pair frame is BYTE-small (two ids + two short
+    # texts) so AQE coalesces it to ONE task, but the projection is
+    # CPU-heavy (O(bytes·max_dist) per pair) — one task then runs every
+    # DP serially (measured 23 s vs 1.6 s spread at sf0.01's 23.5k
+    # pairs). A bare repartition is NOT enough: the `dist >= 0` filter
+    # is a deterministic predicate containing the levenshtein expr, and
+    # Catalyst pushes it BELOW the exchange — the DP lands back on the
+    # single pre-shuffle task (the ivfpq_rerank "join does not stop
+    # expensive projections" lesson). The localCheckpoint is the plan
+    # barrier: candidates materialize once (pair-bounded bytes), the
+    # kernel runs post-exchange at full width.
+    joined = joined.repartition(
+        df.sparkSession.sparkContext.defaultParallelism * 2
+    ).localCheckpoint()
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_t_id_a", "_t_id_b", max_dist).alias("dist"),
+        "bytes_a",
+        "bytes_b",
     )
     # threshold form returns -1 above the band — exactly the drop set
-    return joined.filter(F.col("dist") >= 0)
+    return scored.filter(F.col("dist") >= 0)
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
