@@ -1827,7 +1827,9 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     version strings, injected boilerplate) that shingle-set Jaccard
     blurs. All-integer output (dist + byte lengths).
 
-    Scale shape: candidates via the capped band equi-join; the verifier
+    Scale shape: candidates via the band equi-join (max_bucket=None here
+    — the toy-scale oracle convention, like dedup_jaccard; production
+    callers pass the cap); the verifier
     is the THRESHOLD-banded JVM kernel (O(bytes·max_dist) per pair, -1
     sentinel above the band — rejected pairs cost a diagonal scan, not
     a full DP). The oracle replays the same byte-level distance

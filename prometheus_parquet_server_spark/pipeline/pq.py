@@ -843,6 +843,38 @@ def _load_quantizers(
     return _cache_put(spark, "q", store_path, version, nonce, (coarse, codebook))
 
 
+def _rerank_gate(exact, cand_ids, n_cand: int, op: str, id_col: str) -> None:
+    """The refinement-stage completeness gate shared by every
+    approximate-then-exact family (ivfpq_rerank, sq.sq8_rerank_topk):
+    the index holds ids encoded at build/append time — a stale or
+    filtered corpus missing some of them would silently shrink the
+    answer below k (the approximate stage surfaced those neighbors;
+    dropping them is a wrong answer, not a re-rank). Missing is
+    measured by MEMBERSHIP, not a count delta (duplicate ids fan the
+    joins OUT, so the row count can exceed the candidate count and a
+    delta check would misblame the corpus — or pass while emitting
+    duplicate ranks if the two effects offset); duplicates get their
+    own error. ONE aggregate collects both signals."""
+    gate = exact.agg(
+        F.count("*").alias("_n"),
+        F.collect_set("neighbor_id").alias("_ids"),
+    ).first()
+    n_exact, exact_ids = gate["_n"], set(gate["_ids"])
+    missing = [i for i in cand_ids if i not in exact_ids][:10]
+    if missing:
+        raise ValueError(
+            f"{op}: corpus is missing candidate rows the index "
+            f"encoded (e.g. {id_col} in {missing}) — the supplied corpus "
+            f"must cover every vector the searched index version holds"
+        )
+    if n_exact != n_cand:
+        raise ValueError(
+            f"{op}: duplicate {id_col} values in corpus/probes fan "
+            f"the re-rank join out ({n_exact} exact rows vs {n_cand} "
+            f"candidates) — deduplicate the inputs; ids must be unique"
+        )
+
+
 def ivfpq_rerank(
     spark,
     store_path: str,
@@ -957,37 +989,7 @@ def ivfpq_rerank(
         .join(nv, "neighbor_id")
         .select("probe_id", "neighbor_id", d.alias("_d"))
     ).localCheckpoint()
-    # completeness gate: the index holds ids encoded at build/append time;
-    # a stale or filtered corpus that is missing some of them would
-    # silently shrink the answer below k (the ADC stage surfaced those
-    # neighbors — dropping them here is a wrong answer, not a re-rank).
-    # Missing is measured by MEMBERSHIP, not a count delta (duplicate ids
-    # fan the joins OUT, so n_exact can exceed n_cand and a delta-based
-    # check would misblame the corpus — or pass while emitting duplicate
-    # ranks if the two effects exactly offset; checked unconditionally
-    # for that reason): a candidate id absent from the corpus produces
-    # NO exact row for any of its pairs, so the distinct ids surviving
-    # the join — gathered in ONE aggregate together with the row count —
-    # expose exactly the missing set. Raise loudly for each failure mode
-    # with its own message.
-    gate = exact.agg(
-        F.count("*").alias("_n"),
-        F.collect_set("neighbor_id").alias("_ids"),
-    ).first()
-    n_exact, exact_ids = gate["_n"], set(gate["_ids"])
-    missing = [i for i in cand_ids if i not in exact_ids][:10]
-    if missing:
-        raise ValueError(
-            f"ivfpq_rerank: corpus is missing candidate rows the index "
-            f"encoded (e.g. {id_col} in {missing}) — the supplied corpus "
-            f"must cover every vector the searched index version holds"
-        )
-    if n_exact != n_cand:
-        raise ValueError(
-            f"ivfpq_rerank: duplicate {id_col} values in corpus/probes fan "
-            f"the re-rank join out ({n_exact} exact rows vs {n_cand} "
-            f"candidates) — deduplicate the inputs; ids must be unique"
-        )
+    _rerank_gate(exact, cand_ids, n_cand, op="ivfpq_rerank", id_col=id_col)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
     )

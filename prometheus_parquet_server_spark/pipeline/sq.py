@@ -94,6 +94,28 @@ def _load_scales(spark, store_path: str, version: int | None, dim: int):
     return mins, spans
 
 
+def _guard_clean_vectors(
+    corpus: DataFrame, dim: int, id_col: str, vec_col: str, op: str
+) -> None:
+    """A NULL id, NULL vector, or wrong-arity vector must never reach the
+    persisted index (the snapshot store's clean-keys spirit): a NULL
+    vector would commit a NULL code array that crashes every later
+    search batch in the numpy kernel — poisoning the store until a
+    rebuild — and the SQL oracle simply emits no rows for it (a silent
+    engine/oracle divergence class). One cheap limit-1 probe; loud."""
+    bad = corpus.where(
+        F.col(id_col).isNull()
+        | F.col(vec_col).isNull()
+        | (F.size(F.col(vec_col)) != dim)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"{op}: corpus contains a NULL {id_col}/{vec_col} or a vector "
+            f"whose length differs from dim={dim} (e.g. {id_col}="
+            f"{bad[0][id_col]!r}) — clean the batch before indexing"
+        )
+
+
 def sq8_build(
     spark,
     store_path: str,
@@ -110,6 +132,7 @@ def sq8_build(
         snapshot_write,
     )
 
+    _guard_clean_vectors(corpus, dim, id_col, vec_col, "sq8_build")
     elems = corpus.select(
         F.posexplode(F.col(vec_col)).alias("i", "x")
     ).select("i", F.col("x").cast("double").alias("x"))
@@ -279,22 +302,43 @@ def sq8_rerank_topk(
     version: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probes: int = 10_000,
 ) -> DataFrame:
     """The refinement shape (IVFADC+R, Jégou et al. 2011 §V — the same
-    contract as :func:`pq.ivfpq_rerank`): SQ8-approximate top-``k_adc``
-    candidates, raw vectors joined back from the lake, exact squared-L2
-    re-rank on the 9-dp grid, ties → neighbor id. Candidate-bounded:
-    the exact stage touches ``probes × k_adc`` raw rows, isin-pruned
-    below the corpus projection."""
+    contract as :func:`pq.ivfpq_rerank`, including its guard rails):
+    SQ8-approximate top-``k_adc`` candidates, raw vectors joined back
+    from the lake, exact squared-L2 re-rank on the 9-dp grid, ties →
+    neighbor id. Candidate-bounded: the exact stage touches
+    ``probes × k_adc`` raw rows, isin-pruned below the corpus
+    projection. Probes are pinned ONCE (collected, ``max_probes``-capped
+    — the ivfpq_rerank rules) and the SAME pinned rows drive the
+    approximate cut and the exact join, so a non-deterministic probes
+    plan cannot rank candidates against vectors that never produced
+    them; the shared completeness gate raises on a corpus missing
+    indexed candidates or on duplicate ids."""
     from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.pipeline.pq import _rerank_gate
 
     if k < 1 or k_adc < k:
         raise ValueError(f"need k_adc >= k >= 1, got k={k} k_adc={k_adc}")
+    probes_proj = probes.select(id_col, vec_col)
+    probe_rows = probes_proj.limit(max_probes + 1).collect()
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"sq8_rerank_topk: probe batch exceeds max_probes={max_probes} "
+            f"— probes are collected to the driver (full vectors) to pin "
+            f"one evaluation for both stages; split the batch or raise "
+            f"the cap consciously"
+        )
+    pinned = spark.createDataFrame(probe_rows, schema=probes_proj.schema)
     cand = sq8_topk(
-        spark, store_path, probes, k=k_adc, version=version,
+        spark, store_path, pinned, k=k_adc, version=version,
         id_col=id_col, vec_col=vec_col,
     ).select("probe_id", "neighbor_id").localCheckpoint()
-    cand_ids = sorted({r["neighbor_id"] for r in cand.collect()})
+    cand_rows = cand.collect()
+    n_cand = len(cand_rows)
+    cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
 
     def _dot(a, b):
         return F.aggregate(
@@ -303,7 +347,7 @@ def sq8_rerank_topk(
             lambda acc, v: acc + v,
         )
 
-    pv = probes.select(
+    pv = pinned.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
     nv = corpus.select(
@@ -321,7 +365,8 @@ def sq8_rerank_topk(
         F.broadcast(cand.join(F.broadcast(pv), "probe_id"))
         .join(nv, "neighbor_id")
         .select("probe_id", "neighbor_id", d.alias("_d"))
-    )
+    ).localCheckpoint()
+    _rerank_gate(exact, cand_ids, n_cand, op="sq8_rerank_topk", id_col=id_col)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
     )
@@ -364,6 +409,7 @@ def sq8_append(
         )
     dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
     mins, spans = _load_scales(spark, store_path, version, dim)
+    _guard_clean_vectors(new_vectors, dim, id_col, vec_col, "sq8_append")
     rows = new_vectors.select(
         F.lit(SQ_NAME).alias("name"),
         F.lit(0.0).alias("ts"),

@@ -14,7 +14,9 @@ Claims under test:
    (stress_ivfpq's corpus rationale: uniform vectors have no neighbor
    structure to preserve — distance concentration makes recall noise).
 3. **Search wall scales with the corpus scan, not worse**: the distance
-   stage is one narrow-integer equi-join + hash aggregate.
+   stage is the Arrow-batched numpy kernel emitting per-batch top-k
+   rows (the position-explode equi-join form was measured first at
+   92.8 s/1M and replaced — sq.py module docstring, EXPLAIN §49).
 
 Prints one JSON line for BASELINE.md.
 

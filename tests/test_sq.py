@@ -154,9 +154,11 @@ def test_sq8_append_oneshot_equivalence_txn_and_cas(spark, tmp_path):
     # txn replay: version unchanged
     assert sq8_append(spark, store, b2, txn=("app", 1)) == v2
 
+    # one-shot twin: build on the UNION — b2 is strictly inside b1's
+    # per-dim envelope, so the union's min/max scales EQUAL b1's and the
+    # frozen-scale append must encode identically
     store2 = f"file://{tmp_path}/sq8one"
-    sq8_build(spark, store2, b1, dim=DIM)  # same scales source: b1 only
-    sq8_append(spark, store2, b2, txn=("x", 1))
+    sq8_build(spark, store2, b1.unionByName(b2), dim=DIM)
     probes = b1.filter(F.col("vec_id") < 3)
     a = sorted(tuple(r) for r in sq8_topk(spark, store, probes, k=5).collect())
     b = sorted(tuple(r) for r in sq8_topk(spark, store2, probes, k=5).collect())
@@ -182,3 +184,48 @@ def test_sq8_append_oneshot_equivalence_txn_and_cas(spark, tmp_path):
     q2 = stream_sq8_ingest(stream, spark, store3)
     q2.awaitTermination(120)
     assert snapshot_version(spark, store3) == tip
+
+
+def test_sq8_rerank_guard_rails_match_ivfpq(spark, tmp_path):
+    """Round-12 review findings: the refinement stage carries
+    ivfpq_rerank's guard rails — a corpus missing indexed candidate ids
+    raises (membership, not count-delta), duplicate ids raise their own
+    error, the probe batch is collected once under a loud cap, and a
+    NULL/ragged vector can never reach the persisted index."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        sq8_append,
+        sq8_build,
+        sq8_rerank_topk,
+    )
+
+    mat = _vecs(20, seed=13)
+    df = _frame(spark, mat)
+    store = f"file://{tmp_path}/sq8guard"
+    sq8_build(spark, store, df, dim=DIM)
+    probes = df.filter(F.col("vec_id") < 2)
+
+    with pytest.raises(ValueError, match="missing"):
+        sq8_rerank_topk(
+            spark, store, probes, df.filter(F.col("vec_id") % 2 == 0),
+            k=3, k_adc=8,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        sq8_rerank_topk(
+            spark, store, probes, df.unionByName(df), k=3, k_adc=8,
+        )
+    with pytest.raises(ValueError, match="max_probes"):
+        sq8_rerank_topk(spark, store, probes, df, k=2, k_adc=4, max_probes=1)
+
+    # dirty batches never reach the store (poisoned index class)
+    nullvec = spark.createDataFrame(
+        [(100, None)], "vec_id long, embedding array<double>"
+    )
+    ragged = spark.createDataFrame(
+        [(101, [1.0] * (DIM - 1))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="clean the batch"):
+        sq8_append(spark, store, nullvec)
+    with pytest.raises(ValueError, match="clean the batch"):
+        sq8_append(spark, store, ragged)
+    with pytest.raises(ValueError, match="clean the batch"):
+        sq8_build(spark, f"file://{tmp_path}/sq8dirty", nullvec, dim=DIM)
