@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "maxsim_rerank_topk",
     "maxsim_index_rerank_topk",
     "text_novelty",
+    "dedup_edit",
+    "sq8_store_topk",
 ]
 
 
