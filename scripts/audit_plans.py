@@ -88,14 +88,6 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "equi-joins + the candidate-bounded broadcast re-rank",
         )
     },
-    "hybrid_rrf3_rerank_topk": {
-        "BroadcastNestedLoopJoin": (
-            1,
-            "the bm25 leg's allowlisted corpus (N, avgdl) one-row cross "
-            "broadcast (the hybrid_topk shape); the candidate-served late "
-            "leg sits behind a localCheckpoint and adds equi-joins only",
-        )
-    },
     "hybrid_rrf3_topk": {
         "BroadcastNestedLoopJoin": (
             1,
