@@ -1841,7 +1841,13 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = lsh_candidate_pairs(docs, num_perm=4, bands=1, shingle_n=1)
+    # bigram shingles + 4 bands of 2 rows: the multi-band OR actually
+    # exercises banding, the verifier really rejects (657 pairs -> 108
+    # kept at sf0.01), and pair counts stay sf-stable (63.8k pairs /
+    # 5.7 s at sf0.1) — unlike unigram shingles over the zipf-ish
+    # synthetic vocabulary, where every doc shares top tokens and the
+    # bucket self-join went quadratic at sf0.1 (2.76M pairs, 91 s)
+    pairs = lsh_candidate_pairs(docs, num_perm=8, bands=4, shingle_n=2)
     return edit_distance_pairs(docs, pairs, max_dist=200)
 
 
@@ -1850,17 +1856,34 @@ WITH toks AS (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
     FROM documents
 ),
+sh AS (
+    -- word-BIGRAM shingles, whole-text fallback for 1-token docs (the
+    -- _shingles rule); zero-token docs drop (the _banded rule)
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                ELSE list_distinct([array_to_string(t, ' ')])
+           END AS s
+    FROM toks WHERE len(t) > 0
+),
 uni AS (
-    SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+    SELECT doc_id, unnest(s) AS tok FROM sh
 ),
 mins AS (
     SELECT doc_id,
            MIN(md5(tok || '#0')) AS m0, MIN(md5(tok || '#1')) AS m1,
-           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3
+           MIN(md5(tok || '#2')) AS m2, MIN(md5(tok || '#3')) AS m3,
+           MIN(md5(tok || '#4')) AS m4, MIN(md5(tok || '#5')) AS m5,
+           MIN(md5(tok || '#6')) AS m6, MIN(md5(tok || '#7')) AS m7
     FROM uni GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, md5('0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+    SELECT doc_id, unnest([
+        md5('0' || '|' || m0 || '|' || m1),
+        md5('1' || '|' || m2 || '|' || m3),
+        md5('2' || '|' || m4 || '|' || m5),
+        md5('3' || '|' || m6 || '|' || m7)
+    ]) AS band_key
     FROM mins
 ),
 pairs AS (
