@@ -5513,6 +5513,95 @@ SQL_MAXSIM_RERANK_TOPK = _sql_maxsim_rerank_topk(
 )
 
 
+def q_hybrid_combmnz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombMNZ score fusion (pipeline/stats.py combmnz_fuse — Fox &
+    Shaw 1994 / Lee 1997, the score-based complement to RRF): BM25 ⊕
+    MaxSim, per-(leg, query) min–max normalization quantized ONCE to
+    BIGINT micro-units, fused = hit-count × Σ units (exact integers).
+    The oracle replays both score-bearing legs (the shared lex stack's
+    lex_scored + the spliced maxsim chain), the same normalization
+    IEEE ops, and the fuse."""
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_combmnz_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hybrid_combmnz_topk(docs, _BM25_QUERIES, k=10, candidates=20)
+
+
+def _sql_hybrid_combmnz_topk(
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+    unit_scale: float = 1e6,
+) -> str:
+    """DuckDB twin of hybrid_combmnz_topk: the shared lex stack supplies
+    ``lex`` (the top-c cut) and ``lex_scored`` (the scores — joined back
+    so the cut and the score come from the same replayed leg); the
+    shared maxsim chain supplies the late leg; per-leg per-query min–max
+    windows, the identical floor(norm·scale + 0.5) quantization, and
+    ``n_hits · Σ units``."""
+    u = f"{float(unit_scale)!r}"
+    norm = (
+        f"CAST(FLOOR(CASE WHEN mx > mn THEN (s - mn) / (mx - mn) "
+        f"ELSE 1.0 END * {u} + 0.5) AS BIGINT)"
+    )
+    return (
+        _sql_hybrid_lex_stack(queries, candidates, dim)
+        + _sql_maxsim_ctes(
+            queries, dim=dim, window=window, p="m_", docs_src=("docs", "toks")
+        )
+        + f""",
+m_late AS (
+    SELECT query_id, doc_id, CAST(score_u AS DOUBLE) AS s,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_u DESC, doc_id) AS rank
+    FROM m_scores
+    QUALIFY rank <= {candidates}
+),
+leg1 AS (
+    SELECT l.query_id, l.doc_id, CAST(ls.score AS DOUBLE) AS s
+    FROM lex l JOIN lex_scored ls
+        ON ls.query_id = l.query_id AND ls.doc_id = l.doc_id
+),
+n1 AS (
+    SELECT query_id, doc_id, {norm} AS u FROM (
+        SELECT query_id, doc_id, s,
+               MIN(s) OVER (PARTITION BY query_id) AS mn,
+               MAX(s) OVER (PARTITION BY query_id) AS mx
+        FROM leg1
+    )
+),
+n2 AS (
+    SELECT query_id, doc_id, {norm} AS u FROM (
+        SELECT query_id, doc_id, s,
+               MIN(s) OVER (PARTITION BY query_id) AS mn,
+               MAX(s) OVER (PARTITION BY query_id) AS mx
+        FROM m_late
+    )
+),
+fused AS (
+    SELECT query_id, doc_id,
+           CAST(COUNT(*) * SUM(u) AS BIGINT) AS score_u
+    FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+    GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_u DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+    )
+
+
+SQL_HYBRID_COMBMNZ_TOPK = _sql_hybrid_combmnz_topk(
+    _BM25_QUERIES, k=10, candidates=20
+)
+
+
 def q_hybrid_rrf3_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tri-modal RRF with the late leg candidate-served (pipeline/stats.py
     hybrid_rrf3_rerank_topk): same three modalities as hybrid_rrf3_topk,
@@ -7319,6 +7408,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup, SQ8) earn driver records this round:
     "pipeline_chunks": q_pipeline_chunks,
     "text_perplexity": q_text_perplexity,
+    # NEW round-12 tail row (no driver-green record yet; strict-gate
+    # checked): CombMNZ score fusion
+    "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
     # demoted round-12 (driver-green r11; strict-gate checked):
     "dsir_incremental": q_dsir_incremental,
     "dsir_drift": q_dsir_drift,
@@ -7510,6 +7602,7 @@ ORACLES: dict[str, str] = {
     "maxsim_topk": SQL_MAXSIM_TOPK,
     "maxsim_rerank_topk": SQL_MAXSIM_RERANK_TOPK,
     "maxsim_index_rerank_topk": SQL_MAXSIM_INDEX_RERANK_TOPK,
+    "hybrid_combmnz_topk": SQL_HYBRID_COMBMNZ_TOPK,
     "hybrid_rrf3_rerank_topk": SQL_HYBRID_RRF3_RERANK_TOPK,
     "hybrid_rrf3_topk": SQL_HYBRID_RRF3_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,

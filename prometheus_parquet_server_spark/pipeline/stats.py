@@ -410,6 +410,110 @@ def rrf_fuse(
     )
 
 
+def combmnz_fuse(
+    scored: list[DataFrame],
+    top_k: int = 10,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    unit_scale: float = 1e6,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """CombMNZ score fusion [Fox & Shaw 1994; Lee 1997, public
+    knowledge] — the canonical SCORE-based complement to rank-based
+    :func:`rrf_fuse`: per (leg, query) scores min–max normalize to
+    [0, 1], and ``fused(d) = |legs hitting d| · Σ normalized`` — the
+    multiply-by-hit-count is what separates CombMNZ from CombSUM and
+    rewards cross-leg agreement. Each normalized score quantizes ONCE
+    to BIGINT micro-units (floor(norm·scale + 0.5) — IEEE ops every
+    engine replays identically), so fused scores are exact integers:
+    ``score_u = n_hits · Σ units``. A leg whose per-query scores are
+    all equal normalizes to 1.0 (everything is the max — the
+    single-candidate convention). Output ``(group_col, id_col,
+    score_u, rank)``, ties → ``id_col``.
+
+    Scale shape: per-leg normalization is one per-query window min/max
+    over k-bounded candidate rows; the fuse is one hash aggregate over
+    the bounded union — nothing rescans a corpus."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not scored:
+        raise ValueError("scored must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    sides = []
+    for leg in scored:
+        w = Window.partitionBy(group_col)
+        sv = F.col(score_col).cast("double")
+        mn, mx = F.min(sv).over(w), F.max(sv).over(w)
+        norm = F.when(mx > mn, (sv - mn) / (mx - mn)).otherwise(F.lit(1.0))
+        unit = F.floor(norm * F.lit(float(unit_scale)) + F.lit(0.5)).cast(
+            "long"
+        )
+        sides.append(leg.select(group_col, id_col, unit.alias("_u")))
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), sides)
+        .groupBy(group_col, id_col)
+        .agg(
+            (F.count("*") * F.sum("_u")).alias("score_u"),
+        )
+    )
+    order = [F.col("score_u").desc(), F.col(id_col).asc()]
+    w_part = Window.partitionBy(
+        group_col, F.pmod(F.hash(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    partial = fused.withColumn("_pr", F.row_number().over(w_part)).filter(
+        F.col("_pr") <= top_k
+    )
+    w_final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= top_k)
+        .select(group_col, id_col, "score_u", "rank")
+    )
+
+
+def hybrid_combmnz_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ⊕ MaxSim under CombMNZ — the score-based sibling of the RRF
+    hybrids, fusing the two score-bearing legs (both emit exact-integer
+    scores, so the min–max normalization inputs are engine-identical).
+    Each leg contributes its top ``candidates`` per query; agreement
+    doubles (hit count 2). Returns ``(query_id, id_col, score_u,
+    rank)``, exact integers."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
+    lex = bm25_topk(df, queries, k=candidates, text_col=text_col, id_col=id_col)
+    late = maxsim_topk(
+        df, queries, k=candidates, dim=dim, window=window,
+        text_col=text_col, id_col=id_col,
+    )
+    return combmnz_fuse(
+        [
+            lex.select("query_id", id_col, "score"),
+            late.select(
+                "query_id", id_col, F.col("score_u").alias("score")
+            ),
+        ],
+        top_k=k, id_col=id_col,
+    )
+
+
 def hybrid_topk(
     df: DataFrame,
     queries: dict[str, list[str]],

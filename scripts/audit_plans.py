@@ -88,6 +88,14 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             "equi-joins + the candidate-bounded broadcast re-rank",
         )
     },
+    "hybrid_combmnz_topk": {
+        "BroadcastNestedLoopJoin": (
+            1,
+            "the bm25 leg's allowlisted corpus (N, avgdl) one-row cross "
+            "broadcast (the hybrid_topk shape); the maxsim leg and the "
+            "CombMNZ fuse add equi-joins and windows only",
+        )
+    },
     "hybrid_rrf3_topk": {
         "BroadcastNestedLoopJoin": (
             1,

@@ -560,3 +560,85 @@ def test_maxsim_index_rerank_topk_serving_stack(spark, tmp_path):
     with pytest.raises(ValueError, match="k_adc"):
         maxsim_index_rerank_topk(spark, docs, store, queries, k=2,
                                  candidates=4, k_adc=3)
+
+
+def test_combmnz_fuse_matches_model(spark):
+    """CombMNZ (stats.combmnz_fuse): fused score equals a transparent
+    Python replay — per-leg per-query min–max normalization, micro-unit
+    quantization, hit-count × sum — with the constant-leg → 1.0
+    convention and (score desc, id) ties; guards raise."""
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.stats import combmnz_fuse
+
+    leg1 = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 2, 5.0), ("q", 3, 0.0)],
+        "query_id string, doc_id long, score double",
+    )
+    leg2 = spark.createDataFrame(
+        # constant scores → every doc normalizes to 1.0
+        [("q", 2, 7.0), ("q", 4, 7.0)],
+        "query_id string, doc_id long, score double",
+    )
+    out = {r["doc_id"]: (r["score_u"], r["rank"])
+           for r in combmnz_fuse([leg1, leg2], top_k=4).collect()}
+
+    def unit(norm):
+        return int(math.floor(norm * 1e6 + 0.5))
+
+    want = {
+        1: 1 * unit(1.0),                 # leg1 max, one hit
+        2: 2 * (unit(0.5) + unit(1.0)),   # both legs → MNZ doubles
+        3: 1 * unit(0.0),
+        4: 1 * unit(1.0),
+    }
+    for did, (score, _) in out.items():
+        assert score == want[did], (did, score, want[did])
+    # ranks: doc 2 first (agreement), then 1 and 4 tie on score → id asc
+    assert out[2][1] == 1 and out[1][1] == 2 and out[4][1] == 3
+
+    with pytest.raises(ValueError, match="scored"):
+        combmnz_fuse([], top_k=2)
+    with pytest.raises(ValueError, match="top_k"):
+        combmnz_fuse([leg1], top_k=0)
+
+
+def test_hybrid_combmnz_topk_composes(spark):
+    """The BM25 ⊕ MaxSim CombMNZ composition: fused scores replay from
+    the two legs' own outputs; agreement outranks single-leg wins at
+    comparable normalized mass; deterministic."""
+    import math
+
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        bm25_topk,
+        combmnz_fuse,
+        hybrid_combmnz_topk,
+        maxsim_topk,
+    )
+
+    docs = _docs(spark, [
+        (1, "hash join fast pipeline"),
+        (2, "hash hash hash hash"),
+        (3, "unrelated filler body"),
+        (4, "fast join hash stream"),
+    ])
+    queries = {"qa": ["hash", "join", "fast"]}
+    k, c = 4, 4
+    out = {r["doc_id"]: r["score_u"]
+           for r in hybrid_combmnz_topk(docs, queries, k=k, candidates=c).collect()}
+    lex = bm25_topk(docs, queries, k=c)
+    late = maxsim_topk(docs, queries, k=c)
+    from pyspark.sql import functions as SF
+
+    want = {r["doc_id"]: r["score_u"]
+            for r in combmnz_fuse(
+                [lex.select("query_id", "doc_id", "score"),
+                 late.select("query_id", "doc_id",
+                             SF.col("score_u").alias("score"))],
+                top_k=k).collect()}
+    assert out == want
+    again = {r["doc_id"]: r["score_u"]
+             for r in hybrid_combmnz_topk(docs, queries, k=k, candidates=c).collect()}
+    assert again == out
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_combmnz_topk(docs, queries, k=4, candidates=2)

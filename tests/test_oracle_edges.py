@@ -73,6 +73,7 @@ EDGE_QUERIES = [
     "pipeline_mixture",
     "jsonl_ingest",
     "cluster_topics",
+    "hybrid_combmnz_topk",
     "corpus_stats",
     "text_perplexity",
     "dedup_survivors",
