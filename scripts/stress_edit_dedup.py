@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Scale stress for edit-distance fuzzy dedup (pipeline/dedup.py
-edit_distance_pairs — round 12), at the PRODUCTION geometry the graded
-row's toy oracle cannot exercise (num_perm=16 / bands=4 / max_bucket
-cap; the graded row uses the exact toy geometry by the dedup_jaccard
-convention).
+edit_distance_pairs — round 12), at the PRODUCTION geometry with the
+max_bucket cap the graded row's exact oracle leaves off (the graded
+row runs bigram shingles / 4 bands UNCAPPED — sf-stable pair counts,
+measured in BASELINE — per the dedup_jaccard exact-oracle convention).
 
 Claims under test:
 
