@@ -201,6 +201,7 @@ def sq8_topk(
     version: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probes: int = 10_000,
 ) -> DataFrame:
     """Approximate top-``k`` per probe from the SQ8 index: probes
     quantize driver-side against the version-pinned scales, distances
@@ -210,7 +211,15 @@ def sq8_topk(
     the shuffle carries O(batches·probes·k) rows, never probes·N),
     ranked ``(dist_u, neighbor_id)``. Self-matches excluded (the
     pq_topk rule). Returns ``(probe_id, neighbor_id, dist_u, rank)``,
-    all-integer and oracle-replayable (the kernel is integer-exact)."""
+    all-integer and oracle-replayable (the kernel is integer-exact).
+
+    Probes are collected to the driver (full vectors — they quantize
+    against the pinned scales and broadcast into the kernel closure),
+    so the batch size is a driver-memory bound, not a cluster bound:
+    ``max_probes`` caps it with a loud error (the pq.py ivfpq_rerank
+    contract, ADVICE r11 / VERDICT r12 #3). Serving batches are
+    typically 10s–1000s of probes; raise the cap consciously for
+    offline sweeps — don't remove it."""
     from pyspark.sql import Window
 
     from prometheus_parquet_server_spark.sources.snapshot_store import (
@@ -228,7 +237,14 @@ def sq8_topk(
     dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
     mins, spans = _load_scales(spark, store_path, version, dim)
 
-    probe_rows = probes.select(id_col, vec_col).collect()
+    probe_rows = probes.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"sq8_topk: probe batch exceeds max_probes={max_probes} — "
+            f"probes are collected to the driver (full vectors) to "
+            f"quantize against the pinned scales; split the batch or "
+            f"raise the cap consciously"
+        )
     if not probe_rows:
         raise ValueError("probes is empty")
     import numpy as np
@@ -334,7 +350,7 @@ def sq8_rerank_topk(
     pinned = spark.createDataFrame(probe_rows, schema=probes_proj.schema)
     cand = sq8_topk(
         spark, store_path, pinned, k=k_adc, version=version,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, max_probes=max_probes,
     ).select("probe_id", "neighbor_id").localCheckpoint()
     cand_rows = cand.collect()
     n_cand = len(cand_rows)

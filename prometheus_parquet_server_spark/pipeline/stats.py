@@ -490,7 +490,14 @@ def hybrid_combmnz_topk(
     scores, so the min–max normalization inputs are engine-identical).
     Each leg contributes its top ``candidates`` per query; agreement
     doubles (hit count 2). Returns ``(query_id, id_col, score_u,
-    rank)``, exact integers."""
+    rank)``, exact integers.
+
+    Scale note: the late leg here is the SCAN-form :func:`maxsim_topk`
+    (O(corpus tokens · (2·window+1)) per query batch — measured 46.3 s
+    at 1M docs, BASELINE round-12). Like :func:`maxsim_topk` itself this
+    form is the diagnostic baseline; serve with
+    :func:`hybrid_combmnz_rerank_topk`, whose late leg is candidate-
+    bounded."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if candidates < k:
@@ -502,6 +509,79 @@ def hybrid_combmnz_topk(
     late = maxsim_topk(
         df, queries, k=candidates, dim=dim, window=window,
         text_col=text_col, id_col=id_col,
+    )
+    return combmnz_fuse(
+        [
+            lex.select("query_id", id_col, "score"),
+            late.select(
+                "query_id", id_col, F.col("score_u").alias("score")
+            ),
+        ],
+        top_k=k, id_col=id_col,
+    )
+
+
+def hybrid_combmnz_rerank_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    candidates: int = 20,
+    dim: int = 64,
+    window: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_candidate_ids: int = 100_000,
+) -> DataFrame:
+    """CombMNZ with the late leg CANDIDATE-SERVED — the serving twin of
+    :func:`hybrid_combmnz_topk` (the scan form stays as the diagnostic
+    baseline, the :func:`maxsim_topk` convention): the MaxSim leg
+    re-scores ONLY the lexical∪dense candidate union through the shared
+    :func:`_maxsim_rerank_scores` chain (isin-pruned below the token-
+    window explode), then the BM25 scores and the reranked late scores
+    fuse under the unchanged :func:`combmnz_fuse`. The dense leg is
+    candidate generation only — the fusion stays 2-leg (lex ⊕ late),
+    exactly the scan form's legs. At 100 TB this is the only affordable
+    score-fusion shape: every post-candidate stage is bounded by
+    ``|queries| · candidates``, not the corpus (the measured near-flat
+    geometry of maxsim_index_rerank_topk, BASELINE round-12).
+
+    Semantics note (why this is its OWN oracle-paired row, not a
+    replay of the scan form): the reranked late leg ranks every
+    candidate pair — a no-overlap pair scores exactly 0 and can enter
+    the leg's top-``candidates``, which shifts that query's min–max
+    normalization window. Both legs still emit exact integers, so the
+    fused scores grade bit-exact against a full SQL replay."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= k ({k}) — the fused "
+            f"top-k draws from each side's candidate pool"
+        )
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    from pyspark.sql import Window as W
+
+    # pin both legs once: the candidate union AND the lex fusion leg
+    # read them (the hybrid_rrf3_rerank_topk recompute lesson, round 12)
+    lex = bm25_topk(
+        df, queries, k=candidates, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+    dense = hash_cosine_topk(
+        df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+    reranked = _maxsim_rerank_scores(
+        df, queries, lex, dense, dim, window, text_col, id_col,
+        max_candidate_ids,
+    )
+    w_late = W.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col(id_col).asc()
+    )
+    late = (
+        reranked.withColumn("rank", F.row_number().over(w_late))
+        .filter(F.col("rank") <= candidates)
     )
     return combmnz_fuse(
         [

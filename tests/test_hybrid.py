@@ -642,3 +642,79 @@ def test_hybrid_combmnz_topk_composes(spark):
     assert again == out
     with pytest.raises(ValueError, match="candidates"):
         hybrid_combmnz_topk(docs, queries, k=4, candidates=2)
+
+
+def test_hybrid_combmnz_rerank_topk_candidate_served(spark):
+    """The serving twin (VERDICT r12 Next #3): fused scores replay from
+    combmnz_fuse over (bm25 leg, candidate-served late leg) — the late
+    leg ranking every lexical∪dense candidate pair through the shared
+    rerank chain, no-overlap pairs scoring exactly 0 and still entering
+    the leg (the min–max window shift that makes this its own row, not
+    a replay of the scan form); deterministic; guards raise."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        _maxsim_rerank_scores,
+        bm25_topk,
+        combmnz_fuse,
+        hash_cosine_topk,
+        hybrid_combmnz_rerank_topk,
+    )
+
+    docs = _docs(spark, [
+        (1, "hash join fast pipeline"),
+        (2, "hash hash hash hash"),
+        (3, "unrelated filler body"),
+        (4, "fast join hash stream"),
+        (5, "zzz qqq vvv www"),
+    ])
+    queries = {"qa": ["hash", "join", "fast"]}
+    k, c = 4, 4
+    out = {r["doc_id"]: (r["score_u"], r["rank"])
+           for r in hybrid_combmnz_rerank_topk(
+               docs, queries, k=k, candidates=c).collect()}
+
+    # transparent replay through the same shared pieces
+    lex = bm25_topk(docs, queries, k=c)
+    dense = hash_cosine_topk(docs, queries, k=c, dim=64)
+    reranked = _maxsim_rerank_scores(
+        docs, queries, lex, dense, 64, 1, "text", "doc_id", 100_000
+    )
+    w_late = W.partitionBy("query_id").orderBy(
+        SF.col("score_u").desc(), SF.col("doc_id").asc()
+    )
+    late = (
+        reranked.withColumn("rank", SF.row_number().over(w_late))
+        .filter(SF.col("rank") <= c)
+    )
+    want = {r["doc_id"]: (r["score_u"], r["rank"])
+            for r in combmnz_fuse(
+                [lex.select("query_id", "doc_id", "score"),
+                 late.select("query_id", "doc_id",
+                             SF.col("score_u").alias("score"))],
+                top_k=k).collect()}
+    assert out == want
+
+    # every candidate-union pair is scored — a candidate with no token
+    # overlap anywhere (doc 5 planted into a handcrafted dense leg)
+    # comes back through the LEFT JOIN coalesce with score exactly 0
+    # and still ranks inside the late leg
+    planted = spark.createDataFrame(
+        [("qa", 5, 1)], "query_id string, doc_id long, rank int"
+    )
+    rer2 = {r["doc_id"]: r["score_u"]
+            for r in _maxsim_rerank_scores(
+                docs, queries, lex, planted, 64, 1, "text", "doc_id",
+                100_000).collect()}
+    assert rer2[5] == 0, rer2
+    assert set(rer2) == {1, 2, 4, 5}, rer2
+
+    again = {r["doc_id"]: (r["score_u"], r["rank"])
+             for r in hybrid_combmnz_rerank_topk(
+                 docs, queries, k=k, candidates=c).collect()}
+    assert again == out
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_combmnz_rerank_topk(docs, queries, k=4, candidates=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        hybrid_combmnz_rerank_topk(docs, {}, k=2, candidates=2)

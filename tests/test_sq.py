@@ -215,6 +215,14 @@ def test_sq8_rerank_guard_rails_match_ivfpq(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="max_probes"):
         sq8_rerank_topk(spark, store, probes, df, k=2, k_adc=4, max_probes=1)
+    # the flat serving path carries the same cap (VERDICT r12 #3: the
+    # direct sq8_topk collect was the one uncontracted driver collect)
+    from prometheus_parquet_server_spark.pipeline.sq import sq8_topk
+
+    with pytest.raises(ValueError, match="max_probes"):
+        sq8_topk(spark, store, probes, k=2, max_probes=1)
+    ok = sq8_topk(spark, store, probes, k=2, max_probes=2)
+    assert ok.count() > 0
 
     # dirty batches never reach the store (poisoned index class)
     nullvec = spark.createDataFrame(
