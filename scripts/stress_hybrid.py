@@ -120,6 +120,20 @@ def run(spark, n):
     t0 = time.time()
     n_rerank = maxsim_rerank_topk(docs, QUERIES, k=20, candidates=20).count()
     walls["maxsim_rerank_topk"] = round(time.time() - t0, 2)
+    # candidate-served CombMNZ (round 13, VERDICT r12 Next #3): the
+    # score-fusion serving twin — BM25 scores ⊕ candidate-served MaxSim
+    # scores under min–max + hit-count fusion; like maxsim_rerank its
+    # late leg is candidate-bounded, so the wall should track the two
+    # candidate legs' scans, never the scan-maxsim shape
+    from prometheus_parquet_server_spark.pipeline.stats import (
+        hybrid_combmnz_rerank_topk,
+    )
+
+    t0 = time.time()
+    n_combmnz = hybrid_combmnz_rerank_topk(
+        docs, QUERIES, k=10, candidates=20
+    ).count()
+    walls["hybrid_combmnz_rerank_topk"] = round(time.time() - t0, 2)
     # index-served dense side (VERDICT r10 Next #4): one offline build,
     # then the query-time dense cost is probed-cell codes + k_adc raw
     # joins instead of the full O(tokens) embed+scan
@@ -165,7 +179,7 @@ def run(spark, n):
         "n_docs": n,
         "walls_s": walls,
         "rows": [n_lex, n_dense, len(rows), len(idx_rows), n_late, n_rerank,
-                 n_idx_rerank],
+                 n_idx_rerank, n_combmnz],
         "fused_top10_in_planted_slice": hits(rows),
         "index_fused_top10_in_planted_slice": hits(idx_rows),
     }
