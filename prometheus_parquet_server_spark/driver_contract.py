@@ -4221,6 +4221,75 @@ GROUP BY 1
 """
 
 
+def q_pipeline_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (pipeline/split.py leakage_safe_split, round
+    13): near-dup clusters (the SAME LSH-bucketed embedding pair feed as
+    dedup_clusters) inherit their representative's md5 bucket, so
+    near-duplicates of an eval document can never land in train. Graded
+    frame: per-split totals plus the count of cluster-keyed documents —
+    any divergence in the component labels, the key coalescing, or the
+    banding moves a doc between rows and flips the hash."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+    )
+    from prometheus_parquet_server_spark.pipeline.split import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    out = leakage_safe_split(docs, pairs, id_col="doc_id", seed=42)
+    clustered = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_c")
+    )
+    return (
+        out.join(clustered, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_clustered"),
+        )
+    )
+
+
+SQL_PIPELINE_LEAK_SPLIT = f"""
+WITH RECURSIVE {_ND_CORE_SQL},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM nd
+    UNION
+    SELECT id_b AS a, id_a AS b FROM nd
+),
+reach AS (
+    SELECT a AS node, b AS other FROM edges
+    UNION
+    SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+),
+comp AS (
+    SELECT node, LEAST(node, MIN(other)) AS component
+    FROM reach GROUP BY node
+),
+keyed AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS skey,
+           CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END AS clustered
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+bucketed AS (
+    SELECT CAST(CONCAT('0x', substr(md5(CAST(skey AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 AS bucket,
+           clustered
+    FROM keyed
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(clustered) AS BIGINT) AS n_clustered
+FROM bucketed
+GROUP BY 1
+"""
+
+
 def q_pipeline_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over the documents table: 512-token packs across 8
     parallel buckets — per-pack doc counts and token totals."""
@@ -7589,6 +7658,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "streaming_event_counts": q_streaming_event_counts,
+    # NEW round-13 tail row (no driver record yet; strict-gate checked —
+    # lead rotation candidate for round 14): duplicate-cluster-aware
+    # split assignment (train/test leakage guard)
+    "pipeline_leak_split": q_pipeline_leak_split,
     # prior-round demotions and graded-family variants (driver-green
     # records noted in each round's rotation; see git history):
     "tpch_q5ish": q_tpch_q5ish,
@@ -7716,6 +7789,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_event_counts": SQL_STREAMING_EVENT_COUNTS,
     "pipeline_split": SQL_PIPELINE_SPLIT,
+    "pipeline_leak_split": SQL_PIPELINE_LEAK_SPLIT,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
     "text_novelty": SQL_TEXT_NOVELTY,

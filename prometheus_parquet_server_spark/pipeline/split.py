@@ -10,6 +10,9 @@ dedup/quality filtering:
   md5 is bit-identical everywhere, unlike engine-native hashes
   (xxhash64/murmur differ between Spark and DuckDB). One codegen'd
   expression per row, no shuffle, no RNG state.
+- :func:`leakage_safe_split` — the cluster-aware variant: near-dup
+  clusters inherit their representative's bucket, so duplicates of an
+  eval document can never leak into train (see its docstring).
 - :func:`pack_assignments` — sequence packing: fixed-token-budget pack
   ids via a per-bucket running token total (see its docstring for the
   parallelism/packing-tightness trade).
@@ -70,6 +73,57 @@ def assign_split(
     for name, hi in reversed(edges[:-1]):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: int = 42,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster-aware split assignment — the train/test
+    LEAKAGE guard a plain per-document split cannot give: under
+    :func:`assign_split` a near-duplicate of a test document lands in
+    train with probability ~0.98, and the eval set silently becomes
+    training data [the contamination failure mode surveyed in Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"]. Here every member of a near-dup cluster inherits the
+    cluster REPRESENTATIVE's (min id — the
+    :func:`clustering.connected_components` label) bucket, so a whole
+    cluster moves between splits as one unit and near-duplicates can
+    never straddle train/test. Documents outside every cluster hash on
+    their own id — identical to :func:`assign_split` (the zero-pairs
+    degenerate case IS assign_split).
+
+    Scale shape: the component frame holds only documents that appear
+    in a near-dup pair — a small fraction of the corpus at real-world
+    dup rates — so the left join broadcasts it under AQE (the
+    :func:`clustering.resolve_duplicates` reasoning); the banding
+    itself stays one codegen'd md5 expression per row, no shuffle.
+    Returns ``docs`` plus the ``split`` column."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, a_col, b_col)
+    keyed = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn(
+            "_split_key", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+    )
+    return assign_split(
+        keyed, id_col="_split_key", weights=weights, seed=seed
+    ).drop("_split_key")
 
 
 def word_ngram_hashes(text: Column, n: int = 8) -> Column:

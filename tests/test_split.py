@@ -124,3 +124,54 @@ def test_novelty_counts_matches_set_model(spark):
         want[did] = (len(g), len(g - rset))
     assert got == want
     assert got[1][1] == 0 and got[3][0] == got[3][1]
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    """leakage_safe_split: every near-dup pair lands in ONE split (the
+    property assign_split cannot give); loners band exactly like
+    assign_split; the whole cluster inherits the MIN-id representative's
+    bucket (python md5 replay); zero pairs degenerates to assign_split;
+    deterministic."""
+    from prometheus_parquet_server_spark.pipeline.split import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    # three clusters, incl. a chain (transitive closure) and a far pair
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 1999), (100, 200), (200, 300)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 2000
+    for a, b in [(0, 1), (1, 2), (0, 2), (5, 1999), (100, 200), (200, 300)]:
+        assert out[a] == out[b], (a, b, out[a], out[b])
+
+    # cluster members band on the representative's (min id) bucket
+    def band_of(key):
+        bucket = int(
+            hashlib.md5(f"{key}:42".encode()).hexdigest()[:8], 16
+        ) % SPLIT_BUCKETS
+        return "train" if bucket < 9800 else ("val" if bucket < 9900 else "test")
+
+    for member, rep in [(0, 0), (1, 0), (2, 0), (5, 5), (1999, 5),
+                        (100, 100), (200, 100), (300, 100)]:
+        assert out[member] == band_of(rep), (member, rep)
+
+    # loners are untouched assign_split
+    plain = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    clustered = {0, 1, 2, 5, 1999, 100, 200, 300}
+    for did, s in out.items():
+        if did not in clustered:
+            assert s == plain[did]
+
+    # zero pairs == assign_split exactly
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    degenerate = {r["doc_id"]: r["split"]
+                  for r in leakage_safe_split(docs, empty).collect()}
+    assert degenerate == plain
+
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(docs, pairs).collect()}
+    assert again == out
