@@ -4338,6 +4338,64 @@ def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "n_contaminated_grams")
 
 
+def q_pipeline_fuzzy_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (pipeline/split.py
+    fuzzy_contamination, round 13): training docs whose word-bigram
+    shingle Jaccard vs ANY document of the deterministic benchmark
+    slice (doc_id % 29 == 0 — the contamination_hits convention)
+    reaches 0.5 — the near-duplicate leakage an exact shared-n-gram
+    test misses. The oracle replays the shared shingle identity
+    (the dedup_jaccard ``sh`` construction verbatim), the hit-bounded
+    pair space (it only keeps pairs with ≥1 shared shingle), the
+    arithmetic union, and the IEEE division."""
+    from prometheus_parquet_server_spark.pipeline.split import (
+        fuzzy_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    return fuzzy_contamination(
+        docs.filter(F.col("doc_id") % 29 != 0), bench, shingle_n=2, tau=0.5
+    )
+
+
+SQL_PIPELINE_FUZZY_CONTAMINATION = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents WHERE doc_id IS NOT NULL
+),
+sh AS (
+    -- the dedup_jaccard shingle identity verbatim (short docs -> ONE
+    -- whole-text shingle)
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_distinct(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i + 1]))
+                ELSE list_distinct([array_to_string(t, ' ')])
+           END AS s
+    FROM toks
+),
+bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 29 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0),
+pairs AS (
+    SELECT c.doc_id, b.bench_id,
+           CAST(len(list_intersect(c.s, b.bs)) AS BIGINT) AS n_inter,
+           CAST(len(c.s) + len(b.bs) - len(list_intersect(c.s, b.bs))
+                AS BIGINT) AS n_union
+    FROM corpus c CROSS JOIN bench b
+    WHERE len(list_intersect(c.s, b.bs)) >= 1
+)
+SELECT doc_id, bench_id, n_inter, n_union,
+       n_inter / n_union AS jaccard
+FROM pairs
+WHERE n_inter / n_union >= 0.5
+"""
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty vs a reference corpus (pipeline/split.py
     novelty_counts — the freshness/memorization complement of
@@ -7658,10 +7716,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "streaming_event_counts": q_streaming_event_counts,
-    # NEW round-13 tail row (no driver record yet; strict-gate checked —
-    # lead rotation candidate for round 14): duplicate-cluster-aware
-    # split assignment (train/test leakage guard)
+    # NEW round-13 tail rows (no driver record yet; strict-gate checked —
+    # lead rotation candidates for round 14): duplicate-cluster-aware
+    # split assignment (train/test leakage guard) and fuzzy benchmark
+    # decontamination (Jaccard-vs-benchmark near-dup leakage)
     "pipeline_leak_split": q_pipeline_leak_split,
+    "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
     # prior-round demotions and graded-family variants (driver-green
     # records noted in each round's rotation; see git history):
     "tpch_q5ish": q_tpch_q5ish,
@@ -7790,6 +7850,7 @@ ORACLES: dict[str, str] = {
     "streaming_event_counts": SQL_STREAMING_EVENT_COUNTS,
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_leak_split": SQL_PIPELINE_LEAK_SPLIT,
+    "pipeline_fuzzy_contamination": SQL_PIPELINE_FUZZY_CONTAMINATION,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
     "text_novelty": SQL_TEXT_NOVELTY,

@@ -126,6 +126,90 @@ def leakage_safe_split(
     ).drop("_split_key")
 
 
+def fuzzy_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 2,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination — the near-duplicate complement
+    of :func:`contamination_hits`: an exact shared-n-gram test misses a
+    paraphrased or lightly-edited copy of an eval document, the leakage
+    mode the dedup literature flags hardest [Lee et al. 2022 §4; the
+    GPT-3 appendix's 13-gram rule is the exact-form special case]. Here
+    a training document is flagged when its word-shingle Jaccard
+    against ANY benchmark document reaches ``tau`` — the same
+    ``_shingles`` identity as :func:`dedup.ngram_jaccard_pairs`, so the
+    dedup and decontamination verdicts can never disagree about what
+    "near-duplicate" means.
+
+    EXACT Jaccard, not a MinHash estimate — affordable because the
+    benchmark side is tiny: its distinct-shingle stream BROADCASTS (the
+    :func:`contamination_hits` shape), a (doc, bench) pair exists only
+    where the gram equi-join finds ≥1 shared shingle (hit-bounded,
+    never |corpus|·|bench|), and set sizes ride along as map-only
+    ``F.size`` columns — ``|A∪B| = |A| + |B| − |A∩B|`` by arithmetic
+    (the :func:`dedup.ngram_jaccard_pairs` allocation argument).
+    Shingles cross the join as 8-byte ``xxhash64`` ints (same
+    fingerprint trade as the dedup verifier; the oracle intersects raw
+    strings). Returns ``(id_col, bench_id, n_inter, n_union, jaccard)``
+    for pairs with ``jaccard >= tau`` — n_inter/n_union exact BIGINTs,
+    jaccard one IEEE division of them (order-free, hash-stable)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import _shingles
+
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+
+    def gram_stream(frame: DataFrame, i: str, t: str, out: str) -> DataFrame:
+        return frame.where(F.col(i).isNotNull()).select(
+            F.col(i).alias(out),
+            F.explode(
+                F.transform(
+                    _shingles(F.col(t), shingle_n), lambda s: F.xxhash64(s)
+                )
+            ).alias("_g"),
+        )
+
+    def size_frame(frame: DataFrame, i: str, t: str, out: str, sz: str):
+        return frame.where(F.col(i).isNotNull()).select(
+            F.col(i).alias(out),
+            F.size(_shingles(F.col(t), shingle_n)).alias(sz),
+        )
+
+    inter = (
+        gram_stream(docs, id_col, text_col, "_did")
+        .join(F.broadcast(gram_stream(benchmark, bid, btx, "_bid")), "_g")
+        .groupBy("_did", "_bid")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    staged = (
+        inter.join(size_frame(docs, id_col, text_col, "_did", "_sa"), "_did")
+        .join(
+            F.broadcast(size_frame(benchmark, bid, btx, "_bid", "_sb")),
+            "_bid",
+        )
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            "n_inter",
+            (F.col("_sa") + F.col("_sb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    return staged.select(
+        id_col,
+        "bench_id",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+    ).where(F.col("jaccard") >= F.lit(float(tau)))
+
+
 def word_ngram_hashes(text: Column, n: int = 8) -> Column:
     """Distinct md5 hashes of word ``n``-grams (lowercased whitespace
     tokens, space-joined). Documents with fewer than ``n`` tokens yield an

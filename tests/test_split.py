@@ -175,3 +175,56 @@ def test_leakage_safe_split_pairs_never_straddle(spark):
     again = {r["doc_id"]: r["split"]
              for r in leakage_safe_split(docs, pairs).collect()}
     assert again == out
+
+
+def test_fuzzy_contamination_matches_set_model(spark):
+    """fuzzy_contamination: (n_inter, n_union, jaccard) equal a pure-
+    Python shingle-set replay for every emitted pair; pairs below tau
+    and zero-overlap pairs never emit; an exact copy scores 1.0 (the
+    paraphrase-leakage case contamination_hits' exact n-gram test
+    misses at n above the shared run); tau guard raises."""
+    from prometheus_parquet_server_spark.pipeline.split import (
+        fuzzy_contamination,
+    )
+
+    bench_rows = [
+        (290, "the quick brown fox jumps over the lazy dog tonight"),
+        (580, "completely different benchmark prompt about ledgers"),
+    ]
+    corpus_rows = [
+        # exact copy of bench 290 → jaccard 1.0
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        # light edit (one word) → high jaccard, not 1.0
+        (2, "the quick brown fox jumps over the lazy cat tonight"),
+        # shares only a 2-token run → far below tau
+        (3, "quick brown paint drying on a wall somewhere else"),
+        # no overlap at all → never even a candidate pair
+        (4, "zzz yyy xxx www vvv uuu ttt sss"),
+    ]
+    docs = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+    out = {(r["doc_id"], r["bench_id"]): (r["n_inter"], r["n_union"], r["jaccard"])
+           for r in fuzzy_contamination(docs, bench, tau=0.5).collect()}
+
+    def sh(text):
+        t = text.lower().split()
+        return set(
+            " ".join(t[i:i + 2]) for i in range(len(t) - 1)
+        ) if len(t) >= 2 else {" ".join(t)}
+
+    bsets = {bid: sh(tx) for bid, tx in bench_rows}
+    want = {}
+    for did, tx in corpus_rows:
+        s = sh(tx)
+        for bid, bs in bsets.items():
+            inter = len(s & bs)
+            union = len(s | bs)
+            if inter and inter / union >= 0.5:
+                want[(did, bid)] = (inter, union, inter / union)
+    assert out == want, (out, want)
+    assert (1, 290) in out and out[(1, 290)][2] == 1.0
+    assert (2, 290) in out and out[(2, 290)][2] < 1.0
+    assert all(did not in (3, 4) for did, _ in out)
+
+    with pytest.raises(ValueError, match="tau"):
+        fuzzy_contamination(docs, bench, tau=0.0)
