@@ -4238,8 +4238,16 @@ def q_pipeline_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
-    out = leakage_safe_split(docs, pairs, id_col="doc_id", seed=42)
-    clustered = connected_components(pairs).select(
+    # pin the components ONCE and feed both the split keying and the
+    # cluster-member count from the pinned frame — the LSH pair feed +
+    # label-propagation fixpoint are the expensive upstream, and running
+    # them twice was the round-13 review finding (the r11 ivfpq_rerank /
+    # r12 rrf3-rerank recompute pattern)
+    comp = connected_components(pairs).localCheckpoint()
+    out = leakage_safe_split(
+        docs, pairs, id_col="doc_id", seed=42, components=comp
+    )
+    clustered = comp.select(
         F.col("node").alias("doc_id"), F.lit(1).alias("_c")
     )
     return (

@@ -87,6 +87,7 @@ def leakage_safe_split(
     seed: int = 42,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-cluster-aware split assignment — the train/test
     LEAKAGE guard a plain per-document split cannot give: under
@@ -107,19 +108,38 @@ def leakage_safe_split(
     dup rates — so the left join broadcasts it under AQE (the
     :func:`clustering.resolve_duplicates` reasoning); the banding
     itself stays one codegen'd md5 expression per row, no shuffle.
-    Returns ``docs`` plus the ``split`` column."""
+    Returns ``docs`` plus the ``split`` column.
+
+    ``components`` short-circuits the internal
+    :func:`clustering.connected_components` call with a precomputed
+    ``(node, component)`` frame — pass it when the caller already
+    materialized the components (the graded row does: it also counts
+    cluster members, and the LSH pair feed + label-propagation fixpoint
+    are the expensive upstream — running them twice was a round-13
+    review finding)."""
     from prometheus_parquet_server_spark.pipeline.clustering import (
         connected_components,
     )
 
-    comp = connected_components(pairs, a_col, b_col)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, a_col, b_col)
+    )
+    # underscore-prefixed temp names: a caller frame already carrying
+    # 'node' or 'component' (plausible straight out of a clustering /
+    # resolve_duplicates flow) must neither collide nor be dropped
+    comp = comp.select(
+        F.col("node").alias("_lss_node"),
+        F.col("component").alias("_lss_component"),
+    )
     keyed = (
-        docs.join(comp, docs[id_col] == comp["node"], "left")
-        .drop("node")
+        docs.join(comp, docs[id_col] == comp["_lss_node"], "left")
+        .drop("_lss_node")
         .withColumn(
-            "_split_key", F.coalesce(F.col("component"), F.col(id_col))
+            "_split_key", F.coalesce(F.col("_lss_component"), F.col(id_col))
         )
-        .drop("component")
+        .drop("_lss_component")
     )
     return assign_split(
         keyed, id_col="_split_key", weights=weights, seed=seed

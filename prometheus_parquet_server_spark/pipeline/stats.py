@@ -564,14 +564,18 @@ def hybrid_combmnz_rerank_topk(
         raise ValueError("queries must be non-empty")
     from pyspark.sql import Window as W
 
-    # pin both legs once: the candidate union AND the lex fusion leg
-    # read them (the hybrid_rrf3_rerank_topk recompute lesson, round 12)
+    # pin ONLY the lex leg: the candidate union AND the fusion both read
+    # it (the hybrid_rrf3_rerank_topk recompute lesson, round 12); the
+    # dense leg feeds candidate generation alone — the fusion here is
+    # 2-leg (lex ⊕ late) — so it is read exactly once, inside
+    # _maxsim_rerank_scores' own cand checkpoint, and pinning it would
+    # add a blocking materialization for no recompute saving
     lex = bm25_topk(
         df, queries, k=candidates, text_col=text_col, id_col=id_col
     ).localCheckpoint()
     dense = hash_cosine_topk(
         df, queries, k=candidates, dim=dim, text_col=text_col, id_col=id_col
-    ).localCheckpoint()
+    )
     reranked = _maxsim_rerank_scores(
         df, queries, lex, dense, dim, window, text_col, id_col,
         max_candidate_ids,
