@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "text_novelty",
     "dedup_edit",
     "sq8_store_topk",
+    # round-13 additions (same caveat)
+    "events_sessionize_md5i",
+    "hybrid_combmnz_topk",
+    "hybrid_combmnz_rerank_topk",
+    "pipeline_leak_split",
+    "pipeline_fuzzy_contamination",
 ]
 
 
