@@ -3691,6 +3691,108 @@ QUALIFY rank <= {_IVF_K}
 """
 
 
+_IVFSQ8_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_ivfsq8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (pipeline/sq.py ivfsq8_build/ivfsq8_topk, round 13 —
+    Faiss's ``IVF..,SQ8`` composition): the celled variant of the flat
+    SQ8 index, closing its one scale caveat (the O(N) code scan per
+    probe batch). Coarse cells come from the graded-ivf machinery
+    (lowest-id centroids at kmeans_iterations=0, ROUND(cos, 9) + lowest
+    cell-id assignment — the SAME convention the green ivf_topk /
+    ivf_store_topk rows pin), codes are the training-free global-scale
+    SQ8 quantization, and the search scans ONLY manifest-pruned probed
+    cells. The oracle replays the ENTIRE index in plain SQL: scales,
+    codes, centroid ranking, per-vector cell, per-probe probed cells,
+    and the integer code distances restricted to them."""
+    import tempfile
+
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        ivfsq8_build,
+        ivfsq8_topk,
+    )
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    store = _IVFSQ8_STORE_CACHE.get(key)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if store is None:
+        store = f"file://{tempfile.mkdtemp(prefix='ivfsq8_store_')}/index"
+        ivfsq8_build(
+            spark, store, emb, n_cells=_IVF_CENTROIDS,
+            n_probe_default=_IVF_NPROBE, kmeans_iterations=0, dim=_ND_DIM,
+        )
+        _IVFSQ8_STORE_CACHE[key] = store
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfsq8_topk(spark, store, probes, k=_IVF_K, n_probe=_IVF_NPROBE)
+
+
+SQL_IVFSQ8_STORE_TOPK = f"""
+WITH elems AS (
+    SELECT vec_id, CAST(x AS DOUBLE) AS x, CAST(i AS INT) AS i FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    )
+),
+stats AS (
+    SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS sp FROM elems GROUP BY i
+),
+codes AS (
+    SELECT e.vec_id, e.i,
+           CAST(CASE WHEN s.sp > 0
+                THEN least(greatest(
+                    floor((e.x - s.mn) / s.sp * 255.0 + 0.5), 0.0), 255.0)
+                ELSE 0.0 END AS BIGINT) AS c
+    FROM elems e JOIN stats s USING (i)
+),
+cent AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           embedding::DOUBLE[] AS cvec
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_IVF_CENTROIDS})
+),
+sims AS (
+    -- ROUND(sim, 9) mirrors the engine's centroid kernel (the graded
+    -- ivf rows' convention): both sides rank on 9-decimal cosine
+    SELECT e.vec_id, c.cid,
+           ROUND(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+                THEN list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)))
+                ELSE 0 END, 9) AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+    SELECT vec_id, cid AS cell FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+),
+probe_cells AS (
+    SELECT vec_id AS probe_id, cid AS cell FROM sims WHERE vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) <= {_IVF_NPROBE}
+),
+cand AS (
+    SELECT pc.probe_id, ce.vec_id AS neighbor_id
+    FROM probe_cells pc
+    JOIN cells ce ON ce.cell = pc.cell AND ce.vec_id <> pc.probe_id
+),
+dists AS (
+    SELECT cd.probe_id, cd.neighbor_id,
+           CAST(SUM((p.c - c.c) * (p.c - c.c)) AS BIGINT) AS dist_u
+    FROM cand cd
+    JOIN codes p ON p.vec_id = cd.probe_id
+    JOIN codes c ON c.vec_id = cd.neighbor_id AND c.i = p.i
+    GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, dist_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY dist_u, neighbor_id) AS INT) AS rank
+FROM dists
+QUALIFY rank <= {_IVF_K}
+"""
+
+
 def q_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF search (pipeline/ann_store): the index is BUILT once
     into a snapshot store — cells as the name axis, centroids as pruned
@@ -7730,6 +7832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # decontamination (Jaccard-vs-benchmark near-dup leakage)
     "pipeline_leak_split": q_pipeline_leak_split,
     "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
+    "ivfsq8_store_topk": q_ivfsq8_store_topk,
     # prior-round demotions and graded-family variants (driver-green
     # records noted in each round's rotation; see git history):
     "tpch_q5ish": q_tpch_q5ish,
@@ -7859,6 +7962,7 @@ ORACLES: dict[str, str] = {
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_leak_split": SQL_PIPELINE_LEAK_SPLIT,
     "pipeline_fuzzy_contamination": SQL_PIPELINE_FUZZY_CONTAMINATION,
+    "ivfsq8_store_topk": SQL_IVFSQ8_STORE_TOPK,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,
     "text_novelty": SQL_TEXT_NOVELTY,

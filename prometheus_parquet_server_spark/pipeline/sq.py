@@ -193,6 +193,67 @@ def _quantize_probe(vec, mins, spans):
     return out
 
 
+def _code_topk_kernel(pids, pcodes, k: int, probe_cells=None, n_cells=0):
+    """The ONE SQ8 distance kernel (flat and celled search share it —
+    a tie-break or masking change lands in both or neither): per Arrow
+    batch, ‖q−c‖² for all probes in one vectorized pass via the
+    (q−c)² = q·q − 2q·c + c·c expansion (exact in int64: codes ≤ 255),
+    per-batch top-``k`` per probe emitted — the global top-k of
+    per-batch top-ks is exact, so the shuffle carries
+    O(batches·probes·k) rows instead of probes·N. Self-matches excluded
+    (the pq_topk rule). ``probe_cells`` (celled mode, with ``n_cells``)
+    maps probe id → int64 array of its probed cells; the batch frame
+    then must carry a ``cell`` column and each probe scores ONLY rows
+    in its own probed cells — membership via one dense (P × n_cells)
+    boolean lookup fancy-indexed per batch, NOT a per-probe ``isin``
+    (O(P·B) total instead of O(P·B·log n_probe); the difference is the
+    whole celled win at large probe batches)."""
+    import numpy as np
+
+    allowed = None
+    if probe_cells is not None:
+        allowed = np.zeros((len(pids), n_cells), dtype=bool)
+        for pi, pid in enumerate(pids):
+            allowed[pi, probe_cells[int(pid)]] = True
+
+    def _batch_topk(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            C = np.asarray(list(pdf["code"]), dtype="int64")
+            allow_b = None
+            if allowed is not None:
+                cells = pdf["cell"].to_numpy(dtype="int64")
+                allow_b = allowed[:, cells]  # (P, B) in one gather
+            # (P, B) distances via the dot expansion
+            d = (
+                (pcodes * pcodes).sum(axis=1)[:, None]
+                - 2 * (pcodes @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            out_p, out_n, out_d = [], [], []
+            for pi in range(len(pids)):
+                mask = ids != pids[pi]  # self-exclusion (the pq_topk rule)
+                if allow_b is not None:
+                    mask &= allow_b[pi]
+                di, ii = d[pi][mask], ids[mask]
+                if not len(di):
+                    continue
+                # tie-stable selection: order by (dist, id) — lexsort keys
+                # are last-key-primary
+                sel = np.lexsort((ii, di))[:k]
+                out_p.extend([pids[pi]] * len(sel))
+                out_n.extend(ii[sel])
+                out_d.extend(di[sel])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "dist_u": out_d}
+            ).astype({"probe_id": "int64", "neighbor_id": "int64",
+                      "dist_u": "int64"})
+
+    return _batch_topk
+
+
 def sq8_topk(
     spark,
     store_path: str,
@@ -234,7 +295,15 @@ def sq8_topk(
         version = snapshot_version(spark, store_path)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {store_path}")
-    dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
+    props = snapshot_properties(spark, store_path, version=version)
+    if "sq_cells" in props:
+        # a celled store keeps its codes under cell=NNNN names, not
+        # SQ_NAME — this scan would silently return zero rows
+        raise ValueError(
+            f"sq8_topk: {store_path} is a celled IVF-SQ8 index "
+            f"(sq_cells={props['sq_cells']}) — search it with ivfsq8_topk"
+        )
+    dim = int(props["sq_dim"])
     mins, spans = _load_scales(spark, store_path, version, dim)
 
     probe_rows = probes.select(id_col, vec_col).limit(max_probes + 1).collect()
@@ -258,46 +327,14 @@ def sq8_topk(
     # distance stage: Arrow-batched numpy kernel (the similarity.py
     # matmul-kernel convention), NOT a position explode — the explode
     # form shuffles dim·N narrow rows and MEASURED 92.8 s at 1M vectors
-    # (scripts/stress_sq8.py, round 12); the kernel reads each code row
-    # once, computes ‖q−c‖² for all probes in one vectorized pass via
-    # the (q−c)² = q·q − 2q·c + c·c expansion (exact in int64: codes
-    # ≤ 255, dims ≤ ~2³² safe), and emits only the per-batch top-k per
-    # probe — the global top-k of per-batch top-ks is exact, so the
-    # shuffle carries O(batches·probes·k) rows instead of probes·N.
-    def _batch_topk(iterator):
-        import pandas as pd
-
-        for pdf in iterator:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.asarray(list(pdf["code"]), dtype=np.int64)
-            # (P, B) distances via the dot expansion
-            d = (
-                (pcodes * pcodes).sum(axis=1)[:, None]
-                - 2 * (pcodes @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            out_p, out_n, out_d = [], [], []
-            for pi in range(len(pids)):
-                mask = ids != pids[pi]  # self-exclusion (the pq_topk rule)
-                di, ii = d[pi][mask], ids[mask]
-                if not len(di):
-                    continue
-                # tie-stable selection: order by (dist, id) — lexsort keys
-                # are last-key-primary
-                sel = np.lexsort((ii, di))[:k]
-                out_p.extend([pids[pi]] * len(sel))
-                out_n.extend(ii[sel])
-                out_d.extend(di[sel])
-            yield pd.DataFrame(
-                {"probe_id": out_p, "neighbor_id": out_n, "dist_u": out_d}
-            ).astype({"probe_id": "int64", "neighbor_id": "int64",
-                      "dist_u": "int64"})
-
+    # (scripts/stress_sq8.py, round 12); the shared _code_topk_kernel
+    # reads each code row once and emits only per-batch top-k rows.
     codes = snapshot_read(
         spark, store_path, version=version, names=[SQ_NAME]
     ).select("vec_id", "code")
     dists = codes.mapInPandas(
-        _batch_topk, "probe_id long, neighbor_id long, dist_u long"
+        _code_topk_kernel(pids, pcodes, k),
+        "probe_id long, neighbor_id long, dist_u long",
     )
     order = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
     w_final = Window.partitionBy("probe_id").orderBy(*order)
@@ -471,4 +508,240 @@ def stream_sq8_ingest(
 
     return stream_txn_append(
         vec_stream, f"{store_path}/_stream_checkpoint_sq8", app_id, _append
+    )
+
+
+#: reserved centroid row name in a CELLED SQ8 index — the ann_store
+#: convention (sorts apart from cell=NNNN, prunes to its own files)
+IVFSQ_CENTROID_NAME = "_centroid"
+
+
+def ivfsq8_build(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_probe_default: int = 4,
+    kmeans_iterations: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """IVF-SQ8 — the CELLED variant of the flat SQ8 index [Faiss's
+    ``IVF..,SQ8`` factory composition, public knowledge]: the flat
+    index's one deliberate scale caveat is its O(N) code scan per probe
+    batch (EXPLAIN §49 / VERDICT r12 — "IVF-PQ remains the celled
+    answer"); this closes it INSIDE the SQ8 family. Coarse Voronoi
+    cells come from the proven IVF machinery
+    (:func:`similarity.kmeans_centroids` — ``kmeans_iterations=0`` is
+    the fully-SQL-replayable lowest-id-vectors contract the graded
+    ivf/ivf_store rows pin; assignment through the same
+    ``centroid_cells_udf`` Arrow kernel with its ROUND(cos, 9) + lowest
+    cell-id tie-break), while the per-vector payload stays the
+    training-free SQ8 codes quantized against GLOBAL per-dimension
+    MIN/MAX scales — so the whole index (cells + codes) still replays
+    in plain SQL with zero iteration pinning beyond the centroid
+    convention, unlike IVF-PQ's trained codebooks.
+
+    Store layout (the ann_store/ivfpq conventions): code rows under
+    ``name='cell=NNNN'`` — ``_write_data_files`` range-clusters by
+    name, so a search probing ``n_probe`` cells prunes the scan AT THE
+    MANIFEST to ~that fraction of index files before any footer opens;
+    centroids as reserved ``_centroid`` data rows (vec_id = cell id,
+    full embedding); scales as the family's ``_sq_min``/``_sq_span``
+    rows; geometry pinned as ``sq_dim``/``sq_cells``/
+    ``sq_n_probe_default`` properties. Rebuild = overwrite commit; time
+    travel searches an old index. Returns the committed version."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        centroid_cells_udf,
+        kmeans_centroids,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    if n_cells > 9999:
+        raise ValueError("ivfsq8_build: cell names are %04d — n_cells <= 9999")
+    _guard_clean_vectors(corpus, dim, id_col, vec_col, "ivfsq8_build")
+    centroids = kmeans_centroids(
+        corpus, n_cells, kmeans_iterations, dim, id_col, vec_col
+    )
+    elems = corpus.select(
+        F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select("i", F.col("x").cast("double").alias("x"))
+    stats = {
+        r["i"]: (r["mn"], r["mx"])
+        for r in elems.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    if len(stats) != dim:
+        raise ValueError(
+            f"ivfsq8_build: corpus vectors have {len(stats)} dimensions; "
+            f"dim={dim} expected"
+        )
+    mins = [stats[i][0] for i in range(dim)]
+    spans = [stats[i][1] - stats[i][0] for i in range(dim)]
+
+    cell = F.format_string(
+        "cell=%04d", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]
+    )
+    rows = corpus.select(
+        cell.alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        sq8_quantize_expr(F.col(vec_col), mins, spans).alias("code"),
+    )
+    schema = (
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "code array<int>"
+    )
+    reserved = spark.createDataFrame(
+        [
+            (SQ_MIN_NAME, 0.0, 0, [float(v) for v in mins], None),
+            (SQ_SPAN_NAME, 0.0, 0, [float(v) for v in spans], None),
+        ]
+        + [
+            (IVFSQ_CENTROID_NAME, 0.0, i, [float(x) for x in c], None)
+            for i, c in enumerate(centroids)
+        ],
+        schema,
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows.unionByName(reserved),
+        mode="overwrite",
+        properties={
+            "sq_dim": dim,
+            "sq_cells": n_cells,
+            "sq_n_probe_default": n_probe_default,
+        },
+    )
+
+
+def ivfsq8_topk(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int | None = None,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probes: int = 10_000,
+) -> DataFrame:
+    """Approximate top-``k`` per probe from the CELLED SQ8 index: probes
+    pin once (collected under the family's ``max_probes`` contract),
+    assign to their ``n_probe`` best cells through the SAME
+    ``centroid_cells_udf`` kernel the build used (ROUND(cos, 9), lowest
+    cell-id ties — the graded-ivf convention, so the oracle replays the
+    probe routing too), the corpus scan is MANIFEST-PRUNED to the union
+    of probed cells, and the shared :func:`_code_topk_kernel` scores
+    each probe ONLY against rows in its own probed cells (exact BIGINT
+    code distances, ties → neighbor id, self excluded). Per-probe work
+    is ~``n_probe / n_cells`` of the flat scan — the celled serving
+    shape — at the usual IVF recall trade (a true neighbor in an
+    unprobed cell is invisible; raise ``n_probe`` toward ``n_cells`` to
+    recover the flat index's answer EXACTLY, which the tests pin).
+    Returns ``(probe_id, neighbor_id, dist_u, rank)``, all-integer."""
+    from pyspark.sql import Window
+
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        centroid_cells_udf,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if version is None:
+        version = snapshot_version(spark, store_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {store_path}")
+    props = snapshot_properties(spark, store_path, version=version)
+    if "sq_cells" not in props:
+        raise ValueError(
+            f"ivfsq8_topk: {store_path} is a FLAT SQ8 index (no sq_cells "
+            f"property) — search it with sq8_topk"
+        )
+    dim = int(props["sq_dim"])
+    n_cells = int(props["sq_cells"])
+    if n_probe is None:
+        n_probe = int(props["sq_n_probe_default"])
+    if not (1 <= n_probe <= n_cells):
+        raise ValueError(
+            f"n_probe must be in [1, {n_cells}], got {n_probe}"
+        )
+    mins, spans = _load_scales(spark, store_path, version, dim)
+    cent_rows = (
+        snapshot_read(
+            spark, store_path, version=version, names=[IVFSQ_CENTROID_NAME]
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        raise FileNotFoundError(
+            f"no IVF-SQ8 index (no {IVFSQ_CENTROID_NAME} rows) at {store_path}"
+        )
+    centroids = [list(r["embedding"]) for r in cent_rows]
+
+    probes_proj = probes.select(id_col, vec_col)
+    probe_rows = probes_proj.limit(max_probes + 1).collect()
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"ivfsq8_topk: probe batch exceeds max_probes={max_probes} — "
+            f"probes are collected to the driver (full vectors) to "
+            f"quantize and route; split the batch or raise the cap "
+            f"consciously"
+        )
+    if not probe_rows:
+        raise ValueError("probes is empty")
+    import numpy as np
+
+    pids = np.asarray([r[id_col] for r in probe_rows], dtype=np.int64)
+    pcodes = np.asarray(
+        [_quantize_probe(list(r[vec_col]), mins, spans) for r in probe_rows],
+        dtype=np.int64,
+    )
+    # probe routing through the literally-shared assignment kernel: run
+    # it over the pinned probe rows so engine routing and the SQL
+    # replay's ROUND(cos, 9) ranking cannot drift
+    pinned = spark.createDataFrame(probe_rows, schema=probes_proj.schema)
+    routed = pinned.select(
+        F.col(id_col).alias("_pid"),
+        centroid_cells_udf(centroids, n_probe)(F.col(vec_col)).alias("_cells"),
+    ).collect()
+    probe_cells = {
+        int(r["_pid"]): np.asarray(sorted(r["_cells"]), dtype=np.int64)
+        for r in routed
+    }
+    probed_names = sorted(
+        {f"cell={c:04d}" for cs in probe_cells.values() for c in cs}
+    )
+
+    codes = snapshot_read(
+        spark, store_path, version=version, names=probed_names
+    ).select(
+        "vec_id",
+        "code",
+        F.regexp_extract("name", r"cell=(\d+)", 1).cast("long").alias("cell"),
+    )
+    dists = codes.mapInPandas(
+        _code_topk_kernel(
+            pids, pcodes, k, probe_cells=probe_cells, n_cells=n_cells
+        ),
+        "probe_id long, neighbor_id long, dist_u long",
+    )
+    order = [F.col("dist_u").asc(), F.col("neighbor_id").asc()]
+    w_final = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        dists.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "dist_u", "rank")
     )

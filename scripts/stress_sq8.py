@@ -121,9 +121,52 @@ def run(spark, n):
         1 for pid, nid in rr.items() if nid == pid + n
     ) / float(N_TWINS)
 
+    # celled variant (round 13): same codes, Voronoi cells on the name
+    # axis, search scans ONLY manifest-pruned probed cells — the claim
+    # is the per-batch wall drops toward n_probe/n_cells of the flat
+    # scan while twin recall holds (the probe's own cell is always
+    # probed: it is its own cosine rank-1)
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        ivfsq8_build,
+        ivfsq8_topk,
+    )
+
+    cstore = f"file://{tempfile.mkdtemp(prefix='stress_ivfsq8_')}/index"
+    t0 = time.time()
+    ivfsq8_build(
+        spark, cstore, vecs, n_cells=64, n_probe_default=8,
+        kmeans_iterations=0, dim=DIM,
+    )
+    t_cbuild = round(time.time() - t0, 2)
+    t0 = time.time()
+    capprox = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in ivfsq8_topk(spark, cstore, probes, k=1, n_probe=8).collect()
+    }
+    t_csearch = round(time.time() - t0, 2)
+    recall1_c = sum(
+        1 for pid, nid in capprox.items() if nid == pid + n
+    ) / float(N_TWINS)
+
+    # serving-batch phase: at 20 probes both searches are dominated by
+    # scan and fixed overheads; at a production batch (500 probes) the
+    # distance work is probes × rows and the celled index should win by
+    # ~n_cells/n_probe on the kernel term
+    big_probes = base.filter(F.col("vec_id") < 500)
+    t0 = time.time()
+    n_flat = sq8_topk(spark, store, big_probes, k=1).count()
+    t_flat500 = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_cell = ivfsq8_topk(spark, cstore, big_probes, k=1, n_probe=8).count()
+    t_cell500 = round(time.time() - t0, 2)
+    assert n_flat == n_cell == 500, (n_flat, n_cell)
+
     return {
         "n": n,
-        "walls_s": {"build": t_build, "topk": t_search, "rerank": t_rerank},
+        "walls_s": {"build": t_build, "topk": t_search, "rerank": t_rerank,
+                    "ivfsq8_build": t_cbuild, "ivfsq8_topk": t_csearch,
+                    "topk_500probes": t_flat500,
+                    "ivfsq8_topk_500probes": t_cell500},
         "bytes": {
             "index": index_bytes,
             "raw_f64": raw_f64_bytes,
@@ -133,7 +176,8 @@ def run(spark, n):
                 index_bytes / raw_parquet_bytes, 4
             ),
         },
-        "twin_recall_at1": {"sq8": recall1, "sq8_rerank": recall1_rr},
+        "twin_recall_at1": {"sq8": recall1, "sq8_rerank": recall1_rr,
+                            "ivfsq8_nprobe8_of64": recall1_c},
     }
 
 

@@ -237,3 +237,88 @@ def test_sq8_rerank_guard_rails_match_ivfpq(spark, tmp_path):
         sq8_append(spark, store, ragged)
     with pytest.raises(ValueError, match="clean the batch"):
         sq8_build(spark, f"file://{tmp_path}/sq8dirty", nullvec, dim=DIM)
+
+
+def test_ivfsq8_full_probe_equals_flat_and_prunes(spark, tmp_path):
+    """IVF-SQ8 (round 13 — the celled variant closing the flat index's
+    one scale caveat): with n_probe == n_cells the celled search returns
+    EXACTLY the flat sq8_topk answer (celling is pure pruning at full
+    probe — same codes, same kernel, same ties); with n_probe=1 every
+    returned neighbor shares the probe's own cell under the build's
+    assignment kernel; deterministic; the two store kinds cross-guard;
+    bounds raise."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        centroid_cells_udf,
+        kmeans_centroids,
+    )
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        ivfsq8_build,
+        ivfsq8_topk,
+        sq8_build,
+        sq8_topk,
+    )
+
+    mat = _vecs(60, seed=21)
+    df = _frame(spark, mat)
+    flat = f"file://{tmp_path}/sq8flat"
+    celled = f"file://{tmp_path}/sq8cells"
+    sq8_build(spark, flat, df, dim=DIM)
+    v = ivfsq8_build(
+        spark, celled, df, n_cells=4, n_probe_default=2,
+        kmeans_iterations=0, dim=DIM,
+    )
+    assert v == 1
+    probes = df.filter(F.col("vec_id") < 3)
+
+    def key(frame):
+        return sorted(
+            (r["probe_id"], r["neighbor_id"], r["dist_u"], r["rank"])
+            for r in frame.collect()
+        )
+
+    # full probe ≡ flat: pruning only, never a different answer
+    assert key(ivfsq8_topk(spark, celled, probes, k=5, n_probe=4)) == key(
+        sq8_topk(spark, flat, probes, k=5)
+    )
+
+    # n_probe=1: every neighbor lives in the probe's own best cell
+    cents = kmeans_centroids(df, 4, 0, DIM)
+    cells = {
+        r["vec_id"]: r["c"][0]
+        for r in df.select(
+            "vec_id", centroid_cells_udf(cents, 1)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    narrow = ivfsq8_topk(spark, celled, probes, k=5, n_probe=1).collect()
+    assert narrow, "n_probe=1 returned nothing"
+    for r in narrow:
+        assert cells[r["neighbor_id"]] == cells[r["probe_id"]], (
+            r, cells[r["neighbor_id"]], cells[r["probe_id"]]
+        )
+
+    # deterministic
+    assert key(ivfsq8_topk(spark, celled, probes, k=5, n_probe=2)) == key(
+        ivfsq8_topk(spark, celled, probes, k=5, n_probe=2)
+    )
+
+    # cross-guards: each search refuses the other store kind, loudly
+    with pytest.raises(ValueError, match="celled IVF-SQ8"):
+        sq8_topk(spark, celled, probes, k=2)
+    with pytest.raises(ValueError, match="FLAT SQ8"):
+        ivfsq8_topk(spark, flat, probes, k=2)
+    # bounds
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfsq8_topk(spark, celled, probes, k=2, n_probe=5)
+    with pytest.raises(ValueError, match="max_probes"):
+        ivfsq8_topk(spark, celled, probes, k=2, max_probes=1)
+    with pytest.raises(ValueError, match="9999"):
+        ivfsq8_build(spark, f"file://{tmp_path}/x", df, n_cells=10_000, dim=DIM)
+    with pytest.raises(ValueError, match="clean the batch"):
+        ivfsq8_build(
+            spark,
+            f"file://{tmp_path}/y",
+            spark.createDataFrame(
+                [(1, None)], "vec_id long, embedding array<double>"
+            ),
+            dim=DIM,
+        )
