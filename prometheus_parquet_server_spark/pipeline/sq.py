@@ -745,3 +745,76 @@ def ivfsq8_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "dist_u", "rank")
     )
+
+
+def ivfsq8_append(
+    spark,
+    store_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incrementally index ``new_vectors`` into the CELLED SQ8 store —
+    the growing-corpus half of the ivfsq8 family (every index family
+    here has one: ivf_append, ivfpq_append, sq8_append): the batch
+    encodes with the FROZEN per-dimension scales and routes through the
+    FROZEN centroids (both read at one pinned version), O(new) commit
+    cost. The standard frozen-quantizer trades (the Faiss ``add``
+    rule): out-of-range values CLAMP to boundary codes, and cell
+    geometry drifts from the true Voronoi optimum until the next
+    :func:`ivfsq8_build` rebuild. ``txn=(app_id, batch_id)``
+    idempotence; the commit is CAS-pinned (``require_parent``) to the
+    version the quantizers were read at, so a racing rebuild raises
+    instead of committing codes against dead scales/centroids. Returns
+    the new version."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        centroid_cells_udf,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    version = snapshot_version(spark, store_path)
+    if version is None:
+        raise FileNotFoundError(
+            f"no IVF-SQ8 index at {store_path} — ivfsq8_build first"
+        )
+    props = snapshot_properties(spark, store_path, version=version)
+    if "sq_cells" not in props:
+        raise ValueError(
+            f"ivfsq8_append: {store_path} is a FLAT SQ8 index — append "
+            f"with sq8_append"
+        )
+    dim = int(props["sq_dim"])
+    mins, spans = _load_scales(spark, store_path, version, dim)
+    cent_rows = (
+        snapshot_read(
+            spark, store_path, version=version, names=[IVFSQ_CENTROID_NAME]
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    _guard_clean_vectors(new_vectors, dim, id_col, vec_col, "ivfsq8_append")
+    cell = F.format_string(
+        "cell=%04d", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]
+    )
+    rows = new_vectors.select(
+        cell.alias("name"),
+        F.lit(0.0).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        sq8_quantize_expr(F.col(vec_col), mins, spans).alias("code"),
+    )
+    return snapshot_write(
+        spark,
+        store_path,
+        rows,
+        mode="append",
+        txn=txn,
+        require_parent=version,
+    )

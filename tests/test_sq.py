@@ -322,3 +322,52 @@ def test_ivfsq8_full_probe_equals_flat_and_prunes(spark, tmp_path):
             ),
             dim=DIM,
         )
+
+
+def test_ivfsq8_append_oneshot_equivalence_and_guards(spark, tmp_path):
+    """ivfsq8_append (the family's growing half): a batch strictly
+    inside the build's per-dim envelope, at ids ABOVE every build id,
+    appends to EXACTLY the one-shot union build — union scales equal
+    the build's (envelope) and union centroids equal the build's
+    (lowest-id contract) — so the celled search over build+append is
+    bit-identical to a rebuild; txn replay is a version-preserving
+    no-op; a flat store refuses the celled append."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        ivfsq8_append,
+        ivfsq8_build,
+        ivfsq8_topk,
+        sq8_build,
+    )
+
+    mat = _vecs(40, seed=31)
+    b1 = _frame(spark, mat[:30])
+    b2 = _frame(spark, mat[:8] * 0.25, offset=30)
+    store = f"file://{tmp_path}/ivfsq8app"
+    v1 = ivfsq8_build(
+        spark, store, b1, n_cells=4, n_probe_default=2,
+        kmeans_iterations=0, dim=DIM,
+    )
+    v2 = ivfsq8_append(spark, store, b2, txn=("app", 1))
+    assert v2 == v1 + 1
+    assert ivfsq8_append(spark, store, b2, txn=("app", 1)) == v2  # replay
+
+    one = f"file://{tmp_path}/ivfsq8one"
+    ivfsq8_build(
+        spark, one, b1.unionByName(b2), n_cells=4, n_probe_default=2,
+        kmeans_iterations=0, dim=DIM,
+    )
+    probes = b1.filter(F.col("vec_id") < 3)
+
+    def key(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert key(ivfsq8_topk(spark, store, probes, k=5, n_probe=4)) == key(
+        ivfsq8_topk(spark, one, probes, k=5, n_probe=4)
+    )
+
+    flat = f"file://{tmp_path}/flatguard"
+    sq8_build(spark, flat, b1, dim=DIM)
+    with pytest.raises(ValueError, match="FLAT SQ8"):
+        ivfsq8_append(spark, flat, b2)
+    with pytest.raises(FileNotFoundError):
+        ivfsq8_append(spark, f"file://{tmp_path}/nowhere", b2)
