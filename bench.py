@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "hybrid_combmnz_rerank_topk",
     "pipeline_leak_split",
     "pipeline_fuzzy_contamination",
+    "ivfsq8_store_topk",
 ]
 
 
