@@ -276,6 +276,30 @@ def banded_buckets_udf(planes: list[list[float]], planes_per_band: int):
     return _buckets
 
 
+def _centroid_unit_matrix(centroids: list[list[float]]):
+    """Normalized (k × dim) centroid matrix shared by the Arrow UDF and
+    the driver-side assignment path."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    return np.divide(cmat, np.where(cnorm > 0, cnorm, 1.0)[:, None])
+
+
+def centroid_cells_numpy(vectors, cunit, n: int):
+    """The ONE Voronoi-assignment core (the Arrow UDF and driver-side
+    probe routing both call it — an assignment-rule change lands in both
+    or neither): rows × normalized centroids cosine, ROUND 9 before
+    ranking (numpy's pairwise-summed dot and an oracle's left-to-right
+    fold agree far below 1e-9, so near-ties rank identically across
+    engines), stable argsort → ties break by lowest centroid id.
+    ``vectors`` is a (rows × dim) float64 array; returns an int array of
+    the ``n`` best cell ids per row."""
+    m = np.asarray(vectors, dtype=np.float64)
+    mnorm = np.linalg.norm(m, axis=1)
+    m = np.divide(m, np.where(mnorm > 0, mnorm, 1.0)[:, None])
+    sims = np.round(m @ cunit.T, 9)
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n]
+
+
 def centroid_cells_udf(centroids: list[list[float]], n: int):
     """Arrow-vectorized Voronoi assignment: one numpy matmul per batch
     scores every row against every centroid (cosine), returning the ``n``
@@ -286,28 +310,19 @@ def centroid_cells_udf(centroids: list[list[float]], n: int):
     folds per row (plus ~k·dim py4j round-trips building literal arrays at
     plan time); as a dense (batch × dim) @ (dim × k) product it is one
     C-speed matmul per Arrow batch, no shuffle, no codegen ceiling. The
-    stable argsort reproduces the engine's tie-break (equal similarity →
-    lowest centroid id), including exact ties from duplicate centroids.
+    assignment math lives in :func:`centroid_cells_numpy` — shared with
+    driver-side probe routing so the two cannot drift.
     """
     from pyspark.sql.functions import pandas_udf
 
-    cmat = np.asarray(centroids, dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cunit = np.divide(cmat, np.where(cnorm > 0, cnorm, 1.0)[:, None])
+    cunit = _centroid_unit_matrix(centroids)
 
     @pandas_udf("array<int>")
     def _cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         m = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        mnorm = np.linalg.norm(m, axis=1)
-        m = np.divide(m, np.where(mnorm > 0, mnorm, 1.0)[:, None])
-        # round before ranking (same rule as the banding kernel): numpy's
-        # pairwise-summed dot and an oracle's left-to-right fold agree far
-        # below 1e-9, so near-ties rank identically across engines and
-        # break deterministically by centroid id
-        sims = np.round(m @ cunit.T, 9)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        order = centroid_cells_numpy(m, cunit, n)
         return pd.Series([[int(c) for c in row] for row in order])
 
     return _cells

@@ -116,23 +116,12 @@ def _guard_clean_vectors(
         )
 
 
-def sq8_build(
-    spark,
-    store_path: str,
-    corpus: DataFrame,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> int:
-    """Quantize the corpus and commit the SQ8 index. Two exact
-    aggregates (per-dimension MIN/MAX over the exploded elements —
-    order-free, no sums, so bit-stable on any engine), one HOF
-    quantization pass, one snapshot commit. Returns the version."""
-    from prometheus_parquet_server_spark.sources.snapshot_store import (
-        snapshot_write,
-    )
-
-    _guard_clean_vectors(corpus, dim, id_col, vec_col, "sq8_build")
+def _corpus_scales(corpus: DataFrame, dim: int, vec_col: str, op: str):
+    """The ONE per-dimension scale computation (flat and celled builds
+    share it — a NaN-handling or message change lands in both or
+    neither): two exact MIN/MAX aggregates over the exploded elements —
+    order-free, no sums, so bit-stable on any engine. Returns
+    ``(mins, spans)``."""
     elems = corpus.select(
         F.posexplode(F.col(vec_col)).alias("i", "x")
     ).select("i", F.col("x").cast("double").alias("x"))
@@ -144,11 +133,42 @@ def sq8_build(
     }
     if len(stats) != dim:
         raise ValueError(
-            f"sq8_build: corpus vectors have {len(stats)} dimensions; "
+            f"{op}: corpus vectors have {len(stats)} dimensions; "
             f"dim={dim} expected"
         )
     mins = [stats[i][0] for i in range(dim)]
     spans = [stats[i][1] - stats[i][0] for i in range(dim)]
+    return mins, spans
+
+
+def _scale_rows(spark, mins, spans, schema):
+    """The reserved (_sq_min, _sq_span) rows both builds commit."""
+    return spark.createDataFrame(
+        [
+            (SQ_MIN_NAME, 0.0, 0, [float(v) for v in mins], None),
+            (SQ_SPAN_NAME, 0.0, 0, [float(v) for v in spans], None),
+        ],
+        schema,
+    )
+
+
+def sq8_build(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Quantize the corpus and commit the SQ8 index. Two exact
+    aggregates (the shared :func:`_corpus_scales`), one HOF
+    quantization pass, one snapshot commit. Returns the version."""
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    _guard_clean_vectors(corpus, dim, id_col, vec_col, "sq8_build")
+    mins, spans = _corpus_scales(corpus, dim, vec_col, "sq8_build")
 
     rows = corpus.select(
         F.lit(SQ_NAME).alias("name"),
@@ -161,17 +181,10 @@ def sq8_build(
         "name string, ts double, vec_id long, embedding array<double>, "
         "code array<int>"
     )
-    scales = spark.createDataFrame(
-        [
-            (SQ_MIN_NAME, 0.0, 0, [float(v) for v in mins], None),
-            (SQ_SPAN_NAME, 0.0, 0, [float(v) for v in spans], None),
-        ],
-        schema,
-    )
     return snapshot_write(
         spark,
         store_path,
-        rows.unionByName(scales),
+        rows.unionByName(_scale_rows(spark, mins, spans, schema)),
         mode="overwrite",
         properties={"sq_dim": dim},
     )
@@ -460,7 +473,16 @@ def sq8_append(
         raise FileNotFoundError(
             f"no SQ8 index at {store_path} — sq8_build first"
         )
-    dim = int(snapshot_properties(spark, store_path, version=version)["sq_dim"])
+    props = snapshot_properties(spark, store_path, version=version)
+    if "sq_cells" in props:
+        # the fourth corner of the flat/celled cross-guard (round-13
+        # review): this append would commit rows under name='sq' that
+        # NO search on a celled store ever scans — silent data loss
+        raise ValueError(
+            f"sq8_append: {store_path} is a celled IVF-SQ8 index — "
+            f"append with ivfsq8_append"
+        )
+    dim = int(props["sq_dim"])
     mins, spans = _load_scales(spark, store_path, version, dim)
     _guard_clean_vectors(new_vectors, dim, id_col, vec_col, "sq8_append")
     rows = new_vectors.select(
@@ -511,9 +533,13 @@ def stream_sq8_ingest(
     )
 
 
-#: reserved centroid row name in a CELLED SQ8 index — the ann_store
-#: convention (sorts apart from cell=NNNN, prunes to its own files)
-IVFSQ_CENTROID_NAME = "_centroid"
+#: reserved centroid row name in a CELLED SQ8 index — literally the
+#: ann_store constant (sorts apart from cell=NNNN, prunes to its own
+#: files); single-sourced so the cross-family reserved-name convention
+#: cannot drift (round-13 review)
+from prometheus_parquet_server_spark.pipeline.ann_store import (  # noqa: E402
+    CENTROID_NAME as IVFSQ_CENTROID_NAME,
+)
 
 
 def ivfsq8_build(
@@ -566,22 +592,7 @@ def ivfsq8_build(
     centroids = kmeans_centroids(
         corpus, n_cells, kmeans_iterations, dim, id_col, vec_col
     )
-    elems = corpus.select(
-        F.posexplode(F.col(vec_col)).alias("i", "x")
-    ).select("i", F.col("x").cast("double").alias("x"))
-    stats = {
-        r["i"]: (r["mn"], r["mx"])
-        for r in elems.groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
-    }
-    if len(stats) != dim:
-        raise ValueError(
-            f"ivfsq8_build: corpus vectors have {len(stats)} dimensions; "
-            f"dim={dim} expected"
-        )
-    mins = [stats[i][0] for i in range(dim)]
-    spans = [stats[i][1] - stats[i][0] for i in range(dim)]
+    mins, spans = _corpus_scales(corpus, dim, vec_col, "ivfsq8_build")
 
     cell = F.format_string(
         "cell=%04d", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]
@@ -597,17 +608,14 @@ def ivfsq8_build(
         "name string, ts double, vec_id long, embedding array<double>, "
         "code array<int>"
     )
-    reserved = spark.createDataFrame(
+    cent_rows = spark.createDataFrame(
         [
-            (SQ_MIN_NAME, 0.0, 0, [float(v) for v in mins], None),
-            (SQ_SPAN_NAME, 0.0, 0, [float(v) for v in spans], None),
-        ]
-        + [
             (IVFSQ_CENTROID_NAME, 0.0, i, [float(x) for x in c], None)
             for i, c in enumerate(centroids)
         ],
         schema,
     )
+    reserved = _scale_rows(spark, mins, spans, schema).unionByName(cent_rows)
     return snapshot_write(
         spark,
         store_path,
@@ -649,7 +657,8 @@ def ivfsq8_topk(
     from pyspark.sql import Window
 
     from prometheus_parquet_server_spark.pipeline.similarity import (
-        centroid_cells_udf,
+        _centroid_unit_matrix,
+        centroid_cells_numpy,
     )
     from prometheus_parquet_server_spark.sources.snapshot_store import (
         snapshot_properties,
@@ -709,17 +718,19 @@ def ivfsq8_topk(
         [_quantize_probe(list(r[vec_col]), mins, spans) for r in probe_rows],
         dtype=np.int64,
     )
-    # probe routing through the literally-shared assignment kernel: run
-    # it over the pinned probe rows so engine routing and the SQL
-    # replay's ROUND(cos, 9) ranking cannot drift
-    pinned = spark.createDataFrame(probe_rows, schema=probes_proj.schema)
-    routed = pinned.select(
-        F.col(id_col).alias("_pid"),
-        centroid_cells_udf(centroids, n_probe)(F.col(vec_col)).alias("_cells"),
-    ).collect()
+    # probe routing through the literally-shared assignment core —
+    # DRIVER-SIDE (the vectors are already collected; spinning a Spark
+    # job + two Arrow round-trips to run one tiny matmul was a round-13
+    # review finding): same ROUND(cos, 9) + lowest-cell-id math the
+    # build's Arrow UDF runs, so routing and the SQL replay cannot drift
+    cunit = _centroid_unit_matrix(centroids)
+    pvecs = np.asarray(
+        [list(r[vec_col]) for r in probe_rows], dtype=np.float64
+    )
+    order = centroid_cells_numpy(pvecs, cunit, n_probe)
     probe_cells = {
-        int(r["_pid"]): np.asarray(sorted(r["_cells"]), dtype=np.int64)
-        for r in routed
+        int(pid): np.asarray(sorted(int(c) for c in row), dtype=np.int64)
+        for pid, row in zip(pids, order)
     }
     probed_names = sorted(
         {f"cell={c:04d}" for cs in probe_cells.values() for c in cs}

@@ -371,3 +371,10 @@ def test_ivfsq8_append_oneshot_equivalence_and_guards(spark, tmp_path):
         ivfsq8_append(spark, flat, b2)
     with pytest.raises(FileNotFoundError):
         ivfsq8_append(spark, f"file://{tmp_path}/nowhere", b2)
+    # the fourth cross-guard corner (round-13 review): a flat append
+    # into a celled store would commit rows under name='sq' that no
+    # search ever scans — must refuse loudly, not lose data silently
+    from prometheus_parquet_server_spark.pipeline.sq import sq8_append
+
+    with pytest.raises(ValueError, match="celled IVF-SQ8"):
+        sq8_append(spark, store, b2)
