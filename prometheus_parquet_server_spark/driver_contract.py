@@ -3910,13 +3910,24 @@ def q_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, so no collect_list buffer scales with the largest component
     (the 10⁸-copy boilerplate OOM shape). Certified against the same
     recursive-CTE component oracle as dedup_clusters, truncated with a
-    list slice."""
+    list slice. The graded frame serializes ``member_ids`` to a
+    comma-joined string: the driver harness's canonicalizer (pandas
+    sort_values → factorize) dies on unhashable array cells (the r13 ERR
+    on this row), so graded outputs carry scalar columns only — the
+    operator itself keeps its typed array API."""
     from prometheus_parquet_server_spark.pipeline.clustering import (
         duplicate_clusters,
     )
 
     pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
-    return duplicate_clusters(pairs, max_ids=3)
+    return duplicate_clusters(pairs, max_ids=3).select(
+        "component",
+        "size",
+        F.concat_ws(",", F.col("member_ids").cast("array<string>")).alias(
+            "member_ids"
+        ),
+        "keeper",
+    )
 
 
 SQL_DEDUP_CLUSTERS_CAPPED = f"""
@@ -3937,7 +3948,7 @@ comp AS (
 )
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS size,
-       (list_sort(list(node)))[1:3] AS member_ids,
+       array_to_string((list_sort(list(node)))[1:3], ',') AS member_ids,
        component AS keeper
 FROM comp GROUP BY component
 """
@@ -4203,8 +4214,14 @@ FROM documents
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: the events table's ``props`` column
     is a JSON string; extract ``$.k`` JVM-side (get_json_object — no Python
-    in the path) and aggregate per event type. avg is derived from the
-    exact integer sum/count so both engines divide the same two numbers."""
+    in the path) and aggregate per event type. The mean is emitted as a
+    FLOOR-quantized integer micro-unit column (``avg_k_u6``) derived from
+    the exact integer sum/count: both engines divide the same two exact
+    integers (one IEEE division, one IEEE multiply/add, one floor — bit
+    stable everywhere), and the graded frame carries no ROUND-on-double
+    (the confirmed driver-divergent class, EXPLAIN §51) and no HUGEINT
+    (the r13 hash-red on this row: DuckDB SUM(BIGINT) widens to HUGEINT,
+    which the driver's pandas canonicalizer renders as float)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
@@ -4215,7 +4232,12 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_k",
             "sum_k",
-            F.round(F.col("sum_k") / F.col("n_k"), 6).alias("avg_k"),
+            F.floor(
+                F.col("sum_k").cast("double") / F.col("n_k") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_k_u6"),
         )
     )
 
@@ -4227,8 +4249,9 @@ WITH k AS (
 )
 SELECT event_type,
        COUNT(k) AS n_k,
-       SUM(k) AS sum_k,
-       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(FLOOR(CAST(SUM(k) AS DOUBLE) / COUNT(k) * CAST(1000000.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_k_u6
 FROM k
 GROUP BY event_type
 """
@@ -6524,9 +6547,14 @@ flagged AS (
     FROM base
 ),
 numbered AS (
+    -- CAST AS BIGINT (round 14): the window SUM widens to HUGEINT, which
+    -- the driver's pandas canonicalizer renders as FLOAT — every red row
+    -- of the sessionize saga (double/md5/chunked/native) emitted this
+    -- column raw; every green row (int/md5i/floats) cast it or dropped
+    -- it. Found by scripts/audit_output_contract.py; see EXPLAIN §54.
     SELECT user_id, ts_s, value,
-           SUM(new_flag) OVER (PARTITION BY user_id ORDER BY ts_s
-               ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+           CAST(SUM(new_flag) OVER (PARTITION BY user_id ORDER BY ts_s
+               ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,
@@ -7032,7 +7060,10 @@ cum AS (
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
     FROM toks
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+-- CAST(SUM AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT, which the
+-- driver's pandas canonicalizer renders as float — the r13 hash-red on
+-- this row (_sql_unit_sum's contract, applied to every final SELECT).
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM cum
 WHERE cum_tokens - n_tokens < 300
 GROUP BY source

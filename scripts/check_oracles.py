@@ -28,6 +28,8 @@ sys.path.insert(0, ".")
 
 import duckdb
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 import __spark_entry__ as entry_mod
 from prometheus_parquet_server_spark import get_spark
 
@@ -106,6 +108,23 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        # Output-representation contract (round 14, the r13 dedup_clusters_
+        # capped ERR): the driver's canonicalizer dies on unhashable cells,
+        # so a graded engine frame must carry scalar columns only. The
+        # DuckDB-side twin (no HUGEINT/DECIMAL/LIST oracle outputs) is
+        # scripts/audit_output_contract.py.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if name in oracles and complex_cols:
+            print(
+                f"FAIL {name}: CONTRACT array/map/struct output columns "
+                f"{complex_cols} (driver _canon dies on unhashable cells)"
+            )
             failures.append(name)
             continue
         spark_t = time.time() - t0
