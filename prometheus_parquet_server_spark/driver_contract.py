@@ -4927,19 +4927,29 @@ HAVING COUNT(*) >= tot.n * 0.001
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution (count, mean, exact
-    interpolated p50/p90, max) — the mixture-design reporting pass."""
+    interpolated p50/p90, max) — the mixture-design reporting pass.
+    Graded in unit mode (round 14, VERDICT r13 Next #5): the derived
+    statistics are FLOOR-quantized BIGINT micro-units, the mean divided
+    from the exact integer SUM/COUNT — no ROUND-on-double anywhere in
+    the output path (the §51-confirmed driver-divergent class)."""
     from prometheus_parquet_server_spark.pipeline.stats import corpus_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return corpus_stats(docs, group_col="source", length_col="n_chars")
+    return corpus_stats(
+        docs, group_col="source", length_col="n_chars", unit_scale=1e6
+    )
 
 
 SQL_CORPUS_STATS = """
 SELECT source,
        COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 6) AS mean_chars,
-       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       CAST(FLOOR(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*)
+                  * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            AS BIGINT) AS mean_chars_u6,
+       CAST(FLOOR(quantile_cont(n_chars, 0.5) * CAST(1000000.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p50_chars_u6,
+       CAST(FLOOR(quantile_cont(n_chars, 0.9) * CAST(1000000.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p90_chars_u6,
        MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY source
@@ -7150,7 +7160,10 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prometheus_parquet_server_spark.pipeline.lm_score import perplexity_scores
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return perplexity_scores(docs)
+    # unit mode (round 14, VERDICT r13 Next #5): per-term FLOOR micro-unit
+    # quantization + exact integer sum — order-free and ROUND-free; see
+    # perplexity_scores docstring.
+    return perplexity_scores(docs, unit_scale=1e6)
 
 
 SQL_TEXT_PERPLEXITY = """
@@ -7169,9 +7182,17 @@ model AS (
     SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
 ),
 total AS (SELECT SUM(cnt) AS tot FROM model)
+-- unit contract: each -ln term is double-computed ((cnt+1) cast exactly,
+-- one IEEE division), FLOOR-quantized to BIGINT micro-units, summed as
+-- exact integers (order-free), then ONE division + floor for the mean
 SELECT b.doc_id,
        COUNT(*) AS n_bigrams,
-       ROUND(AVG(-LN((m.cnt + 1) * 1.0 / (total.tot + 1369))), 6) AS avg_neg_logp
+       CAST(FLOOR(
+           CAST(CAST(SUM(CAST(FLOOR(
+               -LN((m.cnt + 1) * CAST(1.0 AS DOUBLE) / (total.tot + 1369))
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+           AS BIGINT) AS DOUBLE) / COUNT(*) + CAST(0.5 AS DOUBLE)
+       ) AS BIGINT) AS avg_neg_logp_u6
 FROM bigrams b JOIN model m USING (bigram) CROSS JOIN total
 GROUP BY b.doc_id
 """
@@ -7258,17 +7279,30 @@ CROSS JOIN LATERAL (
 def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum staging over the perplexity scores: 4 quantile stages
     (easy→hard), reported as per-stage doc counts and mean score —
-    broadcast-cutpoint banding, not a global sort."""
+    broadcast-cutpoint banding, not a global sort. Graded fully in the
+    unit contract (round 14, VERDICT r13 Next #5): scores are BIGINT
+    micro-units (perplexity_scores unit mode), the quartile cutpoints
+    interpolate INTEGERS (exact k+quarter doubles — no rounding tie can
+    exist at the 6th decimal), and the per-stage mean is the exact
+    integer SUM divided once and floored. No ROUND-on-double anywhere."""
     from prometheus_parquet_server_spark.pipeline.lm_score import (
         curriculum_stages,
         perplexity_scores,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    staged = curriculum_stages(perplexity_scores(docs), n_stages=4)
+    staged = curriculum_stages(
+        perplexity_scores(docs, unit_scale=1e6),
+        n_stages=4,
+        score_col="avg_neg_logp_u6",
+    )
     return staged.groupBy("stage").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("avg_neg_logp"), 6).alias("mean_score"),
+        F.floor(
+            F.sum("avg_neg_logp_u6").cast("double") / F.count("*") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_score_u6"),
     )
 
 
@@ -7288,9 +7322,20 @@ model AS (
     SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
 ),
 total AS (SELECT SUM(cnt) AS tot FROM model),
+-- unit contract (round 14): s replays perplexity_scores' unit mode —
+-- per-term FLOOR micro-units summed as exact integers, one division +
+-- floor; cutpoints interpolate the INTEGER scores (exact k+quarter
+-- doubles, so ROUND(c, 6) can never sit on a tie); the per-stage mean
+-- is the exact integer SUM divided once and floored
 scores AS (
     SELECT b.doc_id,
-           ROUND(AVG(-LN((m.cnt + 1) * 1.0 / (total.tot + 1369))), 6) AS s
+           CAST(FLOOR(
+               CAST(CAST(SUM(CAST(FLOOR(
+                   -LN((m.cnt + 1) * CAST(1.0 AS DOUBLE) / (total.tot + 1369))
+                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*)
+               + CAST(0.5 AS DOUBLE)
+           ) AS BIGINT) AS s
     FROM bigrams b JOIN model m USING (bigram) CROSS JOIN total
     GROUP BY b.doc_id
 ),
@@ -7305,7 +7350,8 @@ SELECT CASE WHEN s <= c1 THEN 1
             WHEN s <= c3 THEN 3
             ELSE 4 END AS stage,
        COUNT(*) AS n_docs,
-       ROUND(AVG(s), 6) AS mean_score
+       CAST(FLOOR(CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / COUNT(*)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_score_u6
 FROM scores CROSS JOIN cuts
 GROUP BY 1
 """
@@ -7726,15 +7772,17 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
-#: Ordering note: the driver grades the FIRST 50 entries. The first 50 are
-#: chosen to cover every distinct operator family — in particular the
-#: similarity/ANN/multimodal/streaming scale paths. Entries past position
-#: 50 form the ungraded tail: redundant variants of already-graded
-#: families (multi-agg over a1-a3, *_over_time siblings of
-#: promql_over_time, date/time-arith siblings of promql_math, idelta
-#: sibling of p2_irate/promql_deriv — oracle-green rounds 2-4) plus
-#: round-5 extras that don't fit the 50-slot budget; ALL tail entries
-#: with oracles are still checked locally by scripts/check_oracles.py.
+#: Ordering note: the driver grades the FIRST 50 entries. Since round 10
+#: the window ROTATES: a driver-green row may demote to the
+#: locally-checked tail to free a slot, and tests/test_registry.py
+#: enforces that every scale-path family is either in the window or
+#: driver-green within the last GREEN_MAX_AGE_ROUNDS rounds. The
+#: round-14 window: the 12 §2 residents + the six-row sessionize
+#: corrected experiment (§54) + the three fixed r13 representation reds
+#: + the last 10 never-driver-graded rows + the three ROUND->FLOOR-unit
+#: migrations + the 16 stalest driver greens (r4/r5). ALL tail entries
+#: with oracles are still checked bit-exactly by scripts/check_oracles.py
+#: and type-linted by scripts/audit_output_contract.py every round.
 #: COUNT CHECK before editing: keep exactly the intended first 50 — a
 #: careless insertion above the tail marker silently pushes a scale-path
 #: query out of the graded window.
@@ -7754,27 +7802,73 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_sum_bare": q_a3_sum_bare,
     "m2_metric_names": q_m2_metric_names,
     "m3_series_count": q_m3_series_count,
-    # -- round-13 sessionize FINAL discriminator (VERDICT r12 Next #1).
-    # CORRECTNESS_r12 co-observed all four rows in ONE run: int GREEN +
-    # floats GREEN (every per-row integer and the distinct double
-    # population pinned identical across engines in that run) while the
-    # double and md5 rows were RED — logically excluding engine-side
-    # membership/value divergence. The only surfaces left: the
-    # round(x·1e6) micro-recovery unique to the md5 digest, or the
-    # driver harness/environment. events_sessionize_md5i digests the
-    # INT row's columns — no doubles, no round(), no division. Decision
-    # table pre-registered in EXPLAIN §51; the double row and the floats
-    # probe demote to the tail permanently (information fully covered).
+    # -- round-14 sessionize CORRECTED experiment (EXPLAIN §54): the new
+    # output-contract lint found the §51 confounder — session_seq was
+    # HUGEINT (window SUM) in exactly the ever-red rows' oracles and cast
+    # BIGINT in the green ones; the base SQL now casts it. int + md5i are
+    # the regression pair; md5 re-grades WITH the round() micro-recovery
+    # still in its digest (green => HUGEINT representation was the
+    # divergence, round() exonerated, saga closes; red => §51 arm 1
+    # stands and md5 demotes permanently); the double row (never
+    # driver-green in 8 rounds) and both tail twins co-grade on the
+    # same fix.
     "events_sessionize_int": q_events_sessionize_int,
-    "events_sessionize_md5": q_events_sessionize_md5,
     "events_sessionize_md5i": q_events_sessionize_md5i,
-    # -- round-13 rotation (VERDICT r12 Next #2, executed aggressively):
-    # 35 rows that had never held a driver-graded slot — every one
-    # strict-gate green locally (scripts/check_oracles.py, both SFs)
-    # before rotation. Leads with CombMNZ (hybrid_combmnz_topk, new in
-    # r12, plus its round-13 candidate-served serving twin). Every
-    # displaced row holds a driver-green record (r12 window at minimum)
-    # and stays strict-gate checked in the tail.
+    "events_sessionize_md5": q_events_sessionize_md5,
+    "events_sessionize": q_events_sessionize,
+    "events_sessionize_chunked": q_events_sessionize_chunked,
+    "events_sessionize_native": q_events_sessionize_native,
+    # -- r13 representation reds, fixed (VERDICT r13 Next #1): uncast
+    # SUM -> CAST AS BIGINT, ROUND(sum/count) -> FLOOR-unit quotient,
+    # array member_ids -> comma-joined scalar. Re-graded this round.
+    "pipeline_token_budget": q_pipeline_token_budget,
+    "events_props_json": q_events_props_json,
+    "dedup_clusters_capped": q_dedup_clusters_capped,
+    # -- the last never-driver-graded oracle-paired rows (VERDICT r13
+    # Next #3) — after this window every oracle-paired registry row
+    # holds a driver record.
+    "ivfsq8_store_topk": q_ivfsq8_store_topk,
+    "pipeline_leak_split": q_pipeline_leak_split,
+    "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
+    "pipeline_line_dedup": q_pipeline_line_dedup,
+    "pipeline_shuffle": q_pipeline_shuffle,
+    "pipeline_strip_markup": q_pipeline_strip_markup,
+    "snapshot_cdc_docs": q_snapshot_cdc_docs,
+    "text_remove_spans": q_text_remove_spans,
+    "text_repeated_spans": q_text_repeated_spans,
+    "text_rule_flags": q_text_rule_flags,
+    # -- ROUND(AVG)->FLOOR-unit migrations (VERDICT r13 Next #5): the
+    # last graded rows carrying ROUND-on-double in their output path,
+    # re-graded on the unit contract.
+    "corpus_stats": q_corpus_stats,
+    "pipeline_curriculum": q_pipeline_curriculum,
+    "text_perplexity": q_text_perplexity,
+    # -- freshness re-grades (ADVICE r13 / test_registry max-age): the
+    # stalest driver-green rows (last graded r4-r5), incl. hq_sum_rate —
+    # the one deliberate decimal-ROUND watch row.
+    "hq_sum_rate": q_hq_sum_rate,
+    "a4_multi_agg": q_a4_multi_agg,
+    "promql_last_over_time": q_promql_last_over_time,
+    "promql_quantile_ot": q_promql_quantile_ot,
+    "promql_present_ot": q_promql_present_ot,
+    "promql_group": q_promql_group,
+    "promql_date_parts": q_promql_date_parts,
+    "promql_idelta": q_promql_idelta,
+    "promql_mad_ot": q_promql_mad_ot,
+    "promql_increase": q_promql_increase,
+    "promql_changes": q_promql_changes,
+    "promql_time_arith": q_promql_time_arith,
+    "promql_cmp_filter": q_promql_cmp_filter,
+    "promql_set_unless": q_promql_set_unless,
+    "promql_at_modifier": q_promql_at_modifier,
+    "promql_holt_winters": q_promql_holt_winters,
+    # ---- entries 51+ (ungraded tail: every row here holds a driver-green
+    # record — the r13 window's displaced greens lead — or is a redundant
+    # variant of a graded family; ALL oracle-paired tail rows are still
+    # bit-exact-checked locally by scripts/check_oracles.py every round,
+    # and scripts/audit_output_contract.py lints every oracle's output
+    # types) ----
+    "events_sessionize_floats": q_events_sessionize_floats,
     "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
     "hybrid_combmnz_rerank_topk": q_hybrid_combmnz_rerank_topk,
     "dedup_jaccard": q_dedup_jaccard,
@@ -7790,7 +7884,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_prepare_v2": q_pipeline_prepare_v2,
     "pipeline_prepare_v3": q_pipeline_prepare_v3,
     "dedup_survivors": q_dedup_survivors,
-    "dedup_clusters_capped": q_dedup_clusters_capped,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "t3_resample_chunked": q_t3_resample_chunked,
     "p2_irate_chunked": q_p2_irate_chunked,
@@ -7803,26 +7896,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_contamination": q_pipeline_contamination,
     "pipeline_stratified": q_pipeline_stratified,
     "vocab_topk": q_vocab_topk,
-    "corpus_stats": q_corpus_stats,
     "stream_heavy_grams": q_stream_heavy_grams,
     "pq_topk": q_pq_topk,
-    "pipeline_token_budget": q_pipeline_token_budget,
-    "pipeline_curriculum": q_pipeline_curriculum,
-    "events_props_json": q_events_props_json,
     "emb_knn_label": q_emb_knn_label,
-    # ---- entries 51+ (ungraded tail: every row here either holds a
-    # driver-green record from a prior round's graded window or is a
-    # redundant variant of a graded family; ALL oracle-paired tail rows
-    # are still bit-exact-checked locally by scripts/check_oracles.py
-    # every round) ----
-    # demoted round-13: the sessionize double row (6 driver reds in 7
-    # rounds, information fully covered by the int/md5/md5i probes —
-    # VERDICT r12 Next #1 says demote permanently) and the floats probe
-    # (driver-green r10+r12, its job done); then the r12 graded window's
-    # greens (all driver-green in CORRECTNESS_r12), freeing slots for
-    # the never-graded backlog above.
-    "events_sessionize": q_events_sessionize,
-    "events_sessionize_floats": q_events_sessionize_floats,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "events_rollup": q_events_rollup,
@@ -7857,15 +7933,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "streaming_event_counts": q_streaming_event_counts,
-    # NEW round-13 tail rows (no driver record yet; strict-gate checked —
-    # lead rotation candidates for round 14): duplicate-cluster-aware
-    # split assignment (train/test leakage guard) and fuzzy benchmark
-    # decontamination (Jaccard-vs-benchmark near-dup leakage)
-    "pipeline_leak_split": q_pipeline_leak_split,
-    "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
-    "ivfsq8_store_topk": q_ivfsq8_store_topk,
-    # prior-round demotions and graded-family variants (driver-green
-    # records noted in each round's rotation; see git history):
     "tpch_q5ish": q_tpch_q5ish,
     "promql_sum_rate": q_promql_sum_rate,
     "promql_binop": q_promql_binop,
@@ -7876,7 +7943,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "ivfpq_topk": q_ivfpq_topk,
     "pipeline_chunks": q_pipeline_chunks,
-    "text_perplexity": q_text_perplexity,
     "dsir_incremental": q_dsir_incremental,
     "dsir_drift": q_dsir_drift,
     "dsir_topk": q_dsir_topk,
@@ -7894,17 +7960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_over_time": q_promql_over_time,
     "promql_absent": q_promql_absent,
     "promql_subquery": q_promql_subquery,
-    "promql_cmp_filter": q_promql_cmp_filter,
-    "promql_set_unless": q_promql_set_unless,
-    "promql_at_modifier": q_promql_at_modifier,
-    "promql_holt_winters": q_promql_holt_winters,
     "promql_deriv": q_promql_deriv,
-    "events_sessionize_chunked": q_events_sessionize_chunked,
-    "events_sessionize_native": q_events_sessionize_native,
-    "hq_sum_rate": q_hq_sum_rate,
-    "promql_mad_ot": q_promql_mad_ot,
-    "promql_changes": q_promql_changes,
-    "promql_increase": q_promql_increase,
     "promql_count_values": q_promql_count_values,
     "promql_math": q_promql_math,
     "promql_label_replace": q_promql_label_replace,
@@ -7914,21 +7970,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca": q_emb_pca,
     "quality_classifier": q_quality_classifier,
     "bpe_tokenize": q_bpe_tokenize,
-    "a4_multi_agg": q_a4_multi_agg,
-    "promql_last_over_time": q_promql_last_over_time,
-    "promql_quantile_ot": q_promql_quantile_ot,
-    "promql_present_ot": q_promql_present_ot,
-    "promql_group": q_promql_group,
-    "promql_date_parts": q_promql_date_parts,
-    "promql_idelta": q_promql_idelta,
-    "promql_time_arith": q_promql_time_arith,
-    "pipeline_strip_markup": q_pipeline_strip_markup,
-    "pipeline_shuffle": q_pipeline_shuffle,
-    "snapshot_cdc_docs": q_snapshot_cdc_docs,
-    "pipeline_line_dedup": q_pipeline_line_dedup,
-    "text_rule_flags": q_text_rule_flags,
-    "text_repeated_spans": q_text_repeated_spans,
-    "text_remove_spans": q_text_remove_spans,
 }
 
 ORACLES: dict[str, str] = {

@@ -61,6 +61,7 @@ def perplexity_scores(
     model: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit_scale: float | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, avg_neg_logp) — per-document cross-entropy under
     the (supplied or self-fitted) bigram model with add-one smoothing.
@@ -69,13 +70,21 @@ def perplexity_scores(
     Scale shape: the model is ≤ alphabet² rows → broadcast; the per-doc
     aggregate is one hash ``groupBy(id)``. Fitting on the corpus itself
     costs one extra count pass over the same exploded rows.
-    """
+
+    ``unit_scale`` (round 14, the graded-output contract): emit
+    ``avg_neg_logp_u6`` — each −ln term FLOOR-quantized to BIGINT
+    micro-units, summed EXACTLY (integer addition is order-free, so
+    Spark's partial-sum schedule cannot move the value the way a float
+    SUM can), then one IEEE division by the count and one floor. Replaces
+    the ``ROUND(AVG(..), 6)`` double, whose rounding mode is
+    engine-version-sensitive (EXPLAIN §51/§54) and whose float sum is
+    order-dependent in the last ulps."""
     if model is None:
         model = bigram_model(docs, text_col, id_col)
     total = model.agg(F.sum("count").alias("_total"))
     rows = _bigram_rows(docs, text_col, id_col)
     v = ALPHABET_SIZE * ALPHABET_SIZE
-    return (
+    scored = (
         rows.join(F.broadcast(model), "bigram", "left")
         .crossJoin(F.broadcast(total))
         .select(
@@ -87,10 +96,25 @@ def perplexity_scores(
                 )
             ).alias("_nlp"),
         )
-        .groupBy(id_col)
-        .agg(
+    )
+    if unit_scale is None:
+        return scored.groupBy(id_col).agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("_nlp"), 6).alias("avg_neg_logp"),
+        )
+    unit = F.floor(
+        F.col("_nlp") * F.lit(float(unit_scale)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        scored.select(F.col(id_col), unit.alias("_u"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("_u").alias("_su"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.floor(F.col("_su").cast("double") / F.col("n_bigrams") + F.lit(0.5))
+            .cast("long")
+            .alias("avg_neg_logp_u6"),
         )
     )
 

@@ -623,7 +623,11 @@ def ivfsq8_build(
         mode="overwrite",
         properties={
             "sq_dim": dim,
-            "sq_cells": n_cells,
+            # len(centroids), NOT n_cells: a corpus smaller than n_cells
+            # yields fewer centroids, and the pinned geometry (the
+            # [1, sq_cells] n_probe validation range) must match the
+            # committed _centroid rows exactly (ADVICE r13)
+            "sq_cells": len(centroids),
             "sq_n_probe_default": n_probe_default,
         },
     )
@@ -809,6 +813,14 @@ def ivfsq8_append(
         .orderBy("vec_id")
         .collect()
     )
+    if not cent_rows:
+        # mirror ivfsq8_topk's guard (ADVICE r13): a store with the
+        # sq_cells property but missing _centroid rows (partial
+        # corruption) must fail loudly here, not with an opaque numpy
+        # shape error deep inside the routing UDF
+        raise FileNotFoundError(
+            f"no IVF-SQ8 index (no {IVFSQ_CENTROID_NAME} rows) at {store_path}"
+        )
     centroids = [list(r["embedding"]) for r in cent_rows]
     _guard_clean_vectors(new_vectors, dim, id_col, vec_col, "ivfsq8_append")
     cell = F.format_string(

@@ -220,6 +220,7 @@ def corpus_stats(
     df: DataFrame,
     group_col: str = "source",
     length_col: str = "n_chars",
+    unit_scale: float | None = None,
 ) -> DataFrame:
     """Per-group document-length distribution: ``(group, n_docs,
     mean_chars, p50_chars, p90_chars, max_chars)`` with exact interpolated
@@ -229,12 +230,33 @@ def corpus_stats(
     group's values on the final reducer — correct up to billions of docs
     per group; swap in ``percentile_approx`` only if a group's row count
     itself stops fitting (the oracle gate pins the exact variant).
-    """
+
+    ``unit_scale`` (round 14, the graded-output contract): emit the three
+    derived statistics as ``FLOOR(x·scale + 0.5)`` BIGINT micro-units
+    (``*_u6`` at the default 1e6) instead of ``ROUND(x, 6)`` doubles.
+    ROUND-on-double is engine-version-sensitive (HALF_UP on BigDecimal vs
+    a C library's tie-break — the events_sessionize saga, EXPLAIN §51/§54)
+    while FLOOR of an IEEE multiply/add is bit-stable everywhere; the mean
+    is derived from the exact integer SUM/COUNT so both engines divide the
+    same two numbers."""
+    if unit_scale is None:
+        return df.groupBy(group_col).agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(length_col), 6).alias("mean_chars"),
+            F.round(F.expr(f"percentile({length_col}, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr(f"percentile({length_col}, 0.9)"), 6).alias("p90_chars"),
+            F.max(length_col).alias("max_chars"),
+        )
+
+    def unit(col):  # FLOOR-quantized micro-units, the bit-stable contract
+        return F.floor(col * F.lit(float(unit_scale)) + F.lit(0.5)).cast("long")
+
+    mean = F.sum(length_col).cast("double") / F.count("*")
     return df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(length_col), 6).alias("mean_chars"),
-        F.round(F.expr(f"percentile({length_col}, 0.5)"), 6).alias("p50_chars"),
-        F.round(F.expr(f"percentile({length_col}, 0.9)"), 6).alias("p90_chars"),
+        unit(mean).alias("mean_chars_u6"),
+        unit(F.expr(f"percentile({length_col}, 0.5)")).alias("p50_chars_u6"),
+        unit(F.expr(f"percentile({length_col}, 0.9)")).alias("p90_chars_u6"),
         F.max(length_col).alias("max_chars"),
     )
 

@@ -10,6 +10,7 @@ multimodal/streaming paths ungraded for rounds 2-4)."""
 import glob
 import json
 import os
+import re
 
 from prometheus_parquet_server_spark.driver_contract import ORACLES, QUERIES
 
@@ -39,22 +40,41 @@ SCALE_PATHS = [
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
-def _driver_green() -> set[str]:
-    """Row names recorded fully green (rows+schema+hash) in any prior
-    round's driver correctness file.
+#: a recorded green stays valid for this many correctness rounds
+#: (inclusive of the round it was recorded in) — the ADVICE r13 fix for
+#: the unbounded name-keyed green: a scale-path row rewritten after its
+#: green can no longer stay satisfied forever; it must re-enter the
+#: graded window within the freshness horizon. 4 rounds keeps the
+#: re-rotation cost at ~len(SCALE_PATHS)/4 slots per round.
+GREEN_MAX_AGE_ROUNDS = 4
 
-    Conscious trade (round-13 review): greens are keyed by NAME, so a
-    row rewritten after its recorded green stays satisfied here. The
-    standing defense for rewritten tail rows is the strict local gate
-    (scripts/check_oracles.py, every round, judge-re-run), which checks
-    CURRENT code against CURRENT oracles bit-exactly — this invariant
-    only guards the weaker property that every scale-path family was
-    driver-observed at least once."""
-    green: set[str] = set()
+
+def _driver_green() -> set[str]:
+    """Row names recorded fully green (rows+schema+hash) in a RECENT
+    round's driver correctness file — "recent" meaning within
+    GREEN_MAX_AGE_ROUNDS of the newest CORRECTNESS_r*.json present.
+
+    Greens are still keyed by NAME (we have no historical content
+    hashes), but the max-age bounds the staleness: a rewritten or
+    demoted scale-path row re-enters the graded window within the
+    horizon or this invariant fails. The bit-exact defense for tail
+    rows remains the strict local gate (scripts/check_oracles.py),
+    which checks CURRENT code against CURRENT oracles every round."""
+    by_round: dict[int, dict] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
-            rows = json.load(open(path))
+            by_round[int(m.group(1))] = json.load(open(path))
         except (OSError, ValueError):
+            continue
+    if not by_round:
+        return set()
+    horizon = max(by_round) - (GREEN_MAX_AGE_ROUNDS - 1)
+    green: set[str] = set()
+    for rnd, rows in by_round.items():
+        if rnd < horizon:
             continue
         for name, v in rows.items():
             if (

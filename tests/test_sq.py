@@ -378,3 +378,62 @@ def test_ivfsq8_append_oneshot_equivalence_and_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="celled IVF-SQ8"):
         sq8_append(spark, store, b2)
+
+
+def test_ivfsq8_small_corpus_pins_actual_cell_count(spark, tmp_path):
+    """ADVICE r13: a corpus smaller than n_cells yields fewer centroids —
+    the pinned sq_cells property must equal the COMMITTED centroid rows
+    (len(centroids)), not the requested n_cells, so the [1, sq_cells]
+    n_probe validation range never overstates the real geometry."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        ivfsq8_build,
+        ivfsq8_topk,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_properties,
+    )
+
+    df = _frame(spark, _vecs(3, seed=9))  # 3 vectors, 8 requested cells
+    store = f"file://{tmp_path}/small"
+    ivfsq8_build(spark, store, df, n_cells=8, n_probe_default=2, dim=DIM)
+    props = snapshot_properties(spark, store)
+    assert int(props["sq_cells"]) == 3
+    probes = df.filter(F.col("vec_id") < 2)
+    # full probe at the REAL cell count works...
+    assert ivfsq8_topk(spark, store, probes, k=2, n_probe=3).count() > 0
+    # ...and the stale requested count is now correctly out of range
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfsq8_topk(spark, store, probes, k=2, n_probe=4)
+
+
+def test_ivfsq8_append_refuses_centroidless_store(spark, tmp_path):
+    """ADVICE r13: a store carrying the sq_cells property but missing its
+    _centroid rows (partial corruption) must fail ivfsq8_append with the
+    same loud FileNotFoundError as ivfsq8_topk — not an opaque numpy
+    shape error deep inside the routing UDF."""
+    from prometheus_parquet_server_spark.pipeline.sq import (
+        _scale_rows,
+        ivfsq8_append,
+        ivfsq8_topk,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_write,
+    )
+
+    schema = (
+        "name string, ts double, vec_id long, embedding array<double>, "
+        "code array<int>"
+    )
+    store = f"file://{tmp_path}/corrupt"
+    snapshot_write(
+        spark,
+        store,
+        _scale_rows(spark, [0.0] * DIM, [1.0] * DIM, schema),
+        mode="overwrite",
+        properties={"sq_dim": DIM, "sq_cells": 4, "sq_n_probe_default": 2},
+    )
+    batch = _frame(spark, _vecs(2, seed=3))
+    with pytest.raises(FileNotFoundError, match="no IVF-SQ8 index"):
+        ivfsq8_append(spark, store, batch)
+    with pytest.raises(FileNotFoundError, match="no IVF-SQ8 index"):
+        ivfsq8_topk(spark, store, batch, k=1)
