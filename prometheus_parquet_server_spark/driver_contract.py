@@ -4529,6 +4529,115 @@ WHERE n_inter / n_union >= 0.5
 """
 
 
+def q_pipeline_eval_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v6 — the eval-safety composition (pipeline/split.py
+    eval_safe_split_report, round 14): fuzzy benchmark decontamination
+    (the %29 benchmark slice, bigram shingles, tau=0.5 — the
+    pipeline_fuzzy_contamination machinery verbatim) chained into the
+    duplicate-cluster-aware split (the pipeline_leak_split embedding
+    pair feed + pinned components), reported as the per-(split, source)
+    release manifest with contaminated docs under split='dropped'. The
+    manifest partitions the corpus exactly, so a doc mis-dropped,
+    mis-keyed, or mis-banded anywhere in the chain moves a row total
+    and flips the hash. Both upstream rows are graded individually;
+    this row proves the two leakage guards compose in one plan."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+    )
+    from prometheus_parquet_server_spark.pipeline.split import (
+        eval_safe_split_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    # pin the CC fixpoint once (the leak_split convention)
+    comp = connected_components(pairs).localCheckpoint()
+    return eval_safe_split_report(
+        corpus, bench, pairs, shingle_n=2, tau=0.5, components=comp
+    )
+
+
+SQL_PIPELINE_EVAL_SAFE = f"""
+WITH RECURSIVE {_ND_CORE_SQL},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM nd
+    UNION
+    SELECT id_b AS a, id_a AS b FROM nd
+),
+reach AS (
+    SELECT a AS node, b AS other FROM edges
+    UNION
+    SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+),
+comp AS (
+    SELECT node, LEAST(node, MIN(other)) AS component
+    FROM reach GROUP BY node
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents WHERE doc_id IS NOT NULL
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_distinct(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i + 1]))
+                ELSE list_distinct([array_to_string(t, ' ')])
+           END AS s
+    FROM toks
+),
+bench AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 29 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0),
+flagged AS (
+    SELECT DISTINCT c.doc_id
+    FROM corpus c CROSS JOIN bench b
+    WHERE len(list_intersect(c.s, b.bs)) >= 1
+      AND CAST(len(list_intersect(c.s, b.bs)) AS BIGINT)
+          / CAST(len(c.s) + len(b.bs) - len(list_intersect(c.s, b.bs))
+                 AS BIGINT) >= 0.5
+),
+base AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                           x -> x <> '')) AS n_tok
+    FROM documents WHERE doc_id % 29 <> 0
+),
+clean AS (
+    SELECT b.* FROM base b LEFT JOIN flagged f USING (doc_id)
+    WHERE f.doc_id IS NULL
+),
+keyed AS (
+    SELECT c.source, c.n_tok,
+           COALESCE(cm.component, c.doc_id) AS skey
+    FROM clean c LEFT JOIN comp cm ON cm.node = c.doc_id
+),
+bucketed AS (
+    SELECT source, n_tok,
+           CAST(CONCAT('0x', substr(md5(CAST(skey AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM keyed
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM bucketed
+GROUP BY 1, 2
+UNION ALL
+SELECT 'dropped' AS split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM base JOIN flagged USING (doc_id)
+GROUP BY 2
+"""
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty vs a reference corpus (pipeline/split.py
     novelty_counts — the freshness/memorization complement of
@@ -7861,13 +7970,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promql_cmp_filter": q_promql_cmp_filter,
     "promql_set_unless": q_promql_set_unless,
     "promql_at_modifier": q_promql_at_modifier,
-    "promql_holt_winters": q_promql_holt_winters,
+    # -- round-14 NEW: capstone v6, the eval-safety composition (fuzzy
+    # decontamination -> leak-safe split release manifest) — graded on
+    # arrival, the r13 CombMNZ convention.
+    "pipeline_eval_safe": q_pipeline_eval_safe,
     # ---- entries 51+ (ungraded tail: every row here holds a driver-green
     # record — the r13 window's displaced greens lead — or is a redundant
     # variant of a graded family; ALL oracle-paired tail rows are still
     # bit-exact-checked locally by scripts/check_oracles.py every round,
     # and scripts/audit_output_contract.py lints every oracle's output
     # types) ----
+    "promql_holt_winters": q_promql_holt_winters,
     "events_sessionize_floats": q_events_sessionize_floats,
     "hybrid_combmnz_topk": q_hybrid_combmnz_topk,
     "hybrid_combmnz_rerank_topk": q_hybrid_combmnz_rerank_topk,
@@ -8034,6 +8147,7 @@ ORACLES: dict[str, str] = {
     "pipeline_split": SQL_PIPELINE_SPLIT,
     "pipeline_leak_split": SQL_PIPELINE_LEAK_SPLIT,
     "pipeline_fuzzy_contamination": SQL_PIPELINE_FUZZY_CONTAMINATION,
+    "pipeline_eval_safe": SQL_PIPELINE_EVAL_SAFE,
     "ivfsq8_store_topk": SQL_IVFSQ8_STORE_TOPK,
     "pipeline_packing": SQL_PIPELINE_PACKING,
     "pipeline_contamination": SQL_PIPELINE_CONTAMINATION,

@@ -247,6 +247,78 @@ def word_ngram_hashes(text: Column, n: int = 8) -> Column:
     )
 
 
+def eval_safe_split_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 2,
+    tau: float = 0.5,
+    seed: int = 42,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Capstone composition (round 14): the EVAL-SAFETY release gate a
+    training corpus passes before it ships — fuzzy benchmark
+    decontamination chained into the duplicate-cluster-aware split.
+    Both leakage modes the dedup literature flags [Lee et al. 2022]
+    are closed in one plan: a paraphrased benchmark copy is DROPPED
+    (:func:`fuzzy_contamination` at ``tau``), and a near-duplicate of
+    an eval-split document can never land in train
+    (:func:`leakage_safe_split` — the whole cluster moves as one
+    unit). The report is the per-``(split, group)`` release manifest:
+    document and exact whitespace-token totals, with the dropped
+    (contaminated) documents accounted under ``split='dropped'`` so
+    the manifest partitions the input corpus exactly.
+
+    Scale shape — strictly the union of its verified parts: the
+    benchmark side broadcasts (shingle stream AND size frame), the
+    contaminated-id set is hit-bounded and tiny → both the anti-join
+    (clean side) and the inner join (dropped side) broadcast it under
+    AQE; the component frame covers only paired docs; the banding is
+    one codegen'd md5 expression per row. Nothing here scans
+    |corpus|x|bench| or shuffles text more than once.
+
+    ``components`` short-circuits the internal connected-components
+    fixpoint exactly as in :func:`leakage_safe_split` (pass the pinned
+    frame when the caller already materialized it)."""
+    flagged = (
+        fuzzy_contamination(
+            docs, benchmark, shingle_n=shingle_n, tau=tau,
+            id_col=id_col, text_col=text_col,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    n_tok = F.size(tokens_col(F.col(text_col))).alias("_n_tok")
+    base = docs.select(id_col, group_col, n_tok)
+    clean = base.join(flagged, id_col, "left_anti")
+    out = leakage_safe_split(
+        clean,
+        pairs,
+        id_col=id_col,
+        weights=weights,
+        seed=seed,
+        components=components,
+    )
+    kept_report = out.groupBy("split", group_col).agg(
+        F.count("*").alias("n_docs"), F.sum("_n_tok").alias("n_tokens")
+    )
+    dropped_report = (
+        base.join(flagged, id_col)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("_n_tok").alias("n_tokens"))
+        .select(F.lit("dropped").alias("split"), group_col, "n_docs", "n_tokens")
+    )
+    return kept_report.unionByName(dropped_report)
+
+
 def pack_assignments(
     docs: DataFrame,
     budget_tokens: int,

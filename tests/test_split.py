@@ -228,3 +228,69 @@ def test_fuzzy_contamination_matches_set_model(spark):
 
     with pytest.raises(ValueError, match="tau"):
         fuzzy_contamination(docs, bench, tau=0.0)
+
+
+def test_eval_safe_split_report_partitions_and_guards(spark):
+    """Capstone v6 composition: the release manifest partitions the
+    corpus exactly (kept splits + dropped = every doc, token totals
+    conserved); a fuzzy benchmark copy is dropped BEFORE splitting; a
+    near-dup pair never straddles splits (both members carry the
+    representative's split); zero pairs + zero hits degenerates to
+    plain assign_split totals."""
+    from prometheus_parquet_server_spark.pipeline.split import (
+        assign_split,
+        eval_safe_split_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(9001, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    # doc 1: verbatim benchmark copy -> jaccard 1.0 -> dropped.
+    # docs 2/3: a near-dup pair (pairs frame) with different sources.
+    # docs 4..23: unique filler.
+    rows = [(1, "s0", "the quick brown fox jumps over the lazy dog today"),
+            (2, "s0", "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "s1", "alpha beta gamma delta epsilon zeta eta iota")]
+    rows += [(i, f"s{i % 2}", f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(4, 24)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    pairs = spark.createDataFrame([(2, 3)], "id_a bigint, id_b bigint")
+
+    rep = eval_safe_split_report(docs, bench, pairs, tau=0.5).collect()
+    by = {(r["split"], r["source"]): (r["n_docs"], r["n_tokens"]) for r in rep}
+    # doc 1 dropped with its exact token count
+    assert by.get(("dropped", "s0"), (0, 0))[0] == 1
+    assert by[("dropped", "s0")][1] == 10
+    # manifest partitions the corpus: kept + dropped == all 23 docs
+    assert sum(n for n, _ in by.values()) == 23
+    tok_total = sum(len(t.split()) for _, _, t in rows)
+    assert sum(t for _, t in by.values()) == tok_total
+
+    # the pair moves as one unit: both members carry doc 2's (the
+    # representative's) own-id split, whatever plain assign_split
+    # would have given doc 3
+    rep_split = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.select("doc_id")).collect()
+    }
+    kept = {
+        s: n for (s, src), (n, _) in by.items() if s != "dropped" and src == "s1"
+    }
+    # doc 3 (source s1) must land in doc 2's bucket band
+    assert kept.get(rep_split[2], 0) >= 1
+    # with no pairs and no benchmark overlap, the report reduces to
+    # assign_split totals over the same corpus
+    none_bench = spark.createDataFrame(
+        [(9002, "completely disjoint vocabulary here")],
+        "doc_id bigint, text string",
+    )
+    no_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    rep2 = eval_safe_split_report(docs, none_bench, no_pairs, tau=0.5).collect()
+    assert sum(r["n_docs"] for r in rep2) == 23
+    assert all(r["split"] != "dropped" for r in rep2)
+    src_of = {d: sc for d, sc, _ in rows}
+    want = {}
+    for did, s in rep_split.items():
+        want[(s, src_of[did])] = want.get((s, src_of[did]), 0) + 1
+    got = {(r["split"], r["source"]): r["n_docs"] for r in rep2}
+    assert got == want, (got, want)
