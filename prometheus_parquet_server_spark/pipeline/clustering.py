@@ -13,6 +13,8 @@ aggregate; no driver-side adjacency state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,23 +28,74 @@ class ConvergenceError(RuntimeError):
     duplicate — a silent-correctness hazard (round-6 verdict item 3)."""
 
 
+#: Edge-count ceiling for the driver union-find fast path. 2M edges collect
+#: as ~32 MB of longs — far under spark.driver.maxResultSize — and resolve
+#: in well under a second of driver CPU; a 100 TB dup graph (10⁸⁺ edges)
+#: exceeds the cap and takes the distributed propagation path unchanged.
+_CC_DRIVER_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "2000000"))
+
+
+def _driver_union_find(edge_rows) -> list[tuple]:
+    """Min-id connected components over a collected edge list: union-find
+    with path compression, then component = min node id per root — the
+    same (node, component) contract as the distributed propagation."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return sorted((n, comp_min[find(n)]) for n in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
     Returns (node BIGINT, component BIGINT) where component = min node id
     reachable from ``node``. Deterministic; empty input → empty output.
 
-    Raises :class:`ConvergenceError` if the fixpoint is not reached within
-    ``max_iterations`` rounds. The doubling propagation converges in
-    O(log diameter) rounds, so the default budget of 20 covers any graph
-    of diameter ≤ ~2²⁰ — hitting the budget means the graph is
-    pathologically chained and the caller must raise the budget, never
-    that a partial answer is acceptable.
+    Size-adaptive execution (guide §2.4/§5 — the shape of the job should
+    match the data): the directed edge set is materialized once either
+    way; when it holds at most ``driver_edge_cap`` rows (default
+    ``$SPARK_GRAFT_CC_DRIVER_EDGES`` = 2M — a bounded, counted collect,
+    never an unconditional one) the fixpoint runs as a driver union-find
+    in one pass instead of O(log diameter) distributed iterations of
+    ~4 jobs each (3 shuffles + a checkpoint + a convergence count). At
+    real-world dup rates the pair graph is a tiny fraction of the corpus,
+    so clusters over a benchmark-scale corpus resolve in one job; a
+    100 TB dup graph blows the cap and takes the iterative path below,
+    whose per-iteration shape is unchanged. Both paths produce the
+    identical min-id labelling (union-find output is order-independent).
+
+    Raises :class:`ConvergenceError` if the distributed fixpoint is not
+    reached within ``max_iterations`` rounds. The doubling propagation
+    converges in O(log diameter) rounds, so the default budget of 20
+    covers any graph of diameter ≤ ~2²⁰ — hitting the budget means the
+    graph is pathologically chained and the caller must raise the budget,
+    never that a partial answer is acceptable.
     """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -53,6 +106,24 @@ def connected_components(
         # iteration turns O(log d) rounds into O(rounds × full-input cost)
         .localCheckpoint(eager=True)
     )
+    cap = _CC_DRIVER_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
+    # counting the checkpointed frame is one cheap narrow job; the count
+    # GUARDS the collect (the house rule for driver-side materialization:
+    # bounded with a measured cap, or not at all)
+    if cap > 0 and edges.count() <= cap:
+        from pyspark.sql import types as T
+
+        node_type = edges.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
+        )
+        rows = _driver_union_find(
+            (r["a"], r["b"]) for r in edges.collect()
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
     # label(n) := min neighbor ∪ self, iterated with label-of-label doubling
     labels = (
         edges.groupBy("a")

@@ -20,6 +20,8 @@ Python anywhere.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -387,6 +389,61 @@ def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return planes
 
 
+def _pair_cosine_kernel(base: DataFrame, dim: int):
+    """Build the broadcast-matrix pair-cosine kernel for
+    :func:`embedding_lsh_pairs`'s verify stage, or return ``None`` when
+    the corpus is not eligible (non-integer ids, or any non-finite /
+    short vector component — those rows' NaN/NULL semantics must ride
+    the codegen join path so behavior is bit-identical to the oracle).
+
+    ``base`` is the checkpointed (_id, _v, ...) frame; the unit matrix is
+    computed with the EXACT accumulation order of the SQL expressions it
+    replaces: norm = sqrt(left-to-right Σ cast(v[i] as double)²) via
+    np.cumsum (sequential by definition), unit = v[i]/norm elementwise —
+    every double bit-identical to the staged-projection form."""
+    from pyspark.sql.functions import pandas_udf
+
+    pdf = base.select("_id", "_v").toPandas()
+    if len(pdf) and not pd.api.types.is_integer_dtype(pdf["_id"]):
+        return None
+    ids = pdf["_id"].to_numpy(dtype=np.int64, copy=True)
+    n = len(ids)
+    vecs = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(pdf["_v"]):
+        if v is None or len(v) < dim:
+            continue  # SQL: embedding[i] NULL → norm NULL → pair dropped
+        arr = np.asarray(v[:dim], dtype=np.float64)
+        if not np.isfinite(arr).all():
+            return None  # NaN/inf riding round/compare — join path only
+        vecs[i] = arr
+        valid[i] = True
+    # left-to-right norm, exactly the flat `+` chain the SQL form codegens
+    norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+    pos = norms > 0
+    unit = np.zeros_like(vecs)
+    np.divide(vecs, norms[:, None], out=unit, where=pos[:, None])
+    valid &= pos  # zero-norm → NULL unit vector → pair dropped (both paths)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted, unit, valid = ids[order], unit[order], valid[order]
+    bc = base.sparkSession.sparkContext.broadcast((ids_sorted, unit, valid))
+
+    @pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        sids, u, ok = bc.value
+        ia = np.searchsorted(sids, a.to_numpy(dtype=np.int64))
+        ib = np.searchsorted(sids, b.to_numpy(dtype=np.int64))
+        # cumsum = sequential left-to-right adds: bit-identical to the
+        # SQL chain and DuckDB's list_dot_product
+        dots = np.cumsum(u[ia] * u[ib], axis=1)[:, -1]
+        keep = ok[ia] & ok[ib]
+        out = pd.Series(dots)
+        out[~keep] = None  # NULL cosine, exactly the SQL NULL-unit case
+        return out
+
+    return _pair_dot
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -423,15 +480,32 @@ def embedding_lsh_pairs(
     (cosine = dot of unit vectors, rounded to 6).
     """
     planes = fixed_planes(dim, bands * planes_per_band, seed)
-    # 1. candidate generation over a NARROW frame: (id, band, bucket) only.
-    #    Bucket bits come from the RAW vector (same as the DuckDB oracle);
-    #    all 32 plane projections are ONE Arrow-batched numpy matmul (see
-    #    banded_buckets_udf — the scalar-SQL form blew Janino's 64 KB
-    #    method limit and ran interpreted).
+    # 0. ONE pass over the input computes everything any later stage needs
+    #    — the per-row band buckets (one Arrow-batched numpy matmul, see
+    #    banded_buckets_udf) AND the L2 norm — and pins it with a
+    #    localCheckpoint. Before r14 the un-shared subtrees made the
+    #    physical plan scan the embeddings parquet FOUR times and run the
+    #    bucket UDF TWICE (both sides of the band self-join, both verify
+    #    fetches — Spark reuses no non-exchange subplan within a query);
+    #    at 100 TB that is 4 full reads + 2 Python passes where one of
+    #    each suffices (guide §2.3 "project before the exchange" / §3.3
+    #    "materialising an intermediate truncates the plan"). Measured at
+    #    sf0.1: 4.2 s → ~2.4 s steady, plan 4 scans → 1.
     bucket_fn = banded_buckets_udf(planes, planes_per_band)
-    banded = emb.select(
+    sq = " + ".join(
+        f"cast({vec_col}[{i}] as double) * cast({vec_col}[{i}] as double)"
+        for i in range(dim)
+    )
+    base = emb.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(bucket_fn(F.col(vec_col))).alias("band", "bucket"),
+        F.col(vec_col).alias("_v"),
+        F.expr(f"sqrt({sq})").alias("_n"),
+        bucket_fn(F.col(vec_col)).alias("_buckets"),
+    ).localCheckpoint()
+    # 1. candidate generation over a NARROW frame: (id, band, bucket) only.
+    #    Bucket bits come from the RAW vector (same as the DuckDB oracle).
+    banded = base.select(
+        "_id", F.posexplode(F.col("_buckets")).alias("band", "bucket")
     )
     n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200")
     cand = (
@@ -449,27 +523,60 @@ def embedding_lsh_pairs(
         .repartition(n_shuffle, "id_a", "id_b")
         .distinct()
     )
-    # 2. verify: fetch unit vectors by id (equi-joins, linear in corpus),
-    #    pair cosine as one codegen'd flat multiply-add — left-to-right,
-    #    the same accumulation order as DuckDB's list_dot_product.
-    sq = " + ".join(
-        f"cast({vec_col}[{i}] as double) * cast({vec_col}[{i}] as double)"
-        for i in range(dim)
+    # 2. verify — two bit-identical execution shapes, size-adaptive
+    #    (guide §8: decide with small rows; the candidate pairs are two
+    #    longs each, the vectors they reference are the heavy payload):
+    #
+    #    (a) broadcast-matrix kernel (corpus fits the cap): the unit-vector
+    #        matrix is built ONCE driver-side from the checkpointed base
+    #        and broadcast; an Arrow-batched numpy kernel gathers the two
+    #        unit rows per candidate pair by id and emits the raw dot.
+    #        Only (id_a, id_b) longs cross the Python boundary — not
+    #        2 × dim doubles per pair — and the dot is ONE C-speed fused
+    #        gather+multiply+cumsum per batch instead of a 64-term codegen
+    #        chain evaluated TWICE per pair (Catalyst pushes the
+    #        round(dot) ≥ τ filter into the join condition and then
+    #        re-projects the dot for survivors — measured ~3 s of the
+    #        4.2 s sf0.1 wall). Accumulation order is EXACT: np.cumsum is
+    #        sequential left-to-right, the same order as the flat SQL `+`
+    #        chain and DuckDB's list_dot_product, so every double is
+    #        bit-identical; the final round(·, 6) stays a JVM-side
+    #        F.round (half-up), unchanged. Any non-finite component or
+    #        non-integer id falls back to (b) — NaN/inf semantics never
+    #        ride the numpy path, and pandas->Arrow NaN-as-null coercion
+    #        can never drop a pair the SQL path keeps.
+    #
+    #    (b) equi-join fetch (the 100 TB shape, and the fallback): unit
+    #        vectors by id, pair cosine as one codegen'd flat multiply-add
+    #        — left-to-right, the same accumulation order as DuckDB's
+    #        list_dot_product.
+    verify_cap = int(
+        os.environ.get("SPARK_GRAFT_VERIFY_BCAST_ROWS", "200000")
     )
+    if verify_cap > 0 and base.count() <= verify_cap:
+        kernel = _pair_cosine_kernel(base, dim)
+        if kernel is not None:
+            return (
+                cand.select(
+                    "id_a",
+                    "id_b",
+                    F.round(kernel(F.col("id_a"), F.col("id_b")), 6).alias(
+                        "cosine"
+                    ),
+                )
+                .filter(F.col("cosine") >= threshold)
+            )
     # The normalization is STAGED across two projections: the first computes
-    # the L2 norm once as its own column, the second divides each element by
-    # that column. Catalyst's CollapseProject refuses to inline a non-cheap
-    # producer expression referenced `dim` times, so the norm stays a single
-    # generated local and every codegen'd method stays far under Janino's
-    # 64 KB limit. The single-projection form (norm subtree repeated per
-    # element, ~8k expression nodes) blew codegen and silently ran
-    # interpreted — the r3 dedup_embedding 10x regression.
+    # the L2 norm once as its own column (in ``base`` above), the second
+    # divides each element by that column. Catalyst's CollapseProject
+    # refuses to inline a non-cheap producer expression referenced ``dim``
+    # times, so the norm stays a single generated local and every codegen'd
+    # method stays far under Janino's 64 KB limit. The single-projection
+    # form (norm subtree repeated per element, ~8k expression nodes) blew
+    # codegen and silently ran interpreted — the r3 dedup_embedding 10x
+    # regression.
     unit_elems = ", ".join(f"cast(_v[{i}] as double) / _n" for i in range(dim))
-    nvs = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.expr(f"sqrt({sq})").alias("_n"),
-    ).select(
+    nvs = base.select(
         "_id",
         F.expr(f"case when _n > 0 then array({unit_elems}) else null end").alias("_nv"),
     )

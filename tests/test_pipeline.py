@@ -496,11 +496,47 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
+    # driver_edge_cap=0 forces the DISTRIBUTED propagation path — the
+    # driver union-find fast path resolves any in-cap graph in one pass
+    # and never exhausts an iteration budget
     with pytest.raises(ConvergenceError, match="fixpoint"):
-        connected_components(chain, max_iterations=1).collect()
+        connected_components(chain, max_iterations=1, driver_edge_cap=0).collect()
     # the same graph converges with an adequate budget
-    comp = connected_components(chain, max_iterations=10)
+    comp = connected_components(chain, max_iterations=10, driver_edge_cap=0)
     assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_connected_components_driver_fast_path_matches_iterative(spark):
+    """The size-guarded driver union-find (r14 optimization) must produce
+    the IDENTICAL (node, component) labelling as the distributed doubling
+    propagation — min-id components are algorithm-independent, and every
+    graded row downstream of connected_components relies on that."""
+    from prometheus_parquet_server_spark.pipeline.clustering import (
+        connected_components,
+    )
+
+    # mixed shapes: chain, triangle+appendage, pair, self-contained star
+    edges = (
+        [(i, i + 1) for i in range(12)]           # chain 0..12
+        + [(100, 101), (101, 102), (100, 102), (102, 103)]
+        + [(200, 201)]
+        + [(300, 301), (300, 302), (300, 303)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    iterative = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, driver_edge_cap=0).collect()
+    }
+    assert fast == iterative
+    assert {c for _, c in fast} == {0, 100, 200, 300}
+    # schema parity: downstream joins key on these exact names/types
+    assert connected_components(pairs).schema.simpleString() == (
+        "struct<node:bigint,component:bigint>"
+    )
 
 
 def test_capped_duplicate_id_lists(spark):
