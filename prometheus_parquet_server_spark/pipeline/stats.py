@@ -342,6 +342,13 @@ def hash_cosine_topk(
         .groupBy(id_col, "bucket")
         .agg(F.sum("_s").alias("w"))
         .filter(F.col("w") != 0)
+        # pin ONCE (r14): `long` feeds BOTH the norms and the dots
+        # aggregates below, and Spark reuses no non-exchange subplan
+        # within a query — without this the token explode + md5 + first
+        # hash aggregate (the O(corpus tokens) work) run twice. The
+        # materialized frame is narrow: ≤ dim rows per doc of
+        # (id, bucket, w), no text.
+        .localCheckpoint()
     )
     norms = long.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("_n2"))
     dots = (
@@ -877,16 +884,40 @@ def _maxsim_scores(
         qrows, "query_id string, qpos int, bucket long, qw long"
     )
 
-    toks = tokens_col(F.col(text_col))
-    tok = (
-        df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col), F.size(toks).alias("_n"),
-                F.posexplode(toks).alias("pos", "_t"))
+    # Doc side, reordered for shuffle-byte economy (guide §2.3, r14):
+    # hash each TOKEN once — not each of its (2·window+1) window-membership
+    # rows, which tripled the md5 work — and drop tokens whose bucket no
+    # query window carries BEFORE the window explode: a (doc, wpos, bucket)
+    # group with bucket ∉ query buckets can never survive the qdf equi-join
+    # below, and its membership for bucket ∈ Q is unchanged by dropping
+    # other buckets' tokens, so the post-aggregate frame is IDENTICAL.
+    # Both the explode multiplier and the first (biggest) hash aggregate
+    # now see only query-bucket tokens. The token array is staged through
+    # its own projection so tokenization runs once per row (CollapseProject
+    # keeps a non-cheap alias referenced twice staged).
+    qbuckets = sorted({b for (_qid, _i, b, _w) in qrows})
+    staged = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
-    offsets = F.sequence(F.lit(-window), F.lit(window))
-    wrows = tok.select(
+    tok = staged.select(
+        id_col, F.size("_toks").alias("_n"),
+        F.posexplode("_toks").alias("pos", "_t"),
+    )
+    tokb = tok.select(
         id_col,
-        "_t",
+        "pos",
+        "_n",
+        (F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+         % F.lit(dim)).alias("bucket"),
+        F.when(
+            F.substring(F.md5("_t"), 9, 1).isin(*"89abcdef"), F.lit(-1)
+        ).otherwise(F.lit(1)).alias("_s"),
+    ).filter(F.col("bucket").isin(qbuckets))
+    offsets = F.sequence(F.lit(-window), F.lit(window))
+    wrows = tokb.select(
+        id_col,
+        "bucket",
+        "_s",
         F.explode(
             F.filter(
                 F.transform(offsets, lambda d: F.col("pos") + d),
@@ -895,16 +926,7 @@ def _maxsim_scores(
         ).alias("wpos"),
     )
     dwin = (
-        wrows.select(
-            id_col,
-            "wpos",
-            (F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
-             % F.lit(dim)).alias("bucket"),
-            F.when(
-                F.substring(F.md5("_t"), 9, 1).isin(*"89abcdef"), F.lit(-1)
-            ).otherwise(F.lit(1)).alias("_s"),
-        )
-        .groupBy(id_col, "wpos", "bucket")
+        wrows.groupBy(id_col, "wpos", "bucket")
         .agg(F.sum("_s").alias("w"))
         .filter(F.col("w") != 0)
     )

@@ -37,6 +37,16 @@ def get_spark(app_name: str = "prometheus-parquet-server-spark") -> SparkSession
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage-codegen class cache (STATIC conf, default 100 entries).
+        # A session that plans many distinct query shapes (the 63-row bench,
+        # the 153-row oracle gate, a long-lived server) thrashes a 100-entry
+        # LRU and recompiles generated classes it just evicted — measured on
+        # the r14 bench as per-query walls ~2x their isolated-session floors.
+        # Pure JVM-side cache sizing: scale-independent, no plan change.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():
