@@ -149,28 +149,37 @@ def _banded(
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
-    # stage the SHINGLE ARRAY, then the signature, as their own columns
-    # across selects: HOF trees are interpreted without subexpression
-    # elimination, so the inline form re-tokenizes and re-shingles every
-    # row num_perm x bands times (the measured winnowing blowup class,
-    # text.winnowing_fingerprint_rows; multi-referenced non-trivial
+    # stage the SHINGLE ARRAY as its own column across selects: HOF trees
+    # are interpreted without subexpression elimination, so the inline
+    # form re-tokenizes and re-shingles every row num_perm x bands times
+    # (the measured winnowing blowup class; multi-referenced non-trivial
     # aliases survive CollapseProject)
     s1 = df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
         F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-    def _hasher(salt):
-        # a dedicated one-arg factory: a default-arg lambda would have
-        # TWO parameters, which pyspark's transform interprets as the
-        # (element, index) form — the index would silently replace the salt
-        return lambda t: _salted_md5(t, salt)
-
-    sig = F.array(
+    # signature via EXPLODE + one hash aggregate (r14): the previous
+    # per-row `array_min(transform(_sh, salted_md5))` × num_perm form ran
+    # every salted md5 on the INTERPRETED HOF path (HigherOrderFunction
+    # is CodegenFallback) — num_perm × |shingles| interpreted hashes per
+    # doc, the dominant term of the LSH candidate stage (BASELINE r13:
+    # "the O(tokens) signature scan"). Exploding the distinct shingles
+    # and taking per-permutation MIN(md5(shingle || '#p')) in a codegen'd
+    # hash aggregate computes the IDENTICAL signature (min over the same
+    # salted-hash strings, same binary string ordering — and exactly the
+    # DuckDB oracle's own unnest + MIN replay shape) with every md5 in
+    # generated code. Map-side partial aggregation keeps the exchange at
+    # num_perm hex strings per doc (guide §2.3 "aggregate before you
+    # shuffle"); measured at sf0.1: dedup_edit 6.5 s -> see
+    # OPTIMIZATION_r14.md.
+    uni = s1.select(F.col(id_col), F.explode("_sh").alias("_tok"))
+    mins = uni.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("_sh"), _hasher(p)))
+            F.min(_salted_md5(F.col("_tok"), p)).alias(f"_m{p}")
             for p in range(num_perm)
         ]
     )
-    s2 = s1.select(F.col(id_col), sig.alias("_sig"))
+    sig = F.array(*[F.col(f"_m{p}") for p in range(num_perm)])
+    s2 = mins.select(F.col(id_col), sig.alias("_sig"))
     return s2.select(
         F.col(id_col),
         F.explode(
@@ -219,7 +228,13 @@ def lsh_candidate_pairs(
     production cap) drops buckets larger than the bound before the
     self-join; None = exact, used by the toy-scale oracle.
     """
-    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n)
+    # pin the banding ONCE (r14): both sides of the band_key self-join
+    # (and the optional bucket-size window) consume it, and Spark reuses
+    # no non-exchange subplan within a query — without this the whole
+    # shingle-explode + signature aggregate ran once per join side. The
+    # materialized frame is narrow: bands rows of (id, 32-hex band_key)
+    # per doc, no text.
+    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n).localCheckpoint()
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
