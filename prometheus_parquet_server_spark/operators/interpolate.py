@@ -151,11 +151,34 @@ def keyed_series(samples: DataFrame) -> tuple[DataFrame, DataFrame]:
     Returns (keyed samples with ``_skey``, one-row-per-series frame with
     ``_skey, name, labels``).
     """
-    from prometheus_parquet_server_spark.model import series_key_str
+    from prometheus_parquet_server_spark.model import (
+        canonical_labels_json,
+        series_key_str,
+    )
 
     keyed = samples.withColumn("_skey", series_key_str())
-    series = keyed.groupBy("_skey").agg(
-        F.first("name").alias("name"), F.first("labels").alias("labels")
+    # distinct-on-strings instead of groupBy(_skey).agg(first(labels))
+    # (r14): `first` over a MAP column cannot use an UnsafeRow aggregation
+    # buffer, so Spark planned a Sort + SortAggregate pair per series
+    # frame — a per-row sort of the whole sample stream in every operator
+    # that needs its series list. All-string distinct is one codegen'd
+    # hash aggregate with map-side partials; the label map is rebuilt
+    # from the SAME canonical sorted-entry JSON that _skey embeds, so one
+    # _skey maps to exactly one distinct row and the rebuilt map holds
+    # the identical entries (to_json/from_json is lossless for
+    # map<string,string>).
+    series = (
+        keyed.select(
+            "_skey",
+            "name",
+            canonical_labels_json(F.col("labels")).alias("_lj"),
+        )
+        .distinct()
+        .select(
+            "_skey",
+            "name",
+            F.from_json("_lj", "map<string,string>").alias("labels"),
+        )
     )
     return keyed, series
 
