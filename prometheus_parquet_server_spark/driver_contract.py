@@ -2969,13 +2969,21 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     long form: (doc_id, bucket, weight ∈ ℤ, weight_n = weight/‖w‖ rounded)
     for nonzero buckets — weights are sums of ±1, so everything before the
     normalization is integer-exact in both engines."""
-    from prometheus_parquet_server_spark.pipeline.similarity import hash_embed
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        hash_embed_long,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    raw = hash_embed(docs, dim=64, normalize=False)
-    long = raw.select(
-        "doc_id", F.posexplode("embedding").alias("bucket", "weight")
-    ).filter(F.col("weight") != 0)
+    # consume the LONG form directly (r14): the dense round-trip
+    # (densify to a 64-slot array, left-join zero-token docs back,
+    # posexplode, drop zeros) produced exactly these rows — the long
+    # frame IS the graded output shape. bucket cast to INT preserves the
+    # posexplode position type the row always graded with.
+    long = hash_embed_long(docs, dim=64).select(
+        "doc_id",
+        F.col("_b").cast("int").alias("bucket"),
+        F.col("_w").alias("weight"),
+    )
     w = Window.partitionBy("doc_id")
     return long.select(
         "doc_id",

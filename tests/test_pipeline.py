@@ -991,7 +991,12 @@ def test_banding_stages_shingles_once(spark):
     )
     staged = _banded(docs, "text", "doc_id", 16, 4, 2)
     plan = staged._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("split(") <= 12  # inline form embeds it ~16x7 times
+    # the r14 explode+aggregate signature shape mentions the tokenizer a
+    # few more times across operator descriptions (filter + explode +
+    # staging projections) but still evaluates it once per row — the
+    # inline form this guards against embeds it ~num_perm x bands ≈ 112
+    # times and re-runs it per reference
+    assert plan.count("split(") <= 20
     api = docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
         "doc_id",
         F.explode(
