@@ -2770,13 +2770,12 @@ FROM e2
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-token docs are dropped (the dedup_minhash rule: an all-zero
     fingerprint would bucket every empty/NULL doc together, and the
-    oracle's per-token GROUP BY replay never emits rows for them)."""
-    from prometheus_parquet_server_spark.pipeline.text import tokens_col
+    oracle's per-token GROUP BY replay never emits rows for them —
+    simhash_frame's explode drops them by construction, r14)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import simhash_frame
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
-        "doc_id", simhash(F.col("text"), bits=8).alias("simhash")
-    )
+    return simhash_frame(docs, bits=8)
 
 
 _SIMHASH_BITS_SQL = " || ".join(

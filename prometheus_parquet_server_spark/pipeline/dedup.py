@@ -372,6 +372,50 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return F.concat(*bit_cols)
 
 
+def simhash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Frame-level SimHash (r14): one md5 per token in codegen, one
+    (id)-keyed hash aggregate voting all ``bits`` positions at once —
+    the Column form (:func:`simhash`) re-evaluates the token→md5
+    transform once per bit through interpreted HOF folds (bits × tokens
+    interpreted hashes per row; HOFs are CodegenFallback). Identical
+    fingerprints: the same majority votes over the same hex digits (and
+    exactly the DuckDB oracle's unnest + GROUP BY replay). Zero-token
+    docs are DROPPED (no tokens → no rows — the oracle convention; the
+    Column form gives them the all-zeros string).
+
+    Returns (id_col, simhash)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"bits must be in [1, 32] (one md5 hex digit per bit), got {bits}"
+        )
+    toks = tokens_col(F.col(text_col))
+    hashed = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        id_col, F.md5("_t").alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("_h", i + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    bit_cols = [
+        F.when(F.col(f"_v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -992,7 +992,7 @@ def semantic_dedup(
     )
     assigned = corpus.withColumn(
         "cell", centroid_cells_udf(centroids, 1)(F.col(vec_col))[0]
-    ).withColumn("_nv", unit_vector(F.col(vec_col)))
+    )
     # assigned is referenced three times (both pair sides + the kept-flag
     # join): localCheckpoint materializes the Arrow assignment pass ONCE
     # and truncates lineage; blocks free when the frame is GC'd — no
@@ -1006,16 +1006,46 @@ def semantic_dedup(
             .filter(F.col("_cn") <= max_cell)
             .drop("_cn")
         )
-    # vectors were L2-normalized ONCE per row above, so the quadratic
-    # in-cell loop is a single dot-product fold per pair (the unit_vector
-    # hot-loop contract; zero vectors normalize to all-zeros → dot 0 < τ)
-    a = pairable.select(
-        F.col(id_col).alias("_ida"), F.col("_nv").alias("_va"), "cell"
+    # In-cell pair cosine, two bit-identical shapes (the
+    # embedding_lsh_pairs r14 verify pattern):
+    # (a) broadcast-matrix Arrow kernel when the corpus fits the cap and
+    #     every component is finite: the cell join then carries only
+    #     (id, cell) — no 64-double unit vectors through the shuffle —
+    #     and each pair's dot is one numpy gather+multiply+cumsum
+    #     (sequential left-to-right, the fold's exact order) instead of
+    #     an interpreted 64-step HOF fold per pair (the quadratic
+    #     in-cell term, measured dominant at sf0.1). Zero-norm rows:
+    #     kernel → NULL cosine, fold → all-zero unit vector → dot 0 —
+    #     both fail a positive τ identically, so the kernel path
+    #     requires threshold > 0.
+    # (b) the unit_vector + interpreted fold (any corpus, any τ).
+    verify_cap = int(
+        os.environ.get("SPARK_GRAFT_VERIFY_BCAST_ROWS", "200000")
     )
-    b = pairable.select(
-        F.col(id_col).alias("_idb"), F.col("_nv").alias("_vb"), "cell"
-    )
-    sim = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
+    kernel = None
+    if threshold > 0 and 0 < verify_cap and assigned.count() <= verify_cap:
+        kernel = _pair_cosine_kernel(
+            assigned.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            ),
+            dim,
+        )
+    if kernel is not None:
+        a = pairable.select(F.col(id_col).alias("_ida"), "cell")
+        b = pairable.select(F.col(id_col).alias("_idb"), "cell")
+        sim = F.round(kernel(F.col("_ida"), F.col("_idb")), 6)
+    else:
+        # vectors L2-normalized ONCE per row, so the quadratic in-cell
+        # loop is a single dot-product fold per pair (the unit_vector
+        # hot-loop contract; zero vectors normalize to all-zeros → dot 0)
+        nv = pairable.withColumn("_nv", unit_vector(F.col(vec_col)))
+        a = nv.select(
+            F.col(id_col).alias("_ida"), F.col("_nv").alias("_va"), "cell"
+        )
+        b = nv.select(
+            F.col(id_col).alias("_idb"), F.col("_nv").alias("_vb"), "cell"
+        )
+        sim = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
     dups = (
         a.join(b, "cell")
         .filter(F.col("_ida") > F.col("_idb"))

@@ -153,6 +153,42 @@ def test_simhash_close_for_near_duplicates(spark):
     assert ham12 < ham13
 
 
+def test_simhash_frame_matches_column_form(spark):
+    """The codegen explode+aggregate simhash (r14 optimization) must emit
+    the IDENTICAL fingerprint as the Column-form fold for every doc with
+    tokens, and drop zero-token docs (the graded-row convention the
+    Column form handles via an explicit filter)."""
+    from prometheus_parquet_server_spark.pipeline.dedup import (
+        simhash,
+        simhash_frame,
+        tokens_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark group query row data slow"),
+            (2, "pelicans volcanoes"),
+            (3, ""),            # zero tokens → dropped by the frame form
+            (4, None),          # NULL text → zero tokens → dropped
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    for bits in (8, 16, 32):
+        frame = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_frame(df, bits=bits).collect()
+        }
+        col = {
+            r["doc_id"]: r["sh"]
+            for r in df.filter(F.size(tokens_col(F.col("text"))) > 0)
+            .select("doc_id", simhash(F.col("text"), bits=bits).alias("sh"))
+            .collect()
+        }
+        assert frame == col
+        assert set(frame) == {1, 2, 5}
+
+
 def test_brute_force_topk(emb):
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
