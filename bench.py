@@ -113,8 +113,41 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warm the JVM / parquet footers once
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the JVM once so the FIRST timed query measures itself, not
+    # engine init (measurement fix, r14 — guide §1: f1_selector's cold
+    # number ran 3-10x its steady floor purely from absorbing JVM/codegen/
+    # Arrow-worker startup; every later row was unaffected). The warm-up
+    # touches each runtime the queries use — parquet footer read, one
+    # shuffle+window (whole-stage codegen + exchange machinery), one Arrow
+    # pandas_udf pass (Python worker pool), one noop write — over the
+    # 25-row nation table, so it adds ~2 s of untimed setup and zero data
+    # reuse. Methodology is otherwise unchanged: same queries, same scale
+    # factor, same per-query cold timing via the noop sink.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.count()
+
+    @_pudf("double")
+    def _warm_udf(s):
+        return s.astype("float64") * 1.0
+
+    (
+        warm.withColumn(
+            "_r",
+            _F.row_number().over(
+                _W.partitionBy("n_regionkey").orderBy("n_nationkey")
+            ),
+        )
+        .withColumn("_u", _warm_udf(_F.col("n_nationkey")))
+        .groupBy("n_regionkey")
+        .agg(_F.sum("_u").alias("_s"), _F.max("_r").alias("_m"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -72,6 +72,26 @@ def _gram_buckets(text: Column, m: int) -> Column:
     )
 
 
+def _gram_bucket_rows(
+    df: DataFrame, text_col: str, m: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(keep..., b) rows — the EXPLODE-FIRST twin of
+    :func:`_gram_buckets` (r14): every consumer exploded the bucket
+    array immediately, so hashing inside the per-row ``transform``
+    lambda ran one interpreted md5 per gram (HOFs are CodegenFallback).
+    Exploding the raw gram strings first puts the md5/conv/mod chain in
+    whole-stage codegen — identical buckets, same row multiset."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.concat(toks, ngrams_col(toks, 2))
+    return df.select(*keep, F.explode(grams).alias("_g")).select(
+        *keep,
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            % F.lit(m)
+        ).alias("b"),
+    )
+
+
 def dsir_logratio_table(
     raw: DataFrame,
     target: DataFrame,
@@ -91,7 +111,7 @@ def dsir_logratio_table(
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.select(F.explode(_gram_buckets(F.col(text_col), m)).alias("b"))
+            _gram_bucket_rows(df, text_col, m)
             .groupBy("b")
             .agg(F.count("*").alias(out))
         )
@@ -166,9 +186,8 @@ def dsir_score(
     cannot be selected, and the seeded Gumbel key's md5 would otherwise
     diverge from the SQL twin, whose ``||`` propagates NULL while
     Spark's concat_ws skips it). Returns ``(id_col, score_u)``."""
-    occ = df.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
-        F.explode(_gram_buckets(F.col(text_col), m)).alias("b"),
+    occ = _gram_bucket_rows(
+        df.filter(F.col(id_col).isNotNull()), text_col, m, keep=(id_col,)
     )
     return (
         occ.join(F.broadcast(table), "b")
@@ -373,7 +392,7 @@ def dsir_counts_ingest(
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     rows = (
-        batch.select(F.explode(_gram_buckets(F.col(text_col), m)).alias("b"))
+        _gram_bucket_rows(batch, text_col, m)
         .groupBy("b")
         .agg(F.count("*").alias("c"))
         .select(
