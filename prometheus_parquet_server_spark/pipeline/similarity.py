@@ -459,9 +459,16 @@ def _pair_cosine_kernel(base: DataFrame, dim: int):
     vecs = np.zeros((n, dim), dtype=np.float64)
     valid = np.zeros(n, dtype=bool)
     for i, v in enumerate(pdf["_v"]):
-        if v is None or len(v) < dim:
-            continue  # SQL: embedding[i] NULL → norm NULL → pair dropped
-        arr = np.asarray(v[:dim], dtype=np.float64)
+        if v is None:
+            continue  # SQL: NULL embedding → norm NULL → pair dropped
+        if len(v) != dim:
+            # ADVICE r14: the fold path scores off-length vectors over
+            # their ACTUAL length (unit_vector/_dot use the array as-is)
+            # while the kernel would drop/truncate them — the two paths
+            # must stay bit-identical, so any off-length vector sends the
+            # whole corpus down the fold path
+            return None
+        arr = np.asarray(v, dtype=np.float64)
         if not np.isfinite(arr).all():
             return None  # NaN/inf riding round/compare — join path only
         vecs[i] = arr
@@ -479,12 +486,20 @@ def _pair_cosine_kernel(base: DataFrame, dim: int):
     @pandas_udf("double")
     def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         sids, u, ok = bc.value
-        ia = np.searchsorted(sids, a.to_numpy(dtype=np.int64))
-        ib = np.searchsorted(sids, b.to_numpy(dtype=np.int64))
+        if not len(sids):
+            return pd.Series([None] * len(a), dtype="float64")
+        an = a.to_numpy(dtype=np.int64)
+        bn = b.to_numpy(dtype=np.int64)
+        # membership-checked lookup (ADVICE r14): an id absent from the
+        # broadcast matrix must yield a NULL cosine (the documented
+        # dropped-pair behavior), never a silent neighboring-row gather
+        # or an IndexError at the array end
+        ia = np.minimum(np.searchsorted(sids, an), len(sids) - 1)
+        ib = np.minimum(np.searchsorted(sids, bn), len(sids) - 1)
         # cumsum = sequential left-to-right adds: bit-identical to the
         # SQL chain and DuckDB's list_dot_product
         dots = np.cumsum(u[ia] * u[ib], axis=1)[:, -1]
-        keep = ok[ia] & ok[ib]
+        keep = ok[ia] & ok[ib] & (sids[ia] == an) & (sids[ib] == bn)
         out = pd.Series(dots)
         out[~keep] = None  # NULL cosine, exactly the SQL NULL-unit case
         return out

@@ -5,8 +5,12 @@ Usage: python scripts/dump_plans.py <tag> <suffix> [query ...]
   e.g. python scripts/dump_plans.py r14 before            # all bench queries
        python scripts/dump_plans.py r14 after dedup_edit  # a subset
 
-Driver-side planning only — no jobs run (explain does not execute the query),
-so this is safe to run alongside other work without skewing bench numbers.
+MOSTLY driver-side planning — but several queries now execute REAL jobs at
+DataFrame-construction time (eager localCheckpoint in lsh_candidate_pairs /
+hash_cosine_topk / edit_distance_pairs, count+toPandas+broadcast in
+embedding_lsh_pairs / semantic_dedup, store builds in the index rows), so
+dumping plans runs Spark work. Do NOT run this alongside a timed bench —
+it will skew the numbers (ADVICE r14).
 """
 
 from __future__ import annotations

@@ -121,3 +121,84 @@ def test_dedup_embedding_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan
     assert "hashpartitioning(id_a" in plan
+
+
+def test_pair_cosine_kernel_off_length_falls_back(spark):
+    """ADVICE r14: the broadcast-matrix pair-cosine kernel must refuse a
+    corpus holding ANY vector whose length != dim — the fold path scores
+    off-length vectors over their actual array length, so the kernel
+    (which would truncate or drop them) cannot be bit-identical there.
+    Returning None routes the whole corpus down the fold path."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        _pair_cosine_kernel,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "_id long, _v array<double>"
+    )
+    assert _pair_cosine_kernel(ok, 2) is not None
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5])], "_id long, _v array<double>"
+    )
+    assert _pair_cosine_kernel(short, 2) is None
+
+    long_v = spark.createDataFrame(
+        [(1, [1.0, 0.0, 3.0]), (2, [0.0, 1.0])], "_id long, _v array<double>"
+    )
+    assert _pair_cosine_kernel(long_v, 2) is None
+
+    # NULL vectors stay kernel-eligible (both paths drop their pairs)
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "_id long, _v array<double>"
+    )
+    assert _pair_cosine_kernel(with_null, 2) is not None
+
+
+def test_pair_cosine_kernel_unknown_id_is_null(spark):
+    """ADVICE r14: an id absent from the broadcast matrix must yield a
+    NULL cosine (the documented dropped-pair behavior) — never a silent
+    neighboring-row gather or an IndexError past the array end."""
+    from prometheus_parquet_server_spark.pipeline.similarity import (
+        _pair_cosine_kernel,
+    )
+
+    base = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [1.0, 0.0])], "_id long, _v array<double>"
+    )
+    fn = _pair_cosine_kernel(base, 2)
+    pairs = spark.createDataFrame(
+        # 15 searchsorts between the ids; 99 past the end; 10-20 valid
+        [(10, 20), (10, 15), (10, 99)], "a long, b long"
+    )
+    rows = {
+        (r["a"], r["b"]): r["c"]
+        for r in pairs.select(
+            "a", "b", fn(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert rows[(10, 20)] == 1.0
+    assert rows[(10, 15)] is None
+    assert rows[(10, 99)] is None
+
+
+def test_keyed_series_null_labels_survive_resample(spark):
+    """ADVICE r14: a NULL labels map coalesces to the empty-label series —
+    one series row per _skey, and its samples survive the series join
+    (they were silently dropped when NULL labels made _skey NULL)."""
+    from prometheus_parquet_server_spark.operators.interpolate import (
+        keyed_series,
+    )
+
+    samples = spark.createDataFrame(
+        [("m", None, 0.0, 1.0), ("m", None, 10.0, 3.0), ("m", {"a": "b"}, 0.0, 7.0)],
+        "name string, labels map<string,string>, ts double, value double",
+    )
+    keyed, series = keyed_series(samples)
+    srows = series.collect()
+    assert len(srows) == 2  # the NULL-labels series is ONE row, not per-name shards
+    null_series = [r for r in srows if not r["labels"]]
+    assert len(null_series) == 1 and null_series[0]["labels"] == {}
+    # the keyed side carries the matching _skey (join keeps the samples)
+    joined = keyed.join(series.select("_skey"), "_skey").count()
+    assert joined == 3
