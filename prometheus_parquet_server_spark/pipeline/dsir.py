@@ -428,9 +428,14 @@ def dsir_counts_ingest(
             .select("name", "ts", "b", "c")
         )
 
+    # num_partitions=1 (r15): the combined side is ≤ m rows BY CONSTRUCTION
+    # at any corpus size (the store holds per-bucket counts, not documents),
+    # so one file per commit is the right layout at any scale — the default
+    # 32-way range sampling + 32 tiny files per commit was pure overhead,
+    # and every later ingest re-opened all of them.
     return snapshot_merge(
         spark, store_path, rows, combine,
-        properties={"dsir_m": m}, txn=txn,
+        properties={"dsir_m": m}, txn=txn, num_partitions=1,
     )
 
 

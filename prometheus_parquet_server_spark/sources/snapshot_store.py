@@ -854,6 +854,7 @@ def snapshot_merge(
     combine,
     properties: dict | None = None,
     txn: tuple[str, int] | None = None,
+    num_partitions: int | None = None,
 ) -> int:
     """Generalized read-modify-write commit — the primitive behind
     incremental materialized aggregates (operators/rollup.py
@@ -896,6 +897,14 @@ def snapshot_merge(
     batch is a no-op returning the current version — and raises
     FileNotFoundError on an uninitialized store (there is no version to
     return, and silently answering 0 would name a nonexistent snapshot).
+
+    ``num_partitions`` is the caller's write-width hint for BOUNDED stores
+    (r15): a merge whose combined frame is capped by construction (e.g. a
+    DSIR counts store holds ≤ m rows per side at ANY corpus size) should
+    write that many files, not ``spark.sql.shuffle.partitions`` range
+    slices — the default 32-way range sampling + 32 tiny files is pure
+    overhead per commit and multiplies the files every later read-back
+    opens. None keeps the adaptive default (unbounded stores).
     """
     fs = _StoreFS(spark, path)
     updates = updates.cache()
@@ -964,7 +973,8 @@ def snapshot_merge(
             (parent_m or {}).get("schema"), out, merge_schema=False
         )
         new_files = _write_data_files(
-            spark, path, out, time_chunk_s=_inherited_chunk(parent_m)
+            spark, path, out, time_chunk_s=_inherited_chunk(parent_m),
+            num_partitions=num_partitions,
         )
         target = _target_version(fs, path, parent)
         if target is None:

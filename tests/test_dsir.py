@@ -535,3 +535,37 @@ def test_stream_dsir_ingest_drift_alert_failure_does_not_fail_batch(
     assert v == 2  # both commits durable
     n_rows = dsir_table_read(spark, store).count()
     assert n_rows > 0
+
+
+def test_counts_ingest_writes_one_file_per_commit(spark, tmp_path):
+    """r15: the counts store is m-bounded by construction (≤ m rows per
+    side at any corpus size), so each merge commit must write ONE data
+    file per touched side — not shuffle.partitions range slices. Pins the
+    snapshot_merge num_partitions hint."""
+    from prometheus_parquet_server_spark.pipeline.dsir import (
+        dsir_counts_ingest,
+    )
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        snapshot_read,
+    )
+
+    store = f"file://{tmp_path}/counts"
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i%7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    dsir_counts_ingest(spark, store, docs.filter("doc_id % 2 = 0"), side="raw", m=64)
+    dsir_counts_ingest(spark, store, docs.filter("doc_id % 2 = 1"), side="raw", m=64)
+    dsir_counts_ingest(spark, store, docs.filter("doc_id % 17 = 3"), side="target", m=64)
+    from prometheus_parquet_server_spark.sources.snapshot_store import (
+        _StoreFS,
+        _read_manifest,
+        snapshot_version,
+    )
+
+    tip = snapshot_version(spark, store)
+    files = _read_manifest(_StoreFS(spark, store), store, tip)["files"]
+    assert len(files) <= 2, files  # one raw file + one target file
+    # and the read-back is the fold of all three batches
+    raw = snapshot_read(spark, store, names=["raw"])
+    assert raw.agg(F.sum("c")).first()[0] > 0
